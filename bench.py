@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at the bench scale factor.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_QUERIES       comma-separated subset (default: all registered)
+
+Each query is fully materialized through the noop sink (no driver
+collect — measures distributed compute, not py4j transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from medallion_data_lake_spark.queries import load_all  # noqa: E402
+from medallion_data_lake_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    registry = load_all()
+    only = os.environ.get("BENCH_QUERIES")
+    names = [n.strip() for n in only.split(",")] if only else sorted(registry)
+
+    spark = get_spark(
+        app_name="mdls-bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.sql.shuffle.partitions": cpus},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest fixture so per-query timings
+    # measure the plan, not first-run JIT.
+    registry["pricing_summary"].build(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Layer-aware table catalog.
+
+The reference registers every layer table as a ``{layer}_{table}`` temp view
+and serves SQL over the session catalog (reference
+``sakila-data-lake/query_datalake.py:32-94``). We keep that surface:
+
+- ``load_star_tables`` registers the driver's star-schema fixtures,
+- ``Catalog`` registers medallion layers with the same naming convention,
+- listing/describe helpers mirror the reference CLI (S12/S13).
+
+Unlike the reference we never run an eager ``count()`` per registration
+(reference ``query_datalake.py:51,66,81`` — a full job per table before any
+query; SURVEY.md §4.3.2): registration stays metadata-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import BROADCASTABLE_DIMS, STAR_SCHEMAS, STAR_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def star_path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def load_star_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one fixture table with its declared schema (no inference).
+
+    Parquet carries its own schema; we still pass the expected one so a
+    fixture drift fails loudly at analysis time instead of deep in a query.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark has no type
+    for — it's read as long nanos (``nanosAsLong``) and converted to
+    microsecond TIMESTAMP_NTZ here, matching DuckDB's own ns→µs read
+    truncation.
+    """
+    if table == "events":
+        raw_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),  # raw nanos
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        raw = spark.read.schema(raw_schema).parquet(star_path(sf_dir, table))
+        # integer `div`, not `/`: epoch-nanos (~1.7e18) overflow double's
+        # 53-bit mantissa, so a float division would corrupt microseconds.
+        return raw.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        ).select(*[f.name for f in STAR_SCHEMAS[table].fields])
+    df = spark.read.schema(STAR_SCHEMAS[table]).parquet(star_path(sf_dir, table))
+    return df
+
+
+def load_star_tables(
+    spark: SparkSession, sf_dir: str, register: bool = True
+) -> dict[str, DataFrame]:
+    """Load every fixture table; optionally register plain-name temp views."""
+    out: dict[str, DataFrame] = {}
+    for t in STAR_TABLES:
+        df = load_star_table(spark, sf_dir, t)
+        if register:
+            df.createOrReplaceTempView(t)
+        out[t] = df
+    return out
+
+
+def is_broadcast_dim(table: str) -> bool:
+    """True for dimensions that should broadcast at any data scale."""
+    return table in BROADCASTABLE_DIMS
+
+
+class Catalog:
+    """Medallion layer registry: ``bronze_* / silver_* / gold_*`` views.
+
+    Mirrors the reference's catalog surface (S11–S13, reference
+    ``query_datalake.py:96-137``) without its eager counts. Layer roots are
+    directories of Parquet (Delta-ready) tables.
+    """
+
+    LAYERS = ("bronze", "silver", "gold")
+
+    def __init__(self, spark: SparkSession, roots: dict[str, str]):
+        self.spark = spark
+        self.roots = roots
+        self._registered: dict[str, str] = {}  # view -> path
+
+    def register(self, layer: str, table: str, df: DataFrame) -> str:
+        name = f"{layer}_{table}"
+        df.createOrReplaceTempView(name)
+        self._registered[name] = ""
+        return name
+
+    def register_path(self, layer: str, table: str, fmt: str = "parquet") -> str:
+        """Register a stored table by path; metadata-only, no job runs."""
+        path = os.path.join(self.roots[layer], table)
+        df = self.spark.read.format(fmt).load(path)
+        name = f"{layer}_{table}"
+        df.createOrReplaceTempView(name)
+        self._registered[name] = path
+        return name
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def list_tables(self) -> dict[str, list[str]]:
+        """Tables grouped by layer prefix (reference ``query_datalake.py:96-120``)."""
+        grouped: dict[str, list[str]] = {layer: [] for layer in self.LAYERS}
+        grouped["other"] = []
+        for t in self.spark.catalog.listTables():
+            for layer in self.LAYERS:
+                if t.name.startswith(f"{layer}_"):
+                    grouped[layer].append(t.name)
+                    break
+            else:
+                grouped["other"].append(t.name)
+        return grouped
+
+    def describe_table(self, name: str, sample_rows: int = 5) -> dict:
+        """Schema + sample, count deferred (reference ``query_datalake.py:122-137``).
+
+        The reference runs ``count()`` + ``show()`` eagerly; we return the
+        schema cheaply and take a bounded sample in one job.
+        """
+        df = self.spark.table(name)
+        return {
+            "name": name,
+            "schema": df.schema.jsonValue(),
+            "sample": [r.asDict() for r in df.limit(sample_rows).collect()],
+        }

@@ -1,0 +1,102 @@
+"""Shared column expressions.
+
+Everything here is built from ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen friendly. No Python UDFs: the reference pipeline
+itself uses zero UDFs (SURVEY.md §2.10) and the hot path of our engine
+keeps that property; the only pandas UDFs in the repo live in
+operators/multimodal.py where Python is genuinely unavoidable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def round_money(col: Column | str, scale: int = 2) -> Column:
+    """Money display rounding (reference ``query_datalake.py:190-192``).
+
+    Doubles are also rounded before oracle comparison so that
+    summation-order differences between engines can't flip the hash
+    (SURVEY.md §7.4.1: DOUBLE + ROUND(x,2) in both engines).
+    """
+    return F.round(F.col(col) if isinstance(col, str) else col, scale)
+
+
+def safe_div(num: Column, den: Column, default: Column | None = None) -> Column:
+    """Division with a zero-denominator guard.
+
+    The reference guards revenue/day with when/otherwise (reference
+    ``sakila-data-lake/silver_to_gold.py:119-121``).
+    """
+    fallback = default if default is not None else F.lit(None)
+    return F.when(den != 0, num / den).otherwise(fallback)
+
+
+def value_tier(total: Column, bounds: tuple[float, float, float]) -> Column:
+    """Customer value tiering CASE ladder.
+
+    Shape of the reference's Premium/Gold/Silver/Bronze ladder (reference
+    ``sakila-data-lake/silver_to_gold.py:69-74``), thresholds parameterized
+    because our fixture monies are at a different scale.
+    """
+    premium, gold, silver = bounds
+    return (
+        F.when(total >= premium, "Premium")
+        .when(total >= gold, "Gold")
+        .when(total >= silver, "Silver")
+        .otherwise("Bronze")
+    )
+
+
+def group_concat(col: Column | str, sep: str = ", ") -> Column:
+    """Order-stable GROUP_CONCAT.
+
+    MySQL's ``GROUP_CONCAT(x ORDER BY x)`` (reference
+    ``source/sakila-db/sakila-schema.sql:365,379-381``). Plain
+    ``collect_list`` order is nondeterministic under parallelism, so we
+    sort the collected array before joining (SURVEY.md §7.4.2).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_sort(F.collect_list(c)), sep)
+
+
+# ---------------------------------------------------------------------------
+# Vector math on ArrayType(Float) embeddings — built-in HOFs, no UDF.
+# F.aggregate folds left-to-right, giving a deterministic summation order
+# that the DuckDB oracle reproduces.
+# ---------------------------------------------------------------------------
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, accumulated in double."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity with zero-norm guard."""
+    n = l2_norm(a) * l2_norm(b)
+    return F.when(n != 0, dot(a, b) / n).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine-stable hashing. Spark's hash()/xxhash64 and DuckDB's hash()
+# use different algorithms, so deterministic dedup/minhash operators hash
+# through md5 hex (identical in both engines) and take the first 15 hex
+# digits as a 60-bit integer (fits BIGINT exactly in both).
+# ---------------------------------------------------------------------------
+
+def md5_int(col: Column) -> Column:
+    """First 60 bits of md5(col) as a non-negative BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

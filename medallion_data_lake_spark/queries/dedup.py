@@ -1,0 +1,355 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` (north star).
+
+Exact dedup (hash-groupBy), MinHash signatures + banded LSH candidate
+pairs, SimHash fingerprints, n-gram Jaccard, and embedding-cosine
+near-dup — all expressed with built-in higher-order functions so the
+hot path stays JVM-side and shuffles only where pair generation demands
+it (the LSH band join, which is exactly the shuffle MinHash exists to
+bound).
+
+Cross-engine hashing: Spark ``hash()``/``xxhash64`` and DuckDB ``hash()``
+are different algorithms, so every hash here goes through md5 and takes
+the first 15 hex digits as a 60-bit BIGINT — bit-identical in both
+engines (functions.md5_int). At production scale you'd swap md5 for
+xxhash64 (cheaper, same plan shape); the oracle is why we don't here.
+
+Scale design (100 TB): signatures are one map-side pass per document
+(no shuffle). LSH banding shuffles once on (band, key) — the classic
+shingle→minhash→band→bucket-join pipeline whose candidate set is
+O(near-dup pairs), not O(n²). The all-pairs oracle exists only for the
+bounded consecutive-pair queries.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_star_table
+from ..functions import cosine, md5_int
+from . import query
+from ._parity import sql_stable_round, stable_round
+
+SHINGLE_W = 3        # words per shingle
+N_MINHASH = 8        # minhash functions
+N_BANDS = 4          # LSH bands (2 rows per band)
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SIMHASH_BITS = 16
+
+_SQL_COS_AB = (
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+    "* sqrt(list_dot_product(b.v, b.v)))"
+)
+
+# --- shared SQL fragments (DuckDB side of the same math) -------------------
+
+def _sql_md5int(s: str) -> str:
+    return f"CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+_SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
+_SQL_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS}) - {SHINGLE_W - 2}, 1)), "
+    f"i -> array_to_string(list_slice({_SQL_TOKS}, i, i + {SHINGLE_W - 1}), ' ')))"
+)
+
+
+def _sql_minhash(j: int, shingles: str = "shingles") -> str:
+    hashed = _sql_md5int(f"concat('{j}|', s)")
+    return f"list_min(list_transform({shingles}, s -> {hashed}))"
+
+
+_SQL_SIGS_CTE = (
+    "sigs AS (SELECT doc_id, "
+    + ", ".join(f"{_sql_minhash(j, _SQL_SHINGLES)} AS mh{j}" for j in range(N_MINHASH))
+    + " FROM documents)"
+)
+
+# --- shared Spark expressions ----------------------------------------------
+
+def _toks(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def shingles(col: Column) -> Column:
+    """Distinct W-word shingles of a text column (set semantics)."""
+    t = _toks(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_W - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, SHINGLE_W)))
+    )
+
+
+def minhash(shingle_arr: Column, j: int) -> Column:
+    """j-th minhash: min over shingles of md5int('{j}|' + shingle)."""
+    return F.array_min(
+        F.transform(shingle_arr, lambda s: md5_int(F.concat(F.lit(f"{j}|"), s)))
+    )
+
+
+def signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + mh0..mhN minhash signature — one map-side pass, no shuffle."""
+    d = load_star_table(spark, sf_dir, "documents")
+    sh = shingles(F.col("text")).alias("_sh")
+    out = d.select("doc_id", sh)
+    return out.select(
+        "doc_id", *[minhash(F.col("_sh"), j).alias(f"mh{j}") for j in range(N_MINHASH)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: content fingerprint + hash-groupBy (north star "exact")
+# ---------------------------------------------------------------------------
+
+_FPRINT_SQL = r"md5(lower(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
+@query(
+    "doc_fingerprint_groups",
+    oracle=f"""
+    SELECT {_FPRINT_SQL}             AS fingerprint,
+           CAST(COUNT(*) AS BIGINT)  AS dup_count,
+           MIN(doc_id)               AS canonical_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="North-star exact dedup: whitespace-normalized md5 fingerprint, "
+        "hash-groupBy, deterministic canonical winner (min doc_id). One "
+        "shuffle on the fingerprint; at 100 TB this is the cheapest dedup "
+        "and runs first to shrink the near-dup input.",
+    tags=("dedup",),
+)
+def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        d.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (shingle → minhash; map-side only)
+# ---------------------------------------------------------------------------
+
+@query(
+    "minhash_signatures",
+    oracle="WITH " + _SQL_SIGS_CTE + " SELECT * FROM sigs",
+    doc=f"North-star MinHash: {N_MINHASH} signature values over distinct "
+        f"{SHINGLE_W}-word shingles, md5-based hash family (cross-engine "
+        "stable). Pure map-side; the signature is the only thing the LSH "
+        "join ever shuffles, never the text.",
+    tags=("dedup",),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return signature_df(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# LSH banded candidate pairs (band → bucket-join)
+# ---------------------------------------------------------------------------
+
+def _sql_band_key(b: int, prefix: str) -> str:
+    cols = [f"{prefix}mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+    return " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+
+_LSH_ORACLE = (
+    "WITH " + _SQL_SIGS_CTE + ", bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_sql_band_key(b, '')} AS bkey FROM sigs"
+        for b in range(N_BANDS)
+    )
+    + "), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey "
+    "AND a.doc_id < b.doc_id) "
+    "SELECT c.doc_a, c.doc_b, "
+    + sql_stable_round(
+        "("
+        + " + ".join(
+            f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(N_MINHASH)
+        )
+        + f") / {N_MINHASH}.0",
+        4,
+    )
+    + " AS est_jaccard "
+    "FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a "
+    "JOIN sigs sb ON sb.doc_id = c.doc_b"
+)
+
+
+@query(
+    "lsh_candidate_pairs",
+    oracle=_LSH_ORACLE,
+    doc=f"North-star near-dup LSH: {N_BANDS} bands × {ROWS_PER_BAND} rows; "
+        "docs sharing any band bucket become candidates; est_jaccard = "
+        "matching-minhash fraction. The band join shuffles only "
+        "(band, key, doc_id) tuples — candidate generation is O(colliding "
+        "pairs), the property that makes near-dedup feasible at 100 TB.",
+    tags=("dedup",),
+)
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = signature_df(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}"), 1).otherwise(0),
+        range(1, N_MINHASH),
+        F.when(F.col("sa.mh0") == F.col("sb.mh0"), 1).otherwise(0),
+    )
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            stable_round(matches / F.lit(float(N_MINHASH)), 4).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard on a bounded pair set (verification arm of LSH)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ngram_jaccard_consecutive",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {sql_stable_round('len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s)))', 4)} AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    doc=f"North-star n-gram Jaccard: exact {SHINGLE_W}-word-shingle set "
+        "similarity on a bounded deterministic pair set (consecutive "
+        "doc_ids). In production this runs only on LSH candidates "
+        "(lsh_candidate_pairs) — never all pairs.",
+    tags=("dedup",),
+)
+def ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles(F.col("text")).alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        stable_round(inter * F.lit(1.0) / union, 4).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+_SQL_TOKSD = f"list_distinct({_SQL_TOKS})"
+_SQL_SIMHASH = " + ".join(
+    f"(CASE WHEN list_sum(list_transform({_SQL_TOKSD}, "
+    f"t -> CASE WHEN ({_sql_md5int('t')} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b in range(SIMHASH_BITS)
+)
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"""
+    SELECT doc_id, CAST({_SQL_SIMHASH} AS BIGINT) AS simhash
+    FROM documents
+    """,
+    doc=f"North-star SimHash: {SIMHASH_BITS}-bit fingerprint — per bit, sign "
+        "of the sum of ±1 votes from each distinct token's md5 hash bit. "
+        "Map-side only; near-dup = small Hamming distance, findable by "
+        "grouping on bit-masked prefixes (same banding trick as LSH).",
+    tags=("dedup",),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table(spark, sf_dir, "documents")
+    toksd = F.array_distinct(_toks(F.col("text")))
+
+    def bit_vote(b: int) -> Column:
+        votes = F.transform(
+            toksd,
+            lambda t: F.when(
+                F.shiftright(md5_int(t), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+        s = F.aggregate(votes, F.lit(0), lambda acc, x: acc + x)
+        return F.when(s >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+
+    sim = reduce(lambda acc, b: acc + bit_vote(b), range(1, SIMHASH_BITS), bit_vote(0))
+    return d.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (bounded deterministic pair set)
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_near_dup_consecutive",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_stable_round(_SQL_COS_AB, 4)} AS cos_sim,
+           {_SQL_COS_AB} >= 0.99 AS is_near_dup
+    FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    """,
+    doc="North-star embedding-cosine near-dup on a bounded deterministic "
+        "pair set (consecutive vec_ids); production pairs come from ANN "
+        "buckets (queries/similarity.py). Cosine via zip_with+aggregate in "
+        "double — built-in HOFs, no UDF.",
+    tags=("dedup",),
+)
+def embedding_near_dup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_star_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    cs = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+        .select(
+            "vec_a",
+            "vec_b",
+            stable_round(cs, 4).alias("cos_sim"),
+            (cs >= 0.99).alias("is_near_dup"),
+        )
+    )

@@ -1,0 +1,156 @@
+"""Similarity search over the ``embeddings`` table (north star).
+
+Brute-force cosine top-k as the exact baseline, and an IVF-style
+bucketed variant as the scale path. Vector math uses built-in
+higher-order functions (zip_with + aggregate in double) — JVM-side,
+no UDF; at very high dimension the same plan shape can swap the
+cosine expression for a vectorized pandas UDF without touching the
+join/rank structure.
+
+Scale design (100 TB of vectors):
+- the query set is a small broadcast side; candidates stream past it,
+  so brute force is one scan + a partial top-k per partition
+  (TakeOrderedAndProject semantics per query key);
+- the IVF variant prunes candidates to the query's coarse bucket —
+  a deterministic sign-bit quantizer here (so the DuckDB oracle can
+  mirror it exactly); a learned k-means codebook drops in the same
+  plan: bucket column + co-partitioned join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_star_table
+from ..functions import cosine
+from . import query
+from ._parity import sql_stable_round, stable_round
+
+QUERY_STRIDE = 100  # vec_id % stride == 0 → deterministic query subset
+K_BRUTE = 5
+K_IVF = 3
+IVF_SIGN_DIMS = 4  # coarse quantizer: sign bits of the first 4 dims → 16 buckets
+
+_SQL_COS = (
+    "list_dot_product(q.v, e.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))"
+)
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(IVF_SIGN_DIMS)
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_star_table(spark, sf_dir, "embeddings")
+
+
+def sign_bucket(emb: Column) -> Column:
+    """IVF coarse quantizer: sign-bit code of the leading dims."""
+    out = F.lit(0)
+    for i in range(IVF_SIGN_DIMS):
+        out = out + F.when(F.element_at(emb, i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+    return out
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cs
+      FROM q JOIN e ON e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY {sql_stable_round('cs', 6)} DESC, neighbor_id) AS INT)
+             AS rank,
+           {sql_stable_round('cs', 4)} AS cos_sim
+    FROM scored
+    QUALIFY rank <= {K_BRUTE}
+    """,
+    doc=f"North-star exact kNN: brute-force cosine top-{K_BRUTE} for a "
+        "deterministic query subset. The query side broadcasts; ranking "
+        "orders by round(cos,6) with a vec_id tiebreak so float "
+        "last-bit differences can't reorder ranks across engines.",
+    tags=("similarity",),
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(stable_round(F.col("cs"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_BRUTE)
+        .select("query_id", "neighbor_id", "rank", stable_round("cs", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "ann_ivf_bucketed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      {_SQL_BUCKET} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id, v, bucket FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.bucket, {_SQL_COS} AS cs
+      FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(bucket AS INT) AS bucket,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY {sql_stable_round('cs', 6)} DESC, neighbor_id) AS INT)
+             AS rank,
+           {sql_stable_round('cs', 4)} AS cos_sim
+    FROM scored
+    QUALIFY rank <= {K_IVF}
+    """,
+    doc=f"North-star ANN: IVF-style bucketed search — candidates restricted "
+        f"to the query's coarse bucket (sign bits of the first "
+        f"{IVF_SIGN_DIMS} dims, {1 << IVF_SIGN_DIMS} cells), top-{K_IVF} "
+        "within bucket. The bucket join co-partitions query and candidate "
+        "sides; at scale the bucket column is a partition key so each "
+        "probe touches one partition (partition pruning).",
+    tags=("similarity",),
+)
+def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("embedding")))
+    q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        e.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("bucket").cast("int").alias("bucket"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(stable_round(F.col("cs"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_IVF)
+        .select(
+            "query_id", "neighbor_id", "bucket", "rank", stable_round("cs", 4).alias("cos_sim")
+        )
+    )

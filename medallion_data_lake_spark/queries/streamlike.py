@@ -1,0 +1,139 @@
+"""Event-stream analytics in their batch-equivalent form.
+
+The reference micro-batches streams by hand (SURVEY.md §2.9) and has no
+event-time windows; our engine's streaming layer (streaming/events.py)
+runs these same aggregations as Structured Streaming with watermarks.
+Here each is expressed as a batch query over the ``events`` fixture so
+the DuckDB oracle can verify the window semantics — Structured
+Streaming's availableNow output over the same input must equal these
+results (asserted in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_star_table
+from . import query
+from ._parity import money_sum, sql_money_sum, sql_stable_round, stable_round
+
+SESSION_GAP_MIN = 30
+SQL_SUM_VALUE = sql_money_sum("value")
+_SQL_RUNNING = sql_stable_round(
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)", 2
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_star_table(spark, sf_dir, "events")
+
+
+@query(
+    "events_hourly_windows",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT)        AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {SQL_SUM_VALUE}                 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window agg (streaming analog of A3; "
+        "SURVEY.md §2.9 mapping). Batch form of "
+        "streaming/events.py::hourly_rollup — epoch-aligned 1h buckets, "
+        "identical to F.window(ts, '1 hour').",
+    tags=("streaming",),
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            money_sum("value").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "user_running_totals",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           {_SQL_RUNNING} AS running_value
+    FROM events
+    """,
+    doc="Cumulative per-user running total — explicit-frame window "
+        "(rowsBetween), the frame-spec capability the reference never uses "
+        "(SURVEY.md §2.5). Partitioned by user; ordered summation is "
+        "deterministic in both engines.",
+    tags=("streaming",),
+)
+def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        stable_round(F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 2).alias("running_value"),
+    )
+
+
+@query(
+    "user_sessionization",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTES
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    doc=f"Gap-based sessionization ({SESSION_GAP_MIN}-min inactivity): "
+        "lag-gap flag + running count = session id, then per-session "
+        "rollup. Batch analog of a session window "
+        "(F.session_window / applyInPandasWithState in the streaming "
+        "layer). All windows partitioned by user — no global ordering.",
+    tags=("streaming",),
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    gap_expr = prev_ts.isNull() | (
+        (F.col("ts") - prev_ts) > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("new_session", F.when(gap_expr, 1).otherwise(0))
+        .withColumn("session_seq", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators over the ``documents`` table (north star).
+
+Language-ID, quality scoring, token counting, and fingerprinting for a
+training-data pipeline, all as JVM-side expressions (no Python UDFs):
+higher-order functions on token arrays keep the hot path inside
+whole-stage codegen, so these scale linearly with document count and
+shuffle nothing (pure row-level map, SURVEY.md north-star ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_star_table
+from . import query
+from ._parity import sql_stable_round, stable_round
+
+# English function words used by the n-gram language heuristic. Word-level
+# unigram hits are a standard cheap LID signal; the list is tiny so the
+# expression stays a constant-folded codegen span.
+_EN_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens; trim first so both engines see no edge empties."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def _stopword_hits(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*_EN_STOPWORDS)))
+
+
+# SQL fragment mirroring tokens()/_stopword_hits() for the DuckDB oracle.
+_SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
+_SQL_STOPS = (
+    f"len(list_filter({_SQL_TOKS}, t -> t IN {repr(_EN_STOPWORDS)}))"
+    .replace("('", "('").replace("',)", "')")
+)
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS}) AS BIGINT)    AS n_tokens,
+           CAST(length(text) AS BIGINT)        AS char_len,
+           {sql_stable_round(f'length(text) * 1.0 / len({_SQL_TOKS})', 4)} AS chars_per_token
+    FROM documents
+    """,
+    doc="North-star token counting: whitespace tokenization via split + "
+        "size, pure map-side (no shuffle).",
+    tags=("text",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("char_len"),
+        stable_round(F.length("text") * F.lit(1.0) / F.size(toks), 4).alias("chars_per_token"),
+    )
+
+
+@query(
+    "doc_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="North-star BPE-ish token counting: a pre-tokenizer regex (letter "
+        "runs / digit runs / single symbols) approximating BPE segment "
+        "boundaries, counted JVM-side with regexp_extract_all.",
+    tags=("text",),
+)
+def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+            )
+        ).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "doc_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(replace(replace(replace(replace(replace(replace(
+                text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', ''))
+                AS BIGINT) AS punct_count,
+           {sql_stable_round(f'{_SQL_STOPS} * 1.0 / len({_SQL_TOKS})', 4)} AS stopword_ratio,
+           {sql_stable_round(f'0.5 * least(len({_SQL_TOKS}), 200) / 200.0 + 0.5 * ({_SQL_STOPS} * 1.0 / len({_SQL_TOKS}))', 4)} AS quality_score
+    FROM documents
+    """,
+    doc="North-star quality scoring: length prior + stopword-density signal "
+        "(the length/punct/stopword-ratio family). Pure map-side; the "
+        "punctuation count uses literal replaces so the Java and RE2 regex "
+        "dialects can't diverge.",
+    tags=("text",),
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    stripped = F.col("text")
+    for ch in ".,!?;:":
+        stripped = F.replace(stripped, F.lit(ch), F.lit(""))
+    stop_ratio = _stopword_hits(toks) * F.lit(1.0) / n
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (F.length("text") - F.length(stripped)).cast("long").alias("punct_count"),
+        stable_round(stop_ratio, 4).alias("stopword_ratio"),
+        stable_round(
+            F.lit(0.5) * F.least(n, F.lit(200)) / 200.0 + F.lit(0.5) * stop_ratio, 4
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_SQL_STOPS} >= 3 THEN 'en' ELSE 'unknown' END AS predicted_lang,
+           (CASE WHEN {_SQL_STOPS} >= 3 THEN 'en' ELSE 'unknown' END) = lang AS lid_match
+    FROM documents
+    """,
+    doc="North-star language-ID heuristic (unigram stopword hits — the "
+        "word-level analog of an n-gram LID). Deterministic, map-side; a "
+        "real model would run as an Arrow-batched pandas UDF with the same "
+        "shape (operators/text.py).",
+    tags=("text",),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table(spark, sf_dir, "documents")
+    pred = F.when(_stopword_hits(tokens(F.col("text"))) >= 3, "en").otherwise("unknown")
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("lid_match"),
+    )
