@@ -63,6 +63,23 @@ def load_star_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def load_star_table_spread(
+    spark: SparkSession, sf_dir: str, table: str, key: str | None = None
+) -> DataFrame:
+    """Load a table and spread it across the session's full parallelism.
+
+    Small fixture files arrive as a single input split, which would run
+    expression-heavy per-row operators (hashing, shingling, vector math)
+    on one core. A keyed round-robin repartition costs one tiny shuffle
+    and buys full-width compute. At production scale inputs have many
+    splits and this also evens out file-size skew before CPU-bound map
+    stages — the standard pattern for compute-heavy scans.
+    """
+    df = load_star_table(spark, sf_dir, table)
+    n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key)) if key else df.repartition(n)
+
+
 def load_star_tables(
     spark: SparkSession, sf_dir: str, register: bool = True
 ) -> dict[str, DataFrame]:

@@ -27,7 +27,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_star_table
+from ..catalog import load_star_table, load_star_table_spread
 from ..functions import cosine, md5_int
 from . import query
 from ._parity import sql_stable_round, stable_round
@@ -37,6 +37,15 @@ N_MINHASH = 8        # minhash functions
 N_BANDS = 4          # LSH bands (2 rows per band)
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 SIMHASH_BITS = 16
+
+# Universal-hash family over a Mersenne prime: each shingle/token is
+# md5-hashed ONCE to h ∈ [0, P), then the j-th hash is (A[j]·h + B[j]) mod P.
+# One md5 per shingle instead of N_MINHASH — ~8× less hash work at 100 TB —
+# and every product stays < 2^62, so int64 arithmetic never overflows in
+# either engine (Spark ANSI mode would error; DuckDB would promote).
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+HASH_A = (1103515245, 1229782938, 1013904223, 1664525, 22695477, 69069, 1566083941, 48271)
+HASH_B = (12345, 362436069, 521288629, 88675123, 5783321, 6615241, 99999989, 1013904243)
 
 _SQL_COS_AB = (
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
@@ -51,20 +60,29 @@ def _sql_md5int(s: str) -> str:
 
 _SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
 _SQL_SHINGLES = (
-    f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS}) - {SHINGLE_W - 2}, 1)), "
+    f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS}) - {SHINGLE_W - 1}, 1) + 1), "
     f"i -> array_to_string(list_slice({_SQL_TOKS}, i, i + {SHINGLE_W - 1}), ' ')))"
 )
 
 
-def _sql_minhash(j: int, shingles: str = "shingles") -> str:
-    hashed = _sql_md5int(f"concat('{j}|', s)")
-    return f"list_min(list_transform({shingles}, s -> {hashed}))"
+# one md5 per shingle, reduced mod P
+_SQL_HS = (
+    f"list_transform({_SQL_SHINGLES}, s -> {_sql_md5int('s')} % {MERSENNE_P})"
+)
+
+
+def _sql_minhash(j: int, hs: str = "hs") -> str:
+    return (
+        f"list_min(list_transform({hs}, "
+        f"h -> ({HASH_A[j]} * h + {HASH_B[j]}) % {MERSENNE_P}))"
+    )
 
 
 _SQL_SIGS_CTE = (
+    f"hashed AS (SELECT doc_id, {_SQL_HS} AS hs FROM documents), "
     "sigs AS (SELECT doc_id, "
-    + ", ".join(f"{_sql_minhash(j, _SQL_SHINGLES)} AS mh{j}" for j in range(N_MINHASH))
-    + " FROM documents)"
+    + ", ".join(f"{_sql_minhash(j)} AS mh{j}" for j in range(N_MINHASH))
+    + " FROM hashed)"
 )
 
 # --- shared Spark expressions ----------------------------------------------
@@ -74,29 +92,67 @@ def _toks(col: Column) -> Column:
 
 
 def shingles(col: Column) -> Column:
-    """Distinct W-word shingles of a text column (set semantics)."""
+    """Distinct W-word shingles of a text column (set semantics).
+
+    Built by zipping W shifted slices of the token array rather than
+    ``transform(sequence(...), i -> slice(tokens, i, W))``: in the latter
+    the tokenizing ``split`` sits *inside* the lambda and is re-evaluated
+    once per shingle (measured ~8× slower on 50-token docs). With
+    arrays_zip the split is evaluated O(W) times total and the lambda
+    touches only its own zipped element.
+    """
     t = _toks(col)
-    n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_W - 1), F.lit(1)))
+    n_sh = F.greatest(F.size(t) - (SHINGLE_W - 1), F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(t, i + 1, n_sh).alias(f"w{i}") for i in range(SHINGLE_W)]
+    )
+    # concat_ws skips nulls, so short docs (< W tokens) degrade to the
+    # whole-text shingle, matching the slice-based semantics.
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, SHINGLE_W)))
+        F.transform(
+            zipped,
+            lambda e: F.concat_ws(" ", *[e[f"w{i}"] for i in range(SHINGLE_W)]),
+        )
     )
 
 
-def minhash(shingle_arr: Column, j: int) -> Column:
-    """j-th minhash: min over shingles of md5int('{j}|' + shingle)."""
+def shingle_hashes(col: Column) -> Column:
+    """Each distinct shingle md5-hashed once, reduced mod MERSENNE_P."""
+    return F.transform(shingles(col), lambda s: md5_int(s) % MERSENNE_P)
+
+
+def minhash(hash_arr: Column, j: int) -> Column:
+    """j-th minhash from pre-hashed shingles: min of (A·h + B) mod P."""
     return F.array_min(
-        F.transform(shingle_arr, lambda s: md5_int(F.concat(F.lit(f"{j}|"), s)))
+        F.transform(hash_arr, lambda h: (F.lit(HASH_A[j]) * h + HASH_B[j]) % MERSENNE_P)
     )
 
 
 def signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + mh0..mhN minhash signature — one map-side pass, no shuffle."""
-    d = load_star_table(spark, sf_dir, "documents")
-    sh = shingles(F.col("text")).alias("_sh")
-    out = d.select("doc_id", sh)
-    return out.select(
-        "doc_id", *[minhash(F.col("_sh"), j).alias(f"mh{j}") for j in range(N_MINHASH)]
+    """doc_id + mh0..mhN minhash signature — one map-side pass, no shuffle.
+
+    The N_MINHASH minima are computed in a single fold over the hashed
+    shingle array (array accumulator + zip_with/least). Computing them as
+    N separate array_min projections looks cleaner but Catalyst's
+    CollapseProject inlines the shared md5 pass into each of them —
+    N× the hash work (measured: no speedup from a two-step projection).
+    The single-fold form references the md5 array exactly once, so the
+    expensive pass cannot be duplicated by any rewrite.
+    """
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    init = F.array(*[F.lit(MERSENNE_P).cast("long") for _ in range(N_MINHASH)])
+
+    def step(acc, h):
+        derived = F.array(
+            *[(F.lit(HASH_A[j]) * h + HASH_B[j]) % MERSENNE_P for j in range(N_MINHASH)]
+        )
+        return F.zip_with(acc, derived, lambda a, b: F.least(a, b))
+
+    mins = F.aggregate(shingle_hashes(F.col("text")), init, step)
+    hashed = d.select("doc_id", mins.alias("_mins"))
+    return hashed.select(
+        "doc_id",
+        *[F.element_at("_mins", j + 1).alias(f"mh{j}") for j in range(N_MINHASH)],
     )
 
 
@@ -123,7 +179,7 @@ _FPRINT_SQL = r"md5(lower(regexp_replace(text, '\s+', ' ', 'g')))"
     tags=("dedup",),
 )
 def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_star_table(spark, sf_dir, "documents")
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
     return (
         d.groupBy(fp.alias("fingerprint"))
@@ -253,20 +309,25 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ngram_jaccard_consecutive",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
+    WITH sh AS (SELECT doc_id, list_distinct({_SQL_HS}) AS s FROM documents)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            {sql_stable_round('len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s)))', 4)} AS jaccard
     FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
     """,
-    doc=f"North-star n-gram Jaccard: exact {SHINGLE_W}-word-shingle set "
+    doc=f"North-star n-gram Jaccard: {SHINGLE_W}-word-shingle set "
         "similarity on a bounded deterministic pair set (consecutive "
-        "doc_ids). In production this runs only on LSH candidates "
-        "(lsh_candidate_pairs) — never all pairs.",
+        "doc_ids), computed over HASHED shingle sets — set ops compare "
+        "64-bit ints, not ~20-char strings (cheaper shuffles and "
+        "compares at 100 TB; collision probability ~n²/2³¹ per doc is "
+        "negligible at shingle-set sizes). In production this runs only "
+        "on LSH candidates (lsh_candidate_pairs) — never all pairs.",
     tags=("dedup",),
 )
 def ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_star_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles(F.col("text")).alias("s"))
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    sh = d.select(
+        "doc_id", F.array_distinct(shingle_hashes(F.col("text"))).alias("s")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
     union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
@@ -282,9 +343,10 @@ def ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SQL_TOKSD = f"list_distinct({_SQL_TOKS})"
+_SQL_TOKEN_HASHES = f"list_transform({_SQL_TOKSD}, t -> {_sql_md5int('t')})"
 _SQL_SIMHASH = " + ".join(
-    f"(CASE WHEN list_sum(list_transform({_SQL_TOKSD}, "
-    f"t -> CASE WHEN ({_sql_md5int('t')} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 "
+    f"(CASE WHEN list_sum(list_transform(th, "
+    f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 "
     f"THEN {1 << b} ELSE 0 END)"
     for b in range(SIMHASH_BITS)
 )
@@ -293,8 +355,9 @@ _SQL_SIMHASH = " + ".join(
 @query(
     "simhash_fingerprints",
     oracle=f"""
+    WITH th_t AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS th FROM documents)
     SELECT doc_id, CAST({_SQL_SIMHASH} AS BIGINT) AS simhash
-    FROM documents
+    FROM th_t
     """,
     doc=f"North-star SimHash: {SIMHASH_BITS}-bit fingerprint — per bit, sign "
         "of the sum of ±1 votes from each distinct token's md5 hash bit. "
@@ -303,21 +366,25 @@ _SQL_SIMHASH = " + ".join(
     tags=("dedup",),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_star_table(spark, sf_dir, "documents")
-    toksd = F.array_distinct(_toks(F.col("text")))
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    # hash every distinct token once; the 16 bit-votes reuse the array
+    hashed = d.select(
+        "doc_id",
+        F.transform(F.array_distinct(_toks(F.col("text"))), md5_int).alias("th"),
+    )
 
     def bit_vote(b: int) -> Column:
         votes = F.transform(
-            toksd,
-            lambda t: F.when(
-                F.shiftright(md5_int(t), b).bitwiseAND(F.lit(1)) == 1, 1
+            F.col("th"),
+            lambda h: F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1),
         )
         s = F.aggregate(votes, F.lit(0), lambda acc, x: acc + x)
         return F.when(s >= 0, F.lit(1 << b)).otherwise(F.lit(0))
 
     sim = reduce(lambda acc, b: acc + bit_vote(b), range(1, SIMHASH_BITS), bit_vote(0))
-    return d.select("doc_id", sim.cast("long").alias("simhash"))
+    return hashed.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -340,7 +407,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def embedding_near_dup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_star_table(spark, sf_dir, "embeddings")
+    e = load_star_table_spread(spark, sf_dir, "embeddings", "vec_id")
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     cs = cosine(F.col("va"), F.col("vb"))

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_star_table
+from ..catalog import load_star_table_spread
 from ..functions import cosine
 from . import query
 from ._parity import sql_stable_round, stable_round
@@ -43,7 +43,7 @@ _SQL_BUCKET = " + ".join(
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_star_table(spark, sf_dir, "embeddings")
+    return load_star_table_spread(spark, sf_dir, "embeddings", "vec_id")
 
 
 def sign_bucket(emb: Column) -> Column:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_star_table
+from ..catalog import load_star_table_spread
 from . import query
 from ._parity import sql_stable_round, stable_round
 
@@ -53,7 +53,7 @@ _SQL_STOPS = (
     tags=("text",),
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_star_table(spark, sf_dir, "documents")
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
@@ -77,7 +77,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_star_table(spark, sf_dir, "documents")
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     return d.select(
         "doc_id",
         F.size(
@@ -107,7 +107,7 @@ def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_star_table(spark, sf_dir, "documents")
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokens(F.col("text"))
     n = F.size(toks)
     stripped = F.col("text")
@@ -140,7 +140,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_star_table(spark, sf_dir, "documents")
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     pred = F.when(_stopword_hits(tokens(F.col("text"))) >= 3, "en").otherwise("unknown")
     return d.select(
         "doc_id",

