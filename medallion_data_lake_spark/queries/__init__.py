@@ -65,6 +65,7 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module and return the populated registry."""
     from . import core  # noqa: F401
+    from . import core2  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import streamlike  # noqa: F401

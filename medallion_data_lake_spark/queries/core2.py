@@ -1,0 +1,272 @@
+"""Extension operators beyond strict reference parity.
+
+SURVEY.md §2 lists capabilities the reference lacks but that are "free"
+in Spark and expected of a complete engine (semi joins §2.3, grouping
+sets/percentiles/stddev §2.4, INTERSECT/EXCEPT §2.7, date/string
+function families §2.8). Each gets the same oracle treatment as the
+parity pack. The last entry runs genuine Structured Streaming inside a
+batch-shaped callable (rows-only check — no SQL oracle for a stream).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_star_tables
+from . import query
+from ._parity import money_sum, sql_money_sum, sql_stable_round, stable_round
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_star_tables(spark, sf_dir, register=False)
+
+
+# ---------------------------------------------------------------------------
+# Semi join (left_semi — the EXISTS side of SURVEY.md §2.3's extension)
+# ---------------------------------------------------------------------------
+
+@query(
+    "customers_with_jumbo_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+    doc="left_semi join: customers with at least one >450k order. "
+        "Catalyst plans a broadcast/shuffled semi join — no fan-out, no "
+        "distinct needed (the rewards_report shape, sakila-schema.sql:519).",
+)
+def customers_with_jumbo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    jumbo = t["orders"].filter(F.col("o_totalprice") > 450_000)
+    return (
+        t["customer"]
+        .join(jumbo, t["customer"].c_custkey == jumbo.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP grouping sets (extension of A-family; SURVEY.md §2.4 "not present")
+# ---------------------------------------------------------------------------
+
+@query(
+    "priority_status_rollup",
+    oracle=f"""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL')  AS status,
+           COUNT(*)                        AS order_count,
+           {sql_money_sum("o_totalprice")} AS total_revenue
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+    doc="GROUP BY ROLLUP: hierarchical subtotals (priority, priority+status, "
+        "grand total) in one pass — Spark expands grouping sets in a single "
+        "shuffle rather than N separate aggregations.",
+)
+def priority_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir)["orders"]
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            money_sum("o_totalprice").alias("total_revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "order_count",
+            "total_revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles / dispersion (extension; SURVEY.md §2.4 "no median/percentile,
+# variance/stddev")
+# ---------------------------------------------------------------------------
+
+@query(
+    "price_distribution_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*)                                   AS n,
+           {sql_stable_round("quantile_cont(l_extendedprice, 0.5)", 2)} AS p50_price,
+           {sql_stable_round("quantile_cont(l_extendedprice, 0.9)", 2)} AS p90_price,
+           {sql_stable_round("stddev_samp(l_extendedprice)", 2)}        AS stddev_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (Spark `percentile` == DuckDB "
+        "`quantile_cont`) + sample stddev. At 100 TB swap percentile for "
+        "approx_percentile (t-digest) — exact percentiles need a full sort "
+        "per group; the approximate form is single-pass mergeable state.",
+)
+def price_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir)["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50_price"),
+            stable_round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+            stable_round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time function family (reference §2.8: DATE_SUB/LAST_DAY/STR_TO_DATE
+# used in stored procedures, sakila-schema.sql:505-507,522,569-570)
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_date_math",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INT)        AS order_quarter,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
+           date_trunc('year', o_orderdate)          AS year_start
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    doc="Date arithmetic family (reference get_customer_balance/rewards_report "
+        "date math, sakila-schema.sql:505-507,569-570): quarter, last_day, "
+        "interval add, date_trunc. Row-level, codegen'd, filter pushed down.",
+)
+def order_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir)["orders"]
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+            F.date_trunc("year", F.col("o_orderdate")).cast("timestamp_ntz").alias("year_start"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# String function family (reference §2.8: UCASE/LCASE/SUBSTR/LENGTH/CONCAT
+# in nicer_but_slower_film_list, sakila-schema.sql:379-381)
+# ---------------------------------------------------------------------------
+
+@query(
+    "customer_name_formatting",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                           AS name_upper,
+           lower(c_name)                           AS name_lower,
+           substr(c_name, 1, 8)                    AS name_prefix,
+           CAST(length(c_name) AS INT)             AS name_len,
+           concat(c_mktsegment, '-', CAST(c_custkey AS VARCHAR)) AS segment_tag,
+           upper(substr(c_name, 1, 1)) || lower(substr(c_name, 2, length(c_name) - 1))
+             AS name_title_case
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    """,
+    doc="String family (reference nicer_but_slower_film_list title-casing, "
+        "sakila-schema.sql:379-381): upper/lower/substr/length/concat and "
+        "the same first-upper-rest-lower composition (initcap equivalent "
+        "built from primitives — DuckDB lacks initcap).",
+)
+def customer_name_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = F.col("c_name")
+    return (
+        _t(spark, sf_dir)["customer"]
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.upper(name).alias("name_upper"),
+            F.lower(name).alias("name_lower"),
+            F.substring(name, 1, 8).alias("name_prefix"),
+            F.length(name).alias("name_len"),
+            F.concat(F.col("c_mktsegment"), F.lit("-"), F.col("c_custkey").cast("string")).alias("segment_tag"),
+            F.concat(
+                F.upper(F.substring(name, 1, 1)),
+                F.lower(F.expr("substring(c_name, 2, length(c_name) - 1)")),
+            ).alias("name_title_case"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT (SURVEY.md §2.7: only UNION ALL exists in the reference)
+# ---------------------------------------------------------------------------
+
+@query(
+    "customers_in_both_statuses",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="INTERSECT (distinct set semantics): customers with both a finished "
+        "and an open order. Spark plans a left-semi join over distincts.",
+)
+def customers_in_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir)["orders"]
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_side.intersect(o_side)
+
+
+@query(
+    "statuses_f_only_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="EXCEPT (distinct set semantics): customers with finished orders "
+        "but no open ones. Spark plans a left-anti join over distincts.",
+)
+def statuses_f_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir)["orders"]
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_side.subtract(o_side)
+
+
+# ---------------------------------------------------------------------------
+# Genuine Structured Streaming run (rows-only; SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_hourly_stream",
+    oracle=None,  # a streaming run has no single-statement SQL oracle;
+                  # stream==batch parity is asserted in tests/test_streaming.py
+    doc="Structured Streaming executed for real inside the callable: the "
+        "events fixture is re-served as a file-source stream, aggregated "
+        "with watermarked tumbling windows, run availableNow into a memory "
+        "sink, and the sink contents returned. Exactly-once checkpointed — "
+        "the engine's replacement for the reference's hand-rolled consumer "
+        "loop (kafka_to_bronze.py:69-93).",
+    tags=("streaming",),
+)
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_star_table
+    from ..streaming import events as se
+
+    workdir = tempfile.mkdtemp(prefix="mdls_stream_")
+    src = f"{workdir}/src"
+    load_star_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+
+    rollup = se.hourly_rollup(se.read_events_stream(spark, src))
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("events_hourly_stream_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{workdir}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("events_hourly_stream_sink")
