@@ -1,0 +1,106 @@
+"""SQL CLI over the lake — the engine's query surface.
+
+Mirrors the reference's CLI verbs (reference
+``sakila-data-lake/query_datalake.py:270-298``): ``tables`` (catalog
+listing, S12), ``describe <table>`` (S13), ``sql "<query>"`` (ad-hoc,
+§3.2), ``samples`` (canned suite), plus ``bench-tables`` to mount the
+driver's star fixtures. Unlike the reference it never runs an eager
+count per registered view (SURVEY.md §4.3.2) — registration is
+metadata-only, so startup cost is one session, not 23 jobs.
+
+Usage:
+  python -m medallion_data_lake_spark.cli tables [--lake ROOT]
+  python -m medallion_data_lake_spark.cli describe silver_payment --lake ROOT
+  python -m medallion_data_lake_spark.cli sql "SELECT ..." [--lake ROOT | --sf DIR]
+  python -m medallion_data_lake_spark.cli samples --sf /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from .catalog import Catalog, load_star_tables
+from .session import get_spark
+
+SAMPLES: dict[str, str] = {
+    # the reference's canned suite shape (query_datalake.py:148-229)
+    "customer_tiers": (
+        "SELECT customer_value_tier, COUNT(*) AS n FROM ("
+        "  SELECT CASE WHEN SUM(o_totalprice) >= 4000000 THEN 'Premium'"
+        "              WHEN SUM(o_totalprice) >= 2500000 THEN 'Gold'"
+        "              WHEN SUM(o_totalprice) >= 1000000 THEN 'Silver'"
+        "              ELSE 'Bronze' END AS customer_value_tier"
+        "  FROM orders GROUP BY o_custkey"
+        ") GROUP BY customer_value_tier ORDER BY n DESC"
+    ),
+    "top10_parts": (
+        "SELECT p_partkey, p_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "GROUP BY p_partkey, p_name ORDER BY revenue DESC, p_partkey LIMIT 10"
+    ),
+    "daily_orders": (
+        "SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev "
+        "FROM orders GROUP BY 1 ORDER BY 1 DESC LIMIT 7"
+    ),
+}
+
+
+def _mount(spark, args) -> Catalog | None:
+    if args.sf:
+        load_star_tables(spark, args.sf, register=True)
+        return None
+    roots = {layer: os.path.join(args.lake, layer) for layer in Catalog.LAYERS}
+    cat = Catalog(spark, roots)
+    for layer, root in roots.items():
+        if os.path.isdir(root):
+            for t in sorted(os.listdir(root)):
+                if os.path.isdir(os.path.join(root, t)):
+                    cat.register_path(layer, t)
+    return cat
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="medallion_data_lake_spark.cli")
+    ap.add_argument("verb", choices=["tables", "describe", "sql", "samples"])
+    ap.add_argument("arg", nargs="?", help="table name for describe / SQL text for sql")
+    ap.add_argument("--lake", default=os.environ.get("MDLS_LAKE_ROOT", "./lake"))
+    ap.add_argument("--sf", help="mount the star fixtures from this dir instead of a lake")
+    ap.add_argument("--limit", type=int, default=20)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="mdls-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = _mount(spark, args)
+
+    if args.verb == "tables":
+        if cat is not None:
+            print(json.dumps(cat.list_tables(), indent=2))
+        else:
+            print(json.dumps(sorted(t.name for t in spark.catalog.listTables()), indent=2))
+    elif args.verb == "describe":
+        if not args.arg:
+            print("describe requires a table name", file=sys.stderr)
+            return 2
+        df = spark.table(args.arg)
+        df.printSchema()
+        df.show(5, truncate=False)
+    elif args.verb == "sql":
+        if not args.arg:
+            print("sql requires a query string", file=sys.stderr)
+            return 2
+        t0 = time.perf_counter()
+        spark.sql(args.arg).show(args.limit, truncate=False)
+        print(f"({time.perf_counter() - t0:.2f}s)")
+    elif args.verb == "samples":
+        for name, sql in SAMPLES.items():
+            print(f"\n=== {name} ===")
+            spark.sql(sql).show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
