@@ -1,0 +1,162 @@
+"""Dedup-group resolution: connected components + MLlib LSH integration.
+
+Near-dup pair lists (LSH candidates) only say "A resembles B"; dedup
+needs GROUPS — the transitive closure of resemblance — so one canonical
+document can be kept per group. That's connected components, an
+iterative algorithm with no single-statement SQL form (the oracle for
+the registry entry uses a recursive CTE).
+
+``connected_components`` is a driver-coordinated min-label-propagation
+loop over DataFrames: each iteration joins labels with the symmetric
+edge list and takes the per-node minimum. Iterations = graph diameter
+(near-dup components are shallow — dup clusters are cliques-ish, so
+this converges in a handful of rounds). Each round is one shuffle on
+the node key; intermediate labels are cached and the loop stops at a
+fixpoint. This is the standard large-graph CC pattern when a graph
+library isn't available, and it shards naturally: no driver state
+beyond the loop counter and a convergence count.
+
+``ml_minhash_candidates`` wraps Spark MLlib's MinHashLSH
+(HashingTF → MinHashLSH → approxSimilarityJoin) — the production-scale
+path with optimized hash families; seeded for determinism. Our
+hand-rolled md5 pipeline (queries/dedup.py) exists because its hashes
+are reproducible in the DuckDB oracle; MLlib's are not, so its registry
+entry is rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """(node, component) for every node in the edge list; component =
+    smallest reachable node id. Deterministic.
+
+    Hybrid strategy (the same shape GraphFrames uses): when the edge
+    list fits comfortably on the driver (≤ ``driver_threshold`` —
+    near-dup graphs are tiny relative to the corpus because LSH already
+    pruned them), solve with a local union-find in one pass instead of
+    paying one Spark job per propagation round. Larger graphs take the
+    distributed label-propagation loop below.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.distinct().cache()
+
+    n_edges = sym.count()
+    if n_edges <= driver_threshold:
+        pairs = [(r["a"], r["b"]) for r in sym.collect()]
+        sym.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by smaller id so the root IS the min node id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        return spark.createDataFrame(rows, "node long, component long")
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # candidate label for each node: min over its neighbors' labels
+        neighbor_min = (
+            sym.join(labels, sym.a == labels.node)
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        # localCheckpoint truncates lineage each round — without it the
+        # plan nests one join deeper per iteration and analysis cost grows
+        # superlinearly (observed: a 50-round chain blows past minutes in
+        # pure planning before any data moves).
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def ml_minhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    jaccard_distance_threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib MinHashLSH near-dup candidates (the packaged scale path).
+
+    tokens → HashingTF sparse sets → MinHashLSH(seed) →
+    approxSimilarityJoin under a Jaccard-distance threshold. Returns
+    (doc_a, doc_b, jaccard_distance) with doc_a < doc_b.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ..queries.dedup import shingles
+
+    # Feature sets are word SHINGLES, not unigrams: documents drawn from a
+    # shared vocabulary collide on nearly every unigram, which floods the
+    # LSH buckets and turns approxSimilarityJoin quadratic. Shingles are
+    # near-unique per document, so bucket collisions ≈ genuine near-dups.
+    shingled = docs.withColumn("_shingles", shingles(F.col(text_col))).filter(
+        F.size("_shingles") > 0
+    )
+    tf = HashingTF(
+        inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True
+    )
+    featurized = tf.transform(shingled)
+    lsh = MinHashLSH(
+        inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(featurized)
+    joined = model.approxSimilarityJoin(
+        featurized, featurized, jaccard_distance_threshold, distCol="jaccard_distance"
+    )
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("doc_a"),
+            F.col(f"datasetB.{id_col}").alias("doc_b"),
+            F.round("jaccard_distance", 4).alias("jaccard_distance"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )

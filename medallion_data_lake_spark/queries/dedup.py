@@ -420,3 +420,63 @@ def embedding_near_dup_consecutive(spark: SparkSession, sf_dir: str) -> DataFram
             (cs >= 0.99).alias("is_near_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup groups: connected components over LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = (
+    "WITH RECURSIVE " + _SQL_SIGS_CTE + ", bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_sql_band_key(b, '')} AS bkey FROM sigs"
+        for b in range(N_BANDS)
+    )
+    + "), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey "
+    "AND a.doc_id < b.doc_id), "
+    "edges AS (SELECT doc_a AS a, doc_b AS b FROM cand "
+    "UNION SELECT doc_b, doc_a FROM cand), "
+    "reach(a, b) AS (SELECT a, b FROM edges "
+    "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+    "SELECT a AS doc_id, least(a, MIN(b)) AS component "
+    "FROM reach GROUP BY a"
+)
+
+
+@query(
+    "dedup_groups_connected",
+    oracle=_CC_ORACLE,
+    doc="North-star dedup-group resolution: connected components over the "
+        "LSH candidate graph (operators/dedup_graph.py — iterative "
+        "min-label propagation, one keyed shuffle per round, rounds = "
+        "graph diameter). The oracle computes the same closure with a "
+        "recursive CTE; component id = smallest doc_id reachable. This is "
+        "the step that turns pairwise near-dup evidence into 'keep one "
+        "canonical doc per group' at 100 TB.",
+    tags=("dedup",),
+)
+def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_graph import connected_components
+
+    pairs = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+@query(
+    "minhash_lsh_ml_candidates",
+    oracle=None,  # MLlib's hash family is not reproducible in DuckDB SQL
+    doc="MLlib MinHashLSH candidates (HashingTF -> MinHashLSH(seed=42) -> "
+        "approxSimilarityJoin) — the packaged scale path for near-dup "
+        "candidate generation (operators/dedup_graph.py). Rows-only check: "
+        "deterministic under the fixed seed, but the hash family is "
+        "internal to Spark MLlib.",
+    tags=("dedup",),
+)
+def minhash_lsh_ml_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_graph import ml_minhash_candidates
+
+    docs = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    return ml_minhash_candidates(docs, jaccard_distance_threshold=0.5)

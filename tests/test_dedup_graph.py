@@ -1,0 +1,54 @@
+"""Connected-components and MLlib LSH operator tests."""
+
+from __future__ import annotations
+
+from medallion_data_lake_spark.operators.dedup_graph import (
+    connected_components,
+    ml_minhash_candidates,
+)
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+EDGES = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (3, 4)]
+EXPECT = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_union_find_path(spark):
+    assert _cc(spark, EDGES) == EXPECT
+
+
+def test_distributed_label_propagation_path(spark):
+    # force the distributed loop by setting the driver threshold to 0
+    assert _cc(spark, EDGES, driver_threshold=0) == EXPECT
+
+
+def test_both_paths_agree_on_chain(spark):
+    # a chain exercises multi-round propagation (diameter = length); kept
+    # under max_iter so the distributed path must fully converge
+    chain = [(i, i + 1) for i in range(12)]
+    assert _cc(spark, chain) == _cc(spark, chain, driver_threshold=0)
+
+
+def test_ml_minhash_finds_planted_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail words here"),          # near-dup of 1
+            (3, "completely different content " + "xyz " * 40),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ml_minhash_candidates(docs, jaccard_distance_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
