@@ -107,7 +107,13 @@ def _dedup_latest(df: DataFrame, pk: str) -> DataFrame:
 
     Orders by envelope timestamp desc with operation as a stable tiebreak;
     falls back to plain dropDuplicates when no envelope metadata exists.
+    Streaming inputs pass through untouched — ranking windows aren't
+    allowed on streams; duplicate suppression there is the sink's job
+    (dropDuplicatesWithinWatermark or a foreachBatch CDC merge,
+    sources/stream.py).
     """
+    if df.isStreaming:
+        return df
     if "_envelope_ts" not in df.columns:
         return df.dropDuplicates([pk])
     w = Window.partitionBy(pk).orderBy(

@@ -270,3 +270,103 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("events_hourly_stream_sink")
+
+
+# ---------------------------------------------------------------------------
+# Canonical analytics shapes: shipping-priority and nation-pair volume
+# (classic warehouse patterns exercising join+agg+topk and a two-dim
+# fact⨝dim⨝dim rollup — breadth beyond the reference's four gold tables)
+# ---------------------------------------------------------------------------
+
+@query(
+    "shipping_priority_topk",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_money_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 20
+    """,
+    doc="Shipping-priority shape (segment filter + ordered-but-unshipped "
+        "date window + 3-way join + per-order revenue + top-K). Filters "
+        "push into all three scans; top-K is TakeOrderedAndProject.",
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    l = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "supplier_customer_nation_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           {sql_money_sum("l.l_extendedprice * (1 - l.l_discount)")} AS volume
+    FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY ns.n_name, nc.n_name, CAST(year(l.l_shipdate) AS INT)
+    """,
+    doc="Nation-pair trade-volume shape: 6-way join with the nation dim "
+        "joined TWICE under different roles (supplier vs customer side) "
+        "plus an inequality predicate between the two — broadcast both "
+        "nation sides; the only fact-fact shuffle is lineitem⨝orders.",
+)
+def supplier_customer_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    ns = t["nation"].select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = t["nation"].select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("ns_key") != F.col("nc_key"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+        )
+    )

