@@ -100,3 +100,35 @@ def cosine(a: Column, b: Column) -> Column:
 def md5_int(col: Column) -> Column:
     """First 60 bits of md5(col) as a non-negative BIGINT."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation (SURVEY.md §4.2): AQE's skew-join split handles most
+# cases at runtime; explicit salting remains the tool for pathological
+# hot keys (one key >> one executor's memory) or for aggregations.
+# ---------------------------------------------------------------------------
+
+def salted_join(
+    skewed,
+    other,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+):
+    """Equi-join robust to hot keys: salt the skewed side, replicate the
+    other side across all salt values.
+
+    The skewed side gets a deterministic salt in [0, n_salts) derived
+    from a high-cardinality spread of its rows (hash of all columns), so
+    one hot key fans out across n_salts reducers; the other side is
+    exploded n_salts× (acceptable when it is the smaller side). Result
+    equals a plain ``skewed.join(other, key, how)``.
+    """
+    from pyspark.sql import functions as _F
+
+    salt = (_F.abs(_F.hash(*[_F.col(c) for c in skewed.columns])) % n_salts)
+    left = skewed.withColumn("_salt", salt)
+    right = other.withColumn(
+        "_salt", _F.explode(_F.array(*[_F.lit(i) for i in range(n_salts)]))
+    )
+    return left.join(right, [key, "_salt"], how).drop("_salt")

@@ -480,3 +480,63 @@ def minhash_lsh_ml_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     return ml_minhash_candidates(docs, jaccard_distance_threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup via ANN buckets (the production pair source)
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_near_dup_bucketed",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(a.bucket AS INT) AS bucket,
+           {{cos_r4}} AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {{cos_raw}} >= 0.5
+    """.format(
+        cos_r4=sql_stable_round(_SQL_COS_AB, 4),
+        cos_raw=_SQL_COS_AB,
+    ),
+    doc="North-star embedding near-dup at production shape: candidate "
+        "pairs come from shared ANN buckets (sign-bit coarse quantizer, "
+        "queries/similarity.py), cosine computed only within buckets — "
+        "the all-pairs O(n²) never materializes. Pairs over the 0.5 "
+        "cosine threshold are near-dup candidates; a<b dedup of the pair "
+        "space. At 100 TB the bucket is a partition key (pruned "
+        "self-join per cell).",
+    tags=("dedup",),
+)
+def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import sign_bucket
+
+    e = load_star_table_spread(spark, sf_dir, "embeddings", "vec_id").withColumn(
+        "bucket", sign_bucket(F.col("embedding"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        F.col("bucket").alias("ba"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        F.col("bucket").alias("bb"),
+    )
+    cs = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(cs >= 0.5)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("ba").cast("int").alias("bucket"),
+            stable_round(cs, 4).alias("cos_sim"),
+        )
+    )

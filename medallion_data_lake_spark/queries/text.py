@@ -148,3 +148,42 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("predicted_lang"),
         (pred == F.col("lang")).alias("lid_match"),
     )
+
+
+@query(
+    "corpus_quality_by_lang",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS total_tokens,
+           {sql_stable_round(f'SUM(len({_SQL_TOKS})) * 1.0 / COUNT(*)', 2)} AS avg_tokens,
+           {sql_stable_round(f'SUM({_SQL_STOPS}) * 1.0 / SUM(len({_SQL_TOKS}))', 4)}
+             AS corpus_stopword_ratio
+    FROM documents
+    GROUP BY lang, source
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Corpus-level text QA rollup: per (lang, source) token volumes and "
+        "stopword density — the aggregation tier over the map-side text "
+        "metrics (what a training-data pipeline monitors per shard). "
+        "Integer token counts sum exactly; ratios derived post-aggregation.",
+    tags=("text",),
+)
+def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = tokens(F.col("text"))
+    per_doc = d.select(
+        "lang", "source",
+        F.size(toks).alias("n_tok"),
+        _stopword_hits(toks).alias("n_stop"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            stable_round(F.sum("n_tok") * F.lit(1.0) / F.count(F.lit(1)), 2).alias("avg_tokens"),
+            stable_round(F.sum("n_stop") * F.lit(1.0) / F.sum("n_tok"), 4).alias("corpus_stopword_ratio"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
