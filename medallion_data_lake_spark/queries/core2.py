@@ -370,3 +370,118 @@ def supplier_customer_nation_volume(spark: SparkSession, sf_dir: str) -> DataFra
             money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# get_customer_balance analog (reference §2.10: rent fees + late fees −
+# payments as three filtered-aggregate scalars joined,
+# sakila-schema.sql:546-585 — expressed as a pure DataFrame query)
+# ---------------------------------------------------------------------------
+
+@query(
+    "customer_open_balance",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS tot
+      FROM orders GROUP BY o_custkey
+    ),
+    shipped AS (
+      SELECT o.o_custkey, SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS shp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey,
+           {sql_stable_round("CAST(COALESCE(o.tot, 0) AS DOUBLE)", 2)} AS total_ordered,
+           {sql_stable_round("CAST(COALESCE(s.shp, 0) AS DOUBLE)", 2)} AS total_shipped,
+           {sql_stable_round("CAST(COALESCE(o.tot, 0) - COALESCE(s.shp, 0) AS DOUBLE)", 2)}
+             AS open_balance
+    FROM customer c
+      LEFT JOIN ordered o ON o.o_custkey = c.c_custkey
+      LEFT JOIN shipped s ON s.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 25 = 0
+    """,
+    doc="get_customer_balance shape (reference sakila-schema.sql:546-585): "
+        "per-entity balance from independent filtered-aggregate rollups "
+        "joined with null-safe defaults — the stored-procedure capability "
+        "expressed as one declarative plan (each rollup aggregates at its "
+        "own cardinality before the dim-sized join; exact decimal "
+        "arithmetic end-to-end).",
+)
+def customer_open_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._parity import dsum
+
+    t = _t(spark, sf_dir)
+    ordered = t["orders"].groupBy("o_custkey").agg(dsum("o_totalprice").alias("tot"))
+    shipped = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum("l_extendedprice").alias("shp"))
+    )
+    c = t["customer"].filter(F.col("c_custkey") % 25 == 0)
+    tot = F.coalesce(F.col("tot"), F.lit(0))
+    shp = F.coalesce(F.col("shp"), F.lit(0))
+    return (
+        c.join(ordered, c.c_custkey == ordered.o_custkey, "left")
+        .drop("o_custkey")
+        .join(shipped, c.c_custkey == shipped.o_custkey, "left")
+        .select(
+            "c_custkey",
+            stable_round(tot.cast("double"), 2).alias("total_ordered"),
+            stable_round(shp.cast("double"), 2).alias("total_shipped"),
+            stable_round((tot - shp).cast("double"), 2).alias("open_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ntile / dense_rank window variants (SURVEY.md §2.5: "no rank/dense_rank/
+# ntile" in the reference — free in Spark)
+# ---------------------------------------------------------------------------
+
+@query(
+    "segment_spend_quartiles",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             {sql_money_sum("o.o_totalprice")} AS total_spent
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment, total_spent,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY total_spent DESC, c_custkey) AS INT)
+             AS spend_quartile,
+           CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY total_spent DESC) AS INT)
+             AS spend_rank
+    FROM spend
+    """,
+    doc="ntile + dense_rank windows (extension over the reference's "
+        "row_number-only W-family) on the per-customer spend rollup — "
+        "partitioned by segment, ordered by the exact rounded spend with "
+        "key tiebreak so bucket boundaries are cross-engine stable.",
+)
+def segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    spend = (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(money_sum("o_totalprice").alias("total_spent"))
+    )
+    w_tile = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spent"), F.asc("c_custkey")
+    )
+    w_rank = Window.partitionBy("c_mktsegment").orderBy(F.desc("total_spent"))
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        "total_spent",
+        F.ntile(4).over(w_tile).alias("spend_quartile"),
+        F.dense_rank().over(w_rank).alias("spend_rank"),
+    )
