@@ -516,20 +516,27 @@ def minhash_lsh_ml_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import dot, l2_norm
     from .similarity import sign_bucket
 
-    e = load_star_table_spread(spark, sf_dir, "embeddings", "vec_id").withColumn(
-        "bucket", sign_bucket(F.col("embedding"))
+    # Precompute the L2 norm once per VECTOR before the pair join —
+    # computing cosine as dot(a,b)/(na*nb) per pair would otherwise
+    # re-derive both norms for every pair (3 dot products instead of 1;
+    # measured ~3x slower). Same math, same doubles, oracle mirrors it.
+    e = (
+        load_star_table_spread(spark, sf_dir, "embeddings", "vec_id")
+        .withColumn("bucket", sign_bucket(F.col("embedding")))
+        .withColumn("nrm", l2_norm(F.col("embedding")))
     )
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
-        F.col("bucket").alias("ba"),
+        F.col("bucket").alias("ba"), F.col("nrm").alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
-        F.col("bucket").alias("bb"),
+        F.col("bucket").alias("bb"), F.col("nrm").alias("nb"),
     )
-    cs = cosine(F.col("va"), F.col("vb"))
+    cs = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
         .filter(cs >= 0.5)

@@ -57,7 +57,10 @@ def doc_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal",),
 )
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    # Python-tier stages want FEWER, fatter Arrow batches than JVM stages:
+    # each partition pays a python-worker handshake, so 32 tiny partitions
+    # spend more on startup than decode (measured 11s -> ~3s at 8).
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id").coalesce(8)
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("modality"),

@@ -23,19 +23,20 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_star_table_spread
-from ..functions import cosine
+from ..functions import dot, l2_norm
 from . import query
 from ._parity import sql_stable_round, stable_round
 
 QUERY_STRIDE = 100  # vec_id % stride == 0 → deterministic query subset
+EMB_DIM = 64        # fixture embedding dimension (schemas.EMBEDDINGS)
 K_BRUTE = 5
 K_IVF = 3
 IVF_SIGN_DIMS = 4  # coarse quantizer: sign bits of the first 4 dims → 16 buckets
 
-_SQL_COS = (
-    "list_dot_product(q.v, e.v) / "
-    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))"
-)
+# norms precomputed per vector (e.nrm / q.nrm) — computing them inside
+# the pair expression would redo two dot products for every candidate pair
+_SQL_COS = "list_dot_product(q.v, e.v) / (q.nrm * e.nrm)"
+_SQL_NRM = "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
 _SQL_BUCKET = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
     for i in range(IVF_SIGN_DIMS)
@@ -43,7 +44,8 @@ _SQL_BUCKET = " + ".join(
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_star_table_spread(spark, sf_dir, "embeddings", "vec_id")
+    df = load_star_table_spread(spark, sf_dir, "embeddings", "vec_id")
+    return df.withColumn("nrm", l2_norm(F.col("embedding")))
 
 
 def sign_bucket(emb: Column) -> Column:
@@ -57,8 +59,9 @@ def sign_bucket(emb: Column) -> Column:
 @query(
     "knn_bruteforce_cosine",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    q AS (SELECT vec_id, v FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_SQL_NRM} AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
     scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cs
       FROM q JOIN e ON e.vec_id <> q.vec_id
@@ -80,7 +83,9 @@ def sign_bucket(emb: Column) -> Column:
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -88,7 +93,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("embedding")).alias("cs"),
+            (dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))).alias("cs"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -104,10 +109,10 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivf_bucketed",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_SQL_NRM} AS nrm,
                       {_SQL_BUCKET} AS bucket
                FROM embeddings),
-    q AS (SELECT vec_id, v, bucket FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+    q AS (SELECT vec_id, v, nrm, bucket FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
     scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.bucket, {_SQL_COS} AS cs
       FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
@@ -133,6 +138,7 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
     scored = (
@@ -141,7 +147,7 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("bucket").cast("int").alias("bucket"),
-            cosine(F.col("qv"), F.col("embedding")).alias("cs"),
+            (dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))).alias("cs"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
