@@ -44,10 +44,18 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    """Number of Exchange operators in the physical plan (AQE may later
-    remove some at runtime; this is the static upper bound)."""
+    """Number of shuffle Exchange operators in the physical plan (AQE may
+    later remove some at runtime; this is the static upper bound).
+    BroadcastExchange is excluded — it replicates a bounded small side,
+    a different cost class from repartitioning data by key."""
     plan = explain_str(df)
-    return sum(1 for line in plan.splitlines() if "Exchange" in line and "reuse" not in line.lower())
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "reuse" not in line.lower()
+    )
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:
