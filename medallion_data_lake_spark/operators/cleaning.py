@@ -116,8 +116,14 @@ def _dedup_latest(df: DataFrame, pk: str) -> DataFrame:
         return df
     if "_envelope_ts" not in df.columns:
         return df.dropDuplicates([pk])
+    # payload fingerprint as the last tiebreak: identical (ts, operation)
+    # with different payloads must still resolve to a stable winner
+    # independent of arrival/partition order (see cdc.latest_change_per_key)
+    payload_fp = F.md5(
+        F.to_json(F.struct(*[c for c in df.columns if not c.startswith("_")]))
+    )
     w = Window.partitionBy(pk).orderBy(
-        F.desc("_envelope_ts"), F.desc("_operation")
+        F.desc("_envelope_ts"), F.desc("_operation"), F.desc(payload_fp)
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -485,3 +485,30 @@ def segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_tile).alias("spend_quartile"),
         F.dense_rank().over(w_rank).alias("spend_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate-aggregation scale variant (rows-only: HLL sketches are
+# engine-specific, so no DuckDB oracle — the exact twin IS the oracle'd
+# query, order_priority_stats)
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_priority_stats_approx",
+    oracle=None,
+    doc="Scale variant of order_priority_stats: approx_count_distinct "
+        "(HyperLogLog++, rsd=0.01) replaces the exact count-distinct — "
+        "single-pass mergeable sketch state instead of the two-phase "
+        "expand/distinct shuffle; the swap-in SCALE.md prescribes at "
+        "100 TB where exactness isn't contractual.",
+)
+def order_priority_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir)["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_unique_customers"),
+            money_sum("o_totalprice").alias("total_revenue"),
+        )
+    )

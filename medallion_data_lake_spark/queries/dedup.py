@@ -479,7 +479,7 @@ def minhash_lsh_ml_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup_graph import ml_minhash_candidates
 
     docs = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
-    return ml_minhash_candidates(docs, jaccard_distance_threshold=0.5)
+    return ml_minhash_candidates(docs, num_hash_tables=4, jaccard_distance_threshold=0.5)
 
 
 # ---------------------------------------------------------------------------

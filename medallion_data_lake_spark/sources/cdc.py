@@ -55,9 +55,19 @@ def parse_envelopes(raw: DataFrame, payload: T.StructType, value_col: str = "val
 
 def latest_change_per_key(changes: DataFrame, key: str) -> DataFrame:
     """One deterministic winner per key from a (possibly out-of-order,
-    possibly duplicated) change batch."""
+    possibly duplicated) change batch.
+
+    Tiebreak chain: newest timestamp → terminal operation → canonical
+    payload fingerprint. The last leg matters when a producer emits two
+    DIFFERENT payloads at the identical timestamp+operation: without it
+    the winner depends on arrival order (found by the hypothesis
+    property test — reorder+redeliver must be a no-op). The fingerprint
+    winner is arbitrary but STABLE, which is the requirement.
+    """
     w = Window.partitionBy(F.col(f"data.{key}")).orderBy(
-        F.desc("change_ts"), _op_rank().desc()
+        F.desc("change_ts"),
+        _op_rank().desc(),
+        F.desc(F.md5(F.to_json(F.col("data")))),
     )
     return (
         changes.withColumn("_rn", F.row_number().over(w))
