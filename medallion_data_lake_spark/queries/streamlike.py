@@ -137,3 +137,123 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operator Spark lacks natively — composed from a partitioned
+# window; north-star brief: "as-of join, range join" as custom operators)
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_last_view_before_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_view_ts,
+           CASE WHEN last_view_ts IS NOT NULL
+                THEN CAST(date_diff('microseconds', last_view_ts, ts) // 1000000 AS BIGINT)
+                END AS seconds_since_view
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_ts
+      FROM events
+    )
+    WHERE event_type = 'purchase'
+    """,
+    doc="AS-OF join composed from DataFrame ops (no native Spark operator): "
+        "each purchase matched to the most recent PRIOR view by the same "
+        "user via a conditional running max over a partitioned ordered "
+        "window — one shuffle on the partition key, no row explosion, the "
+        "standard Spark formulation of time-series as-of semantics. First "
+        "purchase before any view → NULL (no match).",
+    tags=("streaming",),
+)
+def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    return (
+        _events(spark, sf_dir)
+        .withColumn("last_view_ts", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_view_ts",
+            F.when(
+                F.col("last_view_ts").isNotNull(),
+                F.expr(
+                    # whole seconds between the two NTZ instants: micro
+                    # difference floored — NTZ has no direct long cast
+                    "(unix_micros(cast(ts as timestamp)) - "
+                    "unix_micros(cast(last_view_ts as timestamp))) div 1000000"
+                ),
+            ).alias("seconds_since_view"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval/range join (non-equi predicate alongside an equi key)
+# ---------------------------------------------------------------------------
+
+@query(
+    "purchases_within_hour_of_signup",
+    oracle="""
+    SELECT s.event_id                 AS signup_event_id,
+           s.user_id,
+           s.ts                       AS signup_ts,
+           CAST(COUNT(p.event_id) AS BIGINT) AS purchases_within_1h
+    FROM events s
+      LEFT JOIN events p
+        ON p.user_id = s.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts > s.ts
+       AND p.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id, s.user_id, s.ts
+    """,
+    doc="Range (interval) join: equi key (user) + time-window predicate — "
+        "purchases within one hour after each signup. The equi key keeps "
+        "it a hash join with a residual range filter (never a cross "
+        "product); at scale, bucketing both sides by the key plus "
+        "time-partition pruning bounds each probe.",
+    tags=("streaming",),
+)
+def purchases_within_hour_of_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("signup_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") > F.col("signup_ts"))
+        & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return (
+        joined.groupBy("signup_event_id", "s_user", "signup_ts")
+        .agg(F.count("p_event_id").alias("purchases_within_1h"))
+        .select(
+            "signup_event_id",
+            F.col("s_user").alias("user_id"),
+            "signup_ts",
+            "purchases_within_1h",
+        )
+    )

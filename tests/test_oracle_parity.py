@@ -34,6 +34,8 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_cell(v):
     if v is None:
         return None
+    if not isinstance(v, float) and v != v:  # pandas NaT (float NaN keeps
+        return None                          # its own branch below)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
