@@ -257,3 +257,53 @@ def purchases_within_hour_of_signup(spark: SparkSession, sf_dir: str) -> DataFra
             "purchases_within_1h",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style cascading rollup (continuous-aggregate pattern)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_cascading_rollup",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL 1 DAY, h) AS day_start, event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           {sql_stable_round("CAST(SUM(v) AS DOUBLE)", 2)} AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_hourly_buckets
+    FROM hourly
+    GROUP BY 1, 2
+    """,
+    doc="Hypertable-style cascading rollup (continuous-aggregate pattern): "
+        "the DAY aggregate is computed by MERGING hour-level partials, not "
+        "by rescanning raw events — counts and exact decimal sums are "
+        "mergeable state, so each coarser granularity costs only the finer "
+        "rollup's size. This is the maintenance pattern for materialized "
+        "time hierarchies at 100 TB (hour partials persist; day/month "
+        "reaggregate from them incrementally).",
+    tags=("streaming",),
+)
+def events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._parity import DEC
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").start.alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("v"),
+        )
+    )
+    return (
+        hourly.groupBy(F.window("h", "1 day").start.alias("day_start"), "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            stable_round(F.sum("v").cast("double"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("n_hourly_buckets"),
+        )
+    )
