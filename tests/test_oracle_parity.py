@@ -16,10 +16,12 @@ import duckdb
 import pytest
 
 from medallion_data_lake_spark.catalog import star_path
-from medallion_data_lake_spark.queries import load_all
+from medallion_data_lake_spark.queries import load_all_extra
 from medallion_data_lake_spark.schemas import STAR_TABLES
 
-REGISTRY = load_all()
+# load_all_extra: the cut/variant queries (extra=True) stay locally
+# oracle-verified even though only the ≤50 main entries face the driver.
+REGISTRY = load_all_extra()
 ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
