@@ -149,15 +149,26 @@ def salted_join(
 
     The skewed side gets a deterministic salt in [0, n_salts) derived
     from a high-cardinality spread of its rows (hash of all columns), so
-    one hot key fans out across n_salts reducers; the other side is
-    exploded n_salts× (acceptable when it is the smaller side). Result
-    equals a plain ``skewed.join(other, key, how)``.
+    one hot key fans out across n_salts reducers. Result equals a plain
+    ``skewed.join(other, key, how)``.
+
+    SIZE CONTRACT: ``other`` must be dim-sized — it is replicated
+    n_salts× and BROADCAST, so the exploded copy must fit in executor
+    memory (n_salts × |other| rows). Passing a fact table here is a
+    misuse; the broadcast makes that fail loudly (driver OOM / broadcast
+    threshold error) instead of silently exploding a shuffle. For
+    fact-fact skew use AQE's skew-join split instead.
+
+    Salt uses ``pmod`` rather than ``abs(hash) % n``: Spark's non-ANSI
+    ``abs(Integer.MIN_VALUE)`` overflows back to a negative, and ``%``
+    preserves sign, so a row hashing to MIN_VALUE would get a negative
+    salt and silently drop from the join.
     """
     from pyspark.sql import functions as _F
 
-    salt = (_F.abs(_F.hash(*[_F.col(c) for c in skewed.columns])) % n_salts)
+    salt = _F.pmod(_F.hash(*[_F.col(c) for c in skewed.columns]), _F.lit(n_salts))
     left = skewed.withColumn("_salt", salt)
     right = other.withColumn(
         "_salt", _F.explode(_F.array(*[_F.lit(i) for i in range(n_salts)]))
     )
-    return left.join(right, [key, "_salt"], how).drop("_salt")
+    return left.join(_F.broadcast(right), [key, "_salt"], how).drop("_salt")

@@ -86,6 +86,14 @@ SAKILA_RULES: dict[str, ConformRule] = {
                "customer_id": "bigint", "staff_id": "bigint"},
         timestamps=("rental_date", "return_date", "last_update"),
     ),
+    "inventory": ConformRule(
+        table="inventory",
+        pk="inventory_id",
+        required=("inventory_id", "film_id"),
+        casts={"inventory_id": "bigint", "film_id": "bigint",
+               "store_id": "bigint"},
+        timestamps=("last_update",),
+    ),
 }
 
 
@@ -116,14 +124,20 @@ def _dedup_latest(df: DataFrame, pk: str) -> DataFrame:
         return df
     if "_envelope_ts" not in df.columns:
         return df.dropDuplicates([pk])
+    from ..sources.cdc import _op_rank
+
     # payload fingerprint as the last tiebreak: identical (ts, operation)
     # with different payloads must still resolve to a stable winner
-    # independent of arrival/partition order (see cdc.latest_change_per_key)
+    # independent of arrival/partition order (see cdc.latest_change_per_key).
+    # Operation ties break on the shared CDC precedence (DELETE > UPDATE >
+    # INSERT, terminal-operation-wins) — NOT lexicographic order — so the
+    # conform path and the CDC merge path pick the same winner for the
+    # same change batch.
     payload_fp = F.md5(
         F.to_json(F.struct(*[c for c in df.columns if not c.startswith("_")]))
     )
     w = Window.partitionBy(pk).orderBy(
-        F.desc("_envelope_ts"), F.desc("_operation"), F.desc(payload_fp)
+        F.desc("_envelope_ts"), _op_rank("_operation").desc(), F.desc(payload_fp)
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -111,6 +111,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation needs ~diameter rounds; a chain-shaped
+        # component longer than max_iter would otherwise return silently
+        # wrong component ids. Fail loudly — the caller can raise
+        # max_iter (or pre-shrink the graph with exact dedup first).
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the graph has a component "
+            f"with diameter > {max_iter} — increase max_iter"
+        )
     sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 

@@ -40,6 +40,31 @@ except ImportError:
     _HAS_PIL = False
 
 
+def _real_decode_enabled() -> bool:
+    """Real decode is opt-in via MDLS_REAL_DECODE=1 (checked per batch so
+    executors pick up the env they were launched with)."""
+    import os
+
+    return os.environ.get("MDLS_REAL_DECODE", "") == "1"
+
+
+def _pil_decode(payload: bytes):  # pragma: no cover - PIL absent here
+    """Decode with Pillow; None on failure (caller falls back to fake)."""
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            width, height = img.size
+            channels = len(img.getbands())
+            gray = img.convert("L")
+            hist = gray.histogram()
+            n = sum(hist) or 1
+            mean = round(sum(i * c for i, c in enumerate(hist)) / n / 255.0, 6)
+        return width, height, channels, mean
+    except Exception:
+        return None
+
+
 def attach_content_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Content-address a binary column: sha256 + byte length.
 
@@ -94,12 +119,22 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             pdf["media_id"], pdf["modality"], pdf["content"]
         ):
             payload = bytes(content) if content is not None else b""
-            if _HAS_PIL and modality == "image":  # pragma: no cover
-                raise NotImplementedError(
-                    "real image decode path — enable when PIL + real payloads exist"
-                )
-            w, h, c, mean = _fake_decode(payload)
-            rows.append((int(media_id), str(modality), w, h, c, mean, "fake-sha256"))
+            decoded = None
+            # Real decode is an explicit opt-in (MDLS_REAL_DECODE=1), not
+            # triggered by mere library presence: the fixtures carry
+            # synthetic payloads, so installing Pillow must not flip a
+            # passing pipeline into decode errors. Failed decodes fall
+            # back to the deterministic fake rather than poisoning the
+            # batch (quarantine-by-default, like the bronze JSON path).
+            if _real_decode_enabled() and _HAS_PIL and modality == "image":
+                decoded = _pil_decode(payload)  # pragma: no cover
+            if decoded is not None:  # pragma: no cover
+                w, h, c, mean = decoded
+                decoder = "pil"
+            else:
+                w, h, c, mean = _fake_decode(payload)
+                decoder = "fake-sha256"
+            rows.append((int(media_id), str(modality), w, h, c, mean, decoder))
         yield pd.DataFrame(
             rows,
             columns=[

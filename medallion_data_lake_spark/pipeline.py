@@ -55,15 +55,21 @@ def run_silver(
     spark: SparkSession,
     bronze_root: str,
     silver_root: str,
-    tables: tuple[str, ...] = ("customer", "film", "payment", "rental"),
+    tables: tuple[str, ...] = ("customer", "film", "payment", "rental", "inventory"),
     report: PipelineReport | None = None,
 ) -> PipelineReport:
     """Bronze JSON → conformed partitioned silver parquet (stage 3 of the
-    reference pipeline, ``bronze_to_silver.py:138-148``)."""
+    reference pipeline, ``bronze_to_silver.py:138-148``).
+
+    Tables with no bronze directory are skipped (inventory is optional:
+    the reference extract ships it, ``mysql_to_kafka.py:34``, but a
+    4-table bronze layer is still a valid input)."""
     report = report or PipelineReport()
     for table in tables:
         t0 = time.perf_counter()
         path = os.path.join(bronze_root, table)
+        if not os.path.isdir(path):
+            continue
         bronze = read_bronze_json(spark, path, table)
         clean, corrupt = split_corrupt(bronze)
         silver = conform(clean, SAKILA_RULES[table])
@@ -88,7 +94,12 @@ def run_gold(
         t: read_layer(spark, os.path.join(silver_root, t))
         for t in ("customer", "film", "payment", "rental")
     }
-    inventory = silver.get("inventory")
+    # inventory is optional in the silver layer (the reference pipeline
+    # ships it only when the MySQL extract includes it); load it from
+    # disk when present so the film_performance builder is reachable —
+    # the 4th gold table, silver_to_gold.py:196-213.
+    inv_path = os.path.join(silver_root, "inventory")
+    inventory = read_layer(spark, inv_path) if os.path.isdir(inv_path) else None
     builders = {
         "customer_summary": lambda: gold.customer_summary(
             silver["customer"], silver["payment"], silver["rental"]

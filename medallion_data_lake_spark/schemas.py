@@ -207,12 +207,16 @@ BRONZE_RENTAL_PAYLOAD = _string_payload(
     "rental_id", "rental_date", "inventory_id", "customer_id",
     "return_date", "staff_id", "last_update",
 )
+BRONZE_INVENTORY_PAYLOAD = _string_payload(
+    "inventory_id", "film_id", "store_id", "last_update",
+)
 
 BRONZE_PAYLOADS: dict[str, T.StructType] = {
     "customer": BRONZE_CUSTOMER_PAYLOAD,
     "film": BRONZE_FILM_PAYLOAD,
     "payment": BRONZE_PAYMENT_PAYLOAD,
     "rental": BRONZE_RENTAL_PAYLOAD,
+    "inventory": BRONZE_INVENTORY_PAYLOAD,
 }
 
 # ---------------------------------------------------------------------------

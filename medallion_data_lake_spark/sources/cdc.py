@@ -28,12 +28,17 @@ from pyspark.sql import types as T
 
 from ..schemas import envelope_schema
 
-def _op_rank():
+def _op_rank(col: str = "operation"):
     """Operation precedence for same-timestamp ties: a DELETE at the same
-    timestamp as an UPDATE wins (terminal operation), Debezium-style."""
+    timestamp as an UPDATE wins (terminal operation), Debezium-style.
+
+    Shared by the CDC merge path and the silver conform dedup
+    (operators/cleaning.py) so the same change batch resolves to the
+    same winner regardless of which path it flows through.
+    """
     return (
-        F.when(F.col("operation") == "DELETE", 2)
-        .when(F.col("operation") == "UPDATE", 1)
+        F.when(F.col(col) == "DELETE", 2)
+        .when(F.col(col) == "UPDATE", 1)
         .otherwise(0)
     )
 

@@ -93,3 +93,25 @@ def test_same_timestamp_delete_wins(spark):
         parse_envelopes(_raw(spark, msgs), PAYLOAD), "customer_id"
     )
     assert [r["operation"] for r in collapsed.collect()] == ["DELETE"]
+
+
+def test_conform_dedup_agrees_with_cdc_precedence(spark):
+    # the silver conform dedup and the CDC merge collapse must resolve
+    # the same change batch to the same winner: same-timestamp ties break
+    # on DELETE > UPDATE > INSERT (terminal operation), not lexicographic
+    # operation order (which would pick UPDATE)
+    from pyspark.sql import functions as F
+
+    from medallion_data_lake_spark.operators.cleaning import _dedup_latest
+
+    df = spark.createDataFrame(
+        [
+            (1, "via-update", "2024-01-02 00:00:00", "UPDATE"),
+            (1, "via-delete", "2024-01-02 00:00:00", "DELETE"),
+            (1, "older", "2024-01-01 00:00:00", "INSERT"),
+        ],
+        "id int, val string, _envelope_ts string, _operation string",
+    ).withColumn("_envelope_ts", F.to_timestamp("_envelope_ts"))
+    rows = _dedup_latest(df, "id").collect()
+    assert len(rows) == 1
+    assert rows[0]["_operation"] == "DELETE"

@@ -29,6 +29,17 @@ def test_distributed_label_propagation_path(spark):
     assert _cc(spark, EDGES, driver_threshold=0) == EXPECT
 
 
+def test_distributed_nonconvergence_raises(spark):
+    # a 12-edge chain has diameter 12; 3 rounds of min-label propagation
+    # cannot converge — the operator must fail loudly, never return
+    # silently wrong component ids
+    import pytest
+
+    chain = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, chain, driver_threshold=0, max_iter=3)
+
+
 def test_both_paths_agree_on_chain(spark):
     # a chain exercises multi-round propagation (diameter = length); kept
     # under max_iter so the distributed path must fully converge

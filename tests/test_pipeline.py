@@ -48,6 +48,11 @@ def bronze_root(tmp_path_factory):
              "last_update": "2024-01-01 00:00:00"}
             for i in range(1, 31)
         ],
+        "inventory": [
+            {"inventory_id": str(i), "film_id": str(i % 3 + 1), "store_id": "1",
+             "last_update": "2024-01-01 00:00:00"}
+            for i in range(1, 4)
+        ],
     }
     for table, rows in specs.items():
         d = root / table / "year=2024" / "month=1" / "day=1"
@@ -68,6 +73,9 @@ def test_run_pipeline_end_to_end(spark, bronze_root, tmp_path_factory):
     assert stages[("silver", "payment")]["rows"] == 30
     assert stages[("gold", "customer_summary")]["rows"] == 5
     assert stages[("gold", "daily_revenue")]["rows"] > 0
+    # all FOUR reference gold tables, including the inventory-dependent
+    # film_performance (one row per film)
+    assert stages[("gold", "film_performance")]["rows"] == 3
     # catalog has every layer registered with the layer-prefix convention
     assert "silver_payment" in result["tables"]["silver"]
     assert "gold_customer_summary" in result["tables"]["gold"]

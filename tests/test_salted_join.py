@@ -33,10 +33,37 @@ def test_salt_actually_spreads_hot_key(spark):
     skewed = spark.createDataFrame([(1, i) for i in range(200)], "k int, v int")
     salts = (
         skewed.withColumn(
-            "_salt", F.abs(F.hash(*[F.col(c) for c in skewed.columns])) % 16
+            "_salt", F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(16))
         )
         .select("_salt")
         .distinct()
         .count()
     )
     assert salts > 8  # the hot key fans out across most salt values
+
+
+def test_salt_always_in_range_for_non_pow2(spark):
+    # pmod keeps salts in [0, n) even for negative hashes; the old
+    # abs(hash) % n form could emit a NEGATIVE salt when hash() hits
+    # Integer.MIN_VALUE (abs overflows), silently dropping the row.
+    skewed = spark.createDataFrame([(i, i * 7) for i in range(500)], "k int, v int")
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(500)], "k int, name string")
+    plain = skewed.join(dim, "k").count()
+    assert salted_join(skewed, dim, "k", n_salts=10).count() == plain
+    rng = (
+        skewed.withColumn(
+            "_salt", F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(10))
+        )
+        .agg(F.min("_salt").alias("lo"), F.max("_salt").alias("hi"))
+        .collect()[0]
+    )
+    assert 0 <= rng["lo"] and rng["hi"] <= 9
+
+
+def test_salted_join_broadcasts_replicated_side(spark):
+    # the exploded dim side must be broadcast — its n_salts-times copy
+    # never becomes a shuffle (the size-contract guard)
+    skewed = spark.createDataFrame([(1, 10)], "k int, v int")
+    dim = spark.createDataFrame([(1, "a")], "k int, name string")
+    plan = salted_join(skewed, dim, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
