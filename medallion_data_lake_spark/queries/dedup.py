@@ -519,7 +519,10 @@ def minhash_lsh_ml_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the all-pairs O(n²) never materializes. Pairs over the 0.5 "
         "cosine threshold are near-dup candidates; a<b dedup of the pair "
         "space. At 100 TB the bucket is a partition key (pruned "
-        "self-join per cell).",
+        "self-join per cell). The fixed 16-cell quantizer here is the "
+        "oracle twin; production uses the cardinality-scaled buckets of "
+        "operators/ann.py (adaptive_sign_bucket + bucketed_near_dup_pairs "
+        "— max bucket size bounded regardless of n).",
     tags=("dedup",),
 )
 def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

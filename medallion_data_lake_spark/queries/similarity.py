@@ -130,7 +130,13 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{IVF_SIGN_DIMS} dims, {1 << IVF_SIGN_DIMS} cells), top-{K_IVF} "
         "within bucket. The bucket join co-partitions query and candidate "
         "sides; at scale the bucket column is a partition key so each "
-        "probe touches one partition (partition pruning).",
+        "probe touches one partition (partition pruning). This fixed "
+        "16-cell form is the ORACLE TWIN (DuckDB mirrors it exactly); "
+        "the production quantizer is cardinality-scaled — "
+        "operators/ann.py: code width grows as log2(n/target) with "
+        "recursive split of oversized cells, or a seeded KMeans codebook "
+        "with k ∝ sqrt(n) — so per-bucket work is bounded at any n "
+        "(tests/test_ann_scale.py asserts the max-bucket bound).",
     tags=("similarity",),
 )
 def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,9 +14,9 @@ from medallion_data_lake_spark.plans import (
     has_pushed_filter,
     scan_read_schema,
 )
-from medallion_data_lake_spark.queries import load_all
+from medallion_data_lake_spark.queries import load_all_extra
 
-REG = load_all()
+REG = load_all_extra()
 SF = "/root/testdata/sf0.001"
 
 
