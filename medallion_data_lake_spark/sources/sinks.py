@@ -2,6 +2,16 @@
 
 Parquet with hive partitioning (Delta-ready: the format string is the
 only change on a cluster with Delta, which adds the txn log + MERGE).
+
+DELTA STATUS (verified 2026-08-13, round 2): delta-spark is NOT
+installable in this container — no network (``pip install --dry-run
+delta-spark`` fails DNS resolution for every index retry: "Failed to
+establish a new connection: [Errno -2] Name or service not known" →
+"No matching distribution found") and no delta jars ship with the
+bundled pyspark 4.1.2 (0 matches in pyspark/jars). On a real cluster:
+``fmt="delta"`` here, plus ``sources/cdc.apply_changes`` becomes a
+``MERGE INTO`` inside ``foreachBatch`` (its parquet implementation is
+the plan-equivalent stand-in and stays as the fallback).
 Mirrors the reference's layout choices (S8/S9: silver partitioned by
 ``processed_date``, gold unpartitioned — reference
 ``bronze_to_silver.py:122-128``, ``silver_to_gold.py:184-194``,
