@@ -101,3 +101,75 @@ def running_user_stats(events: DataFrame, idle_timeout: bool = True) -> DataFram
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 successor: transformWithStateInPandas (StatefulProcessor API).
+# Same per-user counters, but with typed composable state handles
+# (ValueState/ListState/MapState per key), native timers instead of the
+# single timeoutConf, and initial-state bootstrap — the API Spark
+# evolves; applyInPandasWithState above stays as the stable fallback.
+# ---------------------------------------------------------------------------
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """``running_user_stats`` on the transformWithStateInPandas API.
+
+    State is a named ValueState handle (checkpointed per key, sharded by
+    the groupBy exactly like the legacy operator); emission contract is
+    identical (one update row per user per micro-batch, ``finalized``
+    False — eviction would use ``handle.registerTimer`` in a long-lived
+    stream). Defined lazily: the processor class is created inside so
+    importing this module never requires the new API.
+
+    RUNTIME REQUIREMENTS (verified in this container, 2026-08-13): the
+    query must run with the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``...state.RocksDBStateStoreProvider``) AND the Python environment
+    must have ``google.protobuf`` — the TWS driver worker speaks a
+    protobuf state-server protocol and crashes at init without it
+    ("cannot import name 'descriptor' from 'google.protobuf'",
+    StateMessage_pb2.py:23). protobuf is absent here and cannot be
+    installed (no network), so the operator is exercised only where the
+    dependency exists (tests skip via importorskip); the
+    applyInPandasWithState twin above is the dependency-free fallback
+    with identical semantics.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._stats.exists():
+                n, total, last = self._stats.get()
+            else:
+                n, total, last = 0, 0.0, 0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                last = max(last, int(pdf["ts"].astype("int64").max() // 1_000_000))
+            self._stats.update((n, round(total, 2), last))
+            yield pd.DataFrame(
+                [[user_id, n, round(total, 2), last, False]],
+                columns=[f.name for f in OUTPUT_SCHEMA],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserStatsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

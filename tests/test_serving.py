@@ -1,0 +1,68 @@
+"""Serving-layer surface: cached gold views, bounded reads, canned pack."""
+
+from __future__ import annotations
+
+import pytest
+
+from medallion_data_lake_spark.serving import SAMPLE_QUERIES, ServingLayer
+
+
+@pytest.fixture(scope="module")
+def gold_root(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("serving_gold")
+    spark.createDataFrame(
+        [
+            (1, 120.0, "Premium"),
+            (2, 60.0, "Gold"),
+            (3, 10.0, "Bronze"),
+            (4, 55.0, "Gold"),
+        ],
+        "customer_id int, total_spent double, customer_value_tier string",
+    ).write.parquet(str(root / "customer_summary"))
+    spark.createDataFrame(
+        [("2024-01-01", 95.0), ("2024-01-02", 150.0)],
+        "payment_date string, daily_revenue double",
+    ).write.parquet(str(root / "daily_revenue"))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def serving(spark, gold_root):
+    s = ServingLayer(spark, gold_root, cache_tables=True)
+    yield s
+    s.close()
+
+
+def test_show_and_describe(serving):
+    assert serving.show_tables() == ["gold_customer_summary", "gold_daily_revenue"]
+    desc = serving.describe_table("gold_customer_summary", sample_rows=2)
+    fields = {f["name"] for f in desc["schema"]["fields"]}
+    assert {"customer_id", "total_spent", "customer_value_tier"} <= fields
+    assert len(desc["sample"]) == 2
+
+
+def test_query_and_bounded_pandas(serving):
+    df = serving.query(
+        "SELECT customer_value_tier, COUNT(*) AS n FROM gold_customer_summary "
+        "GROUP BY customer_value_tier"
+    )
+    tiers = {r["customer_value_tier"]: r["n"] for r in df.collect()}
+    assert tiers == {"Premium": 1, "Gold": 2, "Bronze": 1}
+    # bounded collect caps rows regardless of the SQL
+    pdf = serving.query_pandas("SELECT * FROM gold_customer_summary", max_rows=2)
+    assert len(pdf) == 2
+
+
+def test_sample_pack_runs(serving):
+    out = serving.sample_queries()
+    assert set(out) == set(SAMPLE_QUERIES)
+    dist = {
+        r["customer_value_tier"]: r["total_revenue"]
+        for r in out["customer_value_distribution"].collect()
+    }
+    assert dist["Gold"] == 115.0
+    assert len(out["daily_revenue_trend"].collect()) == 2
+
+
+def test_tables_are_cached(serving, spark):
+    assert spark.catalog.isCached("gold_customer_summary")
