@@ -104,7 +104,9 @@ class ServingLayer:
         return self.spark.sql(sql).limit(max_rows).toPandas()
 
     def show_tables(self) -> list[str]:
-        return sorted(self.catalog.list_tables()["gold"])
+        # only views THIS serving layer registered — the session may hold
+        # unrelated temp views (other catalogs, notebooks, tests)
+        return sorted(self.catalog._registered)
 
     def describe_table(self, name: str, sample_rows: int = 5) -> dict:
         return self.catalog.describe_table(name, sample_rows=sample_rows)

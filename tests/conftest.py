@@ -30,3 +30,59 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+def _env(table, op, ts, data):
+    import json
+
+    return json.dumps({"table": table, "operation": op, "timestamp": ts, "data": data})
+
+
+@pytest.fixture(scope="session")
+def bronze_root(tmp_path_factory):
+    """Five-table envelope-JSON bronze layer (shared by pipeline +
+    orchestration tests)."""
+    root = tmp_path_factory.mktemp("lake_bronze")
+    specs = {
+        "customer": [
+            {"customer_id": str(i), "store_id": "1", "first_name": f"F{i}",
+             "last_name": f"L{i}", "email": f"c{i}@x.com", "address_id": "1",
+             "active": "1", "create_date": "2024-01-01 00:00:00",
+             "last_update": "2024-01-01 00:00:00"}
+            for i in range(1, 6)
+        ],
+        "film": [
+            {"film_id": str(i), "title": f"FILM {i}", "description": "d",
+             "release_year": "2006", "language_id": "1", "rental_duration": "5",
+             "rental_rate": "2.99", "length": "90", "replacement_cost": "19.99",
+             "rating": "PG", "special_features": "Trailers",
+             "last_update": "2024-01-01 00:00:00"}
+            for i in range(1, 4)
+        ],
+        "payment": [
+            {"payment_id": str(i), "customer_id": str(i % 5 + 1), "staff_id": "1",
+             "rental_id": str(i), "amount": str(round(5 + i * 1.25, 2)),
+             "payment_date": f"2024-01-{i % 28 + 1:02d} 10:00:00",
+             "last_update": "2024-01-01 00:00:00"}
+            for i in range(1, 31)
+        ],
+        "rental": [
+            {"rental_id": str(i), "rental_date": f"2024-01-{i % 28 + 1:02d} 09:00:00",
+             "inventory_id": str(i % 3 + 1), "customer_id": str(i % 5 + 1),
+             "return_date": f"2024-01-{i % 28 + 2:02d} 09:00:00", "staff_id": "1",
+             "last_update": "2024-01-01 00:00:00"}
+            for i in range(1, 31)
+        ],
+        "inventory": [
+            {"inventory_id": str(i), "film_id": str(i % 3 + 1), "store_id": "1",
+             "last_update": "2024-01-01 00:00:00"}
+            for i in range(1, 4)
+        ],
+    }
+    for table, rows in specs.items():
+        d = root / table / "year=2024" / "month=1" / "day=1"
+        d.mkdir(parents=True)
+        (d / "batch.json").write_text(
+            "\n".join(_env(table, "INSERT", "2024-01-01T00:00:00", r) for r in rows)
+        )
+    return str(root)
