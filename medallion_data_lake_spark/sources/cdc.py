@@ -108,3 +108,35 @@ def apply_changes(current: DataFrame, changes: DataFrame, key: str) -> DataFrame
     upserts = upserts.select(*current.columns)
     _ = deletes  # deleted keys are simply absent from the union
     return untouched.unionByName(upserts)
+
+
+def maintain_derived_table(
+    derived: DataFrame,
+    changes: DataFrame,
+    key: str,
+    columns: tuple[str, ...],
+) -> DataFrame:
+    """Trigger-maintained derived table as a declarative CDC merge.
+
+    The reference's source schema keeps ``film_text`` synchronized with
+    ``film`` through three row-level triggers — ``ins_film`` (insert the
+    projection), ``upd_film`` (update it when a projected column
+    changed), ``del_film`` (delete it) — sakila-schema.sql:214-234.
+    Spark has no triggers; the same contract is the change-batch merge
+    below: project each change's payload to the derived columns, then
+    apply insert/update/delete in ONE keyed plan. Per-batch instead of
+    per-row, so at 100 TB the maintenance cost is one shuffle per
+    micro-batch (``foreachBatch`` on the CDC stream) rather than n
+    trigger firings — and the no-op-update optimization in ``upd_film``
+    (skip when projected columns unchanged) is subsumed: replacing a row
+    with identical values is idempotent.
+
+    ``columns`` must include ``key``. Call ``latest_change_per_key``
+    first, as with ``apply_changes``.
+    """
+    assert key in columns, f"projection {columns} must include key {key}"
+    projected = changes.select(
+        "operation",
+        F.struct(*[F.col(f"data.{c}").alias(c) for c in columns]).alias("data"),
+    )
+    return apply_changes(derived, projected, key)

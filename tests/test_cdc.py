@@ -115,3 +115,50 @@ def test_conform_dedup_agrees_with_cdc_precedence(spark):
     rows = _dedup_latest(df, "id").collect()
     assert len(rows) == 1
     assert rows[0]["_operation"] == "DELETE"
+
+
+def test_maintain_derived_table_trigger_semantics(spark):
+    # film_text trigger contract (sakila-schema.sql:214-234): the derived
+    # projection follows inserts, updates, and deletes of the base table
+    from pyspark.sql import types as T
+
+    from medallion_data_lake_spark.sources.cdc import maintain_derived_table
+
+    payload = T.StructType(
+        [
+            T.StructField("film_id", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("rental_rate", T.StringType()),  # NOT projected
+        ]
+    )
+
+    def msg(op, ts, fid, title, desc):
+        import json
+
+        return json.dumps(
+            {"table": "film", "operation": op, "timestamp": ts,
+             "data": {"film_id": fid, "title": title, "description": desc,
+                      "rental_rate": "2.99"}}
+        )
+
+    film_text = spark.createDataFrame(
+        [("1", "OLD TITLE", "old desc"), ("2", "KEEP", "kept")],
+        "film_id string, title string, description string",
+    )
+    raw = spark.createDataFrame(
+        [(msg("UPDATE", "2024-01-02T00:00:00", "1", "NEW TITLE", "new desc"),),
+         (msg("INSERT", "2024-01-02T00:00:00", "3", "ADDED", "added desc"),),
+         (msg("DELETE", "2024-01-02T00:00:00", "2", None, None),)],
+        "value string",
+    )
+    changes = latest_change_per_key(parse_envelopes(raw, payload), "film_id")
+    out = maintain_derived_table(
+        film_text, changes, "film_id", ("film_id", "title", "description")
+    )
+    rows = {r["film_id"]: (r["title"], r["description"]) for r in out.collect()}
+    assert rows == {
+        "1": ("NEW TITLE", "new desc"),   # upd_film
+        "3": ("ADDED", "added desc"),     # ins_film
+    }                                      # "2" gone: del_film
+    assert out.columns == ["film_id", "title", "description"]  # projection only
