@@ -67,3 +67,24 @@ def test_minhash_hashing_is_map_side(spark):
     assert count_shuffles(df) <= 2  # repartition (+ AQE read), nothing else
     plan = explain_str(df)
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_part_stock_status_single_shuffle_no_python(spark):
+    """Routine shape: one conditional aggregation = one exchange on the
+    (part, supplier) key; everything codegen, no Python workers."""
+    from medallion_data_lake_spark.plans import count_shuffles, explain_str
+
+    df = REG["part_stock_status"].build(spark, SF)
+    assert count_shuffles(df) <= 2  # partial+final agg exchange (+AQE read)
+    plan = explain_str(df)
+    assert "Python" not in plan
+    assert "HashAggregate" in plan  # partial map-side combine present
+
+
+def test_status_set_ops_reuses_filtered_scans(spark):
+    """INTERSECT/EXCEPT arms plan as semi/anti joins over distincts —
+    no cartesian, no Python."""
+    from medallion_data_lake_spark.plans import explain_str
+
+    plan = explain_str(REG["status_set_ops"].build(spark, SF))
+    assert "Cartesian" not in plan and "Python" not in plan

@@ -98,3 +98,23 @@ class TestOrderInvariance:
         s1 = df1.agg(dsum("amount").alias("s")).collect()[0]["s"]
         sn = dfn.agg(dsum("amount").alias("s")).collect()[0]["s"]
         assert s1 == sn  # exact equality — the property the oracle relies on
+
+
+@given(_events)
+@_SETTINGS
+def test_derived_table_maintenance_idempotent(spark, rows):
+    """Re-applying the same collapsed change batch to an already-updated
+    derived table is a no-op (trigger semantics are per-row and rely on
+    exactly-once firing; the batch merge must not)."""
+    from medallion_data_lake_spark.sources.cdc import maintain_derived_table
+
+    env = _envelopes(spark, rows)
+    collapsed = latest_change_per_key(env, "customer_id")
+    derived = spark.createDataFrame(
+        [("1", "seed@x.com"), ("9", "untouched@x.com")],
+        "customer_id string, email string",
+    )
+    cols = ("customer_id", "email")
+    once = maintain_derived_table(derived, collapsed, "customer_id", cols)
+    twice = maintain_derived_table(once, collapsed, "customer_id", cols)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
