@@ -179,6 +179,92 @@ def kmeans_codebook_bucket(
     )
 
 
+def multiprobe_sign_codes(vec: Column, n_bits: int, n_probes: int) -> Column:
+    """Array of ``n_probes`` bucket codes for a query vector: the base
+    sign code plus variants with the LEAST-CONFIDENT sign bits flipped.
+
+    Sign quantizers lose recall at cell boundaries — a neighbor whose
+    value in one coded dimension sits just across zero lands in a
+    different cell. Classic multi-probe LSH: also probe the buckets
+    reached by flipping the bits whose underlying |value| is smallest
+    (most likely to differ for a true neighbor). Probing cost is
+    n_probes bucket lookups per query; recall approaches brute force as
+    probes grow, while the candidate side stays single-bucket (no index
+    blow-up). All JVM-side: array_sort on (|value|, dim) structs picks
+    the flip order; codes derive by XOR.
+    """
+    idx = F.sequence(F.lit(0), F.lit(n_bits - 1))
+    ranked = F.array_sort(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.abs(F.element_at(vec, i + 1)).alias("a"), i.alias("i")
+            ),
+        )
+    )
+    base = sign_code(vec, 0, n_bits)
+    flips = F.slice(ranked, 1, n_probes - 1)
+    # 2^i stays exact in double up to 2^52 — far beyond any code width here
+    flipped = F.transform(
+        flips, lambda s: base.bitwiseXOR(F.pow(F.lit(2.0), s["i"]).cast("long"))
+    )
+    return F.concat(F.array(base), flipped)
+
+
+def multiprobe_ann_search(
+    data: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = MIN_BITS,
+    n_probes: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """Bucketed ANN top-k with multi-probe on the query side.
+
+    Candidates carry ONE bucket (a partition key at scale); each query
+    explodes into its n_probes probe codes and joins co-partitioned on
+    the bucket. The query side is the small broadcast side, so probing
+    multiplies broadcast rows — not candidate-side work.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        data.withColumn("bucket", sign_code(F.col(vec_col), 0, n_bits))
+        .withColumn("_nrm", l2_norm(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+            "bucket", F.col("_nrm").alias("cnrm"),
+        )
+    )
+    q = (
+        queries.withColumn(
+            "probe", F.explode(multiprobe_sign_codes(F.col(vec_col), n_bits, n_probes))
+        )
+        .withColumn("_nrm", l2_norm(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            "probe", F.col("_nrm").alias("qnrm"),
+        )
+    )
+    cs = dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))
+    scored = (
+        d.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select("query_id", "cand_id", cs.alias("cos_sim"))
+        # a candidate reached via several probes must count once
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def bucketed_near_dup_pairs(
     bucketed: DataFrame,
     id_col: str = "vec_id",

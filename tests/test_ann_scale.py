@@ -113,3 +113,52 @@ def test_near_dup_pairs_never_all_pairs(spark, scheme):
     # candidate pair count must be far below the all-pairs n*(n-1)/2
     n_pairs = bucketed_near_dup_pairs(out, threshold=-1.0).count()
     assert n_pairs < 400 * 399 / 2 / 2
+
+
+def test_multiprobe_improves_recall_toward_bruteforce(spark):
+    """Multi-probe recovers neighbors that sign-cell boundaries cut off:
+    recall@5 vs brute-force ground truth must strictly improve with
+    probes and be high at 8 probes."""
+    from medallion_data_lake_spark.operators.ann import multiprobe_ann_search
+
+    rng = np.random.default_rng(13)
+    # clustered corpus: 150 clusters x 10 members, intra-cluster cosine
+    # ~0.94 — the regime ANN serves (random gaussians have only
+    # noise-level neighbors, where no bucketing scheme can have recall)
+    n_clusters, per, k = 150, 10, 5
+    nq = 25
+    centers = rng.standard_normal((n_clusters, DIM))
+    arr = np.concatenate(
+        [c + 0.25 * rng.standard_normal((per, DIM)) for c in centers]
+    )
+    n = len(arr)
+    data = _vectors_df(spark, arr)
+    qidx = list(range(0, n, n // nq))[:nq]
+    queries = _vectors_df(spark, arr[qidx])  # ids 0..nq-1 map to qidx rows
+
+    # numpy brute-force ground truth (cosine, excluding self)
+    norms = arr / np.linalg.norm(arr, axis=1, keepdims=True)
+    truth = {}
+    for qi, row in zip(range(nq), qidx):
+        sims = norms @ norms[row]
+        sims[row] = -2
+        truth[qi] = set(np.argsort(-sims)[:k])
+
+    def recall(n_probes):
+        got = multiprobe_ann_search(
+            data, queries, n_bits=8, n_probes=n_probes, k=k
+        ).collect()
+        per_q = {}
+        for r in got:
+            per_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+        # queries duplicate data rows, so drop the query's own source row
+        hits = total = 0
+        for qi, row in zip(range(nq), qidx):
+            found = per_q.get(qi, set()) - {row}
+            hits += len(found & truth[qi])
+            total += k
+        return hits / total
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 > r1  # probing strictly helps
+    assert r8 >= 0.5  # 8 probes of 256 cells recover the majority of true top-5

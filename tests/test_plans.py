@@ -88,3 +88,26 @@ def test_status_set_ops_reuses_filtered_scans(spark):
 
     plan = explain_str(REG["status_set_ops"].build(spark, SF))
     assert "Cartesian" not in plan and "Python" not in plan
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Blanket scale-hygiene sweep over EVERY registered query (main +
+    extra): no row-at-a-time Python evaluation anywhere, and no
+    cartesian product except the documented broadcast-query-side kNN
+    baseline. Arrow-batched Python (mapInPandas/ArrowEvalPython) is
+    allowed only in the queries built on the model/decode tiers."""
+    allowed_cartesian = {"knn_bruteforce_cosine"}
+    allowed_arrow_python = {"media_decode_features", "minhash_lsh_ml_candidates"}
+    from medallion_data_lake_spark.plans import explain_str
+
+    for name, spec in sorted(REG.items()):
+        if name == "events_hourly_stream":
+            continue  # streaming query runs eagerly; covered by its own tests
+        plan = explain_str(spec.build(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name}: per-row Python UDF"
+        if name not in allowed_arrow_python:
+            assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+                f"{name}: unexpected Python stage"
+            )
+        if name not in allowed_cartesian:
+            assert "CartesianProduct" not in plan, f"{name}: cartesian product"
