@@ -557,3 +557,83 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(cs, 4).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+WINNOW_W = 4  # window of consecutive shingle hashes per fingerprint pick
+
+# Winnowing is POSITIONAL: windows slide over the in-order k-gram hash
+# sequence, so the sequence must keep duplicates (unlike the set-semantic
+# shingle arrays the minhash family uses, where engines may order
+# distinct elements differently).
+_SQL_SHINGLES_SEQ = (
+    f"list_transform(range(1, greatest(len({_SQL_TOKS}) - {SHINGLE_W - 1}, 1) + 1), "
+    f"i -> array_to_string(list_slice({_SQL_TOKS}, i, i + {SHINGLE_W - 1}), ' '))"
+)
+_SQL_HS_SEQ = (
+    f"list_transform({_SQL_SHINGLES_SEQ}, s -> {_sql_md5int('s')} % {MERSENNE_P})"
+)
+_SQL_WINNOW = (
+    f"list_sort(list_distinct(list_transform("
+    f"range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1), "
+    f"i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1})))))"
+)
+
+
+def ordered_shingle_hashes(col: Column) -> Column:
+    """Positional (non-distinct) shingle hash sequence — winnowing input."""
+    t = _toks(col)
+    n_sh = F.greatest(F.size(t) - (SHINGLE_W - 1), F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(t, i + 1, n_sh).alias(f"w{i}") for i in range(SHINGLE_W)]
+    )
+    seq = F.transform(
+        zipped, lambda e: F.concat_ws(" ", *[e[f"w{i}"] for i in range(SHINGLE_W)])
+    )
+    return F.transform(seq, lambda s: md5_int(s) % MERSENNE_P)
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH hashed AS (SELECT doc_id, {_SQL_HS_SEQ} AS hs FROM documents)
+    SELECT doc_id,
+           {_SQL_WINNOW} AS fingerprints,
+           CAST(len({_SQL_WINNOW}) AS INT) AS n_fingerprints
+    FROM hashed
+    """,
+    doc=f"North-star rolling-hash document fingerprinting: winnowing "
+        f"(Schleimer et al., SIGMOD'03) — per window of {WINNOW_W} "
+        "consecutive shingle hashes keep the minimum; the distinct picks "
+        "are the document's fingerprint set. Guarantees every match of "
+        f"length >= {WINNOW_W}+shingle covers a shared fingerprint while "
+        "sampling ~2/(w+1) of positions — the sub-linear sketch plagiarism "
+        "/ near-dup detectors use. Map-side only (the windows are zipped "
+        "shifted slices of the one hashed-shingle array, the same "
+        "CollapseProject-safe trick as shingles()); fingerprints join "
+        "against an inverted (fingerprint, doc) table at scale — another "
+        "bucketed candidate generator like LSH bands.",
+    tags=("dedup",),
+    extra=True,  # dedup family already driver-verified; local oracle gate
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    hashed = d.select("doc_id", ordered_shingle_hashes(F.col("text")).alias("hs"))
+    n_win = F.greatest(F.size("hs") - (WINNOW_W - 1), F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice("hs", i + 1, n_win).alias(f"h{i}") for i in range(WINNOW_W)]
+    )
+    # F.least skips the nulls arrays_zip pads short docs with, exactly
+    # like DuckDB's list_min over the truncated slice
+    mins = F.transform(
+        zipped, lambda e: F.least(*[e[f"h{i}"] for i in range(WINNOW_W)])
+    )
+    fp = F.array_sort(F.array_distinct(mins))
+    return hashed.select(
+        "doc_id",
+        fp.alias("fingerprints"),
+        F.size(fp).cast("int").alias("n_fingerprints"),
+    )

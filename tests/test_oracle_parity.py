@@ -34,8 +34,14 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v):
+    import numpy as np
+
     if v is None:
         return None
+    if isinstance(v, np.ndarray):  # list columns arrive as numpy arrays
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, np.generic):  # numpy scalars -> python scalars
+        return _canon_cell(v.item())
     if not isinstance(v, float) and v != v:  # pandas NaT (float NaN keeps
         return None                          # its own branch below)
     if isinstance(v, float):
