@@ -9,8 +9,10 @@ Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[] parallelism (default 32)
   BENCH_QUERIES       comma-separated subset (default: all registered)
-  BENCH_REPEAT        runs per query, min reported (default 2 — this
-                      container shows +/-5s single-run noise)
+  BENCH_REPEAT        runs per query, min reported (default 3 — this
+                      container shows +/-5s single-run noise and
+                      whole-run load spikes; min-of-3 keeps the
+                      recorded number about the plan, not the machine)
 
 Each query is fully materialized through the noop sink (no driver
 collect — measures distributed compute, not py4j transfer).
@@ -53,7 +55,7 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
