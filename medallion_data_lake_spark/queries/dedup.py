@@ -248,14 +248,23 @@ _LSH_ORACLE = (
     doc=f"North-star near-dup LSH: {N_BANDS} bands × {ROWS_PER_BAND} rows; "
         "docs sharing any band bucket become candidates; est_jaccard = "
         "matching-minhash fraction. The band join shuffles only "
-        "(band, key, doc_id) tuples — candidate generation is O(colliding "
-        "pairs), the property that makes near-dedup feasible at 100 TB.",
+        "(band, key, signature, doc_id) tuples — candidate generation is "
+        "O(colliding pairs), the property that makes near-dedup feasible "
+        "at 100 TB. The full signature RIDES THE BAND ROWS so est_jaccard "
+        "computes inside the one self-join: the earlier "
+        "candidates⨝sigs⨝sigs form recomputed the signature fold 4× "
+        "(4 document scans — audited); this shape scans once per "
+        "self-join side (2×). 8 extra longs per band row is a far "
+        "cheaper shuffle than 2 extra md5 passes at scale; for exactly "
+        "one pass, materialize signature_df as a table first — the "
+        "standard production layout (SCALE.md).",
     tags=("dedup",),
 )
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = signature_df(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
+        *[F.col(f"mh{j}") for j in range(N_MINHASH)],
         F.explode(
             F.array(
                 *[
@@ -273,34 +282,30 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bkey")
+    ).select("doc_id", *[f"mh{j}" for j in range(N_MINHASH)], "bk.band", "bk.bkey")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    matches = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0),
+        range(1, N_MINHASH),
+        F.when(F.col("a.mh0") == F.col("b.mh0"), 1).otherwise(0),
+    )
+    # a pair colliding in several bands yields identical rows (same
+    # signatures -> same est_jaccard), so distinct() on the final triple
+    # equals the original distinct-pairs-then-score result
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
-    matches = reduce(
-        lambda acc, j: acc
-        + F.when(F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}"), 1).otherwise(0),
-        range(1, N_MINHASH),
-        F.when(F.col("sa.mh0") == F.col("sb.mh0"), 1).otherwise(0),
-    )
-    return (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             stable_round(matches / F.lit(float(N_MINHASH)), 4).alias("est_jaccard"),
         )
+        .distinct()
     )
 
 
