@@ -47,10 +47,23 @@ def connected_components(
     paying one Spark job per propagation round. Larger graphs take the
     distributed label-propagation loop below.
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.distinct().cache()
+    # symmetrize in ONE pass: a union of two selects over the same input
+    # evaluates the whole upstream plan twice (for LSH-derived edges that
+    # is the full signature pipeline, twice); explode emits both
+    # directions from a single evaluation
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+        .cache()
+    )
 
     n_edges = sym.count()
     if n_edges <= driver_threshold:

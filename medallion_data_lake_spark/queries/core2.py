@@ -263,21 +263,31 @@ def customer_name_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="INTERSECT + EXCEPT (distinct set semantics) in one result: "
         "customers with both a finished and an open order ('both') and "
-        "customers with finished orders only ('f_only'). Spark plans a "
-        "left-semi and a left-anti join over distincts respectively; the "
-        "two arms share the same filtered scans.",
+        "customers with finished orders only ('f_only'). Expressed as ONE "
+        "conditional aggregation over a single orders scan (has_F/has_O "
+        "flags per customer, CASE label) — the set-op union form scans "
+        "the fact table once per arm per side (4x) and shuffles each "
+        "distinct separately; this plan is one scan + one shuffle and "
+        "returns exactly the INTERSECT ∪ EXCEPT rows.",
 )
 def status_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir)["orders"]
-    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    o_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    both = f_side.intersect(o_side).select(
-        F.lit("both").alias("set_op"), "o_custkey"
+    flags = (
+        o.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max((F.col("o_orderstatus") == "F").cast("int")).alias("has_f"),
+            F.max((F.col("o_orderstatus") == "O").cast("int")).alias("has_o"),
+        )
     )
-    f_only = f_side.subtract(o_side).select(
-        F.lit("f_only").alias("set_op"), "o_custkey"
+    label = (
+        F.when((F.col("has_f") == 1) & (F.col("has_o") == 1), "both")
+        .when((F.col("has_f") == 1) & (F.col("has_o") == 0), "f_only")
     )
-    return both.unionAll(f_only)
+    return (
+        flags.select(label.alias("set_op"), "o_custkey")
+        .filter(F.col("set_op").isNotNull())
+    )
 
 
 # ---------------------------------------------------------------------------
