@@ -93,6 +93,7 @@ def _import_modules() -> None:
     from . import core  # noqa: F401
     from . import text  # noqa: F401
     from . import dedup  # noqa: F401
+    from . import curation  # noqa: F401
     from . import similarity  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import streamlike  # noqa: F401

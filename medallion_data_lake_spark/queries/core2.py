@@ -183,6 +183,8 @@ def price_distribution_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Date arithmetic family (reference get_customer_balance/rewards_report "
         "date math, sakila-schema.sql:505-507,569-570): quarter, last_day, "
         "interval add, date_trunc. Row-level, codegen'd, filter pushed down.",
+    extra=True,  # date-family driver evidence remains via calendar_trends
+                 # (A4); slot freed for decontaminate_ngram_overlap
 )
 def order_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -362,6 +364,8 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Shipping-priority shape (segment filter + ordered-but-unshipped "
         "date window + 3-way join + per-order revenue + top-K). Filters "
         "push into all three scans; top-K is TakeOrderedAndProject.",
+    extra=True,  # O2 top-K driver evidence remains via top_revenue_parts;
+                 # slot freed for stratified_sample_audit
 )
 def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)

@@ -1,0 +1,285 @@
+"""Training-data curation operators over the ``documents`` table.
+
+The four pipeline stages a corpus pass runs between raw text and a
+training shard, each expressed as pure JVM-side DataFrame plans:
+
+- **Decontamination** — remove eval-set n-gram overlap from the training
+  corpus (the standard benchmark-leakage guard). Hashed-shingle
+  equi-join: the benchmark n-gram set is tiny relative to the corpus, so
+  it broadcasts; the corpus side is one explode + one hash-join — never
+  an all-pairs comparison. At 100 TB the same plan holds: the benchmark
+  set (even 1k benchmarks × 10k n-grams) is MBs, squarely in broadcast
+  range, and Spark can additionally inject a runtime bloom filter on the
+  corpus scan.
+- **Deterministic stratified sampling** — per-language keep rates applied
+  via a content-stable hash (md5 of the doc key), not ``rand()``: the
+  sample is reproducible across runs, executors, and engines, which is
+  what makes ablation corpora and incremental re-runs possible. Pure
+  map-side filter; the only shuffle is the final per-stratum audit agg.
+- **Blocklist scrub** — term-list hit counting + density-threshold keep
+  flag + scrubbed-text reconstruction, all inside one codegen span
+  (higher-order functions over the token array; no UDF, no shuffle).
+- **Sequence packing** — assign documents to fixed-token-budget training
+  sequences by cumulative token count within each source shard
+  (window over ``PARTITION BY source ORDER BY doc_id``). Window state is
+  bounded per shard, and shard count grows with data, so the plan
+  parallelizes at any scale; a global (unpartitioned) packing order
+  would be the classic single-task window hazard, deliberately avoided.
+
+These extend the reference's cleaning tier (reference
+``sakila-data-lake/bronze_to_silver.py`` trim/dedup/null-drop) to the
+corpus-curation operations an LLM training pipeline needs (SURVEY.md
+north-star §"beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_star_table_spread
+from ..functions import md5_int
+from . import query
+from ._parity import sql_stable_round, stable_round
+from .dedup import _SQL_HS, shingle_hashes
+from .text import _SQL_TOKS, tokens
+
+# Benchmark/eval set for decontamination: one source shard plays the
+# held-out benchmark. In production this is the eval-suite text.
+BENCH_SOURCE = "src0"
+
+# Deterministic per-language sampling rates (domain-mixing: downweight
+# the dominant language, keep the rest at a higher rate). Rates are in
+# thousandths so the hash comparison stays integer in both engines.
+SAMPLE_RATES_PER_MILLE = {"en": 300, "de": 600, "es": 600, "fr": 600, "zh": 600}
+_DEFAULT_RATE_PER_MILLE = 500
+
+# Blocklist scrub: term list + maximum tolerated hit density.
+BLOCKLIST = ("slow", "big")
+REJECT_HIT_RATIO = 0.09  # p90 of fixture density ≈ 0.11 → both classes occur
+
+# Sequence packing: token budget per training sequence.
+PACK_TOKEN_BUDGET = 512
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, source, list_distinct({_SQL_HS}) AS hs FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE source = '{BENCH_SOURCE}'
+    ),
+    corpus AS (
+        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_doc_ngrams, unnest(hs) AS h
+        FROM hashed WHERE source <> '{BENCH_SOURCE}'
+    )
+    SELECT c.doc_id,
+           c.n_doc_ngrams,
+           COUNT(*) AS n_shared_ngrams,
+           {sql_stable_round('COUNT(*) * 1.0 / c.n_doc_ngrams', 4)} AS contamination_ratio
+    FROM corpus c JOIN bench b ON c.h = b.h
+    GROUP BY c.doc_id, c.n_doc_ngrams
+    """,
+    doc="Test-set decontamination: flag corpus documents sharing any "
+        "3-word shingle with the benchmark shard. Hashed shingles "
+        "(int64 equi-join, not string compare); benchmark side distinct "
+        "+ broadcast; corpus side explode + hash-join + per-doc count — "
+        "no all-pairs stage anywhere, so cost is O(corpus n-grams).",
+    tags=("text", "curation"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    hashed = d.select(
+        "doc_id", "source",
+        F.array_distinct(shingle_hashes(F.col("text"))).alias("hs"),
+    )
+    bench = (
+        hashed.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    corpus = hashed.filter(F.col("source") != BENCH_SOURCE).select(
+        "doc_id", F.size("hs").cast("long").alias("n_doc_ngrams"),
+        F.explode("hs").alias("h"),
+    )
+    # hs is distinct per doc and bench is globally distinct, so the
+    # post-join count per doc IS the distinct shared-n-gram count.
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "n_doc_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .select(
+            "doc_id", "n_doc_ngrams", "n_shared_ngrams",
+            stable_round(
+                F.col("n_shared_ngrams") * F.lit(1.0) / F.col("n_doc_ngrams"), 4
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+def _sql_rate_case() -> str:
+    arms = " ".join(
+        f"WHEN '{lang}' THEN {rate}"
+        for lang, rate in sorted(SAMPLE_RATES_PER_MILLE.items())
+    )
+    return f"CASE lang {arms} ELSE {_DEFAULT_RATE_PER_MILLE} END"
+
+
+def _rate_col():
+    c = None
+    for lang, rate in sorted(SAMPLE_RATES_PER_MILLE.items()):
+        c = (c if c is not None else F).when(F.col("lang") == lang, F.lit(rate))
+    return c.otherwise(F.lit(_DEFAULT_RATE_PER_MILLE))
+
+
+@query(
+    "stratified_sample_audit",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT lang, doc_id,
+               {_sql_rate_case()} AS rate_per_mille,
+               (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 1000) < ({_sql_rate_case()}) AS keep
+        FROM documents
+    )
+    SELECT lang,
+           rate_per_mille,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum,
+           {sql_stable_round('SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 4)}
+             AS achieved_rate
+    FROM flagged
+    GROUP BY lang, rate_per_mille
+    """,
+    doc="Deterministic stratified sampling (domain mixing): per-language "
+        "keep rates applied via md5(doc_id) — reproducible across runs "
+        "and engines, unlike rand()-based sampleBy. Map-side filter; the "
+        "audit rollup (achieved vs target rate + membership checksum) is "
+        "the only shuffle. sampled_id_sum pins the exact sampled set, so "
+        "the oracle verifies membership, not just counts.",
+    tags=("curation",),
+)
+def stratified_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    rate = _rate_col()
+    keep = (md5_int(F.col("doc_id").cast("string")) % 1000) < rate
+    flagged = d.select(
+        "lang", "doc_id", rate.alias("rate_per_mille"), keep.alias("keep")
+    )
+    kept1 = F.when(F.col("keep"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        flagged.groupBy("lang", "rate_per_mille")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept1).cast("long").alias("n_sampled"),
+            F.sum(F.when(F.col("keep"), F.col("doc_id")).otherwise(F.lit(0)))
+             .cast("long").alias("sampled_id_sum"),
+            stable_round(F.sum(kept1) * F.lit(1.0) / F.count(F.lit(1)), 4)
+             .alias("achieved_rate"),
+        )
+    )
+
+
+_SQL_BLOCK = "('" + "', '".join(BLOCKLIST) + "')"
+
+
+@query(
+    "blocklist_scrub_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x IN {_SQL_BLOCK})) AS BIGINT) AS n_hits,
+           {sql_stable_round(f'len(list_filter(toks, x -> x IN {_SQL_BLOCK})) * 1.0 / len(toks)', 4)}
+             AS hit_ratio,
+           (len(list_filter(toks, x -> x IN {_SQL_BLOCK})) * 1.0 / len(toks))
+             <= {REJECT_HIT_RATIO} AS keep,
+           CAST(length(array_to_string(list_filter(toks, x -> x NOT IN {_SQL_BLOCK}), ' '))
+             AS BIGINT) AS scrubbed_len
+    FROM t
+    """,
+    doc="Blocklist scrub: term-hit count, hit density, density-threshold "
+        "keep flag, and scrubbed-text length, in one codegen span "
+        "(filter/size/array_join HOFs over the token array — no UDF, no "
+        "shuffle; scales linearly with corpus size).",
+    tags=("text", "curation"),
+    extra=True,  # shape overlaps doc_quality_score's driver row; gate
+                 # slots go to the decontamination/sampling stages
+)
+def blocklist_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = tokens(F.col("text"))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*BLOCKLIST)))
+    ratio = hits * F.lit(1.0) / F.size(toks)
+    scrubbed = F.array_join(
+        F.filter(toks, lambda t: ~t.isin(*BLOCKLIST)), " "
+    )
+    return d.select(
+        "doc_id",
+        hits.cast("long").alias("n_hits"),
+        stable_round(ratio, 4).alias("hit_ratio"),
+        (ratio <= F.lit(REJECT_HIT_RATIO)).alias("keep"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
+@query(
+    "sequence_packing_plan",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM t
+    )
+    SELECT source,
+           CAST(FLOOR(cum_before / {PACK_TOKEN_BUDGET}.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+    FROM packed
+    GROUP BY source, seq_id
+    """,
+    doc=f"Sequence packing: assign docs to {PACK_TOKEN_BUDGET}-token "
+        "training sequences by cumulative token count within each source "
+        "shard (running-sum window PARTITIONED by shard — bounded state, "
+        "parallel across shards; a global packing order would serialize "
+        "into one task and is deliberately not offered). Output is the "
+        "per-sequence manifest a shard writer consumes.",
+    tags=("curation",),
+    extra=True,  # running-sum window already driver-covered by
+                 # user_running_totals; locally oracle-verified
+)
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    t = d.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        packed.select(
+            "source",
+            F.floor(F.col("cum_before") / F.lit(float(PACK_TOKEN_BUDGET)))
+             .cast("long").alias("seq_id"),
+            "n_tok",
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("seq_tokens"),
+        )
+    )
