@@ -1,0 +1,222 @@
+"""End-to-end corpus curation: raw documents → packed training shards.
+
+Composes the individually-verified curation operators into the pipeline
+a training-data pass actually runs, as DataFrame-in/DataFrame-out
+library functions (the registry queries in ``queries/curation.py`` and
+``queries/dedup.py`` are the per-stage oracle-checked twins):
+
+    exact dedup → near-dup dedup (MinHash/LSH + connected components)
+    → decontamination vs a benchmark set → deterministic stratified
+    sampling → blocklist scrub → sequence packing manifest
+
+Every stage is a lazy DataFrame transformation, so the whole pipeline
+is ONE Catalyst plan the optimizer can see end-to-end; nothing is
+collected to the driver except the bounded near-dup edge list inside
+``connected_components`` (its documented hybrid). Stage order is the
+scale order: the cheap high-yield reducers run first (exact dedup is
+one shuffle; near-dup runs on the exact-deduped survivors; the
+decontamination join runs on the near-dup survivors; sampling and
+scrubbing are map-side), so each expensive stage sees the smallest
+possible input.
+
+Extends the reference's linear bronze→silver cleaning chain
+(``sakila-data-lake/bronze_to_silver.py``) to the corpus-curation
+stages an LLM data pipeline needs (SURVEY.md north-star).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_int
+from ..queries.dedup import lsh_pairs, shingle_hashes, signatures
+from ..queries.text import tokens
+from .dedup_graph import connected_components
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one deterministic winner (min id) per whitespace-normalized
+    content fingerprint. One shuffle on the fingerprint; ``min_by`` over
+    the full row struct so no second join is needed to recover columns.
+    """
+    fp = F.md5(F.lower(F.regexp_replace(text_col, r"\s+", " ")))
+    keyed = docs.select(fp.alias("_fp"), F.struct(*docs.columns).alias("_row"),
+                        F.col(id_col).alias("_id"))
+    return (
+        keyed.groupBy("_fp")
+        .agg(F.min_by("_row", "_id").alias("_row"))
+        .select("_row.*")
+    )
+
+
+def near_dup_dedup(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_est_jaccard: float = 0.5,
+                   production_hash: bool = False) -> DataFrame:
+    """Drop all but the min-id member of each near-duplicate group.
+
+    MinHash signatures (map-only) → banded LSH candidates (shuffles
+    signatures, never text; O(colliding pairs)) → estimated-Jaccard
+    threshold → connected components → anti-join the losers. The CC
+    input is the post-threshold edge list — tiny relative to the corpus
+    because LSH already pruned it. ``production_hash`` switches the
+    shingle hash from oracle-reproducible md5 to xxhash64.
+    """
+    sigs = signatures(docs, id_col, text_col, production=production_hash)
+    edges = lsh_pairs(sigs).filter(F.col("est_jaccard") >= min_est_jaccard)
+    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str = "text",
+                  max_contamination: float = 0.0) -> DataFrame:
+    """Remove documents sharing more than ``max_contamination`` of their
+    n-grams with the benchmark set (0.0 = any shared n-gram rejects).
+
+    The benchmark n-gram set is distinct-ed and broadcast (eval suites
+    are MBs at any realistic size); the corpus side is one explode +
+    broadcast-hash-join + per-doc count — never all-pairs.
+    """
+    bench_ngrams = (
+        bench.select(F.explode(shingle_hashes(F.col(bench_text_col))).alias("h"))
+        .distinct()
+    )
+    hashed = docs.select(
+        F.col(id_col), F.array_distinct(shingle_hashes(F.col(text_col))).alias("hs")
+    )
+    contaminated = (
+        hashed.select(id_col, F.size("hs").alias("_n"), F.explode("hs").alias("h"))
+        .join(F.broadcast(bench_ngrams), "h")
+        .groupBy(id_col, "_n")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") / F.col("_n") > max_contamination)
+        .select(id_col)
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
+def stratified_sample(docs: DataFrame,
+                      rates_per_mille: Mapping[str, int],
+                      default_rate_per_mille: int = 500,
+                      stratum_col: str = "lang",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum downsampling: keep iff
+    ``md5(id) % 1000 < rate(stratum)``. Map-side filter, zero shuffle;
+    bit-identical across runs/executors/engines (unlike rand()-based
+    ``sampleBy``), which is what makes ablation corpora reproducible.
+    """
+    rate = None
+    for stratum, r in sorted(rates_per_mille.items()):
+        rate = (rate if rate is not None else F).when(
+            F.col(stratum_col) == stratum, F.lit(r)
+        )
+    rate = rate.otherwise(F.lit(default_rate_per_mille)) if rate is not None \
+        else F.lit(default_rate_per_mille)
+    return docs.filter((md5_int(F.col(id_col).cast("string")) % 1000) < rate)
+
+
+def blocklist_scrub(docs: DataFrame, terms: Sequence[str],
+                    max_hit_ratio: float = 0.1,
+                    text_col: str = "text") -> DataFrame:
+    """Drop documents whose blocklist-hit density exceeds the threshold;
+    rewrite the survivors' text with the terms removed. One codegen span
+    of array HOFs — no UDF, no shuffle."""
+    toks = tokens(F.col(text_col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*terms)))
+    keep = hits * F.lit(1.0) / F.size(toks) <= F.lit(max_hit_ratio)
+    scrubbed = F.array_join(F.filter(toks, lambda t: ~t.isin(*terms)), " ")
+    return docs.filter(keep).withColumn(text_col, scrubbed)
+
+
+def pack_sequences(docs: DataFrame, token_budget: int = 512,
+                   shard_col: str = "source", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document packing assignment: (shard, seq_id, doc_id, n_tok).
+
+    Running token sum windowed PER SHARD — bounded window state,
+    parallel across shards (a global packing order would serialize into
+    one task and is deliberately not offered). The output is the
+    manifest a shard writer consumes; group on (shard, seq_id) for the
+    per-sequence rollup.
+    """
+    from pyspark.sql import Window
+
+    t = docs.select(
+        F.col(shard_col), F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy(shard_col).orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return t.withColumn(
+        "seq_id", F.floor(cum_before / F.lit(float(token_budget))).cast("long")
+    )
+
+
+@dataclass
+class CurationConfig:
+    """Knobs for :func:`curate_corpus`; defaults mirror the oracle-twin
+    registry queries so small-scale behavior is independently verified."""
+
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    min_est_jaccard: float = 0.5
+    production_hash: bool = False  # xxhash64 shingles (cheaper, non-oracle)
+    max_contamination: float = 0.0
+    rates_per_mille: Mapping[str, int] = field(default_factory=dict)
+    default_rate_per_mille: int = 1000  # keep everything unless configured
+    blocklist: Sequence[str] = ()
+    max_hit_ratio: float = 0.1
+    token_budget: int = 512
+    shard_col: str = "source"
+    stratum_col: str = "lang"
+
+
+def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
+                  config: CurationConfig | None = None) -> dict[str, DataFrame]:
+    """Run the full curation pipeline; returns every stage's output
+    (lazy) under stage names, with the packing manifest under
+    ``"manifest"`` and the final curated documents under ``"curated"``.
+
+    Returning the intermediate frames costs nothing (they are unexecuted
+    plans) and lets callers audit per-stage yields — the audit pattern
+    ``{k: v.count() for k, v in stages.items()}`` is how a production
+    run records its funnel.
+    """
+    cfg = config or CurationConfig()
+    stages: dict[str, DataFrame] = {}
+    cur = stages["exact_deduped"] = exact_dedup(docs, cfg.id_col, cfg.text_col)
+    cur = stages["near_deduped"] = near_dup_dedup(
+        cur, cfg.id_col, cfg.text_col, cfg.min_est_jaccard, cfg.production_hash
+    )
+    if bench is not None:
+        cur = stages["decontaminated"] = decontaminate(
+            cur, bench, cfg.id_col, cfg.text_col, cfg.text_col,
+            cfg.max_contamination,
+        )
+    if cfg.rates_per_mille or cfg.default_rate_per_mille < 1000:
+        cur = stages["sampled"] = stratified_sample(
+            cur, cfg.rates_per_mille, cfg.default_rate_per_mille,
+            cfg.stratum_col, cfg.id_col,
+        )
+    if cfg.blocklist:
+        cur = stages["scrubbed"] = blocklist_scrub(
+            cur, cfg.blocklist, cfg.max_hit_ratio, cfg.text_col
+        )
+    stages["curated"] = cur
+    stages["manifest"] = pack_sequences(
+        cur, cfg.token_budget, cfg.shard_col, cfg.id_col, cfg.text_col
+    )
+    return stages

@@ -10,8 +10,10 @@ bound).
 Cross-engine hashing: Spark ``hash()``/``xxhash64`` and DuckDB ``hash()``
 are different algorithms, so every hash here goes through md5 and takes
 the first 15 hex digits as a 60-bit BIGINT — bit-identical in both
-engines (functions.md5_int). At production scale you'd swap md5 for
-xxhash64 (cheaper, same plan shape); the oracle is why we don't here.
+engines (functions.md5_int). At production scale you swap md5 for
+xxhash64 (cheaper, same plan shape) via ``production=True`` on
+:func:`shingle_hashes`/:func:`signatures`; the registry queries stay on
+md5 because the oracle must reproduce the hashes.
 
 Scale design (100 TB): signatures are one map-side pass per document
 (no shuffle). LSH banding shuffles once on (band, key) — the classic
@@ -116,9 +118,21 @@ def shingles(col: Column) -> Column:
     )
 
 
-def shingle_hashes(col: Column) -> Column:
-    """Each distinct shingle md5-hashed once, reduced mod MERSENNE_P."""
-    return F.transform(shingles(col), lambda s: md5_int(s) % MERSENNE_P)
+def shingle_hashes(col: Column, production: bool = False) -> Column:
+    """Each distinct shingle hashed once, reduced mod MERSENNE_P.
+
+    Default hash is md5 (cross-engine stable — the DuckDB oracle can
+    reproduce it). ``production=True`` swaps in ``xxhash64``: same plan
+    shape, no cryptographic work per shingle (measurably cheaper at
+    100 TB), not oracle-reproducible. ``pmod`` because xxhash64 is
+    signed and ``%`` preserves sign in Spark.
+    """
+    hasher = (
+        (lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+        if production
+        else (lambda s: md5_int(s) % MERSENNE_P)
+    )
+    return F.transform(shingles(col), hasher)
 
 
 def minhash(hash_arr: Column, j: int) -> Column:
@@ -128,8 +142,9 @@ def minhash(hash_arr: Column, j: int) -> Column:
     )
 
 
-def signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + mh0..mhN minhash signature — one map-side pass, no shuffle.
+def signatures(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", production: bool = False) -> DataFrame:
+    """id + mh0..mhN minhash signature — one map-side pass, no shuffle.
 
     The N_MINHASH minima are computed in a single fold over the hashed
     shingle array (array accumulator + zip_with/least). Computing them as
@@ -138,8 +153,10 @@ def signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     N× the hash work (measured: no speedup from a two-step projection).
     The single-fold form references the md5 array exactly once, so the
     expensive pass cannot be duplicated by any rewrite.
+
+    ``production=True`` uses the xxhash64 shingle hash (cheaper,
+    non-oracle-reproducible — see :func:`shingle_hashes`).
     """
-    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     init = F.array(*[F.lit(MERSENNE_P).cast("long") for _ in range(N_MINHASH)])
 
     def step(acc, h):
@@ -148,12 +165,17 @@ def signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.zip_with(acc, derived, lambda a, b: F.least(a, b))
 
-    mins = F.aggregate(shingle_hashes(F.col("text")), init, step)
-    hashed = d.select("doc_id", mins.alias("_mins"))
+    mins = F.aggregate(shingle_hashes(F.col(text_col), production), init, step)
+    hashed = docs.select(F.col(id_col).alias("doc_id"), mins.alias("_mins"))
     return hashed.select(
         "doc_id",
         *[F.element_at("_mins", j + 1).alias(f"mh{j}") for j in range(N_MINHASH)],
     )
+
+
+def signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-bound form of :func:`signatures` (the registry query)."""
+    return signatures(load_star_table_spread(spark, sf_dir, "documents", "doc_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -261,7 +283,12 @@ _LSH_ORACLE = (
     tags=("dedup",),
 )
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = signature_df(spark, sf_dir)
+    return lsh_pairs(signature_df(spark, sf_dir))
+
+
+def lsh_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded LSH candidate pairs from a (doc_id, mh0..mhN) signature
+    frame (see the registry query's doc for the plan rationale)."""
     bands = sigs.select(
         "doc_id",
         *[F.col(f"mh{j}") for j in range(N_MINHASH)],

@@ -1,0 +1,166 @@
+"""End-to-end corpus-curation pipeline (operators/curation_pipeline.py).
+
+The per-stage registry queries are oracle-verified; these tests pin the
+composed pipeline: funnel monotonicity, determinism, stage semantics on
+constructed corpora, and the one-plan/no-driver-collect posture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.operators.curation_pipeline import (
+    CurationConfig,
+    blocklist_scrub,
+    curate_corpus,
+    decontaminate,
+    exact_dedup,
+    near_dup_dedup,
+    pack_sequences,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_keeps_min_id_per_content(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the same  text", "a"),
+            (2, "THE SAME TEXT", "a"),   # case-normalized dup of 1
+            (3, "the same text", "a"),   # whitespace-normalized dup of 1
+            (4, "other text", "b"),
+        ],
+        "doc_id int, text string, source string",
+    )
+    out = exact_dedup(df)
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {1, 4}
+    # full row survives (schema preserved)
+    assert set(out.columns) == {"doc_id", "text", "source"}
+
+
+def test_near_dup_dedup_collapses_groups_keeps_distinct(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda"),            # near-dup of 1
+            (3, "completely different words none shared with others at all"),
+        ],
+        "doc_id int, text string",
+    )
+    out = near_dup_dedup(df, min_est_jaccard=0.3)
+    kept = {r.doc_id for r in out.collect()}
+    assert 3 in kept and 1 in kept and 2 not in kept
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five"),
+            (2, "six seven eight nine ten"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [("held out eval one two three probe",)], "text string"
+    )
+    out = decontaminate(df, bench)
+    assert {r.doc_id for r in out.collect()} == {2}
+    # threshold relaxation keeps low-overlap docs
+    out2 = decontaminate(df, bench, max_contamination=0.9)
+    assert {r.doc_id for r in out2.collect()} == {1, 2}
+
+
+def test_stratified_sample_rate_zero_and_full(spark):
+    d = _docs(spark)
+    none_kept = stratified_sample(d, {}, default_rate_per_mille=0)
+    all_kept = stratified_sample(d, {}, default_rate_per_mille=1000)
+    assert none_kept.count() == 0
+    assert all_kept.count() == d.count()
+    # map-side: no shuffle in the sampling filter plan
+    plan = all_kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_blocklist_scrub_rewrites_text(spark):
+    df = spark.createDataFrame(
+        [(1, "good words only here"), (2, "bad bad bad one ok")],
+        "doc_id int, text string",
+    )
+    out = blocklist_scrub(df, ["bad"], max_hit_ratio=0.5)
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert rows == {1: "good words only here"}  # doc 2 above density cap
+    out2 = {r.doc_id: r.text for r in
+            blocklist_scrub(df, ["bad"], max_hit_ratio=0.9).collect()}
+    assert out2[2] == "one ok"  # survives, scrubbed
+
+
+def test_full_pipeline_funnel_and_manifest(spark):
+    d = _docs(spark)
+    bench = d.filter(F.col("source") == "src0").select("text")
+    corpus = d.filter(F.col("source") != "src0")
+    stages = curate_corpus(
+        corpus,
+        bench,
+        CurationConfig(
+            rates_per_mille={"en": 300},
+            default_rate_per_mille=800,
+            blocklist=("slow",),
+            max_hit_ratio=0.2,
+        ),
+    )
+    order = ["exact_deduped", "near_deduped", "decontaminated", "sampled",
+             "scrubbed"]
+    counts = {k: stages[k].count() for k in order}
+    n0 = corpus.count()
+    prev = n0
+    for k in order:
+        assert counts[k] <= prev, (k, counts, n0)
+        prev = counts[k]
+    assert counts["scrubbed"] > 0
+    # manifest conserves the curated docs exactly, and sequence token
+    # loads never exceed budget by more than one document's overhang
+    manifest = stages["manifest"]
+    assert manifest.count() == counts["scrubbed"]
+    assert stages["curated"].join(
+        manifest.select("doc_id"), "doc_id", "left_anti"
+    ).count() == 0
+    seq = manifest.groupBy("source", "seq_id").agg(
+        F.sum("n_tok").alias("load"), F.count(F.lit(1)).alias("n")
+    )
+    over = seq.filter((F.col("load") >= 512 + 200) & (F.col("n") > 1))
+    assert over.count() == 0
+
+
+def test_production_hash_path_agrees_on_clear_cut_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "nothing in common with the pair above")],
+        "doc_id int, text string",
+    )
+    # identical docs collide under any hash family; xxhash64 path must
+    # find the same group structure as the oracle-reproducible md5 path
+    md5_kept = {r.doc_id for r in near_dup_dedup(df).collect()}
+    xx_kept = {r.doc_id for r in
+               near_dup_dedup(df, production_hash=True).collect()}
+    assert md5_kept == xx_kept == {1, 3}
+    # and the production plan contains no md5 expression
+    sigs_plan = near_dup_dedup(df, production_hash=True)._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "md5" not in sigs_plan.lower() or "xxhash64" in sigs_plan
+
+
+def test_pipeline_deterministic_across_runs(spark):
+    d = _docs(spark)
+    cfg = CurationConfig(rates_per_mille={"en": 250}, default_rate_per_mille=600)
+    a = curate_corpus(d, config=cfg)["curated"]
+    b = curate_corpus(d, config=cfg)["curated"]
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and len(ids_a) > 0
