@@ -22,6 +22,12 @@ work stays bounded:
   shape: a bucket column, co-partitioned joins, partition pruning.
 - ``bucketed_near_dup_pairs``: the near-dup pair join over either
   bucket scheme — within-bucket pairs only, never all-pairs.
+- ``pq_train`` / ``pq_encode`` / ``pq_adc_topk``: product quantization —
+  vectors compressed to m-byte codes (≈30× smaller shuffle/storage than
+  raw floats), scored against exact queries via per-query lookup tables
+  (asymmetric distance). Composes with the coarse quantizers above into
+  the standard IVF-PQ layout: coarse bucket prunes candidates, ADC
+  scores codes, only the final top-k touches full vectors.
 
 Scale notes: split rounds touch only oversized buckets (broadcast
 membership join); lineage is truncated each round with localCheckpoint
@@ -262,6 +268,202 @@ def multiprobe_ann_search(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Train a product-quantization codebook: split the ``dim``-d space
+    into ``m`` subspaces and fit a seeded KMeans with ``k`` centroids in
+    each. Returns ``centroids[m][k][dim/m]`` (plain floats — the whole
+    codebook is m·k·dim/m = k·dim numbers, i.e. KILOBYTES; it ships to
+    executors as literals, never as a join side).
+
+    Training cost is m small KMeans fits over (optionally sampled)
+    subvectors; at 100 TB you train on a ~1M-row sample, which is the
+    standard PQ recipe — codebook quality saturates long before full
+    data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    assert dim % m == 0, "m must divide dim"
+    sub = dim // m
+    src = df.sample(sample_fraction, seed=seed) if sample_fraction else df
+    src = src.select(F.col(vec_col).alias("_v")).localCheckpoint(eager=True)
+    out: list[list[list[float]]] = []
+    for j in range(m):
+        feat = src.select(
+            array_to_vector(
+                F.slice(F.transform("_v", lambda x: x.cast("double")),
+                        j * sub + 1, sub)
+            ).alias("_features")
+        )
+        model = KMeans(k=k, seed=seed + j, featuresCol="_features").fit(feat)
+        out.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return out
+
+
+def _centroid_literal(centroids_j: list[list[float]]) -> Column:
+    """array<array<double>> literal of one subspace's k centroids."""
+    return F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centroids_j]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    centroids: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the PQ code: array<int> of length m, entry j = index of the
+    nearest subspace-j centroid. Pure map-side argmin over centroid
+    LITERALS — no join, no shuffle, no UDF.
+
+    This is the memory story at scale: a 64-dim float vector (≥256 B)
+    becomes m small ints (m bytes after parquet dictionary encoding) —
+    the candidate side of every downstream search shuffles ~30× fewer
+    bytes and a 100 TB embedding corpus's codes fit in ~3 TB.
+    """
+    m = len(centroids)
+    sub = len(centroids[0][0])
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def code_j(j: int) -> Column:
+        q = F.slice(vec, j * sub + 1, sub)
+        # argmin over k centroids: fold (best_dist, best_idx) over the
+        # centroid array; one expression tree, whole-stage codegen'd
+        dists = F.transform(
+            _centroid_literal(centroids[j]),
+            lambda c: F.aggregate(
+                F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+
+    return df.withColumn(code_col, F.array(*[code_j(j) for j in range(m)]))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    k_top: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact query vector vs PQ-coded
+    candidates. Each query precomputes an inner-product table
+    table[j][c] = <q_subj, centroid_jc> (m·k doubles — per-QUERY, tiny);
+    a candidate's score is m table lookups summed, never a d-dim dot
+    product. The query side (vectors + tables) broadcasts; the candidate
+    side streams codes only.
+
+    At scale this is the IVF-PQ refine stage: coarse bucket pruning
+    (adaptive_sign_bucket / kmeans_codebook_bucket) bounds candidates,
+    ADC scores them from codes, and only the final k_top per query ever
+    touch full vectors (for an optional exact re-rank).
+    """
+    from pyspark.sql import Window
+
+    m = len(centroids)
+    sub = len(centroids[0][0])
+    qvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    # NB: the subspace index must be captured in a def scope, NOT a
+    # lambda default arg — a two-parameter lambda makes PySpark treat it
+    # as the (element, index) HOF form and silently pass the array index
+    # into the second parameter.
+    def _table_j(j: int) -> Column:
+        return F.transform(
+            _centroid_literal(centroids[j]),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(qvec, j * sub + 1, sub), c,
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    table = F.array(*[_table_j(j) for j in range(m)])
+    q = queries.select(F.col(id_col).alias("query_id"), table.alias("_tbl"))
+    score = F.aggregate(
+        F.zip_with(
+            F.col(code_col), F.col("_tbl"),
+            lambda c, t: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        encoded.select(F.col(id_col).alias("cand_id"), code_col)
+        .join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", score.alias("adc_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+    )
+
+
+def pq_search_rerank(
+    encoded: DataFrame,
+    data: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_top: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Full IVF-PQ search: ADC shortlist from codes, then exact cosine
+    re-rank of the shortlist against full vectors.
+
+    ADC cannot rank candidates that share a code (its resolution is the
+    codebook cell), so production PQ always re-ranks a shortlist —
+    ``shortlist`` rows per query is all that ever touches full vectors,
+    so the expensive exact pass is bounded by queries × shortlist, not
+    corpus size. ``data`` may be the original vector table; the join
+    fetching shortlist vectors is id-equi and Spark prunes it to the
+    shortlist rows.
+    """
+    from pyspark.sql import Window
+
+    short = pq_adc_topk(
+        encoded, queries, centroids, id_col, vec_col, k_top=shortlist
+    ).select("query_id", "cand_id")
+    cand = data.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        short.join(cand, "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "cand_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
     )
 
 
