@@ -165,6 +165,28 @@ def pack_sequences(docs: DataFrame, token_budget: int = 512,
     )
 
 
+def shuffle_assignment(docs: DataFrame, n_shards: int = 64, seed: int = 7,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Deterministic training-order shuffle: (id, shard, pos).
+
+    Order key = md5(seed, id); shard = key mod n_shards; pos = rank
+    within shard. Reproducible epoch ordering with NO global sort —
+    each shard orders independently (n_shards parallel bounded sorts),
+    the only shuffle shape that survives 100 TB. Re-keying with a new
+    seed gives an independent epoch permutation.
+    """
+    from pyspark.sql import Window
+
+    key = md5_int(F.concat(F.lit(f"shuf:{seed}:"), F.col(id_col).cast("string")))
+    keyed = docs.select(F.col(id_col), key.alias("_key"))
+    shard = (F.col("_key") % n_shards).cast("long")
+    w = Window.partitionBy(shard).orderBy("_key", id_col)
+    return keyed.select(
+        id_col, shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 @dataclass
 class CurationConfig:
     """Knobs for :func:`curate_corpus`; defaults mirror the oracle-twin

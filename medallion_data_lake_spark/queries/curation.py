@@ -225,6 +225,114 @@ def blocklist_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic corpus shuffle: training shard count.
+SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = 7
+
+
+@query(
+    "corpus_shuffle_assignment",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(concat('shuf:{SHUFFLE_SEED}:',
+                    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS order_key
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(order_key % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY order_key % {SHUFFLE_SHARDS}
+               ORDER BY order_key, doc_id
+           ) AS BIGINT) AS pos
+    FROM keyed
+    """,
+    doc="Deterministic training-order shuffle: order key = md5(seed, "
+        "doc_id), shard = key mod N, position = rank within shard. "
+        "Reproducible epoch ordering without rand() state, and WITHOUT "
+        "a global sort — each shard orders independently (bounded "
+        "work), which is the only shuffle shape that survives 100 TB; "
+        "a single global ORDER BY would funnel the corpus through one "
+        "range partitioner.",
+    tags=("curation",),
+    extra=True,  # ordering/window driver evidence via segment_top_customers
+)
+def corpus_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    key = md5_int(
+        F.concat(F.lit(f"shuf:{SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    keyed = d.select("doc_id", key.alias("order_key"))
+    # md5_int is 60-bit non-negative, so % == pmod here (matches DuckDB)
+    shard = (F.col("order_key") % SHUFFLE_SHARDS).cast("long")
+    w = Window.partitionBy(shard).orderBy("order_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+_SQL_BIGRAMS = (
+    f"list_transform(range(1, len({_SQL_TOKS})), "
+    f"i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1])"
+)
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH bg AS (
+        SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bg FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT)    AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT)  AS n_distinct_bigrams,
+           CAST(MAX(c) AS BIGINT)    AS max_bigram_count,
+           {sql_stable_round('MAX(c) * 1.0 / SUM(c)', 4)} AS max_bigram_frac,
+           {sql_stable_round('COUNT(*) * 1.0 / SUM(c)', 4)} AS distinct_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+    doc="Repetition-based quality signals (the Gopher/C4 family): "
+        "per-document bigram histogram → most-frequent-bigram fraction "
+        "and distinct-bigram ratio; high max_bigram_frac / low "
+        "distinct_ratio flags boilerplate and degenerate repetition. "
+        "Explode + two-level aggregation keyed by doc — fully "
+        "map-reducible, no per-doc state beyond the hash groups.",
+    tags=("text", "curation"),
+    extra=True,  # text-family driver evidence via doc_quality_score
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    t = tokens(F.col("text"))
+    n_bg = F.size(t) - 1
+    bigrams = F.transform(
+        F.arrays_zip(
+            F.slice(t, 1, n_bg).alias("w0"), F.slice(t, 2, n_bg).alias("w1")
+        ),
+        lambda e: F.concat_ws(" ", e["w0"], e["w1"]),
+    )
+    cnt = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        F.max("c").cast("long").alias("max_bigram_count"),
+        stable_round(F.max("c") * F.lit(1.0) / F.sum("c"), 4)
+        .alias("max_bigram_frac"),
+        stable_round(F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 4)
+        .alias("distinct_ratio"),
+    )
+
+
 @query(
     "sequence_packing_plan",
     oracle=f"""

@@ -156,6 +156,31 @@ def test_production_hash_path_agrees_on_clear_cut_dups(spark):
     assert "md5" not in sigs_plan.lower() or "xxhash64" in sigs_plan
 
 
+def test_shuffle_assignment_is_a_permutation(spark):
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        shuffle_assignment,
+    )
+
+    d = _docs(spark)
+    out = shuffle_assignment(d, n_shards=4, seed=1).cache()
+    n = d.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n  # every doc once
+    # dense per-shard positions
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("c"), F.max("pos").alias("m"), F.min("pos").alias("lo")
+    ).collect()
+    assert {r.shard for r in per} <= set(range(4))
+    for r in per:
+        assert (r.lo, r.m) == (1, r.c)
+    # different seed -> different order (not the identity re-labeling)
+    other = shuffle_assignment(d, n_shards=4, seed=2)
+    joined = out.alias("a").join(other.alias("b"), "doc_id").filter(
+        (F.col("a.shard") != F.col("b.shard")) | (F.col("a.pos") != F.col("b.pos"))
+    )
+    assert joined.count() > 0
+
+
 def test_pipeline_deterministic_across_runs(spark):
     d = _docs(spark)
     cfg = CurationConfig(rates_per_mille={"en": 250}, default_rate_per_mille=600)
