@@ -24,9 +24,13 @@ def test_union_find_path(spark):
     assert _cc(spark, EDGES) == EXPECT
 
 
-def test_distributed_label_propagation_path(spark):
+def test_distributed_star_path(spark):
     # force the distributed loop by setting the driver threshold to 0
     assert _cc(spark, EDGES, driver_threshold=0) == EXPECT
+
+
+def test_distributed_label_propagation_path(spark):
+    assert _cc(spark, EDGES, driver_threshold=0, algorithm="label") == EXPECT
 
 
 def test_distributed_nonconvergence_raises(spark):
@@ -37,14 +41,32 @@ def test_distributed_nonconvergence_raises(spark):
 
     chain = [(i, i + 1) for i in range(12)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        _cc(spark, chain, driver_threshold=0, max_iter=3)
+        _cc(spark, chain, driver_threshold=0, max_iter=3, algorithm="label")
+    # star contraction likewise raises when capped below its O(log² n)
+    # round need
+    long_chain = [(i, i + 1) for i in range(300)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, long_chain, driver_threshold=0, max_iter=1)
 
 
 def test_both_paths_agree_on_chain(spark):
     # a chain exercises multi-round propagation (diameter = length); kept
     # under max_iter so the distributed path must fully converge
     chain = [(i, i + 1) for i in range(12)]
-    assert _cc(spark, chain) == _cc(spark, chain, driver_threshold=0)
+    assert (
+        _cc(spark, chain)
+        == _cc(spark, chain, driver_threshold=0)
+        == _cc(spark, chain, driver_threshold=0, algorithm="label")
+    )
+
+
+def test_star_converges_on_deep_chain_in_log_rounds(spark):
+    # THE case label propagation cannot do: diameter 300 ≫ max_iter 12.
+    # Star contraction halves path lengths per round, so ~log₂ rounds
+    # suffice — the scale property (a 1M-node chain ≈ 20 rounds).
+    chain = [(i, i + 1) for i in range(300)]
+    out = _cc(spark, chain, driver_threshold=0, max_iter=12)
+    assert out == {i: 0 for i in range(301)}
 
 
 def test_ml_minhash_finds_planted_near_dup(spark):
