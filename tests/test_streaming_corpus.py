@@ -1,0 +1,82 @@
+"""Incremental corpus ingestion with cross-batch dedup (streaming/corpus.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.streaming.corpus import (
+    admit_batch,
+    run_incremental_corpus_ingest,
+)
+
+
+def _write_drop(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _dirs(tmp_path):
+    return (
+        str(tmp_path / "in"), str(tmp_path / "corpus"),
+        str(tmp_path / "ledger"), str(tmp_path / "ckpt"),
+    )
+
+
+def test_cross_batch_dedup(spark, tmp_path):
+    in_dir, corpus, ledger, ckpt = _dirs(tmp_path)
+    _write_drop(f"{in_dir}/drop1.json", [
+        {"doc_id": 1, "text": "alpha beta gamma", "lang": "en", "source": "a"},
+        {"doc_id": 2, "text": "delta epsilon", "lang": "en", "source": "a"},
+        {"doc_id": 3, "text": "ALPHA  BETA GAMMA", "lang": "en", "source": "a"},
+    ])
+    q = run_incremental_corpus_ingest(spark, in_dir, corpus, ledger, ckpt)
+    q.awaitTermination(60)
+    got = spark.read.parquet(corpus)
+    # within-batch dedup: doc 3 is a normalized dup of doc 1
+    assert {r.doc_id for r in got.collect()} == {1, 2}
+
+    # second drop: one historical dup, one new doc
+    _write_drop(f"{in_dir}/drop2.json", [
+        {"doc_id": 10, "text": "alpha beta gamma", "lang": "en", "source": "b"},
+        {"doc_id": 11, "text": "zeta eta theta", "lang": "de", "source": "b"},
+    ])
+    q = run_incremental_corpus_ingest(spark, in_dir, corpus, ledger, ckpt)
+    q.awaitTermination(60)
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 11}  # 10 rejected: content already in corpus
+    # ledger holds one row per admitted doc
+    assert spark.read.parquet(ledger).count() == 3
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    _, corpus, ledger, _ = _dirs(tmp_path)
+    rows = [
+        (1, "one two three", "en", "a"),
+        (2, "four five six", "en", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    admit_batch(df, 0, corpus, ledger)
+    first = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    # replay of the SAME batch id (failure recovery) must not drop rows
+    # against its own ledger write, nor duplicate them
+    admit_batch(df, 0, corpus, ledger)
+    again = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert first == again == [1, 2]
+    assert spark.read.parquet(ledger).count() == 2
+
+
+def test_corpus_columns_preserved(spark, tmp_path):
+    _, corpus, ledger, _ = _dirs(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "text body", "fr", "src9")],
+        "doc_id long, text string, lang string, source string",
+    )
+    admit_batch(df, 5, corpus, ledger)
+    row = spark.read.parquet(corpus).collect()[0]
+    assert (row.doc_id, row.text, row.lang, row.source) == (1, "text body", "fr", "src9")
+    assert row._batch_id == 5
