@@ -422,6 +422,100 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_search(
+    encoded: DataFrame,
+    data: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = MIN_BITS,
+    n_probes: int = 4,
+    k_top: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The full IVF-PQ layout: coarse sign-bucket pruning + multi-probe
+    on the query side + ADC scoring from codes + exact re-rank of the
+    shortlist.
+
+    ``encoded`` must carry a ``bucket`` column (``sign_code`` over the
+    same ``n_bits``) alongside the PQ code — at scale it is also the
+    table's partition key, so each probe prunes to one partition. Unlike
+    :func:`pq_adc_topk` (which scores every candidate), the candidate
+    side here is bucket-joined: per query only the probed cells are
+    scanned, which is what bounds work as the corpus grows. Recall knobs:
+    ``n_probes`` (coarse stage) and ``shortlist`` (refine stage).
+    """
+    from pyspark.sql import Window
+
+    m = len(centroids)
+    sub = len(centroids[0][0])
+    qvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _table_j(j: int) -> Column:
+        return F.transform(
+            _centroid_literal(centroids[j]),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(qvec, j * sub + 1, sub), c, lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            multiprobe_sign_codes(F.col(vec_col), n_bits, n_probes)
+        ).alias("probe"),
+        F.array(*[_table_j(j) for j in range(m)]).alias("_tbl"),
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("pq_code"), F.col("_tbl"),
+            lambda c, t: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    shortlisted = (
+        encoded.select(F.col(id_col).alias("cand_id"), "bucket", "pq_code")
+        .join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select("query_id", "cand_id", score.alias("adc_score"))
+        .dropDuplicates(["query_id", "cand_id"])  # multi-probe re-reach
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("cand_id")
+    )
+    short = (
+        shortlisted.withColumn("rank", F.row_number().over(w_adc))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "cand_id")
+    )
+    cand = data.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        short.join(cand, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "cand_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+    )
+
+
 def pq_search_rerank(
     encoded: DataFrame,
     data: DataFrame,
