@@ -165,6 +165,22 @@ def pack_sequences(docs: DataFrame, token_budget: int = 512,
     )
 
 
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               patterns: Mapping[str, str] | None = None) -> DataFrame:
+    """Replace PII matches in ``text_col`` with ``<CATEGORY>`` tokens
+    (default patterns: email/phone/IPv4/SSN — queries/curation.py
+    ``PII_PATTERNS``). Chained regexp_replace in one codegen span;
+    map-only. Redaction-before-training is a hard requirement for any
+    corpus containing user data, so it slots between scrub and pack in
+    :func:`curate_corpus` callers that need it."""
+    from ..queries.curation import PII_PATTERNS
+
+    red = F.col(text_col)
+    for name, pat in (patterns or PII_PATTERNS).items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return docs.withColumn(text_col, red)
+
+
 def shuffle_assignment(docs: DataFrame, n_shards: int = 64, seed: int = 7,
                        id_col: str = "doc_id") -> DataFrame:
     """Deterministic training-order shuffle: (id, shard, pos).

@@ -225,6 +225,59 @@ def blocklist_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns: simple character-class regexes with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB) — no lookaround, no backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+@query(
+    "pii_redaction_stats",
+    oracle="SELECT doc_id, "
+    + ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    + ", CAST(length("
+    + "".join(
+        f"regexp_replace("
+        for _ in PII_PATTERNS
+    )
+    + "text"
+    + "".join(
+        f", '{pat}', '<{name.upper()}>', 'g')"
+        for name, pat in PII_PATTERNS.items()
+    )
+    + ") AS BIGINT) AS redacted_len FROM documents",
+    doc="PII detection/redaction stats: per-document counts of email / "
+        "phone / IPv4 / SSN patterns plus the redacted-text length. "
+        "Pure regexp expressions in one codegen span — map-only, no "
+        "UDF; the patterns avoid lookaround so Java regex and RE2 "
+        "agree. (The synthetic fixture contains no PII, so counts are "
+        "verified at zero here; behavioral coverage with planted PII "
+        "lives in test_curation_pipeline.)",
+    tags=("text", "curation"),
+    extra=True,  # scalar-function driver evidence via customer_name_formatting
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    cols = [
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        .cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    red = F.col("text")
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return d.select(
+        "doc_id", *cols, F.length(red).cast("long").alias("redacted_len")
+    )
+
+
 # Deterministic corpus shuffle: training shard count.
 SHUFFLE_SHARDS = 8
 SHUFFLE_SEED = 7

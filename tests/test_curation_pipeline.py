@@ -156,6 +156,23 @@ def test_production_hash_path_agrees_on_clear_cut_dups(spark):
     assert "md5" not in sigs_plan.lower() or "xxhash64" in sigs_plan
 
 
+def test_redact_pii_planted_patterns(spark):
+    from medallion_data_lake_spark.operators.curation_pipeline import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+x@example.org or 555-123-4567 ok"),
+            (2, "server 10.0.255.3 holds ssn 123-45-6789 in logs"),
+            (3, "no sensitive content here at all"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.text for r in redact_pii(df).collect()}
+    assert out[1] == "contact me at <EMAIL> or <PHONE> ok"
+    assert out[2] == "server <IPV4> holds ssn <SSN> in logs"
+    assert out[3] == "no sensitive content here at all"
+
+
 def test_shuffle_assignment_is_a_permutation(spark):
     from medallion_data_lake_spark.operators.curation_pipeline import (
         shuffle_assignment,
