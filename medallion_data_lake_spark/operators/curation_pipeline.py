@@ -203,6 +203,67 @@ def shuffle_assignment(docs: DataFrame, n_shards: int = 64, seed: int = 7,
     )
 
 
+def mix_corpus(docs: DataFrame,
+               target_tokens_per_source: Mapping[str, int],
+               source_col: str = "source", id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Domain mixing by token budget: downsample each source to ~its
+    target token count. One aggregation computes per-source token
+    totals (driver receives len(sources) rows — a handful); keep rates
+    = min(1, target/total) are then applied via the same md5 hash gate
+    as :func:`stratified_sample` — deterministic, map-side. Sources
+    without a target are kept whole.
+
+    This is the knob that turns "the data we have" into "the mixture
+    the training run wants" (e.g. cap web crawl at N tokens while
+    keeping all code/reference text).
+    """
+    totals = {
+        r["src"]: r["toks"]
+        for r in docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(F.size(tokens(F.col(text_col)))).alias("toks"))
+        .collect()
+    }
+    rates = {
+        src: min(1000, int(1000 * target_tokens_per_source[src] / totals[src]))
+        for src in target_tokens_per_source
+        if totals.get(src)
+    }
+    rate = None
+    for src, r in sorted(rates.items()):
+        rate = (rate if rate is not None else F).when(
+            F.col(source_col) == src, F.lit(r)
+        )
+    if rate is None:
+        return docs
+    rate = rate.otherwise(F.lit(1000))
+    return docs.filter((md5_int(F.col(id_col).cast("string")) % 1000) < rate)
+
+
+def assign_splits(docs: DataFrame, weights: Mapping[str, float],
+                  id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Deterministic train/val/test assignment: a ``split`` column drawn
+    from ``weights`` (e.g. {"train": .98, "val": .01, "test": .01}) by
+    hashing the id — stable across runs and re-ingestions, so a doc can
+    never migrate between splits when the corpus is rebuilt (the leakage
+    mode rand()-splits suffer). Map-only."""
+    total = sum(weights.values())
+    gate = md5_int(
+        F.concat(F.lit(f"split:{seed}:"), F.col(id_col).cast("string"))
+    ) % 1_000_000
+    expr, acc = None, 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        bound = int(acc * 1_000_000)
+        expr = (expr if expr is not None else F).when(
+            gate < bound, F.lit(name)
+        )
+    last = items[-1][0]
+    split = expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
+    return docs.withColumn("split", split)
+
+
 @dataclass
 class CurationConfig:
     """Knobs for :func:`curate_corpus`; defaults mirror the oracle-twin

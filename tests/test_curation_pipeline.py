@@ -198,6 +198,54 @@ def test_shuffle_assignment_is_a_permutation(spark):
     assert joined.count() > 0
 
 
+def test_mix_corpus_hits_token_targets(spark):
+    from medallion_data_lake_spark.operators.curation_pipeline import mix_corpus
+    from medallion_data_lake_spark.queries.text import tokens as tok
+
+    d = _docs(spark)
+    per_src = {
+        r.source: r.toks
+        for r in d.groupBy("source")
+        .agg(F.sum(F.size(tok(F.col("text")))).alias("toks"))
+        .collect()
+    }
+    big = max(per_src, key=per_src.get)
+    target = per_src[big] // 3
+    out = mix_corpus(d, {big: target})
+    got = {
+        r.source: r.toks
+        for r in out.groupBy("source")
+        .agg(F.sum(F.size(tok(F.col("text")))).alias("toks"))
+        .collect()
+    }
+    # capped source lands near its target (hash gate is binomial);
+    # untargeted sources are untouched
+    assert got[big] < per_src[big]
+    assert abs(got[big] - target) / target < 0.35
+    for s, t in per_src.items():
+        if s != big:
+            assert got[s] == t
+    # deterministic
+    assert out.count() == mix_corpus(d, {big: target}).count()
+
+
+def test_assign_splits_deterministic_partition(spark):
+    from medallion_data_lake_spark.operators.curation_pipeline import assign_splits
+
+    d = _docs(spark)
+    out = assign_splits(d, {"train": 0.9, "val": 0.05, "test": 0.05}).cache()
+    n = d.count()
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert sum(counts.values()) == n
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > 0.8 * n
+    # stability: same assignment on a rebuilt subset (no split migration)
+    sub = assign_splits(d.limit(100), {"train": 0.9, "val": 0.05, "test": 0.05})
+    full = {r.doc_id: r.split for r in out.collect()}
+    for r in sub.collect():
+        assert full[r.doc_id] == r.split
+
+
 def test_pipeline_deterministic_across_runs(spark):
     d = _docs(spark)
     cfg = CurationConfig(rates_per_mille={"en": 250}, default_rate_per_mille=600)
