@@ -561,6 +561,65 @@ def pq_search_rerank(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    cluster_size: int = 64,
+    seed: int = 42,
+    n: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with the seeded KMeans
+    codebook, compare pairs only WITHIN a cluster, and keep one
+    deterministic representative per duplicate group.
+
+    Returns the input ids annotated with
+    ``(cluster_id, group_id, is_kept)`` — one row per input row;
+    ``group_id`` is the smallest id reachable through cosine-
+    near-duplicate links (semantically unique docs form their own
+    singleton group); ``is_kept`` marks the canonical representative
+    (min id — deterministic, unlike the paper's random choice; the
+    paper's low-centroid-similarity keep rule can be layered on by
+    re-ranking within group_id).
+
+    Scale shape: k is sized as n / cluster_size so the EXPECTED cluster
+    size is a constant — the within-cluster pair join is then
+    O(n * cluster_size), linear in the corpus, versus O(n²) all-pairs
+    (and versus O(n²/k) for any fixed-k scheme). Cluster assignment is
+    a broadcast of k centroids + map-side argmin; the pair join shuffles
+    on the cluster id; group resolution reuses the bounded hybrid
+    ``connected_components`` (union-find under 1M edges, else
+    large-star/small-star). Duplicate-pair graphs are tiny relative to
+    the corpus because clustering already pruned the pair space.
+    """
+    if n is None:
+        n = df.count()
+    k = max(2, math.ceil(n / max(cluster_size, 1)))
+    bucketed = kmeans_codebook_bucket(df, vec_col=vec_col, k=k, seed=seed, n=n)
+    pairs = bucketed_near_dup_pairs(
+        bucketed, id_col=id_col, vec_col=vec_col, threshold=threshold
+    )
+    from .dedup_graph import connected_components
+
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        bucketed.select(F.col(id_col), F.col("bucket_code").alias("cluster_id"))
+        .join(
+            comp.select(F.col("node").alias(id_col), "component"),
+            id_col,
+            "left",
+        )
+        .withColumn("group_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("is_kept", F.col("group_id") == F.col(id_col))
+        .drop("component")
+    )
+
+
 def bucketed_near_dup_pairs(
     bucketed: DataFrame,
     id_col: str = "vec_id",

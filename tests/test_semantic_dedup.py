@@ -1,0 +1,90 @@
+"""Semantic deduplication (SemDeDup shape) over embedding clusters.
+
+Properties the operator must provide:
+- every input row comes back exactly once, annotated not filtered;
+- planted near-copies (cosine ~1) collapse into one group with exactly
+  one deterministic keeper (the min id);
+- semantically unique docs are singleton groups and kept;
+- the result is deterministic across invocations (seeded KMeans,
+  min-id keep rule);
+- cluster count scales with n/cluster_size, not a fixed constant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from medallion_data_lake_spark.operators.ann import semantic_dedup
+
+DIM = 32
+
+
+def _corpus(spark, n_unique=120, n_dups_per=2, n_dup_groups=10, seed=3):
+    """n_unique well-separated gaussian vectors; the first n_dup_groups
+    of them each get n_dups_per near-copies (cosine ~0.999)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_unique, DIM))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n_unique)]
+    next_id = n_unique
+    planted = []  # (dup_id, original_id)
+    for g in range(n_dup_groups):
+        for _ in range(n_dups_per):
+            v = base[g] + 0.01 * rng.standard_normal(DIM)
+            rows.append((next_id, [float(x) for x in v]))
+            planted.append((next_id, g))
+            next_id += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, planted, next_id
+
+
+def test_annotates_every_row_once(spark):
+    df, _, total = _corpus(spark)
+    out = semantic_dedup(df, threshold=0.9, cluster_size=32, seed=42)
+    rows = out.collect()
+    assert len(rows) == total
+    assert sorted(r.vec_id for r in rows) == list(range(total))
+
+
+def test_planted_dups_collapse_with_min_id_keeper(spark):
+    df, planted, _ = _corpus(spark)
+    out = semantic_dedup(df, threshold=0.9, cluster_size=32, seed=42)
+    by_id = {r.vec_id: r for r in out.collect()}
+    for dup_id, orig_id in planted:
+        # the near-copy joins its original's group; the original (min
+        # id in the group) is the keeper, the copy is not
+        assert by_id[dup_id].group_id == orig_id, (dup_id, orig_id)
+        assert not by_id[dup_id].is_kept
+        assert by_id[orig_id].is_kept
+    # exactly one keeper per group
+    groups: dict[int, int] = {}
+    for r in by_id.values():
+        groups[r.group_id] = groups.get(r.group_id, 0) + (1 if r.is_kept else 0)
+    assert all(v == 1 for v in groups.values())
+
+
+def test_unique_docs_are_singleton_groups(spark):
+    df, planted, total = _corpus(spark)
+    dup_ids = {d for d, _ in planted} | {o for _, o in planted}
+    out = semantic_dedup(df, threshold=0.9, cluster_size=32, seed=42)
+    for r in out.collect():
+        if r.vec_id not in dup_ids:
+            assert r.group_id == r.vec_id
+            assert r.is_kept
+
+
+def test_deterministic_across_runs(spark):
+    df, _, _ = _corpus(spark)
+    a = semantic_dedup(df, threshold=0.9, cluster_size=32, seed=42)
+    b = semantic_dedup(df, threshold=0.9, cluster_size=32, seed=42)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+
+
+def test_cluster_count_scales_with_n(spark):
+    df, _, total = _corpus(spark)
+    out = semantic_dedup(df, threshold=0.9, cluster_size=16, seed=42)
+    n_clusters = out.select("cluster_id").distinct().count()
+    # k = ceil(n / cluster_size); KMeans may leave a few cells empty but
+    # must use far more than any fixed small constant
+    assert n_clusters > total // 32
