@@ -157,14 +157,24 @@ def customer_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    return (
+    # Aggregate the fact FIRST on the int key (600k rows -> ~#parts,
+    # partial agg map-side), then join the small aggregate to the dim —
+    # never carry p_name strings through the hash aggregate. p_partkey
+    # is the part PK, so grouping before/after the join is equivalent.
+    rev = (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_partkey", "p_name")
+        .groupBy("l_partkey")
         .agg(
             money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+    return (
+        rev.join(
+            F.broadcast(t["part"].select("p_partkey", "p_name")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_partkey", "p_name", "revenue", "n_lines")
         .orderBy(F.desc("revenue"), F.asc("p_partkey"))
         .limit(10)
     )
