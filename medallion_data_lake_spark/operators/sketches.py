@@ -1,0 +1,102 @@
+"""Mergeable-sketch rollups: distinct counts over time hierarchies.
+
+Exact COUNT(DISTINCT) is the one aggregate that is NOT mergeable state —
+a day's distinct-user count cannot be derived from 24 hourly distinct
+counts, so a naive time hierarchy re-scans the raw fact for every grain
+(at 100 TB: once per grain, forever). The standard fix is a mergeable
+sketch: persist an HLL sketch per fine-grain bucket, and compute every
+coarser grain — and any ad-hoc time range — by UNIONING sketches, never
+touching raw data again. Spark 4 ships Datasketches HLL natively
+(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``), so
+the whole pattern stays JVM-side columnar binary — no UDFs.
+
+This is the sketch analog of ``queries/streamlike.py:
+events_cascading_rollup`` (counts/sums are trivially mergeable; distinct
+needs HLL). Reference capability line: the events analytics family
+(``sakila-data-lake/query_datalake.py`` event rollups), upgraded with
+the state-merge property those rollups lack.
+
+Scale notes: the hour-grain pass is one shuffle on (bucket, keys) with
+map-side partial sketch merge; every coarser grain shuffles only
+#fine-buckets rows of (key, 1-2 KB sketch) — independent of fact size.
+``lgConfigK=12`` (4096 registers, ~1.6% RSE) keeps each sketch ≤2 KB;
+incremental ingestion unions a new batch's partials into the stored ones
+(associative + idempotent-under-reinsert, unlike raw distinct state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LG_K = 12  # 4096 registers: ~1.6% relative standard error, ~2 KB
+
+
+def hll_partials(
+    df: DataFrame,
+    time_col: str,
+    distinct_col: str,
+    keys: list[str] | None = None,
+    grain: str = "hour",
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """Fine-grain sketch partials: one row per (bucket, *keys) carrying
+    the HLL sketch of ``distinct_col`` plus the mergeable exact counts.
+    This is the table you PERSIST; everything else derives from it."""
+    keys = keys or []
+    bucket = F.date_trunc(grain, F.col(time_col)).alias("bucket_start")
+    return (
+        df.groupBy(bucket, *[F.col(k) for k in keys])
+        .agg(
+            F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k)).alias("hll"),
+            F.count(F.col(distinct_col)).alias("n_rows"),
+        )
+    )
+
+
+def hll_merge_to_grain(
+    partials: DataFrame,
+    grain: str,
+    keys: list[str] | None = None,
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Merge fine-grain partials up to a coarser grain — touches only the
+    partials (#buckets rows), never the raw fact. Works identically for
+    merging a new ingest batch's partials into stored ones."""
+    keys = keys or []
+    coarse = F.date_trunc(grain, F.col(bucket_col)).alias("bucket_start")
+    return (
+        partials.groupBy(coarse, *[F.col(k) for k in keys])
+        .agg(
+            F.hll_union_agg(F.col("hll")).alias("hll"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
+def hll_estimate(partials: DataFrame, out_col: str = "approx_distinct") -> DataFrame:
+    """Read side: sketch -> estimate (keeps the sketch column for further
+    merging; drop it at the final presentation layer)."""
+    return partials.withColumn(out_col, F.hll_sketch_estimate(F.col("hll")))
+
+
+def distinct_rollup(
+    df: DataFrame,
+    time_col: str,
+    distinct_col: str,
+    keys: list[str] | None = None,
+    grains: tuple[str, ...] = ("hour", "day", "week"),
+    lg_k: int = DEFAULT_LG_K,
+) -> dict[str, DataFrame]:
+    """The full cascading hierarchy: raw fact is scanned ONCE (finest
+    grain); every coarser grain merges the previous grain's sketches.
+    Returns {grain: DataFrame(bucket_start, *keys, hll, n_rows,
+    approx_distinct)} ordered finest-first."""
+    out: dict[str, DataFrame] = {}
+    finest = grains[0]
+    level = hll_partials(df, time_col, distinct_col, keys, grain=finest, lg_k=lg_k)
+    out[finest] = hll_estimate(level)
+    for grain in grains[1:]:
+        level = hll_merge_to_grain(level, grain, keys)
+        out[grain] = hll_estimate(level)
+    return out

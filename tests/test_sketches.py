@@ -1,0 +1,111 @@
+"""HLL sketch rollup properties.
+
+The operator's whole value is the merge algebra; the tests assert it:
+- estimates track exact distincts within the lg_k=12 error bound;
+- a day merged FROM HOUR PARTIALS equals a day sketched directly from
+  raw rows (merge associativity — the property exact distinct lacks);
+- unioning two ingest batches' partials == sketching the concatenated
+  input (incremental-ingest correctness, duplicate-safe);
+- the cascading hierarchy scans the fact once and still estimates every
+  grain within bound.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from medallion_data_lake_spark.catalog import load_star_table
+from medallion_data_lake_spark.operators.sketches import (
+    distinct_rollup,
+    hll_estimate,
+    hll_merge_to_grain,
+    hll_partials,
+)
+
+SF = "/root/testdata/sf0.01"
+RSE = 0.05  # lg_k=12 gives ~1.6% RSE; 3 sigma ≈ 5%
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_star_table(spark, SF, "events").cache()
+
+
+def _exact(events, grain, key=None):
+    from pyspark.sql import functions as F
+
+    g = [F.date_trunc(grain, "ts").alias("bucket_start")] + (
+        [F.col(key)] if key else []
+    )
+    rows = (
+        events.groupBy(*g)
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    )
+    keyf = (lambda r: (r.bucket_start, r[key])) if key else (lambda r: r.bucket_start)
+    return {keyf(r): r.exact for r in rows}
+
+
+def test_estimates_within_error_bound(spark, events):
+    part = hll_partials(events, "ts", "user_id", grain="day")
+    est = {r.bucket_start: r.approx_distinct for r in hll_estimate(part).collect()}
+    exact = _exact(events, "day")
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(2, RSE * e), (k, est[k], e)
+
+
+def test_day_from_hour_partials_equals_direct(spark, events):
+    hours = hll_partials(events, "ts", "user_id", grain="hour")
+    merged = {
+        r.bucket_start: r.approx_distinct
+        for r in hll_estimate(hll_merge_to_grain(hours, "day")).collect()
+    }
+    direct = {
+        r.bucket_start: r.approx_distinct
+        for r in hll_estimate(
+            hll_partials(events, "ts", "user_id", grain="day")
+        ).collect()
+    }
+    # sketch union is exactly associative: identical registers, identical
+    # estimates — not merely "close"
+    assert merged == direct
+
+
+def test_batch_union_equals_full_sketch(spark, events):
+    cut = dt.datetime(2024, 3, 1)
+    a = events.filter(events.ts < cut)
+    b = events.filter(events.ts >= cut)
+    # deliberately overlap: re-ingest part of batch a inside batch b
+    b = b.unionAll(a.limit(200))
+    pa = hll_partials(a, "ts", "user_id", grain="week")
+    pb = hll_partials(b, "ts", "user_id", grain="week")
+    merged = {
+        r.bucket_start: r.approx_distinct
+        for r in hll_estimate(
+            hll_merge_to_grain(pa.unionAll(pb), "week")
+        ).collect()
+    }
+    full = {
+        r.bucket_start: r.approx_distinct
+        for r in hll_estimate(
+            hll_partials(events.unionAll(a.limit(200)), "ts", "user_id", grain="week")
+        ).collect()
+    }
+    assert merged == full  # insert-idempotent: duplicates don't inflate
+
+
+def test_cascade_every_grain_in_bound(spark, events):
+    grains = distinct_rollup(
+        events, "ts", "user_id", keys=["event_type"], grains=("hour", "day", "week")
+    )
+    for grain, df in grains.items():
+        exact = _exact(events, grain, key="event_type")
+        got = {
+            (r.bucket_start, r.event_type): r.approx_distinct for r in df.collect()
+        }
+        assert got.keys() == exact.keys(), grain
+        for k, e in exact.items():
+            assert abs(got[k] - e) <= max(2, RSE * e), (grain, k)
