@@ -191,3 +191,48 @@ def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "corpus_vocab_topk",
+    oracle=rf"""
+    WITH per_doc AS (
+      SELECT term, doc_id, COUNT(*) AS occ
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+      GROUP BY term, doc_id
+    )
+    SELECT term,
+           CAST(SUM(occ) AS BIGINT)  AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT)  AS n_docs
+    FROM per_doc
+    GROUP BY term
+    ORDER BY n_occurrences DESC, term
+    LIMIT 25
+    """,
+    doc="Corpus vocabulary statistics: top-k terms by occurrence with "
+        "document frequency — the word-count shape every tokenizer/vocab "
+        "induction pass starts from. Two-stage aggregation: doc-local term "
+        "counts first (map-side partial combine absorbs the explode fan-out "
+        "AND yields document frequency as a plain COUNT — no expand operator "
+        "for the distinct), then the term rollup over the already-small "
+        "(term, doc) table; top-k via TakeOrderedAndProject, never a global "
+        "sort.",
+    tags=("text",),
+    extra=True,  # vocab rollup variant of the driver-gated corpus_quality_by_lang
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    per_doc = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("occ").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(25)
+    )
