@@ -111,3 +111,29 @@ def test_registry_wide_plan_hygiene(spark):
             )
         if name not in allowed_cartesian:
             assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_partitioned_sink_reads_prune_partitions(spark, tmp_path):
+    """Hive-partitioned silver layout: a filter on the partition column
+    must become a PartitionFilter (directory pruning — zero IO for
+    excluded dates), not a post-scan filter. At 100 TB this is the
+    difference between reading one day and reading the lake."""
+    import pyspark.sql.functions as F
+
+    from medallion_data_lake_spark.sources.sinks import read_layer, write_partitioned
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 7).cast("int"))
+        .alias("processed_date"),
+    )
+    path = str(tmp_path / "silver_events")
+    write_partitioned(df, path)
+    back = read_layer(spark, path).filter(F.col("processed_date") == "2024-01-03")
+    plan = explain_str(back)
+    assert "PartitionFilters" in plan
+    # predicate present in PartitionFilters, and the row-level
+    # PushedFilters must NOT need it (it's resolved at listing time)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "processed_date" in pf_line
+    assert back.count() == df.filter(F.col("processed_date") == "2024-01-03").count()
