@@ -1,0 +1,105 @@
+"""Trainable document-quality classifier — the model tier, Spark-first.
+
+The heuristic quality score (``queries/text.py:doc_quality_score``) is
+the rule tier of a training-data pipeline; production pipelines follow
+it with a learned filter (fastText-style linear model over hashed
+bag-of-words — the CCNet / LLaMA-data recipe). On Spark the idiomatic
+form is NOT a Python UDF calling a model per row: MLlib's
+HashingTF → (IDF) → LogisticRegression is the same hashed-linear model
+family, trains distributed, and SCORES entirely JVM-side (the fitted
+pipeline's transform is codegen'd expressions + a broadcast coefficient
+vector) — zero Python workers in the 100 TB scoring path.
+
+Bootstrapping: with no human labels in the fixtures, training uses weak
+labels from the rule tier (top/bottom quantiles of the heuristic score —
+standard self-training bootstrap; swap in real labels by passing any
+0/1 ``label`` column). The model then generalizes beyond the rules it
+was seeded with.
+
+Scale notes: featurization + scoring are map-side (hashing trick, fixed
+``dim`` — no vocabulary shuffle, no OOV state); training cost is
+per-iteration treeAggregate over gradient partials (L-BFGS), bounded by
+``max_iter``; inference is a broadcast of one dim-sized dense vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_DIM = 4096
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def weak_quality_labels(
+    df: DataFrame,
+    text_col: str = "text",
+    lo: float = 0.3,
+    hi: float = 0.7,
+) -> DataFrame:
+    """Rule-tier bootstrap labels: 1 for documents in the top quantile of
+    the heuristic score, 0 for the bottom, rows between dropped (standard
+    weak-supervision margin). Quantile cuts via approx_percentile — one
+    pass, no global sort."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "a", "in", "is"))
+    ) * F.lit(1.0) / n
+    scored = df.withColumn(
+        "_h", F.lit(0.5) * F.least(n, F.lit(200)) / 200.0 + F.lit(0.5) * stop_ratio
+    )
+    cuts = scored.select(
+        F.percentile_approx("_h", F.array(F.lit(lo), F.lit(hi))).alias("c")
+    ).first()["c"]
+    return (
+        scored.filter((F.col("_h") <= cuts[0]) | (F.col("_h") >= cuts[1]))
+        .withColumn("label", (F.col("_h") >= cuts[1]).cast("double"))
+        .drop("_h")
+    )
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    dim: int = DEFAULT_DIM,
+    max_iter: int = 20,
+    reg_param: float = 1e-3,
+):
+    """Fit the hashed-linear quality model; returns a fitted PipelineModel
+    whose ``transform`` adds ``probability``/``prediction`` JVM-side."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="_toks", pattern=r"\s+", minTokenLength=1
+    )
+    tf = HashingTF(inputCol="_toks", outputCol="_feat", numFeatures=dim)
+    lr = LogisticRegression(
+        featuresCol="_feat",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=False,
+    )
+    return Pipeline(stages=[tok, tf, lr]).fit(labeled)
+
+
+def score_quality(
+    model,
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "model_quality",
+) -> DataFrame:
+    """Score a corpus: P(high quality) per document, all JVM-side."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df)
+    return scored.withColumn(
+        out_col, F.round(vector_to_array(F.col("probability"))[1], 6)
+    ).drop("_toks", "_feat", "rawPrediction", "probability", "prediction")
