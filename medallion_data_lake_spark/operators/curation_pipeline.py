@@ -6,6 +6,8 @@ library functions (the registry queries in ``queries/curation.py`` and
 ``queries/dedup.py`` are the per-stage oracle-checked twins):
 
     exact dedup → near-dup dedup (MinHash/LSH + connected components)
+    → semantic dedup (SemDeDup over embeddings, when provided)
+    → model-tier quality filter (fitted classifier, when provided)
     → decontamination vs a benchmark set → deterministic stratified
     sampling → blocklist scrub → sequence packing manifest
 
@@ -281,10 +283,47 @@ class CurationConfig:
     token_budget: int = 512
     shard_col: str = "source"
     stratum_col: str = "lang"
+    # model-tier stages (both off by default — the rule tier stands alone)
+    min_model_quality: float = 0.5   # threshold when a quality_model is given
+    semantic_threshold: float = 0.9  # cosine cutoff when embeddings are given
+    semantic_cluster_size: int = 64
+    embedding_id_col: str = "vec_id"
+    embedding_col: str = "embedding"
+
+
+def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
+                        cfg: CurationConfig) -> DataFrame:
+    """Drop semantic near-duplicates: SemDeDup over the docs' embedding
+    rows (inner-joined on id — docs without an embedding pass through
+    untouched; at scale the embedding table is the same corpus keyed
+    identically, so the join is co-partitioned)."""
+    from .ann import semantic_dedup
+
+    emb = embeddings.select(
+        F.col(cfg.embedding_id_col).alias(cfg.id_col), cfg.embedding_col
+    ).join(docs.select(cfg.id_col), cfg.id_col, "inner")
+    verdict = semantic_dedup(
+        emb, id_col=cfg.id_col, vec_col=cfg.embedding_col,
+        threshold=cfg.semantic_threshold, cluster_size=cfg.semantic_cluster_size,
+    )
+    drop = verdict.filter(~F.col("is_kept")).select(cfg.id_col)
+    return docs.join(drop, cfg.id_col, "left_anti")
+
+
+def quality_filter(docs: DataFrame, model, cfg: CurationConfig) -> DataFrame:
+    """Model-tier quality gate: JVM-side scoring, keep >= threshold."""
+    from .classifier import score_quality
+
+    return (
+        score_quality(model, docs, text_col=cfg.text_col)
+        .filter(F.col("model_quality") >= cfg.min_model_quality)
+    )
 
 
 def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
-                  config: CurationConfig | None = None) -> dict[str, DataFrame]:
+                  config: CurationConfig | None = None,
+                  embeddings: DataFrame | None = None,
+                  quality_model=None) -> dict[str, DataFrame]:
     """Run the full curation pipeline; returns every stage's output
     (lazy) under stage names, with the packing manifest under
     ``"manifest"`` and the final curated documents under ``"curated"``.
@@ -300,6 +339,10 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
     cur = stages["near_deduped"] = near_dup_dedup(
         cur, cfg.id_col, cfg.text_col, cfg.min_est_jaccard, cfg.production_hash
     )
+    if embeddings is not None:
+        cur = stages["semantic_deduped"] = semantic_dedup_docs(cur, embeddings, cfg)
+    if quality_model is not None:
+        cur = stages["quality_filtered"] = quality_filter(cur, quality_model, cfg)
     if bench is not None:
         cur = stages["decontaminated"] = decontaminate(
             cur, bench, cfg.id_col, cfg.text_col, cfg.text_col,

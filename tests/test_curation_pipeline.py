@@ -254,3 +254,44 @@ def test_pipeline_deterministic_across_runs(spark):
     ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
     ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
     assert ids_a == ids_b and len(ids_a) > 0
+
+
+def test_semantic_dedup_stage_drops_planted_near_dups(spark):
+    import numpy as np
+
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        semantic_dedup_docs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "web") for i in range(44)],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # ids 40..43 are near-copies of ids 0..3
+    for j in range(4):
+        rows.append((40 + j, [float(x) for x in base[j] + 0.01 * rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cfg = CurationConfig(semantic_cluster_size=8)
+    out = semantic_dedup_docs(docs, emb, cfg)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert kept == set(range(40))  # originals kept, planted copies dropped
+
+
+def test_quality_filter_stage_and_full_composition(spark):
+    from medallion_data_lake_spark.operators.classifier import (
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    model = train_quality_classifier(weak_quality_labels(docs))
+    stages = curate_corpus(docs, quality_model=model)
+    assert "quality_filtered" in stages
+    n_before = stages["near_deduped"].count()
+    n_after = stages["quality_filtered"].count()
+    assert 0 < n_after <= n_before
+    # composition stays lazy end-to-end and the curated set flows through
+    assert stages["curated"].count() <= n_after
