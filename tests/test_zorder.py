@@ -1,0 +1,120 @@
+"""Z-order clustering: measured data-skipping effectiveness.
+
+The claim is physical, so the test measures it physically: read the
+parquet footers (pyarrow) of a z-ordered layout vs a single-column
+sort, and count which files a point/box predicate could skip by
+min-max stats alone. Z-order must keep BOTH dimensions' per-file
+ranges tight; single-column sort leaves the second dimension wide in
+every file.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.operators.zorder import write_zordered, zorder_value
+
+N = 200_000
+N_FILES = 32
+
+
+def _file_ranges(path, cols):
+    """[(file, {col: (min, max)})] from parquet footer statistics."""
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        rng = {c: [None, None] for c in cols}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in rng and col.statistics is not None:
+                    s = col.statistics
+                    lo, hi = rng[name]
+                    rng[name][0] = s.min if lo is None else min(lo, s.min)
+                    rng[name][1] = s.max if hi is None else max(hi, s.max)
+        out.append((f, {c: tuple(v) for c, v in rng.items()}))
+    return out
+
+
+def _files_touched(ranges, preds):
+    """Files whose min-max box intersects {col: (lo, hi)}."""
+    n = 0
+    for _, rng in ranges:
+        if all(rng[c][0] <= hi and rng[c][1] >= lo for c, (lo, hi) in preds.items()):
+            n += 1
+    return n
+
+
+@pytest.fixture(scope="module")
+def grid_df(spark):
+    # two independent uniform dims — the adversarial case for any
+    # single-column sort
+    return (
+        spark.range(N)
+        .select(
+            (F.hash("id") % 10_000).alias("x"),
+            (F.hash(F.col("id") + 1) % 10_000).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .filter("x >= 0 AND y >= 0")
+    )
+
+
+def test_zorder_skips_files_in_both_dims(spark, grid_df, tmp_path):
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "single")
+    write_zordered(grid_df, zpath, ["x", "y"], n_files=N_FILES)
+    (
+        grid_df.repartitionByRange(N_FILES, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(spath)
+    )
+    zr = _file_ranges(zpath, ["x", "y"])
+    sr = _file_ranges(spath, ["x", "y"])
+    assert len(zr) >= N_FILES // 2 and len(sr) >= N_FILES // 2
+
+    box = {"x": (4000, 4500), "y": (4000, 4500)}
+    z_touch, s_touch = _files_touched(zr, box), _files_touched(sr, box)
+    # single-column sort prunes on x only (~1/20 of files pass the x
+    # slice but every file's y range is full, so those all survive);
+    # z-order must prune in both dims at once
+    assert z_touch < s_touch, (z_touch, s_touch)
+    assert z_touch <= len(zr) // 4
+
+    # a Y-ONLY filter: the x-sorted layout can skip nothing at all
+    ybox = {"y": (1000, 1500)}
+    z_y = _files_touched(zr, ybox)
+    s_y = _files_touched(sr, ybox)
+    assert s_y == len(sr)
+    assert z_y < len(zr) // 2
+
+
+def test_zorder_preserves_rows(spark, grid_df, tmp_path):
+    path = str(tmp_path / "zr")
+    write_zordered(grid_df, path, ["x", "y"], n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == grid_df.count()
+    assert back.columns == ["x", "y", "payload"]
+    assert (
+        back.agg(F.sum("payload")).first()[0]
+        == grid_df.agg(F.sum("payload")).first()[0]
+    )
+
+
+def test_zvalue_locality(spark):
+    # points in the same grid cell share a z-prefix: z of (a,a) and a
+    # far point (a, a+5000) must differ in high bits — i.e. z distance
+    # correlates with space distance for axis-aligned moves
+    df = spark.createDataFrame(
+        [(0, 0), (5000, 5000), (9999, 9999)], "x long, y long"
+    )
+    z = zorder_value(df, ["x", "y"], bits=8)
+    vals = {(r.x, r.y): r._zvalue for r in z.collect()}
+    assert vals[(0, 0)] == 0
+    assert vals[(9999, 9999)] == (1 << 16) - 1  # all 16 interleaved bits set
+    assert vals[(0, 0)] < vals[(5000, 5000)] < vals[(9999, 9999)]
