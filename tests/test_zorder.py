@@ -118,3 +118,27 @@ def test_zvalue_locality(spark):
     assert vals[(0, 0)] == 0
     assert vals[(9999, 9999)] == (1 << 16) - 1  # all 16 interleaved bits set
     assert vals[(0, 0)] < vals[(5000, 5000)] < vals[(9999, 9999)]
+
+
+def test_interleave_matches_reference_implementation(spark):
+    """The shift/or expression tree equals a bit-twiddling reference
+    Morton code for 500 random grid cells (bijective on the grid by
+    construction if so)."""
+    import random
+
+    from medallion_data_lake_spark.operators.zorder import interleave_bits
+
+    rng = random.Random(5)
+    pairs = list({(rng.randrange(256), rng.randrange(256)) for _ in range(500)})
+    df = spark.createDataFrame(pairs, "x long, y long")
+    z = interleave_bits([F.col("x"), F.col("y")], 8)
+    got = {(r.x, r.y): r.z for r in df.select("x", "y", z.alias("z")).collect()}
+
+    def ref(x, y):
+        out = 0
+        for b in range(8):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    assert all(v == ref(x, y) for (x, y), v in got.items())
