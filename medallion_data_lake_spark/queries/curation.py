@@ -61,6 +61,12 @@ REJECT_HIT_RATIO = 0.09  # p90 of fixture density ≈ 0.11 → both classes occu
 # Sequence packing: token budget per training sequence.
 PACK_TOKEN_BUDGET = 512
 
+# Chunking: fixed context window with overlap (stride < window keeps
+# boundary-spanning content in two chunks — the standard pretraining
+# chunker shape).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
 
 @query(
     "decontaminate_ngram_overlap",
@@ -443,4 +449,52 @@ def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").cast("long").alias("seq_tokens"),
         )
+    )
+
+
+@query(
+    "doc_chunking_windows",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    e AS (
+        SELECT doc_id, toks,
+               unnest(range(0, len(toks), {CHUNK_STRIDE})) AS s
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(least({CHUNK_TOKENS}, len(toks) - s) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' ')) AS chunk_hash
+    FROM e
+    """,
+    doc=f"Document chunking: split every document into {CHUNK_TOKENS}-token "
+        f"context windows at stride {CHUNK_STRIDE} (overlapping so "
+        "boundary-spanning content lands in two chunks) — the standard "
+        "pretraining chunker between curation and sequence packing. "
+        "Pure 1:N row expansion (sequence + posexplode + slice, all "
+        "codegen HOFs): map-side, zero shuffle, no UDF; chunk volume is "
+        "n_tokens/stride regardless of document count, so the plan "
+        "scales with corpus size like the scan itself. chunk_hash is the "
+        "content address a downstream shard writer dedups/ships by.",
+    tags=("curation",),
+    extra=True,  # 1:N explode shape driver-covered via decontaminate's
+                 # shingle explode; locally oracle-verified
+)
+def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+    e = t.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "chunk_start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_start") + 1, F.lit(CHUNK_TOKENS))
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long"),
+        F.col("chunk_start").cast("long"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
