@@ -167,6 +167,31 @@ def pack_sequences(docs: DataFrame, token_budget: int = 512,
     )
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    chunk_stride: int = 48, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into fixed ``chunk_tokens``-token context windows
+    at ``chunk_stride`` (stride < window ⇒ overlap, so boundary-spanning
+    content lands in two chunks) — the pretraining chunker between
+    curation and shard writing. Pure 1:N row expansion (sequence +
+    posexplode + slice, one codegen span): map-side, zero shuffle;
+    output volume is n_tokens/stride however large the corpus. The
+    oracle-checked twin is queries/curation.py:doc_chunking_windows."""
+    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(chunk_stride))
+    e = t.select(
+        id_col, "_toks", F.posexplode(starts).alias("chunk_idx", "chunk_start")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_start") + 1, F.lit(chunk_tokens))
+    return e.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long"),
+        F.col("chunk_start").cast("long"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text",
                patterns: Mapping[str, str] | None = None) -> DataFrame:
     """Replace PII matches in ``text_col`` with ``<CATEGORY>`` tokens
@@ -283,6 +308,8 @@ class CurationConfig:
     token_budget: int = 512
     shard_col: str = "source"
     stratum_col: str = "lang"
+    chunk_tokens: int = 64   # context-window chunking of the curated docs
+    chunk_stride: int = 48   # < chunk_tokens ⇒ overlapping windows
     # model-tier stages (both off by default — the rule tier stands alone)
     min_model_quality: float = 0.5   # threshold when a quality_model is given
     semantic_threshold: float = 0.9  # cosine cutoff when embeddings are given
@@ -358,7 +385,14 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
             cur, cfg.blocklist, cfg.max_hit_ratio, cfg.text_col
         )
     stages["curated"] = cur
+    # Two alternative shard-former outputs, both lazy: "manifest" packs
+    # whole documents into token-budget sequences; "chunks" windows each
+    # document into overlapping fixed-token contexts (chunk rows are the
+    # training examples; a writer packs them budget-exactly).
     stages["manifest"] = pack_sequences(
         cur, cfg.token_budget, cfg.shard_col, cfg.id_col, cfg.text_col
+    )
+    stages["chunks"] = chunk_documents(
+        cur, cfg.chunk_tokens, cfg.chunk_stride, cfg.id_col, cfg.text_col
     )
     return stages

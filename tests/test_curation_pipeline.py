@@ -295,3 +295,45 @@ def test_quality_filter_stage_and_full_composition(spark):
     assert 0 < n_after <= n_before
     # composition stays lazy end-to-end and the curated set flows through
     assert stages["curated"].count() <= n_after
+
+
+def test_chunk_documents_windows_and_reconstruction(spark):
+    from medallion_data_lake_spark.operators.curation_pipeline import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame(
+        [(1, text), (2, "only three tokens")], "doc_id int, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=64, chunk_stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 100 tokens @ stride 48 -> starts 0, 48, 96 = 3 chunks; 3 tokens -> 1
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    c0, c1, c2 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert (c0.chunk_start, c1.chunk_start, c2.chunk_start) == (0, 48, 96)
+    assert (c0.chunk_tokens, c1.chunk_tokens, c2.chunk_tokens) == (64, 52, 4)
+    # overlap: chunk 1 starts inside chunk 0's window (48 < 64)
+    toks0, toks1 = c0.chunk_text.split(" "), c1.chunk_text.split(" ")
+    assert toks0[48:] == toks1[:16]
+    # lossless: stride-prefixes + final chunk reconstruct the document
+    recon = toks0[:48] + toks1[:48] + c2.chunk_text.split(" ")
+    assert recon == text.split(" ")
+
+
+def test_pipeline_chunks_stage_covers_curated_docs_only(spark):
+    stages = curate_corpus(_docs(spark), config=CurationConfig(chunk_tokens=32,
+                                                               chunk_stride=24))
+    curated_ids = {r.doc_id for r in stages["curated"].select("doc_id").collect()}
+    chunk_rows = stages["chunks"].collect()
+    assert {r.doc_id for r in chunk_rows} == curated_ids
+    assert all(1 <= r.chunk_tokens <= 32 for r in chunk_rows)
+    # every doc contributes a chunk at start 0, and consecutive chunk
+    # starts step by exactly the stride
+    starts = {}
+    for r in chunk_rows:
+        starts.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_start))
+    for doc, s in starts.items():
+        s = [st for _, st in sorted(s)]
+        assert s[0] == 0
+        assert all(b - a == 24 for a, b in zip(s, s[1:]))
