@@ -57,10 +57,18 @@ def admit_batch(
     batch_id: int,
     corpus_dir: str,
     ledger_dir: str,
+    chunks_dir: str | None = None,
+    chunk_tokens: int = 64,
+    chunk_stride: int = 48,
 ) -> None:
     """Process one micro-batch: fingerprint, dedup within the batch,
     anti-join the historical ledger, write admitted docs + ledger rows
-    into the batch's own partitions (idempotent on replay)."""
+    into the batch's own partitions (idempotent on replay). With
+    ``chunks_dir`` the batch's admitted docs are also windowed into
+    training chunks (operators.curation_pipeline.chunk_documents) and
+    written under the same batch-id partition — chunks accrue
+    incrementally with the corpus and replay rewrites exactly the
+    batch's own chunk partition."""
     spark = batch_df.sparkSession
     fp = (
         batch_df.withColumn("fingerprint", content_fingerprint())
@@ -97,6 +105,21 @@ def admit_batch(
         .partitionBy("_batch_id")
         .parquet(ledger_dir)
     )
+    if chunks_dir is not None:
+        from ..operators.curation_pipeline import chunk_documents
+
+        (
+            chunk_documents(
+                admitted.drop("fingerprint", "_batch_id"),
+                chunk_tokens=chunk_tokens,
+                chunk_stride=chunk_stride,
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(chunks_dir)
+        )
 
 
 def run_incremental_corpus_ingest(
@@ -106,18 +129,21 @@ def run_incremental_corpus_ingest(
     ledger_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    chunks_dir: str | None = None,
 ):
     """Stream JSON-lines document drops from ``input_dir`` into a
     deduplicated corpus. ``available_now`` bounds the run to the files
     present (exactly-once catch-up); pass False for a continuous
-    ingester. Returns the StreamingQuery."""
+    ingester. ``chunks_dir`` additionally materializes training chunks
+    per admitted batch. Returns the StreamingQuery."""
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", "64")
         .json(input_dir)
     )
     writer = stream.writeStream.foreachBatch(
-        lambda df, bid: admit_batch(df, bid, corpus_dir, ledger_dir)
+        lambda df, bid: admit_batch(df, bid, corpus_dir, ledger_dir,
+                                    chunks_dir=chunks_dir)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -80,3 +80,40 @@ def test_corpus_columns_preserved(spark, tmp_path):
     row = spark.read.parquet(corpus).collect()[0]
     assert (row.doc_id, row.text, row.lang, row.source) == (1, "text body", "fr", "src9")
     assert row._batch_id == 5
+
+
+def test_incremental_chunks_follow_admission(spark, tmp_path):
+    in_dir, corpus, ledger, ckpt = _dirs(tmp_path)
+    chunks = str(tmp_path / "chunks")
+    long_text = " ".join(f"t{i}" for i in range(100))
+    _write_drop(f"{in_dir}/drop1.json", [
+        {"doc_id": 1, "text": long_text, "lang": "en", "source": "a"},
+        {"doc_id": 2, "text": "short doc", "lang": "en", "source": "a"},
+    ])
+    q = run_incremental_corpus_ingest(spark, in_dir, corpus, ledger, ckpt,
+                                      chunks_dir=chunks)
+    q.awaitTermination(60)
+    got = spark.read.parquet(chunks)
+    # 100 tokens @ stride 48 -> 3 chunks; 2 tokens -> 1 chunk
+    per_doc = {r.doc_id: r.n for r in
+               got.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert per_doc == {1: 3, 2: 1}
+
+    # a later drop with one dup: only the NEW doc gains chunk rows
+    _write_drop(f"{in_dir}/drop2.json", [
+        {"doc_id": 10, "text": long_text, "lang": "en", "source": "b"},  # dup
+        {"doc_id": 11, "text": "fresh words here", "lang": "de", "source": "b"},
+    ])
+    q = run_incremental_corpus_ingest(spark, in_dir, corpus, ledger, ckpt,
+                                      chunks_dir=chunks)
+    q.awaitTermination(60)
+    got = spark.read.parquet(chunks)
+    assert {r.doc_id for r in got.select("doc_id").distinct().collect()} == {1, 2, 11}
+    # replaying batch 0 directly must rewrite, not duplicate, its chunks
+    df = spark.createDataFrame(
+        [(1, long_text, "en", "a"), (2, "short doc", "en", "a")],
+        "doc_id long, text string, lang string, source string",
+    )
+    admit_batch(df, 0, corpus, ledger, chunks_dir=chunks)
+    n_after = spark.read.parquet(chunks).filter("doc_id in (1, 2)").count()
+    assert n_after == 4
