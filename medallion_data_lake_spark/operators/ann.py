@@ -594,11 +594,25 @@ def semantic_dedup(
     ``connected_components`` (union-find under 1M edges, else
     large-star/small-star). Duplicate-pair graphs are tiny relative to
     the corpus because clustering already pruned the pair space.
+
+    The input plan is evaluated ONCE: ``df`` is persisted for the
+    count + KMeans fit (callers often hand us the whole upstream
+    curation pipeline — replaying it per consumer would dominate), and
+    the bucketed assignment is localCheckpoint'd before fanning out to
+    its three consumers (both sides of the pair join and the final
+    annotate), so neither the fit nor the upstream plan re-runs.
     """
+    persisted = None
     if n is None:
-        n = df.count()
+        persisted = df.persist()
+        n = persisted.count()
+        df = persisted
     k = max(2, math.ceil(n / max(cluster_size, 1)))
-    bucketed = kmeans_codebook_bucket(df, vec_col=vec_col, k=k, seed=seed, n=n)
+    bucketed = kmeans_codebook_bucket(
+        df, vec_col=vec_col, k=k, seed=seed, n=n
+    ).localCheckpoint(eager=True)
+    if persisted is not None:
+        persisted.unpersist()
     pairs = bucketed_near_dup_pairs(
         bucketed, id_col=id_col, vec_col=vec_col, threshold=threshold
     )

@@ -24,14 +24,10 @@ per-iteration treeAggregate over gradient partials (L-BFGS), bounded by
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_DIM = 4096
-
-
-def _tokens(col: Column) -> Column:
-    return F.split(F.trim(col), r"\s+")
 
 
 def weak_quality_labels(
@@ -41,20 +37,32 @@ def weak_quality_labels(
     hi: float = 0.7,
 ) -> DataFrame:
     """Rule-tier bootstrap labels: 1 for documents in the top quantile of
-    the heuristic score, 0 for the bottom, rows between dropped (standard
-    weak-supervision margin). Quantile cuts via approx_percentile — one
-    pass, no global sort."""
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    stop_ratio = F.size(
-        F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "a", "in", "is"))
-    ) * F.lit(1.0) / n
-    scored = df.withColumn(
-        "_h", F.lit(0.5) * F.least(n, F.lit(200)) / 200.0 + F.lit(0.5) * stop_ratio
-    )
-    cuts = scored.select(
+    the rule-tier score (the SAME ``quality_score`` expression as the
+    oracle-checked ``queries/text.py:doc_quality_score`` — shared via
+    ``quality_score_expr`` so the tiers cannot drift), 0 for the bottom,
+    rows between dropped (standard weak-supervision margin). Quantile
+    cuts via approx_percentile — one pass, no global sort.
+
+    Raises ``ValueError`` on an empty input or a degenerate score
+    distribution (lo/hi quantile cuts equal — e.g. all-identical
+    documents), where top/bottom quantiles don't separate classes and
+    training on them would be meaningless.
+    """
+    from ..queries.text import quality_score_expr
+
+    scored = df.withColumn("_h", quality_score_expr(F.col(text_col)))
+    row = scored.select(
         F.percentile_approx("_h", F.array(F.lit(lo), F.lit(hi))).alias("c")
-    ).first()["c"]
+    ).first()
+    cuts = row["c"] if row is not None else None
+    if not cuts or cuts[0] is None:
+        raise ValueError("weak_quality_labels: empty input, nothing to label")
+    if not cuts[0] < cuts[1]:
+        raise ValueError(
+            f"weak_quality_labels: degenerate score distribution "
+            f"(quantile cuts {cuts[0]} == {cuts[1]}); the rule tier cannot "
+            "separate high/low quality here — provide real labels instead"
+        )
     return (
         scored.filter((F.col("_h") <= cuts[0]) | (F.col("_h") >= cuts[1]))
         .withColumn("label", (F.col("_h") >= cuts[1]).cast("double"))

@@ -176,9 +176,17 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
     curation and shard writing. Pure 1:N row expansion (sequence +
     posexplode + slice, one codegen span): map-side, zero shuffle;
     output volume is n_tokens/stride however large the corpus. The
-    oracle-checked twin is queries/curation.py:doc_chunking_windows."""
-    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(chunk_stride))
+    oracle-checked twin is queries/curation.py:doc_chunking_windows.
+
+    NULL text is coalesced to '' so every curated document is covered by
+    exactly one (possibly empty) chunk row — posexplode over a null
+    sequence would otherwise silently drop the row, leaving curated docs
+    with no chunk coverage."""
+    t = docs.select(
+        F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks")
+    )
+    starts = F.sequence(F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)),
+                        F.lit(chunk_stride))
     e = t.select(
         id_col, "_toks", F.posexplode(starts).alias("chunk_idx", "chunk_start")
     )

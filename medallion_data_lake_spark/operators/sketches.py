@@ -31,6 +31,14 @@ from pyspark.sql import functions as F
 
 DEFAULT_LG_K = 12  # 4096 registers: ~1.6% relative standard error, ~2 KB
 
+# date_trunc grain ordering, finest → coarsest. A rollup must ascend this
+# ladder: truncating an already-coarse bucket to a FINER grain is a no-op,
+# which would silently mislabel coarse partials as the finer level.
+_GRAIN_RANK = {
+    "second": 0, "minute": 1, "hour": 2, "day": 3,
+    "week": 4, "month": 5, "quarter": 6, "year": 7,
+}
+
 
 def hll_partials(
     df: DataFrame,
@@ -91,7 +99,24 @@ def distinct_rollup(
     """The full cascading hierarchy: raw fact is scanned ONCE (finest
     grain); every coarser grain merges the previous grain's sketches.
     Returns {grain: DataFrame(bucket_start, *keys, hll, n_rows,
-    approx_distinct)} ordered finest-first."""
+    approx_distinct)} ordered finest-first.
+
+    ``grains`` must ascend finest → coarsest (validated): date_trunc to
+    a finer grain than the bucket already has is a silent no-op, so a
+    non-monotonic sequence would relabel coarse partials as a finer
+    level and report wrong-grain estimates with no error.
+    """
+    unknown = [g for g in grains if g not in _GRAIN_RANK]
+    if unknown:
+        raise ValueError(
+            f"unknown grain(s) {unknown}; supported: {sorted(_GRAIN_RANK, key=_GRAIN_RANK.get)}"
+        )
+    for fine, coarse in zip(grains, grains[1:]):
+        if _GRAIN_RANK[fine] >= _GRAIN_RANK[coarse]:
+            raise ValueError(
+                f"grains must ascend finest->coarsest, got {fine!r} before "
+                f"{coarse!r} (e.g. ('hour','day','week'))"
+            )
     out: dict[str, DataFrame] = {}
     finest = grains[0]
     level = hll_partials(df, time_col, distinct_col, keys, grain=finest, lg_k=lg_k)

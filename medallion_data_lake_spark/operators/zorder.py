@@ -47,9 +47,21 @@ DEFAULT_BITS = 10  # 1024 grid cells per dimension — plenty for file skipping
 
 def interleave_bits(cells: list[Column], bits: int) -> Column:
     """Morton code: bit b of dimension i lands at position b*ndims + i.
-    Pure shift/or expression tree — one codegen span."""
-    z = F.lit(0).cast("long")
+    Pure shift/or expression tree — one codegen span.
+
+    The code must fit a signed 64-bit long: ``bits * ndims`` beyond 63
+    would make ``shiftleft`` wrap its shift amount mod 64 and silently
+    scramble the clustering layout, so it is rejected here — callers
+    with many columns should lower ``bits`` (``63 // ndims`` is the
+    max; :func:`zorder_value` auto-reduces for them).
+    """
     ndims = len(cells)
+    if bits * ndims > 63:
+        raise ValueError(
+            f"bits*ndims = {bits}*{ndims} exceeds the 63-bit z-code budget; "
+            f"use bits <= {63 // ndims}"
+        )
+    z = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cells):
             bit = F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(F.lit(1))
@@ -61,7 +73,14 @@ def interleave_bits(cells: list[Column], bits: int) -> Column:
 
 def zorder_value(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS) -> DataFrame:
     """Append ``_zvalue``: the Morton code of ``cols`` scaled onto a
-    2^bits grid via a single min/max stats pass."""
+    2^bits grid via a single min/max stats pass. ``bits`` is reduced
+    automatically when many columns would overflow the 63-bit z-code
+    (grid resolution degrades gracefully; wraparound would not)."""
+    if not cols:
+        raise ValueError("zorder_value needs at least one column")
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({len(cols)}): max 63")
     stats = df.agg(
         *[F.min(c).alias(f"_min_{c}") for c in cols],
         *[F.max(c).alias(f"_max_{c}") for c in cols],

@@ -31,6 +31,19 @@ def _stopword_hits(toks: Column) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*_EN_STOPWORDS)))
 
 
+def quality_score_expr(text_col: Column) -> Column:
+    """The rule-tier document quality score (unrounded): length prior +
+    stopword-density signal, ``0.5*min(n_tokens,200)/200 +
+    0.5*stopword_ratio``. Shared by the oracle-checked
+    :func:`doc_quality_score` query and the classifier bootstrap
+    (operators/classifier.py:weak_quality_labels) so the two tiers
+    cannot drift apart."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    stop_ratio = _stopword_hits(toks) * F.lit(1.0) / n
+    return F.lit(0.5) * F.least(n, F.lit(200)) / 200.0 + F.lit(0.5) * stop_ratio
+
+
 # SQL fragment mirroring tokens()/_stopword_hits() for the DuckDB oracle.
 _SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
 _SQL_STOPS = (
@@ -123,9 +136,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("char_len"),
         (F.length("text") - F.length(stripped)).cast("long").alias("punct_count"),
         stable_round(stop_ratio, 4).alias("stopword_ratio"),
-        stable_round(
-            F.lit(0.5) * F.least(n, F.lit(200)) / 200.0 + F.lit(0.5) * stop_ratio, 4
-        ).alias("quality_score"),
+        stable_round(quality_score_expr(F.col("text")), 4).alias("quality_score"),
     )
 
 

@@ -72,3 +72,35 @@ def test_scoring_plan_is_jvm_only(docs, model):
     plan = explain_str(scored)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_weak_labels_match_rule_tier_score(spark, docs, labeled):
+    """The bootstrap labels must come from the SAME score as the
+    oracle-checked doc_quality_score query (shared quality_score_expr):
+    every label-1 doc scores >= every label-0 doc."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_lake_spark.queries.text import quality_score_expr
+
+    scored = docs.select(
+        "doc_id", quality_score_expr(F.col("text")).alias("q")
+    )
+    j = labeled.select("doc_id", "label").join(scored, "doc_id")
+    max0 = j.filter("label = 0.0").agg(F.max("q")).first()[0]
+    min1 = j.filter("label = 1.0").agg(F.min("q")).first()[0]
+    assert max0 <= min1, (max0, min1)
+
+
+def test_weak_labels_empty_input_raises(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty input"):
+        weak_quality_labels(empty)
+
+
+def test_weak_labels_degenerate_distribution_raises(spark):
+    same = spark.createDataFrame(
+        [(i, "identical text every time") for i in range(50)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        weak_quality_labels(same)

@@ -321,6 +321,27 @@ def test_chunk_documents_windows_and_reconstruction(spark):
     assert recon == text.split(" ")
 
 
+def test_chunk_documents_covers_null_and_empty_text(spark):
+    """NULL/empty text must not vanish from the chunk output: posexplode
+    over a null sequence emits no rows, so chunk_documents coalesces to
+    '' — every input doc gets at least one chunk row."""
+    from medallion_data_lake_spark.operators.curation_pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a few real tokens"), (2, None), (3, "")],
+        "doc_id int, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=8, chunk_stride=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2, 3}
+    for d in (2, 3):
+        (row,) = by_doc[d]
+        assert (row.chunk_idx, row.chunk_start) == (0, 0)
+        assert row.chunk_text == ""
+
+
 def test_pipeline_chunks_stage_covers_curated_docs_only(spark):
     stages = curate_corpus(_docs(spark), config=CurationConfig(chunk_tokens=32,
                                                                chunk_stride=24))

@@ -13,6 +13,7 @@ Properties the operator must provide:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from medallion_data_lake_spark.operators.ann import semantic_dedup
 
@@ -79,6 +80,31 @@ def test_deterministic_across_runs(spark):
     ra = sorted(tuple(r) for r in a.collect())
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb
+
+
+def test_input_plan_evaluated_once(spark):
+    """The input (often the whole upstream curation pipeline) must not be
+    replayed per consumer: semantic_dedup persists it for the count +
+    KMeans fit and checkpoints the bucketed frame before fanning out.
+    An accumulator-ticking pandas UDF in the input plan counts actual
+    row evaluations — the old shape replayed it ~5x."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    df, _, total = _corpus(spark)
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("long")
+    def tick(s: pd.Series) -> pd.Series:
+        acc.add(len(s))
+        return s
+
+    ticked = df.withColumn("vec_id", tick(F.col("vec_id")))
+    out = semantic_dedup(ticked, threshold=0.9, cluster_size=32, seed=42)
+    assert out.count() == total
+    # one materialization into the persist (+ slack for a stray partial
+    # re-read); decisively below the ~5 full replays of the old shape
+    assert acc.value <= 2 * total, acc.value
 
 
 def test_cluster_count_scales_with_n(spark):

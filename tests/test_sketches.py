@@ -97,6 +97,20 @@ def test_batch_union_equals_full_sketch(spark, events):
     assert merged == full  # insert-idempotent: duplicates don't inflate
 
 
+def test_rollup_rejects_nonmonotonic_grains(spark, events):
+    """date_trunc to a finer grain is a no-op on coarser buckets, so a
+    misordered sequence would silently emit wrong-grain estimates —
+    must raise instead."""
+    import pytest
+
+    with pytest.raises(ValueError, match="ascend"):
+        distinct_rollup(events, "ts", "user_id", grains=("day", "hour"))
+    with pytest.raises(ValueError, match="ascend"):
+        distinct_rollup(events, "ts", "user_id", grains=("hour", "day", "day"))
+    with pytest.raises(ValueError, match="unknown grain"):
+        distinct_rollup(events, "ts", "user_id", grains=("hour", "fortnight"))
+
+
 def test_cascade_every_grain_in_bound(spark, events):
     grains = distinct_rollup(
         events, "ts", "user_id", keys=["event_type"], grains=("hour", "day", "week")
