@@ -36,29 +36,26 @@ def load_star_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     Parquet carries its own schema; we still pass the expected one so a
     fixture drift fails loudly at analysis time instead of deep in a query.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark has no type
-    for — it's read as long nanos (``nanosAsLong``) and converted to
-    microsecond TIMESTAMP_NTZ here, matching DuckDB's own ns→µs read
-    truncation.
+    ``events.ts`` has shipped in two fixture generations: TIMESTAMP(MICROS)
+    (a native Spark type) and TIMESTAMP(NANOS), which Spark has no type
+    for — under ``nanosAsLong`` the latter surfaces as raw long nanos. We
+    schema-infer just that file's footer and convert only when the nanos
+    form appears, matching DuckDB's own ns→µs read truncation.
     """
     if table == "events":
-        raw_schema = T.StructType(
-            [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),  # raw nanos
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
-            ]
-        )
-        raw = spark.read.schema(raw_schema).parquet(star_path(sf_dir, table))
-        # integer `div`, not `/`: epoch-nanos (~1.7e18) overflow double's
-        # 53-bit mantissa, so a float division would corrupt microseconds.
-        return raw.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        ).select(*[f.name for f in STAR_SCHEMAS[table].fields])
+        raw = spark.read.parquet(star_path(sf_dir, table))
+        ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) generation: integer `div`, not `/` —
+            # epoch-nanos (~1.7e18) overflow double's 53-bit mantissa,
+            # so a float division would corrupt microseconds.
+            raw = raw.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        else:
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return raw.select(*[f.name for f in STAR_SCHEMAS[table].fields])
     df = spark.read.schema(STAR_SCHEMAS[table]).parquet(star_path(sf_dir, table))
     return df
 
