@@ -1,0 +1,145 @@
+"""Maintenance operators measured physically: real file counts from the
+written layouts, real footer statistics for pruning claims — same
+discipline as test_zorder."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.catalog import load_star_table
+from medallion_data_lake_spark.operators.maintenance import (
+    compact_table,
+    compaction_plan,
+    list_data_files,
+    partition_manifest,
+    write_range_sorted,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fragmented(spark, tmp_path_factory):
+    """An orders copy shattered into 64 files — the streaming-append
+    small-files disease, reproduced."""
+    path = str(tmp_path_factory.mktemp("frag") / "orders")
+    load_star_table(spark, SF_DIR, "orders").repartition(64).write.parquet(path)
+    return path
+
+
+def test_manifest_counts_real_files(spark, fragmented):
+    m = partition_manifest(spark, fragmented).collect()
+    assert len(m) == 1 and m[0]["partition"] == ""
+    assert m[0]["n_files"] == len(glob.glob(f"{fragmented}/part-*.parquet")) == 64
+    disk = sum(f.bytes for f in list_data_files(spark, fragmented))
+    assert m[0]["total_bytes"] == disk
+    assert m[0]["n_small_files"] == 64  # every shard is far below target/2
+
+
+def test_compaction_plan_flags_fragmented_layout(spark, fragmented):
+    plan = compaction_plan(partition_manifest(spark, fragmented)).collect()
+    assert len(plan) == 1
+    assert plan[0]["n_files"] == 64 and plan[0]["target_n_files"] == 1
+
+
+def test_compact_preserves_content_and_hits_target(spark, fragmented, tmp_path):
+    src_df = spark.read.parquet(fragmented)
+    total = sum(f.bytes for f in list_data_files(spark, fragmented))
+    # target = 1/4 of the table -> expect ~4 files, not 64
+    stats = compact_table(spark, fragmented, str(tmp_path / "out"),
+                          target_file_bytes=total // 4)
+    assert stats["files_before"] == 64
+    assert 3 <= stats["files_after"] <= 6
+    out_df = spark.read.parquet(str(tmp_path / "out"))
+    assert out_df.count() == stats["rows"] == src_df.count()
+    # content identity, order-free: checksum of every row's hash
+    chk = lambda d: d.select(
+        F.bit_xor(F.xxhash64(*sorted(d.columns))).alias("c")
+    ).first()["c"]
+    assert chk(out_df) == chk(src_df)
+    # Re-planning at the same target is NOT exactly empty: the rewrite
+    # compresses better (sorted run lengths, fewer-file overhead), which
+    # shrinks total_bytes and so the justified file count. Assert the
+    # residual excess is marginal rather than demanding idempotence.
+    again = compaction_plan(
+        partition_manifest(spark, str(tmp_path / "out")), total // 4
+    ).collect()
+    assert all(r["n_files"] - r["target_n_files"] <= 3 for r in again)
+
+
+def test_compact_partitioned_keeps_hive_dirs(spark, tmp_path):
+    src = str(tmp_path / "src")
+    (
+        load_star_table(spark, SF_DIR, "orders")
+        .withColumn("status", F.col("o_orderstatus"))
+        .repartition(16)
+        .write.partitionBy("status")
+        .parquet(src)
+    )
+    before = partition_manifest(spark, src)
+    assert before.filter(F.col("n_files") > 1).count() > 0  # fan-out fragments
+    stats = compact_table(spark, src, str(tmp_path / "dst"),
+                          partition_by=("status",))
+    after = partition_manifest(spark, str(tmp_path / "dst"))
+    parts = {r["partition"] for r in after.collect()}
+    assert parts == {r["partition"] for r in before.collect()}
+    assert all("status=" in p for p in parts)
+    # one task per partition -> exactly one file each (tiny partitions)
+    assert after.filter(F.col("n_files") > 1).count() == 0
+    assert spark.read.parquet(str(tmp_path / "dst")).count() == stats["rows"]
+
+
+def test_compact_spread_by_bounds_task_size(spark, tmp_path):
+    """A 'huge' partition with a tiny records_per_file target must fan
+    out across salted tasks instead of funneling into one."""
+    src = str(tmp_path / "src")
+    df = spark.range(10_000).withColumn("pt", F.lit("a")).withColumn(
+        "payload", F.md5(F.col("id").cast("string"))
+    )
+    df.write.partitionBy("pt").parquet(src)
+    total = sum(f.bytes for f in list_data_files(spark, src))
+    stats = compact_table(
+        spark, src, str(tmp_path / "dst"), partition_by=("pt",),
+        target_file_bytes=max(total // 8, 1), spread_by="id",
+    )
+    assert stats["files_after"] >= 4  # salted into multiple writers
+    out = spark.read.parquet(str(tmp_path / "dst"))
+    assert out.count() == 10_000
+    assert out.select(F.countDistinct("id")).first()[0] == 10_000
+
+
+def _first_col_ranges(path, col):
+    out = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        out.append((lo, hi))
+    return out
+
+
+def test_range_sorted_write_prunes_on_footer_stats(spark, tmp_path):
+    path = str(tmp_path / "rs")
+    df = load_star_table(spark, SF_DIR, "orders")
+    write_range_sorted(df, path, ("o_totalprice",), n_files=8)
+    ranges = sorted(_first_col_ranges(path, "o_totalprice"))
+    assert len(ranges) == 8
+    # global range clustering: files' [min,max] boxes don't interleave
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
+    # a narrow band predicate could touch exactly one file by stats alone
+    lo, hi = ranges[3]
+    probe = (lo + hi) / 2
+    touched = sum(1 for (a, b) in ranges if a <= probe <= b)
+    assert touched == 1
+    assert spark.read.parquet(path).count() == df.count()
