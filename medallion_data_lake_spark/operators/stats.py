@@ -1,0 +1,196 @@
+"""ANALYZE-style table statistics and a stats-driven join planner.
+
+Catalyst's cost-based decisions (auto-broadcast, AQE skew splits) see
+only what the session knows: file sizes at planning time, runtime map
+output sizes under AQE. A lakehouse additionally wants PERSISTED table
+stats — computed once after a write, consulted by every later job —
+because plan-time file size is a poor proxy (a 10 GB parquet dim can be
+a 300 MB broadcast after projection, or a 100 GB explode after one).
+
+``collect_column_stats`` is one full-scan aggregation producing the
+classic ANALYZE vector per column: count / nulls / NDV (HLL-approx) /
+min / max / avg width. ``choose_join_strategy`` turns two stats rows
+into a join plan the way an optimizer's cost model does — broadcast
+under the threshold, salted when key skew is provable from stats
+(rows/NDV ratio), plain shuffle otherwise. ``stats_aware_join`` applies
+the choice with the repo's existing levers (``F.broadcast``,
+``functions.salted_join``).
+
+At 100 TB: the stats scan is one pass over the table (columnar, no
+shuffle — partial aggregates merge map-side) and is amortized over
+every subsequent query; this is exactly Spark's own
+``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` but as a DataFrame
+operator that works on bare paths (no metastore required) and persists
+to a parquet stats table the planner helpers read back.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Spark's own spark.sql.autoBroadcastJoinThreshold default.
+BROADCAST_BYTES_DEFAULT = 10 * 1024 * 1024
+# rows/NDV beyond this marks a provably hot key distribution; matches
+# the spirit of AQE's skewedPartitionFactor (median-multiple) test.
+SKEW_RATIO_DEFAULT = 64.0
+
+
+def collect_column_stats(
+    df: DataFrame,
+    columns: tuple[str, ...] | None = None,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One-pass ANALYZE: per-column count/nulls/NDV/min/max/avg width.
+
+    Single wide aggregation — every statistic is a partial-aggregatable
+    expression, so the whole vector costs one scan with map-side
+    combine, no shuffle of data rows (only the 1-row partials). NDV is
+    HyperLogLog++ (``approx_count_distinct``, rsd 5%) — the same sketch
+    ANALYZE uses; exact NDV would force a shuffle per column.
+
+    Returns one row per column: (column, n_rows, n_nulls, ndv, min, max,
+    avg_len) with min/max rendered as strings (schema-stable across
+    heterogeneous column types).
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c, rsd).alias(f"{c}__ndv"),
+            F.min(col.cast("string")).alias(f"{c}__min"),
+            F.max(col.cast("string")).alias(f"{c}__max"),
+            F.avg(F.length(col.cast("string"))).alias(f"{c}__len"),
+        ]
+    wide = df.agg(*aggs)
+    arms = []
+    for c in cols:
+        arms.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("ndv"),
+                F.col(f"{c}__min").alias("min"),
+                F.col(f"{c}__max").alias("max"),
+                F.round(F.col(f"{c}__len"), 2).alias("avg_len"),
+            )
+        )
+    return wide.select(F.explode(F.array(*arms)).alias("s")).select("s.*")
+
+
+def write_stats(stats: DataFrame, path: str, table: str) -> None:
+    """Persist a stats vector under the stats table path, tagged by
+    table name + collection time — the read side takes the latest."""
+    (
+        stats.withColumn("table", F.lit(table))
+        .withColumn("collected_at", F.current_timestamp())
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def read_latest_stats(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Latest stats vector for a table (newest collected_at wins)."""
+    from pyspark.sql import Window
+
+    all_stats = spark.read.parquet(path).filter(F.col("table") == table)
+    w = Window.partitionBy("column").orderBy(F.desc("collected_at"))
+    return (
+        all_stats.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
+@dataclass(frozen=True)
+class TableProfile:
+    """What the join planner needs about one side, derived from stats."""
+
+    n_rows: int
+    est_bytes: int  # n_rows x sum(avg_len) — in-plan width, not on-disk
+    key_ndv: int
+    key_skew_ratio: float  # n_rows / key_ndv (avg rows per key)
+
+
+def profile_from_stats(stats: DataFrame, key: str) -> TableProfile:
+    """Collapse a stats vector (small: one row per column) to a profile."""
+    rows = stats.collect()
+    by_col = {r["column"]: r for r in rows}
+    if key not in by_col:
+        raise ValueError(f"no stats row for join key {key!r}")
+    n = int(by_col[key]["n_rows"])
+    width = sum(float(r["avg_len"] or 0.0) for r in rows)
+    ndv = max(int(by_col[key]["ndv"]), 1)
+    return TableProfile(
+        n_rows=n,
+        est_bytes=int(n * width),
+        key_ndv=ndv,
+        key_skew_ratio=n / ndv,
+    )
+
+
+def choose_join_strategy(
+    left: TableProfile,
+    right: TableProfile,
+    broadcast_bytes: int = BROADCAST_BYTES_DEFAULT,
+    skew_ratio: float = SKEW_RATIO_DEFAULT,
+) -> str:
+    """The cost-model decision, smallest-hammer first:
+
+    - ``broadcast_right``/``broadcast_left``: either side's estimated
+      in-plan size fits the broadcast budget — no shuffle at all.
+      Estimated size uses row width AFTER projection, which is the
+      number plan-time file size gets wrong.
+    - ``salted``: both sides big AND the bigger side's key distribution
+      is provably hot (avg rows per key over ``skew_ratio``) while the
+      other side stays replicable. A hot key would stall one reducer
+      for the whole stage; salting fans it out deterministically.
+    - ``shuffle``: the default sort-merge/shuffled-hash path; AQE still
+      splits residual skew at runtime.
+    """
+    if right.est_bytes <= broadcast_bytes:
+        return "broadcast_right"
+    if left.est_bytes <= broadcast_bytes:
+        return "broadcast_left"
+    big, small = (left, right) if left.n_rows >= right.n_rows else (right, left)
+    if big.key_skew_ratio >= skew_ratio and small.est_bytes <= broadcast_bytes * 8:
+        return "salted"
+    return "shuffle"
+
+
+def stats_aware_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_stats: DataFrame,
+    right_stats: DataFrame,
+    how: str = "inner",
+    broadcast_bytes: int = BROADCAST_BYTES_DEFAULT,
+    skew_ratio: float = SKEW_RATIO_DEFAULT,
+) -> tuple[DataFrame, str]:
+    """Join with the strategy the stats call for; returns (df, strategy)
+    so callers/tests can audit the decision."""
+    from ..functions import salted_join
+
+    lp = profile_from_stats(left_stats, key)
+    rp = profile_from_stats(right_stats, key)
+    strategy = choose_join_strategy(lp, rp, broadcast_bytes, skew_ratio)
+    if strategy == "salted" and how != "inner":
+        # Salting swaps which side is exploded; under outer joins that
+        # changes semantics, and AQE's runtime skew split handles those.
+        strategy = "shuffle"
+    if strategy == "broadcast_right":
+        out = left.join(F.broadcast(right), key, how)
+    elif strategy == "broadcast_left":
+        out = F.broadcast(left).join(right, key, how)
+    elif strategy == "salted":
+        skewed, other = (left, right) if lp.n_rows >= rp.n_rows else (right, left)
+        out = salted_join(skewed, other, key, how=how)
+    else:
+        out = left.join(right, key, how)
+    return out, strategy

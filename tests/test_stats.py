@@ -1,0 +1,119 @@
+"""Column stats + stats-driven join planning.
+
+The stats vector is checked against exact ground truth (counts, nulls,
+min/max exact; NDV within the sketch's error band); the planner is
+checked both on its decisions (given crafted profiles) and on the
+executed plans it produces (broadcast hint visible, salted join result
+equal to the plain join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.catalog import load_star_table
+from medallion_data_lake_spark.operators.stats import (
+    TableProfile,
+    choose_join_strategy,
+    collect_column_stats,
+    profile_from_stats,
+    read_latest_stats,
+    stats_aware_join,
+    write_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def customer(spark):
+    return load_star_table(spark, SF_DIR, "customer")
+
+
+def test_stats_vector_matches_ground_truth(spark, customer):
+    stats = {r["column"]: r for r in collect_column_stats(customer).collect()}
+    n = customer.count()
+    assert set(stats) == set(customer.columns)
+    assert all(r["n_rows"] == n for r in stats.values())
+    exact_ndv = customer.select(F.countDistinct("c_nationkey")).first()[0]
+    assert abs(stats["c_nationkey"]["ndv"] - exact_ndv) <= max(1, 0.15 * exact_ndv)
+    assert stats["c_custkey"]["n_nulls"] == 0
+    # min/max are string-rendered but must reflect the true extremes
+    assert stats["c_nationkey"]["min"] == str(
+        customer.agg(F.min("c_nationkey")).first()[0]
+    )
+
+
+def test_stats_one_scan_no_shuffle(spark, customer):
+    plan = collect_column_stats(customer)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert "Exchange hashpartitioning" not in plan  # only the 1-row partial merge
+
+
+def test_stats_roundtrip_latest_wins(spark, customer, tmp_path):
+    path = str(tmp_path / "stats")
+    write_stats(collect_column_stats(customer), path, "customer")
+    write_stats(
+        collect_column_stats(customer.limit(10)), path, "customer"
+    )
+    latest = read_latest_stats(spark, path, "customer")
+    assert {r["n_rows"] for r in latest.collect()} == {10}  # newest snapshot
+
+
+def _prof(n_rows, est_bytes, ndv):
+    return TableProfile(n_rows=n_rows, est_bytes=est_bytes,
+                        key_ndv=ndv, key_skew_ratio=n_rows / ndv)
+
+
+def test_strategy_decisions():
+    dim = _prof(10_000, 1 << 20, 10_000)
+    fact = _prof(10**9, 1 << 40, 10**8)
+    hot_fact = _prof(10**9, 1 << 40, 100)  # 10M rows per key: provable skew
+    mid = _prof(10**6, 30 << 20, 10**6)  # too big to broadcast, replicable
+    assert choose_join_strategy(fact, dim) == "broadcast_right"
+    assert choose_join_strategy(dim, fact) == "broadcast_left"
+    assert choose_join_strategy(fact, mid) == "shuffle"
+    assert choose_join_strategy(hot_fact, mid) == "salted"
+    assert choose_join_strategy(hot_fact, dim) == "broadcast_right"  # smallest hammer
+
+
+def test_stats_aware_join_executes_choice(spark, customer):
+    nation = load_star_table(spark, SF_DIR, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    cs = collect_column_stats(customer)
+    ns = collect_column_stats(nation)
+    out, strategy = stats_aware_join(customer, nation, "c_nationkey", cs, ns)
+    assert strategy == "broadcast_right"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == customer.join(nation, "c_nationkey").count()
+
+
+def test_stats_aware_join_salted_equals_plain(spark):
+    # skewed fact: one hot key holding 80% of rows; forced thresholds
+    fact = spark.range(5_000).select(
+        F.when(F.col("id") % 5 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 5_000).select(F.col("id").alias("k"),
+                                       (F.col("id") * 2).alias("w"))
+    fs, ds = collect_column_stats(fact), collect_column_stats(dim)
+    # thresholds sized so neither ~50 KB side "fits" broadcast but the
+    # dim fits the 8x replication budget, and the hot key (5 rows/key
+    # avg vs uniform 1) trips the skew test
+    out, strategy = stats_aware_join(
+        fact, dim, "k", fs, ds, broadcast_bytes=10_000, skew_ratio=4.0
+    )
+    assert strategy == "salted"
+    plain = fact.join(dim, "k")
+    assert out.count() == plain.count()
+    assert (
+        out.agg(F.sum(F.col("v") + F.col("w"))).first()[0]
+        == plain.agg(F.sum(F.col("v") + F.col("w"))).first()[0]
+    )
+    # outer joins refuse the salt path (side swap changes semantics)
+    _, s2 = stats_aware_join(
+        fact, dim, "k", fs, ds, how="left", broadcast_bytes=1, skew_ratio=10.0
+    )
+    assert s2 == "shuffle"
