@@ -87,7 +87,15 @@ def _serve(ctx: StageContext) -> dict:
 def _quality(ctx: StageContext) -> dict:
     """Real checks, not the reference's print-only pass: every expected
     gold table exists and is non-empty, silver/bronze row counts agree
-    for payment (the reconcile invariant)."""
+    for payment (the reconcile invariant), and customer_summary honors
+    its declarative expectations contract (single-pass row checks +
+    key uniqueness — operators/expectations.py)."""
+    from .operators.expectations import (
+        custom,
+        not_null,
+        run_expectations,
+        unique,
+    )
     from .pipeline import reconcile
 
     problems: list[str] = []
@@ -103,6 +111,22 @@ def _quality(ctx: StageContext) -> dict:
     }
     if rec.get("bronze") != rec.get("silver"):
         problems.append(f"payment reconcile mismatch {rec}")
+    cs_path = os.path.join(ctx.gold_root, "customer_summary")
+    if os.path.isdir(cs_path):
+        from pyspark.sql import functions as F
+
+        report = run_expectations(
+            ctx.spark.read.parquet(cs_path),
+            [
+                not_null("customer_id"),
+                unique("customer_id"),
+                custom("non_negative_spend",
+                       F.coalesce(F.col("total_spent"), F.lit(0.0)) >= 0),
+            ],
+        )
+        if not report["passed"]:
+            bad = {k: v for k, v in report["checks"].items() if v}
+            problems.append(f"customer_summary expectations failed: {bad}")
     return {"status": "failed", "problems": problems} if problems else {"status": "ok"}
 
 
