@@ -318,12 +318,13 @@ class CurationConfig:
     stratum_col: str = "lang"
     chunk_tokens: int = 64   # context-window chunking of the curated docs
     chunk_stride: int = 48   # < chunk_tokens ⇒ overlapping windows
-    # model-tier stages (both off by default — the rule tier stands alone)
+    # model-tier stages (all off by default — the rule tier stands alone)
     min_model_quality: float = 0.5   # threshold when a quality_model is given
     semantic_threshold: float = 0.9  # cosine cutoff when embeddings are given
     semantic_cluster_size: int = 64
     embedding_id_col: str = "vec_id"
     embedding_col: str = "embedding"
+    max_perplexity: float | None = None  # LM head-cut when an lm is given
 
 
 def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
@@ -358,7 +359,7 @@ def quality_filter(docs: DataFrame, model, cfg: CurationConfig) -> DataFrame:
 def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   config: CurationConfig | None = None,
                   embeddings: DataFrame | None = None,
-                  quality_model=None) -> dict[str, DataFrame]:
+                  quality_model=None, lm=None) -> dict[str, DataFrame]:
     """Run the full curation pipeline; returns every stage's output
     (lazy) under stage names, with the packing manifest under
     ``"manifest"`` and the final curated documents under ``"curated"``.
@@ -378,6 +379,12 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
         cur = stages["semantic_deduped"] = semantic_dedup_docs(cur, embeddings, cfg)
     if quality_model is not None:
         cur = stages["quality_filtered"] = quality_filter(cur, quality_model, cfg)
+    if lm is not None and cfg.max_perplexity is not None:
+        from .lm import perplexity_filter
+
+        cur = stages["lm_filtered"] = perplexity_filter(
+            cur, lm, cfg.max_perplexity, cfg.id_col, cfg.text_col
+        ).drop("n_tokens", "avg_logp", "perplexity")
     if bench is not None:
         cur = stages["decontaminated"] = decontaminate(
             cur, bench, cfg.id_col, cfg.text_col, cfg.text_col,

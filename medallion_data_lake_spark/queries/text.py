@@ -247,3 +247,65 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("term"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM perplexity scoring (operators/lm.py — the CCNet/Gopher-style
+# perplexity-filter shape with an honest unigram model tier)
+# ---------------------------------------------------------------------------
+
+_LM_VOCAB = 20   # below the fixture's 31 distinct terms, so OOV is exercised
+_LM_ADD_K = 0.5
+
+@query(
+    "doc_unigram_logprob",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter({_SQL_TOKS}, t -> t <> '')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM counts),
+    vocab AS (
+      SELECT term, ln((c + {_LM_ADD_K}) / (n + {_LM_ADD_K} * (v + 1))) AS logp
+      FROM counts, tot
+      ORDER BY c DESC, term ASC
+      LIMIT {_LM_VOCAB}
+    ),
+    -- LEFT JOIN from documents re-admits empty docs as one NULL
+    -- pseudo-token (the Spark side's explode_outer does the same)
+    all_toks AS (
+      SELECT d.doc_id, t.term
+      FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {sql_stable_round(
+               f'AVG(COALESCE(vb.logp, (SELECT ln({_LM_ADD_K} / (n + {_LM_ADD_K} * (v + 1))) FROM tot)))',
+               4)} AS avg_logp
+    FROM all_toks a LEFT JOIN vocab vb ON a.term = vb.term
+    GROUP BY a.doc_id
+    """,
+    doc="Per-document average token log-probability under an add-k "
+        "unigram LM trained on the corpus itself (operators/lm.py — the "
+        "perplexity-filter shape of CCNet/Gopher with the model honestly "
+        "reduced to a unigram tier; a KenLM/neural scorer swaps into the "
+        "same bounded vocab-table join). Training is one two-stage count "
+        "agg; scoring is explode + LEFT broadcast-join on the top-V vocab "
+        "+ one per-doc shuffle. avg_logp only (not exp'd perplexity): "
+        "ln/exp differ in final ulps across engines, one transcendental "
+        "fewer keeps the 4-dp round stable.",
+    tags=("text", "curation"),
+    extra=True,  # LM tier of the driver-gated doc_quality_score family
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import score_documents, train_unigram_lm
+
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    lm = train_unigram_lm(d, vocab_size=_LM_VOCAB, add_k=_LM_ADD_K)
+    return score_documents(d, lm).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        stable_round(F.col("avg_logp"), 4).alias("avg_logp"),
+    )
