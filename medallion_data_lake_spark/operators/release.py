@@ -1,0 +1,149 @@
+"""Corpus release manifests: reproducibility receipts for a data drop.
+
+A training-data release is only trustworthy if it can be AUDITED: which
+pipeline config produced it, how many documents each stage admitted
+(the funnel), what exactly is in the final cut (counts + content
+checksum per stratum). This module produces that receipt as data, and
+re-verifies a corpus against it later — the "did anything change under
+us" question that precedes every training run.
+
+Scale shape: the stratum summary is one aggregation over the release
+(group by source×lang; counts, token totals, and an order-independent
+xxhash64/bit_xor content checksum — commutative, so partial aggregates
+merge map-side and no sort is needed). The funnel costs one count-job
+per stage the caller wants audited; counts over parquet are
+metadata-cheap. Verification re-runs the same single aggregation and
+diffs two tiny tables — the 100 TB corpus is scanned once, ever.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.text import tokens
+
+
+def config_fingerprint(config) -> str:
+    """Deterministic fingerprint of the pipeline configuration: md5 of
+    the sorted field map. Any knob change → new fingerprint → new
+    release identity (dataclasses, dicts, and repr-able values all
+    work)."""
+    if hasattr(config, "__dataclass_fields__"):
+        items = {
+            k: repr(getattr(config, k))
+            for k in sorted(config.__dataclass_fields__)
+        }
+    elif isinstance(config, dict):
+        items = {k: repr(v) for k, v in sorted(config.items())}
+    else:
+        items = {"repr": repr(config)}
+    return hashlib.md5(json.dumps(items, sort_keys=True).encode()).hexdigest()
+
+
+def stratum_summary(
+    docs: DataFrame,
+    strata: tuple[str, ...] = ("source", "lang"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum content receipt: doc/token counts and an
+    order-independent content checksum (bit_xor of xxhash64(id, text) —
+    commutative+associative, so it partial-aggregates and two equal
+    multisets ALWAYS collide; any changed/added/dropped row flips it
+    with probability 1 - 2^-64)."""
+    return docs.groupBy(*[F.col(c) for c in strata]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.filter(tokens(F.col(text_col)), lambda t: t != ""))
+        ).cast("long").alias("n_tokens"),
+        F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias(
+            "content_checksum"
+        ),
+    )
+
+
+def build_release_manifest(
+    stages: dict[str, DataFrame],
+    config,
+    release_name: str,
+    final_stage: str = "curated",
+    strata: tuple[str, ...] = ("source", "lang"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """The release receipt: funnel counts for every stage, the stratum
+    summary of the final cut, and the config fingerprint.
+
+    Plain dict (json-serializable except the summary rows, which come
+    as Row dicts) — persist with :func:`write_release_manifest`.
+    """
+    # shard-former outputs (packing manifest, chunk windows) are 1:N
+    # derivatives of the final cut, not document-funnel stages
+    funnel = {
+        name: df.count()
+        for name, df in stages.items()
+        if name not in ("manifest", "chunks") and id_col in df.columns
+    }
+    final = stages[final_stage]
+    summary = [
+        r.asDict()
+        for r in stratum_summary(final, strata, id_col, text_col)
+        .orderBy(*strata)
+        .collect()
+    ]
+    return {
+        "release": release_name,
+        "config_fingerprint": config_fingerprint(config),
+        "funnel": funnel,
+        "strata": list(strata),
+        "summary": summary,
+        "n_docs": sum(s["n_docs"] for s in summary),
+        "n_tokens": sum(s["n_tokens"] for s in summary),
+    }
+
+
+def write_release_manifest(manifest: dict, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True, default=str)
+
+
+def read_release_manifest(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def verify_release(
+    docs: DataFrame,
+    manifest: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Re-audit a corpus against its manifest. Returns
+    ``{"ok": bool, "problems": [...]}`` naming every stratum whose
+    counts or checksum drifted, plus strata added/removed. One scan."""
+    strata = tuple(manifest["strata"])
+    fresh = {
+        tuple(r[c] for c in strata): r.asDict()
+        for r in stratum_summary(docs, strata, id_col, text_col).collect()
+    }
+    recorded = {
+        tuple(s[c] for c in strata): s for s in manifest["summary"]
+    }
+    problems: list[str] = []
+    for key in sorted(set(recorded) - set(fresh)):
+        problems.append(f"stratum {key} missing from corpus")
+    for key in sorted(set(fresh) - set(recorded)):
+        problems.append(f"stratum {key} not in manifest")
+    for key in sorted(set(fresh) & set(recorded)):
+        a, b = recorded[key], fresh[key]
+        for fieldname in ("n_docs", "n_tokens", "content_checksum"):
+            if int(a[fieldname]) != int(b[fieldname]):
+                problems.append(
+                    f"stratum {key} {fieldname} drifted: "
+                    f"manifest {a[fieldname]} vs corpus {b[fieldname]}"
+                )
+    return {"ok": not problems, "problems": problems}
