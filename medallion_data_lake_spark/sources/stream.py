@@ -66,3 +66,57 @@ def run_silver_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_silver_stream_with_expectations(
+    spark: SparkSession,
+    bronze_path: str,
+    silver_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    rule: ConformRule,
+    expectations,
+) -> None:
+    """Expect-or-quarantine silver ingest (the DLT ``expect_or_drop``
+    pattern): each micro-batch is conformed, split by the declarative
+    expectations contract (operators/expectations.py), clean rows
+    appended to silver and violating rows — tagged with the checks they
+    failed — to a quarantine table for replay after a fix.
+
+    Exactly-once without a transactional sink: both writes go to a
+    ``_batch_id`` hive partition under dynamic partition overwrite, so
+    a retried batch REPLACES its own partition instead of appending
+    duplicates (same idempotence trick as streaming/corpus.py). The
+    split costs no extra scan — both sides reuse the one conformed
+    micro-batch plan.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.expectations import split_by_expectations
+
+    stream = conform_stream(read_bronze_stream(spark, bronze_path, rule.table), rule)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        clean, quarantine = split_by_expectations(batch, expectations)
+        (
+            clean.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(silver_path)
+        )
+        (
+            quarantine.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(quarantine_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

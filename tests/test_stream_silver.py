@@ -80,3 +80,56 @@ def test_schema_drift_tolerated(spark, tmp_path_factory):
     assert set(got) == {1, 2}
     assert got[1]["staff_id"] is None          # missing → null
     assert "loyalty_points" not in silver.columns  # extra → dropped by schema
+
+
+def test_expect_or_quarantine_stream(spark, tmp_path_factory):
+    """DLT-style expect_or_drop: violating rows land in quarantine with
+    the checks they failed; a retried/no-op rerun stays exactly-once."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_lake_spark.operators.expectations import (
+        in_range,
+        not_null,
+    )
+    from medallion_data_lake_spark.sources.stream import (
+        run_silver_stream_with_expectations,
+    )
+
+    bronze = tmp_path_factory.mktemp("qb") / "payment"
+    silver = tmp_path_factory.mktemp("qs") / "payment"
+    quar = tmp_path_factory.mktemp("qq") / "payment"
+    ck = tmp_path_factory.mktemp("qck")
+    bronze.mkdir()
+
+    contract_factory = lambda: [
+        not_null("customer_id"),
+        in_range("amount", 0.01, 100.0),  # the clamp leaves 0.0 -> violation
+    ]
+    (bronze / "b1.json").write_text(
+        "\n".join(
+            [_env("INSERT", "2024-01-01T00:00:00", _payment(i, 10.0 + i)) for i in range(4)]
+            + [_env("INSERT", "2024-01-01T00:00:00", _payment(9, -3.0))]  # clamps to 0.0
+        )
+    )
+    run_silver_stream_with_expectations(
+        spark, str(bronze), str(silver), str(quar), str(ck),
+        SAKILA_RULES["payment"], contract_factory(),
+    )
+    clean = spark.read.parquet(str(silver))
+    q = spark.read.parquet(str(quar))
+    assert clean.count() == 4 and q.count() == 1
+    bad = q.first()
+    assert bad["payment_id"] == 9
+    assert bad["_failed_expectations"] == ["in_range_amount"]
+
+    # second batch + rerun: only new rows processed, counts stay exact
+    (bronze / "b2.json").write_text(
+        _env("INSERT", "2024-01-02T00:00:00", _payment(20, 55.0))
+    )
+    run_silver_stream_with_expectations(
+        spark, str(bronze), str(silver), str(quar), str(ck),
+        SAKILA_RULES["payment"], contract_factory(),
+    )
+    assert spark.read.parquet(str(silver)).count() == 5
+    assert spark.read.parquet(str(quar)).count() == 1
+    assert spark.read.parquet(str(silver)).filter(F.col("_batch_id") == 1).count() == 1
