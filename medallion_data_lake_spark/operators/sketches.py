@@ -125,3 +125,115 @@ def distinct_rollup(
         level = hll_merge_to_grain(level, grain, keys)
         out[grain] = hll_estimate(level)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile rollups — mergeable percentiles (Spark 4 Datasketches KLL)
+# ---------------------------------------------------------------------------
+#
+# Exact percentiles are as unmergeable as exact distincts: a day's median
+# cannot come from 24 hourly medians. KLL sketches ARE mergeable with a
+# proven rank-error bound, so the same persist-partials / merge-up /
+# query-any-range pattern applies to latency/price/size distributions.
+
+def kll_partials(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    keys: list[str] | None = None,
+    grain: str = "hour",
+    k: int = 200,  # Datasketches default: ~1.65% rank error, ~KB-scale
+) -> DataFrame:
+    """Fine-grain KLL(double) partials — the persisted quantile state."""
+    keys = keys or []
+    bucket = F.date_trunc(grain, F.col(time_col)).alias("bucket_start")
+    return (
+        df.groupBy(bucket, *[F.col(k_) for k_ in keys])
+        .agg(
+            F.kll_sketch_agg_double(
+                F.col(value_col).cast("double"), F.lit(k)
+            ).alias("kll"),
+            F.count(F.col(value_col)).alias("n_rows"),
+        )
+    )
+
+
+def kll_merge_to_grain(
+    partials: DataFrame,
+    grain: str,
+    keys: list[str] | None = None,
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Merge quantile partials to a coarser grain — #buckets rows only."""
+    keys = keys or []
+    coarse = F.date_trunc(grain, F.col(bucket_col)).alias("bucket_start")
+    return (
+        partials.groupBy(coarse, *[F.col(k_) for k_ in keys])
+        .agg(
+            F.kll_merge_agg_double(F.col("kll")).alias("kll"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
+def kll_quantiles(
+    partials: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Read side: one column per requested quantile (sketch retained)."""
+    out = partials
+    for q in quantiles:
+        out = out.withColumn(
+            f"p{int(q * 100):02d}",
+            F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(float(q))),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Theta set-op rollups — distinct sets you can INTERSECT (HLL cannot)
+# ---------------------------------------------------------------------------
+#
+# HLL answers |A ∪ B| only; audience/retention questions need |A ∩ B|
+# ("users active in BOTH periods", "customers in segment A and B").
+# Theta sketches carry a sample of the set itself, so union, intersection
+# and difference all stay sketch-side — the fact is scanned once to build
+# per-segment partials and every cross-segment question is sketch algebra.
+
+def theta_partials(
+    df: DataFrame,
+    segment_cols: list[str],
+    distinct_col: str,
+) -> DataFrame:
+    """Per-segment theta sketch of ``distinct_col`` — the persisted
+    set state (one shuffle on the segment key, map-side partial merge)."""
+    return df.groupBy(*[F.col(c) for c in segment_cols]).agg(
+        F.theta_sketch_agg(F.col(distinct_col)).alias("theta"),
+        F.count(F.col(distinct_col)).alias("n_rows"),
+    )
+
+
+def theta_overlap(
+    partials: DataFrame,
+    segment_col: str,
+    seg_a,
+    seg_b,
+) -> DataFrame:
+    """|A|, |B|, |A ∪ B|, |A ∩ B|, |A \\ B| for two segments, computed
+    purely from stored sketches (a 2-row cross of KB-scale state)."""
+    a = partials.filter(F.col(segment_col) == seg_a).select(
+        F.col("theta").alias("ta")
+    )
+    b = partials.filter(F.col(segment_col) == seg_b).select(
+        F.col("theta").alias("tb")
+    )
+    return a.crossJoin(b).select(
+        F.theta_sketch_estimate(F.col("ta")).alias("n_a"),
+        F.theta_sketch_estimate(F.col("tb")).alias("n_b"),
+        F.theta_sketch_estimate(F.theta_union(F.col("ta"), F.col("tb"))).alias("n_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("ta"), F.col("tb"))
+        ).alias("n_intersection"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("ta"), F.col("tb"))
+        ).alias("n_a_only"),
+    )
