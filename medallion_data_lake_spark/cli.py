@@ -65,11 +65,23 @@ def _mount(spark, args) -> Catalog | None:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="medallion_data_lake_spark.cli")
-    ap.add_argument("verb", choices=["tables", "describe", "sql", "samples"])
-    ap.add_argument("arg", nargs="?", help="table name for describe / SQL text for sql")
+    ap.add_argument(
+        "verb",
+        choices=["tables", "describe", "sql", "samples", "analyze",
+                 "manifest", "compact"],
+    )
+    ap.add_argument(
+        "arg",
+        nargs="?",
+        help="table name for describe/analyze, SQL text for sql, "
+             "path for manifest/compact",
+    )
     ap.add_argument("--lake", default=os.environ.get("MDLS_LAKE_ROOT", "./lake"))
     ap.add_argument("--sf", help="mount the star fixtures from this dir instead of a lake")
     ap.add_argument("--limit", type=int, default=20)
+    ap.add_argument("--out", help="destination path for compact")
+    ap.add_argument("--target-file-mb", type=int, default=128,
+                    help="compaction target file size")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="mdls-cli")
@@ -99,6 +111,37 @@ def main(argv: list[str] | None = None) -> int:
         for name, sql in SAMPLES.items():
             print(f"\n=== {name} ===")
             spark.sql(sql).show(args.limit, truncate=False)
+    elif args.verb == "analyze":
+        if not args.arg:
+            print("analyze requires a table name", file=sys.stderr)
+            return 2
+        from .operators.stats import collect_column_stats
+
+        collect_column_stats(spark.table(args.arg)).show(100, truncate=False)
+    elif args.verb == "manifest":
+        if not args.arg:
+            print("manifest requires a path", file=sys.stderr)
+            return 2
+        from .operators.maintenance import compaction_plan, partition_manifest
+
+        m = partition_manifest(spark, args.arg)
+        m.orderBy("partition").show(args.limit, truncate=False)
+        plan = compaction_plan(m, args.target_file_mb * 1024 * 1024)
+        n = plan.count()
+        print(f"{n} partition(s) need compaction at {args.target_file_mb}MB target")
+        if n:
+            plan.show(args.limit, truncate=False)
+    elif args.verb == "compact":
+        if not args.arg or not args.out:
+            print("compact requires a source path and --out", file=sys.stderr)
+            return 2
+        from .operators.maintenance import compact_table
+
+        stats = compact_table(
+            spark, args.arg, args.out,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        )
+        print(json.dumps(stats))
     return 0
 
 

@@ -50,3 +50,32 @@ def test_cli_tables_lists_fixture_views(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "orders" in out and "lineitem" in out
+
+
+def test_cli_analyze_manifest_compact(capsys, spark, tmp_path):
+    """The lake-management verbs: analyze (column stats), manifest
+    (layout audit + compaction plan), compact (rewrite)."""
+    import json as _json
+
+    from medallion_data_lake_spark.catalog import load_star_table
+    from medallion_data_lake_spark.cli import main
+
+    rc = main(["analyze", "nation", "--sf", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "n_nationkey" in out and "ndv" in out
+
+    src = str(tmp_path / "frag")
+    load_star_table(spark, "/root/testdata/sf0.001", "orders").repartition(
+        16
+    ).write.parquet(src)
+    rc = main(["manifest", src, "--target-file-mb", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "1 partition(s) need compaction" in out
+
+    dst = str(tmp_path / "out")
+    rc = main(["compact", src, "--out", dst, "--target-file-mb", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    stats = _json.loads(out.strip().splitlines()[-1])
+    assert stats["files_before"] == 16 and stats["files_after"] == 1
+    assert spark.read.parquet(dst).count() == 1500
