@@ -194,3 +194,78 @@ def stats_aware_join(
     else:
         out = left.join(right, key, how)
     return out, strategy
+
+
+# ---------------------------------------------------------------------------
+# Mergeable stats — incremental ANALYZE for append-only tables
+# ---------------------------------------------------------------------------
+#
+# The scalar vector above is a snapshot: appending a batch invalidates it
+# and the whole table must rescan. Storing the NDV as an HLL SKETCH
+# (binary) instead of a number makes the stats row MERGEABLE: per-batch
+# (or per-partition) stats union into table stats without rescanning old
+# data — the same contract Delta/Iceberg keep per data file. count/nulls
+# add; min/max take extrema; avg_len recombines from (sum_len, count).
+
+def collect_mergeable_stats(
+    df: DataFrame,
+    columns: tuple[str, ...] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-column mergeable stats partials: (column, n_rows, n_nulls,
+    ndv_sketch (HLL binary), min, max, sum_len). One scan, no shuffle of
+    data rows — same plan shape as collect_column_stats."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.hll_sketch_agg(col.cast("string"), F.lit(lg_k)).alias(f"{c}__hll"),
+            F.min(col.cast("string")).alias(f"{c}__min"),
+            F.max(col.cast("string")).alias(f"{c}__max"),
+            F.sum(F.length(col.cast("string"))).alias(f"{c}__len"),
+        ]
+    wide = df.agg(*aggs)
+    arms = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__hll").alias("ndv_sketch"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__max").alias("max"),
+            F.col(f"{c}__len").alias("sum_len"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*arms)).alias("s")).select("s.*")
+
+
+def merge_stats_partials(*partials: DataFrame) -> DataFrame:
+    """Union any number of stats partials into one combined vector —
+    NO data rescan: counts add, sketches union, extrema take min/max.
+    Associative and commutative, so per-batch partials roll up in any
+    order (per-partition -> per-table, yesterday + today, etc.)."""
+    import functools
+
+    allp = functools.reduce(lambda a, b: a.unionByName(b), partials)
+    return allp.groupBy("column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nulls").alias("n_nulls"),
+        F.hll_union_agg(F.col("ndv_sketch")).alias("ndv_sketch"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.sum("sum_len").alias("sum_len"),
+    )
+
+
+def finalize_stats(partials: DataFrame) -> DataFrame:
+    """Render a mergeable partial as the scalar ANALYZE vector
+    (ndv estimated from the sketch, avg_len recombined)."""
+    return partials.select(
+        "column", "n_rows", "n_nulls",
+        F.hll_sketch_estimate(F.col("ndv_sketch")).alias("ndv"),
+        "min", "max",
+        F.round(F.col("sum_len") / F.greatest(F.col("n_rows") - F.col("n_nulls"), F.lit(1)), 2).alias("avg_len"),
+    )

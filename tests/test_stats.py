@@ -117,3 +117,37 @@ def test_stats_aware_join_salted_equals_plain(spark):
         fact, dim, "k", fs, ds, how="left", broadcast_bytes=1, skew_ratio=10.0
     )
     assert s2 == "shuffle"
+
+
+def test_mergeable_stats_equal_full_rescan(spark, customer):
+    """Per-batch partials merged == stats over the concatenated data —
+    the incremental-ANALYZE contract (append a batch, union its partial,
+    never rescan history)."""
+    from medallion_data_lake_spark.operators.stats import (
+        collect_mergeable_stats,
+        finalize_stats,
+        merge_stats_partials,
+    )
+
+    a = customer.filter(F.col("c_custkey") % 2 == 0)
+    b = customer.filter(F.col("c_custkey") % 2 == 1)
+    merged = finalize_stats(
+        merge_stats_partials(
+            collect_mergeable_stats(a), collect_mergeable_stats(b)
+        )
+    )
+    full = finalize_stats(collect_mergeable_stats(customer))
+    m = {r["column"]: r for r in merged.collect()}
+    f = {r["column"]: r for r in full.collect()}
+    assert set(m) == set(f)
+    for c in f:
+        assert m[c]["n_rows"] == f[c]["n_rows"]
+        assert m[c]["n_nulls"] == f[c]["n_nulls"]
+        assert m[c]["min"] == f[c]["min"] and m[c]["max"] == f[c]["max"]
+        # HLL union is exact-identical to single-pass sketching only up
+        # to register merge; estimates agree within the sketch error
+        assert m[c]["ndv"] == pytest.approx(f[c]["ndv"], rel=0.05)
+        assert m[c]["avg_len"] == pytest.approx(f[c]["avg_len"], abs=0.05)
+    # and the estimate itself tracks ground truth
+    exact = customer.select(F.countDistinct("c_custkey")).first()[0]
+    assert m["c_custkey"]["ndv"] == pytest.approx(exact, rel=0.05)
