@@ -307,3 +307,123 @@ def events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_hourly_buckets"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered-stage conversion over the event stream
+# ---------------------------------------------------------------------------
+
+@query(
+    "signup_view_purchase_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_signup_then_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel
+    """,
+    doc="Ordered-stage funnel: users who signed up, then viewed AFTER "
+        "the signup, then purchased AFTER that view — the product-"
+        "analytics conversion query. Each stage is a keyed min-timestamp "
+        "aggregation joined to the previous stage's frontier (strictly "
+        "ordered, not mere co-occurrence). Three aggs + two joins, all "
+        "keyed on user_id — one partitioning reused throughout; at scale "
+        "every stage's frontier table is |converted users| rows, "
+        "shrinking monotonically down the funnel.",
+    tags=("streaming",),
+    extra=True,  # events-analytics variant; family driver-verified via
+                 # sessionization/as-of/rollup queries
+)
+def signup_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_signup_then_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: signup-week cohort × weeks-since activity matrix
+# ---------------------------------------------------------------------------
+
+@query(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', e.ts)) AS BIGINT) AS weeks_since
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, weeks_since
+    """,
+    doc="Retention matrix: users bucketed by first-seen week (cohort), "
+        "counted once per (cohort, weeks-since-first) they were active — "
+        "the churn/retention curve per cohort. One agg for the cohort "
+        "frontier, a keyed join back, and a distinct-per-cell count that "
+        "Catalyst plans as two-stage aggregation on (cohort, week, user) "
+        "— both shuffles on user_id or the small cohort grid, fact "
+        "scanned twice (frontier + activity); at scale the frontier "
+        "table persists and only the activity pass reruns per refresh.",
+    tags=("streaming",),
+    extra=True,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")),
+                           F.col("cohort_week")) / 7
+            ).cast("long").alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
