@@ -269,3 +269,18 @@ def finalize_stats(partials: DataFrame) -> DataFrame:
         "min", "max",
         F.round(F.col("sum_len") / F.greatest(F.col("n_rows") - F.col("n_nulls"), F.lit(1)), 2).alias("avg_len"),
     )
+
+
+def estimate_join_rows(left: TableProfile, right: TableProfile) -> int:
+    """System R equi-join cardinality estimate:
+    |L ⋈ R| ≈ |L|·|R| / max(ndv_L, ndv_R).
+
+    The containment assumption (smaller key domain ⊆ larger) that every
+    classical optimizer uses; with mergeable stats the NDVs come from
+    persisted sketches, so the estimate costs no scan. Use before
+    materializing an unfamiliar join: an estimate far above both input
+    sizes predicts a fan-out (duplicate keys both sides) that deserves
+    pre-aggregation instead."""
+    return int(
+        left.n_rows * right.n_rows / max(left.key_ndv, right.key_ndv, 1)
+    )

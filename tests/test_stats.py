@@ -151,3 +151,26 @@ def test_mergeable_stats_equal_full_rescan(spark, customer):
     # and the estimate itself tracks ground truth
     exact = customer.select(F.countDistinct("c_custkey")).first()[0]
     assert m["c_custkey"]["ndv"] == pytest.approx(exact, rel=0.05)
+
+
+def test_join_cardinality_estimate(spark, customer):
+    from medallion_data_lake_spark.operators.stats import (
+        estimate_join_rows,
+        profile_from_stats,
+    )
+
+    orders = load_star_table(spark, SF_DIR, "orders")
+    cp = profile_from_stats(collect_column_stats(customer), "c_custkey")
+    op = profile_from_stats(
+        collect_column_stats(orders.withColumnRenamed("o_custkey", "c_custkey")),
+        "c_custkey",
+    )
+    est = estimate_join_rows(cp, op)
+    actual = customer.join(
+        orders, customer.c_custkey == orders.o_custkey
+    ).count()
+    # FK join: estimate should land within sketch error of the fact size
+    assert actual * 0.8 <= est <= actual * 1.2
+    # fan-out detection: joining orders to itself on custkey explodes
+    self_est = estimate_join_rows(op, op)
+    assert self_est > op.n_rows * 5
