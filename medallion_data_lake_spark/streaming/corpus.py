@@ -148,3 +148,206 @@ def run_incremental_corpus_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch NEAR-dup admission (LSH band ledger + signature verification)
+# ---------------------------------------------------------------------------
+#
+# The fingerprint ledger above only stops byte-identical content. Crawl
+# re-deliveries are usually NEAR-identical (boilerplate drift, ads), so
+# the production ingester also keeps a BAND LEDGER: per admitted doc, its
+# LSH band keys plus its full minhash signature (N_MINHASH longs,
+# ~100 B/doc — still corpus-free). A new doc is a near-dup candidate iff
+# one of its band keys collides with the ledger (hash join on the band
+# key); the candidate is then VERIFIED from signatures alone
+# (estimated Jaccard = fraction of agreeing minhash components), so band
+# false-positives don't silently drop unique content and the historical
+# corpus text is never re-read. Same idempotence mechanism: the band
+# ledger is batch-id partitioned, replays exclude their own partial rows.
+
+
+def _signature_bands(docs: DataFrame, production: bool = True) -> DataFrame:
+    """(doc_id, sig array<long>, band, bkey) — one row per band per doc."""
+    from ..queries.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND, signatures
+
+    sigs = signatures(docs, production=production).select(
+        "doc_id",
+        F.array(*[F.col(f"mh{j}") for j in range(N_MINHASH)]).alias("sig"),
+    )
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.element_at("sig", b * ROWS_PER_BAND + r + 1).cast("string")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.bkey")
+
+
+def _est_jaccard(sig_a, sig_b) -> F.Column:
+    from ..queries.dedup import N_MINHASH
+
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return agree / F.lit(float(N_MINHASH))
+
+
+def near_dedup_against_ledger(
+    batch_docs: DataFrame,
+    batch_id: int,
+    band_ledger_dir: str,
+    min_est_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a batch into (admitted, band_rows_to_append).
+
+    Within-batch near-dups resolve to the min-id winner (band collision
+    + signature verification); survivors whose signatures verify against
+    any historical ledger row are dropped. Returns the admitted docs
+    (original columns) and their band rows for the ledger append.
+    """
+    spark = batch_docs.sparkSession
+    bands = _signature_bands(batch_docs)
+
+    # in-batch: candidate pairs via band collision, verified by est
+    # Jaccard, greedy min-id winner (drop the larger id of each pair)
+    a, b = bands.alias("a"), bands.alias("b")
+    losers = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(_est_jaccard(F.col("a.sig"), F.col("b.sig")) >= min_est_jaccard)
+        .select(F.col("b.doc_id").alias(id_col))
+        .distinct()
+    )
+    survivors = bands.join(losers, bands.doc_id == losers[id_col], "left_anti")
+
+    if os.path.isdir(band_ledger_dir):
+        hist = (
+            spark.read.parquet(band_ledger_dir)
+            .filter(F.col("_batch_id") != F.lit(batch_id))
+            .select(F.col("band").alias("h_band"), F.col("bkey").alias("h_bkey"),
+                    F.col("sig").alias("h_sig"))
+        )
+        hist_hits = (
+            survivors.join(
+                hist,
+                (survivors.band == hist.h_band) & (survivors.bkey == hist.h_bkey),
+            )
+            .filter(_est_jaccard(F.col("sig"), F.col("h_sig")) >= min_est_jaccard)
+            .select("doc_id")
+            .distinct()
+        )
+        survivors = survivors.join(hist_hits, "doc_id", "left_anti")
+
+    admitted_ids = survivors.select("doc_id").distinct()
+    admitted = batch_docs.join(admitted_ids, "doc_id")
+    band_rows = survivors.select("doc_id", "sig", "band", "bkey")
+    return admitted, band_rows
+
+
+def admit_batch_near(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    ledger_dir: str,
+    band_ledger_dir: str,
+    min_est_jaccard: float = 0.5,
+) -> None:
+    """admit_batch + the near-dup band-ledger stage: exact fingerprint
+    dedup first (cheapest, shrinks the LSH input), then band-collision +
+    signature-verified near-dup against all history."""
+    spark = batch_df.sparkSession
+    fp = (
+        batch_df.withColumn("fingerprint", content_fingerprint())
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("fingerprint").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if os.path.isdir(ledger_dir):
+        seen = (
+            spark.read.parquet(ledger_dir)
+            .filter(F.col("_batch_id") != F.lit(batch_id))
+            .select("fingerprint")
+        )
+        fp = fp.join(seen, "fingerprint", "left_anti")
+
+    admitted, band_rows = near_dedup_against_ledger(
+        fp.drop("fingerprint"), batch_id, band_ledger_dir, min_est_jaccard
+    )
+    # re-derive fingerprints for the admitted set's exact-ledger rows
+    admitted = admitted.withColumn("fingerprint", content_fingerprint())
+    stamped = admitted.withColumn("_batch_id", F.lit(batch_id))
+    (
+        stamped.drop("fingerprint")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(corpus_dir)
+    )
+    (
+        stamped.select("fingerprint", "_batch_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(ledger_dir)
+    )
+    (
+        band_rows.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(band_ledger_dir)
+    )
+
+
+def run_incremental_corpus_ingest_near(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_dir: str,
+    ledger_dir: str,
+    band_ledger_dir: str,
+    checkpoint_dir: str,
+    min_est_jaccard: float = 0.5,
+    available_now: bool = True,
+):
+    """The near-dup-aware ingester: exact + LSH admission control per
+    micro-batch, all ledgers batch-id partitioned for idempotent replay."""
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "64")
+        .json(input_dir)
+    )
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: admit_batch_near(
+            df, bid, corpus_dir, ledger_dir, band_ledger_dir, min_est_jaccard
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
