@@ -118,3 +118,84 @@ def test_derived_table_maintenance_idempotent(spark, rows):
     once = maintain_derived_table(derived, collapsed, "customer_id", cols)
     twice = maintain_derived_table(once, collapsed, "customer_id", cols)
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# ---------------------------------------------------------------------------
+# 4. Expectations: split and metrics must agree on ANY data; the split
+#    is a partition of the input (clean ∪ quarantine == input, disjoint).
+# ---------------------------------------------------------------------------
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),                    # id
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                       allow_nan=False)),          # amount
+        st.one_of(st.none(), st.sampled_from(["A", "B", "C"])),    # status
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_rows)
+def test_expectations_split_partitions_input(spark, rows):
+    from medallion_data_lake_spark.operators.expectations import (
+        in_range,
+        in_set,
+        not_null,
+        run_expectations,
+        split_by_expectations,
+    )
+
+    df = spark.createDataFrame(rows, "id long, amount double, status string")
+    contract = [
+        not_null("amount"),
+        in_range("amount", 0.0, 50.0),
+        in_set("status", ["A", "B"]),
+    ]
+    clean, quarantine = split_by_expectations(df, contract)
+    n_clean, n_quar = clean.count(), quarantine.count()
+    assert n_clean + n_quar == len(rows)
+    # metrics gate agrees with the split: zero violations <=> empty quarantine
+    report = run_expectations(df, contract)
+    assert report["passed"] == (n_quar == 0)
+    # every quarantined row names at least one failed check; clean rows,
+    # re-checked, violate nothing
+    assert quarantine.filter(F.size("_failed_expectations") == 0).count() == 0
+    if n_clean:
+        re_report = run_expectations(clean, contract)
+        assert re_report["passed"] is True
+
+
+# ---------------------------------------------------------------------------
+# 5. Schema evolution: add/widen drift always conforms losslessly --
+#    values survive the widening cast and added columns are null.
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.tuples(st.integers(min_value=-(2**31) + 1, max_value=2**31 - 1),
+                            st.floats(width=32, allow_nan=False,
+                                      allow_infinity=False)),
+                  min_size=1, max_size=10),
+)
+def test_evolution_widening_is_lossless(spark, vals):
+    from pyspark.sql import types as T
+
+    from medallion_data_lake_spark.operators.evolution import evolve_to_schema
+
+    batch = spark.createDataFrame(vals, "a int, b float")
+    target = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.DoubleType()),
+        T.StructField("c", T.StringType()),
+    ])
+    out = evolve_to_schema(batch, target)
+    got = [(r["a"], r["b"], r["c"]) for r in out.orderBy("a", "b").collect()]
+    want = sorted((a, float(b), None) for a, b in vals)
+    for (ga, gb, gc), (wa, wb, wc) in zip(got, want):
+        assert ga == wa and gc is wc is None
+        assert gb == pytest.approx(wb, rel=1e-6)
