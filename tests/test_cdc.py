@@ -162,3 +162,54 @@ def test_maintain_derived_table_trigger_semantics(spark):
         "3": ("ADDED", "added desc"),     # ins_film
     }                                      # "2" gone: del_film
     assert out.columns == ["film_id", "title", "description"]  # projection only
+
+
+def test_apply_changes_versioned_time_travel(spark, tmp_path):
+    """MERGE into the versioned table: every applied batch is one atomic
+    commit; pre-merge states stay readable; rollback undoes a bad batch
+    without data movement."""
+    from medallion_data_lake_spark.operators.versioned import (
+        history,
+        read_table,
+        rollback,
+    )
+    from medallion_data_lake_spark.sources.cdc import apply_changes_versioned
+
+    path = str(tmp_path / "customer_versioned")
+
+    def env(op, ts, cid, email):
+        return {"operation": op, "timestamp": ts,
+                "data": {"customer_id": cid, "email": email}}
+
+    schema = (
+        "operation string, timestamp string, "
+        "data struct<customer_id: long, email: string>"
+    )
+    from pyspark.sql import functions as F
+
+    def with_ts(df):  # parse_envelopes normally derives change_ts
+        return df.withColumn("change_ts", F.to_timestamp("timestamp"))
+
+    b1 = with_ts(spark.createDataFrame(
+        [env("INSERT", "2024-01-01T00:00:00", 1, "a@x.com"),
+         env("INSERT", "2024-01-01T00:00:01", 2, "b@x.com")], schema))
+    e1 = apply_changes_versioned(spark, path, b1, "customer_id")
+    assert e1["version"] == 0
+    assert read_table(spark, path).count() == 2
+
+    b2 = with_ts(spark.createDataFrame(
+        [env("UPDATE", "2024-01-02T00:00:00", 1, "a2@x.com"),
+         env("DELETE", "2024-01-02T00:00:01", 2, None),
+         env("INSERT", "2024-01-02T00:00:02", 3, "c@x.com")], schema))
+    e2 = apply_changes_versioned(spark, path, b2, "customer_id")
+    assert e2["version"] == 1
+    now = {r["customer_id"]: r["email"] for r in read_table(spark, path).collect()}
+    assert now == {1: "a2@x.com", 3: "c@x.com"}
+    # pre-merge state still time-travelable
+    was = {r["customer_id"]: r["email"]
+           for r in read_table(spark, path, version=0).collect()}
+    assert was == {1: "a@x.com", 2: "b@x.com"}
+    # bad batch? rollback is metadata-only and auditable
+    rollback(spark, path, to_version=0)
+    assert read_table(spark, path).count() == 2
+    assert [h["version"] for h in history(path)] == [0, 1, 2]
