@@ -19,9 +19,9 @@ anti-join keyed on fingerprint. The ledger is (md5, long) — ~40 B/doc,
 so a 100-billion-doc history is a few TB of parquet, shuffled only on
 its compact key. Production upgrades, same plan: bucket the ledger by
 fingerprint (zero-shuffle anti-join), or Delta + bloom-filter data
-skipping. Near-dup admission control composes the same way: run
-``queries.dedup.signatures`` on admitted docs and LSH them against a
-signature ledger.
+skipping. Near-dup admission control composes the same way and is
+implemented below (``admit_batch_near``): an LSH band ledger plus
+signature-level verification, corpus-free.
 
 The reference has no incremental ingestion at all (its loads are
 overwrite-the-world batch — ``bronze_to_silver.py``); this is the
