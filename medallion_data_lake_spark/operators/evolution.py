@@ -59,6 +59,11 @@ def diff_schemas(batch: T.StructType, target: T.StructType) -> dict:
             out["add"].append(name)
         elif b[name] == tt:
             out["same"].append(name)
+        elif tt == "string" and not b[name].startswith(("array", "map", "struct")):
+            # ANY atomic type renders to string losslessly (parameterized
+            # types like decimal(10,2) included — simpleString carries
+            # the params, so a set lookup can't cover them)
+            out["widen"].append(name)
         elif b[name] in _WIDENINGS.get(tt, set()):
             out["widen"].append(name)
         else:

@@ -158,3 +158,14 @@ def test_strict_refuses_extras(spark):
         evolve_to_schema(batch, TARGET, strict=True)
     out = evolve_to_schema(batch, TARGET)  # default: project extras away
     assert out.columns == ["id", "amount", "note"]
+
+
+def test_parameterized_types_widen_to_string(spark):
+    target = T.StructType([T.StructField("d", T.StringType())])
+    batch = spark.createDataFrame([(1,)], "x int").select(
+        F.col("x").cast("decimal(10,2)").alias("d")
+    )
+    d = diff_schemas(batch.schema, target)
+    assert d["widen"] == ["d"] and d["narrow"] == []
+    out = evolve_to_schema(batch, target)
+    assert out.first()["d"] == "1.00"
