@@ -1,0 +1,91 @@
+"""Incremental rollup maintenance: streamed refreshes must equal the
+batch recompute, cost view+delta (not history), and stay auditable
+through the versioned log."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.operators.incremental import (
+    merge_additive,
+    run_incremental_rollup,
+)
+from medallion_data_lake_spark.operators.versioned import history, read_table
+
+
+def test_merge_additive_math(spark):
+    cur = spark.createDataFrame(
+        [("a", 10, 2), ("b", 5, 1)], "k string, revenue long, n long"
+    )
+    delta = spark.createDataFrame(
+        [("b", 7, 3), ("c", 1, 1)], "k string, revenue long, n long"
+    )
+    out = {
+        r["k"]: (r["revenue"], r["n"])
+        for r in merge_additive(cur, delta, ["k"], ["revenue", "n"]).collect()
+    }
+    assert out == {"a": (10, 2), "b": (12, 4), "c": (1, 1)}
+    # bootstrap
+    boot = merge_additive(None, delta, ["k"], ["revenue", "n"])
+    assert boot.count() == 2
+
+
+def _write_events(path, name, rows):
+    with open(os.path.join(path, name), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+
+def test_streamed_view_equals_batch_recompute(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    view = str(tmp_path / "view")
+    ck = str(tmp_path / "ck")
+
+    def ev(i, day, v):
+        return {"event_id": i, "day": day, "value": v}
+
+    batch1 = [ev(1, "2024-01-01", 10.0), ev(2, "2024-01-01", 5.0),
+              ev(3, "2024-01-02", 2.0)]
+    batch2 = [ev(4, "2024-01-02", 8.0), ev(5, "2024-01-03", 1.0)]
+
+    schema = "event_id long, day string, value double"
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).json(inp)
+        run_incremental_rollup(
+            spark, stream, view, ck,
+            grain_exprs={"day": F.col("day")},
+            metric_exprs={"revenue": F.sum("value"),
+                          "n_events": F.count(F.lit(1))},
+        )
+
+    _write_events(inp, "b1.json", batch1)
+    run()
+    v1 = {r["day"]: r["revenue"] for r in read_table(spark, view).collect()}
+    assert v1 == {"2024-01-01": 15.0, "2024-01-02": 2.0}
+
+    _write_events(inp, "b2.json", batch2)
+    run()
+    got = {
+        r["day"]: (r["revenue"], r["n_events"])
+        for r in read_table(spark, view).collect()
+    }
+    # equals the from-scratch batch recompute over all events
+    all_df = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        r["day"]: (r["revenue"], r["n_events"])
+        for r in all_df.groupBy("day")
+        .agg(F.sum("value").alias("revenue"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
+    # every refresh is an auditable atomic commit; old views time-travel
+    assert len(history(view)) >= 2
+    assert {r["day"] for r in read_table(spark, view, version=0).collect()} == {
+        "2024-01-01", "2024-01-02",
+    }
