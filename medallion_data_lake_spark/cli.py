@@ -68,13 +68,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "verb",
         choices=["tables", "describe", "sql", "samples", "analyze",
-                 "manifest", "compact"],
+                 "manifest", "compact", "history"],
     )
     ap.add_argument(
         "arg",
         nargs="?",
         help="table name for describe/analyze, SQL text for sql, "
-             "path for manifest/compact",
+             "path for manifest/compact/history",
     )
     ap.add_argument("--lake", default=os.environ.get("MDLS_LAKE_ROOT", "./lake"))
     ap.add_argument("--sf", help="mount the star fixtures from this dir instead of a lake")
@@ -142,6 +142,13 @@ def main(argv: list[str] | None = None) -> int:
             target_file_bytes=args.target_file_mb * 1024 * 1024,
         )
         print(json.dumps(stats))
+    elif args.verb == "history":
+        if not args.arg:
+            print("history requires a versioned-table path", file=sys.stderr)
+            return 2
+        from .operators.versioned import history as vhistory
+
+        print(json.dumps(vhistory(args.arg), indent=2))
     return 0
 
 

@@ -186,3 +186,65 @@ def test_theta_overlap_matches_exact_set_algebra(spark):
     assert est["n_union"] == pytest.approx(len(a | b), rel=0.05)
     assert est["n_intersection"] == pytest.approx(len(a & b), rel=0.08)
     assert est["n_a_only"] == pytest.approx(len(a - b), rel=0.08)
+
+
+def test_kll_and_theta_incremental_ingest(spark):
+    """The merge contract extends to the other sketch algebras: two
+    ingest batches' partials merged == sketching the concatenated input
+    (the same duplicate-safe incremental property the HLL rollup
+    asserts)."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_lake_spark.catalog import load_star_table
+    from medallion_data_lake_spark.operators.sketches import (
+        kll_merge_to_grain,
+        kll_partials,
+        kll_quantiles,
+        theta_overlap,
+        theta_partials,
+    )
+
+    orders = load_star_table(spark, SF, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    # KLL: per-batch day partials unioned, then merged to month ==
+    # month partials straight from all rows (within rank-error of the
+    # same estimate; compare derived medians loosely)
+    inc = kll_merge_to_grain(
+        kll_partials(a, "o_orderdate", "o_totalprice", grain="day").unionByName(
+            kll_partials(b, "o_orderdate", "o_totalprice", grain="day")
+        ),
+        "month",
+    )
+    direct = kll_merge_to_grain(
+        kll_partials(orders, "o_orderdate", "o_totalprice", grain="day"), "month"
+    )
+    inc_p50 = {r["bucket_start"]: r["p50"]
+               for r in kll_quantiles(inc, (0.5,)).collect()}
+    dir_p50 = {r["bucket_start"]: r["p50"]
+               for r in kll_quantiles(direct, (0.5,)).collect()}
+    assert set(inc_p50) == set(dir_p50)
+    for k in dir_p50:
+        assert inc_p50[k] == pytest.approx(dir_p50[k], rel=0.10)
+    # row counts merge exactly
+    assert (
+        inc.agg(F.sum("n_rows")).first()[0]
+        == direct.agg(F.sum("n_rows")).first()[0]
+        == orders.count()
+    )
+
+    # theta: per-batch segment partials unioned == direct (estimates at
+    # fixture scale are exact, so overlap numbers must agree closely)
+    tp_inc = (
+        theta_partials(a, ["o_orderstatus"], "o_custkey")
+        .unionByName(theta_partials(b, ["o_orderstatus"], "o_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.theta_union_agg(F.col("theta")).alias("theta"),
+             F.sum("n_rows").alias("n_rows"))
+    )
+    tp_dir = theta_partials(orders, ["o_orderstatus"], "o_custkey")
+    e_inc = theta_overlap(tp_inc, "o_orderstatus", "F", "O").first()
+    e_dir = theta_overlap(tp_dir, "o_orderstatus", "F", "O").first()
+    for f in ("n_a", "n_b", "n_union", "n_intersection"):
+        assert e_inc[f] == pytest.approx(e_dir[f], rel=0.05)
