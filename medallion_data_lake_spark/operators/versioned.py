@@ -35,6 +35,7 @@ LogStore abstracts.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 import uuid
@@ -211,3 +212,57 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         if os.path.exists(full):
             os.remove(full)
     return doomed
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Delta-OPTIMIZE semantics: rewrite the CURRENT live set into
+    target-sized files and publish the compacted layout as one atomic
+    commit (adds the new files, removes the fragmented ones). History is
+    untouched — older versions still resolve to the original files until
+    ``vacuum`` reclaims them. Readers never see a half-compacted table:
+    the swap is the log entry.
+
+    Returns the commit entry plus before/after file counts. Sizing uses
+    on-disk bytes-per-row like ``maintenance.compact_table``.
+    """
+    entries = _entries(path)
+    live = _live_files(entries)
+    if not live:
+        raise ValueError(f"nothing to optimize at {path}")
+    full = [os.path.join(path, f) for f in live]
+    total_bytes = sum(os.path.getsize(f) for f in full if os.path.exists(f))
+    df = spark.read.parquet(*full)
+    rows = df.count()
+    bytes_per_row = max(total_bytes / max(rows, 1), 1e-6)
+    records_per_file = max(int(target_file_bytes / bytes_per_row), 1)
+    n_out = max(math.ceil(total_bytes / target_file_bytes), 1)
+
+    commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
+    data_path = os.path.join(path, "data", commit_dir)
+    (
+        df.repartition(n_out)
+        .write.mode("error")
+        .option("maxRecordsPerFile", records_per_file)
+        .parquet(data_path)
+    )
+    added = sorted(
+        os.path.join("data", commit_dir, f)
+        for f in os.listdir(data_path)
+        if f.endswith(".parquet")
+    )
+    version = entries[-1]["version"] + 1
+    entry = {
+        "version": version,
+        "timestamp": time.time(),
+        "mode": "optimize",
+        "added": added,
+        "removed": live,
+        "operation": f"OPTIMIZE({len(live)}->{len(added)})",
+    }
+    with open(os.path.join(_log_dir(path), f"{version:020d}.json"), "x") as fh:
+        json.dump(entry, fh)
+    return {**entry, "files_before": len(live), "files_after": len(added)}

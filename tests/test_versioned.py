@@ -105,3 +105,27 @@ def test_empty_overwrite_keeps_schema(spark, tmp_path):
     out = read_table(spark, path)
     assert out.count() == 0
     assert out.columns == ["id", "tag"]
+
+
+def test_optimize_compacts_live_set_atomically(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # many small commits -> fragmented live set
+    for i in range(6):
+        commit(_df(spark, i * 10, i * 10 + 10, f"b{i}"), path)
+    from medallion_data_lake_spark.operators.versioned import optimize_table
+
+    before = read_table(spark, path)
+    n_before = before.count()
+    stats = optimize_table(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_after"] < stats["files_before"]
+    after = read_table(spark, path)
+    assert after.count() == n_before
+    assert (
+        after.agg(F.sum("id")).first()[0] == before.agg(F.sum("id")).first()[0]
+    )
+    # pre-optimize version still resolves to the original files
+    assert read_table(spark, path, version=5).count() == n_before
+    assert history(path)[-1]["operation"].startswith("OPTIMIZE(")
+    # vacuum now reclaims the fragmented files; optimized snapshot survives
+    vacuum(path, keep_last=1)
+    assert read_table(spark, path).count() == n_before
