@@ -174,3 +174,30 @@ def test_join_cardinality_estimate(spark, customer):
     # fan-out detection: joining orders to itself on custkey explodes
     self_est = estimate_join_rows(op, op)
     assert self_est > op.n_rows * 5
+
+
+def test_mergeable_partials_persist_roundtrip(spark, customer, tmp_path):
+    """The incremental-ANALYZE ledger is only real if partials survive
+    storage: write a batch's partials (binary HLL column included) to
+    parquet, read them back, merge with a fresh batch, finalize."""
+    from medallion_data_lake_spark.operators.stats import (
+        collect_mergeable_stats,
+        finalize_stats,
+        merge_stats_partials,
+    )
+
+    a = customer.filter(F.col("c_custkey") % 2 == 0)
+    b = customer.filter(F.col("c_custkey") % 2 == 1)
+    ledger = str(tmp_path / "stats_ledger")
+    collect_mergeable_stats(a).write.parquet(ledger)
+
+    stored = spark.read.parquet(ledger)
+    merged = finalize_stats(
+        merge_stats_partials(stored, collect_mergeable_stats(b))
+    )
+    full = finalize_stats(collect_mergeable_stats(customer))
+    m = {r["column"]: r for r in merged.collect()}
+    f = {r["column"]: r for r in full.collect()}
+    for c in f:
+        assert m[c]["n_rows"] == f[c]["n_rows"]
+        assert m[c]["ndv"] == pytest.approx(f[c]["ndv"], rel=0.05)
