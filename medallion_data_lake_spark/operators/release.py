@@ -55,10 +55,14 @@ def stratum_summary(
     commutative+associative, so it partial-aggregates and two equal
     multisets ALWAYS collide; any changed/added/dropped row flips it
     with probability 1 - 2^-64)."""
+    # text coalesced to '' so a NULL-text doc counts 0 tokens instead of
+    # nulling the whole stratum's sum (size(NULL) is NULL, and one NULL
+    # poisons SUM for the group)
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     return docs.groupBy(*[F.col(c) for c in strata]).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
-            F.size(F.filter(tokens(F.col(text_col)), lambda t: t != ""))
+            F.size(F.filter(toks, lambda t: t != ""))
         ).cast("long").alias("n_tokens"),
         F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias(
             "content_checksum"

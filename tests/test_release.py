@@ -75,3 +75,24 @@ def test_config_fingerprint_tracks_knobs():
     assert a == c != b
     assert config_fingerprint({"x": 1}) == config_fingerprint({"x": 1})
     assert config_fingerprint({"x": 1}) != config_fingerprint({"x": 2})
+
+
+def test_null_text_strata_do_not_poison_counts(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, None, "xx", "s1"), (2, None, "xx", "s1"),
+         (3, "real words here", "en", "s2")],
+        "doc_id long, text string, lang string, source string",
+    )
+    from medallion_data_lake_spark.operators.release import stratum_summary
+
+    rows = {(r["source"], r["lang"]): r for r in
+            stratum_summary(docs).collect()}
+    assert rows[("s1", "xx")]["n_tokens"] == 0      # not NULL
+    assert rows[("s2", "en")]["n_tokens"] == 3
+    # and the full manifest/verify path survives
+    manifest = {
+        "strata": ["source", "lang"],
+        "summary": [r.asDict() for r in stratum_summary(docs).collect()],
+    }
+    report = verify_release(docs, manifest)
+    assert report == {"ok": True, "problems": []}
