@@ -68,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "verb",
         choices=["tables", "describe", "sql", "samples", "analyze",
-                 "manifest", "compact", "history"],
+                 "manifest", "compact", "history", "optimize"],
     )
     ap.add_argument(
         "arg",
@@ -149,6 +149,18 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.versioned import history as vhistory
 
         print(json.dumps(vhistory(args.arg), indent=2))
+    elif args.verb == "optimize":
+        if not args.arg:
+            print("optimize requires a versioned-table path", file=sys.stderr)
+            return 2
+        from .operators.versioned import optimize_table
+
+        stats = optimize_table(
+            spark, args.arg,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        )
+        print(json.dumps({k: stats[k] for k in
+                          ("version", "operation", "files_before", "files_after")}))
     return 0
 
 

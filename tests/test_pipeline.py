@@ -79,3 +79,24 @@ def test_cli_analyze_manifest_compact(capsys, spark, tmp_path):
     stats = _json.loads(out.strip().splitlines()[-1])
     assert stats["files_before"] == 16 and stats["files_after"] == 1
     assert spark.read.parquet(dst).count() == 1500
+
+
+def test_cli_history_optimize(capsys, spark, tmp_path):
+    import json as _json
+
+    from medallion_data_lake_spark.cli import main
+    from medallion_data_lake_spark.operators.versioned import commit
+
+    path = str(tmp_path / "vt")
+    for i in range(3):
+        commit(spark.range(i * 5, i * 5 + 5).selectExpr("id"), path)
+    rc = main(["optimize", path, "--sf", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    stats = _json.loads(out.strip().splitlines()[-1])
+    assert stats["files_after"] <= stats["files_before"]
+    rc = main(["history", path, "--sf", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    hist = _json.loads(out)
+    assert hist[-1]["operation"].startswith("OPTIMIZE(")
