@@ -322,6 +322,9 @@ class CurationConfig:
     min_model_quality: float = 0.5   # threshold when a quality_model is given
     semantic_threshold: float = 0.9  # cosine cutoff when embeddings are given
     semantic_cluster_size: int = 64
+    semantic_k_cap: int = 100_000        # centroid budget (SemDeDup-style)
+    semantic_max_fit_rows: int = 1_000_000  # KMeans fit-sample ceiling
+    embedding_dim: int = 64
     embedding_id_col: str = "vec_id"
     embedding_col: str = "embedding"
     max_perplexity: float | None = None  # LM head-cut when an lm is given
@@ -341,6 +344,8 @@ def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
     verdict = semantic_dedup(
         emb, id_col=cfg.id_col, vec_col=cfg.embedding_col,
         threshold=cfg.semantic_threshold, cluster_size=cfg.semantic_cluster_size,
+        k_cap=cfg.semantic_k_cap, max_fit_rows=cfg.semantic_max_fit_rows,
+        dim=cfg.embedding_dim,
     )
     drop = verdict.filter(~F.col("is_kept")).select(cfg.id_col)
     return docs.join(drop, cfg.id_col, "left_anti")

@@ -115,6 +115,49 @@ def test_near_dup_pairs_never_all_pairs(spark, scheme):
     assert n_pairs < 400 * 399 / 2 / 2
 
 
+def test_kmeans_sampled_fit_matches_api_and_partitions(spark):
+    """max_fit_rows caps the KMeans training input (the capped-k +
+    sampled-fit recipe semantic_dedup now rides on); assignment still
+    covers the full data and still partitions it."""
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((4, DIM)) * 10
+    arr = np.concatenate([c + rng.standard_normal((100, DIM)) for c in centers])
+    df = _vectors_df(spark, arr)
+
+    out = kmeans_codebook_bucket(df, k=8, seed=42, max_fit_rows=80).cache()
+    sizes = [r["count"] for r in out.groupBy("bucket_code").count().collect()]
+    assert sum(sizes) == 400  # full data assigned despite the sampled fit
+    assert max(sizes) < 400   # it actually partitions
+
+
+def test_split_bounds_oversized_learned_cluster(spark):
+    """A capped-k codebook can leave clusters of unbounded size (the
+    price of bounded training); the deterministic sign-split must
+    re-bound them — the second half of the semantic_dedup scale fix."""
+    from medallion_data_lake_spark.operators.ann import (
+        split_oversized_learned_buckets,
+    )
+
+    rng = np.random.default_rng(23)
+    # one tight blob: k=2 KMeans leaves ~all 1200 rows in one cluster
+    arr = rng.standard_normal((1200, DIM))
+    df = _vectors_df(spark, arr)
+    bucketed = kmeans_codebook_bucket(df, k=2, seed=42)
+
+    out = split_oversized_learned_buckets(bucketed, max_bucket_size=100, dim=DIM)
+    sizes = {
+        (r["bucket_depth"], r["bucket_code"]): r["count"]
+        for r in out.groupBy("bucket_depth", "bucket_code").count().collect()
+    }
+    assert sum(sizes.values()) == 1200  # no rows lost or duplicated
+    assert max(sizes.values()) <= 100   # the scale bound
+    assert min(d for d, _ in sizes) < -1  # split actually engaged
+    # pure-function splitting: within-bucket pair join still finds dups
+    # (identical vectors can never be separated by sign bits)
+    pairs = bucketed_near_dup_pairs(out, threshold=-1.0).count()
+    assert pairs < 1200 * 1199 / 2 / 10
+
+
 def test_multiprobe_improves_recall_toward_bruteforce(spark):
     """Multi-probe recovers neighbors that sign-cell boundaries cut off:
     recall@5 vs brute-force ground truth must strictly improve with
