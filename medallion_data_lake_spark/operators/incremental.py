@@ -72,6 +72,7 @@ def run_incremental_rollup(
     checkpoint: str,
     grain_exprs: dict[str, F.Column],
     metric_exprs: dict[str, F.Column],
+    app_id: str | None = None,
 ) -> None:
     """Maintain an additive rollup view from a stream, exactly-once.
 
@@ -79,17 +80,28 @@ def run_incremental_rollup(
     columns as expressions over the stream rows (metrics must be
     additive aggregates — sums/counts). Each micro-batch: aggregate the
     batch to the grain, merge into the stored view, publish atomically
-    via the versioned log. Checkpoint + atomic commits give
-    exactly-once view maintenance: a replayed batch re-merges onto the
-    PRE-batch version only if its commit never published (the log is
-    the source of truth, not the data directory).
+    via the versioned log with the batch id as the writer-txn version
+    (Delta's txnAppId/txnVersion pattern; ``app_id`` defaults to the
+    checkpoint path, which identifies the stream instance).
+
+    Exactly-once needs BOTH legs: the streaming checkpoint stops
+    re-delivery after a clean epoch commit, and the txn watermark stops
+    re-APPLY when a batch is replayed after its table commit published
+    but before the checkpoint epoch committed (crash in between) — the
+    merge-onto-post-batch-state double-count the round-3 advice flagged.
     """
-    from .versioned import commit, latest_version, read_table
+    import os
+
+    from .versioned import commit, latest_txn_version, latest_version, read_table
 
     keys = list(grain_exprs)
     metrics = list(metric_exprs)
+    txn_app = app_id or f"incremental_rollup::{os.path.abspath(checkpoint)}"
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        seen = latest_txn_version(view_path, txn_app)
+        if seen is not None and batch_id <= seen:
+            return  # replayed batch: its merge already published
         delta = (
             batch.groupBy(
                 *[expr.alias(name) for name, expr in grain_exprs.items()]
@@ -104,6 +116,8 @@ def run_incremental_rollup(
             merge_additive(current, delta, keys, metrics),
             view_path,
             mode="overwrite",
+            txn_app_id=txn_app,
+            txn_version=batch_id,
         )
 
     q = (

@@ -1,10 +1,11 @@
 """A minimal log-structured table format: atomic commits, time travel,
-rollback, vacuum — the Delta Lake core, engine-native.
+rollback, vacuum, OPTIMIZE, idempotent writer transactions, and log
+checkpoints — the Delta Lake core, engine-native.
 
 Delta cannot be installed in this container (verified; see
-``sources/sinks.py``), but the two properties the pipeline actually
-relies on — ATOMIC publication (readers never see a half-written table)
-and TIME TRAVEL (reproduce any historical read) — are log design, not
+``sources/sinks.py``), but the properties the pipeline actually relies
+on — ATOMIC publication (readers never see a half-written table) and
+TIME TRAVEL (reproduce any historical read) — are log design, not
 package magic. This module implements them the way Delta/Iceberg do:
 
 - data files are immutable; a writer lands NEW parquet files under a
@@ -13,23 +14,31 @@ package magic. This module implements them the way Delta/Iceberg do:
   added and removed. Creation uses exclusive-create (``open(..., 'x')``)
   — two racing writers claim the same version, one loses loudly and
   retries on the next number (optimistic concurrency, single-table
-  serializability, same contract as Delta's log store);
-- a snapshot at version V = replay log entries ≤ V, union adds minus
-  removes. Readers list the log (metadata), then read exactly the live
-  files — no locks, consistent forever;
+  serializability, same contract as Delta's log store). ALL log writers
+  (commit, rollback, OPTIMIZE) go through the same claim-retry loop;
+- a snapshot at version V = the newest CHECKPOINT at/before V plus a
+  replay of the log tail after it. Every ``CHECKPOINT_INTERVAL``-th
+  commit also writes ``{version:020d}.checkpoint.json`` holding the full
+  live-file set (and writer-txn watermarks), so snapshot resolution
+  reads O(1) checkpoint + O(interval) tail entries instead of the whole
+  log — Delta's ``_last_checkpoint`` design. Checkpoints are derived,
+  redundant state: losing one only means a longer replay;
 - ``overwrite`` removes prior live files LOGICALLY (log entry); bytes
   stay for older versions until ``vacuum`` deletes files no retained
   version references;
 - ``rollback`` is a metadata-only commit whose live set equals the old
-  version's — instant at any size.
+  version's — instant at any size;
+- a writer may tag a commit with ``(txn_app_id, txn_version)``; a commit
+  whose txn_version is ≤ the app's recorded watermark is SKIPPED. This
+  is Delta's txnAppId/txnVersion idempotent-write contract: a replayed
+  streaming micro-batch (crash between the table commit and the stream
+  checkpoint epoch commit) must not double-merge.
 
-At 100 TB the log stays KB-per-commit (file paths + stats), snapshot
-resolution is O(#commits) driver-side metadata (Delta checkpoints this;
-trivial to add), and data-file granularity means an append touches only
-its own files — never a table rewrite. On a real cluster the exclusive-
-create needs an atomic-put store (HDFS, S3 strong consistency + a
-conditional put, or a log service) — the same requirement Delta's
-LogStore abstracts.
+At 100 TB the log stays KB-per-commit (file paths + stats), and
+data-file granularity means an append touches only its own files —
+never a table rewrite. On a real cluster the exclusive-create needs an
+atomic-put store (HDFS, S3 strong consistency + a conditional put, or a
+log service) — the same requirement Delta's LogStore abstracts.
 """
 
 from __future__ import annotations
@@ -37,10 +46,18 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
+import shutil
 import time
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+CHECKPOINT_INTERVAL = 10  # write a log checkpoint every N commits
+
+_ENTRY_RE = re.compile(r"^(\d{20})\.json$")
+_CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.json$")
 
 
 class CommitConflict(RuntimeError):
@@ -51,31 +68,156 @@ def _log_dir(path: str) -> str:
     return os.path.join(path, "_log")
 
 
-def _entries(path: str) -> list[dict]:
+def _commit_versions(path: str) -> list[int]:
     d = _log_dir(path)
     if not os.path.isdir(d):
         return []
-    out = []
-    for f in sorted(os.listdir(d)):
-        if f.endswith(".json"):
-            with open(os.path.join(d, f)) as fh:
-                out.append(json.load(fh))
-    return out
+    return sorted(
+        int(m.group(1)) for f in os.listdir(d) if (m := _ENTRY_RE.match(f))
+    )
+
+
+def _read_entry(path: str, version: int) -> dict:
+    with open(os.path.join(_log_dir(path), f"{version:020d}.json")) as fh:
+        return json.load(fh)
+
+
+def _entries(path: str, lo: int = 0, hi: int | None = None) -> list[dict]:
+    """Commit entries with lo <= version <= hi, oldest first."""
+    return [
+        _read_entry(path, v)
+        for v in _commit_versions(path)
+        if v >= lo and (hi is None or v <= hi)
+    ]
 
 
 def latest_version(path: str) -> int | None:
-    e = _entries(path)
-    return e[-1]["version"] if e else None
+    versions = _commit_versions(path)
+    return versions[-1] if versions else None
 
 
-def _live_files(entries: list[dict], version: int | None = None) -> list[str]:
-    live: list[str] = []
+def _replay(live: list[str], entries: list[dict]) -> list[str]:
     for e in entries:
-        if version is not None and e["version"] > version:
-            break
         removed = set(e.get("removed", []))
         live = [f for f in live if f not in removed] + e.get("added", [])
     return live
+
+
+def _live_files(entries: list[dict], version: int | None = None) -> list[str]:
+    if version is not None:
+        entries = [e for e in entries if e["version"] <= version]
+    return _replay([], entries)
+
+
+# ---------------------------------------------------------------------------
+# Log checkpoints — snapshot state every N commits so resolution is
+# O(1) checkpoint + O(N) tail, not O(#commits)
+# ---------------------------------------------------------------------------
+
+
+def _checkpoint_versions(path: str) -> list[int]:
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(m.group(1)) for f in os.listdir(d) if (m := _CKPT_RE.match(f))
+    )
+
+
+def _read_checkpoint(path: str, version: int) -> dict:
+    with open(
+        os.path.join(_log_dir(path), f"{version:020d}.checkpoint.json")
+    ) as fh:
+        return json.load(fh)
+
+
+def _state_at(path: str, version: int | None = None) -> tuple[list[str], dict]:
+    """(live_files, txn_watermarks) at ``version`` (None = latest),
+    resolved from the newest checkpoint at/before it plus the log tail —
+    the read path the checkpoints exist for."""
+    if version is not None and version < 0:
+        return [], {}
+    ckpts = [
+        v for v in _checkpoint_versions(path)
+        if version is None or v <= version
+    ]
+    if ckpts:
+        ck = _read_checkpoint(path, ckpts[-1])
+        live, txns = list(ck["live"]), dict(ck.get("txns", {}))
+        tail = _entries(path, lo=ckpts[-1] + 1, hi=version)
+    else:
+        live, txns = [], {}
+        tail = _entries(path, hi=version)
+    live = _replay(live, tail)
+    for e in tail:
+        t = e.get("txn")
+        if t:
+            txns[t["app_id"]] = max(txns.get(t["app_id"], -1), t["version"])
+    return live, txns
+
+
+def _write_checkpoint(path: str, version: int) -> None:
+    """Materialize derived state at ``version``. Best-effort: a racing
+    checkpointer (or a crash here) costs nothing but replay length."""
+    live, txns = _state_at(path, version)
+    target = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.json")
+    try:
+        with open(target, "x") as fh:
+            json.dump(
+                {"version": version, "live": live, "txns": txns,
+                 "timestamp": time.time()},
+                fh,
+            )
+    except FileExistsError:
+        pass
+
+
+def latest_txn_version(path: str, app_id: str) -> int | None:
+    """Highest txn_version this app has committed, or None — the
+    idempotence watermark (Delta's txnAppId/txnVersion)."""
+    _, txns = _state_at(path)
+    v = txns.get(app_id)
+    return int(v) if v is not None else None
+
+
+# ---------------------------------------------------------------------------
+# The one log-claim loop every writer goes through
+# ---------------------------------------------------------------------------
+
+
+def _publish(
+    path: str,
+    build_entry: Callable[[int], dict | None],
+    max_retries: int = 5,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
+) -> dict | None:
+    """Claim the next version with exclusive-create, retrying on races.
+
+    ``build_entry(version)`` is re-invoked against the fresh log tip on
+    every attempt, so added/removed/txn decisions are recomputed after a
+    lost race (the bug the round-3 advice flagged in rollback/OPTIMIZE:
+    a bare ``open(..., 'x')`` with stale state raises — or worse,
+    publishes — instead of recomputing). It may return None to abort
+    cleanly (idempotent skip). After a successful claim, every
+    ``checkpoint_interval``-th commit also writes a log checkpoint.
+    """
+    os.makedirs(_log_dir(path), exist_ok=True)
+    for _ in range(max_retries):
+        lv = latest_version(path)
+        version = 0 if lv is None else lv + 1
+        entry = build_entry(version)
+        if entry is None:
+            return None
+        target = os.path.join(_log_dir(path), f"{version:020d}.json")
+        try:
+            with open(target, "x") as fh:  # exclusive create = the lock
+                json.dump(entry, fh)
+        except FileExistsError:
+            continue  # lost the race; recompute against the new log tip
+        if checkpoint_interval and (version + 1) % checkpoint_interval == 0:
+            _write_checkpoint(path, version)
+        return entry
+    raise CommitConflict(f"lost {max_retries} version races on {path}")
 
 
 def commit(
@@ -83,16 +225,33 @@ def commit(
     path: str,
     mode: str = "append",
     max_retries: int = 5,
-) -> dict:
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> dict | None:
     """Write ``df`` as one atomic commit; returns the log entry.
 
     Data lands first (invisible), the log entry publishes it. On a
     version race the loser re-reads the log and retries against the
     next number — its already-written data files are reused, so a retry
     costs one metadata round, not a rewrite.
+
+    With ``txn_app_id``/``txn_version`` the commit is IDEMPOTENT per
+    app: if the app's recorded watermark already covers txn_version the
+    write is skipped and None returned (replayed micro-batches must not
+    double-apply). The check runs before the data write AND inside the
+    claim loop, so a concurrent duplicate loses there too.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    has_txn = txn_app_id is not None and txn_version is not None
+
+    def _already_applied() -> bool:
+        seen = latest_txn_version(path, txn_app_id) if has_txn else None
+        return seen is not None and txn_version <= seen
+
+    if _already_applied():  # fast-path: skip before paying the data write
+        return None
+
     commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
     data_path = os.path.join(path, "data", commit_dir)
     df.write.mode("error").parquet(data_path)
@@ -101,26 +260,29 @@ def commit(
         for f in os.listdir(data_path)
         if f.endswith(".parquet")
     )
-    os.makedirs(_log_dir(path), exist_ok=True)
-    for _ in range(max_retries):
-        entries = _entries(path)
-        version = (entries[-1]["version"] + 1) if entries else 0
+
+    def build(version: int) -> dict | None:
+        if _already_applied():
+            return None
+        live, _ = _state_at(path, version - 1)
         entry = {
             "version": version,
             "timestamp": time.time(),
             "mode": mode,
             "added": added,
-            "removed": _live_files(entries) if mode == "overwrite" else [],
+            "removed": live if mode == "overwrite" else [],
             "operation": "WRITE",
         }
-        target = os.path.join(_log_dir(path), f"{version:020d}.json")
-        try:
-            with open(target, "x") as fh:  # exclusive create = the lock
-                json.dump(entry, fh)
-            return entry
-        except FileExistsError:
-            continue  # lost the race; recompute against the new log tip
-    raise CommitConflict(f"lost {max_retries} version races on {path}")
+        if has_txn:
+            entry["txn"] = {"app_id": txn_app_id, "version": txn_version}
+        return entry
+
+    entry = _publish(path, build, max_retries)
+    if entry is None:
+        # a concurrent duplicate published first: our data files were
+        # never referenced by any log entry — remove the orphans
+        shutil.rmtree(data_path, ignore_errors=True)
+    return entry
 
 
 def read_table(
@@ -130,19 +292,24 @@ def read_table(
     as_of_timestamp: float | None = None,
 ) -> DataFrame:
     """Snapshot read: latest, a pinned ``version``, or the newest commit
-    at/before ``as_of_timestamp`` (time travel)."""
-    entries = _entries(path)
-    if not entries:
+    at/before ``as_of_timestamp`` (time travel). Latest/pinned reads
+    resolve from the newest log checkpoint + tail; only timestamp travel
+    scans entry timestamps."""
+    if latest_version(path) is None:
         raise FileNotFoundError(f"no versioned table at {path}")
     if as_of_timestamp is not None:
-        eligible = [e["version"] for e in entries if e["timestamp"] <= as_of_timestamp]
+        eligible = [
+            e["version"]
+            for e in _entries(path)
+            if e["timestamp"] <= as_of_timestamp
+        ]
         if not eligible:
             raise ValueError(f"no commit at or before ts={as_of_timestamp}")
         version = max(eligible)
-    files = _live_files(entries, version)
+    files, _ = _state_at(path, version)
     if not files:
         # a valid-but-empty snapshot (e.g. overwrite with 0 rows)
-        return spark.createDataFrame([], _schema_of_latest(spark, path, entries))
+        return spark.createDataFrame([], _schema_of_latest(spark, path, _entries(path)))
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 
@@ -156,22 +323,24 @@ def _schema_of_latest(spark, path, entries):
 def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
     """Publish a NEW commit whose live set equals ``to_version``'s —
     metadata-only, instant at any size, history preserved (this is
-    Delta's RESTORE, not a destructive reset)."""
-    entries = _entries(path)
-    target_live = _live_files(entries, to_version)
-    current_live = _live_files(entries)
-    version = entries[-1]["version"] + 1
-    entry = {
-        "version": version,
-        "timestamp": time.time(),
-        "mode": "restore",
-        "added": [f for f in target_live if f not in set(current_live)],
-        "removed": [f for f in current_live if f not in set(target_live)],
-        "operation": f"RESTORE({to_version})",
-    }
-    target = os.path.join(_log_dir(path), f"{version:020d}.json")
-    with open(target, "x") as fh:
-        json.dump(entry, fh)
+    Delta's RESTORE, not a destructive reset). Goes through the shared
+    claim loop, so a concurrent writer just costs a retry with both
+    live sets recomputed against the new tip."""
+    target_live, _ = _state_at(path, to_version)
+
+    def build(version: int) -> dict:
+        current_live, _ = _state_at(path, version - 1)
+        return {
+            "version": version,
+            "timestamp": time.time(),
+            "mode": "restore",
+            "added": [f for f in target_live if f not in set(current_live)],
+            "removed": [f for f in current_live if f not in set(target_live)],
+            "operation": f"RESTORE({to_version})",
+        }
+
+    entry = _publish(path, build)
+    assert entry is not None  # build never skips
     return entry
 
 
@@ -194,7 +363,8 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Physically delete data files referenced by NO retained version
     (the last ``keep_last`` snapshots stay readable; older time travel
     is given up — exactly Delta's retention trade-off). Returns the
-    deleted relative paths."""
+    deleted relative paths. Maintenance path: scans the full log (it
+    must see every file ever added), unlike snapshot reads."""
     entries = _entries(path)
     if not entries:
         return []
@@ -226,11 +396,17 @@ def optimize_table(
     ``vacuum`` reclaims them. Readers never see a half-compacted table:
     the swap is the log entry.
 
+    Concurrency: publication goes through the shared claim loop. A
+    concurrent APPEND costs only a retry (its files stay live beside the
+    compacted ones — we remove exactly the files we rewrote). A
+    concurrent writer that REMOVED any file we compacted makes our
+    rewrite stale: publishing would resurrect deleted data, so we raise
+    CommitConflict instead (Delta's ConcurrentDeleteRead rule).
+
     Returns the commit entry plus before/after file counts. Sizing uses
     on-disk bytes-per-row like ``maintenance.compact_table``.
     """
-    entries = _entries(path)
-    live = _live_files(entries)
+    live, _ = _state_at(path)
     if not live:
         raise ValueError(f"nothing to optimize at {path}")
     full = [os.path.join(path, f) for f in live]
@@ -254,15 +430,30 @@ def optimize_table(
         for f in os.listdir(data_path)
         if f.endswith(".parquet")
     )
-    version = entries[-1]["version"] + 1
-    entry = {
-        "version": version,
-        "timestamp": time.time(),
-        "mode": "optimize",
-        "added": added,
-        "removed": live,
-        "operation": f"OPTIMIZE({len(live)}->{len(added)})",
-    }
-    with open(os.path.join(_log_dir(path), f"{version:020d}.json"), "x") as fh:
-        json.dump(entry, fh)
+
+    compacted = set(live)
+
+    def build(version: int) -> dict:
+        current_live, _ = _state_at(path, version - 1)
+        missing = compacted - set(current_live)
+        if missing:
+            raise CommitConflict(
+                f"OPTIMIZE on {path} raced a writer that removed "
+                f"{len(missing)} compacted file(s); re-run on the new snapshot"
+            )
+        return {
+            "version": version,
+            "timestamp": time.time(),
+            "mode": "optimize",
+            "added": added,
+            "removed": sorted(compacted),
+            "operation": f"OPTIMIZE({len(live)}->{len(added)})",
+        }
+
+    try:
+        entry = _publish(path, build)
+    except CommitConflict:
+        shutil.rmtree(data_path, ignore_errors=True)  # stale rewrite: no orphans
+        raise
+    assert entry is not None
     return {**entry, "files_before": len(live), "files_after": len(added)}

@@ -89,3 +89,46 @@ def test_streamed_view_equals_batch_recompute(spark, tmp_path):
     assert {r["day"] for r in read_table(spark, view, version=0).collect()} == {
         "2024-01-01", "2024-01-02",
     }
+
+
+def test_replayed_batch_is_not_double_applied(spark, tmp_path):
+    """Crash between the view's versioned commit and the streaming
+    checkpoint's epoch commit replays the micro-batch; the writer-txn
+    watermark (batch_id in the commit log) must make the re-apply a
+    no-op instead of double-counting (round-3 advice, high)."""
+    import shutil
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    view = str(tmp_path / "view")
+    ck = str(tmp_path / "ck")
+
+    rows = [{"event_id": 1, "day": "2024-01-01", "value": 10.0},
+            {"event_id": 2, "day": "2024-01-01", "value": 5.0}]
+    _write_events(inp, "b1.json", rows)
+    schema = "event_id long, day string, value double"
+
+    def run():
+        stream = spark.readStream.schema(schema).json(inp)
+        run_incremental_rollup(
+            spark, stream, view, ck,
+            grain_exprs={"day": F.col("day")},
+            metric_exprs={"revenue": F.sum("value")},
+        )
+
+    run()
+    assert {r["day"]: r["revenue"] for r in read_table(spark, view).collect()} == {
+        "2024-01-01": 15.0
+    }
+    n_versions = len(history(view))
+
+    # simulate the replay: the table commit survived, the stream
+    # checkpoint did not — the same files re-deliver with the same
+    # batch ids (and the SAME default app id: it derives from the
+    # checkpoint PATH, which is unchanged)
+    shutil.rmtree(ck)
+    run()
+    assert {r["day"]: r["revenue"] for r in read_table(spark, view).collect()} == {
+        "2024-01-01": 15.0  # NOT 30.0
+    }
+    assert len(history(view)) == n_versions  # skipped, not re-committed

@@ -107,6 +107,139 @@ def test_empty_overwrite_keeps_schema(spark, tmp_path):
     assert out.columns == ["id", "tag"]
 
 
+def test_checkpoints_bound_snapshot_resolution(spark, tmp_path):
+    """Every CHECKPOINT_INTERVAL-th commit writes a log checkpoint; a
+    snapshot read must resolve from checkpoint + tail, reading O(interval)
+    entries — not the whole log (the O(#commits) gap SCALE.md named)."""
+    import medallion_data_lake_spark.operators.versioned as V
+
+    path = str(tmp_path / "t")
+    n_commits = 40
+    for i in range(n_commits):
+        commit(_df(spark, i, i + 1, f"b{i}"), path)
+    ckpts = V._checkpoint_versions(path)
+    assert ckpts == [9, 19, 29, 39]  # interval 10, written at claim time
+
+    # count log entries actually read during a latest-snapshot resolve
+    reads = []
+    orig = V._read_entry
+
+    def counting(path_, version):
+        reads.append(version)
+        return orig(path_, version)
+
+    V._read_entry = counting
+    try:
+        assert read_table(spark, path).count() == n_commits
+    finally:
+        V._read_entry = orig
+    assert len(reads) <= V.CHECKPOINT_INTERVAL  # tail only, never the 40
+
+    # stronger: entries at/below the newest checkpoint are not needed at
+    # all — delete them and both latest and pinned-tail reads still work
+    for v in range(30):
+        os.remove(os.path.join(path, "_log", f"{v:020d}.json"))
+    assert read_table(spark, path).count() == n_commits
+    assert read_table(spark, path, version=35).count() == 36  # ckpt 29 + tail
+
+
+def test_txn_commit_is_idempotent(spark, tmp_path):
+    """Delta's txnAppId/txnVersion contract: a commit whose txn_version
+    is already covered by the app's watermark is skipped (returns None),
+    leaves the table unchanged, and leaves no orphan data files."""
+    from medallion_data_lake_spark.operators.versioned import latest_txn_version
+
+    path = str(tmp_path / "t")
+    e = commit(_df(spark, 0, 5, "a"), path, txn_app_id="app", txn_version=0)
+    assert e is not None and e["txn"] == {"app_id": "app", "version": 0}
+    assert latest_txn_version(path, "app") == 0
+
+    # replay of the same batch: skipped
+    assert commit(_df(spark, 0, 5, "a"), path, txn_app_id="app", txn_version=0) is None
+    assert read_table(spark, path).count() == 5
+    assert latest_version(path) == 0
+    assert len(os.listdir(os.path.join(path, "data"))) == 1  # no orphans
+
+    # a LOWER version (late replay after later batches landed): skipped too
+    assert commit(_df(spark, 5, 9, "b"), path, txn_app_id="app", txn_version=1) is not None
+    assert commit(_df(spark, 0, 5, "a"), path, txn_app_id="app", txn_version=0) is None
+    # other apps are independent
+    assert commit(_df(spark, 9, 10, "c"), path, txn_app_id="other", txn_version=0) is not None
+    assert read_table(spark, path).count() == 10
+    # the watermark survives a checkpoint round-trip
+    for i in range(12):
+        commit(_df(spark, 100 + i, 101 + i, "x"), path)
+    assert latest_txn_version(path, "app") == 1
+
+
+def test_rollback_retries_past_version_race(spark, tmp_path):
+    """rollback publishes through the same claim loop as commit: a
+    squatted version number costs a retry, not an unhandled
+    FileExistsError (round-3 advice)."""
+    path = str(tmp_path / "t")
+    commit(_df(spark, 0, 6, "good"), path)
+    commit(_df(spark, 0, 2, "bad"), path, mode="overwrite")
+    log = os.path.join(path, "_log")
+    with open(os.path.join(log, f"{2:020d}.json"), "x") as fh:
+        json.dump({"version": 2, "timestamp": 0.0, "mode": "append",
+                   "added": [], "removed": [], "operation": "SQUATTER"}, fh)
+    entry = rollback(spark, path, to_version=0)
+    assert entry["version"] == 3
+    assert read_table(spark, path).count() == 6
+    assert {r["tag"] for r in read_table(spark, path).collect()} == {"good"}
+
+
+def test_optimize_retries_past_append_race_and_aborts_on_delete(spark, tmp_path):
+    """OPTIMIZE through the claim loop: a concurrent append costs a
+    retry (appended files stay live beside the compacted ones); a
+    concurrent removal of a compacted file aborts with CommitConflict
+    and cleans up the stale rewrite (no orphan data)."""
+    import medallion_data_lake_spark.operators.versioned as V
+    from medallion_data_lake_spark.operators.versioned import (
+        CommitConflict,
+        optimize_table,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        commit(_df(spark, i * 10, i * 10 + 10, f"b{i}"), path)
+    log = os.path.join(path, "_log")
+    # squat the next version to force one lost race (append-shaped: no removals)
+    with open(os.path.join(log, f"{3:020d}.json"), "x") as fh:
+        json.dump({"version": 3, "timestamp": 0.0, "mode": "append",
+                   "added": [], "removed": [], "operation": "SQUATTER"}, fh)
+    stats = optimize_table(spark, path, target_file_bytes=1 << 30)
+    assert stats["version"] == 4
+    assert read_table(spark, path).count() == 30
+
+    # now race a DELETE of a live (compacted-set) file: must abort
+    live, _ = V._state_at(path)
+    with open(os.path.join(log, f"{5:020d}.json"), "x") as fh:
+        json.dump({"version": 5, "timestamp": 0.0, "mode": "append",
+                   "added": [], "removed": [live[0]], "operation": "DELETER"}, fh)
+    n_data_dirs = len(os.listdir(os.path.join(path, "data")))
+
+    orig = V._state_at
+    calls = {"n": 0}
+
+    def stale_then_fresh(p, version=None):
+        # first call (the pre-rewrite read) sees the PRE-delete snapshot,
+        # as if the deleter published mid-OPTIMIZE
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return orig(p, 4)
+        return orig(p, version)
+
+    V._state_at = stale_then_fresh
+    try:
+        with pytest.raises(CommitConflict):
+            optimize_table(spark, path, target_file_bytes=1 << 30)
+    finally:
+        V._state_at = orig
+    # the stale rewrite's data directory was removed, nothing orphaned
+    assert len(os.listdir(os.path.join(path, "data"))) == n_data_dirs
+
+
 def test_optimize_compacts_live_set_atomically(spark, tmp_path):
     path = str(tmp_path / "t")
     # many small commits -> fragmented live set
