@@ -79,7 +79,16 @@ def train_quality_classifier(
     reg_param: float = 1e-3,
 ):
     """Fit the hashed-linear quality model; returns a fitted PipelineModel
-    whose ``transform`` adds ``probability``/``prediction`` JVM-side."""
+    whose ``transform`` adds ``probability``/``prediction`` JVM-side.
+
+    The fitted LR's training summary is STRIPPED before returning: the
+    summary object holds a SparkSession reference, and the model ships
+    inside every scoring task's closure (MLlib's transform captures the
+    model in its UDF) — a session in a task closure is both a
+    serialization landmine (non-serializable session internals, e.g. the
+    ObservationManager once any ``observe`` ran) and dead broadcast
+    weight. Scoring needs only the coefficient vector.
+    """
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF, RegexTokenizer
@@ -95,7 +104,14 @@ def train_quality_classifier(
         regParam=reg_param,
         standardization=False,
     )
-    return Pipeline(stages=[tok, tf, lr]).fit(labeled)
+    model = Pipeline(stages=[tok, tf, lr]).fit(labeled)
+    try:
+        jvm = labeled.sparkSession._jvm
+        scala_none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        model.stages[-1]._java_obj.setSummary(scala_none)
+    except Exception:
+        pass  # best-effort (e.g. Connect, where closures don't apply)
+    return model
 
 
 def score_quality(

@@ -364,47 +364,64 @@ def quality_filter(docs: DataFrame, model, cfg: CurationConfig) -> DataFrame:
 def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   config: CurationConfig | None = None,
                   embeddings: DataFrame | None = None,
-                  quality_model=None, lm=None) -> dict[str, DataFrame]:
+                  quality_model=None, lm=None,
+                  observations: dict | None = None) -> dict[str, DataFrame]:
     """Run the full curation pipeline; returns every stage's output
     (lazy) under stage names, with the packing manifest under
     ``"manifest"`` and the final curated documents under ``"curated"``.
 
     Returning the intermediate frames costs nothing (they are unexecuted
-    plans) and lets callers audit per-stage yields — the audit pattern
-    ``{k: v.count() for k, v in stages.items()}`` is how a production
-    run records its funnel.
+    plans) and lets callers audit per-stage yields. Pass an empty dict as
+    ``observations`` to get per-stage row counts for FREE: each stage is
+    wrapped in a ``DataFrame.observe`` accumulator (stage name →
+    ``Observation``), and every observation fires during the FIRST action
+    on the final plan — one corpus pass records the whole funnel. The
+    alternative audit pattern ``{k: v.count() for k, v in ...}`` replays
+    the shared plan prefix once per stage (#stages corpus scans at
+    100 TB), which is what ``release.build_release_manifest`` used to do.
     """
+    from pyspark.sql import Observation
+
     cfg = config or CurationConfig()
     stages: dict[str, DataFrame] = {}
-    cur = stages["exact_deduped"] = exact_dedup(docs, cfg.id_col, cfg.text_col)
-    cur = stages["near_deduped"] = near_dup_dedup(
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        if observations is not None:
+            obs = Observation(name)
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            observations[name] = obs
+        stages[name] = df
+        return df
+
+    cur = stage("exact_deduped", exact_dedup(docs, cfg.id_col, cfg.text_col))
+    cur = stage("near_deduped", near_dup_dedup(
         cur, cfg.id_col, cfg.text_col, cfg.min_est_jaccard, cfg.production_hash
-    )
+    ))
     if embeddings is not None:
-        cur = stages["semantic_deduped"] = semantic_dedup_docs(cur, embeddings, cfg)
+        cur = stage("semantic_deduped", semantic_dedup_docs(cur, embeddings, cfg))
     if quality_model is not None:
-        cur = stages["quality_filtered"] = quality_filter(cur, quality_model, cfg)
+        cur = stage("quality_filtered", quality_filter(cur, quality_model, cfg))
     if lm is not None and cfg.max_perplexity is not None:
         from .lm import perplexity_filter
 
-        cur = stages["lm_filtered"] = perplexity_filter(
+        cur = stage("lm_filtered", perplexity_filter(
             cur, lm, cfg.max_perplexity, cfg.id_col, cfg.text_col
-        ).drop("n_tokens", "avg_logp", "perplexity")
+        ).drop("n_tokens", "avg_logp", "perplexity"))
     if bench is not None:
-        cur = stages["decontaminated"] = decontaminate(
+        cur = stage("decontaminated", decontaminate(
             cur, bench, cfg.id_col, cfg.text_col, cfg.text_col,
             cfg.max_contamination,
-        )
+        ))
     if cfg.rates_per_mille or cfg.default_rate_per_mille < 1000:
-        cur = stages["sampled"] = stratified_sample(
+        cur = stage("sampled", stratified_sample(
             cur, cfg.rates_per_mille, cfg.default_rate_per_mille,
             cfg.stratum_col, cfg.id_col,
-        )
+        ))
     if cfg.blocklist:
-        cur = stages["scrubbed"] = blocklist_scrub(
+        cur = stage("scrubbed", blocklist_scrub(
             cur, cfg.blocklist, cfg.max_hit_ratio, cfg.text_col
-        )
-    stages["curated"] = cur
+        ))
+    cur = stage("curated", cur)
     # Two alternative shard-former outputs, both lazy: "manifest" packs
     # whole documents into token-budget sequences; "chunks" windows each
     # document into overlapping fixed-token contexts (chunk rows are the

@@ -59,10 +59,12 @@ def diff_schemas(batch: T.StructType, target: T.StructType) -> dict:
             out["add"].append(name)
         elif b[name] == tt:
             out["same"].append(name)
-        elif tt == "string" and not b[name].startswith(("array", "map", "struct")):
+        elif tt == "string" and not b[name].startswith(("array", "map", "struct")) and b[name] != "binary":
             # ANY atomic type renders to string losslessly (parameterized
             # types like decimal(10,2) included — simpleString carries
-            # the params, so a set lookup can't cover them)
+            # the params, so a set lookup can't cover them) — EXCEPT
+            # binary: arbitrary bytes are not valid UTF-8 and the cast
+            # mangles them, so binary→string is narrowing (opt-in)
             out["widen"].append(name)
         elif b[name] in _WIDENINGS.get(tt, set()):
             out["widen"].append(name)

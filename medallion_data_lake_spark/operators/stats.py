@@ -52,8 +52,11 @@ def collect_column_stats(
     ANALYZE uses; exact NDV would force a shuffle per column.
 
     Returns one row per column: (column, n_rows, n_nulls, ndv, min, max,
-    avg_len) with min/max rendered as strings (schema-stable across
-    heterogeneous column types).
+    avg_len) with min/max aggregated in the column's NATIVE type and only
+    then rendered as strings (schema-stable across heterogeneous column
+    types). Aggregating over string-cast values would take lexicographic
+    extremes — wrong for numerics ({2,9,10} would report min='10',
+    max='9').
     """
     cols = list(columns) if columns is not None else list(df.columns)
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
@@ -62,8 +65,8 @@ def collect_column_stats(
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
             F.approx_count_distinct(c, rsd).alias(f"{c}__ndv"),
-            F.min(col.cast("string")).alias(f"{c}__min"),
-            F.max(col.cast("string")).alias(f"{c}__max"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
             F.avg(F.length(col.cast("string"))).alias(f"{c}__len"),
         ]
     wide = df.agg(*aggs)
@@ -213,17 +216,45 @@ def collect_mergeable_stats(
     lg_k: int = 12,
 ) -> DataFrame:
     """Per-column mergeable stats partials: (column, n_rows, n_nulls,
-    ndv_sketch (HLL binary), min, max, sum_len). One scan, no shuffle of
-    data rows — same plan shape as collect_column_stats."""
+    ndv_sketch (HLL binary), min, max, min_num, max_num, is_numeric,
+    sum_len). One scan, no shuffle of data rows — same plan shape as
+    collect_column_stats.
+
+    Extrema are aggregated in NATIVE type (lexicographic string extremes
+    are wrong for numerics). Because a partial must merge with later
+    partials AFTER a parquet round-trip — where the heterogeneous native
+    types can't share a column — numeric columns additionally persist
+    their extrema as doubles (``min_num``/``max_num``); the merge orders
+    by those and keeps the exact rendered string via min_by/max_by.
+    Non-numeric renders (strings, ISO dates/timestamps, booleans) order
+    correctly as strings already.
+    """
+    from pyspark.sql.types import NumericType
+
     cols = list(columns) if columns is not None else list(df.columns)
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    numeric = {
+        c: isinstance(df.schema[c].dataType, NumericType) for c in cols
+    }
     for c in cols:
         col = F.col(c)
+        num_min = (
+            F.min(col).cast("double")
+            if numeric[c]
+            else F.lit(None).cast("double")
+        )
+        num_max = (
+            F.max(col).cast("double")
+            if numeric[c]
+            else F.lit(None).cast("double")
+        )
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
             F.hll_sketch_agg(col.cast("string"), F.lit(lg_k)).alias(f"{c}__hll"),
-            F.min(col.cast("string")).alias(f"{c}__min"),
-            F.max(col.cast("string")).alias(f"{c}__max"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+            num_min.alias(f"{c}__minn"),
+            num_max.alias(f"{c}__maxn"),
             F.sum(F.length(col.cast("string"))).alias(f"{c}__len"),
         ]
     wide = df.agg(*aggs)
@@ -235,6 +266,9 @@ def collect_mergeable_stats(
             F.col(f"{c}__hll").alias("ndv_sketch"),
             F.col(f"{c}__min").alias("min"),
             F.col(f"{c}__max").alias("max"),
+            F.col(f"{c}__minn").alias("min_num"),
+            F.col(f"{c}__maxn").alias("max_num"),
+            F.lit(numeric[c]).alias("is_numeric"),
             F.col(f"{c}__len").alias("sum_len"),
         )
         for c in cols
@@ -246,17 +280,38 @@ def merge_stats_partials(*partials: DataFrame) -> DataFrame:
     """Union any number of stats partials into one combined vector —
     NO data rescan: counts add, sketches union, extrema take min/max.
     Associative and commutative, so per-batch partials roll up in any
-    order (per-partition -> per-table, yesterday + today, etc.)."""
+    order (per-partition -> per-table, yesterday + today, etc.); the
+    output is itself a partial with the same schema.
+
+    Numeric columns order their extrema by the persisted double
+    companions (min_by/max_by keeps the exact rendered string); string
+    ordering would be lexicographic — the round-3 advice's
+    {2,9,10} -> min='10' bug."""
     import functools
 
     allp = functools.reduce(lambda a, b: a.unionByName(b), partials)
-    return allp.groupBy("column").agg(
+    merged = allp.groupBy("column").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_nulls").alias("n_nulls"),
         F.hll_union_agg(F.col("ndv_sketch")).alias("ndv_sketch"),
-        F.min("min").alias("min"),
-        F.max("max").alias("max"),
+        F.min("min").alias("_min_str"),
+        F.max("max").alias("_max_str"),
+        F.min_by("min", "min_num").alias("_min_bynum"),
+        F.max_by("max", "max_num").alias("_max_bynum"),
+        F.min("min_num").alias("min_num"),
+        F.max("max_num").alias("max_num"),
+        F.any_value("is_numeric").alias("is_numeric"),
         F.sum("sum_len").alias("sum_len"),
+    )
+    return merged.select(
+        "column", "n_rows", "n_nulls", "ndv_sketch",
+        F.when(F.col("is_numeric"), F.col("_min_bynum"))
+        .otherwise(F.col("_min_str"))
+        .alias("min"),
+        F.when(F.col("is_numeric"), F.col("_max_bynum"))
+        .otherwise(F.col("_max_str"))
+        .alias("max"),
+        "min_num", "max_num", "is_numeric", "sum_len",
     )
 
 

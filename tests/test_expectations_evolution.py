@@ -169,3 +169,17 @@ def test_parameterized_types_widen_to_string(spark):
     assert d["widen"] == ["d"] and d["narrow"] == []
     out = evolve_to_schema(batch, target)
     assert out.first()["d"] == "1.00"
+
+
+def test_binary_to_string_is_narrowing_not_widening(spark):
+    """Arbitrary bytes are not valid UTF-8 — casting binary to string
+    mangles them rather than refusing, so the policy must treat it as
+    narrowing requiring opt-in (round-3 advice)."""
+    target = T.StructType([T.StructField("b", T.StringType())])
+    batch = spark.createDataFrame([(bytearray(b"\xff\xfe"),)], "b binary")
+    d = diff_schemas(batch.schema, target)
+    assert d["narrow"] == ["b"] and d["widen"] == []
+    with pytest.raises(SchemaDriftError, match="narrowing b"):
+        evolve_to_schema(batch, target)
+    # explicit opt-in still works for producers that KNOW it's utf-8 text
+    evolve_to_schema(batch, target, allow_narrowing=("b",))

@@ -3,6 +3,7 @@ cut from and name precisely what drifted otherwise."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from medallion_data_lake_spark.catalog import load_star_table
@@ -66,6 +67,56 @@ def test_verify_names_the_drift(spark, tmp_path):
     gone = curated.filter(F.col("lang") != first["lang"])
     report2 = verify_release(gone, manifest)
     assert any("missing from corpus" in p for p in report2["problems"])
+
+
+def test_funnel_via_observations_is_single_pass(spark):
+    """The observe() funnel: per-stage counts must come from accumulators
+    fired during the stratum summary's ONE pipeline execution, not from
+    per-stage count() calls that replay the shared plan prefix. An
+    accumulator-ticking pandas UDF on the input counts actual source-row
+    evaluations (the old shape paid ~#stages corpus scans)."""
+    from pyspark.sql.functions import pandas_udf
+
+    docs = load_star_table(spark, SF_DIR, "documents")
+    total = docs.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("string")
+    def tick(s: pd.Series) -> pd.Series:
+        acc.add(len(s))
+        return s
+
+    ticked = docs.withColumn("text", tick(F.col("text")))
+    cfg = CurationConfig()
+    obs: dict = {}
+    stages = curate_corpus(ticked, config=cfg, observations=obs)
+    manifest = build_release_manifest(stages, cfg, "r1", observations=obs)
+
+    # funnel values equal the (expensive) per-stage recount ground truth
+    plain = curate_corpus(docs, config=cfg)
+    for name, got in manifest["funnel"].items():
+        assert got == plain[name].count(), name
+    assert manifest["funnel"]["exact_deduped"] >= manifest["funnel"]["curated"]
+    # ~one evaluation of the input, decisively below #funnel-stages passes
+    assert acc.value <= 2 * total, (acc.value, total)
+
+
+def test_checksum_is_multiplicity_sensitive(spark):
+    """bit_xor cancels even multiplicities (x^x=0): adding the same row
+    twice left the old checksum unchanged. The additive hash must flip."""
+    from medallion_data_lake_spark.operators.release import stratum_summary
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s"), (2, "gamma", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    dup = base.limit(1)
+    doubled = base.union(dup).union(dup)  # same row twice more
+
+    ck = lambda df: stratum_summary(df).collect()[0]["content_checksum"]
+    assert ck(doubled) != ck(base)
+    # still order-independent: a shuffled multiset gives the same receipt
+    assert ck(base.orderBy(F.desc("doc_id"))) == ck(base)
 
 
 def test_config_fingerprint_tracks_knobs():

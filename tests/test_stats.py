@@ -38,10 +38,39 @@ def test_stats_vector_matches_ground_truth(spark, customer):
     exact_ndv = customer.select(F.countDistinct("c_nationkey")).first()[0]
     assert abs(stats["c_nationkey"]["ndv"] - exact_ndv) <= max(1, 0.15 * exact_ndv)
     assert stats["c_custkey"]["n_nulls"] == 0
-    # min/max are string-rendered but must reflect the true extremes
+    # min/max are string-rendered but must reflect the true NUMERIC
+    # extremes, not lexicographic ones (c_nationkey spans 0..24: string
+    # ordering would report min='0' but max='9' instead of '24')
     assert stats["c_nationkey"]["min"] == str(
         customer.agg(F.min("c_nationkey")).first()[0]
     )
+    assert stats["c_nationkey"]["max"] == str(
+        customer.agg(F.max("c_nationkey")).first()[0]
+    )
+    assert stats["c_custkey"]["max"] == str(
+        customer.agg(F.max("c_custkey")).first()[0]
+    )
+
+
+def test_stats_extrema_are_numeric_not_lexicographic(spark):
+    """The round-3 advice's exact repro: values {2, 9, 10} must report
+    min=2 / max=10, not the string extremes min='10' / max='9'."""
+    from medallion_data_lake_spark.operators.stats import (
+        collect_mergeable_stats,
+        finalize_stats,
+        merge_stats_partials,
+    )
+
+    df = spark.createDataFrame([(2,), (9,), (10,)], "v long")
+    s = collect_column_stats(df).collect()[0]
+    assert (s["min"], s["max"]) == ("2", "10")
+
+    # the mergeable path must stay order-correct ACROSS partials and a
+    # parquet round-trip: {2,9} merged with {10} -> min=2, max=10
+    a = collect_mergeable_stats(df.filter(F.col("v") < 10))
+    b = collect_mergeable_stats(df.filter(F.col("v") == 10))
+    m = finalize_stats(merge_stats_partials(a, b)).collect()[0]
+    assert (m["min"], m["max"]) == ("2", "10")
 
 
 def test_stats_one_scan_no_shuffle(spark, customer):
