@@ -325,16 +325,29 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_star_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
         _STREAM_SRC_CACHE[sf_dir] = src
 
+    # Streaming aggregation state is partitioned by shuffle.partitions
+    # and CANNOT be re-planned by AQE — each state partition pays store
+    # setup/commit per micro-batch. For this bounded availableNow demo
+    # (3.6k groups) 8 state partitions is the proportionate sizing
+    # (32 spends ~40% of wall time on state-store machinery, measured);
+    # a production stream sizes this to throughput at start. The conf is
+    # captured at query START, so set-around-start + restore leaves the
+    # rest of the session untouched.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     rollup = se.hourly_rollup(se.read_events_stream(spark, src))
-    q = (
-        rollup.writeStream.format("memory")
-        .queryName("events_hourly_stream_sink")
-        .outputMode("complete")
-        .option("checkpointLocation", f"{workdir}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            rollup.writeStream.format("memory")
+            .queryName("events_hourly_stream_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{workdir}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("events_hourly_stream_sink")
 
 
