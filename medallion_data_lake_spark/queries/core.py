@@ -323,6 +323,9 @@ def daily_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A4 calendar-bucket agg (reference silver_to_gold.py:168-178). "
         "Spark dayofweek is 1=Sunday..7; DuckDB dow is 0=Sunday..6, hence "
         "the +1 in the oracle.",
+    extra=True,  # r4 rotation: calendar-bucket AGG stays driver-gated via
+                 # events_cascading_rollup (hour->day->week); the date
+                 # function family moves to order_date_math's driver row
 )
 def calendar_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -587,6 +590,8 @@ def scalar_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arbitrary survivor (bronze_to_silver.py:80); ours is deterministic "
         "(earliest ts, tie-broken) so results are testable and stable under "
         "re-partitioning — required for CDC replay too (SURVEY.md §7.4.4).",
+    extra=True,  # r4 rotation: P7 exact dedup stays driver-gated via
+                 # doc_fingerprint_groups; slot freed for winnowing
 )
 def dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_id").orderBy("ts", "value", "event_type")

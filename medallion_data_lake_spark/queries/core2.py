@@ -183,8 +183,9 @@ def price_distribution_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Date arithmetic family (reference get_customer_balance/rewards_report "
         "date math, sakila-schema.sql:505-507,569-570): quarter, last_day, "
         "interval add, date_trunc. Row-level, codegen'd, filter pushed down.",
-    extra=True,  # date-family driver evidence remains via calendar_trends
-                 # (A4); slot freed for decontaminate_ngram_overlap
+    # driver-gated since r4: carries the date function family's driver row
+    # (calendar_trends rotated to extra; its AGG shape stays gated via
+    # events_cascading_rollup)
 )
 def order_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -424,6 +425,8 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "joined TWICE under different roles (supplier vs customer side) "
         "plus an inequality predicate between the two — broadcast both "
         "nation sides; the only fact-fact shuffle is lineitem⨝orders.",
+    extra=True,  # r4 rotation: J3 inner chains stay driver-gated via
+                 # regional_revenue (5-way); slot freed for retention cohorts
 )
 def supplier_customer_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)

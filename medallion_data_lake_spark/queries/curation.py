@@ -421,8 +421,8 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "into one task and is deliberately not offered). Output is the "
         "per-sequence manifest a shard writer consumes.",
     tags=("curation",),
-    extra=True,  # running-sum window already driver-covered by
-                 # user_running_totals; locally oracle-verified
+    # driver-gated since r4: carries the running-sum frame window's driver
+    # row (user_running_totals rotated to extra) plus packing semantics
 )
 def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -649,7 +649,9 @@ def ordered_shingle_hashes(col: Column) -> Column:
         "against an inverted (fingerprint, doc) table at scale — another "
         "bucketed candidate generator like LSH bands.",
     tags=("dedup",),
-    extra=True,  # dedup family already driver-verified; local oracle gate
+    # driver-gated since r4: winnowing is its own fingerprinting op
+    # (dedup_events_exact rotated to extra; P7 stays gated via
+    # doc_fingerprint_groups)
 )
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")

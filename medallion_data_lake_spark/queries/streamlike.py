@@ -75,6 +75,8 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SURVEY.md §2.5). Partitioned by user; ordered summation is "
         "deterministic in both engines.",
     tags=("streaming",),
+    extra=True,  # r4 rotation: running-sum frame window now driver-gated
+                 # via sequence_packing_plan (same op + packing semantics)
 )
 def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
@@ -405,7 +407,7 @@ def signup_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scanned twice (frontier + activity); at scale the frontier "
         "table persists and only the activity pass reruns per refresh.",
     tags=("streaming",),
-    extra=True,
+    # driver-gated since r4 (supplier_customer_nation_volume rotated out)
 )
 def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)

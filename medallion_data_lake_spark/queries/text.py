@@ -121,6 +121,9 @@ def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "punctuation count uses literal replaces so the Java and RE2 regex "
         "dialects can't diverge.",
     tags=("text",),
+    extra=True,  # r4 rotation: the quality_score expression stays
+                 # driver-gated via corpus_quality_by_lang; slot freed for
+                 # the LM tier (doc_unigram_logprob)
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
@@ -297,7 +300,9 @@ _LM_ADD_K = 0.5
         "ln/exp differ in final ulps across engines, one transcendental "
         "fewer keeps the 4-dp round stable.",
     tags=("text", "curation"),
-    extra=True,  # LM tier of the driver-gated doc_quality_score family
+    # driver-gated since r4: the LM scoring tier gets its own driver row
+    # (doc_quality_score rotated to extra; its expression stays gated via
+    # corpus_quality_by_lang)
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import score_documents, train_unigram_lm
