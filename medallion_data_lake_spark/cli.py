@@ -68,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "verb",
         choices=["tables", "describe", "sql", "samples", "analyze",
-                 "manifest", "compact", "history", "optimize"],
+                 "manifest", "compact", "history", "optimize", "serve"],
     )
     ap.add_argument(
         "arg",
@@ -86,6 +86,23 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="mdls-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.verb == "serve":
+        # interactive SQL over the cached gold views (serving.serve_repl);
+        # reads statements from stdin so it scripts and tests the same way
+        from .serving import ServingLayer, serve_repl
+
+        gold = args.arg or os.path.join(args.lake, "gold")
+        if not os.path.isdir(gold):
+            print(f"serve requires a gold directory (got {gold})", file=sys.stderr)
+            return 2
+        serving = ServingLayer(spark, gold, cache_tables=True)
+        try:
+            serve_repl(serving, sys.stdin, sys.stdout, max_rows=args.limit)
+        finally:
+            serving.close()
+        return 0
+
     cat = _mount(spark, args)
 
     if args.verb == "tables":

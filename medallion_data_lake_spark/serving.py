@@ -124,6 +124,56 @@ class ServingLayer:
         self._cached.clear()
 
 
+def serve_repl(
+    serving: ServingLayer,
+    in_stream,
+    out_stream,
+    max_rows: int = 20,
+) -> int:
+    """Line-oriented SQL REPL over a ServingLayer — the engine's
+    ``fast_query.py`` REPL parity (reference
+    ``gold_postgress/fast_query.py:76-196``): interactive SQL against the
+    cached gold views with bounded output.
+
+    Commands: ``\\t`` list tables, ``\\d <table>`` describe,
+    ``\\samples`` run the canned pack, ``\\q`` quit; anything else runs
+    as SQL (output bounded to ``max_rows`` — S14, never an unbounded
+    collect). Streams are parameters so a test (or a web handler) can
+    drive it; returns the number of statements executed.
+    """
+    def emit(text: str) -> None:
+        print(text, file=out_stream)
+
+    emit(f"serving {len(serving.show_tables())} gold view(s); "
+         "\\t tables, \\d <table> describe, \\samples, \\q quit")
+    executed = 0
+    for line in in_stream:
+        stmt = line.strip().rstrip(";")
+        if not stmt:
+            continue
+        if stmt in ("\\q", "quit", "exit"):
+            break
+        try:
+            if stmt == "\\t":
+                emit("\n".join(serving.show_tables()))
+            elif stmt.startswith("\\d "):
+                desc = serving.describe_table(stmt[3:].strip(), sample_rows=3)
+                emit(str(desc["schema"].simpleString()
+                         if hasattr(desc["schema"], "simpleString")
+                         else desc["schema"]))
+            elif stmt == "\\samples":
+                for name, df in serving.sample_queries().items():
+                    emit(f"=== {name} ===")
+                    emit(df.limit(max_rows).toPandas().to_string(index=False))
+            else:
+                pdf = serving.query_pandas(stmt, max_rows=max_rows)
+                emit(pdf.to_string(index=False))
+                executed += 1
+        except Exception as exc:  # surface, keep serving (REPL contract)
+            emit(f"error: {exc}")
+    return executed
+
+
 _SERVING: ServingLayer | None = None
 
 

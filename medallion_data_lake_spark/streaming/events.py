@@ -32,14 +32,66 @@ def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream of events rows (parquet dir). A Kafka source is
-    the same plan with ``format("kafka")`` + the envelope parse from
-    sources/cdc.py."""
+    the same plan with ``format("kafka")`` + the envelope parse —
+    :func:`read_events_kafka`."""
     reader = spark.readStream.schema(EVENTS).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     # Watermarks require TIMESTAMP (with timezone); the session runs UTC,
     # so the NTZ→LTZ cast preserves wall-clock values exactly.
     return reader.load(path).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def events_from_envelopes(messages: DataFrame) -> DataFrame:
+    """Envelope ``(key, value)`` messages → typed events rows.
+
+    The post-source stage the Kafka path shares with everything else:
+    parse the reference's ``{table, operation, timestamp, data}`` JSON
+    envelope (sources/cdc.py — all payload scalars string-typed, the
+    producer's ``json.dumps(default=str)`` convention), then cast each
+    field back to the EVENTS schema. Works identically on batch and
+    streaming frames, so the parse logic is testable without a broker
+    and the broker path adds ONLY the source node to the plan.
+    """
+    from ..schemas import EVENTS as _EV
+    from ..sources.cdc import parse_envelopes
+    from pyspark.sql import types as T
+
+    str_payload = T.StructType(
+        [T.StructField(f.name, T.StringType()) for f in _EV.fields]
+    )
+    parsed = parse_envelopes(messages, str_payload)
+    return parsed.select(
+        *[
+            F.col(f"data.{f.name}").cast(f.dataType).alias(f.name)
+            for f in _EV.fields
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ→LTZ, as above
+
+
+def read_events_kafka(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka-source events stream (S3 against a real broker).
+
+    ``format("kafka")`` + :func:`events_from_envelopes`; every downstream
+    operator (``hourly_rollup``, ``deduped_stream``, sessionization)
+    composes unchanged — the file-source and Kafka plans differ only in
+    the source node. Requires the spark-sql-kafka connector on the
+    cluster (not present in this container; see README's docker-compose
+    smoke recipe and tests/test_kafka_env.py's env-gated e2e test).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return events_from_envelopes(raw)
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -66,3 +66,45 @@ def test_sample_pack_runs(serving):
 
 def test_tables_are_cached(serving, spark):
     assert spark.catalog.isCached("gold_customer_summary")
+
+
+def test_serve_repl_drives_queries(serving):
+    """The serve REPL (fast_query.py REPL parity): two SQL statements plus
+    commands through the line interface, bounded output, errors surfaced
+    without killing the loop."""
+    import io
+
+    from medallion_data_lake_spark.serving import serve_repl
+
+    script = "\n".join([
+        "\\t",
+        "SELECT COUNT(*) AS n FROM gold_customer_summary;",
+        "SELECT nope FROM missing_table",          # must not kill the REPL
+        "SELECT customer_value_tier, COUNT(*) AS n FROM gold_customer_summary"
+        " GROUP BY customer_value_tier ORDER BY n DESC",
+        "\\q",
+        "SELECT 1",                                 # after quit: not executed
+    ]) + "\n"
+    out = io.StringIO()
+    executed = serve_repl(serving, io.StringIO(script), out, max_rows=10)
+    text = out.getvalue()
+    assert executed == 2                    # the two successful SQL statements
+    assert "gold_customer_summary" in text  # \t listing
+    assert "error:" in text                 # bad SQL surfaced, loop continued
+    assert "Gold" in text                   # second query's output arrived
+
+
+def test_cli_serve_verb(gold_root, monkeypatch, capsys):
+    """`cli serve` wires stdin/stdout to the REPL over a gold root."""
+    import io
+
+    from medallion_data_lake_spark import cli
+
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO("SELECT COUNT(*) AS n FROM gold_customer_summary\n\\q\n"),
+    )
+    # gold_root IS the gold directory: pass it as the positional arg
+    rc = cli.main(["serve", gold_root, "--limit", "5"])
+    assert rc == 0
+    assert "4" in capsys.readouterr().out  # the count row made it to stdout
