@@ -160,12 +160,13 @@ def _write_checkpoint(path: str, version: int) -> None:
     """Materialize derived state at ``version``. Best-effort: a racing
     checkpointer (or a crash here) costs nothing but replay length."""
     live, txns = _state_at(path, version)
+    stats = _file_stats_at(path, version)
     target = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.json")
     try:
         with open(target, "x") as fh:
             json.dump(
                 {"version": version, "live": live, "txns": txns,
-                 "timestamp": time.time()},
+                 "file_stats": stats, "timestamp": time.time()},
                 fh,
             )
     except FileExistsError:
@@ -220,6 +221,78 @@ def _publish(
     raise CommitConflict(f"lost {max_retries} version races on {path}")
 
 
+def _collect_file_stats(
+    spark: SparkSession,
+    path: str,
+    data_path: str,
+    stats_cols: tuple[str, ...],
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``stats_cols`` over a just-written commit
+    directory — one small aggregation over only the NEW files (grouped by
+    input_file_name), the metadata every lakehouse format keeps per data
+    file. Values are JSON-rendered (numbers stay numbers; everything else
+    becomes its ISO string, which compares consistently)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    rows = (
+        spark.read.parquet(data_path)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(*aggs)
+        .collect()
+    )
+
+    def render(v):
+        return v if isinstance(v, (int, float, bool)) or v is None else str(v)
+
+    rel_by_base = {
+        os.path.basename(f): f
+        for f in (
+            os.path.join(
+                "data", os.path.basename(data_path), name
+            )
+            for name in os.listdir(data_path)
+            if name.endswith(".parquet")
+        )
+    }
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        base = os.path.basename(r["_f"].split("?")[0])
+        rel = rel_by_base.get(base)
+        if rel is None:
+            continue
+        out[rel] = {
+            c: [render(r[f"{c}__min"]), render(r[f"{c}__max"])]
+            for c in stats_cols
+        }
+    return out
+
+
+def _file_stats_at(path: str, version: int | None = None) -> dict[str, dict]:
+    """Per-file stats for the LIVE files at ``version`` — resolved from
+    the newest checkpoint + tail like :func:`_state_at`."""
+    if version is not None and version < 0:
+        return {}
+    ckpts = [
+        v for v in _checkpoint_versions(path)
+        if version is None or v <= version
+    ]
+    if ckpts:
+        ck = _read_checkpoint(path, ckpts[-1])
+        stats = dict(ck.get("file_stats", {}))
+        tail = _entries(path, lo=ckpts[-1] + 1, hi=version)
+    else:
+        stats = {}
+        tail = _entries(path, hi=version)
+    for e in tail:
+        stats.update(e.get("file_stats", {}))
+    live, _ = _state_at(path, version)
+    live_set = set(live)
+    return {f: s for f, s in stats.items() if f in live_set}
+
+
 def commit(
     df: DataFrame,
     path: str,
@@ -227,6 +300,7 @@ def commit(
     max_retries: int = 5,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> dict | None:
     """Write ``df`` as one atomic commit; returns the log entry.
 
@@ -240,6 +314,10 @@ def commit(
     write is skipped and None returned (replayed micro-batches must not
     double-apply). The check runs before the data write AND inside the
     claim loop, so a concurrent duplicate loses there too.
+
+    ``stats_cols`` records per-file [min, max] ranges in the log entry
+    (one small aggregation over only the new files) — the file-skipping
+    metadata :func:`merge_into` prunes with.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -260,6 +338,11 @@ def commit(
         for f in os.listdir(data_path)
         if f.endswith(".parquet")
     )
+    file_stats = (
+        _collect_file_stats(df.sparkSession, path, data_path, stats_cols)
+        if stats_cols and added
+        else {}
+    )
 
     def build(version: int) -> dict | None:
         if _already_applied():
@@ -275,6 +358,8 @@ def commit(
         }
         if has_txn:
             entry["txn"] = {"app_id": txn_app_id, "version": txn_version}
+        if file_stats:
+            entry["file_stats"] = file_stats
         return entry
 
     entry = _publish(path, build, max_retries)
@@ -457,3 +542,138 @@ def optimize_table(
         raise
     assert entry is not None
     return {**entry, "files_before": len(live), "files_after": len(added)}
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+    validate_unique: bool = True,
+) -> dict:
+    """Delta-style MERGE (upsert by ``key``), FILE-GRANULAR: only live
+    data files whose recorded [min, max] key range overlaps the source
+    batch's key range are rewritten; every other file stays live
+    untouched. This is the scale property that separates a MERGE from an
+    overwrite — a CDC batch touching one day of keys rewrites one day of
+    files, not the table (SCALE.md named this the production upgrade
+    real Delta exists for).
+
+    Semantics per key: present in both → source row wins (update);
+    source-only → insert; target-only → kept. With ``delete_col``,
+    source rows where that boolean column is true DELETE the key
+    instead. Files committed without ``stats_cols=(key,)`` have no
+    recorded range and are conservatively treated as overlapping.
+
+    The rewrite commit records fresh [min, max] stats for its output
+    files, so merge output stays prunable by later merges. Publication
+    goes through the shared claim loop; like OPTIMIZE, a concurrent
+    writer REMOVING a file this merge rewrote aborts with
+    CommitConflict (publishing would resurrect deleted rows), while a
+    concurrent append just costs a retry.
+    """
+    live, _ = _state_at(path)
+    if not live:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    stats = _file_stats_at(path)
+
+    from pyspark.sql import functions as F
+
+    # one bounded job over the source: key range + uniqueness check
+    agg_row = source.agg(
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("nd"),
+    ).first()
+    if agg_row["n"] == 0:
+        raise ValueError("merge_into: empty source batch")
+    if validate_unique and agg_row["n"] != agg_row["nd"]:
+        raise ValueError(
+            f"merge_into: source has duplicate keys "
+            f"({agg_row['n']} rows, {agg_row['nd']} distinct {key!r}) — "
+            "collapse with latest_change_per_key first"
+        )
+    lo, hi = agg_row["lo"], agg_row["hi"]
+
+    def overlaps(rng) -> bool:
+        if rng is None or rng[0] is None:
+            return True  # unknown range: must assume it matches
+        fmin, fmax = rng
+        return not (fmax < lo or fmin > hi)
+
+    matched = [f for f in live if overlaps(stats.get(f, {}).get(key))]
+    untouched_set = set(live) - set(matched)
+
+    cols = spark.read.parquet(os.path.join(path, matched[0])).columns if matched else source.columns
+    out_cols = [c for c in cols if c != delete_col]
+    if matched:
+        base = spark.read.parquet(*[os.path.join(path, f) for f in matched])
+        s = source.select(
+            F.col(key).alias("__sk"),
+            *[F.col(c).alias(f"__s_{c}") for c in source.columns if c != key],
+        )
+        joined = base.join(s, base[key] == s["__sk"], "full_outer")
+        from_source = F.col("__sk").isNotNull()
+        merged = joined.select(
+            *[
+                F.when(
+                    from_source,
+                    F.col("__sk") if c == key else F.col(f"__s_{c}"),
+                ).otherwise(F.col(c)).alias(c)
+                for c in out_cols
+            ],
+            *( [F.when(from_source, F.coalesce(F.col(f"__s_{delete_col}"), F.lit(False)))
+                 .otherwise(F.lit(False)).alias("__del")]
+               if delete_col else
+               [F.lit(False).alias("__del")] ),
+        )
+        merged = merged.filter(~F.col("__del")).drop("__del")
+    else:
+        merged = source.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False)) if delete_col else F.lit(True)
+        ).select(*out_cols)
+
+    commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
+    data_path = os.path.join(path, "data", commit_dir)
+    merged.write.mode("error").parquet(data_path)
+    added = sorted(
+        os.path.join("data", commit_dir, f)
+        for f in os.listdir(data_path)
+        if f.endswith(".parquet")
+    )
+    file_stats = _collect_file_stats(spark, path, data_path, (key,))
+    rewritten = set(matched)
+
+    def build(version: int) -> dict:
+        current_live, _ = _state_at(path, version - 1)
+        missing = rewritten - set(current_live)
+        if missing:
+            raise CommitConflict(
+                f"MERGE on {path} raced a writer that removed "
+                f"{len(missing)} rewritten file(s); re-run on the new snapshot"
+            )
+        entry = {
+            "version": version,
+            "timestamp": time.time(),
+            "mode": "merge",
+            "added": added,
+            "removed": sorted(rewritten),
+            "operation": f"MERGE({len(matched)} of {len(live)} files rewritten)",
+        }
+        if file_stats:
+            entry["file_stats"] = file_stats
+        return entry
+
+    try:
+        entry = _publish(path, build)
+    except CommitConflict:
+        shutil.rmtree(data_path, ignore_errors=True)
+        raise
+    assert entry is not None
+    return {
+        **entry,
+        "files_matched": len(matched),
+        "files_untouched": len(untouched_set),
+    }

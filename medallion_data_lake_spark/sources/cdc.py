@@ -157,19 +157,24 @@ def apply_changes_versioned(
     restore-from-backup.
 
     Returns the commit log entry. First call bootstraps the table from
-    the batch's upserts. Note: commit granularity is the merge output —
-    at 100 TB a real Delta MERGE rewrites only matched files; our log
-    rewrites the table's live set per merge, so this path suits dim/
-    medium tables (the reference's workload) while fact-scale CDC keeps
-    the partitioned-parquet path (``apply_changes`` + batch-id
-    partitions) — trade-off stated, not hidden.
+    the batch's upserts (with per-file key stats recorded). Later
+    batches go through ``versioned.merge_into`` — FILE-GRANULAR since
+    round 4: only data files whose recorded key range overlaps the
+    batch are rewritten, so a batch touching one key neighborhood
+    rewrites that neighborhood, not the table — fact-scale CDC on the
+    transactional table, the upgrade the round-3 note said real Delta
+    exists for.
     """
-    from ..operators.versioned import commit, latest_version, read_table
+    from ..operators.versioned import commit, latest_version, merge_into
 
     collapsed = latest_change_per_key(changes, key)
+    src = collapsed.select(
+        "data.*",
+        (F.col("operation") == "DELETE").alias("__mdls_is_delete"),
+    )
     if latest_version(table_path) is None:
-        initial = collapsed.filter(F.col("operation") != "DELETE").select("data.*")
-        return commit(initial, table_path, mode="overwrite")
-    current = read_table(spark, table_path)
-    merged = apply_changes(current, collapsed, key)
-    return commit(merged, table_path, mode="overwrite")
+        initial = src.filter(~F.col("__mdls_is_delete")).drop("__mdls_is_delete")
+        return commit(initial, table_path, mode="overwrite", stats_cols=(key,))
+    return merge_into(
+        spark, table_path, src, key=key, delete_col="__mdls_is_delete"
+    )

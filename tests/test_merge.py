@@ -1,0 +1,145 @@
+"""File-granular MERGE on the versioned table: upsert semantics AND the
+scale property — only key-range-overlapping files are rewritten."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.operators.versioned import (
+    _file_stats_at,
+    _state_at,
+    commit,
+    history,
+    merge_into,
+    read_table,
+)
+
+
+def _batch(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    """Three disjoint-key-range commits, each with recorded id stats."""
+    path = str(tmp_path / "t")
+    for lo in (0, 10, 20):
+        commit(_batch(spark, lo, lo + 10, f"base{lo}"), path, stats_cols=("id",))
+    return path
+
+
+def test_merge_upsert_semantics(spark, table):
+    src = spark.createDataFrame(
+        [(12, "updated"), (13, "updated"), (100, "inserted")], "id long, tag string"
+    )
+    stats = merge_into(spark, table, src, key="id")
+    got = {r["id"]: r["tag"] for r in read_table(spark, table).collect()}
+    assert len(got) == 31                      # 30 base + 1 insert
+    assert got[12] == got[13] == "updated"     # matched: source wins
+    assert got[100] == "inserted"              # source-only: insert
+    assert got[11] == "base10" and got[0] == "base0"  # rest untouched
+    assert history(table)[-1]["operation"].startswith("MERGE(")
+    # pre-merge snapshot still time-travels
+    assert read_table(spark, table, version=2).count() == 30
+    assert stats["files_matched"] >= 1
+
+
+def test_merge_rewrites_only_overlapping_files(spark, table):
+    """The file-granular claim, asserted on physical paths: files whose
+    recorded [min,max] id range misses the source batch keep their exact
+    live paths; only the overlapping range is rewritten."""
+    live_before, _ = _state_at(table)
+    stats_before = _file_stats_at(table)
+    # every base file carries its range
+    assert all(f in stats_before for f in live_before)
+
+    src = spark.createDataFrame([(12, "u"), (14, "u")], "id long, tag string")
+    out = merge_into(spark, table, src, key="id")
+
+    live_after, _ = _state_at(table)
+    touched = set(live_before) - set(live_after)
+    kept = set(live_before) & set(live_after)
+    # only the [10,19] file(s) were rewritten; [0,9] and [20,29] kept
+    for f in touched:
+        fmin, fmax = stats_before[f]["id"]
+        assert fmin <= 14 and fmax >= 12, (f, stats_before[f])
+    for f in kept:
+        fmin, fmax = stats_before[f]["id"]
+        assert fmax < 12 or fmin > 14, (f, stats_before[f])
+    assert out["files_untouched"] == len(kept) and len(kept) >= 1
+
+    # the rewrite's own output files carry fresh stats (stay prunable)
+    stats_after = _file_stats_at(table)
+    new_files = set(live_after) - set(live_before)
+    assert new_files and all(f in stats_after for f in new_files)
+
+
+def test_merge_matches_naive_full_merge(spark, table):
+    src = spark.createDataFrame(
+        [(5, "u5"), (25, "u25"), (40, "new")], "id long, tag string"
+    )
+    base = read_table(spark, table)
+    naive = (
+        base.join(src.select(F.col("id").alias("sid")), base.id == F.col("sid"), "left_anti")
+        .unionByName(src)
+    )
+    merge_into(spark, table, src, key="id")
+    got = sorted(tuple(r) for r in read_table(spark, table).collect())
+    want = sorted(tuple(r) for r in naive.collect())
+    assert got == want
+
+
+def test_merge_delete_rows(spark, table):
+    src = spark.createDataFrame(
+        [(3, "x", True), (4, "upd", False), (50, "new", False)],
+        "id long, tag string, is_deleted boolean",
+    )
+    merge_into(spark, table, src, key="id", delete_col="is_deleted")
+    got = {r["id"]: r["tag"] for r in read_table(spark, table).collect()}
+    assert 3 not in got           # deleted
+    assert got[4] == "upd"        # updated
+    assert got[50] == "new"       # inserted
+    assert len(got) == 30         # 30 base - 1 deleted + 1 inserted
+    assert "is_deleted" not in read_table(spark, table).columns
+
+
+def test_merge_refuses_duplicate_source_keys(spark, table):
+    src = spark.createDataFrame([(1, "a"), (1, "b")], "id long, tag string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(spark, table, src, key="id")
+
+
+def test_files_without_stats_are_conservatively_matched(spark, tmp_path):
+    """A commit made without stats_cols has no range: merge must treat
+    its files as overlapping (correctness over pruning)."""
+    path = str(tmp_path / "t")
+    commit(_batch(spark, 0, 10, "nostats"), path)  # no stats recorded
+    commit(_batch(spark, 100, 110, "stats"), path, stats_cols=("id",))
+    src = spark.createDataFrame([(5, "u")], "id long, tag string")
+    out = merge_into(spark, path, src, key="id")
+    got = {r["id"]: r["tag"] for r in read_table(spark, path).collect()}
+    assert got[5] == "u" and got[105] == "stats"
+    # the stats-bearing file [100,110] was prunable and stayed untouched
+    assert out["files_untouched"] >= 1
+
+
+def test_stats_survive_checkpoint_roundtrip(spark, tmp_path):
+    """file_stats resolve from checkpoint + tail once the log checkpoints
+    (12 commits > interval), so merge pruning stays O(tail)."""
+    import os
+
+    path = str(tmp_path / "t")
+    for i in range(12):
+        commit(_batch(spark, i * 10, i * 10 + 10, f"b{i}"), path, stats_cols=("id",))
+    import medallion_data_lake_spark.operators.versioned as V
+
+    assert V._checkpoint_versions(path)  # checkpointed
+    # pre-checkpoint entries unnecessary for stats resolution
+    for v in range(10):
+        os.remove(os.path.join(path, "_log", f"{v:020d}.json"))
+    stats = _file_stats_at(path)
+    live, _ = _state_at(path)
+    assert set(stats) == set(live) and len(live) >= 12
