@@ -82,6 +82,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", help="destination path for compact")
     ap.add_argument("--target-file-mb", type=int, default=128,
                     help="compaction target file size")
+    ap.add_argument("--zorder", default="",
+                    help="optimize: comma-separated columns to ZORDER BY")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="mdls-cli")
@@ -175,6 +177,7 @@ def main(argv: list[str] | None = None) -> int:
         stats = optimize_table(
             spark, args.arg,
             target_file_bytes=args.target_file_mb * 1024 * 1024,
+            zorder_by=tuple(c for c in args.zorder.split(",") if c),
         )
         print(json.dumps({k: stats[k] for k in
                           ("version", "operation", "files_before", "files_after")}))

@@ -473,6 +473,8 @@ def optimize_table(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: tuple[str, ...] = (),
+    stats_cols: tuple[str, ...] = (),
 ) -> dict:
     """Delta-OPTIMIZE semantics: rewrite the CURRENT live set into
     target-sized files and publish the compacted layout as one atomic
@@ -480,6 +482,15 @@ def optimize_table(
     untouched — older versions still resolve to the original files until
     ``vacuum`` reclaims them. Readers never see a half-compacted table:
     the swap is the log entry.
+
+    ``zorder_by`` is Delta's ``OPTIMIZE ... ZORDER BY``: the rewrite is
+    clustered on the Morton curve of those columns
+    (operators/zorder.py — one range shuffle, same cost class as the
+    plain repartition), so every output file covers a compact box in
+    ALL of them and min-max skipping works for each. Per-file [min,max]
+    ranges are recorded in the log entry for ``stats_cols`` (defaulting
+    to the zorder columns) — the same metadata :func:`merge_into`
+    prunes with, so an optimized table stays merge-prunable.
 
     Concurrency: publication goes through the shared claim loop. A
     concurrent APPEND costs only a retry (its files stay live beside the
@@ -491,6 +502,8 @@ def optimize_table(
     Returns the commit entry plus before/after file counts. Sizing uses
     on-disk bytes-per-row like ``maintenance.compact_table``.
     """
+    from pyspark.sql import functions as F
+
     live, _ = _state_at(path)
     if not live:
         raise ValueError(f"nothing to optimize at {path}")
@@ -502,11 +515,22 @@ def optimize_table(
     records_per_file = max(int(target_file_bytes / bytes_per_row), 1)
     n_out = max(math.ceil(total_bytes / target_file_bytes), 1)
 
+    if zorder_by:
+        from .zorder import zorder_value
+
+        out = (
+            zorder_value(df, list(zorder_by))
+            .repartitionByRange(n_out, F.col("_zvalue"))
+            .sortWithinPartitions("_zvalue")
+            .drop("_zvalue")
+        )
+    else:
+        out = df.repartition(n_out)
+
     commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
     data_path = os.path.join(path, "data", commit_dir)
     (
-        df.repartition(n_out)
-        .write.mode("error")
+        out.write.mode("error")
         .option("maxRecordsPerFile", records_per_file)
         .parquet(data_path)
     )
@@ -515,8 +539,15 @@ def optimize_table(
         for f in os.listdir(data_path)
         if f.endswith(".parquet")
     )
+    stats_record = tuple(stats_cols) or tuple(zorder_by)
+    file_stats = (
+        _collect_file_stats(spark, path, data_path, stats_record)
+        if stats_record and added
+        else {}
+    )
 
     compacted = set(live)
+    op_suffix = f" ZORDER({','.join(zorder_by)})" if zorder_by else ""
 
     def build(version: int) -> dict:
         current_live, _ = _state_at(path, version - 1)
@@ -526,14 +557,17 @@ def optimize_table(
                 f"OPTIMIZE on {path} raced a writer that removed "
                 f"{len(missing)} compacted file(s); re-run on the new snapshot"
             )
-        return {
+        entry = {
             "version": version,
             "timestamp": time.time(),
             "mode": "optimize",
             "added": added,
             "removed": sorted(compacted),
-            "operation": f"OPTIMIZE({len(live)}->{len(added)})",
+            "operation": f"OPTIMIZE({len(live)}->{len(added)}){op_suffix}",
         }
+        if file_stats:
+            entry["file_stats"] = file_stats
+        return entry
 
     try:
         entry = _publish(path, build)

@@ -126,6 +126,46 @@ def test_files_without_stats_are_conservatively_matched(spark, tmp_path):
     assert out["files_untouched"] >= 1
 
 
+def test_optimize_zorder_clusters_and_records_stats(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY: the compacted rewrite is Morton-clustered,
+    so per-file [min,max] boxes are tight in BOTH zorder columns — a
+    point probe on either dimension prunes to a strict subset of files
+    via the recorded stats (the same ranges merge_into uses)."""
+    from medallion_data_lake_spark.operators.versioned import optimize_table
+
+    path = str(tmp_path / "t")
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 141).alias("a"),
+        ((F.col("id") * 7919) % 149).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    commit(df, path)
+    stats = optimize_table(
+        spark, path, target_file_bytes=15_000, zorder_by=("a", "b")
+    )
+    assert "ZORDER(a,b)" in stats["operation"]
+    assert stats["files_after"] > 3  # multi-file layout, else nothing to skip
+
+    ranges = _file_stats_at(path)
+    live, _ = _state_at(path)
+    assert set(ranges) == set(live)
+    assert all(set(r) == {"a", "b"} for r in ranges.values())
+
+    def files_matching(col, v):
+        return sum(
+            1 for r in ranges.values() if r[col][0] <= v <= r[col][1]
+        )
+
+    n_files = len(live)
+    # z-clustering keeps BOTH dimensions skippable: a point probe on
+    # either column must exclude at least some files
+    assert files_matching("a", 70) < n_files
+    assert files_matching("b", 74) < n_files
+    # and the table still reads whole
+    assert read_table(spark, path).count() == n
+
+
 def test_stats_survive_checkpoint_roundtrip(spark, tmp_path):
     """file_stats resolve from checkpoint + tail once the log checkpoints
     (12 commits > interval), so merge pruning stays O(tail)."""
