@@ -585,7 +585,9 @@ def merge_into(
     key: str,
     delete_col: str | None = None,
     validate_unique: bool = True,
-) -> dict:
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> dict | None:
     """Delta-style MERGE (upsert by ``key``), FILE-GRANULAR: only live
     data files whose recorded [min, max] key range overlaps the source
     batch's key range are rewritten; every other file stays live
@@ -606,7 +608,21 @@ def merge_into(
     writer REMOVING a file this merge rewrote aborts with
     CommitConflict (publishing would resurrect deleted rows), while a
     concurrent append just costs a retry.
+
+    ``txn_app_id``/``txn_version`` give the same idempotent-writer
+    contract as :func:`commit` (skip + return None when the watermark
+    already covers this version) — what a streaming CDC apply needs to
+    survive micro-batch replay.
     """
+    has_txn = txn_app_id is not None and txn_version is not None
+
+    def _already_applied() -> bool:
+        seen = latest_txn_version(path, txn_app_id) if has_txn else None
+        return seen is not None and txn_version <= seen
+
+    if _already_applied():  # skip before paying the source scan + rewrite
+        return None
+
     live, _ = _state_at(path)
     if not live:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -680,7 +696,9 @@ def merge_into(
     file_stats = _collect_file_stats(spark, path, data_path, (key,))
     rewritten = set(matched)
 
-    def build(version: int) -> dict:
+    def build(version: int) -> dict | None:
+        if _already_applied():
+            return None
         current_live, _ = _state_at(path, version - 1)
         missing = rewritten - set(current_live)
         if missing:
@@ -696,6 +714,8 @@ def merge_into(
             "removed": sorted(rewritten),
             "operation": f"MERGE({len(matched)} of {len(live)} files rewritten)",
         }
+        if has_txn:
+            entry["txn"] = {"app_id": txn_app_id, "version": txn_version}
         if file_stats:
             entry["file_stats"] = file_stats
         return entry
@@ -705,7 +725,9 @@ def merge_into(
     except CommitConflict:
         shutil.rmtree(data_path, ignore_errors=True)
         raise
-    assert entry is not None
+    if entry is None:  # concurrent duplicate txn published first
+        shutil.rmtree(data_path, ignore_errors=True)
+        return None
     return {
         **entry,
         "files_matched": len(matched),

@@ -147,7 +147,9 @@ def apply_changes_versioned(
     table_path: str,
     changes: DataFrame,
     key: str,
-) -> dict:
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> dict | None:
     """CDC merge into a log-structured versioned table
     (operators/versioned.py) — the full MERGE-INTO-on-a-transactional-
     table loop Delta would provide: read the latest snapshot, apply the
@@ -174,7 +176,60 @@ def apply_changes_versioned(
     )
     if latest_version(table_path) is None:
         initial = src.filter(~F.col("__mdls_is_delete")).drop("__mdls_is_delete")
-        return commit(initial, table_path, mode="overwrite", stats_cols=(key,))
+        return commit(
+            initial, table_path, mode="overwrite", stats_cols=(key,),
+            txn_app_id=txn_app_id, txn_version=txn_version,
+        )
     return merge_into(
-        spark, table_path, src, key=key, delete_col="__mdls_is_delete"
+        spark, table_path, src, key=key, delete_col="__mdls_is_delete",
+        txn_app_id=txn_app_id, txn_version=txn_version,
     )
+
+
+def run_cdc_stream(
+    spark,
+    changes: DataFrame,
+    table_path: str,
+    key: str,
+    checkpoint: str,
+    app_id: str | None = None,
+) -> None:
+    """Streaming CDC apply: each micro-batch of envelope changes lands as
+    ONE idempotent file-granular MERGE commit on the versioned table —
+    the Delta streaming-MERGE loop (foreachBatch + txnAppId/txnVersion),
+    replacing the reference's consumer-daemon + full-refresh pattern
+    (``kafka_to_bronze.py`` consumer loop feeding ``bronze_to_silver``
+    overwrites).
+
+    Exactly-once has both legs, like ``run_incremental_rollup``: the
+    stream checkpoint stops re-DELIVERY; the batch-id txn watermark in
+    the table's commit log stops re-APPLY when a batch replays after its
+    commit published but before the checkpoint epoch committed. ``changes``
+    is a stream of parsed envelopes (``parse_envelopes`` output — works
+    unchanged over a Kafka source). Readers of the table never see a
+    partial batch; every batch is one time-travelable version.
+    """
+    import os
+
+    txn_app = app_id or f"cdc::{os.path.abspath(checkpoint)}"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.versioned import latest_txn_version
+
+        seen = latest_txn_version(table_path, txn_app)
+        if seen is not None and batch_id <= seen:
+            return  # replayed batch: its merge already published
+        if batch.isEmpty():
+            return
+        apply_changes_versioned(
+            spark, table_path, batch, key,
+            txn_app_id=txn_app, txn_version=batch_id,
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

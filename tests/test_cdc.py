@@ -213,3 +213,60 @@ def test_apply_changes_versioned_time_travel(spark, tmp_path):
     rollback(spark, path, to_version=0)
     assert read_table(spark, path).count() == 2
     assert [h["version"] for h in history(path)] == [0, 1, 2]
+
+
+def test_run_cdc_stream_exactly_once_replay(spark, tmp_path):
+    """Streaming CDC apply (run_cdc_stream): envelope files stream in as
+    micro-batches, each landing as one idempotent MERGE commit. A replay
+    after losing the stream checkpoint (crash between table commit and
+    epoch commit) must be a no-op — the batch-id txn watermark in the
+    commit log, not the checkpoint, is what guarantees no double-apply."""
+    import os
+    import shutil
+
+    from medallion_data_lake_spark.operators.versioned import history, read_table
+    from medallion_data_lake_spark.sources.cdc import run_cdc_stream
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    table = str(tmp_path / "customer_versioned")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        raw = spark.readStream.schema("value string").json(inp)
+        changes = parse_envelopes(raw, PAYLOAD)
+        run_cdc_stream(spark, changes, table, "customer_id", ck)
+
+    def write_batch(name, msgs):
+        with open(os.path.join(inp, name), "w") as f:
+            f.write("\n".join(json.dumps({"value": m}) for m in msgs))
+
+    write_batch("b1.json", [
+        _msg("INSERT", "2024-01-01T00:00:00", "1", "a@x.com"),
+        _msg("INSERT", "2024-01-01T00:00:01", "2", "b@x.com"),
+    ])
+    run()
+    assert {r["customer_id"]: r["email"]
+            for r in read_table(spark, table).collect()} == {
+        "1": "a@x.com", "2": "b@x.com"}
+
+    write_batch("b2.json", [
+        _msg("UPDATE", "2024-01-02T00:00:00", "1", "a2@x.com"),
+        _msg("DELETE", "2024-01-02T00:00:01", "2", None),
+        _msg("INSERT", "2024-01-02T00:00:02", "3", "c@x.com"),
+    ])
+    run()
+    want = {"1": "a2@x.com", "3": "c@x.com"}
+    assert {r["customer_id"]: r["email"]
+            for r in read_table(spark, table).collect()} == want
+    ops = [h["operation"] for h in history(table)]
+    assert ops[0] == "WRITE" and any(o.startswith("MERGE(") for o in ops[1:])
+    n_versions = len(ops)
+
+    # crash-replay: checkpoint gone, same files re-deliver with the same
+    # batch ids and the same derived app id (checkpoint PATH unchanged)
+    shutil.rmtree(ck)
+    run()
+    assert {r["customer_id"]: r["email"]
+            for r in read_table(spark, table).collect()} == want
+    assert len(history(table)) == n_versions  # skipped, not re-merged
