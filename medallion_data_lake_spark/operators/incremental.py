@@ -40,29 +40,42 @@ def merge_additive(
     delta: DataFrame,
     keys: Sequence[str],
     sum_cols: Sequence[str],
+    sketch_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Merge a delta rollup into the current view state: full outer on
-    the grain keys, metric = sum of both sides' contributions (missing
-    side contributes 0). ``current=None`` bootstraps from the delta."""
+    the grain keys; ``sum_cols`` add (missing side contributes 0);
+    ``sketch_cols`` hold HLL sketch binaries (``hll_sketch_agg``
+    partials) and merge by ``hll_union`` — this is what makes DISTINCT
+    COUNTS incrementally maintainable: the sketch is the mergeable form
+    of a non-additive metric (operators/sketches.py contract), estimated
+    only at read time via ``hll_sketch_estimate``. ``current=None``
+    bootstraps from the delta."""
     if current is None:
-        return delta.select(*keys, *sum_cols)
+        return delta.select(*keys, *sum_cols, *sketch_cols)
+    metrics = [*sum_cols, *sketch_cols]
     c = current.select(
-        *keys, *[F.col(m).alias(f"_cur_{m}") for m in sum_cols]
+        *keys, *[F.col(m).alias(f"_cur_{m}") for m in metrics]
     )
     d = delta.select(
-        *keys, *[F.col(m).alias(f"_new_{m}") for m in sum_cols]
+        *keys, *[F.col(m).alias(f"_new_{m}") for m in metrics]
     )
     merged = c.join(d, on=list(keys), how="full_outer")
-    return merged.select(
-        *keys,
-        *[
-            (
-                F.coalesce(F.col(f"_cur_{m}"), F.lit(0))
-                + F.coalesce(F.col(f"_new_{m}"), F.lit(0))
-            ).alias(m)
-            for m in sum_cols
-        ],
-    )
+    out_cols = [
+        (
+            F.coalesce(F.col(f"_cur_{m}"), F.lit(0))
+            + F.coalesce(F.col(f"_new_{m}"), F.lit(0))
+        ).alias(m)
+        for m in sum_cols
+    ]
+    for m in sketch_cols:
+        cur, new = F.col(f"_cur_{m}"), F.col(f"_new_{m}")
+        out_cols.append(
+            F.when(cur.isNull(), new)
+            .when(new.isNull(), cur)
+            .otherwise(F.hll_union(cur, new))
+            .alias(m)
+        )
+    return merged.select(*keys, *out_cols)
 
 
 def run_incremental_rollup(
@@ -73,16 +86,22 @@ def run_incremental_rollup(
     grain_exprs: dict[str, F.Column],
     metric_exprs: dict[str, F.Column],
     app_id: str | None = None,
+    sketch_exprs: dict[str, F.Column] | None = None,
 ) -> None:
     """Maintain an additive rollup view from a stream, exactly-once.
 
     ``grain_exprs``/``metric_exprs`` name the view's key and metric
     columns as expressions over the stream rows (metrics must be
-    additive aggregates — sums/counts). Each micro-batch: aggregate the
-    batch to the grain, merge into the stored view, publish atomically
-    via the versioned log with the batch id as the writer-txn version
-    (Delta's txnAppId/txnVersion pattern; ``app_id`` defaults to the
-    checkpoint path, which identifies the stream instance).
+    additive aggregates — sums/counts). ``sketch_exprs`` adds
+    NON-additive metrics as HLL sketch columns (values should be
+    ``F.hll_sketch_agg(...)`` aggregates): partials union-merge per
+    refresh, and readers estimate with ``hll_sketch_estimate`` — e.g.
+    incrementally-maintained daily distinct users. Each micro-batch:
+    aggregate the batch to the grain, merge into the stored view,
+    publish atomically via the versioned log with the batch id as the
+    writer-txn version (Delta's txnAppId/txnVersion pattern; ``app_id``
+    defaults to the checkpoint path, which identifies the stream
+    instance).
 
     Exactly-once needs BOTH legs: the streaming checkpoint stops
     re-delivery after a clean epoch commit, and the txn watermark stops
@@ -96,6 +115,7 @@ def run_incremental_rollup(
 
     keys = list(grain_exprs)
     metrics = list(metric_exprs)
+    sketches = dict(sketch_exprs or {})
     txn_app = app_id or f"incremental_rollup::{os.path.abspath(checkpoint)}"
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -105,7 +125,10 @@ def run_incremental_rollup(
         delta = (
             batch.groupBy(
                 *[expr.alias(name) for name, expr in grain_exprs.items()]
-            ).agg(*[expr.alias(name) for name, expr in metric_exprs.items()])
+            ).agg(
+                *[expr.alias(name) for name, expr in metric_exprs.items()],
+                *[expr.alias(name) for name, expr in sketches.items()],
+            )
         )
         current = (
             read_table(spark, view_path)
@@ -113,7 +136,7 @@ def run_incremental_rollup(
             else None
         )
         commit(
-            merge_additive(current, delta, keys, metrics),
+            merge_additive(current, delta, keys, metrics, list(sketches)),
             view_path,
             mode="overwrite",
             txn_app_id=txn_app,
