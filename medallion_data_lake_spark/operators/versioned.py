@@ -693,7 +693,9 @@ def merge_into(
         for f in os.listdir(data_path)
         if f.endswith(".parquet")
     )
-    file_stats = _collect_file_stats(spark, path, data_path, (key,))
+    file_stats = (
+        _collect_file_stats(spark, path, data_path, (key,)) if added else {}
+    )
     rewritten = set(matched)
 
     def build(version: int) -> dict | None:

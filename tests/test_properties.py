@@ -199,3 +199,55 @@ def test_evolution_widening_is_lossless(spark, vals):
     for (ga, gb, gc), (wa, wb, wc) in zip(got, want):
         assert ga == wa and gc is wc is None
         assert gb == pytest.approx(wb, rel=1e-6)
+
+
+_merge_base = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.text(alphabet="xyz", min_size=1, max_size=2)),
+    min_size=1, max_size=10,
+    unique_by=lambda t: t[0],
+)
+_merge_src = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=40),
+              st.text(alphabet="uvw", min_size=1, max_size=2),
+              st.booleans()),
+    min_size=1, max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(base=_merge_base, src=_merge_src)
+def test_merge_into_matches_reference_semantics(spark, tmp_path_factory,
+                                                base, src):
+    """merge_into == the dictionary semantics of MERGE, for arbitrary
+    base tables and unique-key source batches (updates, inserts,
+    deletes of present AND absent keys), regardless of which files the
+    range pruning decides to rewrite."""
+    from medallion_data_lake_spark.operators.versioned import (
+        commit,
+        merge_into,
+        read_table,
+    )
+
+    path = str(tmp_path_factory.mktemp("merge_prop") / "t")
+    commit(
+        spark.createDataFrame(base, "id long, tag string"),
+        path, stats_cols=("id",),
+    )
+    merge_into(
+        spark, path,
+        spark.createDataFrame(src, "id long, tag string, dead boolean"),
+        key="id", delete_col="dead",
+    )
+
+    want = dict(base)
+    for k, tag, dead in src:
+        if dead:
+            want.pop(k, None)
+        else:
+            want[k] = tag
+    got = {r["id"]: r["tag"] for r in read_table(spark, path).collect()}
+    assert got == want
