@@ -93,6 +93,24 @@ class ServingLayer:
                 inst._cached.append(view)
         return inst
 
+    def register_versioned(
+        self, name: str, table_path: str, version: int | None = None,
+        cache: bool = False,
+    ) -> str:
+        """Serve a log-structured versioned table (operators/versioned.py)
+        as a ``gold_<name>`` view, optionally PINNED to a version — a
+        dashboard pinned this way is reproducible regardless of ongoing
+        CDC merges/OPTIMIZE on the table (readers of old snapshots are
+        never disturbed; that is the log format's core contract)."""
+        from .operators.versioned import read_table
+
+        df = read_table(self.spark, table_path, version=version)
+        view = self.catalog.register("gold", name, df)
+        if cache:
+            self.spark.catalog.cacheTable(view)
+            self._cached.append(view)
+        return view
+
     # -- verbs (fast_query.py parity) ------------------------------------
 
     def query(self, sql: str) -> DataFrame:

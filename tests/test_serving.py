@@ -108,3 +108,34 @@ def test_cli_serve_verb(gold_root, monkeypatch, capsys):
     rc = cli.main(["serve", gold_root, "--limit", "5"])
     assert rc == 0
     assert "4" in capsys.readouterr().out  # the count row made it to stdout
+
+
+def test_register_versioned_pins_a_snapshot(spark, tmp_path):
+    """A serving view pinned to a version stays stable while the
+    underlying versioned table keeps merging — reproducible dashboards."""
+    from medallion_data_lake_spark.operators.versioned import commit, merge_into
+    from medallion_data_lake_spark.serving import ServingLayer
+
+    table = str(tmp_path / "vt")
+    commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string"),
+        table, stats_cols=("id",),
+    )
+    s = ServingLayer(spark, gold_root=None)
+    pinned = s.register_versioned("pinned_summary", table, version=0)
+    live = s.register_versioned("live_summary", table)
+    assert s.show_tables() == ["gold_live_summary", "gold_pinned_summary"]
+
+    merge_into(
+        spark, table,
+        spark.createDataFrame([(1, "changed"), (3, "new")], "id long, tag string"),
+        key="id",
+    )
+    # the pinned view still serves the old snapshot
+    assert {r["tag"] for r in s.query(f"SELECT tag FROM {pinned}").collect()} == {
+        "a", "b"}
+    # a freshly registered live view sees the merge
+    live2 = s.register_versioned("live2_summary", table)
+    assert {r["tag"] for r in s.query(f"SELECT tag FROM {live2}").collect()} == {
+        "changed", "b", "new"}
+    s.close()
