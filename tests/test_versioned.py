@@ -262,3 +262,32 @@ def test_optimize_compacts_live_set_atomically(spark, tmp_path):
     # vacuum now reclaims the fragmented files; optimized snapshot survives
     vacuum(path, keep_last=1)
     assert read_table(spark, path).count() == n_before
+
+
+def test_concurrent_writers_all_land_distinct_versions(spark, tmp_path):
+    """Five writers committing simultaneously: optimistic concurrency
+    must give every one a distinct version with no lost updates — the
+    union of all appended rows is the final table."""
+    import threading
+
+    path = str(tmp_path / "t")
+    commit(_df(spark, 0, 1, "seed"), path)
+    errors: list[Exception] = []
+
+    def writer(i):
+        try:
+            commit(_df(spark, 100 * i, 100 * i + 10, f"w{i}"), path)
+        except Exception as exc:  # pragma: no cover - failure reporting
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(1, 6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    versions = [h["version"] for h in history(path)]
+    assert versions == list(range(6))  # 1 seed + 5 writers, no gaps/dups
+    assert read_table(spark, path).count() == 1 + 5 * 10  # no lost updates
+    tags = {r["tag"] for r in read_table(spark, path).collect()}
+    assert tags == {"seed", "w1", "w2", "w3", "w4", "w5"}
