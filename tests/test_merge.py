@@ -183,3 +183,18 @@ def test_stats_survive_checkpoint_roundtrip(spark, tmp_path):
     stats = _file_stats_at(path)
     live, _ = _state_at(path)
     assert set(stats) == set(live) and len(live) >= 12
+
+
+def test_merge_insert_only_batch_rewrites_nothing(spark, table):
+    """A source batch whose key range misses every file is a pure
+    insert: zero files rewritten, all live paths preserved."""
+    live_before, _ = _state_at(table)
+    src = spark.createDataFrame(
+        [(500, "n1"), (501, "n2")], "id long, tag string"
+    )
+    out = merge_into(spark, table, src, key="id")
+    assert out["files_matched"] == 0
+    live_after, _ = _state_at(table)
+    assert set(live_before) <= set(live_after)  # nothing rewritten
+    got = {r["id"]: r["tag"] for r in read_table(spark, table).collect()}
+    assert len(got) == 32 and got[500] == "n1" and got[0] == "base0"
