@@ -391,6 +391,14 @@ def read_table(
         if not eligible:
             raise ValueError(f"no commit at or before ts={as_of_timestamp}")
         version = max(eligible)
+    if version is not None:
+        known = _commit_versions(path) + _checkpoint_versions(path)
+        oldest = min(known)
+        if version < oldest:
+            raise ValueError(
+                f"version {version} expired (history starts at {oldest}; "
+                "see expire_log retention)"
+            )
     files, _ = _state_at(path, version)
     if not files:
         # a valid-but-empty snapshot (e.g. overwrite with 0 rows)
@@ -448,25 +456,65 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Physically delete data files referenced by NO retained version
     (the last ``keep_last`` snapshots stay readable; older time travel
     is given up — exactly Delta's retention trade-off). Returns the
-    deleted relative paths. Maintenance path: scans the full log (it
-    must see every file ever added), unlike snapshot reads."""
-    entries = _entries(path)
-    if not entries:
+    deleted relative paths.
+
+    Maintenance path: scans the remaining log plus every checkpoint —
+    retained live sets resolve through the checkpoint-aware
+    :func:`_state_at` (entry replay alone under-counts once
+    :func:`expire_log` has truncated old entries), and the candidate
+    universe is entry ``added`` lists ∪ checkpoint live sets."""
+    versions = _commit_versions(path)
+    if not versions:
         return []
-    versions = [e["version"] for e in entries]
     retained = versions[-max(keep_last, 1):]
     keep: set[str] = set()
     for v in retained:
-        keep.update(_live_files(entries, v))
+        live, _ = _state_at(path, v)
+        keep.update(live)
     all_files: set[str] = set()
-    for e in entries:
+    for e in _entries(path):
         all_files.update(e.get("added", []))
+    for cv in _checkpoint_versions(path):
+        all_files.update(_read_checkpoint(path, cv).get("live", []))
     doomed = sorted(all_files - keep)
     for rel in doomed:
         full = os.path.join(path, rel)
         if os.path.exists(full):
             os.remove(full)
     return doomed
+
+
+def expire_log(path: str, keep_last: int = 1) -> dict:
+    """Bound table METADATA the way ``vacuum`` bounds data: drop history
+    older than the last ``keep_last`` versions — first vacuum the
+    unreferenced data files (while the full log still knows about them),
+    then write a checkpoint at the oldest retained version and delete
+    every log entry and checkpoint below it. This is Delta's
+    ``logRetentionDuration`` + checkpoint-cleanup pair: a long-lived
+    streaming table with per-batch commits keeps an O(keep_last +
+    interval) log forever instead of growing without bound.
+
+    Retained snapshot reads are unaffected (they resolve from the base
+    checkpoint + tail, which is how reads already work); txn watermarks
+    survive inside the checkpoint; reads of expired versions raise.
+    """
+    doomed = vacuum(path, keep_last)
+    versions = _commit_versions(path)
+    if not versions:
+        return {"files_deleted": doomed, "entries_deleted": 0, "base": None}
+    base = versions[-max(keep_last, 1):][0]
+    _write_checkpoint(path, base)  # idempotent ('x'-create); makes base standalone
+    dropped = 0
+    for v in versions:
+        if v < base:
+            os.remove(os.path.join(_log_dir(path), f"{v:020d}.json"))
+            dropped += 1
+    for cv in _checkpoint_versions(path):
+        if cv < base:
+            os.remove(
+                os.path.join(_log_dir(path), f"{cv:020d}.checkpoint.json")
+            )
+    return {"files_deleted": doomed, "entries_deleted": dropped, "base": base}
 
 
 def optimize_table(

@@ -291,3 +291,43 @@ def test_concurrent_writers_all_land_distinct_versions(spark, tmp_path):
     assert read_table(spark, path).count() == 1 + 5 * 10  # no lost updates
     tags = {r["tag"] for r in read_table(spark, path).collect()}
     assert tags == {"seed", "w1", "w2", "w3", "w4", "w5"}
+
+
+def test_expire_log_bounds_metadata(spark, tmp_path):
+    """expire_log = vacuum + checkpoint-based log truncation: a
+    25-commit table retains a bounded log, keeps its retained snapshots
+    (and txn watermarks) readable, and refuses expired versions."""
+    from medallion_data_lake_spark.operators.versioned import (
+        expire_log,
+        latest_txn_version,
+    )
+    import medallion_data_lake_spark.operators.versioned as V
+
+    path = str(tmp_path / "t")
+    commit(_df(spark, 0, 3, "first"), path, txn_app_id="app", txn_version=7)
+    for i in range(24):
+        commit(_df(spark, 10 + i, 11 + i, f"b{i}"), path)
+
+    out = expire_log(path, keep_last=3)
+    assert out["base"] == 22
+    assert out["entries_deleted"] == 22
+    # the log directory is now bounded: base checkpoint + 3 entries (+ any
+    # surviving newer checkpoint)
+    assert V._commit_versions(path) == [22, 23, 24]
+    assert min(V._checkpoint_versions(path)) == 22
+
+    # retained snapshots read; the txn watermark survived in the checkpoint
+    assert read_table(spark, path).count() == 3 + 24
+    assert read_table(spark, path, version=22).count() == 3 + 22
+    assert latest_txn_version(path, "app") == 7
+
+    # expired versions refuse loudly instead of returning empty
+    with pytest.raises(ValueError, match="expired"):
+        read_table(spark, path, version=5)
+
+    # and the cycle composes: more commits, another expiry, still sound
+    commit(_df(spark, 100, 104, "late"), path)
+    out2 = expire_log(path, keep_last=2)
+    assert out2["base"] == 24
+    assert read_table(spark, path).count() == 3 + 24 + 4
+    assert vacuum(path, keep_last=1) == []  # nothing unreferenced remains
