@@ -68,7 +68,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "verb",
         choices=["tables", "describe", "sql", "samples", "analyze",
-                 "manifest", "compact", "history", "optimize", "serve"],
+                 "manifest", "compact", "history", "optimize", "expire",
+                 "serve"],
     )
     ap.add_argument(
         "arg",
@@ -84,6 +85,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="compaction target file size")
     ap.add_argument("--zorder", default="",
                     help="optimize: comma-separated columns to ZORDER BY")
+    ap.add_argument("--keep-last", type=int, default=7,
+                    help="expire: snapshots to retain (data + log)")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="mdls-cli")
@@ -181,6 +184,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({k: stats[k] for k in
                           ("version", "operation", "files_before", "files_after")}))
+    elif args.verb == "expire":
+        if not args.arg:
+            print("expire requires a versioned-table path", file=sys.stderr)
+            return 2
+        from .operators.versioned import expire_log
+
+        out = expire_log(args.arg, keep_last=args.keep_last)
+        print(json.dumps({"base": out["base"],
+                          "entries_deleted": out["entries_deleted"],
+                          "files_deleted": len(out["files_deleted"])}))
     return 0
 
 
