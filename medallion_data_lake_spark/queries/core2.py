@@ -17,7 +17,14 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_star_tables
 from . import query
-from ._parity import money_sum, sql_money_sum, sql_stable_round, stable_round
+from ._parity import (
+    dsum,
+    money_sum,
+    sql_dsum,
+    sql_money_sum,
+    sql_stable_round,
+    stable_round,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -600,4 +607,147 @@ def order_priority_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("o_custkey", rsd=0.05).alias("approx_unique_customers"),
             money_sum("o_totalprice").alias("total_revenue"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets (extension of the ROLLUP capability: all 2^k subtotal
+# combinations, not just the hierarchy — SURVEY.md §2.4 "not present")
+# ---------------------------------------------------------------------------
+
+@query(
+    "priority_status_cube",
+    oracle=f"""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL')  AS status,
+           COUNT(*)                        AS order_count,
+           {sql_money_sum("o_totalprice")} AS total_revenue
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    doc="GROUP BY CUBE: every subtotal combination (both single-dimension "
+        "margins, the cross, and the grand total) in ONE shuffle — Spark "
+        "expands the 2^k grouping sets map-side exactly like ROLLUP, vs "
+        "4 separate aggregations. Labels via COALESCE rather than "
+        "grouping_id(): the two engines disagree on grouping-bit order, "
+        "values never collide with 'ALL'.",
+    extra=True,  # grouping-sets family driver-gated via priority_status_rollup
+)
+def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir)["orders"]
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            money_sum("o_totalprice").alias("total_revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "order_count",
+            "total_revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-interval window frame (extension: every existing window uses row
+# frames or defaults; a trailing time window needs RANGE over event time)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rolling_week_revenue",
+    oracle=f"""
+    SELECT day,
+           daily_revenue,
+           {sql_stable_round(
+               "SUM(CAST(daily_revenue AS DECIMAL(18,6))) OVER ("
+               "ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING "
+               "AND CURRENT ROW)", 2)} AS rolling_7d_revenue
+    FROM (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             {sql_money_sum("o_totalprice")} AS daily_revenue
+      FROM orders GROUP BY 1
+    )
+    """,
+    doc="Trailing 7-day revenue via a RANGE frame over event time — the "
+        "frame type row frames can't express (days may be MISSING from the "
+        "data; ROWS BETWEEN 6 PRECEDING would silently span >7 days). "
+        "Computed on the bounded daily rollup, so the window state is "
+        "#days-sized; the rolling sum accumulates in decimal for "
+        "order-independent parity. Spark expresses the range frame in "
+        "epoch-day units (rangeBetween over a cast), DuckDB in INTERVAL — "
+        "same semantics, hash-identical results.",
+    extra=True,  # window family driver-gated; range frame locally oracled
+)
+def rolling_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(money_sum("o_totalprice").alias("daily_revenue"))
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        "daily_revenue",
+        stable_round(
+            F.sum(F.col("daily_revenue").cast("decimal(18,6)")).over(w), 2
+        ).alias("rolling_7d_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: global (partition-less) analytic window (extension — all
+# existing windows partition by a key; share-of-total needs the empty frame)
+# ---------------------------------------------------------------------------
+
+@query(
+    "nation_revenue_share",
+    oracle=f"""
+    SELECT n_name AS nation,
+           {sql_money_sum("o_totalprice")} AS revenue,
+           {sql_stable_round(
+               f"100.0 * {sql_dsum('o_totalprice')} / "
+               f"SUM({sql_dsum('o_totalprice')}) OVER ()", 4)} AS revenue_share_pct
+    FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+    doc="Share-of-total per nation: aggregate once, then a GLOBAL window "
+        "(OVER () — no partition key) divides each group by the grand "
+        "total in the same pass, instead of a scalar-subquery rescan. The "
+        "global window coalesces the #nations-sized aggregate onto one "
+        "partition — bounded by design (25 rows), which is the only regime "
+        "a partition-less window is legitimate in. Decimal sums both "
+        "levels for order independence.",
+    extra=True,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    per_nation = (
+        t["orders"]
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            money_sum("o_totalprice").alias("revenue"),
+            dsum("o_totalprice").alias("_rev_exact"),
+        )
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "nation",
+        "revenue",
+        stable_round(
+            F.lit(100.0) * F.col("_rev_exact") / F.sum("_rev_exact").over(w), 4
+        ).alias("revenue_share_pct"),
     )
