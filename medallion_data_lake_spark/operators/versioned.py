@@ -406,6 +406,62 @@ def read_table(
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 
+def read_table_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Snapshot read with FILE SKIPPING: live files whose recorded
+    [min, max] range for ``col`` excludes [lo, hi] are never opened —
+    the read-side payoff of the same per-file stats :func:`merge_into`
+    prunes with (Delta/Iceberg data skipping, resolved from the log
+    instead of parquet footers, so skipped files cost zero I/O including
+    their footers). The residual predicate is still applied to the
+    survivors (stats pruning is necessary, not sufficient). Files
+    without recorded stats are conservatively read.
+
+    Returns ``(df, report)`` where report carries files_read /
+    files_skipped so callers and tests can audit the pruning.
+    """
+    from pyspark.sql import functions as F
+
+    if latest_version(path) is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    live, _ = _state_at(path, version)
+    stats = _file_stats_at(path, version)
+
+    def overlaps(rng) -> bool:
+        if rng is None or rng[0] is None:
+            return True
+        fmin, fmax = rng
+        if hi is not None and fmin > hi:
+            return False
+        if lo is not None and fmax < lo:
+            return False
+        return True
+
+    chosen = [f for f in live if overlaps(stats.get(f, {}).get(col))]
+    report = {
+        "files_total": len(live),
+        "files_read": len(chosen),
+        "files_skipped": len(live) - len(chosen),
+    }
+    if not chosen:
+        return (
+            spark.createDataFrame([], _schema_of_latest(spark, path, _entries(path))),
+            report,
+        )
+    df = spark.read.parquet(*[os.path.join(path, f) for f in chosen])
+    if lo is not None:
+        df = df.filter(F.col(col) >= lo)
+    if hi is not None:
+        df = df.filter(F.col(col) <= hi)
+    return df, report
+
+
 def _schema_of_latest(spark, path, entries):
     for e in reversed(entries):
         if e.get("added"):

@@ -198,3 +198,34 @@ def test_merge_insert_only_batch_rewrites_nothing(spark, table):
     assert set(live_before) <= set(live_after)  # nothing rewritten
     got = {r["id"]: r["tag"] for r in read_table(spark, table).collect()}
     assert len(got) == 32 and got[500] == "n1" and got[0] == "base0"
+
+
+def test_read_table_pruned_skips_files_by_stats(spark, table):
+    """Stats-pruned reads open only the range-overlapping files and
+    still return exactly the predicate's rows."""
+    from medallion_data_lake_spark.operators.versioned import read_table_pruned
+
+    # each commit wrote several part-files; stats are per PART-FILE, so
+    # pruning is finer than per-commit: a 4-key probe must skip the vast
+    # majority of files (both other commits AND non-overlapping parts of
+    # its own commit)
+    df, report = read_table_pruned(spark, table, "id", lo=12, hi=15)
+    assert report["files_total"] == report["files_read"] + report["files_skipped"]
+    assert report["files_read"] <= report["files_total"] // 2
+    assert sorted(r["id"] for r in df.collect()) == [12, 13, 14, 15]
+
+    # open-ended range: only the [20,29] commit's files are opened
+    df2, rep2 = read_table_pruned(spark, table, "id", lo=20)
+    assert rep2["files_read"] <= rep2["files_total"] // 2 and df2.count() == 10
+
+    # a range nothing matches: zero files opened, empty-but-typed result
+    df3, rep3 = read_table_pruned(spark, table, "id", lo=400, hi=500)
+    assert rep3["files_read"] == 0 and df3.count() == 0
+    assert df3.columns == ["id", "tag"]
+
+    # version pinning composes: pre-merge snapshot prunes by OLD stats
+    src = spark.createDataFrame([(12, "u")], "id long, tag string")
+    merge_into(spark, table, src, key="id")
+    df4, rep4 = read_table_pruned(spark, table, "id", lo=12, hi=12, version=2)
+    assert rep4["files_read"] < rep4["files_total"]
+    assert [r["tag"] for r in df4.collect()] == ["base10"]  # pre-merge value
