@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="optimize: comma-separated columns to ZORDER BY")
     ap.add_argument("--keep-last", type=int, default=7,
                     help="expire: snapshots to retain (data + log)")
+    ap.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve: listen as a JSON HTTP API on this port "
+                         "instead of the stdin REPL")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="mdls-cli")
@@ -103,7 +106,23 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         serving = ServingLayer(spark, gold, cache_tables=True)
         try:
-            serve_repl(serving, sys.stdin, sys.stdout, max_rows=args.limit)
+            if args.http is not None:
+                # web-interface parity (reference query_interface.py):
+                # JSON API over the same cached views, bounded responses
+                from .serving_http import serve_http_background
+
+                server, thread = serve_http_background(
+                    serving, port=args.http, default_rows=args.limit
+                )
+                print(f"serving HTTP on {server.server_address[0]}:"
+                      f"{server.server_address[1]} "
+                      "(GET /tables /describe /samples, POST /query)")
+                try:
+                    thread.join()
+                except KeyboardInterrupt:
+                    server.shutdown()
+            else:
+                serve_repl(serving, sys.stdin, sys.stdout, max_rows=args.limit)
         finally:
             serving.close()
         return 0

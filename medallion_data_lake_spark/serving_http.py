@@ -1,0 +1,177 @@
+"""HTTP query API over the serving layer — the web-interface parity.
+
+The reference ships a Streamlit app (``query_interface.py:1-200``) whose
+engine side is: one cached SparkSession, every lake table registered as
+a view, free-form SQL from the browser, bounded tabular results. This
+module is that surface as a dependency-free JSON API (stdlib
+``http.server`` only — Streamlit cannot be installed here, and a JSON
+endpoint is the form a real deployment fronts with any UI):
+
+- ``GET  /tables``            -> {"tables": [...]}
+- ``GET  /describe?table=t``  -> {"name", "schema", "sample"}
+- ``GET  /samples``           -> the canned analytics pack (bounded)
+- ``POST /query``             -> body {"sql": "...", "max_rows": N}
+                                 -> {"columns", "rows", "row_count",
+                                     "elapsed_sec"}
+
+Every response is bounded (S14): ``max_rows`` is clamped to
+``ROW_CAP`` — the server never streams an unbounded collect to a
+browser, which is the failure mode the reference's trust-the-user
+LIMIT policy invites. Errors come back as JSON with an HTTP status,
+and a failed statement never kills the server (same contract as
+``serve_repl``).
+
+Concurrency: ``ThreadingHTTPServer`` + Spark's thread-safe
+``spark.sql`` — concurrent requests become concurrent Spark jobs
+scheduled by the session's FAIR/FIFO scheduler, which is exactly how a
+shared serving cluster multiplexes dashboard users. The heavy state
+(session + cached gold views) is per-process and shared by all
+handler threads, mirroring the reference's ``@st.cache_resource``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .serving import ServingLayer
+
+ROW_CAP = 10_000  # absolute ceiling on rows per response (S14)
+
+
+def _json_safe(v):
+    """Render one cell JSON-cleanly: primitives pass through, anything
+    else (dates, decimals, bytearrays, Rows) becomes its string form —
+    the same rendering the CLI's show() applies."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _json_safe(x) for k, x in v.items()}
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def run_bounded(serving: ServingLayer, sql: str, max_rows: int) -> dict:
+    """Execute one statement with a hard row bound; the JSON-ready
+    result every endpoint (and any future UI) shares."""
+    n = max(1, min(int(max_rows), ROW_CAP))
+    t0 = time.perf_counter()
+    df = serving.query(sql).limit(n)
+    rows = df.collect()
+    return {
+        "columns": df.columns,
+        "rows": [[_json_safe(v) for v in r] for r in rows],
+        "row_count": len(rows),
+        "truncated_at": n,
+        "elapsed_sec": round(time.perf_counter() - t0, 3),
+    }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    serving: ServingLayer  # injected by make_http_server
+    default_rows: int
+
+    # -- plumbing ---------------------------------------------------------
+    def _send(self, status: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet: tests/CLI own the output
+        pass
+
+    # -- routes -----------------------------------------------------------
+    def do_GET(self) -> None:
+        url = urlparse(self.path)
+        try:
+            if url.path == "/tables":
+                self._send(200, {"tables": self.serving.show_tables()})
+            elif url.path == "/describe":
+                q = parse_qs(url.query)
+                table = (q.get("table") or [""])[0]
+                if not table:
+                    self._send(400, {"error": "describe requires ?table="})
+                    return
+                desc = self.serving.describe_table(table, sample_rows=5)
+                self._send(200, {
+                    "name": desc["name"],
+                    "schema": desc["schema"],
+                    "sample": _json_safe(desc["sample"]),
+                })
+            elif url.path == "/samples":
+                out = {
+                    name: run_bounded_df(df, self.default_rows)
+                    for name, df in self.serving.sample_queries().items()
+                }
+                self._send(200, out)
+            else:
+                self._send(404, {"error": f"no route {url.path}"})
+        except Exception as exc:  # surface, keep serving
+            self._send(400, {"error": str(exc)})
+
+    def do_POST(self) -> None:
+        url = urlparse(self.path)
+        if url.path != "/query":
+            self._send(404, {"error": f"no route {url.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            sql = req.get("sql")
+            if not sql:
+                self._send(400, {"error": "body must carry {'sql': ...}"})
+                return
+            max_rows = req.get("max_rows", self.default_rows)
+            self._send(200, run_bounded(self.serving, sql, max_rows))
+        except Exception as exc:
+            self._send(400, {"error": str(exc)})
+
+
+def run_bounded_df(df, max_rows: int) -> dict:
+    """run_bounded for an already-built DataFrame (canned pack)."""
+    n = max(1, min(int(max_rows), ROW_CAP))
+    bounded = df.limit(n)
+    rows = bounded.collect()
+    return {
+        "columns": bounded.columns,
+        "rows": [[_json_safe(v) for v in r] for r in rows],
+        "row_count": len(rows),
+        "truncated_at": n,
+    }
+
+
+def make_http_server(
+    serving: ServingLayer,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    default_rows: int = 100,
+) -> ThreadingHTTPServer:
+    """Build (not start) the server; ``port=0`` picks a free port —
+    read it back from ``server.server_address`` (how the test binds)."""
+    handler = type(
+        "ServingHandler",
+        (_Handler,),
+        {"serving": serving, "default_rows": default_rows},
+    )
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_http_background(
+    serving: ServingLayer, host: str = "127.0.0.1", port: int = 0,
+    default_rows: int = 100,
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Start serving on a daemon thread; returns (server, thread) so the
+    caller owns shutdown — the shape both the CLI verb and tests use."""
+    server = make_http_server(serving, host, port, default_rows)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, t

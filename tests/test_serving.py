@@ -139,3 +139,81 @@ def test_register_versioned_pins_a_snapshot(spark, tmp_path):
     assert {r["tag"] for r in s.query(f"SELECT tag FROM {live2}").collect()} == {
         "changed", "b", "new"}
     s.close()
+
+
+# ---------------------------------------------------------------------------
+# HTTP API (serving_http.py) — web-interface parity, bounded JSON responses
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def http_server(serving):
+    from medallion_data_lake_spark.serving_http import serve_http_background
+
+    server, thread = serve_http_background(serving, port=0, default_rows=50)
+    host, port = server.server_address
+    yield f"http://{host}:{port}"
+    server.shutdown()
+    thread.join(timeout=5)
+
+
+def _get(url: str) -> dict:
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def _post(url: str, payload: dict) -> tuple[int, dict]:
+    import json
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_tables_and_describe(http_server):
+    assert _get(f"{http_server}/tables")["tables"] == [
+        "gold_customer_summary", "gold_daily_revenue"]
+    desc = _get(f"{http_server}/describe?table=gold_customer_summary")
+    assert desc["name"] == "gold_customer_summary"
+    fields = {f["name"] for f in desc["schema"]["fields"]}
+    assert {"customer_id", "total_spent", "customer_value_tier"} <= fields
+    assert len(desc["sample"]) == 4  # table has 4 rows, sample_rows=5 cap
+
+
+def test_http_query_bounded_and_errors(http_server):
+    status, out = _post(f"{http_server}/query", {
+        "sql": "SELECT customer_value_tier, COUNT(*) AS n "
+               "FROM gold_customer_summary GROUP BY customer_value_tier",
+    })
+    assert status == 200
+    got = {row[0]: row[1] for row in out["rows"]}
+    assert got == {"Premium": 1, "Gold": 2, "Bronze": 1}
+    assert out["columns"] == ["customer_value_tier", "n"]
+
+    # the row bound clamps regardless of the SQL (S14)
+    status, out = _post(f"{http_server}/query", {
+        "sql": "SELECT * FROM gold_customer_summary", "max_rows": 2})
+    assert status == 200 and out["row_count"] == 2
+
+    # a bad statement returns a JSON error and the server keeps serving
+    status, out = _post(f"{http_server}/query", {"sql": "SELECT nope FROM missing"})
+    assert status == 400 and "error" in out
+    assert _get(f"{http_server}/tables")["tables"]  # still alive
+
+
+def test_http_samples_pack(http_server):
+    out = _get(f"{http_server}/samples")
+    assert set(out) == set(SAMPLE_QUERIES)
+    dist = {row[0]: row[3] for row in out["customer_value_distribution"]["rows"]}
+    assert dist["Gold"] == 115.0
