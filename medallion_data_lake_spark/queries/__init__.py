@@ -99,6 +99,7 @@ def _import_modules() -> None:
     from . import streamlike  # noqa: F401
     from . import routines  # noqa: F401
     from . import core2  # noqa: F401
+    from . import shapes  # noqa: F401
 
 
 def load_all() -> dict[str, QuerySpec]:

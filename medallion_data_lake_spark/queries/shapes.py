@@ -1,0 +1,199 @@
+"""Classic warehouse query shapes rounding out the SQL surface.
+
+Three shapes every migrating analyst reaches for that no existing
+registry entry exercised: PIVOT (wide conditional aggregation),
+ARGMIN-per-group with join-back (TPC-H Q2's "cheapest supplier"
+pattern), and a conditional revenue ratio (TPC-H Q14's promo share).
+All `extra=True`: the driver-facing registry is at its 50-entry cap,
+so these verify through the local oracle sweep
+(tests/test_oracle_parity.py) like the rest of EXTRA_REGISTRY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_star_tables
+from . import query
+from ._parity import money_sum, sql_money_sum, sql_stable_round, stable_round
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_star_tables(spark, sf_dir, register=False)
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — wide conditional aggregation
+# ---------------------------------------------------------------------------
+
+_STATUSES = ["F", "O", "P"]  # orders.o_orderstatus domain (TPC-H fixed)
+
+
+@query(
+    "order_status_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {', '.join(
+               f"CAST(COUNT(CASE WHEN o_orderstatus = '{s}' THEN 1 END) AS BIGINT)"
+               f" AS n_{s.lower()}, "
+               + sql_money_sum(
+                   f"CASE WHEN o_orderstatus = '{s}' THEN o_totalprice ELSE 0 END"
+               )
+               + f" AS rev_{s.lower()}"
+               for s in _STATUSES)}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="PIVOT: order counts and revenue per priority, one column pair per "
+        "order status. The VALUE LIST IS EXPLICIT — df.pivot(col, values) "
+        "with the known domain skips the extra distinct-collect job Spark "
+        "otherwise runs to discover pivot columns (the scale trap: an "
+        "unlisted pivot on a high-NDV column both scans twice and explodes "
+        "the schema). Plan is one shuffled aggregation with map-side "
+        "partials, exactly a GROUP BY with conditional aggregates.",
+    tags=("pivot",),
+    extra=True,
+)
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    wide = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("o_totalprice").alias("rev"),
+        )
+    )
+    # pivot cells with no rows aggregate to NULL; the conditional-agg
+    # oracle yields 0 — align (and flatten pivot's `F_n` names)
+    return wide.select(
+        "o_orderpriority",
+        *[
+            c
+            for s in _STATUSES
+            for c in (
+                F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"n_{s.lower()}"),
+                F.coalesce(F.col(f"{s}_rev"), F.lit(0.0)).alias(f"rev_{s.lower()}"),
+            )
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# ARGMIN per group + join-back (TPC-H Q2's cheapest-supplier shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_cheapest_supplier",
+    oracle=f"""
+    SELECT l_partkey, p_name, l_suppkey AS cheapest_suppkey, s_name,
+           {sql_stable_round('best_unit_price', 4)} AS best_unit_price
+    FROM (
+      SELECT l_partkey, l_suppkey,
+             l_extendedprice / l_quantity AS best_unit_price,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_extendedprice / l_quantity, l_suppkey
+             ) AS rn
+      FROM lineitem
+    )
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rn = 1
+    """,
+    doc="ARGMIN per group with dimension join-back (TPC-H Q2 shape): the "
+        "supplier quoting the lowest unit price per part. min_by over a "
+        "(price, suppkey) struct gives a DETERMINISTIC tie-break in ONE "
+        "shuffled aggregation with map-side partials — no window sort of "
+        "the whole fact table (the oracle's ROW_NUMBER formulation is the "
+        "semantics, not the plan: a window would sort every group's rows; "
+        "min_by keeps one candidate per partition per key). Dim joins "
+        "(part, supplier) broadcast.",
+    tags=("argmin",),
+    extra=True,
+)
+def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    best = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey", unit.alias("unit_price"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min_by(
+                F.struct("l_suppkey", "unit_price"),
+                F.struct("unit_price", "l_suppkey"),
+            ).alias("best")
+        )
+        .select(
+            "l_partkey",
+            F.col("best.l_suppkey").alias("cheapest_suppkey"),
+            stable_round(F.col("best.unit_price"), 4).alias("best_unit_price"),
+        )
+    )
+    return best.join(
+        F.broadcast(t["part"]), best.l_partkey == F.col("p_partkey")
+    ).join(
+        F.broadcast(t["supplier"]),
+        F.col("cheapest_suppkey") == F.col("s_suppkey"),
+    ).select(
+        "l_partkey", "p_name", "cheapest_suppkey", "s_name", "best_unit_price"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional revenue ratio (TPC-H Q14's promo-share shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "brand_revenue_share_monthly",
+    oracle=f"""
+    SELECT STRFTIME(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+           {sql_money_sum(
+               "CASE WHEN p_brand = 'Brand#7' THEN l_extendedprice * (1 - l_discount)"
+               " ELSE 0 END")} AS brand_revenue,
+           {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS total_revenue,
+           {sql_stable_round(
+               "100.0 * CAST(SUM(CAST(CASE WHEN p_brand = 'Brand#7' "
+               "THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)"
+               " / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)",
+               4)} AS brand_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ship_month
+    """,
+    doc="Conditional ratio aggregation (TPC-H Q14 shape): one brand's "
+        "share of monthly revenue. ONE pass computes both numerator "
+        "(CASE-gated) and denominator — never two scans joined back. "
+        "Part join broadcasts; sums are decimal-exact before the double "
+        "division (queries/_parity.py discipline).",
+    tags=("ratio",),
+    extra=True,
+)
+def brand_revenue_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._parity import dsum
+
+    t = _t(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    branded = F.when(F.col("p_brand") == "Brand#7", rev).otherwise(F.lit(0.0))
+    joined = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return (
+        joined.groupBy(
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias(
+                "ship_month"
+            )
+        )
+        .agg(
+            money_sum(branded).alias("brand_revenue"),
+            money_sum(rev).alias("total_revenue"),
+            stable_round(
+                F.lit(100.0)
+                * dsum(branded).cast("double")
+                / dsum(rev).cast("double"),
+                4,
+            ).alias("brand_share_pct"),
+        )
+    )
