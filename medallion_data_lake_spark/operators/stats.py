@@ -210,25 +210,19 @@ def stats_aware_join(
 # data — the same contract Delta/Iceberg keep per data file. count/nulls
 # add; min/max take extrema; avg_len recombines from (sum_len, count).
 
-def collect_mergeable_stats(
+def _mergeable_stats_plan(
     df: DataFrame,
-    columns: tuple[str, ...] | None = None,
-    lg_k: int = 12,
+    columns: tuple[str, ...] | None,
+    lg_k: int,
+    group: Column | None,
 ) -> DataFrame:
-    """Per-column mergeable stats partials: (column, n_rows, n_nulls,
-    ndv_sketch (HLL binary), min, max, min_num, max_num, is_numeric,
-    sum_len). One scan, no shuffle of data rows — same plan shape as
-    collect_column_stats.
-
-    Extrema are aggregated in NATIVE type (lexicographic string extremes
-    are wrong for numerics). Because a partial must merge with later
-    partials AFTER a parquet round-trip — where the heterogeneous native
-    types can't share a column — numeric columns additionally persist
-    their extrema as doubles (``min_num``/``max_num``); the merge orders
-    by those and keeps the exact rendered string via min_by/max_by.
-    Non-numeric renders (strings, ISO dates/timestamps, booleans) order
-    correctly as strings already.
-    """
+    """Shared plan for table- and per-file-grain mergeable partials:
+    one wide aggregation (optionally grouped) then an explode into one
+    row per column. Extrema are aggregated in NATIVE type (lexicographic
+    string extremes are wrong for numerics); numeric columns also persist
+    double companions (``min_num``/``max_num``) so partials stay
+    order-correct across a parquet round-trip (merge_stats_partials
+    orders by those via min_by/max_by)."""
     from pyspark.sql.types import NumericType
 
     cols = list(columns) if columns is not None else list(df.columns)
@@ -257,7 +251,7 @@ def collect_mergeable_stats(
             num_max.alias(f"{c}__maxn"),
             F.sum(F.length(col.cast("string"))).alias(f"{c}__len"),
         ]
-    wide = df.agg(*aggs)
+    wide = df.groupBy(group).agg(*aggs) if group is not None else df.agg(*aggs)
     arms = [
         F.struct(
             F.lit(c).alias("column"),
@@ -273,7 +267,46 @@ def collect_mergeable_stats(
         )
         for c in cols
     ]
-    return wide.select(F.explode(F.array(*arms)).alias("s")).select("s.*")
+    keys = ["file"] if group is not None else []
+    return wide.select(
+        *keys, F.explode(F.array(*arms)).alias("s")
+    ).select(*keys, "s.*")
+
+
+def collect_mergeable_stats(
+    df: DataFrame,
+    columns: tuple[str, ...] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-column mergeable stats partials: (column, n_rows, n_nulls,
+    ndv_sketch (HLL binary), min, max, min_num, max_num, is_numeric,
+    sum_len). One scan, no shuffle of data rows — same plan shape as
+    collect_column_stats; see :func:`_mergeable_stats_plan` for the
+    native-type extrema rationale."""
+    return _mergeable_stats_plan(df, columns, lg_k, group=None)
+
+
+def collect_mergeable_stats_per_file(
+    df: DataFrame,
+    columns: tuple[str, ...] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """:func:`collect_mergeable_stats` at PER-FILE granularity: one
+    partial row per (file, column), keyed by the scan's
+    ``input_file_name``. This is the write-side half of snapshot
+    ANALYZE for a log-structured table (operators/versioned.py): a
+    commit records partials for exactly its own new files, and any
+    snapshot's table stats are then the merge of its LIVE files'
+    partials — no rescan of old data, correct under overwrite/MERGE
+    because dead files' rows are simply filtered out before merging
+    (a per-commit partial could not offer that: it cannot un-merge).
+
+    Cost: one columnar scan of only the input files, partial aggregates
+    combine map-side per file; at 100 TB a commit pays this over its own
+    files only, exactly like the [min,max] pruning stats."""
+    return _mergeable_stats_plan(
+        df, columns, lg_k, group=F.input_file_name().alias("file")
+    )
 
 
 def merge_stats_partials(*partials: DataFrame) -> DataFrame:

@@ -293,6 +293,88 @@ def _file_stats_at(path: str, version: int | None = None) -> dict[str, dict]:
     return {f: s for f, s in stats.items() if f in live_set}
 
 
+def _write_stats_partials(
+    spark: SparkSession,
+    path: str,
+    data_path: str,
+    analyze_cols: tuple[str, ...] | None,
+) -> str:
+    """Record PER-FILE mergeable stats partials for a just-written commit
+    directory under ``_stats/<commit_dir>/`` — the write-side half of
+    :func:`analyze_table`. One columnar scan over only the NEW files
+    (operators/stats.py:collect_mergeable_stats_per_file); ``file`` is
+    normalized to the log-relative path so snapshot resolution can filter
+    partials by the live set. ``analyze_cols=None`` means all columns."""
+    from pyspark.sql import functions as F
+
+    from .stats import collect_mergeable_stats_per_file
+
+    commit_dir = os.path.basename(data_path)
+    partials = collect_mergeable_stats_per_file(
+        spark.read.parquet(data_path),
+        tuple(analyze_cols) if analyze_cols else None,
+    ).withColumn(
+        "file",
+        F.concat(
+            F.lit(f"data/{commit_dir}/"),
+            F.substring_index(
+                F.substring_index(F.col("file"), "?", 1), "/", -1
+            ),
+        ),
+    )
+    rel = os.path.join("_stats", commit_dir)
+    partials.write.mode("error").parquet(os.path.join(path, rel))
+    return rel
+
+
+def analyze_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    finalize: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Snapshot ANALYZE with NO data rescan: merge the per-file stats
+    partials of exactly the files LIVE at ``version`` (counts add, HLL
+    sketches union, extrema take typed min/max — operators/stats.py
+    merge contract). Works for any retained snapshot — time-traveled
+    table stats — and stays correct under overwrite/MERGE/OPTIMIZE
+    because dead files' partials are filtered out, not un-merged.
+
+    Returns ``(stats_df, report)``: the classic ANALYZE vector (or raw
+    mergeable partials when ``finalize=False``) plus a coverage report —
+    files committed without ``analyze_stats`` have no partials and are
+    surfaced as ``files_missing`` rather than silently treated as empty.
+
+    At 100 TB: reads KBs of partials (one row per file per column), the
+    data files themselves are never opened."""
+    from .stats import finalize_stats, merge_stats_partials
+
+    live, _ = _state_at(path, version)
+    stats_root = os.path.join(path, "_stats")
+    report = {"files_total": len(live), "files_covered": 0,
+              "files_missing": len(live)}
+    if not os.path.isdir(stats_root) or not live:
+        raise ValueError(
+            f"no stats partials recorded at {path} (commit with "
+            "analyze_stats=True first)"
+        )
+    partials = (
+        spark.read.option("recursiveFileLookup", "true").parquet(stats_root)
+    )
+    from pyspark.sql import functions as F
+
+    # live-set filter as a broadcast join, not an isin literal list — a
+    # large table's snapshot can hold 10^5-10^6 files and a million-term
+    # IN list does not belong in a plan
+    live_df = spark.createDataFrame([(f,) for f in live], "file string")
+    alive = partials.join(F.broadcast(live_df), "file")
+    covered = {r["file"] for r in alive.select("file").distinct().collect()}
+    report["files_covered"] = len(covered)
+    report["files_missing"] = len(set(live) - covered)
+    merged = merge_stats_partials(alive.drop("file"))
+    return (finalize_stats(merged) if finalize else merged), report
+
+
 def commit(
     df: DataFrame,
     path: str,
@@ -301,6 +383,7 @@ def commit(
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     stats_cols: tuple[str, ...] = (),
+    analyze_stats: bool | tuple[str, ...] = False,
 ) -> dict | None:
     """Write ``df`` as one atomic commit; returns the log entry.
 
@@ -318,6 +401,12 @@ def commit(
     ``stats_cols`` records per-file [min, max] ranges in the log entry
     (one small aggregation over only the new files) — the file-skipping
     metadata :func:`merge_into` prunes with.
+
+    ``analyze_stats`` additionally records per-file MERGEABLE stats
+    partials (``True`` = all columns, or a column tuple) under
+    ``_stats/`` so :func:`analyze_table` can compute any snapshot's
+    ANALYZE vector without rescanning data — stats-at-write, the
+    Delta/Iceberg model extended with HLL NDV sketches.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -343,6 +432,14 @@ def commit(
         if stats_cols and added
         else {}
     )
+    stats_rel = (
+        _write_stats_partials(
+            df.sparkSession, path, data_path,
+            None if analyze_stats is True else tuple(analyze_stats),
+        )
+        if analyze_stats and added
+        else None
+    )
 
     def build(version: int) -> dict | None:
         if _already_applied():
@@ -360,6 +457,8 @@ def commit(
             entry["txn"] = {"app_id": txn_app_id, "version": txn_version}
         if file_stats:
             entry["file_stats"] = file_stats
+        if stats_rel:
+            entry["stats_partials"] = stats_rel
         return entry
 
     entry = _publish(path, build, max_retries)
@@ -367,6 +466,8 @@ def commit(
         # a concurrent duplicate published first: our data files were
         # never referenced by any log entry — remove the orphans
         shutil.rmtree(data_path, ignore_errors=True)
+        if stats_rel:
+            shutil.rmtree(os.path.join(path, stats_rel), ignore_errors=True)
     return entry
 
 
@@ -537,6 +638,15 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         full = os.path.join(path, rel)
         if os.path.exists(full):
             os.remove(full)
+    # stats partials are per-commit-directory; once no retained version
+    # references ANY file of a commit dir, its partials can never match a
+    # live file again — reclaim them with the data
+    stats_root = os.path.join(path, "_stats")
+    if os.path.isdir(stats_root):
+        alive_dirs = {rel.split(os.sep)[1] for rel in keep}
+        for d in os.listdir(stats_root):
+            if d not in alive_dirs:
+                shutil.rmtree(os.path.join(stats_root, d), ignore_errors=True)
     return doomed
 
 
@@ -579,6 +689,7 @@ def optimize_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     zorder_by: tuple[str, ...] = (),
     stats_cols: tuple[str, ...] = (),
+    analyze_stats: bool | tuple[str, ...] = False,
 ) -> dict:
     """Delta-OPTIMIZE semantics: rewrite the CURRENT live set into
     target-sized files and publish the compacted layout as one atomic
@@ -649,6 +760,14 @@ def optimize_table(
         if stats_record and added
         else {}
     )
+    stats_rel = (
+        _write_stats_partials(
+            spark, path, data_path,
+            None if analyze_stats is True else tuple(analyze_stats),
+        )
+        if analyze_stats and added
+        else None
+    )
 
     compacted = set(live)
     op_suffix = f" ZORDER({','.join(zorder_by)})" if zorder_by else ""
@@ -671,12 +790,16 @@ def optimize_table(
         }
         if file_stats:
             entry["file_stats"] = file_stats
+        if stats_rel:
+            entry["stats_partials"] = stats_rel
         return entry
 
     try:
         entry = _publish(path, build)
     except CommitConflict:
         shutil.rmtree(data_path, ignore_errors=True)  # stale rewrite: no orphans
+        if stats_rel:
+            shutil.rmtree(os.path.join(path, stats_rel), ignore_errors=True)
         raise
     assert entry is not None
     return {**entry, "files_before": len(live), "files_after": len(added)}
@@ -691,6 +814,7 @@ def merge_into(
     validate_unique: bool = True,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    analyze_stats: bool | tuple[str, ...] = False,
 ) -> dict | None:
     """Delta-style MERGE (upsert by ``key``), FILE-GRANULAR: only live
     data files whose recorded [min, max] key range overlaps the source
@@ -800,6 +924,14 @@ def merge_into(
     file_stats = (
         _collect_file_stats(spark, path, data_path, (key,)) if added else {}
     )
+    stats_rel = (
+        _write_stats_partials(
+            spark, path, data_path,
+            None if analyze_stats is True else tuple(analyze_stats),
+        )
+        if analyze_stats and added
+        else None
+    )
     rewritten = set(matched)
 
     def build(version: int) -> dict | None:
@@ -824,15 +956,22 @@ def merge_into(
             entry["txn"] = {"app_id": txn_app_id, "version": txn_version}
         if file_stats:
             entry["file_stats"] = file_stats
+        if stats_rel:
+            entry["stats_partials"] = stats_rel
         return entry
+
+    def _drop_orphans() -> None:
+        shutil.rmtree(data_path, ignore_errors=True)
+        if stats_rel:
+            shutil.rmtree(os.path.join(path, stats_rel), ignore_errors=True)
 
     try:
         entry = _publish(path, build)
     except CommitConflict:
-        shutil.rmtree(data_path, ignore_errors=True)
+        _drop_orphans()
         raise
     if entry is None:  # concurrent duplicate txn published first
-        shutil.rmtree(data_path, ignore_errors=True)
+        _drop_orphans()
         return None
     return {
         **entry,

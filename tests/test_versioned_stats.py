@@ -1,0 +1,111 @@
+"""Stats-at-write on the versioned table: snapshot ANALYZE without rescans.
+
+Contract (operators/versioned.py:analyze_table + operators/stats.py
+per-file partials): every commit records mergeable per-file stats for its
+own files; ANALYZE of ANY retained snapshot is then a KB-scale merge of
+the live files' partials — counts/extrema exact, NDV via HLL union —
+with no data file opened. Checked against a direct full-scan ANALYZE of
+the same snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from medallion_data_lake_spark.operators.stats import collect_column_stats
+from medallion_data_lake_spark.operators.versioned import (
+    analyze_table,
+    commit,
+    merge_into,
+    read_table,
+    vacuum,
+)
+
+
+def _batch(spark, lo, hi, tag):
+    return spark.createDataFrame(
+        [(i, float(i) * 1.5, f"{tag}{i}") for i in range(lo, hi)],
+        "id long, score double, name string",
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    commit(_batch(spark, 0, 50, "a"), path, stats_cols=("id",), analyze_stats=True)
+    commit(_batch(spark, 50, 120, "b"), path, stats_cols=("id",), analyze_stats=True)
+    return path
+
+
+def _vector(stats_df):
+    return {
+        r["column"]: (r["n_rows"], r["n_nulls"], r["min"], r["max"])
+        for r in stats_df.collect()
+    }
+
+
+def test_analyze_matches_full_scan(spark, table):
+    got, report = analyze_table(spark, table)
+    assert report["files_missing"] == 0
+    direct = collect_column_stats(read_table(spark, table))
+    gv, dv = _vector(got), _vector(direct)
+    assert set(gv) == {"id", "score", "name"}
+    for c in gv:
+        assert gv[c][:2] == dv[c][:2], c          # counts exact
+        assert gv[c][2:] == dv[c][2:], c          # typed extrema exact
+    # NDV is HLL-approx on both paths; 120 distinct ids ±5%
+    ndv = {r["column"]: r["ndv"] for r in got.collect()}
+    assert abs(ndv["id"] - 120) <= 6
+
+
+def test_analyze_time_travel_and_after_merge(spark, table):
+    # snapshot v0 = first 50 rows only
+    got0, rep0 = analyze_table(spark, table, version=0)
+    v0 = _vector(got0)
+    assert v0["id"] == (50, 0, "0", "49")
+    assert rep0["files_missing"] == 0
+
+    # a MERGE rewrites overlapping files; analyze of the NEW snapshot
+    # reflects the upsert (id 200 added), and v0's stays unchanged
+    merge_into(
+        spark, table,
+        spark.createDataFrame(
+            [(0, 999.0, "patched"), (200, 1.0, "new")],
+            "id long, score double, name string",
+        ),
+        key="id",
+        analyze_stats=True,
+    )
+    got2, rep2 = analyze_table(spark, table)
+    v2 = _vector(got2)
+    assert rep2["files_missing"] == 0
+    assert v2["id"] == (121, 0, "0", "200")
+    assert v2["score"][3] == "999.0"
+    assert _vector(analyze_table(spark, table, version=0)[0])["id"] == (
+        50, 0, "0", "49")
+
+
+def test_uncovered_files_are_reported_not_invented(spark, table):
+    commit(_batch(spark, 200, 210, "c"), table)  # no analyze_stats
+    got, report = analyze_table(spark, table)
+    assert report["files_missing"] >= 1
+    # the vector covers only the covered files — counts must NOT include
+    # the uncovered commit's 10 rows
+    assert _vector(got)["id"][0] == 120
+
+
+def test_vacuum_reclaims_dead_partials(spark, table):
+    commit(
+        _batch(spark, 0, 10, "z"), table, mode="overwrite",
+        analyze_stats=True,
+    )
+    stats_root = os.path.join(table, "_stats")
+    assert len(os.listdir(stats_root)) == 3
+    vacuum(table, keep_last=1)
+    # only the overwrite's own commit dir keeps partials
+    assert len(os.listdir(stats_root)) == 1
+    got, report = analyze_table(spark, table)
+    assert report["files_missing"] == 0
+    assert _vector(got)["id"] == (10, 0, "0", "9")
