@@ -690,6 +690,7 @@ def optimize_table(
     zorder_by: tuple[str, ...] = (),
     stats_cols: tuple[str, ...] = (),
     analyze_stats: bool | tuple[str, ...] = False,
+    files: list[str] | None = None,
 ) -> dict:
     """Delta-OPTIMIZE semantics: rewrite the CURRENT live set into
     target-sized files and publish the compacted layout as one atomic
@@ -714,12 +715,29 @@ def optimize_table(
     rewrite stale: publishing would resurrect deleted data, so we raise
     CommitConflict instead (Delta's ConcurrentDeleteRead rule).
 
+    ``files`` restricts the rewrite to a SUBSET of the live set (callers
+    pass e.g. only the small files) — the primitive behind
+    :func:`compact_small_files` / streaming auto-compaction: untouched
+    files stay live beside the compacted output, so a table with a few
+    large well-sized files and a tail of per-batch fragments pays only
+    for the fragments.
+
     Returns the commit entry plus before/after file counts. Sizing uses
     on-disk bytes-per-row like ``maintenance.compact_table``.
     """
     from pyspark.sql import functions as F
 
-    live, _ = _state_at(path)
+    snapshot, _ = _state_at(path)
+    if files is not None:
+        unknown = set(files) - set(snapshot)
+        if unknown:
+            raise ValueError(
+                f"optimize subset names {len(unknown)} file(s) not live at "
+                f"{path}: {sorted(unknown)[:3]}..."
+            )
+        live = list(files)
+    else:
+        live = snapshot
     if not live:
         raise ValueError(f"nothing to optimize at {path}")
     full = [os.path.join(path, f) for f in live]
@@ -803,6 +821,46 @@ def optimize_table(
         raise
     assert entry is not None
     return {**entry, "files_before": len(live), "files_after": len(added)}
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    small_bytes: int = 16 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 4,
+    stats_cols: tuple[str, ...] = (),
+    analyze_stats: bool | tuple[str, ...] = False,
+) -> dict | None:
+    """Delta autoCompact semantics: rewrite ONLY the live files smaller
+    than ``small_bytes`` into target-sized ones, and only once at least
+    ``min_files`` of them exist (compacting two tiny files into one tiny
+    file is churn, not progress). Returns the OPTIMIZE entry, or None
+    when there is nothing worth doing — callers (streaming loops) can
+    invoke it after every batch for free.
+
+    This is the small-files answer for per-batch commit patterns
+    (streaming CDC/ingest): each micro-batch lands its own files; left
+    alone a day of 1-minute batches is 1,440 fragments per table and
+    every reader pays open-file overhead per fragment. Bounding the
+    fragment count keeps reads O(data), not O(batches), while the
+    subset rewrite keeps the compaction itself O(fragments).
+    """
+    live, _ = _state_at(path)
+    small = [
+        f for f in live
+        if os.path.exists(os.path.join(path, f))
+        and os.path.getsize(os.path.join(path, f)) < small_bytes
+    ]
+    if len(small) < min_files:
+        return None
+    return optimize_table(
+        spark, path,
+        target_file_bytes=target_file_bytes,
+        stats_cols=stats_cols,
+        analyze_stats=analyze_stats,
+        files=small,
+    )
 
 
 def merge_into(

@@ -193,6 +193,7 @@ def run_cdc_stream(
     key: str,
     checkpoint: str,
     app_id: str | None = None,
+    auto_compact_files: int | None = None,
 ) -> None:
     """Streaming CDC apply: each micro-batch of envelope changes lands as
     ONE idempotent file-granular MERGE commit on the versioned table —
@@ -208,13 +209,24 @@ def run_cdc_stream(
     is a stream of parsed envelopes (``parse_envelopes`` output — works
     unchanged over a Kafka source). Readers of the table never see a
     partial batch; every batch is one time-travelable version.
+
+    ``auto_compact_files`` bounds the small-files accumulation inherent
+    to per-batch MERGE commits: once that many sub-16MB live files
+    exist, the batch loop also publishes a subset OPTIMIZE
+    (operators/versioned.py:compact_small_files). A compaction losing a
+    race to a concurrent writer is skipped, not fatal — the next batch
+    retries; auto-compact is maintenance, the MERGE is the contract.
     """
     import os
 
     txn_app = app_id or f"cdc::{os.path.abspath(checkpoint)}"
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        from ..operators.versioned import latest_txn_version
+        from ..operators.versioned import (
+            CommitConflict,
+            compact_small_files,
+            latest_txn_version,
+        )
 
         seen = latest_txn_version(table_path, txn_app)
         if seen is not None and batch_id <= seen:
@@ -225,6 +237,15 @@ def run_cdc_stream(
             spark, table_path, batch, key,
             txn_app_id=txn_app, txn_version=batch_id,
         )
+        if auto_compact_files:
+            try:
+                compact_small_files(
+                    spark, table_path,
+                    min_files=auto_compact_files,
+                    stats_cols=(key,),
+                )
+            except CommitConflict:
+                pass  # a racing writer won; next batch will compact
 
     q = (
         changes.writeStream.foreachBatch(process)
