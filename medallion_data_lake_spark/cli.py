@@ -154,11 +154,20 @@ def main(argv: list[str] | None = None) -> int:
             spark.sql(sql).show(args.limit, truncate=False)
     elif args.verb == "analyze":
         if not args.arg:
-            print("analyze requires a table name", file=sys.stderr)
+            print("analyze requires a table name or versioned path", file=sys.stderr)
             return 2
-        from .operators.stats import collect_column_stats
+        if os.path.isdir(os.path.join(args.arg, "_log")):
+            # versioned table: rescan-free snapshot ANALYZE from the
+            # per-file stats partials recorded at commit time
+            from .operators.versioned import analyze_table
 
-        collect_column_stats(spark.table(args.arg)).show(100, truncate=False)
+            stats, report = analyze_table(spark, args.arg)
+            stats.show(100, truncate=False)
+            print(json.dumps(report))
+        else:
+            from .operators.stats import collect_column_stats
+
+            collect_column_stats(spark.table(args.arg)).show(100, truncate=False)
     elif args.verb == "manifest":
         if not args.arg:
             print("manifest requires a path", file=sys.stderr)

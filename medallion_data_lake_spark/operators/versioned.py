@@ -510,19 +510,27 @@ def read_table(
 def read_table_pruned(
     spark: SparkSession,
     path: str,
-    col: str,
+    col: str | None = None,
     lo=None,
     hi=None,
     version: int | None = None,
+    predicates: dict[str, tuple] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Snapshot read with FILE SKIPPING: live files whose recorded
-    [min, max] range for ``col`` excludes [lo, hi] are never opened —
+    [min, max] range excludes the requested range(s) are never opened —
     the read-side payoff of the same per-file stats :func:`merge_into`
     prunes with (Delta/Iceberg data skipping, resolved from the log
     instead of parquet footers, so skipped files cost zero I/O including
     their footers). The residual predicate is still applied to the
     survivors (stats pruning is necessary, not sufficient). Files
-    without recorded stats are conservatively read.
+    without recorded stats for a column are conservatively read.
+
+    Ranges: either the single-column form (``col``, ``lo``, ``hi``) or
+    ``predicates={col: (lo, hi), ...}`` — multiple columns prune
+    CONJUNCTIVELY (a file survives only if every range overlaps), which
+    is where z-ordered layouts pay off: OPTIMIZE ZORDER BY (a, b) gives
+    every file a compact box in BOTH columns, so two-sided skipping
+    multiplies instead of degenerating to the primary sort column.
 
     Returns ``(df, report)`` where report carries files_read /
     files_skipped so callers and tests can audit the pruning.
@@ -531,20 +539,31 @@ def read_table_pruned(
 
     if latest_version(path) is None:
         raise FileNotFoundError(f"no versioned table at {path}")
+    preds = dict(predicates or {})
+    if col is not None:
+        preds[col] = (lo, hi)
+    if not preds:
+        raise ValueError("read_table_pruned needs col/lo/hi or predicates")
     live, _ = _state_at(path, version)
     stats = _file_stats_at(path, version)
 
-    def overlaps(rng) -> bool:
+    def overlaps(rng, plo, phi) -> bool:
         if rng is None or rng[0] is None:
             return True
         fmin, fmax = rng
-        if hi is not None and fmin > hi:
+        if phi is not None and fmin > phi:
             return False
-        if lo is not None and fmax < lo:
+        if plo is not None and fmax < plo:
             return False
         return True
 
-    chosen = [f for f in live if overlaps(stats.get(f, {}).get(col))]
+    chosen = [
+        f for f in live
+        if all(
+            overlaps(stats.get(f, {}).get(c), plo, phi)
+            for c, (plo, phi) in preds.items()
+        )
+    ]
     report = {
         "files_total": len(live),
         "files_read": len(chosen),
@@ -556,10 +575,11 @@ def read_table_pruned(
             report,
         )
     df = spark.read.parquet(*[os.path.join(path, f) for f in chosen])
-    if lo is not None:
-        df = df.filter(F.col(col) >= lo)
-    if hi is not None:
-        df = df.filter(F.col(col) <= hi)
+    for c, (plo, phi) in preds.items():
+        if plo is not None:
+            df = df.filter(F.col(c) >= plo)
+        if phi is not None:
+            df = df.filter(F.col(c) <= phi)
     return df, report
 
 

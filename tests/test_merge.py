@@ -229,3 +229,39 @@ def test_read_table_pruned_skips_files_by_stats(spark, table):
     df4, rep4 = read_table_pruned(spark, table, "id", lo=12, hi=12, version=2)
     assert rep4["files_read"] < rep4["files_total"]
     assert [r["tag"] for r in df4.collect()] == ["base10"]  # pre-merge value
+
+
+def test_read_table_pruned_multi_column_conjunctive(spark, tmp_path):
+    """Multi-column predicates prune CONJUNCTIVELY: on a z-ordered
+    layout each file covers a compact box in BOTH columns, so a 2-D
+    probe skips at least as many files as either 1-D probe alone — the
+    read-side payoff OPTIMIZE ZORDER BY exists for."""
+    from medallion_data_lake_spark.operators.versioned import (
+        commit,
+        optimize_table,
+        read_table_pruned,
+    )
+
+    path = str(tmp_path / "zvt")
+    grid = spark.range(0, 4096).selectExpr(
+        "CAST(id % 64 AS BIGINT) AS x",
+        "CAST(id DIV 64 AS BIGINT) AS y",
+        "id AS payload",
+    )
+    commit(grid, path)
+    optimize_table(
+        spark, path, target_file_bytes=4 * 1024,
+        zorder_by=("x", "y"), stats_cols=("x", "y"),
+    )
+
+    box, rep2d = read_table_pruned(
+        spark, path, predicates={"x": (10, 13), "y": (10, 13)}
+    )
+    assert box.count() == 16
+    assert {(r["x"], r["y"]) for r in box.collect()} == {
+        (x, y) for x in range(10, 14) for y in range(10, 14)}
+
+    _, rep_x = read_table_pruned(spark, path, "x", lo=10, hi=13)
+    _, rep_y = read_table_pruned(spark, path, "y", lo=10, hi=13)
+    assert rep2d["files_read"] <= min(rep_x["files_read"], rep_y["files_read"])
+    assert rep2d["files_skipped"] > 0
