@@ -238,13 +238,45 @@ def shuffle_assignment(docs: DataFrame, n_shards: int = 64, seed: int = 7,
     )
 
 
+def _source_token_totals(docs: DataFrame, source_col: str,
+                         text_col: str) -> dict[str, int]:
+    """Per-source token totals — one aggregation, driver receives
+    len(sources) rows (a handful)."""
+    return {
+        r["src"]: r["toks"]
+        for r in docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(F.size(tokens(F.col(text_col)))).alias("toks"))
+        .collect()
+    }
+
+
+def temperature_targets(totals: Mapping[str, int], alpha: float,
+                        total_token_budget: int) -> dict[str, int]:
+    """Temperature-scaled mixture targets: p_i ∝ n_i^alpha (normalized),
+    target_i = p_i * budget — the multilingual-sampling rule (alpha=1
+    reproduces natural proportions, alpha→0 approaches uniform; XLM-R
+    uses alpha=0.3). Pure arithmetic over the bounded totals dict; the
+    heavy lifting stays in the one totals aggregation + the map-side
+    hash gate that applies the targets."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    powered = {s: float(n) ** alpha for s, n in totals.items() if n}
+    z = sum(powered.values())
+    if not z:
+        return {}
+    return {
+        s: int(total_token_budget * p / z) for s, p in powered.items()
+    }
+
+
 def mix_corpus(docs: DataFrame,
                target_tokens_per_source: Mapping[str, int],
                source_col: str = "source", id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               totals: Mapping[str, int] | None = None) -> DataFrame:
     """Domain mixing by token budget: downsample each source to ~its
     target token count. One aggregation computes per-source token
-    totals (driver receives len(sources) rows — a handful); keep rates
+    totals (pass precomputed ``totals`` to skip it); keep rates
     = min(1, target/total) are then applied via the same md5 hash gate
     as :func:`stratified_sample` — deterministic, map-side. Sources
     without a target are kept whole.
@@ -253,12 +285,8 @@ def mix_corpus(docs: DataFrame,
     the training run wants" (e.g. cap web crawl at N tokens while
     keeping all code/reference text).
     """
-    totals = {
-        r["src"]: r["toks"]
-        for r in docs.groupBy(F.col(source_col).alias("src"))
-        .agg(F.sum(F.size(tokens(F.col(text_col)))).alias("toks"))
-        .collect()
-    }
+    if totals is None:
+        totals = _source_token_totals(docs, source_col, text_col)
     rates = {
         src: min(1000, int(1000 * target_tokens_per_source[src] / totals[src]))
         for src in target_tokens_per_source
@@ -273,6 +301,23 @@ def mix_corpus(docs: DataFrame,
         return docs
     rate = rate.otherwise(F.lit(1000))
     return docs.filter((md5_int(F.col(id_col).cast("string")) % 1000) < rate)
+
+
+def mix_corpus_temperature(docs: DataFrame, alpha: float,
+                           total_token_budget: int,
+                           source_col: str = "source",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """:func:`mix_corpus` with targets derived by temperature sampling
+    instead of hand-set budgets: flattens the source distribution toward
+    uniform as ``alpha`` drops (the standard fix for head domains
+    drowning tail domains in multilingual/multi-source training). One
+    totals aggregation feeds both the target derivation and the mixing
+    gate — a single corpus scan end to end."""
+    totals = _source_token_totals(docs, source_col, text_col)
+    targets = temperature_targets(totals, alpha, total_token_budget)
+    return mix_corpus(docs, targets, source_col, id_col, text_col,
+                      totals=totals)
 
 
 def assign_splits(docs: DataFrame, weights: Mapping[str, float],

@@ -358,3 +358,65 @@ def test_pipeline_chunks_stage_covers_curated_docs_only(spark):
         s = [st for _, st in sorted(s)]
         assert s[0] == 0
         assert all(b - a == 24 for a, b in zip(s, s[1:]))
+
+
+def test_temperature_targets_math():
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        temperature_targets,
+    )
+
+    totals = {"web": 900_000, "code": 90_000, "ref": 10_000}
+    # alpha=1: natural proportions
+    nat = temperature_targets(totals, 1.0, 100_000)
+    assert nat["web"] == 90_000 and nat["code"] == 9_000 and nat["ref"] == 1_000
+    # alpha=0: uniform
+    uni = temperature_targets(totals, 0.0, 99_999)
+    assert len({uni["web"], uni["code"], uni["ref"]}) == 1
+    # flattening is monotone in alpha: the tail's share only grows as
+    # alpha drops
+    shares = [
+        temperature_targets(totals, a, 100_000)["ref"]
+        for a in (1.0, 0.7, 0.3, 0.0)
+    ]
+    assert shares == sorted(shares)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_targets(totals, 1.5, 100)
+
+
+def test_mix_corpus_temperature_flattens_sources(spark):
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        mix_corpus_temperature,
+        temperature_targets,
+    )
+    from medallion_data_lake_spark.queries.text import tokens as tok
+
+    d = _docs(spark)
+
+    def per_src(df):
+        return {
+            r.source: r.toks
+            for r in df.groupBy("source")
+            .agg(F.sum(F.size(tok(F.col("text")))).alias("toks"))
+            .collect()
+        }
+
+    before = per_src(d)
+    budget = sum(before.values()) // 2
+    out = mix_corpus_temperature(d, alpha=0.3, total_token_budget=budget)
+    got = per_src(out)
+    targets = temperature_targets(before, 0.3, budget)
+    for s, t in targets.items():
+        kept = got.get(s, 0)
+        # downsampled sources land near their temperature target; the
+        # hash gate is binomial over few docs per source, so per-source
+        # tolerance is loose and the aggregate check below is the tight
+        # one (independent errors average out across sources)
+        want = min(t, before[s])
+        assert abs(kept - want) <= max(0.6 * want, 100), (s, kept, want)
+    want_total = sum(min(t, before[s]) for s, t in targets.items())
+    assert abs(sum(got.values()) - want_total) <= 0.2 * want_total
+    # deterministic
+    assert out.count() == mix_corpus_temperature(
+        d, alpha=0.3, total_token_budget=budget).count()
