@@ -53,6 +53,8 @@ def count_shuffles(df: DataFrame) -> int:
         1
         for line in plan.splitlines()
         if "Exchange" in line
+        and ("+-" in line or ":-" in line)  # tree lines only — formatted
+        # mode repeats every node as a "(n) Exchange" detail header
         and "BroadcastExchange" not in line
         and "reuse" not in line.lower()
     )

@@ -52,6 +52,96 @@ def content_fingerprint(text_col: str = "text") -> F.Column:
     return F.md5(F.lower(F.regexp_replace(text_col, r"\s+", " ")))
 
 
+LEDGER_WATERMARK_PROP = "mdls.ledger.compacted_through"
+
+
+def compact_ledger_base(
+    spark: SparkSession,
+    ledger_dir: str,
+    base_table: str,
+    n_buckets: int = 64,
+    through_batch_id: int | None = None,
+) -> dict:
+    """Mirror the parquet ledger into a fingerprint-BUCKETED managed
+    table — the two-tier ledger's cold base. After this, the per-batch
+    anti-join against history shuffles ONLY the new batch (into the
+    bucket layout); the base is scanned in place, never re-shuffled —
+    the "bucket the ledger" production upgrade the module header names,
+    implemented rather than promised.
+
+    The highest mirrored batch id is recorded as a table property; the
+    admission path anti-joins base + the parquet ledger's TAIL
+    partitions above it (partition-pruned read, broadcast-sized by the
+    compaction cadence). Re-run this periodically — cost is one shuffle
+    of the compact (fingerprint, batch_id) ledger, amortized over every
+    batch until the next compaction; the corpus itself is never read.
+
+    Idempotence note: the tail read already excludes the current batch's
+    own partition; the base must mirror only COMPLETED batches (stream
+    checkpoint moved past them), or a replayed batch would meet its own
+    prior write through the base and admit nothing. Callers compacting
+    from INSIDE a running stream's foreachBatch therefore pass
+    ``through_batch_id = current_batch_id - 1`` — the current epoch is
+    not committed until after the hook returns. Between runs (no stream
+    active) the default full mirror is safe.
+    """
+    ledger = spark.read.parquet(ledger_dir)
+    if through_batch_id is not None:
+        ledger = ledger.filter(F.col("_batch_id") <= F.lit(through_batch_id))
+    hi = ledger.agg(F.max("_batch_id")).first()[0]
+    if hi is None:
+        return {"base_table": base_table, "compacted_through": None}
+    (
+        ledger.select("fingerprint", "_batch_id")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "fingerprint")
+        .sortBy("fingerprint")
+        .format("parquet")
+        .saveAsTable(base_table)
+    )
+    spark.sql(
+        f"ALTER TABLE {base_table} SET TBLPROPERTIES "
+        f"('{LEDGER_WATERMARK_PROP}'='{hi}')"
+    )
+    return {"base_table": base_table, "compacted_through": int(hi)}
+
+
+def _ledger_watermark(spark: SparkSession, base_table: str) -> int:
+    row = spark.sql(
+        f"SHOW TBLPROPERTIES {base_table}('{LEDGER_WATERMARK_PROP}')"
+    ).first()
+    return int(row["value"])
+
+
+def historical_fingerprints(
+    spark: SparkSession,
+    ledger_dir: str,
+    batch_id: int,
+    base_table: str | None = None,
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """(base, tail) fingerprint sides for the admission anti-join.
+    base = the bucketed mirror (None until first compaction); tail = the
+    parquet ledger's partitions ABOVE the mirror's watermark (partition-
+    pruned — `_batch_id` is the partition key), always excluding the
+    current batch's own partition (replay safety)."""
+    base = None
+    wm = -1
+    if base_table is not None and spark.catalog.tableExists(base_table):
+        base = spark.table(base_table).select("fingerprint")
+        wm = _ledger_watermark(spark, base_table)
+    tail = None
+    if os.path.isdir(ledger_dir):
+        tail = (
+            spark.read.parquet(ledger_dir)
+            .filter(
+                (F.col("_batch_id") > F.lit(wm))
+                & (F.col("_batch_id") != F.lit(batch_id))
+            )
+            .select("fingerprint")
+        )
+    return base, tail
+
+
 def admit_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -60,6 +150,7 @@ def admit_batch(
     chunks_dir: str | None = None,
     chunk_tokens: int = 64,
     chunk_stride: int = 48,
+    ledger_base_table: str | None = None,
 ) -> None:
     """Process one micro-batch: fingerprint, dedup within the batch,
     anti-join the historical ledger, write admitted docs + ledger rows
@@ -68,7 +159,15 @@ def admit_batch(
     training chunks (operators.curation_pipeline.chunk_documents) and
     written under the same batch-id partition — chunks accrue
     incrementally with the corpus and replay rewrites exactly the
-    batch's own chunk partition."""
+    batch's own chunk partition.
+
+    ``ledger_base_table`` switches history lookup to the TWO-TIER form
+    (:func:`compact_ledger_base`): anti-join the bucketed base (zero
+    ledger-side shuffle), then the post-watermark tail (broadcast —
+    bounded by compaction cadence, which is the operator's contract).
+    Without it, the whole parquet ledger shuffles per batch — fine for
+    modest histories, the thing the base exists to avoid at corpus
+    scale."""
     spark = batch_df.sparkSession
     fp = (
         batch_df.withColumn("fingerprint", content_fingerprint())
@@ -82,14 +181,17 @@ def admit_batch(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    if os.path.isdir(ledger_dir):
-        seen = (
-            spark.read.parquet(ledger_dir)
-            # a replayed batch must not anti-join its own partial write
-            .filter(F.col("_batch_id") != F.lit(batch_id))
-            .select("fingerprint")
+    base, tail = historical_fingerprints(
+        spark, ledger_dir, batch_id, ledger_base_table
+    )
+    if base is not None:
+        fp = fp.join(base, "fingerprint", "left_anti")
+    if tail is not None:
+        fp = fp.join(
+            F.broadcast(tail) if base is not None else tail,
+            "fingerprint",
+            "left_anti",
         )
-        fp = fp.join(seen, "fingerprint", "left_anti")
     admitted = fp.withColumn("_batch_id", F.lit(batch_id))
     (
         admitted.drop("fingerprint")
@@ -130,21 +232,43 @@ def run_incremental_corpus_ingest(
     checkpoint_dir: str,
     available_now: bool = True,
     chunks_dir: str | None = None,
+    ledger_base_table: str | None = None,
+    compact_base_every: int | None = None,
 ):
     """Stream JSON-lines document drops from ``input_dir`` into a
     deduplicated corpus. ``available_now`` bounds the run to the files
     present (exactly-once catch-up); pass False for a continuous
     ingester. ``chunks_dir`` additionally materializes training chunks
-    per admitted batch. Returns the StreamingQuery."""
+    per admitted batch. ``ledger_base_table`` (+ optionally
+    ``compact_base_every`` batches) engages the two-tier ledger: history
+    anti-joins hit the bucketed base with zero ledger-side shuffle and
+    only the short post-compaction tail rides along. Returns the
+    StreamingQuery."""
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", "64")
         .json(input_dir)
     )
-    writer = stream.writeStream.foreachBatch(
-        lambda df, bid: admit_batch(df, bid, corpus_dir, ledger_dir,
-                                    chunks_dir=chunks_dir)
-    ).option("checkpointLocation", checkpoint_dir)
+
+    def process(df: DataFrame, bid: int) -> None:
+        admit_batch(df, bid, corpus_dir, ledger_dir, chunks_dir=chunks_dir,
+                    ledger_base_table=ledger_base_table)
+        if (
+            ledger_base_table
+            and compact_base_every
+            and bid > 0
+            and (bid + 1) % compact_base_every == 0
+        ):
+            # only COMPLETED epochs may enter the base (this batch's
+            # checkpoint commit happens after this hook returns)
+            compact_ledger_base(
+                spark, ledger_dir, ledger_base_table,
+                through_batch_id=bid - 1,
+            )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -117,3 +117,124 @@ def test_incremental_chunks_follow_admission(spark, tmp_path):
     admit_batch(df, 0, corpus, ledger, chunks_dir=chunks)
     n_after = spark.read.parquet(chunks).filter("doc_id in (1, 2)").count()
     assert n_after == 4
+
+
+# ---------------------------------------------------------------------------
+# Two-tier ledger: bucketed base + hot tail (compact_ledger_base)
+# ---------------------------------------------------------------------------
+
+
+def _doc_rows(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+def test_two_tier_ledger_dedups_across_base_and_tail(spark, tmp_path):
+    from medallion_data_lake_spark.streaming.corpus import compact_ledger_base
+
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+    base = "ledger_base_t1"
+    try:
+        # batches 0-1 land pre-compaction
+        admit_batch(_doc_rows(spark, [(1, "aa bb"), (2, "cc dd")]), 0,
+                    corpus, ledger, ledger_base_table=base)
+        admit_batch(_doc_rows(spark, [(3, "ee ff")]), 1,
+                    corpus, ledger, ledger_base_table=base)
+        compact_ledger_base(spark, ledger, base, n_buckets=4)
+        # batch 2: rides the tail (post-watermark) — nothing there yet
+        admit_batch(_doc_rows(spark, [(4, "gg hh")]), 2,
+                    corpus, ledger, ledger_base_table=base)
+        # batch 3 carries dups from the BASE era (batch 0), the TAIL era
+        # (batch 2), and one new doc — both tiers must reject theirs
+        admit_batch(
+            _doc_rows(spark, [(10, "aa  BB"), (11, "GG hh"), (12, "new one")]),
+            3, corpus, ledger, ledger_base_table=base,
+        )
+        got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+        assert got == {1, 2, 3, 4, 12}
+        # replay of batch 3 with the base in place: still idempotent
+        admit_batch(
+            _doc_rows(spark, [(10, "aa  BB"), (11, "GG hh"), (12, "new one")]),
+            3, corpus, ledger, ledger_base_table=base,
+        )
+        assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {base}")
+
+
+def test_base_anti_join_never_shuffles_the_ledger(spark, tmp_path):
+    """The property the bucketed base exists for: the history side of
+    the admission anti-join is scanned in its bucket layout, ZERO
+    Exchange above it — only the (small) batch side shuffles."""
+    from medallion_data_lake_spark.plans import count_shuffles, explain_str
+    from medallion_data_lake_spark.streaming.corpus import (
+        compact_ledger_base,
+        content_fingerprint,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+    base = "ledger_base_t2"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try:
+        admit_batch(
+            _doc_rows(spark, [(i, f"text {i}") for i in range(50)]), 0,
+            corpus, ledger,
+        )
+        compact_ledger_base(spark, ledger, base, n_buckets=4)
+        # forbid broadcast so the join must take the bucketed SMJ path
+        # (at corpus scale the base is never broadcastable anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        batch = _doc_rows(spark, [(100, "text 7"), (101, "fresh")]).withColumn(
+            "fingerprint", content_fingerprint()
+        )
+        anti = batch.join(
+            spark.table(base).select("fingerprint"), "fingerprint", "left_anti"
+        )
+        plan = explain_str(anti)
+        assert count_shuffles(anti) == 1, plan    # batch side only
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert {r.doc_id for r in anti.collect()} == {101}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        spark.sql(f"DROP TABLE IF EXISTS {base}")
+
+
+def test_runner_auto_compacts_completed_epochs_only(spark, tmp_path):
+    from medallion_data_lake_spark.streaming.corpus import (
+        _ledger_watermark,
+        run_incremental_corpus_ingest,
+    )
+
+    in_dir, corpus, ledger, ckpt = _dirs(tmp_path)
+    base = "ledger_base_t3"
+    try:
+        # one drop per RUN so each lands as its own micro-batch id
+        for b in range(4):
+            _write_drop(f"{in_dir}/d{b}.json", [
+                {"doc_id": b * 10 + i, "text": f"doc {b} {i}",
+                 "lang": "en", "source": "s"}
+                for i in range(2)
+            ])
+            q = run_incremental_corpus_ingest(
+                spark, in_dir, corpus, ledger, ckpt,
+                ledger_base_table=base, compact_base_every=2,
+            )
+            q.awaitTermination(120)
+        assert spark.catalog.tableExists(base)
+        # the base only ever mirrors epochs whose checkpoint commit
+        # PRECEDED the compaction — strictly below the last batch id
+        wm = _ledger_watermark(spark, base)
+        max_bid = (
+            spark.read.parquet(ledger).agg(F.max("_batch_id")).first()[0]
+        )
+        assert wm < max_bid
+        assert spark.read.parquet(corpus).count() == 8
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {base}")
