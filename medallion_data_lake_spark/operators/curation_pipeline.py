@@ -373,6 +373,10 @@ class CurationConfig:
     embedding_id_col: str = "vec_id"
     embedding_col: str = "embedding"
     max_perplexity: float | None = None  # LM head-cut when an lm is given
+    # temperature mixing (off unless a budget is set): flatten the
+    # source distribution with p_i ∝ n_i^alpha before sampling
+    mix_alpha: float = 1.0
+    mix_token_budget: int | None = None
 
 
 def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
@@ -456,6 +460,15 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
         cur = stage("decontaminated", decontaminate(
             cur, bench, cfg.id_col, cfg.text_col, cfg.text_col,
             cfg.max_contamination,
+        ))
+    if cfg.mix_token_budget is not None:
+        # note: the totals aggregation inside executes the pipeline
+        # prefix once at build time (bounded |sources|-row collect) —
+        # the price of data-dependent mixing rates; set the budget only
+        # when domain rebalancing is actually wanted
+        cur = stage("mixed", mix_corpus_temperature(
+            cur, cfg.mix_alpha, cfg.mix_token_budget,
+            cfg.shard_col, cfg.id_col, cfg.text_col,
         ))
     if cfg.rates_per_mille or cfg.default_rate_per_mille < 1000:
         cur = stage("sampled", stratified_sample(

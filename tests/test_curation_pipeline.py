@@ -420,3 +420,27 @@ def test_mix_corpus_temperature_flattens_sources(spark):
     # deterministic
     assert out.count() == mix_corpus_temperature(
         d, alpha=0.3, total_token_budget=budget).count()
+
+
+def test_pipeline_mixing_stage_composes(spark):
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+    from medallion_data_lake_spark.queries.text import tokens as tok
+
+    d = _docs(spark)
+    total = d.agg(F.sum(F.size(tok(F.col("text"))))).first()[0]
+    out = curate_corpus(
+        d, config=CurationConfig(mix_alpha=0.3, mix_token_budget=total // 2)
+    )
+    assert "mixed" in out
+    kept = out["curated"].agg(
+        F.sum(F.size(tok(F.col("text"))))
+    ).first()[0]
+    assert kept < total                      # mixing actually downsampled
+    # the stage sits between dedup and sampling: every kept doc is one
+    # of the deduped docs
+    assert out["curated"].join(
+        out["near_deduped"].select("doc_id"), "doc_id", "left_anti"
+    ).count() == 0
