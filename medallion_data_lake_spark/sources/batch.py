@@ -53,6 +53,41 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return clean, corrupt
 
 
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """CSV directory scan with the same ingestion discipline as the JSON
+    bronze path (vendor drops and DB exports arrive as CSV at least as
+    often as JSON; the reference has no CSV story): EXPLICIT schema only
+    (`inferSchema` reads the data twice and guesses types per-load —
+    both banned at scale), PERMISSIVE mode with malformed lines captured
+    into the shared ``_corrupt_record`` column, so :func:`split_corrupt`
+    quarantines them identically for both formats. Multiline quoted
+    fields are on (RFC 4180 records can span lines); Hive-style
+    partition dirs prune like every other source."""
+    # StructType.add mutates in place — never grow the CALLER's schema
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    reader = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("multiLine", "true")
+        .option("escape", '"')
+    )
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.csv(path)
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,
