@@ -69,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         "verb",
         choices=["tables", "describe", "sql", "samples", "analyze",
                  "manifest", "compact", "history", "optimize", "expire",
-                 "serve"],
+                 "serve", "explain"],
     )
     ap.add_argument(
         "arg",
@@ -148,6 +148,15 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.perf_counter()
         spark.sql(args.arg).show(args.limit, truncate=False)
         print(f"({time.perf_counter() - t0:.2f}s)")
+    elif args.verb == "explain":
+        if not args.arg:
+            print("explain requires a query string", file=sys.stderr)
+            return 2
+        from .plans import explain_str, plan_report
+
+        df = spark.sql(args.arg)
+        print(explain_str(df))
+        print(json.dumps(plan_report(df), indent=2))
     elif args.verb == "samples":
         for name, sql in SAMPLES.items():
             print(f"\n=== {name} ===")

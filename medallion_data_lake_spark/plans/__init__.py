@@ -60,5 +60,56 @@ def count_shuffles(df: DataFrame) -> int:
     )
 
 
+_CODEGEN_OPS = (
+    "HashAggregate", "Project", "Filter", "SortMergeJoin",
+    "BroadcastHashJoin", "ColumnarToRow", "Expand", "Window",
+)
+_PYTHON_EVAL_OPS = ("BatchEvalPython", "ArrowEvalPython")
+
+
 def has_whole_stage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in explain_str(df, "simple") or "*(" in explain_str(df, "simple")
+    """True when the plan runs on the JVM codegen path: it contains
+    codegen-capable operators and NO row-at-a-time Python eval node.
+
+    This is deliberately the STATIC property. Under AQE the actual
+    WholeStageCodegen collapse happens per-stage at runtime (the
+    pre-execution plan is just ``AdaptiveSparkPlan isFinalPlan=false``,
+    and even ``mode="codegen"`` reports 0 subtrees) — but what the
+    hygiene check cares about is whether anything would BREAK codegen,
+    and that is visible statically."""
+    plan = explain_str(df, "simple")
+    if any(op in plan for op in _PYTHON_EVAL_OPS):
+        return False
+    return any(op in plan for op in _CODEGEN_OPS)
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call plan hygiene audit — the checklist a reviewer runs on
+    ``.explain`` output, as data: shuffle count, broadcast usage,
+    pushed filters / read schemas per scan, codegen coverage, and the
+    anti-patterns worth flagging at 100 TB (row-at-a-time Python eval,
+    cartesian products, global sorts that aren't top-k). Backs the CLI
+    ``explain`` verb and is usable in tests the same way the individual
+    helpers are."""
+    plan = explain_str(df)
+    simple = explain_str(df, "simple")
+    pushed = [
+        line.strip() for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    flags = []
+    if "BatchEvalPython" in plan:
+        flags.append("row_at_a_time_python_udf")
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        flags.append("non_equi_or_cartesian_join")
+    if "Sort [" in simple and "TakeOrderedAndProject" not in simple \
+            and "SortMergeJoin" not in simple and "global=true" in plan:
+        flags.append("global_sort_without_limit")
+    return {
+        "shuffles": count_shuffles(df),
+        "broadcast_join": has_broadcast_join(df),
+        "whole_stage_codegen": has_whole_stage_codegen(df),
+        "arrow_python": "ArrowEvalPython" in plan or "MapInPandas" in plan,
+        "pushed_filters": pushed,
+        "read_schemas": scan_read_schema(df),
+        "flags": flags,
+    }

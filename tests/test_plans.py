@@ -137,3 +137,28 @@ def test_partitioned_sink_reads_prune_partitions(spark, tmp_path):
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "processed_date" in pf_line
     assert back.count() == df.filter(F.col("processed_date") == "2024-01-03").count()
+
+
+def test_plan_report_flags_and_hygiene(spark):
+    """plan_report: clean plans come back unflagged with their pushdown
+    visible; a deliberate row-at-a-time Python UDF is flagged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from medallion_data_lake_spark.catalog import load_star_table
+    from medallion_data_lake_spark.plans import plan_report
+
+    orders = load_star_table(spark, "/root/testdata/sf0.001", "orders")
+    clean = (
+        orders.filter(F.col("o_totalprice") > 1000)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    rep = plan_report(clean)
+    assert rep["flags"] == []
+    assert rep["shuffles"] >= 1 and rep["whole_stage_codegen"]
+    assert any("o_totalprice" in p for p in rep["pushed_filters"])
+
+    slow_udf = F.udf(lambda x: x + 1, LongType())
+    bad = orders.select(slow_udf(F.col("o_orderkey")).alias("k"))
+    assert "row_at_a_time_python_udf" in plan_report(bad)["flags"]
