@@ -333,12 +333,61 @@ def _est_jaccard(sig_a, sig_b) -> F.Column:
     return agree / F.lit(float(N_MINHASH))
 
 
+def _band_key64(band, bkey) -> F.Column:
+    """Composite 64-bit LSH key: (band, bkey) folded into ONE column so
+    the bucketed band base can bucket, sort, and join on a single key
+    (a two-column bucket spec would force the probe side into the exact
+    two-column hash layout; a composite key keeps the join condition ==
+    the bucket spec)."""
+    return F.xxhash64(band.cast("string"), bkey)
+
+
+def compact_band_ledger_base(
+    spark: SparkSession,
+    band_ledger_dir: str,
+    base_table: str,
+    n_buckets: int = 64,
+    through_batch_id: int | None = None,
+) -> dict:
+    """:func:`compact_ledger_base` for the NEAR-dup band ledger: mirror
+    (band, bkey, sig) history into a table bucketed on the composite
+    band key. The per-batch collision probe against history then
+    shuffles only the new batch's band rows; the signature payload
+    (~100 B/doc × N_BANDS rows) — the part that actually weighs — is
+    scanned in its bucket layout, never re-shuffled. Same completed-
+    epochs-only contract as the fingerprint base."""
+    ledger = spark.read.parquet(band_ledger_dir)
+    if through_batch_id is not None:
+        ledger = ledger.filter(F.col("_batch_id") <= F.lit(through_batch_id))
+    hi = ledger.agg(F.max("_batch_id")).first()[0]
+    if hi is None:
+        return {"base_table": base_table, "compacted_through": None}
+    (
+        ledger.select(
+            _band_key64(F.col("band"), F.col("bkey")).alias("band_key"),
+            "sig",
+            "_batch_id",
+        )
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .format("parquet")
+        .saveAsTable(base_table)
+    )
+    spark.sql(
+        f"ALTER TABLE {base_table} SET TBLPROPERTIES "
+        f"('{LEDGER_WATERMARK_PROP}'='{hi}')"
+    )
+    return {"base_table": base_table, "compacted_through": int(hi)}
+
+
 def near_dedup_against_ledger(
     batch_docs: DataFrame,
     batch_id: int,
     band_ledger_dir: str,
     min_est_jaccard: float = 0.5,
     id_col: str = "doc_id",
+    band_base_table: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split a batch into (admitted, band_rows_to_append).
 
@@ -346,6 +395,11 @@ def near_dedup_against_ledger(
     + signature verification); survivors whose signatures verify against
     any historical ledger row are dropped. Returns the admitted docs
     (original columns) and their band rows for the ledger append.
+
+    ``band_base_table`` engages the two-tier history
+    (:func:`compact_band_ledger_base`): collision probe against the
+    bucketed base on the composite band key (zero ledger-side shuffle),
+    then against the post-watermark parquet tail only.
     """
     spark = batch_docs.sparkSession
     bands = _signature_bands(batch_docs)
@@ -366,10 +420,29 @@ def near_dedup_against_ledger(
     )
     survivors = bands.join(losers, bands.doc_id == losers[id_col], "left_anti")
 
+    wm = -1
+    if band_base_table is not None and spark.catalog.tableExists(band_base_table):
+        wm = _ledger_watermark(spark, band_base_table)
+        base = spark.table(band_base_table).select(
+            F.col("band_key").alias("h_key"), F.col("sig").alias("h_sig")
+        )
+        probe = survivors.withColumn(
+            "band_key", _band_key64(F.col("band"), F.col("bkey"))
+        )
+        base_hits = (
+            probe.join(base, probe.band_key == base.h_key)
+            .filter(_est_jaccard(F.col("sig"), F.col("h_sig")) >= min_est_jaccard)
+            .select("doc_id")
+            .distinct()
+        )
+        survivors = survivors.join(base_hits, "doc_id", "left_anti")
     if os.path.isdir(band_ledger_dir):
         hist = (
             spark.read.parquet(band_ledger_dir)
-            .filter(F.col("_batch_id") != F.lit(batch_id))
+            .filter(
+                (F.col("_batch_id") > F.lit(wm))
+                & (F.col("_batch_id") != F.lit(batch_id))
+            )
             .select(F.col("band").alias("h_band"), F.col("bkey").alias("h_bkey"),
                     F.col("sig").alias("h_sig"))
         )
@@ -397,10 +470,14 @@ def admit_batch_near(
     ledger_dir: str,
     band_ledger_dir: str,
     min_est_jaccard: float = 0.5,
+    ledger_base_table: str | None = None,
+    band_base_table: str | None = None,
 ) -> None:
     """admit_batch + the near-dup band-ledger stage: exact fingerprint
     dedup first (cheapest, shrinks the LSH input), then band-collision +
-    signature-verified near-dup against all history."""
+    signature-verified near-dup against all history. The two base-table
+    params engage the two-tier ledgers for both stages
+    (:func:`compact_ledger_base` / :func:`compact_band_ledger_base`)."""
     spark = batch_df.sparkSession
     fp = (
         batch_df.withColumn("fingerprint", content_fingerprint())
@@ -413,16 +490,21 @@ def admit_batch_near(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    if os.path.isdir(ledger_dir):
-        seen = (
-            spark.read.parquet(ledger_dir)
-            .filter(F.col("_batch_id") != F.lit(batch_id))
-            .select("fingerprint")
+    base, tail = historical_fingerprints(
+        spark, ledger_dir, batch_id, ledger_base_table
+    )
+    if base is not None:
+        fp = fp.join(base, "fingerprint", "left_anti")
+    if tail is not None:
+        fp = fp.join(
+            F.broadcast(tail) if base is not None else tail,
+            "fingerprint",
+            "left_anti",
         )
-        fp = fp.join(seen, "fingerprint", "left_anti")
 
     admitted, band_rows = near_dedup_against_ledger(
-        fp.drop("fingerprint"), batch_id, band_ledger_dir, min_est_jaccard
+        fp.drop("fingerprint"), batch_id, band_ledger_dir, min_est_jaccard,
+        band_base_table=band_base_table,
     )
     # re-derive fingerprints for the admitted set's exact-ledger rows
     admitted = admitted.withColumn("fingerprint", content_fingerprint())

@@ -100,3 +100,92 @@ def test_replay_is_idempotent(spark, dirs):
     assert bands.groupBy("doc_id", "band").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Two-tier band ledger (compact_band_ledger_base)
+# ---------------------------------------------------------------------------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "crawl") for i, t in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+def test_band_base_refuses_near_dups_from_compacted_history(spark, tmp_path):
+    from medallion_data_lake_spark.streaming.corpus import (
+        admit_batch_near,
+        compact_band_ledger_base,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+    bands = str(tmp_path / "bands")
+    base = "band_base_t1"
+    try:
+        admit_batch_near(_docs_df(spark, [(1, BASE), (2, UNIQUE)]), 0,
+                         corpus, ledger, bands, band_base_table=base)
+        compact_band_ledger_base(spark, bands, base, n_buckets=4)
+        # near-dup of BASE arrives AFTER compaction: only the bucketed
+        # base knows batch 0 — the tail above the watermark is empty
+        admit_batch_near(
+            _docs_df(spark, [(10, NEAR), (11, "fresh totally novel words "
+                                              "about gardening and soil")]),
+            1, corpus, ledger, bands, band_base_table=base,
+        )
+        got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+        assert got == {1, 2, 11}          # 10 refused via the base tier
+        # a near-dup of a TAIL-era doc (batch 1, post-compaction) is
+        # still refused through the parquet tail
+        admit_batch_near(
+            _docs_df(spark, [(20, "fresh totally novel words about "
+                                  "gardening and dirt")]),
+            2, corpus, ledger, bands, band_base_table=base,
+        )
+        assert 20 not in {
+            r.doc_id for r in spark.read.parquet(corpus).collect()}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {base}")
+
+
+def test_band_base_probe_never_shuffles_history(spark, tmp_path):
+    from medallion_data_lake_spark.plans import count_shuffles, explain_str
+    from medallion_data_lake_spark.streaming.corpus import (
+        _band_key64,
+        _signature_bands,
+        admit_batch_near,
+        compact_band_ledger_base,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+    bands = str(tmp_path / "bands")
+    base = "band_base_t2"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try:
+        admit_batch_near(
+            _docs_df(spark, [(i, f"{BASE} variation {i}") for i in range(8)]),
+            0, corpus, ledger, bands,
+        )
+        compact_band_ledger_base(spark, bands, base, n_buckets=4)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        probe = _signature_bands(_docs_df(spark, [(100, NEAR)])).withColumn(
+            "band_key", _band_key64(F.col("band"), F.col("bkey"))
+        )
+        hit = probe.join(
+            spark.table(base).select("band_key", F.col("sig").alias("h_sig")),
+            "band_key",
+        )
+        plan = explain_str(hit)
+        # history side: scanned in bucket layout, no Exchange above it;
+        # the probe (batch) side shuffles into the buckets
+        assert count_shuffles(hit) == 1, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        spark.sql(f"DROP TABLE IF EXISTS {base}")
