@@ -87,6 +87,8 @@ def run_incremental_rollup(
     metric_exprs: dict[str, F.Column],
     app_id: str | None = None,
     sketch_exprs: dict[str, F.Column] | None = None,
+    expire_every: int | None = None,
+    keep_last: int = 7,
 ) -> None:
     """Maintain an additive rollup view from a stream, exactly-once.
 
@@ -108,10 +110,24 @@ def run_incremental_rollup(
     re-APPLY when a batch is replayed after its table commit published
     but before the checkpoint epoch committed (crash in between) — the
     merge-onto-post-batch-state double-count the round-3 advice flagged.
+
+    ``expire_every`` bounds table METADATA for a long-lived stream: a
+    per-batch overwrite commit pattern grows the log (and dead view
+    snapshots) forever; every N batches ``expire_log`` truncates history
+    to the last ``keep_last`` versions behind a checkpoint. The txn
+    watermark survives inside the checkpoint, so replay idempotence is
+    unaffected — that pairing is the whole reason expire_log writes the
+    base checkpoint first.
     """
     import os
 
-    from .versioned import commit, latest_txn_version, latest_version, read_table
+    from .versioned import (
+        commit,
+        expire_log,
+        latest_txn_version,
+        latest_version,
+        read_table,
+    )
 
     keys = list(grain_exprs)
     metrics = list(metric_exprs)
@@ -142,6 +158,8 @@ def run_incremental_rollup(
             txn_app_id=txn_app,
             txn_version=batch_id,
         )
+        if expire_every and batch_id > 0 and batch_id % expire_every == 0:
+            expire_log(view_path, keep_last=keep_last)
 
     q = (
         stream.writeStream.foreachBatch(process)

@@ -178,3 +178,43 @@ def test_sketch_metrics_maintained_incrementally(spark, tmp_path):
     # exact at this cardinality: d1 saw users {7,8,9} across batches
     # (7 twice - union, not addition), d2 saw {7,10}
     assert got == {"d1": (4, 3), "d2": (2, 2)}
+
+
+def test_rollup_log_expiry_bounds_metadata_and_keeps_idempotence(spark, tmp_path):
+    """expire_every: a long-lived per-batch-commit stream keeps a bounded
+    log; values stay correct, the txn watermark survives the checkpoint,
+    and a post-expiry replay is still a no-op."""
+    import shutil
+
+    from medallion_data_lake_spark.operators.versioned import _commit_versions
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    view = str(tmp_path / "view")
+    ck = str(tmp_path / "ck")
+    schema = "event_id long, day string, value double"
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).json(inp)
+        run_incremental_rollup(
+            spark, stream, view, ck,
+            grain_exprs={"day": F.col("day")},
+            metric_exprs={"revenue": F.sum("value")},
+            expire_every=3, keep_last=2,
+        )
+
+    for b in range(8):
+        _write_events(inp, f"b{b}.json",
+                      [{"event_id": b, "day": "2024-01-01", "value": 1.0}])
+    run()
+    # 8 per-batch commits, but the log retains a bounded window
+    assert len(_commit_versions(view)) <= 2 + 3
+    got = {r["day"]: r["revenue"] for r in read_table(spark, view).collect()}
+    assert got == {"2024-01-01": 8.0}
+    # replay after checkpoint loss: watermark lives in the log checkpoint
+    shutil.rmtree(ck)
+    run()
+    assert {r["day"]: r["revenue"]
+            for r in read_table(spark, view).collect()} == {"2024-01-01": 8.0}
