@@ -185,3 +185,139 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         sample_frames_batch(n_frames), schema=FRAME_SAMPLE
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize (blob-in → blob-out) and audio windowing (metadata-driven 1:N)
+# ---------------------------------------------------------------------------
+
+RESIZED = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def resize_media_batch(target_w: int, target_h: int):
+    """mapInPandas kernel factory for the BLOB-IN → BLOB-OUT shape
+    (decode → resize → re-encode). The fake path emits a deterministic
+    content-derived payload whose LENGTH scales with the target area, so
+    tests exercise the real memory property of this stage: output batch
+    bytes ∝ rows × target area. The real branch (Pillow thumbnail +
+    re-encode) is the same signature — swapping it changes no plan."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                out = None
+                if _real_decode_enabled() and _HAS_PIL:  # pragma: no cover
+                    out = _pil_resize(payload, target_w, target_h)
+                if out is None:
+                    sw, sh, _, _ = _fake_decode(payload)
+                    seed = hashlib.sha256(
+                        payload + f"{target_w}x{target_h}".encode()
+                    ).digest()
+                    body = (seed * ((target_w * target_h) // len(seed) + 1))[
+                        : target_w * target_h
+                    ]
+                    out = (body, target_w, target_h, sw, sh, "fake-sha256")
+                rows.append((int(media_id), *out))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "content", "width", "height",
+                         "src_width", "src_height", "decoder"],
+            )
+
+    return kernel
+
+
+def _pil_resize(payload, w, h):  # pragma: no cover - PIL absent here
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            sw, sh = img.size
+            buf = io.BytesIO()
+            img.resize((w, h)).save(buf, format="PNG")
+        return buf.getvalue(), w, h, sw, sh, "pil"
+    except Exception:
+        return None
+
+
+def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Distributed resize — no shuffle, one Arrow pass per partition.
+
+    Blob-out batches are the memory hazard of this stage: rows ×
+    target-area bytes must fit the Arrow batch, so at 100 TB size
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` against the target
+    dimensions (e.g. 224×224×3 ≈ 150 KB/row → a 10k-row default batch
+    is 1.5 GB; hundreds, not thousands, of rows per batch here)."""
+    return df.select("media_id", "content").mapInPandas(
+        resize_media_batch(target_w, target_h), schema=RESIZED
+    )
+
+
+AUDIO_WINDOWS = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("window_sha256", T.StringType()),
+    ]
+)
+
+
+def window_audio_batch(window_ms: int, stride_ms: int):
+    """mapInPandas kernel factory: metadata-driven 1:N expansion for
+    audio — overlapping fixed-length windows over each clip's duration
+    (the ASR/audio-embedding preprocessing shape). Duration comes from
+    the decode step in production; the fake derives a stable pseudo-
+    duration (1-30 s) from the content hash, same convention as
+    ``_fake_decode``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                h = hashlib.sha256(payload).digest()
+                duration_ms = 1_000 + int.from_bytes(h[2:4], "big") % 29_000
+                start = 0
+                idx = 0
+                while start < duration_ms:
+                    end = min(start + window_ms, duration_ms)
+                    digest = hashlib.sha256(
+                        payload + start.to_bytes(8, "big")
+                    ).hexdigest()
+                    rows.append((int(media_id), idx, start, end, digest))
+                    if end >= duration_ms:
+                        break
+                    start += stride_ms
+                    idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "window_idx", "start_ms", "end_ms",
+                         "window_sha256"],
+            )
+
+    return kernel
+
+
+def window_audio(
+    df: DataFrame, window_ms: int = 5_000, stride_ms: int = 4_000
+) -> DataFrame:
+    """Overlapping audio windows, one row per window — embarrassingly
+    parallel, no shuffle; window count per clip = ceil(duration/stride),
+    bounded by clip length, never by corpus size."""
+    return df.select("media_id", "content").mapInPandas(
+        window_audio_batch(window_ms, stride_ms), schema=AUDIO_WINDOWS
+    )

@@ -78,3 +78,39 @@ def test_text_pandas_udfs(spark):
     assert rows[1]["lang_pred"] == "en"
     assert rows[2]["lang_pred"] == "de"
     assert rows[1]["bpe_tokens"] == 9
+
+
+def test_resize_media_blob_out_shape(spark):
+    df = _media_df(spark)
+    out = {r["media_id"]: r for r in
+           multimodal.resize_media(df, 32, 16).collect()}
+    assert out.keys() == {1, 2, 3, 4}
+    for r in out.values():
+        assert (r["width"], r["height"]) == (32, 16)
+        assert len(r["content"]) == 32 * 16      # blob-out sized to target
+        assert 64 <= r["src_width"] <= 255       # source dims carried
+    # deterministic, and content-addressed: identical source payloads
+    # (media 1 == media 4) resize to identical bytes
+    assert bytes(out[1]["content"]) == bytes(out[4]["content"])
+    assert bytes(out[1]["content"]) != bytes(out[2]["content"])
+    again = {r["media_id"]: bytes(r["content"]) for r in
+             multimodal.resize_media(df, 32, 16).collect()}
+    assert again[2] == bytes(out[2]["content"])
+
+
+def test_window_audio_overlapping_coverage(spark):
+    df = _media_df(spark).filter(F.col("modality") == "audio")
+    out = multimodal.window_audio(df, window_ms=5_000, stride_ms=4_000)
+    rows = sorted(out.collect(), key=lambda r: r["window_idx"])
+    assert len(rows) >= 1
+    # windows tile the clip: first starts at 0, strides are exact,
+    # every window is <= window_ms long and the last one ends the clip
+    assert rows[0]["start_ms"] == 0
+    for i, r in enumerate(rows):
+        assert r["start_ms"] == i * 4_000
+        assert 0 < r["end_ms"] - r["start_ms"] <= 5_000
+    duration = rows[-1]["end_ms"]
+    assert 1_000 <= duration <= 30_000
+    # no shuffle in the plan (map-side 1:N expansion)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
