@@ -251,3 +251,39 @@ def test_merge_into_matches_reference_semantics(spark, tmp_path_factory,
             want[k] = tag
     got = {r["id"]: r["tag"] for r in read_table(spark, path).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Temperature-mixing target derivation (pure math — no Spark needed)
+# ---------------------------------------------------------------------------
+
+@given(
+    totals=st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        st.integers(min_value=0, max_value=10**12),
+        min_size=1, max_size=8,
+    ),
+    alpha=st.floats(min_value=0.0, max_value=1.0,
+                    allow_nan=False, allow_infinity=False),
+    budget=st.integers(min_value=0, max_value=10**12),
+)
+def test_temperature_targets_invariants(totals, alpha, budget):
+    """For ANY totals/alpha/budget: targets sum to ≤ budget (floor
+    rounding only loses), cover only non-empty sources, are non-negative,
+    and preserve the size ordering of the inputs (flattening must never
+    INVERT two sources)."""
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        temperature_targets,
+    )
+
+    targets = temperature_targets(totals, alpha, budget)
+    assert set(targets) == {s for s, n in totals.items() if n > 0}
+    assert all(t >= 0 for t in targets.values())
+    assert sum(targets.values()) <= budget
+    # floor rounding drops < 1 token per source
+    if targets:
+        assert sum(targets.values()) >= budget - len(targets)
+    for a in targets:
+        for b in targets:
+            if totals[a] > totals[b]:
+                assert targets[a] >= targets[b]
