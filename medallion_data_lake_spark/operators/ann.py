@@ -829,6 +829,43 @@ def build_ivf_index(
     return meta
 
 
+def append_to_ivf_index(
+    new_data: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Incremental index maintenance: encode NEW vectors with the
+    INDEX'S OWN layout params (read back from ``_ivf_meta.json`` — the
+    bucket function must match or probes would miss) and append them
+    into the same bucket-partitioned layout. Cost is one map pass over
+    only the new vectors plus a partitioned append — the existing
+    inverted lists are never read or rewritten, and searches see the
+    new vectors immediately through the same partition-pruned scan.
+
+    A corpus that grows by appends accretes one file per touched bucket
+    per batch; periodic compaction of the partition dirs
+    (operators/maintenance.py) is the same small-files answer as every
+    other append pattern here. A growth-driven RE-bucketing (doubling
+    n_bits when buckets outgrow their target) is a rebuild —
+    :func:`build_ivf_index` on the union — by design: the sign-bucket
+    family keeps builds one cheap map pass, so rebuilds are not the
+    bottleneck re-clustering would be."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
+        meta = _json.load(fh)
+    indexed = new_data.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        sign_code(F.col(vec_col), 0, meta["n_bits"]).alias("bucket"),
+    )
+    indexed.write.mode("append").partitionBy("bucket").parquet(index_path)
+    return meta
+
+
 def search_ivf_index(
     spark,
     index_path: str,

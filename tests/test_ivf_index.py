@@ -63,3 +63,34 @@ def test_probe_prunes_partitions(spark, emb, index):
     if m:  # Spark prints the pruned count in the scan node
         assert int(m.group(1)) < n_dirs
     out.count()  # and it executes
+
+
+def test_incremental_append_equals_full_rebuild(spark, emb, tmp_path):
+    """append_to_ivf_index: building on half the corpus then appending
+    the other half answers identically to one full build — the appended
+    vectors enter the same buckets (layout params come from the index's
+    own meta), and search sees them immediately."""
+    from medallion_data_lake_spark.operators.ann import append_to_ivf_index
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    inc_path = str(tmp_path / "inc")
+    build_ivf_index(half_a, inc_path, n_bits=MIN_BITS)
+    append_to_ivf_index(half_b, inc_path)
+
+    full_path = str(tmp_path / "full")
+    build_ivf_index(emb, full_path, n_bits=MIN_BITS)
+
+    def answers(path):
+        return {
+            (r["query_id"], r["rank"]): r["cand_id"]
+            for r in search_ivf_index(
+                spark, path, queries, n_probes=4, k=3
+            ).collect()
+        }
+
+    assert answers(inc_path) == answers(full_path)
+    # appended rows really are inside bucket partitions (not a flat dump)
+    assert glob.glob(f"{inc_path}/bucket=*/*.parquet")
