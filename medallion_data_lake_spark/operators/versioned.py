@@ -156,17 +156,45 @@ def _state_at(path: str, version: int | None = None) -> tuple[list[str], dict]:
     return live, txns
 
 
+def _mixed_schema_at(path: str, version: int | None = None) -> bool:
+    """True when the snapshot's live files may span >1 schema (an
+    evolved append landed at/before ``version``) — the reads must then
+    pay mergeSchema. Resolved checkpoint + tail like everything else."""
+    if version is not None and version < 0:
+        return False
+    ckpts = [
+        v for v in _checkpoint_versions(path)
+        if version is None or v <= version
+    ]
+    mixed = False
+    lo = 0
+    if ckpts:
+        mixed = bool(_read_checkpoint(path, ckpts[-1]).get("mixed_schema"))
+        lo = ckpts[-1] + 1
+    for e in _entries(path, lo=lo, hi=version):
+        if e.get("mode") == "overwrite":
+            mixed = False  # snapshot replaced: single-schema again
+        if e.get("schema_changed"):
+            mixed = True
+    return mixed
+
+
 def _write_checkpoint(path: str, version: int) -> None:
     """Materialize derived state at ``version``. Best-effort: a racing
     checkpointer (or a crash here) costs nothing but replay length."""
     live, txns = _state_at(path, version)
     stats = _file_stats_at(path, version)
+    # resolve ALL derived state before the exclusive-create: the open()
+    # below lands an (initially empty) checkpoint file that resolution
+    # helpers would otherwise pick up and fail to parse
+    mixed = _mixed_schema_at(path, version)
     target = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.json")
     try:
         with open(target, "x") as fh:
             json.dump(
                 {"version": version, "live": live, "txns": txns,
-                 "file_stats": stats, "timestamp": time.time()},
+                 "file_stats": stats, "mixed_schema": mixed,
+                 "timestamp": time.time()},
                 fh,
             )
     except FileExistsError:
@@ -384,6 +412,7 @@ def commit(
     txn_version: int | None = None,
     stats_cols: tuple[str, ...] = (),
     analyze_stats: bool | tuple[str, ...] = False,
+    allow_schema_evolution: bool = False,
 ) -> dict | None:
     """Write ``df`` as one atomic commit; returns the log entry.
 
@@ -407,9 +436,41 @@ def commit(
     ``_stats/`` so :func:`analyze_table` can compute any snapshot's
     ANALYZE vector without rescanning data — stats-at-write, the
     Delta/Iceberg model extended with HLL NDV sketches.
+
+    SCHEMA ENFORCEMENT (Delta's contract): an APPEND whose schema
+    drifts from the table's refuses loudly instead of landing files a
+    later read silently mis-merges (plain ``spark.read.parquet`` over
+    mixed schemas picks one file's schema and DROPS the others'
+    columns). ``allow_schema_evolution=True`` permits ADDITIVE drift —
+    new columns, or columns the batch omits (read as null) — and marks
+    the entry so snapshot reads switch to ``mergeSchema``; a TYPE
+    change for an existing column is always refused (that is a rewrite,
+    not an evolution). Overwrites may change schema freely: the
+    snapshot they create is single-schema by construction.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+
+    schema_changed = False
+    if mode == "append" and latest_version(path) is not None:
+        from .evolution import SchemaDriftError, diff_schemas
+
+        current = _schema_of_latest(df.sparkSession, path, _entries(path))
+        cur_types = {f.name: f.dataType.simpleString() for f in current.fields}
+        new_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        if cur_types != new_types:
+            changed = [
+                n for n in cur_types
+                if n in new_types and cur_types[n] != new_types[n]
+            ]
+            if changed or not allow_schema_evolution:
+                drift = diff_schemas(df.schema, current)
+                raise SchemaDriftError(
+                    f"append schema drifts from table {path}: {drift}"
+                    + ("" if changed else
+                       " (pass allow_schema_evolution=True for additive drift)")
+                )
+            schema_changed = True
     has_txn = txn_app_id is not None and txn_version is not None
 
     def _already_applied() -> bool:
@@ -459,6 +520,8 @@ def commit(
             entry["file_stats"] = file_stats
         if stats_rel:
             entry["stats_partials"] = stats_rel
+        if schema_changed:
+            entry["schema_changed"] = True
         return entry
 
     entry = _publish(path, build, max_retries)
@@ -504,7 +567,14 @@ def read_table(
     if not files:
         # a valid-but-empty snapshot (e.g. overwrite with 0 rows)
         return spark.createDataFrame([], _schema_of_latest(spark, path, _entries(path)))
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    reader = spark.read
+    if _mixed_schema_at(path, version):
+        # an evolved append landed in this snapshot: without mergeSchema
+        # the scan takes ONE file's schema and silently drops the other
+        # files' columns. The footer-union cost is paid only for tables
+        # that actually evolved — the flag rides the log + checkpoints.
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(path, f) for f in files])
 
 
 def read_table_pruned(
@@ -574,7 +644,10 @@ def read_table_pruned(
             spark.createDataFrame([], _schema_of_latest(spark, path, _entries(path))),
             report,
         )
-    df = spark.read.parquet(*[os.path.join(path, f) for f in chosen])
+    reader = spark.read
+    if _mixed_schema_at(path, version):
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[os.path.join(path, f) for f in chosen])
     for c, (plo, phi) in preds.items():
         if plo is not None:
             df = df.filter(F.col(c) >= plo)

@@ -109,3 +109,55 @@ def test_vacuum_reclaims_dead_partials(spark, table):
     got, report = analyze_table(spark, table)
     assert report["files_missing"] == 0
     assert _vector(got)["id"] == (10, 0, "0", "9")
+
+
+# ---------------------------------------------------------------------------
+# Schema enforcement + evolution on append (commit contract)
+# ---------------------------------------------------------------------------
+
+
+def test_append_schema_drift_is_refused(spark, tmp_path):
+    from medallion_data_lake_spark.operators.evolution import SchemaDriftError
+
+    path = str(tmp_path / "vt")
+    commit(spark.createDataFrame([(1, "a")], "id long, tag string"), path)
+    # silent column loss is the failure mode being prevented here
+    with pytest.raises(SchemaDriftError):
+        commit(
+            spark.createDataFrame([(2, "b", 1.5)],
+                                  "id long, tag string, score double"),
+            path,
+        )
+    # type change for an existing column: refused even with evolution on
+    with pytest.raises(SchemaDriftError):
+        commit(
+            spark.createDataFrame([("2", "b")], "id string, tag string"),
+            path, allow_schema_evolution=True,
+        )
+
+
+def test_additive_evolution_reads_merged(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    commit(spark.createDataFrame([(1, "a")], "id long, tag string"), path)
+    commit(
+        spark.createDataFrame([(2, "b", 1.5)],
+                              "id long, tag string, score double"),
+        path, allow_schema_evolution=True,
+    )
+    got = read_table(spark, path)
+    assert set(got.columns) == {"id", "tag", "score"}  # nothing dropped
+    rows = {r["id"]: (r["tag"], r["score"]) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 1.5)}
+    # pre-evolution snapshot keeps its own (narrower) schema
+    assert set(read_table(spark, path, version=0).columns) == {"id", "tag"}
+    # a later batch that OMITS the evolved column is additive drift too
+    commit(
+        spark.createDataFrame([(3, "c")], "id long, tag string"),
+        path, allow_schema_evolution=True,
+    )
+    rows = {r["id"]: r["score"] for r in read_table(spark, path).collect()}
+    assert rows == {1: None, 2: 1.5, 3: None}
+    # overwrite resets to a single schema; reads drop mergeSchema again
+    commit(spark.createDataFrame([(9, 2)], "id long, n long"), path,
+           mode="overwrite")
+    assert set(read_table(spark, path).columns) == {"id", "n"}
