@@ -835,7 +835,13 @@ def optimize_table(
         raise ValueError(f"nothing to optimize at {path}")
     full = [os.path.join(path, f) for f in live]
     total_bytes = sum(os.path.getsize(f) for f in full if os.path.exists(f))
-    df = spark.read.parquet(*full)
+    reader = spark.read
+    if _mixed_schema_at(path):
+        # evolved table: compact to the UNION schema (missing columns
+        # null-filled) — OPTIMIZE doubles as schema compaction, after
+        # which the rewritten files are single-schema again
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*full)
     rows = df.count()
     bytes_per_row = max(total_bytes / max(rows, 1), 1e-6)
     records_per_file = max(int(target_file_bytes / bytes_per_row), 1)
@@ -1035,10 +1041,26 @@ def merge_into(
     matched = [f for f in live if overlaps(stats.get(f, {}).get(key))]
     untouched_set = set(live) - set(matched)
 
-    cols = spark.read.parquet(os.path.join(path, matched[0])).columns if matched else source.columns
-    out_cols = [c for c in cols if c != delete_col]
     if matched:
-        base = spark.read.parquet(*[os.path.join(path, f) for f in matched])
+        base_reader = spark.read
+        if _mixed_schema_at(path):
+            base_reader = base_reader.option("mergeSchema", "true")
+        base = base_reader.parquet(*[os.path.join(path, f) for f in matched])
+        # column set from the (possibly merged) base schema, NOT the
+        # first file — on an evolved table a narrow first file would
+        # silently drop the evolved columns from the rewrite
+        cols = base.columns
+    else:
+        cols = source.columns
+    out_cols = [c for c in cols if c != delete_col]
+    lacking = [c for c in out_cols if c != key and c not in source.columns]
+    if lacking:
+        raise ValueError(
+            f"merge_into source lacks table column(s) {lacking} — an upsert "
+            "row must state every column's value (pass explicit nulls); on "
+            "an evolved table the source must carry the UNION schema"
+        )
+    if matched:
         s = source.select(
             F.col(key).alias("__sk"),
             *[F.col(c).alias(f"__s_{c}") for c in source.columns if c != key],

@@ -161,3 +161,41 @@ def test_additive_evolution_reads_merged(spark, tmp_path):
     commit(spark.createDataFrame([(9, 2)], "id long, n long"), path,
            mode="overwrite")
     assert set(read_table(spark, path).columns) == {"id", "n"}
+
+
+def test_merge_and_optimize_respect_evolved_schema(spark, tmp_path):
+    """MERGE on an evolved table rewrites with the UNION schema (no
+    silent column loss regardless of which file is first); OPTIMIZE
+    doubles as schema compaction."""
+    from medallion_data_lake_spark.operators.versioned import optimize_table
+
+    path = str(tmp_path / "vt")
+    commit(spark.createDataFrame([(1, "a")], "id long, tag string"), path,
+           stats_cols=("id",))
+    commit(
+        spark.createDataFrame([(2, "b", 1.5)],
+                              "id long, tag string, score double"),
+        path, allow_schema_evolution=True, stats_cols=("id",),
+    )
+    # source must carry the union schema — a narrow source is refused
+    with pytest.raises(ValueError, match="UNION schema"):
+        merge_into(
+            spark, path,
+            spark.createDataFrame([(1, "patched")], "id long, tag string"),
+            key="id",
+        )
+    merge_into(
+        spark, path,
+        spark.createDataFrame([(1, "patched", None)],
+                              "id long, tag string, score double"),
+        key="id",
+    )
+    rows = {r["id"]: (r["tag"], r["score"])
+            for r in read_table(spark, path).collect()}
+    assert rows == {1: ("patched", None), 2: ("b", 1.5)}
+
+    out = optimize_table(spark, path, target_file_bytes=1 << 30)
+    assert out["files_after"] >= 1
+    rows = {r["id"]: (r["tag"], r["score"])
+            for r in read_table(spark, path).collect()}
+    assert rows == {1: ("patched", None), 2: ("b", 1.5)}
