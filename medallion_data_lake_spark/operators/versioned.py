@@ -922,6 +922,149 @@ def optimize_table(
     return {**entry, "files_before": len(live), "files_after": len(added)}
 
 
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    predicates: dict[str, tuple] | None = None,
+    where: str | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> dict | None:
+    """Delta-style DELETE, FILE-GRANULAR: rows matching the predicate
+    are removed by rewriting ONLY the live files whose recorded
+    [min, max] ranges can contain them; every other file stays live
+    untouched (same skipping machinery as :func:`merge_into` /
+    :func:`read_table_pruned`). History is preserved — the deletion is
+    one commit, old snapshots still show the rows until ``vacuum``.
+
+    The predicate is ``predicates`` ({col: (lo, hi)} ranges — these both
+    PRUNE files and delete), optionally AND-ed with ``where`` (an
+    arbitrary SQL boolean — applied to rows but unusable for pruning,
+    so give range predicates whenever you have them: `WHERE day =
+    '2024-01-01' AND user_id = 7` should arrive as
+    ``predicates={'day': ('2024-01-01','2024-01-01')}, where="user_id
+    = 7"``). A candidate file whose rewrite drops no rows is left live
+    as-is (no-op rewrites are skipped, not published). GDPR-style
+    per-key erasure is this + a key-range predicate; erasing the
+    HISTORY too is ``vacuum`` after retention.
+
+    Returns the commit entry (+ files_matched / rows audit) or None if
+    no row matched anywhere. Idempotent-writer contract via
+    ``txn_app_id``/``txn_version`` like every other writer here.
+    """
+    from pyspark.sql import functions as F
+
+    preds = dict(predicates or {})
+    if not preds and where is None:
+        raise ValueError("delete_rows needs predicates and/or where")
+    has_txn = txn_app_id is not None and txn_version is not None
+    if has_txn:
+        seen = latest_txn_version(path, txn_app_id)
+        if seen is not None and txn_version <= seen:
+            return None
+
+    live, _ = _state_at(path)
+    if not live:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    stats = _file_stats_at(path)
+
+    def overlaps(rng, lo, hi) -> bool:
+        if rng is None or rng[0] is None:
+            return True
+        if hi is not None and rng[0] > hi:
+            return False
+        if lo is not None and rng[1] < lo:
+            return False
+        return True
+
+    matched = [
+        f for f in live
+        if all(
+            overlaps(stats.get(f, {}).get(c), lo, hi)
+            for c, (lo, hi) in preds.items()
+        )
+    ]
+    if not matched:
+        return None
+
+    cond = F.lit(True)
+    for c, (lo, hi) in preds.items():
+        if lo is not None:
+            cond = cond & (F.col(c) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(c) <= hi)
+    if where is not None:
+        cond = cond & F.expr(where)
+
+    reader = spark.read
+    if _mixed_schema_at(path):
+        reader = reader.option("mergeSchema", "true")
+    base = reader.parquet(*[os.path.join(path, f) for f in matched])
+    n_deleted = base.filter(cond).count()
+    if n_deleted == 0:
+        return None  # stats said "maybe"; rows said no — publish nothing
+    kept = base.filter(~F.coalesce(cond, F.lit(False)))
+
+    commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
+    data_path = os.path.join(path, "data", commit_dir)
+    kept.write.mode("error").parquet(data_path)
+    added = sorted(
+        os.path.join("data", commit_dir, f)
+        for f in os.listdir(data_path)
+        if f.endswith(".parquet")
+    )
+    stats_record = tuple(preds)
+    file_stats = (
+        _collect_file_stats(spark, path, data_path, stats_record)
+        if stats_record and added
+        else {}
+    )
+    rewritten = set(matched)
+
+    def build(version: int) -> dict | None:
+        if has_txn:
+            _, txns = _state_at(path, version - 1)
+            w = txns.get(txn_app_id)
+            if w is not None and txn_version <= int(w):
+                return None
+        current_live, _ = _state_at(path, version - 1)
+        missing = rewritten - set(current_live)
+        if missing:
+            raise CommitConflict(
+                f"DELETE on {path} raced a writer that removed "
+                f"{len(missing)} rewritten file(s); re-run on the new snapshot"
+            )
+        entry = {
+            "version": version,
+            "timestamp": time.time(),
+            "mode": "delete",
+            "added": added,
+            "removed": sorted(rewritten),
+            "operation": f"DELETE({n_deleted} rows, "
+                         f"{len(matched)} of {len(live)} files rewritten)",
+        }
+        if has_txn:
+            entry["txn"] = {"app_id": txn_app_id, "version": txn_version}
+        if file_stats:
+            entry["file_stats"] = file_stats
+        return entry
+
+    try:
+        entry = _publish(path, build)
+    except CommitConflict:
+        shutil.rmtree(data_path, ignore_errors=True)
+        raise
+    if entry is None:
+        shutil.rmtree(data_path, ignore_errors=True)
+        return None
+    return {
+        **entry,
+        "files_matched": len(matched),
+        "files_untouched": len(live) - len(matched),
+        "rows_deleted": n_deleted,
+    }
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,

@@ -265,3 +265,60 @@ def test_read_table_pruned_multi_column_conjunctive(spark, tmp_path):
     _, rep_y = read_table_pruned(spark, path, "y", lo=10, hi=13)
     assert rep2d["files_read"] <= min(rep_x["files_read"], rep_y["files_read"])
     assert rep2d["files_skipped"] > 0
+
+
+def test_delete_rows_is_file_granular_and_time_travels(spark, tmp_path):
+    """DELETE: only range-matching files rewrite; untouched files stay
+    live by identity; history shows the rows until vacuum; no-match
+    publishes nothing."""
+    from medallion_data_lake_spark.operators.versioned import (
+        _state_at,
+        commit,
+        delete_rows,
+        history,
+        read_table,
+    )
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100, 200):  # three disjoint key-range commits
+        commit(
+            spark.range(lo, lo + 50).selectExpr(
+                "id", "CAST(id % 2 AS INT) AS parity"),
+            path, stats_cols=("id",),
+        )
+    before = set(_state_at(path)[0])
+
+    out = delete_rows(
+        spark, path, predicates={"id": (110, 130)}, where="parity = 0"
+    )
+    assert out is not None and out["rows_deleted"] == 11  # evens in 110..130
+    assert out["files_untouched"] > 0
+    after = set(_state_at(path)[0])
+    # untouched files are live by IDENTITY (not rewritten copies)
+    assert (before & after) and (before - after) == set(out["removed"])
+
+    got = read_table(spark, path)
+    assert got.count() == 150 - 11
+    assert got.filter("id BETWEEN 110 AND 130 AND parity = 0").count() == 0
+    assert got.filter("id BETWEEN 110 AND 130 AND parity = 1").count() == 10
+    # time travel still shows the deleted rows
+    assert read_table(spark, path, version=2).count() == 150
+    assert any(h["operation"].startswith("DELETE(") for h in history(path))
+
+    # a predicate matching nothing: no commit published
+    n_versions = len(history(path))
+    assert delete_rows(spark, path, predicates={"id": (9000, 9999)}) is None
+    assert delete_rows(
+        spark, path, predicates={"id": (0, 10)}, where="parity = 5"
+    ) is None
+    assert len(history(path)) == n_versions
+
+    # idempotent-writer contract
+    assert delete_rows(
+        spark, path, predicates={"id": (0, 5)},
+        txn_app_id="gdpr", txn_version=1,
+    ) is not None
+    assert delete_rows(
+        spark, path, predicates={"id": (0, 5)},
+        txn_app_id="gdpr", txn_version=1,
+    ) is None
