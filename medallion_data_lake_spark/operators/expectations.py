@@ -116,8 +116,13 @@ def run_expectations(
     # coalesce(pred, False): a NULL predicate result fails CLOSED — a
     # three-valued ~NULL would otherwise vanish from the sum and a null
     # row would silently count as passing
+    # outer coalesce: SUM over an EMPTY batch is NULL, and an empty
+    # batch violates nothing
     aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum((~F.coalesce(e.predicate, F.lit(False))).cast("long")).alias(e.name)
+        F.coalesce(
+            F.sum((~F.coalesce(e.predicate, F.lit(False))).cast("long")),
+            F.lit(0),
+        ).alias(e.name)
         for e in row_level
     ]
     row = df.agg(*aggs).first()

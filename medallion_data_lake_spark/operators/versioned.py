@@ -480,6 +480,8 @@ def commit(
     if _already_applied():  # fast-path: skip before paying the data write
         return None
 
+    _enforce_constraints(df, path)
+
     commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
     data_path = os.path.join(path, "data", commit_dir)
     df.write.mode("error").parquet(data_path)
@@ -922,6 +924,84 @@ def optimize_table(
     return {**entry, "files_before": len(live), "files_after": len(added)}
 
 
+class ConstraintViolation(ValueError):
+    """A committed batch broke the table's declared contract."""
+
+
+def set_table_constraints(path: str, specs: list[dict]) -> None:
+    """Declare the table's row-level contract (Delta's NOT NULL / CHECK
+    constraints): a list of declarative specs persisted as
+    ``_constraints.json`` and enforced on every subsequent
+    :func:`commit`. Declarative (not Column objects) so the contract
+    survives restarts and travels with the table:
+
+    - ``{"kind": "not_null", "col": c}``
+    - ``{"kind": "in_range", "col": c, "lo": x, "hi": y}``
+    - ``{"kind": "in_set",  "col": c, "values": [...]}``
+    - ``{"kind": "matches", "col": c, "regex": r}``
+    - ``{"kind": "check",   "name": n, "sql": "<boolean expr>"}``
+    """
+    from .expectations import in_range, in_set, matches, not_null  # noqa: F401
+
+    _constraints_from_specs(specs)  # validate eagerly: bad spec fails HERE
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_constraints.json"), "w") as fh:
+        json.dump({"constraints": specs}, fh)
+
+
+def table_constraints(path: str) -> list[dict]:
+    """The declared specs (empty list when none)."""
+    target = os.path.join(path, "_constraints.json")
+    if not os.path.exists(target):
+        return []
+    with open(target) as fh:
+        return json.load(fh)["constraints"]
+
+
+def _constraints_from_specs(specs: list[dict]):
+    from pyspark.sql import functions as F
+
+    from .expectations import custom, in_range, in_set, matches, not_null
+
+    out = []
+    for s in specs:
+        kind = s["kind"]
+        if kind == "not_null":
+            out.append(not_null(s["col"]))
+        elif kind == "in_range":
+            out.append(in_range(s["col"], s["lo"], s["hi"]))
+        elif kind == "in_set":
+            out.append(in_set(s["col"], s["values"]))
+        elif kind == "matches":
+            out.append(matches(s["col"], s["regex"]))
+        elif kind == "check":
+            out.append(custom(s["name"], F.expr(s["sql"])))
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+    return out
+
+
+def _enforce_constraints(df: DataFrame, path: str) -> None:
+    """Gate a batch on the table contract — one aggregation pass over
+    the BATCH (never the table), all predicates partial-aggregated in a
+    single job (operators/expectations.py). Violations fail CLOSED with
+    per-check counts; quarantine-don't-block flows should split with
+    ``split_by_expectations`` BEFORE committing (this gate is the
+    last line, not the triage tool)."""
+    specs = table_constraints(path)
+    if not specs:
+        return
+    from .expectations import run_expectations
+
+    report = run_expectations(df, _constraints_from_specs(specs))
+    if not report["passed"]:
+        bad = {k: v for k, v in report["checks"].items() if v}
+        raise ConstraintViolation(
+            f"batch violates table constraints at {path}: {bad} "
+            f"(of {report['n_rows']} rows)"
+        )
+
+
 def delete_rows(
     spark: SparkSession,
     path: str,
@@ -1150,6 +1230,16 @@ def merge_into(
 
     if _already_applied():  # skip before paying the source scan + rewrite
         return None
+
+    from pyspark.sql import functions as _F
+
+    # the upsert rows land in the table, so they face the same contract
+    # as a commit (delete markers don't land — exempt)
+    _enforce_constraints(
+        source.filter(~_F.coalesce(_F.col(delete_col), _F.lit(False)))
+        if delete_col else source,
+        path,
+    )
 
     live, _ = _state_at(path)
     if not live:

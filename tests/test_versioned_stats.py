@@ -199,3 +199,54 @@ def test_merge_and_optimize_respect_evolved_schema(spark, tmp_path):
     rows = {r["id"]: (r["tag"], r["score"])
             for r in read_table(spark, path).collect()}
     assert rows == {1: ("patched", None), 2: ("b", 1.5)}
+
+
+# ---------------------------------------------------------------------------
+# Table constraints (Delta NOT NULL / CHECK) enforced at commit/merge
+# ---------------------------------------------------------------------------
+
+
+def test_table_constraints_gate_commit_and_merge(spark, tmp_path):
+    from medallion_data_lake_spark.operators.versioned import (
+        ConstraintViolation,
+        set_table_constraints,
+        table_constraints,
+    )
+
+    path = str(tmp_path / "vt")
+    set_table_constraints(path, [
+        {"kind": "not_null", "col": "tag"},
+        {"kind": "in_range", "col": "id", "lo": 0, "hi": 10_000},
+        {"kind": "check", "name": "tag_not_empty", "sql": "length(tag) > 0"},
+    ])
+    assert len(table_constraints(path)) == 3
+
+    commit(spark.createDataFrame([(1, "a")], "id long, tag string"), path,
+           stats_cols=("id",))
+    # violating batch: refused with per-check counts, nothing lands
+    with pytest.raises(ConstraintViolation, match="not_null_tag"):
+        commit(spark.createDataFrame([(2, None), (3, "c")],
+                                     "id long, tag string"), path)
+    assert read_table(spark, path).count() == 1
+    with pytest.raises(ConstraintViolation, match="range_id"):
+        commit(spark.createDataFrame([(99_999, "z")], "id long, tag string"),
+               path)
+
+    # MERGE upserts face the same contract; delete markers are exempt
+    with pytest.raises(ConstraintViolation):
+        merge_into(
+            spark, path,
+            spark.createDataFrame([(1, "")], "id long, tag string"),
+            key="id",
+        )
+    merge_into(
+        spark, path,
+        spark.createDataFrame([(1, None, True)],
+                              "id long, tag string, is_del boolean"),
+        key="id", delete_col="is_del",
+    )
+    assert read_table(spark, path).count() == 0
+
+    # a bad spec fails at declaration time, not at first commit
+    with pytest.raises(ValueError):
+        set_table_constraints(path, [{"kind": "nope", "col": "x"}])
