@@ -1,0 +1,95 @@
+"""Streaming APPEND into a versioned table — the third write pattern.
+
+The engine's streaming writers now cover the full matrix a lakehouse
+needs, all on the same commit log (operators/versioned.py):
+
+- MERGE per batch   — CDC apply (`sources/cdc.py:run_cdc_stream`)
+- OVERWRITE per batch — incremental view maintenance
+  (`operators/incremental.py:run_incremental_rollup`)
+- APPEND per batch  — raw event/bronze ingestion (THIS module)
+
+A plain ``writeStream.format("parquet")`` append gives exactly-once
+too, but landing appends as versioned COMMITS buys what raw parquet
+cannot: atomic multi-file publication (readers never see a partial
+batch), per-batch time travel ("the table as of batch N"), file-level
+[min,max] stats for later MERGE/DELETE pruning, retention via
+expire_log, and small-file auto-compaction in the same loop.
+
+Exactly-once is the standard two-leg contract: the stream checkpoint
+stops re-delivery; the (app, batch_id) txn watermark in the commit log
+stops re-APPLY when a batch replays after its commit published but
+before the checkpoint epoch committed. Both legs are inherited from
+``commit`` — this module is deliberately thin glue.
+
+At 100 TB: each batch touches only its own files (append never rewrites
+live data); auto-compaction bounds the fragment count the per-batch
+pattern would otherwise accrete; expire_log bounds the metadata. The
+maintenance steps run AFTER the batch's commit and are allowed to lose
+races — the append is the contract, maintenance is best-effort
+per-batch and caught up by the next one.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_append_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    app_id: str | None = None,
+    stats_cols: tuple[str, ...] = (),
+    analyze_stats: bool | tuple[str, ...] = False,
+    auto_compact_files: int | None = None,
+    expire_every: int | None = None,
+    keep_last: int = 7,
+    available_now: bool = True,
+):
+    """Ingest a stream as one atomic versioned APPEND commit per
+    micro-batch. Returns after termination (availableNow) or returns
+    the running StreamingQuery (``available_now=False``)."""
+    from ..operators.versioned import (
+        CommitConflict,
+        commit,
+        compact_small_files,
+        expire_log,
+        latest_txn_version,
+    )
+
+    txn_app = app_id or f"append::{os.path.abspath(checkpoint)}"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        seen = latest_txn_version(table_path, txn_app)
+        if seen is not None and batch_id <= seen:
+            return  # replayed batch: its append already published
+        if batch.isEmpty():
+            return
+        commit(
+            batch, table_path, mode="append",
+            txn_app_id=txn_app, txn_version=batch_id,
+            stats_cols=stats_cols, analyze_stats=analyze_stats,
+        )
+        if auto_compact_files:
+            try:
+                compact_small_files(
+                    spark, table_path,
+                    min_files=auto_compact_files,
+                    stats_cols=stats_cols,
+                )
+            except CommitConflict:
+                pass  # a racing writer won; the next batch compacts
+        if expire_every and batch_id > 0 and batch_id % expire_every == 0:
+            expire_log(table_path, keep_last=keep_last)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
