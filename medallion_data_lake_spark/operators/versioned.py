@@ -924,6 +924,124 @@ def optimize_table(
     return {**entry, "files_before": len(live), "files_after": len(added)}
 
 
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED, derived from the log at READ time: the
+    row-level changes each commit in ``[from_version, to_version]``
+    made, tagged ``_change_type`` ∈ {insert, delete, update_preimage,
+    update_postimage} + ``_commit_version`` — Delta's CDF surface,
+    without writing change files (the log + immutable data files
+    already determine every change):
+
+    - append  → added files' rows are inserts;
+    - overwrite/restore → removed rows are deletes, added rows inserts
+      (an overwrite IS delete-all+insert-all, and a restore's logical
+      change is exactly the rows it brings back/drops);
+    - OPTIMIZE → no logical change, contributes nothing (compaction
+      must be invisible to downstream consumers — the property that
+      makes auto-compaction safe to run inside ingest loops);
+    - MERGE → the rewritten files' row-level diff (exceptAll both
+      ways — exact multiset semantics), classified by the recorded
+      merge key: both sides = update (pre+post images), added-only =
+      insert, removed-only = delete. Unchanged rows copied during the
+      rewrite cancel in the diff;
+    - DELETE → removed-minus-added rows are deletes.
+
+    Cost scales with the CHANGED files only (file-granular writers keep
+    those proportional to each batch), never the table. This is what
+    feeds incremental downstream consumers without reprocessing
+    snapshots: `rollup over table_changes(v..w)` instead of re-reading
+    the table.
+
+    Vacuum caveat (same as Delta): changes older than the retention
+    window lose their data files — resolve feeds before vacuuming past
+    them.
+    """
+    from pyspark.sql import functions as F
+
+    lv = latest_version(path)
+    if lv is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    hi = lv if to_version is None else to_version
+    entries = [
+        e for e in _entries(path, lo=from_version, hi=hi)
+    ]
+    if not entries:
+        raise ValueError(
+            f"no commits in [{from_version}, {hi}] at {path} "
+            "(history may be expired; see expire_log retention)"
+        )
+
+    def rows_of(rel_files):
+        files = [os.path.join(path, f) for f in rel_files]
+        files = [f for f in files if os.path.exists(f)]
+        if not files:
+            return None
+        reader = spark.read
+        if _mixed_schema_at(path):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
+
+    def tag(df, change_type, version):
+        return df.select(
+            "*",
+            F.lit(change_type).alias("_change_type"),
+            F.lit(version).alias("_commit_version"),
+        )
+
+    parts: list[DataFrame] = []
+    for e in entries:
+        v, mode = e["version"], e.get("mode")
+        added = rows_of(e.get("added", []))
+        removed = rows_of(e.get("removed", []))
+        if mode == "optimize":
+            continue
+        if mode == "merge":
+            key = e.get("merge_key")
+            if added is None or removed is None or key is None:
+                raise ValueError(
+                    f"version {v}: MERGE entry lacks data for change "
+                    "derivation (pre-CDF commit?)"
+                )
+            new_rows = added.exceptAll(removed)
+            old_rows = removed.exceptAll(added)
+            upd_keys = (
+                new_rows.select(key).intersect(old_rows.select(key))
+            )
+            parts.append(tag(new_rows.join(upd_keys, key, "left_semi"),
+                             "update_postimage", v))
+            parts.append(tag(old_rows.join(upd_keys, key, "left_semi"),
+                             "update_preimage", v))
+            parts.append(tag(new_rows.join(upd_keys, key, "left_anti"),
+                             "insert", v))
+            parts.append(tag(old_rows.join(upd_keys, key, "left_anti"),
+                             "delete", v))
+        elif mode == "delete":
+            if removed is not None:
+                gone = (
+                    removed.exceptAll(added) if added is not None else removed
+                )
+                parts.append(tag(gone, "delete", v))
+        else:  # append / overwrite / restore
+            if removed is not None:
+                parts.append(tag(removed, "delete", v))
+            if added is not None:
+                parts.append(tag(added, "insert", v))
+
+    if not parts:
+        schema = _schema_of_latest(spark, path, _entries(path))
+        empty = spark.createDataFrame([], schema)
+        return tag(empty, "insert", from_version).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 class ConstraintViolation(ValueError):
     """A committed batch broke the table's declared contract."""
 
@@ -1356,6 +1474,7 @@ def merge_into(
             "mode": "merge",
             "added": added,
             "removed": sorted(rewritten),
+            "merge_key": key,  # lets table_changes classify row changes
             "operation": f"MERGE({len(matched)} of {len(live)} files rewritten)",
         }
         if has_txn:
