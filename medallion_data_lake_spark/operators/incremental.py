@@ -29,6 +29,8 @@ the versioned commit rewrite is view-sized, not fact-sized.
 
 from __future__ import annotations
 
+import functools
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,6 +80,85 @@ def merge_additive(
     return merged.select(*keys, *out_cols)
 
 
+def refresh_from_changes(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    grain_exprs: dict[str, F.Column],
+    value_exprs: dict[str, F.Column],
+    app_id: str | None = None,
+) -> dict | None:
+    """Maintain an additive rollup over a MUTABLE versioned source via
+    its change feed — the consumer pattern ``table_changes`` exists for.
+
+    ``run_incremental_rollup`` handles append-only streams; a source
+    that also takes MERGE/DELETE (a CDC-maintained table) breaks the
+    append assumption — recomputing would be the fallback. Instead:
+    read the changes since the view's watermark, turn them into SIGNED
+    per-row contributions (+1 for insert/update_postimage, −1 for
+    delete/update_preimage — an update contributes its post MINUS its
+    pre, which is exactly the delta an additive metric needs), aggregate
+    to the view grain, and merge into the stored view. ``value_exprs``
+    are ROW-LEVEL values (e.g. ``F.col("amount")``; ``F.lit(1)`` for a
+    count) — the signed SUM is applied here.
+
+    The processed source version rides the view's commit as its txn
+    watermark (app defaults to ``cdf::<source_path>``), so refresh is
+    idempotent and restartable: call it as often as you like, each call
+    applies exactly the unseen versions. Cost per refresh:
+    O(changed files + view), never the source table.
+
+    Returns the view's commit entry, or None when nothing new.
+    """
+    from .versioned import (
+        commit,
+        latest_txn_version,
+        latest_version,
+        read_table,
+        table_changes,
+    )
+
+    txn_app = app_id or f"cdf::{os.path.abspath(source_path)}"
+    src_latest = latest_version(source_path)
+    if src_latest is None:
+        return None
+    seen = latest_txn_version(view_path, txn_app)
+    from_v = 0 if seen is None else seen + 1
+    if src_latest < from_v:
+        return None
+
+    feed = table_changes(spark, source_path, from_v, src_latest)
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
+        .when(F.col("_change_type").isin("delete", "update_preimage"), -1)
+    )
+    keys = list(grain_exprs)
+    metrics = list(value_exprs)
+    delta = (
+        feed.groupBy(*[e.alias(n) for n, e in grain_exprs.items()])
+        .agg(*[
+            F.sum(sign * e).alias(n) for n, e in value_exprs.items()
+        ])
+    )
+    current = (
+        read_table(spark, view_path)
+        if latest_version(view_path) is not None
+        else None
+    )
+    merged = merge_additive(current, delta, keys, metrics)
+    # groups whose metrics net to zero rows (every contribution deleted)
+    # would otherwise linger as zero rows forever; dropping them keeps
+    # the view == the from-scratch recompute
+    nonzero = merged.filter(
+        functools.reduce(lambda a, b: a | b,
+                         [F.col(m) != 0 for m in metrics])
+    )
+    return commit(
+        nonzero, view_path, mode="overwrite",
+        txn_app_id=txn_app, txn_version=src_latest,
+    )
+
+
 def run_incremental_rollup(
     spark: SparkSession,
     stream: DataFrame,
@@ -119,7 +200,6 @@ def run_incremental_rollup(
     unaffected — that pairing is the whole reason expire_log writes the
     base checkpoint first.
     """
-    import os
 
     from .versioned import (
         commit,

@@ -86,3 +86,56 @@ def test_cdf_feeds_incremental_rollup(spark, table):
         .first()["dn"]
     )
     assert 2 + delta == read_table(spark, table).count()
+
+
+def test_refresh_from_changes_tracks_mutable_source(spark, tmp_path):
+    """Incremental view over a table that takes MERGE and DELETE: each
+    refresh applies only the unseen change-feed versions, and the view
+    always equals the from-scratch recompute."""
+    from medallion_data_lake_spark.operators.incremental import (
+        refresh_from_changes,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    rows = "id long, day string, amount double"
+    commit(spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 5.0), (3, "d2", 2.0)], rows),
+        src, stats_cols=("id",))
+
+    def grain():
+        return {"day": F.col("day")}
+
+    def values():
+        return {"revenue": F.col("amount"), "n": F.lit(1)}
+
+    def recompute():
+        return {
+            r["day"]: (r["revenue"], r["n"])
+            for r in read_table(spark, src)
+            .groupBy("day")
+            .agg(F.sum("amount").alias("revenue"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def view_state():
+        return {r["day"]: (r["revenue"], r["n"])
+                for r in read_table(spark, view).collect()}
+
+    assert refresh_from_changes(spark, src, view, grain(), values()) is not None
+    assert view_state() == recompute() == {"d1": (15.0, 2), "d2": (2.0, 1)}
+    # idempotent: nothing new -> no commit
+    assert refresh_from_changes(spark, src, view, grain(), values()) is None
+
+    # source mutates: update amount (MERGE), delete a row, append
+    merge_into(spark, src,
+               spark.createDataFrame([(1, "d1", 100.0)], rows), key="id")
+    delete_rows(spark, src, predicates={"id": (3, 3)})
+    commit(spark.createDataFrame([(9, "d3", 7.0)], rows), src,
+           stats_cols=("id",))
+
+    assert refresh_from_changes(spark, src, view, grain(), values()) is not None
+    assert view_state() == recompute() == {"d1": (105.0, 2), "d3": (7.0, 1)}
+    # d2 vanished entirely (its only row deleted) — no zero-row residue
+    assert "d2" not in view_state()
