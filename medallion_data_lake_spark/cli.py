@@ -69,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         "verb",
         choices=["tables", "describe", "sql", "samples", "analyze",
                  "manifest", "compact", "history", "optimize", "expire",
-                 "serve", "explain"],
+                 "serve", "explain", "changes"],
     )
     ap.add_argument(
         "arg",
@@ -87,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="optimize: comma-separated columns to ZORDER BY")
     ap.add_argument("--keep-last", type=int, default=7,
                     help="expire: snapshots to retain (data + log)")
+    ap.add_argument("--from-version", type=int, default=0,
+                    help="changes: feed start version (inclusive)")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve: listen as a JSON HTTP API on this port "
                          "instead of the stdin REPL")
@@ -221,6 +223,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({k: stats[k] for k in
                           ("version", "operation", "files_before", "files_after")}))
+    elif args.verb == "changes":
+        if not args.arg:
+            print("changes requires a versioned-table path", file=sys.stderr)
+            return 2
+        from .operators.versioned import table_changes
+
+        table_changes(spark, args.arg, args.from_version).orderBy(
+            "_commit_version"
+        ).show(args.limit, truncate=False)
     elif args.verb == "expire":
         if not args.arg:
             print("expire requires a versioned-table path", file=sys.stderr)

@@ -250,3 +250,20 @@ def test_table_constraints_gate_commit_and_merge(spark, tmp_path):
     # a bad spec fails at declaration time, not at first commit
     with pytest.raises(ValueError):
         set_table_constraints(path, [{"kind": "nope", "col": "x"}])
+
+
+def test_analyze_feeds_stats_aware_join_planner(spark, table):
+    """The integration the stats pair exists for: a versioned table's
+    rescan-free ANALYZE vector drops straight into the join planner
+    (profile_from_stats consumes analyze_table's output schema)."""
+    from medallion_data_lake_spark.operators.stats import (
+        choose_join_strategy,
+        profile_from_stats,
+    )
+
+    stats, report = analyze_table(spark, table)
+    assert report["files_missing"] == 0
+    profile = profile_from_stats(stats, "id")
+    assert profile.n_rows == 120 and profile.key_ndv > 100
+    # both sides tiny -> the planner calls broadcast
+    assert choose_join_strategy(profile, profile).startswith("broadcast")
