@@ -197,3 +197,103 @@ def brand_revenue_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("brand_share_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide -> long) and date-spine gap filling
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_metrics_unpivot",
+    oracle=f"""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DOUBLE)               AS n_orders,
+             {sql_money_sum('o_totalprice')}        AS revenue,
+             {sql_stable_round(
+                 'CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)'
+                 ' / COUNT(*)')}                    AS avg_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, metric, value FROM wide
+    UNPIVOT (value FOR metric IN (n_orders, revenue, avg_price))
+    """,
+    doc="UNPIVOT (wide → long): per-priority metrics melted to "
+        "(priority, metric, value) rows — df.unpivot, the inverse of "
+        "PIVOT. Map-side reshape of an ALREADY-AGGREGATED frame (rows = "
+        "groups × metrics, bounded); unpivoting raw facts first would "
+        "multiply the fact table by the metric count before aggregating "
+        "— the order of reshape vs aggregate is the scale decision.",
+    tags=("unpivot",),
+    extra=True,
+)
+def order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._parity import dsum
+
+    t = _t(spark, sf_dir)
+    wide = t["orders"].groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        money_sum("o_totalprice").alias("revenue"),
+        stable_round(
+            dsum("o_totalprice").cast("double") / F.count(F.lit(1))
+        ).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["n_orders", "revenue", "avg_price"],
+        "metric", "value",
+    )
+
+
+@query(
+    "daily_order_spine",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {sql_money_sum('o_totalprice')} AS revenue
+      FROM orders GROUP BY day
+    )
+    SELECT s.day,
+           COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    doc="Date-spine gap filling: every calendar day in the data's range "
+        "appears, zero-filled when no orders landed (the reporting shape "
+        "raw GROUP BY silently omits). The spine is generated from ONE "
+        "min/max row via sequence()+explode — #days rows regardless of "
+        "fact scale — then left-joins the (already bounded) daily "
+        "rollup; broadcast, no fact re-shuffle.",
+    tags=("gapfill",),
+    extra=True,
+)
+def daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    daily = t["orders"].groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice").alias("revenue"),
+    )
+    spine = (
+        t["orders"]
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+            F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return spine.join(F.broadcast(daily), "day", "left").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
