@@ -704,11 +704,13 @@ def history(path: str) -> list[dict]:
     ]
 
 
-def vacuum(path: str, keep_last: int = 1) -> list[str]:
+def vacuum(path: str, keep_last: int = 1, dry_run: bool = False) -> list[str]:
     """Physically delete data files referenced by NO retained version
     (the last ``keep_last`` snapshots stay readable; older time travel
     is given up — exactly Delta's retention trade-off). Returns the
-    deleted relative paths.
+    deleted relative paths. ``dry_run=True`` returns the doomed list
+    without touching anything (Delta's ``VACUUM ... DRY RUN``) — audit
+    what a retention change costs before paying it.
 
     Maintenance path: scans the remaining log plus every checkpoint —
     retained live sets resolve through the checkpoint-aware
@@ -729,6 +731,8 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     for cv in _checkpoint_versions(path):
         all_files.update(_read_checkpoint(path, cv).get("live", []))
     doomed = sorted(all_files - keep)
+    if dry_run:
+        return doomed
     for rel in doomed:
         full = os.path.join(path, rel)
         if os.path.exists(full):

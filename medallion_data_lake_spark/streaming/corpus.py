@@ -541,19 +541,42 @@ def run_incremental_corpus_ingest_near(
     checkpoint_dir: str,
     min_est_jaccard: float = 0.5,
     available_now: bool = True,
+    ledger_base_table: str | None = None,
+    band_base_table: str | None = None,
+    compact_base_every: int | None = None,
 ):
     """The near-dup-aware ingester: exact + LSH admission control per
-    micro-batch, all ledgers batch-id partitioned for idempotent replay."""
+    micro-batch, all ledgers batch-id partitioned for idempotent replay.
+    The base-table params engage BOTH two-tier ledgers; with
+    ``compact_base_every`` the loop re-mirrors them every N batches —
+    completed epochs only, same contract as the exact-only runner."""
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", "64")
         .json(input_dir)
     )
-    writer = stream.writeStream.foreachBatch(
-        lambda df, bid: admit_batch_near(
-            df, bid, corpus_dir, ledger_dir, band_ledger_dir, min_est_jaccard
+
+    def process(df: DataFrame, bid: int) -> None:
+        admit_batch_near(
+            df, bid, corpus_dir, ledger_dir, band_ledger_dir, min_est_jaccard,
+            ledger_base_table=ledger_base_table,
+            band_base_table=band_base_table,
         )
-    ).option("checkpointLocation", checkpoint_dir)
+        if compact_base_every and bid > 0 and (bid + 1) % compact_base_every == 0:
+            if ledger_base_table:
+                compact_ledger_base(
+                    spark, ledger_dir, ledger_base_table,
+                    through_batch_id=bid - 1,
+                )
+            if band_base_table:
+                compact_band_ledger_base(
+                    spark, band_ledger_dir, band_base_table,
+                    through_batch_id=bid - 1,
+                )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -267,3 +267,18 @@ def test_analyze_feeds_stats_aware_join_planner(spark, table):
     assert profile.n_rows == 120 and profile.key_ndv > 100
     # both sides tiny -> the planner calls broadcast
     assert choose_join_strategy(profile, profile).startswith("broadcast")
+
+
+def test_vacuum_dry_run_is_side_effect_free(spark, tmp_path):
+    from medallion_data_lake_spark.operators.versioned import vacuum
+
+    path = str(tmp_path / "vt")
+    commit(_batch(spark, 0, 10, "a"), path)
+    commit(_batch(spark, 0, 10, "b"), path, mode="overwrite")
+    doomed = vacuum(path, keep_last=1, dry_run=True)
+    assert doomed  # v0's files are reclaimable
+    # nothing was touched: the old snapshot still reads
+    assert read_table(spark, path, version=0).count() == 10
+    assert vacuum(path, keep_last=1) == doomed  # the real run deletes them
+    with pytest.raises(Exception):
+        read_table(spark, path, version=0).count()
