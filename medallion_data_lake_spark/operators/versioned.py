@@ -963,7 +963,12 @@ def table_changes(
 
     Vacuum caveat (same as Delta): changes older than the retention
     window lose their data files — resolve feeds before vacuuming past
-    them.
+    them. Plan-size caveat: the feed unions one branch per requested
+    version, so ask for bounded ranges (a consumer polling from its
+    watermark — ``incremental.refresh_from_changes`` — does this
+    naturally); a thousand-version catch-up belongs in a few chunked
+    calls, not one plan. Filtering on ``_change_type`` prunes whole
+    branches at optimization time (the tag is a literal per branch).
     """
     from pyspark.sql import functions as F
 
