@@ -976,14 +976,22 @@ def table_changes(
     if lv is None:
         raise FileNotFoundError(f"no versioned table at {path}")
     hi = lv if to_version is None else to_version
+    oldest = _commit_versions(path)[0]
+    if from_version < oldest:
+        # expired history: silently returning a PARTIAL feed would make
+        # a consumer's state drift undetectably — fail loudly instead
+        # (the consumer must bootstrap from a snapshot at `oldest`)
+        raise ValueError(
+            f"change feed from {from_version} unavailable: history before "
+            f"version {oldest} is expired (expire_log retention). "
+            f"Bootstrap from read_table(version={oldest}) and consume "
+            f"changes from {oldest + 1}."
+        )
     entries = [
         e for e in _entries(path, lo=from_version, hi=hi)
     ]
     if not entries:
-        raise ValueError(
-            f"no commits in [{from_version}, {hi}] at {path} "
-            "(history may be expired; see expire_log retention)"
-        )
+        raise ValueError(f"no commits in [{from_version}, {hi}] at {path}")
 
     def rows_of(rel_files):
         files = [os.path.join(path, f) for f in rel_files]

@@ -139,3 +139,19 @@ def test_refresh_from_changes_tracks_mutable_source(spark, tmp_path):
     assert view_state() == recompute() == {"d1": (105.0, 2), "d3": (7.0, 1)}
     # d2 vanished entirely (its only row deleted) — no zero-row residue
     assert "d2" not in view_state()
+
+
+def test_cdf_refuses_partial_feed_after_expiry(spark, tmp_path):
+    """Expired history must fail loudly, never return a silently
+    incomplete feed (a consumer applying it would drift undetectably)."""
+    from medallion_data_lake_spark.operators.versioned import expire_log
+
+    path = str(tmp_path / "vt")
+    for i in range(6):
+        commit(_df(spark, [(i, f"t{i}")]), path)
+    expire_log(path, keep_last=2)
+    with pytest.raises(ValueError, match="Bootstrap from read_table"):
+        table_changes(spark, path, 0)
+    # the retained window still serves
+    kept = table_changes(spark, path, 4)
+    assert {r["_commit_version"] for r in kept.collect()} == {4, 5}
