@@ -68,13 +68,17 @@ def connected_components(
         )
         .select("e.a", "e.b")
         .distinct()
-        .cache()
     )
 
-    n_edges = sym.count()
-    if n_edges <= driver_threshold:
-        pairs = [(r["a"], r["b"]) for r in sym.collect()]
-        sym.unpersist()
+    # size probe and data fetch in ONE action: take(threshold+1) either
+    # returns the ENTIRE edge list (≤ threshold ⇒ those rows ARE the
+    # graph — go driver-side with no cache, no count, no second job) or
+    # proves the graph is big (> threshold ⇒ discard the sample, cache
+    # for the iterative path). The previous cache+count+collect shape
+    # paid a cache materialization plus an extra job for the same answer.
+    sample = sym.take(driver_threshold + 1)
+    if len(sample) <= driver_threshold:
+        pairs = [(r["a"], r["b"]) for r in sample]
         parent: dict = {}
 
         def find(x):
@@ -92,6 +96,8 @@ def connected_components(
         rows = [(n, find(n)) for n in parent]
         spark = edges.sparkSession
         return spark.createDataFrame(rows, "node long, component long")
+
+    sym = sym.cache()  # big graph: the iterative paths re-read it per round
 
     if algorithm == "star":
         result = _star_contraction(sym, max_iter)
