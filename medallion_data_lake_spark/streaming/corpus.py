@@ -16,12 +16,15 @@ drop everything (the failure mode of a naive append).
 
 Scale: per batch, work = fingerprint map over the new docs + one
 anti-join keyed on fingerprint. The ledger is (md5, long) — ~40 B/doc,
-so a 100-billion-doc history is a few TB of parquet, shuffled only on
-its compact key. Production upgrades, same plan: bucket the ledger by
-fingerprint (zero-shuffle anti-join), or Delta + bloom-filter data
-skipping. Near-dup admission control composes the same way and is
-implemented below (``admit_batch_near``): an LSH band ledger plus
-signature-level verification, corpus-free.
+so a 100-billion-doc history is a few TB of parquet. The flat form
+shuffles that history every batch; the TWO-TIER form (implemented:
+:func:`compact_ledger_base` / :func:`compact_band_ledger_base`) mirrors
+completed epochs into a fingerprint-bucketed base so the anti-join
+shuffles ONLY the new batch (plan-asserted), with the short
+post-compaction tail partition-pruned and broadcast. Near-dup admission
+control composes the same way (``admit_batch_near``): an LSH band
+ledger plus signature-level verification, corpus-free, with its own
+bucketed base.
 
 The reference has no incremental ingestion at all (its loads are
 overwrite-the-world batch — ``bronze_to_silver.py``); this is the
