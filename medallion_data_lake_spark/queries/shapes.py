@@ -297,3 +297,69 @@ def daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch twin of the stream-stream attribution join (streaming/joins.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "signup_purchase_attribution_pairs",
+    oracle="""
+    SELECT s.event_id AS signup_event_id,
+           s.user_id,
+           s.ts AS signup_ts,
+           p.event_id AS p_event_id,
+           p.ts AS p_ts,
+           CAST(date_diff('microseconds', s.ts, p.ts) // 1000000 AS BIGINT)
+             AS seconds_to_purchase
+    FROM events s
+      JOIN events p
+        ON p.user_id = s.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts > s.ts
+       AND p.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    """,
+    doc="Batch twin of the watermarked stream-stream attribution join "
+        "(streaming/joins.py:purchase_attribution_join): every "
+        "(signup, purchase-within-1h) pair with its latency. The "
+        "streaming form produces EXACTLY these pairs (asserted in "
+        "tests/test_streaming_joins.py); this oracled twin pins the "
+        "semantics to SQL. Equi key keeps it a hash join with a "
+        "residual range filter.",
+    tags=("streaming",),
+    extra=True,
+)
+def signup_purchase_attribution_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..catalog import load_star_table
+
+    e = load_star_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("signup_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return s.join(
+        p,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") > F.col("signup_ts"))
+        & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "signup_event_id",
+        F.col("s_user").alias("user_id"),
+        "signup_ts",
+        "p_event_id",
+        "p_ts",
+        F.expr(
+            "(unix_micros(cast(p_ts as timestamp)) - "
+            "unix_micros(cast(signup_ts as timestamp))) div 1000000"
+        ).alias("seconds_to_purchase"),
+    )
