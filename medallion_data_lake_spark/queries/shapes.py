@@ -1,12 +1,14 @@
 """Classic warehouse query shapes rounding out the SQL surface.
 
-Three shapes every migrating analyst reaches for that no existing
-registry entry exercised: PIVOT (wide conditional aggregation),
-ARGMIN-per-group with join-back (TPC-H Q2's "cheapest supplier"
-pattern), and a conditional revenue ratio (TPC-H Q14's promo share).
-All `extra=True`: the driver-facing registry is at its 50-entry cap,
-so these verify through the local oracle sweep
-(tests/test_oracle_parity.py) like the rest of EXTRA_REGISTRY.
+Shapes every migrating analyst reaches for that no other registry
+entry exercised: PIVOT (wide conditional aggregation) and its inverse
+UNPIVOT, ARGMIN-per-group with join-back (TPC-H Q2's "cheapest
+supplier" pattern), a conditional revenue ratio (TPC-H Q14's promo
+share), date-spine gap filling, and the batch twin of the
+stream-stream attribution join. All `extra=True`: the driver-facing
+registry is at its 50-entry cap, so these verify through the local
+oracle sweep (tests/test_oracle_parity.py) like the rest of
+EXTRA_REGISTRY.
 """
 
 from __future__ import annotations
