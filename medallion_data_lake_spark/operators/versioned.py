@@ -1037,6 +1037,16 @@ def table_changes(
                              "insert", v))
             parts.append(tag(old_rows.join(upd_keys, key, "left_anti"),
                              "delete", v))
+        elif mode == "update":
+            # rewritten files hold changed AND copied-unchanged rows;
+            # the multiset diff isolates the actual updates (pre/post
+            # cannot be PAIRED without a key, but the diff itself is
+            # the change — counts are symmetric by construction)
+            if added is not None and removed is not None:
+                parts.append(tag(added.exceptAll(removed),
+                                 "update_postimage", v))
+                parts.append(tag(removed.exceptAll(added),
+                                 "update_preimage", v))
         elif mode == "delete":
             if removed is not None:
                 gone = (
@@ -1277,6 +1287,154 @@ def delete_rows(
         "files_matched": len(matched),
         "files_untouched": len(live) - len(matched),
         "rows_deleted": n_deleted,
+    }
+
+
+def update_rows(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicates: dict[str, tuple] | None = None,
+    where: str | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> dict | None:
+    """Delta-style UPDATE, FILE-GRANULAR: rows matching the predicate
+    get ``set_exprs`` applied ({column: SQL expression over the row,
+    e.g. {"status": "'done'", "amount": "amount * 1.1"}}); only live
+    files whose recorded [min, max] ranges can contain matches are
+    rewritten (same pruning as :func:`delete_rows` — give range
+    predicates whenever you have them). Unmatched rows in rewritten
+    files are copied unchanged; untouched files stay live by identity.
+    History keeps the pre-update rows until vacuum. The commit lands as
+    ``mode="update"`` with constraint enforcement on the REWRITTEN
+    output (an UPDATE must not break the table contract) and feeds
+    :func:`table_changes` as update_pre/postimage rows.
+
+    Returns the entry (+ rows_updated audit), None when nothing
+    matched. Same idempotent-writer txn contract as every writer here.
+    """
+    from pyspark.sql import functions as F
+
+    if not set_exprs:
+        raise ValueError("update_rows needs set_exprs")
+    preds = dict(predicates or {})
+    if not preds and where is None:
+        raise ValueError("update_rows needs predicates and/or where")
+    has_txn = txn_app_id is not None and txn_version is not None
+    if has_txn:
+        seen = latest_txn_version(path, txn_app_id)
+        if seen is not None and txn_version <= seen:
+            return None
+
+    live, _ = _state_at(path)
+    if not live:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    stats = _file_stats_at(path)
+
+    def overlaps(rng, lo, hi) -> bool:
+        if rng is None or rng[0] is None:
+            return True
+        if hi is not None and rng[0] > hi:
+            return False
+        if lo is not None and rng[1] < lo:
+            return False
+        return True
+
+    matched = [
+        f for f in live
+        if all(
+            overlaps(stats.get(f, {}).get(c), lo, hi)
+            for c, (lo, hi) in preds.items()
+        )
+    ]
+    if not matched:
+        return None
+
+    cond = F.lit(True)
+    for c, (lo, hi) in preds.items():
+        if lo is not None:
+            cond = cond & (F.col(c) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(c) <= hi)
+    if where is not None:
+        cond = cond & F.expr(where)
+    cond = F.coalesce(cond, F.lit(False))
+
+    reader = spark.read
+    if _mixed_schema_at(path):
+        reader = reader.option("mergeSchema", "true")
+    base = reader.parquet(*[os.path.join(path, f) for f in matched])
+    unknown = set(set_exprs) - set(base.columns)
+    if unknown:
+        raise ValueError(f"update_rows SET names unknown column(s) {sorted(unknown)}")
+    n_updated = base.filter(cond).count()
+    if n_updated == 0:
+        return None
+    updated = base.select(*[
+        (F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c))).alias(c)
+        if c in set_exprs else F.col(c)
+        for c in base.columns
+    ])
+    _enforce_constraints(updated, path)
+
+    commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
+    data_path = os.path.join(path, "data", commit_dir)
+    updated.write.mode("error").parquet(data_path)
+    added = sorted(
+        os.path.join("data", commit_dir, f)
+        for f in os.listdir(data_path)
+        if f.endswith(".parquet")
+    )
+    stats_record = tuple(preds)
+    file_stats = (
+        _collect_file_stats(spark, path, data_path, stats_record)
+        if stats_record and added
+        else {}
+    )
+    rewritten = set(matched)
+
+    def build(version: int) -> dict | None:
+        if has_txn:
+            _, txns = _state_at(path, version - 1)
+            w = txns.get(txn_app_id)
+            if w is not None and txn_version <= int(w):
+                return None
+        current_live, _ = _state_at(path, version - 1)
+        missing = rewritten - set(current_live)
+        if missing:
+            raise CommitConflict(
+                f"UPDATE on {path} raced a writer that removed "
+                f"{len(missing)} rewritten file(s); re-run on the new snapshot"
+            )
+        entry = {
+            "version": version,
+            "timestamp": time.time(),
+            "mode": "update",
+            "added": added,
+            "removed": sorted(rewritten),
+            "operation": f"UPDATE({n_updated} rows, "
+                         f"{len(matched)} of {len(live)} files rewritten)",
+        }
+        if has_txn:
+            entry["txn"] = {"app_id": txn_app_id, "version": txn_version}
+        if file_stats:
+            entry["file_stats"] = file_stats
+        return entry
+
+    try:
+        entry = _publish(path, build)
+    except CommitConflict:
+        shutil.rmtree(data_path, ignore_errors=True)
+        raise
+    if entry is None:
+        shutil.rmtree(data_path, ignore_errors=True)
+        return None
+    return {
+        **entry,
+        "files_matched": len(matched),
+        "files_untouched": len(live) - len(matched),
+        "rows_updated": n_updated,
     }
 
 

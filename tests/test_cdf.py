@@ -155,3 +155,69 @@ def test_cdf_refuses_partial_feed_after_expiry(spark, tmp_path):
     # the retained window still serves
     kept = table_changes(spark, path, 4)
     assert {r["_commit_version"] for r in kept.collect()} == {4, 5}
+
+
+def test_update_rows_file_granular_and_in_feed(spark, tmp_path):
+    """UPDATE: only range-matching files rewrite, SET expressions apply
+    to matching rows only, constraints gate the output, and the change
+    feed carries exactly the updated rows as pre/postimages."""
+    from medallion_data_lake_spark.operators.versioned import (
+        ConstraintViolation,
+        _state_at,
+        set_table_constraints,
+        update_rows,
+    )
+
+    path = str(tmp_path / "vt")
+    set_table_constraints(path, [
+        {"kind": "check", "name": "amount_nonneg", "sql": "amount >= 0"}])
+    for lo in (0, 100):
+        commit(
+            spark.range(lo, lo + 10).selectExpr(
+                "id", "CAST(id AS DOUBLE) AS amount", "'open' AS status"),
+            path, stats_cols=("id",),
+        )
+    before = set(_state_at(path)[0])
+
+    out = update_rows(
+        spark, path,
+        set_exprs={"status": "'done'", "amount": "amount * 2"},
+        predicates={"id": (100, 104)},
+    )
+    assert out is not None and out["rows_updated"] == 5
+    assert out["files_untouched"] > 0
+    after = set(_state_at(path)[0])
+    assert (before & after) and (before - after) == set(out["removed"])
+
+    got = {r["id"]: (r["amount"], r["status"])
+           for r in read_table(spark, path).collect()}
+    for i in range(100, 105):
+        assert got[i] == (float(i) * 2, "done")
+    assert got[105] == (105.0, "open")      # unmatched row in same file
+    assert got[0] == (0.0, "open")          # untouched file
+    # time travel shows pre-update values
+    assert {r["id"]: r["status"]
+            for r in read_table(spark, path, version=1).collect()}[100] == "open"
+
+    # change feed: exactly the 5 updated rows, pre+post
+    feed = table_changes(spark, path, 2, 2)
+    by_type = {}
+    for r in feed.collect():
+        by_type.setdefault(r["_change_type"], set()).add(
+            (r["id"], r["amount"], r["status"]))
+    assert set(by_type) == {"update_preimage", "update_postimage"}
+    assert by_type["update_preimage"] == {
+        (i, float(i), "open") for i in range(100, 105)}
+    assert by_type["update_postimage"] == {
+        (i, float(i) * 2, "done") for i in range(100, 105)}
+
+    # a SET that breaks the table contract is refused, nothing lands
+    n = len(read_table(spark, path).columns)
+    with pytest.raises(ConstraintViolation):
+        update_rows(spark, path, set_exprs={"amount": "-1.0"},
+                    predicates={"id": (0, 1)})
+    assert {r["id"] for r in read_table(spark, path).collect()} == set(
+        range(10)) | set(range(100, 110))
+    # no-match: no commit
+    assert update_rows(spark, path, set_exprs={"status": "'x'"},
+                       predicates={"id": (9000, 9999)}) is None
