@@ -23,12 +23,14 @@ from medallion_data_lake_spark.operators.versioned import (
     optimize_table,
     read_table,
     table_changes,
+    update_rows,
 )
 
 # op alphabet: (kind, key-subset seed, tag seed)
 _ops = st.lists(
     st.tuples(
-        st.sampled_from(["append", "merge", "delete", "overwrite", "optimize"]),
+        st.sampled_from(["append", "merge", "delete", "overwrite", "optimize",
+                         "update"]),
         st.integers(min_value=0, max_value=9),
         st.integers(min_value=0, max_value=99),
     ),
@@ -99,6 +101,23 @@ def test_versioned_table_matches_reference_model(spark, tmp_path_factory, ops):
             model.update(dict(rows))
             snapshots.append(dict(model))
             fresh += 100
+        elif kind == "update":
+            if not model:
+                return
+            lo, hi = seed_k, seed_k + 4
+            hit = [i for i in model if lo <= i <= hi]
+            out = update_rows(
+                spark, path,
+                set_exprs={"tag": f"concat(tag, '_u{seed_t}')"},
+                predicates={"id": (lo, hi)},
+            )
+            if hit:
+                assert out is not None and out["rows_updated"] == len(hit)
+                for i in hit:
+                    model[i] = f"{model[i]}_u{seed_t}"
+                snapshots.append(dict(model))
+            else:
+                assert out is None
         elif kind == "optimize":
             if not model:
                 return
