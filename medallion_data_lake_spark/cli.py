@@ -69,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         "verb",
         choices=["tables", "describe", "sql", "samples", "analyze",
                  "manifest", "compact", "history", "optimize", "expire",
-                 "serve", "explain", "changes"],
+                 "serve", "explain", "changes", "update", "delete"],
     )
     ap.add_argument(
         "arg",
@@ -89,6 +89,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="expire: snapshots to retain (data + log)")
     ap.add_argument("--from-version", type=int, default=0,
                     help="changes: feed start version (inclusive)")
+    ap.add_argument("--range", action="append", default=[],
+                    metavar="COL:LO:HI",
+                    help="update/delete: range predicate (repeatable; "
+                         "prunes files AND filters rows)")
+    ap.add_argument("--where", default=None,
+                    help="update/delete: extra SQL boolean predicate")
+    ap.add_argument("--set", action="append", default=[], metavar="COL=EXPR",
+                    help="update: SET assignment (repeatable)")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve: listen as a JSON HTTP API on this port "
                          "instead of the stdin REPL")
@@ -232,6 +240,51 @@ def main(argv: list[str] | None = None) -> int:
         table_changes(spark, args.arg, args.from_version).orderBy(
             "_commit_version"
         ).show(args.limit, truncate=False)
+    elif args.verb in ("update", "delete"):
+        if not args.arg:
+            print(f"{args.verb} requires a versioned-table path", file=sys.stderr)
+            return 2
+
+        def _coerce(v):
+            # stats pruning compares against the JSON-typed per-file
+            # extrema, so numeric bounds must arrive numeric
+            if not v:
+                return None
+            for cast in (int, float):
+                try:
+                    return cast(v)
+                except ValueError:
+                    pass
+            return v
+
+        def _ranges():
+            out = {}
+            for spec in args.range:
+                col, lo, hi = spec.split(":", 2)
+                out[col] = (_coerce(lo), _coerce(hi))
+            return out
+
+        if args.verb == "delete":
+            from .operators.versioned import delete_rows
+
+            res = delete_rows(spark, args.arg, predicates=_ranges() or None,
+                              where=args.where)
+        else:
+            from .operators.versioned import update_rows
+
+            sets = dict(s.split("=", 1) for s in args.set)
+            if not sets:
+                print("update requires at least one --set COL=EXPR",
+                      file=sys.stderr)
+                return 2
+            res = update_rows(spark, args.arg, set_exprs=sets,
+                              predicates=_ranges() or None, where=args.where)
+        if res is None:
+            print(json.dumps({"matched": 0}))
+        else:
+            print(json.dumps({k: res[k] for k in
+                              ("version", "operation", "files_matched",
+                               "files_untouched")}))
     elif args.verb == "expire":
         if not args.arg:
             print("expire requires a versioned-table path", file=sys.stderr)
