@@ -69,7 +69,8 @@ def main(argv: list[str] | None = None) -> int:
         "verb",
         choices=["tables", "describe", "sql", "samples", "analyze",
                  "manifest", "compact", "history", "optimize", "expire",
-                 "serve", "explain", "changes", "update", "delete"],
+                 "serve", "explain", "changes", "update", "delete",
+                 "curate"],
     )
     ap.add_argument(
         "arg",
@@ -97,6 +98,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="update/delete: extra SQL boolean predicate")
     ap.add_argument("--set", action="append", default=[], metavar="COL=EXPR",
                     help="update: SET assignment (repeatable)")
+    ap.add_argument("--mix-budget", type=int, default=None,
+                    help="curate: total token budget for temperature mixing")
+    ap.add_argument("--mix-alpha", type=float, default=0.3,
+                    help="curate: temperature (1=natural, 0=uniform)")
+    ap.add_argument("--release-name", default="release",
+                    help="curate: name recorded in the manifest")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve: listen as a JSON HTTP API on this port "
                          "instead of the stdin REPL")
@@ -285,6 +292,38 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({k: res[k] for k in
                               ("version", "operation", "files_matched",
                                "files_untouched")}))
+    elif args.verb == "curate":
+        # the flagship training-data pipeline, end to end: documents
+        # fixture (or a parquet dir of the same shape) → curated corpus
+        # + release manifest. One lazy Catalyst plan; the funnel comes
+        # from observe() accumulators on the single final pass.
+        if not args.arg or not args.sf:
+            print("curate requires an output dir and --sf DIR", file=sys.stderr)
+            return 2
+        from .catalog import star_path
+        from .operators.curation_pipeline import CurationConfig, curate_corpus
+        from .operators.release import (
+            build_release_manifest,
+            write_release_manifest,
+        )
+
+        docs = spark.read.parquet(star_path(args.sf, "documents"))
+        cfg = CurationConfig(
+            production_hash=True,
+            mix_alpha=args.mix_alpha,
+            mix_token_budget=args.mix_budget,
+        )
+        observations: dict = {}
+        stages = curate_corpus(docs, config=cfg, observations=observations)
+        out_dir = args.arg
+        stages["curated"].write.mode("overwrite").parquet(
+            os.path.join(out_dir, "curated"))
+        manifest = build_release_manifest(
+            stages, cfg, args.release_name, observations=observations)
+        write_release_manifest(
+            manifest, os.path.join(out_dir, "manifest.json"))
+        print(json.dumps({"funnel": manifest["funnel"],
+                          "strata": len(manifest["strata"])}))
     elif args.verb == "expire":
         if not args.arg:
             print("expire requires a versioned-table path", file=sys.stderr)

@@ -100,3 +100,33 @@ def test_cli_history_optimize(capsys, spark, tmp_path):
     assert rc == 0
     hist = _json.loads(out)
     assert hist[-1]["operation"].startswith("OPTIMIZE(")
+
+
+def test_cli_curate_writes_corpus_and_manifest(tmp_path, capsys):
+    """`cli curate`: the flagship curation pipeline end-to-end from the
+    command line — curated parquet + release manifest with an
+    observe()-funnel, one pipeline execution."""
+    import json
+    import os
+
+    from medallion_data_lake_spark import cli
+    from medallion_data_lake_spark.operators.release import (
+        read_release_manifest,
+    )
+
+    out = str(tmp_path / "rel")
+    rc = cli.main(["curate", out, "--sf", "/root/testdata/sf0.001",
+                   "--mix-budget", "20000"])
+    assert rc == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["funnel"]["exact_deduped"] == 500
+    manifest = read_release_manifest(os.path.join(out, "manifest.json"))
+    funnel = manifest["funnel"]
+    # monotone funnel ending at the written corpus's row count
+    order = ["exact_deduped", "near_deduped", "mixed", "curated"]
+    assert all(funnel[a] >= funnel[b] for a, b in zip(order, order[1:]))
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    got = spark.read.parquet(os.path.join(out, "curated"))
+    assert got.count() == funnel["curated"] > 0
