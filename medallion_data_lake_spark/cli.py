@@ -70,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=["tables", "describe", "sql", "samples", "analyze",
                  "manifest", "compact", "history", "optimize", "expire",
                  "serve", "explain", "changes", "update", "delete",
-                 "curate"],
+                 "curate", "verify-release"],
     )
     ap.add_argument(
         "arg",
@@ -324,6 +324,19 @@ def main(argv: list[str] | None = None) -> int:
             manifest, os.path.join(out_dir, "manifest.json"))
         print(json.dumps({"funnel": manifest["funnel"],
                           "strata": len(manifest["strata"])}))
+    elif args.verb == "verify-release":
+        # re-audit a `curate` output dir against its own manifest: count
+        # or checksum drift per stratum fails loudly (exit 1)
+        if not args.arg:
+            print("verify-release requires a curate output dir", file=sys.stderr)
+            return 2
+        from .operators.release import read_release_manifest, verify_release
+
+        manifest = read_release_manifest(os.path.join(args.arg, "manifest.json"))
+        docs = spark.read.parquet(os.path.join(args.arg, "curated"))
+        report = verify_release(docs, manifest)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
     elif args.verb == "expire":
         if not args.arg:
             print("expire requires a versioned-table path", file=sys.stderr)

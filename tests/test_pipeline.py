@@ -130,3 +130,31 @@ def test_cli_curate_writes_corpus_and_manifest(tmp_path, capsys):
     spark = pyspark.sql.SparkSession.getActiveSession()
     got = spark.read.parquet(os.path.join(out, "curated"))
     assert got.count() == funnel["curated"] > 0
+
+
+def test_cli_verify_release_detects_drift(tmp_path, capsys):
+    import json
+    import os
+
+    import pyspark.sql
+
+    from medallion_data_lake_spark import cli
+
+    out = str(tmp_path / "rel")
+    assert cli.main(["curate", out, "--sf", "/root/testdata/sf0.001"]) == 0
+    capsys.readouterr()
+    # pristine release verifies clean
+    assert cli.main(["verify-release", out]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["ok"]
+    # tamper: duplicate a parquet file in the corpus (double-ingestion
+    # incident shape) -> stratum counts/checksums drift
+    import shutil
+
+    curated = os.path.join(out, "curated")
+    victim = next(f for f in sorted(os.listdir(curated))
+                  if f.endswith(".parquet"))
+    shutil.copy(os.path.join(curated, victim),
+                os.path.join(curated, "part-dup.snappy.parquet"))
+    assert cli.main(["verify-release", out]) == 1
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not report["ok"] and report["problems"]
