@@ -322,3 +322,66 @@ def test_delete_rows_is_file_granular_and_time_travels(spark, tmp_path):
         spark, path, predicates={"id": (0, 5)},
         txn_app_id="gdpr", txn_version=1,
     ) is None
+
+
+def test_update_and_delete_retry_past_append_race_and_abort_on_removal(
+    spark, tmp_path
+):
+    """UPDATE/DELETE through the shared claim loop: a squatted version
+    (concurrent append) costs a retry; a concurrent removal of a file
+    they rewrote aborts with CommitConflict and leaves no orphan data."""
+    import json as _json
+    import os as _os
+
+    import medallion_data_lake_spark.operators.versioned as V
+    from medallion_data_lake_spark.operators.versioned import (
+        CommitConflict,
+        commit,
+        delete_rows,
+        read_table,
+        update_rows,
+    )
+
+    path = str(tmp_path / "t")
+    commit(
+        spark.range(0, 20).selectExpr("id", "'open' AS tag"), path,
+        stats_cols=("id",),
+    )
+    log = _os.path.join(path, "_log")
+    # squat the next version: the writer must lose one race and retry
+    with open(_os.path.join(log, f"{1:020d}.json"), "x") as fh:
+        _json.dump({"version": 1, "timestamp": 0.0, "mode": "append",
+                    "added": [], "removed": [], "operation": "SQUATTER"}, fh)
+    out = update_rows(spark, path, set_exprs={"tag": "'done'"},
+                      predicates={"id": (0, 4)})
+    assert out is not None and out["version"] == 2
+    assert read_table(spark, path).filter("tag = 'done'").count() == 5
+
+    # concurrent removal of a rewritten file mid-flight: abort + cleanup
+    live, _ = V._state_at(path)
+    orig = V._state_at
+    calls = {"n": 0}
+
+    def stale_then_fresh(p, version=None):
+        # first call (the pre-rewrite file matching) sees the PRE-removal
+        # snapshot (version 2), as if the deleter published mid-DELETE
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return orig(p, 2)
+        return orig(p, version)
+
+    n_dirs = len(_os.listdir(_os.path.join(path, "data")))
+    V._state_at = stale_then_fresh
+    try:
+        with open(_os.path.join(log, f"{3:020d}.json"), "x") as fh:
+            _json.dump({"version": 3, "timestamp": 0.0, "mode": "append",
+                        "added": [], "removed": [live[0]],
+                        "operation": "DELETER"}, fh)
+        import pytest as _pytest
+
+        with _pytest.raises(CommitConflict):
+            delete_rows(spark, path, predicates={"id": (0, 50)})
+    finally:
+        V._state_at = orig
+    # stale rewrite cleaned up: no orphan commit dir
+    assert len(_os.listdir(_os.path.join(path, "data"))) == n_dirs
