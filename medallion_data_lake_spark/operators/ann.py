@@ -829,6 +829,146 @@ def build_ivf_index(
     return meta
 
 
+def build_kmeans_ivf_index(
+    data: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int | None = None,
+    seed: int = 42,
+    max_fit_rows: int = 1_000_000,
+) -> dict:
+    """Persist the LEARNED-codebook IVF layout: seeded KMeans centroids
+    (fit on a bounded sample — :func:`kmeans_codebook_bucket`'s training
+    contract) assign every vector to its nearest cell, and the data
+    lands partitioned by cell id with the CENTROIDS saved in the meta
+    file. Vs the sign-bucket index (:func:`build_ivf_index`): learned
+    cells adapt to the data distribution (clustered corpora get balanced
+    cells where fixed sign planes would collapse), at the cost of a
+    bounded training pass. k defaults to ~sqrt(n); centroids are
+    k·d doubles — MBs at k=10^5, fine to carry in metadata and
+    broadcast at query time."""
+    import json as _json
+    import os as _os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = data.count()
+    if k is None:
+        k = max(16, int(math.isqrt(max(n, 1))))
+    feat = data.withColumn(
+        "_features",
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    )
+    fit_src = feat
+    if n > max_fit_rows:
+        fit_src = feat.sample(max_fit_rows / n, seed=seed).localCheckpoint(
+            eager=True
+        )
+    model = KMeans(
+        k=k, seed=seed, featuresCol="_features", predictionCol="bucket"
+    ).fit(fit_src)
+    (
+        model.transform(feat)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+            F.col("bucket").cast("long").alias("bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(index_path)
+    )
+    meta = {
+        "kind": "kmeans",
+        "k": k,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": [list(map(float, c)) for c in model.clusterCenters()],
+    }
+    with open(_os.path.join(index_path, "_ivf_meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+    return meta
+
+
+def search_kmeans_ivf_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probes: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k over a persisted learned-codebook index with multi-probe:
+    each query probes its ``n_probes`` NEAREST CENTROIDS (the KMeans
+    analog of flipping least-confident sign bits), the probed cell ids
+    push down as a partition filter, and scoring joins the pruned
+    candidates to the broadcast query side. The centroid ranking runs
+    as one Spark job over (queries × centroids) — both bounded: the
+    query batch is small by contract and centroids are the codebook.
+    """
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import Window
+
+    with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
+        meta = _json.load(fh)
+    if meta.get("kind") != "kmeans":
+        raise ValueError(
+            f"index at {index_path} is kind={meta.get('kind', 'sign')!r}; "
+            "use search_ivf_index for sign-bucket layouts"
+        )
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(meta["centroids"])],
+        "cid long, centroid array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qnrm"),
+    )
+    # nearest-centroid ranking: ||q-c||² = ||q||² + ||c||² − 2⟨q,c⟩
+    d2 = (
+        F.col("qnrm") * F.col("qnrm")
+        + dot(F.col("centroid"), F.col("centroid"))
+        - 2 * dot(F.col("qv"), F.col("centroid"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_d2", d2)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probes)
+        .select("query_id", "qv", "qnrm", F.col("cid").alias("probe"))
+    )
+    probe_codes = sorted(
+        {r["probe"] for r in probes.select("probe").distinct().collect()}
+    )
+    cand = spark.read.parquet(index_path).filter(
+        F.col("bucket").isin(probe_codes)  # partition pruning
+    )
+    cs = dot(F.col("qv"), F.col("vec")) / (F.col("qnrm") * F.col("nrm"))
+    scored = (
+        cand.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("cand_id"), cs.alias("cos_sim"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def append_to_ivf_index(
     new_data: DataFrame,
     index_path: str,
@@ -856,12 +996,41 @@ def append_to_ivf_index(
 
     with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
         meta = _json.load(fh)
-    indexed = new_data.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-        sign_code(F.col(vec_col), 0, meta["n_bits"]).alias("bucket"),
-    )
+    if meta.get("kind") == "kmeans":
+        # assign with the INDEX'S centroids (broadcast argmin — never
+        # refit: a new codebook would strand the existing cells)
+        spark = new_data.sparkSession
+        from pyspark.sql import Window
+
+        cent = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(meta["centroids"])],
+            "cid long, centroid array<double>",
+        )
+        d2 = (
+            dot(F.col("vec"), F.col("vec"))
+            + dot(F.col("centroid"), F.col("centroid"))
+            - 2 * dot(F.col("vec"), F.col("centroid"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("_d2"), F.asc("cid"))
+        indexed = (
+            new_data.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("vec"),
+                l2_norm(F.col(vec_col)).alias("nrm"),
+            )
+            .crossJoin(F.broadcast(cent))
+            .withColumn("_d2", d2)
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("vec_id", "vec", "nrm", F.col("cid").alias("bucket"))
+        )
+    else:
+        indexed = new_data.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+            sign_code(F.col(vec_col), 0, meta["n_bits"]).alias("bucket"),
+        )
     indexed.write.mode("append").partitionBy("bucket").parquet(index_path)
     return meta
 

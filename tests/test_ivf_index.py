@@ -94,3 +94,74 @@ def test_incremental_append_equals_full_rebuild(spark, emb, tmp_path):
     assert answers(inc_path) == answers(full_path)
     # appended rows really are inside bucket partitions (not a flat dump)
     assert glob.glob(f"{inc_path}/bucket=*/*.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Learned-codebook persisted index (build/search/append_kmeans)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_index_recall_vs_bruteforce(spark, emb, tmp_path):
+    """Persisted KMeans index: partition-pruned multi-probe search finds
+    the brute-force top-1 for most queries (recall@1 sanity on the
+    fixture) and never returns a vector outside the probed cells."""
+    from medallion_data_lake_spark.functions import dot, l2_norm
+    from medallion_data_lake_spark.operators.ann import (
+        build_kmeans_ivf_index,
+        search_kmeans_ivf_index,
+    )
+
+    path = str(tmp_path / "kidx")
+    meta = build_kmeans_ivf_index(emb, path, k=16)
+    assert meta["kind"] == "kmeans" and len(meta["centroids"]) == 16
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = search_kmeans_ivf_index(spark, path, queries, n_probes=6, k=3)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == set(range(10))
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+
+    # exact top-1 by brute force on the (tiny) fixture
+    q = queries.select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").alias("cv"))
+    cos = dot(F.col("qv"), F.col("cv")) / (
+        l2_norm(F.col("qv")) * l2_norm(F.col("cv")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("cid"))
+    exact = {
+        r["qid"]: r["cid"]
+        for r in q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("_cos", cos)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .collect()
+    }
+    approx1 = {
+        r["query_id"]: r["cand_id"] for r in rows if r["rank"] == 1
+    }
+    hits = sum(approx1.get(q) == c for q, c in exact.items())
+    assert hits >= 6  # multi-probe recall@1 on 10 queries
+
+
+def test_kmeans_index_append_assigns_with_stored_centroids(spark, emb, tmp_path):
+    from medallion_data_lake_spark.operators.ann import (
+        append_to_ivf_index,
+        build_kmeans_ivf_index,
+        search_kmeans_ivf_index,
+    )
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "kidx")
+    build_kmeans_ivf_index(half_a, path, k=8)
+    append_to_ivf_index(half_b, path)
+    # appended vectors are searchable and live inside bucket partitions
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = search_kmeans_ivf_index(spark, path, queries, n_probes=8, k=5)
+    cand_ids = {r["cand_id"] for r in got.collect()}
+    assert any(c % 2 == 1 for c in cand_ids)  # odd-half vectors found
+    assert glob.glob(f"{path}/bucket=*/*.parquet")
