@@ -28,6 +28,12 @@ work stays bounded:
   (asymmetric distance). Composes with the coarse quantizers above into
   the standard IVF-PQ layout: coarse bucket prunes candidates, ADC
   scores codes, only the final top-k touches full vectors.
+- persisted indexes: ``build_ivf_index``/``search_ivf_index`` (sign
+  buckets) and ``build_kmeans_ivf_index``/``search_kmeans_ivf_index``
+  (learned codebook, centroids in metadata, nearest-m-centroid
+  multi-probe), both with partition-pruned probes and incremental
+  ``append_to_ivf_index`` that encodes new vectors with the index's OWN
+  layout (sign function or stored centroids — never a refit).
 
 Scale notes: split rounds touch only oversized buckets (broadcast
 membership join); lineage is truncated each round with localCheckpoint
