@@ -1041,6 +1041,92 @@ def append_to_ivf_index(
     return meta
 
 
+def init_streaming_ivf_index(
+    index_path: str, n_bits: int = MIN_BITS
+) -> dict:
+    """Create an EMPTY sign-bucket index for streaming maintenance:
+    metadata only, no data. Sign buckets need no training, so the
+    layout is fully determined before the first vector arrives — the
+    property that lets a stream own the index from batch 0 (a learned
+    codebook would need data first; bootstrap one with
+    :func:`build_kmeans_ivf_index` and use :func:`append_to_ivf_index`
+    per batch instead when balance matters more than cold-start)."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(index_path, exist_ok=True)
+    meta = {"kind": "sign", "n_bits": n_bits, "streaming": True,
+            "id_col": "vec_id", "vec_col": "embedding"}
+    with open(_os.path.join(index_path, "_ivf_meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+    return meta
+
+
+def append_index_batch(
+    batch: DataFrame,
+    index_path: str,
+    batch_id: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """One micro-batch into a streaming index, IDEMPOTENT under replay:
+    rows land under ``_batch_id=<id>/bucket=<code>/`` with dynamic
+    partition overwrite, so a replayed batch rewrites exactly its own
+    partitions instead of double-inserting vectors (the same mechanism
+    as the corpus ledgers). Partition pruning on ``bucket`` is
+    unaffected by the extra level — Spark prunes on any discovered
+    partition column."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
+        meta = _json.load(fh)
+    (
+        batch.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+            sign_code(F.col(vec_col), 0, meta["n_bits"]).alias("bucket"),
+        )
+        .withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id", "bucket")
+        .parquet(index_path)
+    )
+
+
+def run_index_append_stream(
+    spark,
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    available_now: bool = True,
+):
+    """Maintain a persisted ANN index FROM A STREAM, exactly-once: each
+    micro-batch of vectors is sign-encoded and landed in its own
+    partitions (:func:`append_index_batch`); searches
+    (:func:`search_ivf_index`) see new vectors as soon as their batch
+    lands. The freshness story for embedding stores: no rebuild, no
+    duplicate vectors under crash-replay."""
+
+    def process(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        append_index_batch(batch, index_path, bid, vec_col, id_col)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def search_ivf_index(
     spark,
     index_path: str,
