@@ -641,6 +641,57 @@ SEMANTIC_K_CAP = 100_000       # SemDeDup paper's fixed centroid budget
 SEMANTIC_MAX_FIT_ROWS = 1_000_000  # KMeans fit input ceiling (seeded sample)
 
 
+def mine_hard_negatives(
+    spark,
+    positives: DataFrame,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 4,
+    query_id_col: str = "query_id",
+    pos_id_col: str = "pos_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    query, the top-k most-similar corpus vectors that are NOT its
+    labeled positives — the negatives that actually move a contrastive
+    loss (random negatives are trivially separable; the hard ones live
+    exactly where ANN search looks).
+
+    Built entirely on the persisted index: one multi-probe search at
+    ``k + max positives per query`` depth, an anti-join against the
+    positive pairs, then a re-rank to exactly k. Cost = one index probe
+    per query + a broadcast-sized anti-join; the corpus is never
+    scanned. Returns (query_id, neg_id, cos_sim, rank).
+
+    ``positives`` is the labeled (query_id, pos_id) pair set;
+    ``queries`` carries (id, vector) for the queries to mine.
+    """
+    from pyspark.sql import Window
+
+    max_pos = (
+        positives.groupBy(query_id_col).count().agg(F.max("count")).first()[0]
+        or 0
+    )
+    hits = search_ivf_index(
+        spark, index_path, queries,
+        vec_col=vec_col, id_col=id_col,
+        n_probes=n_probes, k=k + int(max_pos),
+    )
+    pos = positives.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(pos_id_col).alias("cand_id"),
+    )
+    negs = hits.join(pos, ["query_id", "cand_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("neg_id"), "cos_sim", "rank")
+    )
+
+
 def semantic_dedup_fit_params(
     n: int,
     cluster_size: int = 64,

@@ -165,3 +165,45 @@ def test_kmeans_index_append_assigns_with_stored_centroids(spark, emb, tmp_path)
     cand_ids = {r["cand_id"] for r in got.collect()}
     assert any(c % 2 == 1 for c in cand_ids)  # odd-half vectors found
     assert glob.glob(f"{path}/bucket=*/*.parquet")
+
+
+def test_mine_hard_negatives_excludes_positives_and_ranks(spark, emb, tmp_path):
+    """Hard negatives: most-similar non-positive corpus vectors, exactly
+    k per query, labeled positives never leak in."""
+    from medallion_data_lake_spark.operators.ann import (
+        build_ivf_index,
+        mine_hard_negatives,
+        search_ivf_index,
+    )
+
+    path = str(tmp_path / "hn_idx")
+    build_ivf_index(emb, path, n_bits=MIN_BITS)
+    queries = emb.filter(F.col("vec_id") < 5)
+    # label each query's current top-1 as its positive — the hardest
+    # possible leak candidate
+    top1 = search_ivf_index(spark, path, queries, n_probes=4, k=1)
+    positives = top1.select(
+        F.col("query_id"), F.col("cand_id").alias("pos_id"))
+    pos_pairs = {(r["query_id"], r["pos_id"]) for r in positives.collect()}
+
+    negs = mine_hard_negatives(
+        spark, positives, path, queries, k=3, n_probes=8)
+    rows = negs.collect()
+    assert {r["query_id"] for r in rows} == set(range(5))
+    for r in rows:
+        assert (r["query_id"], r["neg_id"]) not in pos_pairs
+        assert r["neg_id"] != r["query_id"]
+    # up to k per query (probed cells bound the candidate pool — widen
+    # n_probes for more), ranks dense, similarity non-increasing
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["query_id"]].append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+    assert any(len(rs) == 3 for rs in by_q.values())
