@@ -318,6 +318,10 @@ _STREAM_SRC_CACHE: dict[str, str] = {}
         "the engine's replacement for the reference's hand-rolled consumer "
         "loop (kafka_to_bronze.py:69-93).",
     tags=("streaming",),
+    # rotated to extras in r5: rows-only forever (no SQL oracle exists for
+    # a live stream run); §2.9 keeps driver evidence via the oracled batch
+    # twin events_hourly_windows + 12 streaming test files
+    extra=True,
 )
 def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_star_table

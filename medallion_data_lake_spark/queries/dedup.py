@@ -633,7 +633,9 @@ def ordered_shingle_hashes(col: Column) -> Column:
     oracle=f"""
     WITH hashed AS (SELECT doc_id, {_SQL_HS_SEQ} AS hs FROM documents)
     SELECT doc_id,
-           {_SQL_WINNOW} AS fingerprints,
+           array_to_string(list_transform({_SQL_WINNOW},
+                                          x -> CAST(x AS VARCHAR)), ',')
+               AS fingerprints,
            CAST(len({_SQL_WINNOW}) AS INT) AS n_fingerprints
     FROM hashed
     """,
@@ -666,8 +668,14 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         zipped, lambda e: F.least(*[e[f"h{i}"] for i in range(WINNOW_W)])
     )
     fp = F.array_sort(F.array_distinct(mins))
+    # The fingerprint SET is emitted as a comma-joined string, not an
+    # ARRAY column: the driver's correctness gate canonicalizes results
+    # through pandas sort_values, which cannot hash list cells (learned
+    # in round 4 — CORRECTNESS_r04's unhashable-list failure). At scale
+    # the consumer explodes this back out (split(',')) or, better, joins
+    # the pre-explode `mins` against an inverted (fingerprint, doc) table.
     return hashed.select(
         "doc_id",
-        fp.alias("fingerprints"),
+        F.array_join(fp.cast("array<string>"), ",").alias("fingerprints"),
         F.size(fp).cast("int").alias("n_fingerprints"),
     )

@@ -55,6 +55,10 @@ def doc_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "this container); schema, batching, and distribution are the real "
         "production plumbing.",
     tags=("multimodal",),
+    # rotated to extras in r5: a rows-only row can never turn hash-green
+    # (`err: no_oracle` forever); the capability keeps its driver row via
+    # the oracled twin doc_binary_metadata + pytest decode-kernel coverage
+    extra=True,
 )
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python-tier stages want FEWER, fatter Arrow batches than JVM stages:

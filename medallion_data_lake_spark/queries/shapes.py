@@ -55,7 +55,7 @@ _STATUSES = ["F", "O", "P"]  # orders.o_orderstatus domain (TPC-H fixed)
         "the schema). Plan is one shuffled aggregation with map-side "
         "partials, exactly a GROUP BY with conditional aggregates.",
     tags=("pivot",),
-    extra=True,
+    # driver-gated since r5 (rotated in from extras)
 )
 def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -114,7 +114,7 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_by keeps one candidate per partition per key). Dim joins "
         "(part, supplier) broadcast.",
     tags=("argmin",),
-    extra=True,
+    # driver-gated since r5 (rotated in from extras)
 )
 def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)

@@ -162,3 +162,27 @@ def test_plan_report_flags_and_hygiene(spark):
     slow_udf = F.udf(lambda x: x + 1, LongType())
     bad = orders.select(slow_udf(F.col("o_orderkey")).alias("k"))
     assert "row_at_a_time_python_udf" in plan_report(bad)["flags"]
+
+
+def test_driver_gate_outputs_are_atomic_types(spark):
+    """Driver-canonicalizer contract for EVERY main-registry query: the
+    gate canonicalizes results via pandas ``sort_values`` over all
+    columns, which cannot hash list/dict cells. An ArrayType / MapType /
+    StructType output column therefore errors the gate row even when the
+    values match the oracle exactly — learned twice (round-1 silent
+    50-row cap; round-4 ``doc_winnowing_fingerprints`` unhashable-list
+    crash). Collections must be emitted joined/hashed to a scalar
+    (``array_join`` / ``md5_int``); the extras registry, whose local
+    harness tuple-izes lists, is exempt."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from medallion_data_lake_spark.queries import load_all
+
+    for name, spec in sorted(load_all().items()):
+        df = spec.build(spark, SF)
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+                f"{name}.{f.name}: {f.dataType.simpleString()} — the driver "
+                "gate cannot canonicalize non-atomic columns; join or hash "
+                "to a scalar in BOTH engines"
+            )
