@@ -674,7 +674,7 @@ def mine_hard_negatives(
         positives.groupBy(query_id_col).count().agg(F.max("count")).first()[0]
         or 0
     )
-    hits = search_ivf_index(
+    hits = search_index(
         spark, index_path, queries,
         vec_col=vec_col, id_col=id_col,
         n_probes=n_probes, k=k + int(max_pos),
@@ -1203,6 +1203,12 @@ def search_ivf_index(
 
     with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
         meta = _json.load(fh)
+    if meta.get("kind", "sign") != "sign":
+        raise ValueError(
+            f"index at {index_path} is kind={meta.get('kind')!r}; "
+            "use search_kmeans_ivf_index for learned-codebook layouts "
+            "(or search_index to dispatch on the persisted kind)"
+        )
     n_bits = meta["n_bits"]
 
     q = (
@@ -1234,4 +1240,31 @@ def search_ivf_index(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def search_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probes: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Kind-agnostic probe of a persisted IVF index: reads the layout
+    kind from ``_ivf_meta.json`` and dispatches to the sign-bucket or
+    learned-codebook search (identical signatures and output schema:
+    query_id, cand_id, cos_sim, rank). Consumers built ON TOP of an
+    index — hard-negative mining, health checks — go through this so
+    they work on any layout the builders produce."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
+        kind = _json.load(fh).get("kind", "sign")
+    fn = search_kmeans_ivf_index if kind == "kmeans" else search_ivf_index
+    return fn(
+        spark, index_path, queries,
+        vec_col=vec_col, id_col=id_col, n_probes=n_probes, k=k,
     )

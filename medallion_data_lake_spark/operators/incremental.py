@@ -29,7 +29,6 @@ the versioned commit rewrite is view-sized, not fact-sized.
 
 from __future__ import annotations
 
-import functools
 import os
 from collections.abc import Sequence
 
@@ -133,28 +132,36 @@ def refresh_from_changes(
         .when(F.col("_change_type").isin("delete", "update_preimage"), -1)
     )
     keys = list(grain_exprs)
-    metrics = list(value_exprs)
+    # _row_n is the view's implicit row count (net signed rows per
+    # group): the ONLY sound empties-a-group signal. A group whose
+    # user metrics all net to zero can still hold rows (signed amounts
+    # summing to 0; all-NULL values), and the from-scratch recompute
+    # keeps it — so liveness must never be inferred from metric values.
+    metrics = ["_row_n", *value_exprs]
     delta = (
         feed.groupBy(*[e.alias(n) for n, e in grain_exprs.items()])
-        .agg(*[
-            F.sum(sign * e).alias(n) for n, e in value_exprs.items()
-        ])
+        .agg(
+            F.sum(sign).alias("_row_n"),
+            *[F.sum(sign * e).alias(n) for n, e in value_exprs.items()],
+        )
     )
     current = (
         read_table(spark, view_path)
         if latest_version(view_path) is not None
         else None
     )
+    if current is not None and "_row_n" not in current.columns:
+        # legacy view from before row tracking: every stored group is
+        # known non-empty — bootstrap at 1 (the exact count is lost;
+        # from here on the signed deltas keep it right for new rows)
+        current = current.withColumn("_row_n", F.lit(1).cast("long"))
     merged = merge_additive(current, delta, keys, metrics)
-    # groups whose metrics net to zero rows (every contribution deleted)
-    # would otherwise linger as zero rows forever; dropping them keeps
-    # the view == the from-scratch recompute
-    nonzero = merged.filter(
-        functools.reduce(lambda a, b: a | b,
-                         [F.col(m) != 0 for m in metrics])
-    )
+    # drop only groups whose LAST ROW is gone — zero-valued (or NULL)
+    # metrics for still-populated groups survive, matching the
+    # from-scratch recompute
+    alive = merged.filter(F.col("_row_n") > 0)
     return commit(
-        nonzero, view_path, mode="overwrite",
+        alive, view_path, mode="overwrite",
         txn_app_id=txn_app, txn_version=src_latest,
     )
 

@@ -172,8 +172,14 @@ def _mixed_schema_at(path: str, version: int | None = None) -> bool:
         mixed = bool(_read_checkpoint(path, ckpts[-1]).get("mixed_schema"))
         lo = ckpts[-1] + 1
     for e in _entries(path, lo=lo, hi=version):
-        if e.get("mode") == "overwrite":
-            mixed = False  # snapshot replaced: single-schema again
+        if e.get("mode") in ("overwrite", "restore"):
+            # snapshot replaced wholesale: mixedness is exactly what the
+            # entry itself records (rollback stamps schema_changed when
+            # the RESTORED live set spans >1 schema — without that, a
+            # restore of an evolved snapshot after an overwrite read
+            # without mergeSchema and nondeterministically dropped the
+            # evolved columns)
+            mixed = False
         if e.get("schema_changed"):
             mixed = True
     return mixed
@@ -452,12 +458,20 @@ def commit(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
 
     schema_changed = False
+    table_schema = df.schema
     if mode == "append" and latest_version(path) is not None:
         from .evolution import SchemaDriftError, diff_schemas
 
-        current = _schema_of_latest(df.sparkSession, path, _entries(path))
+        # diff against the table's UNION schema from the log, not the
+        # last commit's first data file: after an evolved append that
+        # OMITS column c, a later append re-introducing c with a
+        # different type must still be refused as a type change (vs the
+        # file footer c would look like a brand-new column and slip
+        # through, breaking every subsequent mergeSchema read)
+        current = _table_schema_at(df.sparkSession, path)
         cur_types = {f.name: f.dataType.simpleString() for f in current.fields}
         new_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        table_schema = _union_schema(current, df.schema)
         if cur_types != new_types:
             changed = [
                 n for n in cur_types
@@ -515,6 +529,9 @@ def commit(
             "added": added,
             "removed": live if mode == "overwrite" else [],
             "operation": "WRITE",
+            # running union schema (overwrite resets it to the batch's):
+            # the reference point append enforcement diffs against
+            "table_schema": table_schema.jsonValue(),
         }
         if has_txn:
             entry["txn"] = {"app_id": txn_app_id, "version": txn_version}
@@ -568,7 +585,7 @@ def read_table(
     files, _ = _state_at(path, version)
     if not files:
         # a valid-but-empty snapshot (e.g. overwrite with 0 rows)
-        return spark.createDataFrame([], _schema_of_latest(spark, path, _entries(path)))
+        return spark.createDataFrame([], _table_schema_at(spark, path, version))
     reader = spark.read
     if _mixed_schema_at(path, version):
         # an evolved append landed in this snapshot: without mergeSchema
@@ -643,7 +660,7 @@ def read_table_pruned(
     }
     if not chosen:
         return (
-            spark.createDataFrame([], _schema_of_latest(spark, path, _entries(path))),
+            spark.createDataFrame([], _table_schema_at(spark, path, version)),
             report,
         )
     reader = spark.read
@@ -665,6 +682,39 @@ def _schema_of_latest(spark, path, entries):
     raise ValueError(f"table {path} has no data files in any version")
 
 
+def _table_schema_at(spark, path, version=None):
+    """The table's UNION schema at ``version`` (Delta's table-level
+    schema, not any one file's): resolved from the most recent log
+    entry carrying ``table_schema`` — commit() records the running
+    union on every append/overwrite, rollback() the restored target's.
+    Entries without the field (DML rewrites, OPTIMIZE — schema-neutral
+    by construction; pre-field legacy logs) are skipped in the reverse
+    walk; a log with no recorded schema at all falls back to the
+    newest data file's footer (the pre-union behavior)."""
+    from pyspark.sql.types import StructType
+
+    entries = _entries(path, hi=version)
+    for e in reversed(entries):
+        if e.get("table_schema") is not None:
+            return StructType.fromJson(e["table_schema"])
+    return _schema_of_latest(spark, path, entries)
+
+
+def _table_schema_json_at(spark, path, version=None):
+    return _table_schema_at(spark, path, version).jsonValue()
+
+
+def _union_schema(base, new):
+    """``base`` extended with ``new``'s columns it lacks (order:
+    base-first). Callers enforce type agreement on shared names."""
+    from pyspark.sql.types import StructType
+
+    have = {f.name for f in base.fields}
+    return StructType(
+        list(base.fields) + [f for f in new.fields if f.name not in have]
+    )
+
+
 def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
     """Publish a NEW commit whose live set equals ``to_version``'s —
     metadata-only, instant at any size, history preserved (this is
@@ -672,17 +722,26 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
     claim loop, so a concurrent writer just costs a retry with both
     live sets recomputed against the new tip."""
     target_live, _ = _state_at(path, to_version)
+    target_mixed = _mixed_schema_at(path, to_version)
+    target_schema = _table_schema_json_at(spark, path, to_version)
 
     def build(version: int) -> dict:
         current_live, _ = _state_at(path, version - 1)
-        return {
+        entry = {
             "version": version,
             "timestamp": time.time(),
             "mode": "restore",
             "added": [f for f in target_live if f not in set(current_live)],
             "removed": [f for f in current_live if f not in set(target_live)],
             "operation": f"RESTORE({to_version})",
+            "table_schema": target_schema,
         }
+        if target_mixed:
+            # the restored live set spans >1 schema: stamp the entry so
+            # _mixed_schema_at's replay re-enables mergeSchema reads
+            # (restore, like overwrite, otherwise resets mixedness)
+            entry["schema_changed"] = True
+        return entry
 
     entry = _publish(path, build)
     assert entry is not None  # build never skips
@@ -993,13 +1052,26 @@ def table_changes(
     if not entries:
         raise ValueError(f"no commits in [{from_version}, {hi}] at {path}")
 
-    def rows_of(rel_files):
+    _mixed_memo: dict[int, bool] = {}
+
+    def _mixed(at_version: int) -> bool:
+        if at_version not in _mixed_memo:
+            _mixed_memo[at_version] = _mixed_schema_at(path, at_version)
+        return _mixed_memo[at_version]
+
+    def rows_of(rel_files, at_version):
+        """Read one entry's historical file set. Mixedness is evaluated
+        AT THAT VERSION, not at the latest: after evolution followed by
+        an overwrite (which resets the latest-mixed flag), the
+        overwrite's REMOVED set still spans two schemas — reading it
+        without mergeSchema silently drops evolved columns from the
+        change feed."""
         files = [os.path.join(path, f) for f in rel_files]
         files = [f for f in files if os.path.exists(f)]
         if not files:
             return None
         reader = spark.read
-        if _mixed_schema_at(path):
+        if _mixed(at_version):
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*files)
 
@@ -1013,8 +1085,11 @@ def table_changes(
     parts: list[DataFrame] = []
     for e in entries:
         v, mode = e["version"], e.get("mode")
-        added = rows_of(e.get("added", []))
-        removed = rows_of(e.get("removed", []))
+        # added files exist in the v snapshot; removed files come from
+        # the PREVIOUS snapshot — each side reads under its own
+        # version's mixedness
+        added = rows_of(e.get("added", []), v)
+        removed = rows_of(e.get("removed", []), v - 1)
         if mode == "optimize":
             continue
         if mode == "merge":
@@ -1060,7 +1135,7 @@ def table_changes(
                 parts.append(tag(added, "insert", v))
 
     if not parts:
-        schema = _schema_of_latest(spark, path, _entries(path))
+        schema = _table_schema_at(spark, path, hi)
         empty = spark.createDataFrame([], schema)
         return tag(empty, "insert", from_version).limit(0)
     out = parts[0]

@@ -218,3 +218,38 @@ def test_rollup_log_expiry_bounds_metadata_and_keeps_idempotence(spark, tmp_path
     run()
     assert {r["day"]: r["revenue"]
             for r in read_table(spark, view).collect()} == {"2024-01-01": 8.0}
+
+
+def test_refresh_keeps_groups_that_net_to_zero(spark, tmp_path):
+    """Round-5 advisor fix: a group whose metric sums net to ZERO while
+    rows still exist (signed amounts cancelling; no count metric
+    configured) must survive the refresh — liveness comes from the
+    implicit _row_n row count, never from metric values. Groups whose
+    last row is deleted still vanish."""
+    from medallion_data_lake_spark.operators.incremental import (
+        refresh_from_changes,
+    )
+    from medallion_data_lake_spark.operators.versioned import (
+        commit,
+        delete_rows,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    rows = "id long, day string, amount double"
+    # d1 nets to exactly 0.0 but holds two live rows; d2 has one row
+    commit(spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", -10.0), (3, "d2", 2.0)], rows),
+        src, stats_cols=("id",))
+    args = dict(grain_exprs={"day": F.col("day")},
+                value_exprs={"revenue": F.col("amount")})
+
+    assert refresh_from_changes(spark, src, view, **args) is not None
+    state = {r["day"]: r["revenue"] for r in read_table(spark, view).collect()}
+    assert state == {"d1": 0.0, "d2": 2.0}  # pre-fix: d1 was dropped
+
+    # delete d2's only row: the group must now actually disappear
+    delete_rows(spark, src, predicates={"id": (3, 3)})
+    assert refresh_from_changes(spark, src, view, **args) is not None
+    state = {r["day"]: r["revenue"] for r in read_table(spark, view).collect()}
+    assert state == {"d1": 0.0}

@@ -207,3 +207,34 @@ def test_mine_hard_negatives_excludes_positives_and_ranks(spark, emb, tmp_path):
         sims = [r["cos_sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
     assert any(len(rs) == 3 for rs in by_q.values())
+
+
+def test_mine_hard_negatives_dispatches_on_kmeans_index(spark, emb, tmp_path):
+    """Round-5 advisor fix: mining over a LEARNED-CODEBOOK index must
+    dispatch by the persisted kind (pre-fix it called the sign search
+    unconditionally and died on meta['n_bits'] KeyError); and the sign
+    search now refuses a kmeans layout loudly instead of KeyError."""
+    from medallion_data_lake_spark.operators.ann import (
+        build_kmeans_ivf_index,
+        mine_hard_negatives,
+        search_ivf_index,
+        search_kmeans_ivf_index,
+    )
+
+    path = str(tmp_path / "hn_km_idx")
+    build_kmeans_ivf_index(emb, path, k=8)
+    queries = emb.filter(F.col("vec_id") < 3)
+    top1 = search_kmeans_ivf_index(spark, path, queries, n_probes=4, k=1)
+    positives = top1.select(
+        F.col("query_id"), F.col("cand_id").alias("pos_id"))
+    pos_pairs = {(r["query_id"], r["pos_id"]) for r in positives.collect()}
+
+    negs = mine_hard_negatives(
+        spark, positives, path, queries, k=3, n_probes=8)
+    rows = negs.collect()
+    assert rows and {r["query_id"] for r in rows} <= {0, 1, 2}
+    for r in rows:
+        assert (r["query_id"], r["neg_id"]) not in pos_pairs
+
+    with pytest.raises(ValueError, match="kind"):
+        search_ivf_index(spark, path, queries)

@@ -1,0 +1,130 @@
+"""Union-schema hardening of the versioned table (round-5 advisor
+findings): three silent-column-loss/corruption scenarios around schema
+evolution interacting with overwrite / rollback / the change feed.
+
+Contract:
+1. rollback() to an evolved (mixed-schema) snapshot after an overwrite
+   re-enables mergeSchema reads — without the restore entry carrying the
+   schema_changed flag, read_table() over the restored two-schema live
+   set nondeterministically dropped the evolved column (footer-sampling
+   order dependent).
+2. table_changes() evaluates mixedness PER ENTRY: an overwrite's removed
+   set reads at version-1 (possibly mixed) even though the overwrite
+   reset the latest-version flag.
+3. Append enforcement diffs against the table's UNION schema from the
+   log, not the last commit's first data file: re-introducing an omitted
+   column with a different type is a TYPE change and must be refused
+   even under allow_schema_evolution=True.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from medallion_data_lake_spark.operators.versioned import (
+    commit,
+    read_table,
+    rollback,
+    table_changes,
+)
+
+
+def _vt(spark, tmp_path):
+    """id long, tag string → evolved append adds score double."""
+    path = str(tmp_path / "vt")
+    commit(spark.createDataFrame([(1, "a")], "id long, tag string"), path)
+    commit(
+        spark.createDataFrame([(2, "b", 1.5)],
+                              "id long, tag string, score double"),
+        path, allow_schema_evolution=True,
+    )
+    return path
+
+
+def test_rollback_to_evolved_snapshot_keeps_union_schema(spark, tmp_path):
+    """append → evolved append → overwrite → rollback(to evolved): the
+    restored live set spans two schemas, so the read MUST mergeSchema.
+    Asserted via schema AND values (the pre-fix failure was
+    nondeterministic — dependent on which footer Spark sampled — so the
+    schema check is the reliable detector)."""
+    path = _vt(spark, tmp_path)
+    commit(spark.createDataFrame([(9, 9)], "id long, n long"), path,
+           mode="overwrite")
+    rollback(spark, path, to_version=1)
+    got = read_table(spark, path)
+    assert set(got.columns) == {"id", "tag", "score"}, (
+        "restore of a mixed-schema snapshot dropped the evolved column"
+    )
+    rows = {r["id"]: (r["tag"], r["score"]) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 1.5)}
+
+
+def test_rollback_to_preevolution_snapshot_is_single_schema(spark, tmp_path):
+    """The converse: restoring a PRE-evolution snapshot yields a
+    single-schema live set; the restore must not inherit the tip's
+    mixed flag (reads should drop mergeSchema and the old schema)."""
+    path = _vt(spark, tmp_path)
+    rollback(spark, path, to_version=0)
+    got = read_table(spark, path)
+    assert set(got.columns) == {"id", "tag"}
+    assert [r["id"] for r in got.collect()] == [1]
+
+
+def test_change_feed_reads_overwritten_mixed_set_with_union(spark, tmp_path):
+    """The overwrite's delete branch reads the REMOVED files — which
+    span two schemas — at version-1 mixedness. Pre-fix, the feed gated
+    mergeSchema on the LATEST version (reset by the overwrite itself)
+    and silently dropped `score` from the delete rows."""
+    path = _vt(spark, tmp_path)
+    commit(spark.createDataFrame([(9, "z", 0.0)],
+                                 "id long, tag string, score double"),
+           path, mode="overwrite")
+    feed = table_changes(spark, path, from_version=2, to_version=2)
+    deletes = {r["id"]: r["score"]
+               for r in feed.filter("_change_type = 'delete'").collect()}
+    assert deletes == {1: None, 2: 1.5}, (
+        "evolved column lost from the change feed's delete rows"
+    )
+
+
+def test_reintroduced_column_with_new_type_refused(spark, tmp_path):
+    """id/tag table; evolved append adds score double; next append OMITS
+    score; a further append re-introducing score as STRING must be
+    refused as a type change (vs the last data file's footer it would
+    masquerade as a new column and poison every mergeSchema read)."""
+    from medallion_data_lake_spark.operators.evolution import SchemaDriftError
+
+    path = _vt(spark, tmp_path)
+    commit(spark.createDataFrame([(3, "c")], "id long, tag string"),
+           path, allow_schema_evolution=True)
+    with pytest.raises(SchemaDriftError):
+        commit(
+            spark.createDataFrame([(4, "d", "oops")],
+                                  "id long, tag string, score string"),
+            path, allow_schema_evolution=True,
+        )
+    # same type back is fine — additive/omitting drift, not a rewrite
+    commit(
+        spark.createDataFrame([(4, "d", 4.0)],
+                              "id long, tag string, score double"),
+        path, allow_schema_evolution=True,
+    )
+    rows = {r["id"]: r["score"] for r in read_table(spark, path).collect()}
+    assert rows == {1: None, 2: 1.5, 3: None, 4: 4.0}
+
+
+def test_overwrite_resets_union_schema_reference(spark, tmp_path):
+    """After an overwrite the union schema is the overwrite batch's
+    alone: a type 'change' relative to the PRE-overwrite schema is not a
+    conflict (that history is no longer live)."""
+    path = _vt(spark, tmp_path)
+    commit(spark.createDataFrame([(9, "z")], "id long, tag string"), path,
+           mode="overwrite")
+    # score re-enters as string: legal, the double history was replaced
+    commit(
+        spark.createDataFrame([(10, "y", "fresh")],
+                              "id long, tag string, score string"),
+        path, allow_schema_evolution=True,
+    )
+    got = {r["id"]: r["score"] for r in read_table(spark, path).collect()}
+    assert got == {9: None, 10: "fresh"}
