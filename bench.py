@@ -3,7 +3,13 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "queries_median": {name: sec, ...},
+   "sf": <sf>}
+
+"queries" holds the per-query MIN across repeats (the plan's floor —
+what the round-over-round comparison uses); "queries_median" the MEDIAN
+(the noise bar: a min/median gap on a sub-second query is machine
+weather, a plan change moves both).
 
 Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
@@ -57,13 +63,16 @@ def main() -> None:
 
     repeat = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        runs = []
         for _ in range(repeat):
             t0 = time.perf_counter()
             registry[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -73,6 +82,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": sf,
             }
         )

@@ -865,11 +865,17 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_bits: int = MIN_BITS,
+    measure_recall: int | None = None,
 ) -> dict:
     """Materialize the IVF layout: (id, vec, norm) partitioned by the
     sign-bucket code. One map pass + one partitioned write; the bucket
     directory IS the inverted list. Returns the meta dict (also written
-    as ``_ivf_meta.json``)."""
+    as ``_ivf_meta.json``).
+
+    ``measure_recall=N`` additionally measures recall@5 (4-probe) on a
+    seeded N-row sample against brute force and persists it in the meta
+    — the baseline :func:`check_index_health` compares against after
+    append-only drift."""
     import json as _json
     import os as _os
 
@@ -883,6 +889,8 @@ def build_ivf_index(
     meta = {"n_bits": n_bits, "id_col": id_col, "vec_col": vec_col}
     with open(_os.path.join(index_path, "_ivf_meta.json"), "w") as fh:
         _json.dump(meta, fh)
+    if measure_recall:
+        meta = _record_build_recall(data, index_path, meta, measure_recall)
     return meta
 
 
@@ -894,6 +902,7 @@ def build_kmeans_ivf_index(
     k: int | None = None,
     seed: int = 42,
     max_fit_rows: int = 1_000_000,
+    measure_recall: int | None = None,
 ) -> dict:
     """Persist the LEARNED-codebook IVF layout: seeded KMeans centroids
     (fit on a bounded sample — :func:`kmeans_codebook_bucket`'s training
@@ -945,6 +954,43 @@ def build_kmeans_ivf_index(
         "id_col": id_col,
         "vec_col": vec_col,
         "centroids": [list(map(float, c)) for c in model.clusterCenters()],
+    }
+    with open(_os.path.join(index_path, "_ivf_meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+    if measure_recall:
+        meta = _record_build_recall(data, index_path, meta, measure_recall)
+    return meta
+
+
+def _record_build_recall(
+    data: DataFrame,
+    index_path: str,
+    meta: dict,
+    sample_n: int,
+    k: int = 5,
+    n_probes: int = 4,
+    seed: int = 7,
+) -> dict:
+    """Measure recall on a seeded build-sample and persist it in the
+    meta sidecar — runs AFTER the partitioned write (the search needs
+    the on-disk layout)."""
+    import json as _json
+    import os as _os
+
+    n = data.count()
+    frac = min(1.0, (3.0 * sample_n) / max(n, 1))
+    sample = data.sample(frac, seed=seed).limit(sample_n).localCheckpoint(
+        eager=True
+    )
+    recall = measure_index_recall(
+        data.sparkSession, index_path, sample, k=k, n_probes=n_probes
+    )
+    meta = {
+        **meta,
+        "recall_at_k": round(recall, 4),
+        "recall_k": k,
+        "recall_probes": n_probes,
+        "recall_sample": sample.count(),
     }
     with open(_os.path.join(index_path, "_ivf_meta.json"), "w") as fh:
         _json.dump(meta, fh)
@@ -1268,3 +1314,133 @@ def search_index(
         spark, index_path, queries,
         vec_col=vec_col, id_col=id_col, n_probes=n_probes, k=k,
     )
+
+
+def measure_index_recall(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 4,
+) -> float:
+    """Recall@k of the persisted index's multi-probe search against
+    EXACT brute-force cosine top-k over the same stored vectors, for a
+    bounded query sample. Cost: one probe (partition-pruned) plus one
+    full index scan against the broadcast sample — a health
+    measurement, not a serving path; keep the sample in the hundreds.
+    Returns matched/exact_total in [0, 1] (1.0 when the index is
+    empty-adjacent: no exact neighbors exist)."""
+    from pyspark.sql import Window
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
+        meta = _json.load(fh)
+    id_col, vec_col = meta.get("id_col", "vec_id"), meta.get("vec_col", "embedding")
+
+    approx = search_index(
+        spark, index_path, queries,
+        vec_col=vec_col, id_col=id_col, n_probes=n_probes, k=k,
+    ).select("query_id", "cand_id")
+
+    idx = spark.read.parquet(index_path)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qnrm"),
+    )
+    cs = dot(F.col("qv"), F.col("vec")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    exact = (
+        idx.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cs.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id")
+    )
+    counts = (
+        exact.join(approx, ["query_id", "cand_id"], "left_semi")
+        .count(),
+        exact.count(),
+    )
+    matched, total = counts
+    return 1.0 if total == 0 else matched / total
+
+
+def check_index_health(
+    spark,
+    index_path: str,
+    sample: DataFrame | None = None,
+    sample_n: int = 200,
+    k: int | None = None,
+    n_probes: int | None = None,
+    drift_tolerance: float = 0.15,
+    min_recall: float = 0.5,
+    seed: int = 43,
+) -> dict:
+    """Recall-drift telemetry for a long-lived persisted index.
+
+    ``append_to_ivf_index`` and the streaming maintenance keep the
+    BUILD-TIME layout forever (sign planes / stored centroids — never a
+    refit, by design: appends must not move existing vectors). Under
+    distribution drift that is exactly the failure mode that stays
+    silent: every probe still returns k plausible hits while true
+    neighbors increasingly sit in unprobed cells. This re-measures
+    recall@k on a bounded sample — pass ``sample`` drawn from the
+    CURRENT query/ingest distribution (the honest check), or let it
+    seeded-sample ``sample_n`` stored vectors — and compares against
+    the build-time measurement persisted in ``_ivf_meta.json`` (the
+    builders' ``measure_recall=`` option).
+
+    Returns ``{recall, build_recall, drift, rebuild_recommended,
+    reason, k, n_probes, sample_n}``; ``rebuild_recommended`` when
+    recall < ``min_recall`` or it fell more than ``drift_tolerance``
+    below the build-time number. Recommending is all it does — the
+    rebuild itself is a fresh ``build_*_ivf_index`` (at 100 TB: built
+    to the side and swapped, the index is just a table)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
+        meta = _json.load(fh)
+    k = k or int(meta.get("recall_k", 5))
+    n_probes = n_probes or int(meta.get("recall_probes", 4))
+    id_col = meta.get("id_col", "vec_id")
+    vec_col = meta.get("vec_col", "embedding")
+
+    if sample is None:
+        idx = spark.read.parquet(index_path)
+        n = idx.count()
+        frac = min(1.0, (3.0 * sample_n) / max(n, 1))
+        sample = (
+            idx.sample(frac, seed=seed)
+            .limit(sample_n)
+            .select(
+                F.col("vec_id").alias(id_col), F.col("vec").alias(vec_col)
+            )
+        )
+    sample = sample.localCheckpoint(eager=True)  # one sample, both sides
+    n_sampled = sample.count()
+
+    recall = measure_index_recall(spark, index_path, sample, k=k, n_probes=n_probes)
+    build_recall = meta.get("recall_at_k")
+    drift = None if build_recall is None else round(build_recall - recall, 4)
+    reasons = []
+    if recall < min_recall:
+        reasons.append(f"recall@{k}={recall:.3f} below floor {min_recall}")
+    if drift is not None and drift > drift_tolerance:
+        reasons.append(
+            f"recall@{k} fell {drift:.3f} below build-time "
+            f"{build_recall:.3f} (tolerance {drift_tolerance})"
+        )
+    return {
+        "recall": round(recall, 4),
+        "build_recall": build_recall,
+        "drift": drift,
+        "rebuild_recommended": bool(reasons),
+        "reason": "; ".join(reasons) or "healthy",
+        "k": k,
+        "n_probes": n_probes,
+        "sample_n": n_sampled,
+    }

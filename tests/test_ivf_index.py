@@ -238,3 +238,65 @@ def test_mine_hard_negatives_dispatches_on_kmeans_index(spark, emb, tmp_path):
 
     with pytest.raises(ValueError, match="kind"):
         search_ivf_index(spark, path, queries)
+
+
+def test_index_health_flags_recall_drift(spark, tmp_path):
+    """Round-5 lifecycle telemetry: builders persist a build-time
+    recall@k baseline; check_index_health re-measures on a sample and
+    recommends a rebuild after distribution drift.
+
+    Build corpus: near-identical PAIRS with matching sign codes — true
+    top-1 is the pair partner in the SAME bucket, so build recall is
+    high. Drift plant: appended pairs straddle zero in THREE coded dims
+    with tiny eps — partners land 3 sign bits apart, unreachable by
+    single-bit-flip multi-probe, so recall measured on the appended
+    region collapses and the health check flags it."""
+    import random
+
+    from medallion_data_lake_spark.operators.ann import (
+        append_to_ivf_index,
+        build_ivf_index,
+        check_index_health,
+    )
+
+    rng = random.Random(11)
+
+    def pairs(n, start_id, straddle):
+        rows = []
+        for i in range(n):
+            base = [rng.uniform(-1, 1) for _ in range(64)]
+            # keep coded dims safely away from zero unless straddling
+            for d in range(MIN_BITS):
+                if abs(base[d]) < 0.2:
+                    base[d] = 0.2 if base[d] >= 0 else -0.2
+            a = list(base)
+            b = [x + rng.uniform(-0.01, 0.01) * abs(x) for x in base]
+            if straddle:
+                for d in range(3):
+                    a[d], b[d] = 1e-6, -1e-6
+            rows.append((start_id + 2 * i, a))
+            rows.append((start_id + 2 * i + 1, b))
+        return rows
+
+    corpus = spark.createDataFrame(
+        pairs(150, 0, straddle=False), "vec_id long, embedding array<double>")
+    path = str(tmp_path / "health_idx")
+    meta = build_ivf_index(corpus, path, n_bits=MIN_BITS, measure_recall=60)
+    # pair structure: only rank-1 is a true neighbor, so recall@5
+    # tops out near 1/5 + noise — the baseline is the comparison
+    # point, not an absolute bar
+    assert meta["recall_k"] == 5 and meta["recall_at_k"] > 0.15
+
+    healthy = check_index_health(spark, path, sample_n=60, min_recall=0.1)
+    assert healthy["build_recall"] == meta["recall_at_k"]
+    assert not healthy["rebuild_recommended"], healthy["reason"]
+
+    drifted = spark.createDataFrame(
+        pairs(120, 10_000, straddle=True), "vec_id long, embedding array<double>")
+    append_to_ivf_index(drifted, path)
+
+    report = check_index_health(spark, path, sample=drifted, min_recall=0.1)
+    assert report["recall"] < meta["recall_at_k"]
+    assert report["drift"] is not None and report["drift"] > 0.1
+    assert report["rebuild_recommended"]
+    assert "recall" in report["reason"]
