@@ -37,8 +37,12 @@ package magic. This module implements them the way Delta/Iceberg do:
 At 100 TB the log stays KB-per-commit (file paths + stats), and
 data-file granularity means an append touches only its own files —
 never a table rewrite. On a real cluster the exclusive-create needs an
-atomic-put store (HDFS, S3 strong consistency + a conditional put, or a
-log service) — the same requirement Delta's LogStore abstracts.
+atomic-put store (HDFS, S3 conditional PUT, or a log service) — the
+same requirement Delta abstracts as its LogStore, and this module does
+too: every log touch goes through ``operators/logstore.py``
+(exclusive-put / list / read / delete behind ``get_log_store()``), so
+a cluster backend is a LogStore subclass, not a rewrite. Data-file IO
+stays on Spark's Hadoop filesystem layer, exactly like Delta.
 """
 
 from __future__ import annotations
@@ -53,6 +57,8 @@ import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .logstore import get_log_store
 
 CHECKPOINT_INTERVAL = 10  # write a log checkpoint every N commits
 
@@ -69,17 +75,17 @@ def _log_dir(path: str) -> str:
 
 
 def _commit_versions(path: str) -> list[int]:
-    d = _log_dir(path)
-    if not os.path.isdir(d):
-        return []
     return sorted(
-        int(m.group(1)) for f in os.listdir(d) if (m := _ENTRY_RE.match(f))
+        int(m.group(1))
+        for f in get_log_store().list(_log_dir(path))
+        if (m := _ENTRY_RE.match(f))
     )
 
 
 def _read_entry(path: str, version: int) -> dict:
-    with open(os.path.join(_log_dir(path), f"{version:020d}.json")) as fh:
-        return json.load(fh)
+    return json.loads(get_log_store().read(
+        os.path.join(_log_dir(path), f"{version:020d}.json")
+    ))
 
 
 def _entries(path: str, lo: int = 0, hi: int | None = None) -> list[dict]:
@@ -116,19 +122,17 @@ def _live_files(entries: list[dict], version: int | None = None) -> list[str]:
 
 
 def _checkpoint_versions(path: str) -> list[int]:
-    d = _log_dir(path)
-    if not os.path.isdir(d):
-        return []
     return sorted(
-        int(m.group(1)) for f in os.listdir(d) if (m := _CKPT_RE.match(f))
+        int(m.group(1))
+        for f in get_log_store().list(_log_dir(path))
+        if (m := _CKPT_RE.match(f))
     )
 
 
 def _read_checkpoint(path: str, version: int) -> dict:
-    with open(
+    return json.loads(get_log_store().read(
         os.path.join(_log_dir(path), f"{version:020d}.checkpoint.json")
-    ) as fh:
-        return json.load(fh)
+    ))
 
 
 def _state_at(path: str, version: int | None = None) -> tuple[list[str], dict]:
@@ -196,13 +200,11 @@ def _write_checkpoint(path: str, version: int) -> None:
     mixed = _mixed_schema_at(path, version)
     target = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.json")
     try:
-        with open(target, "x") as fh:
-            json.dump(
-                {"version": version, "live": live, "txns": txns,
-                 "file_stats": stats, "mixed_schema": mixed,
-                 "timestamp": time.time()},
-                fh,
-            )
+        get_log_store().put_exclusive(target, json.dumps(
+            {"version": version, "live": live, "txns": txns,
+             "file_stats": stats, "mixed_schema": mixed,
+             "timestamp": time.time()},
+        ))
     except FileExistsError:
         pass
 
@@ -236,7 +238,8 @@ def _publish(
     cleanly (idempotent skip). After a successful claim, every
     ``checkpoint_interval``-th commit also writes a log checkpoint.
     """
-    os.makedirs(_log_dir(path), exist_ok=True)
+    store = get_log_store()
+    store.ensure_dir(_log_dir(path))
     for _ in range(max_retries):
         lv = latest_version(path)
         version = 0 if lv is None else lv + 1
@@ -245,8 +248,9 @@ def _publish(
             return None
         target = os.path.join(_log_dir(path), f"{version:020d}.json")
         try:
-            with open(target, "x") as fh:  # exclusive create = the lock
-                json.dump(entry, fh)
+            # exclusive create = the lock (LogStore contract: atomic
+            # create-if-absent, FileExistsError on conflict)
+            store.put_exclusive(target, json.dumps(entry))
         except FileExistsError:
             continue  # lost the race; recompute against the new log tip
         if checkpoint_interval and (version + 1) % checkpoint_interval == 0:
@@ -829,13 +833,14 @@ def expire_log(path: str, keep_last: int = 1) -> dict:
     base = versions[-max(keep_last, 1):][0]
     _write_checkpoint(path, base)  # idempotent ('x'-create); makes base standalone
     dropped = 0
+    store = get_log_store()
     for v in versions:
         if v < base:
-            os.remove(os.path.join(_log_dir(path), f"{v:020d}.json"))
+            store.delete(os.path.join(_log_dir(path), f"{v:020d}.json"))
             dropped += 1
     for cv in _checkpoint_versions(path):
         if cv < base:
-            os.remove(
+            store.delete(
                 os.path.join(_log_dir(path), f"{cv:020d}.checkpoint.json")
             )
     return {"files_deleted": doomed, "entries_deleted": dropped, "base": base}
