@@ -13,6 +13,15 @@ endpoint is the form a real deployment fronts with any UI):
 - ``POST /query``             -> body {"sql": "...", "max_rows": N}
                                  -> {"columns", "rows", "row_count",
                                      "elapsed_sec"}
+- ``POST /curate``            -> body {"table": "documents",
+                                 "mix_alpha": a, "mix_token_budget": B,
+                                 "release_name": name}
+                                 -> the curation DRY RUN: the full
+                                 pipeline's observe()-funnel counts and
+                                 stratum summary for that config, in
+                                 one corpus pass, writing NOTHING —
+                                 what-would-this-config-keep before
+                                 paying for the real ``cli curate``
 
 Every response is bounded (S14): ``max_rows`` is clamped to
 ``ROW_CAP`` — the server never streams an unbounded collect to a
@@ -120,20 +129,70 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:
         url = urlparse(self.path)
-        if url.path != "/query":
-            self._send(404, {"error": f"no route {url.path}"})
-            return
         try:
             length = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(length) or b"{}")
-            sql = req.get("sql")
-            if not sql:
-                self._send(400, {"error": "body must carry {'sql': ...}"})
-                return
-            max_rows = req.get("max_rows", self.default_rows)
-            self._send(200, run_bounded(self.serving, sql, max_rows))
+            if url.path == "/query":
+                sql = req.get("sql")
+                if not sql:
+                    self._send(400, {"error": "body must carry {'sql': ...}"})
+                    return
+                max_rows = req.get("max_rows", self.default_rows)
+                self._send(200, run_bounded(self.serving, sql, max_rows))
+            elif url.path == "/curate":
+                self._send(200, run_curate_dry(self.serving, req))
+            else:
+                self._send(404, {"error": f"no route {url.path}"})
         except Exception as exc:
             self._send(400, {"error": str(exc)})
+
+
+def run_curate_dry(serving: ServingLayer, req: dict) -> dict:
+    """Curation dry run over a REGISTERED table: build the whole
+    pipeline plan for the requested config and materialize only the
+    manifest (observe() accumulators fire on the stratum summary's one
+    pass — ``operators/curation_pipeline.curate_corpus``'s contract),
+    writing nothing. Returns {"funnel", "strata", "release_name",
+    "config"} — the yield audit a user reads before paying for the
+    real ``cli curate`` write. The table name is validated against the
+    serving layer's own registry (never interpolated from free text)."""
+    table = req.get("table", "documents")
+    if table not in serving.show_tables():
+        raise ValueError(
+            f"unknown table {table!r}; registered: {serving.show_tables()}"
+        )
+    from .operators.curation_pipeline import CurationConfig, curate_corpus
+    from .operators.release import build_release_manifest
+
+    cfg = CurationConfig(
+        production_hash=True,
+        mix_alpha=float(req.get("mix_alpha", 1.0)),
+        mix_token_budget=(
+            int(req["mix_token_budget"]) if req.get("mix_token_budget")
+            else None
+        ),
+    )
+    t0 = time.perf_counter()
+    observations: dict = {}
+    stages = curate_corpus(
+        serving.spark.table(table), config=cfg, observations=observations
+    )
+    manifest = build_release_manifest(
+        stages, cfg,
+        str(req.get("release_name", "dry-run")),
+        observations=observations,
+    )
+    return {
+        "dry_run": True,
+        "release": manifest["release"],
+        "config_fingerprint": manifest["config_fingerprint"],
+        "funnel": manifest["funnel"],
+        "strata": manifest["strata"],
+        "summary": _json_safe(manifest["summary"]),
+        "n_docs": manifest["n_docs"],
+        "n_tokens": manifest["n_tokens"],
+        "elapsed_sec": round(time.perf_counter() - t0, 3),
+    }
 
 
 def run_bounded_df(df, max_rows: int) -> dict:

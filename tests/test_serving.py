@@ -217,3 +217,42 @@ def test_http_samples_pack(http_server):
     assert set(out) == set(SAMPLE_QUERIES)
     dist = {row[0]: row[3] for row in out["customer_value_distribution"]["rows"]}
     assert dist["Gold"] == 115.0
+
+
+def test_http_curate_dry_run(spark):
+    """POST /curate: the curation pipeline's observe()-funnel for a
+    config, computed in one pass over a REGISTERED documents table,
+    writing nothing; unknown tables rejected with a JSON error."""
+    from medallion_data_lake_spark.catalog import load_star_table
+    from medallion_data_lake_spark.serving import ServingLayer
+    from medallion_data_lake_spark.serving_http import serve_http_background
+
+    s = ServingLayer(spark, gold_root=None)
+    s.catalog.register(
+        "silver", "documents",
+        load_star_table(spark, "/root/testdata/sf0.001", "documents"))
+    server, thread = serve_http_background(s, port=0)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        status, out = _post(f"{base}/curate", {
+            "table": "silver_documents",
+            "mix_alpha": 0.7,
+            "mix_token_budget": 20_000,
+            "release_name": "r5-dry",
+        })
+        assert status == 200, out
+        assert out["dry_run"] is True and out["release"] == "r5-dry"
+        funnel = out["funnel"]
+        assert funnel["exact_deduped"] > 0
+        assert funnel["curated"] <= funnel["exact_deduped"]
+        assert "mixed" in funnel  # the budgeted mixing stage ran
+        # stratum summary rows are json-rendered and non-empty
+        assert out["strata"] == ["source", "lang"] and out["summary"]
+        assert out["n_docs"] == funnel["curated"]
+
+        status, out = _post(f"{base}/curate", {"table": "no_such"})
+        assert status == 400 and "unknown table" in out["error"]
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
