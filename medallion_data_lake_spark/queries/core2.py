@@ -46,8 +46,9 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     doc="left_semi join: customers with at least one >450k order. "
         "Catalyst plans a broadcast/shuffled semi join — no fan-out, no "
         "distinct needed (the rewards_report shape, sakila-schema.sql:519).",
-    extra=True,  # semi-join semantics also driver-verified via
-                 # routines.parts_held_by_customer (EXISTS shape)
+    extra=True,  # semi-join plan shape also exercised by the driver-gated
+                 # dedup/curation anti/semi joins; EXISTS twin
+                 # parts_held_by_customer is extra-local since r5
 )
 def customers_with_jumbo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -279,6 +280,7 @@ def customer_name_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the fact table once per arm per side (4x) and shuffles each "
         "distinct separately; this plan is one scan + one shuffle and "
         "returns exactly the INTERSECT ∪ EXCEPT rows.",
+    extra=True,  # rotated to extras in r5 (U1 driver row: layer_reconciliation)
 )
 def status_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir)["orders"]
@@ -635,7 +637,8 @@ def order_priority_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "4 separate aggregations. Labels via COALESCE rather than "
         "grouping_id(): the two engines disagree on grouping-bit order, "
         "values never collide with 'ALL'.",
-    extra=True,  # grouping-sets family driver-gated via priority_status_rollup
+    # driver-gated since r5 (rotated in from extras; ROLLUP stays gated
+    # via priority_status_rollup — the cube adds the 2^k-sets evidence)
 )
 def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -682,7 +685,8 @@ def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order-independent parity. Spark expresses the range frame in "
         "epoch-day units (rangeBetween over a cast), DuckDB in INTERVAL — "
         "same semantics, hash-identical results.",
-    extra=True,  # window family driver-gated; range frame locally oracled
+    # driver-gated since r5 (rotated in from extras): the RANGE-interval
+    # frame had no driver row; ranking/lag/frame windows keep theirs
 )
 def rolling_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
