@@ -377,6 +377,11 @@ class CurationConfig:
     # source distribution with p_i ∝ n_i^alpha before sampling
     mix_alpha: float = 1.0
     mix_token_budget: int | None = None
+    # PII span redaction (operators/text.redact_pii): off by default;
+    # max_pii_hits additionally DROPS documents above that many redacted
+    # spans (a doc that is mostly PII is not salvageable by scrubbing)
+    redact_pii: bool = False
+    max_pii_hits: int | None = None
 
 
 def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
@@ -479,6 +484,15 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
         cur = stage("scrubbed", blocklist_scrub(
             cur, cfg.blocklist, cfg.max_hit_ratio, cfg.text_col
         ))
+    if cfg.redact_pii:
+        from .text import redact_pii
+
+        redacted = redact_pii(cur, cfg.text_col)
+        if cfg.max_pii_hits is not None:
+            redacted = redacted.filter(
+                F.col("n_pii_redactions") <= cfg.max_pii_hits
+            )
+        cur = stage("pii_redacted", redacted.drop("n_pii_redactions"))
     cur = stage("curated", cur)
     # Two alternative shard-former outputs, both lazy: "manifest" packs
     # whole documents into token-budget sequences; "chunks" windows each

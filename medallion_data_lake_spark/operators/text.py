@@ -62,3 +62,43 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", lang_id_trigram(F.col(text_col))).withColumn(
         "bpe_tokens", token_count_bpe_ish(F.col(text_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — JVM-tier, NOT a pandas kernel: regexp_count +
+# regexp_replace are codegen expressions, so scrubbing stays inside
+# whole-stage codegen (a Python regex pass over 100 TB of text would be
+# the single slowest stage in the pipeline).
+# ---------------------------------------------------------------------------
+
+# Ordered: counts/replacements apply sequentially on the progressively
+# redacted text, so an email's digits are never double-counted as an id.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d[\d\-() ]{7,}\d"),
+    ("id_number", r"\b\d{9,}\b"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """Replace email / phone / long-id spans in ``text_col`` and attach
+    ``n_pii_redactions`` (total spans replaced). The standard scrub
+    stage before a corpus leaves curation — same posture as the
+    blocklist scrub (curation_pipeline.blocklist_scrub) but span-level:
+    the document survives, the span does not.
+
+    One map pass, zero shuffle, all codegen; patterns are conservative
+    classics (redact too much rather than leak). Swap PII_PATTERNS for
+    a jurisdiction-specific set without touching the plan shape."""
+    text = F.col(text_col)
+    n = F.lit(0)
+    for _, pat in PII_PATTERNS:
+        n = n + F.regexp_count(text, F.lit(pat))
+        text = F.regexp_replace(text, pat, replacement)
+    return df.withColumn("n_pii_redactions", n.cast("int")).withColumn(
+        text_col, text
+    )

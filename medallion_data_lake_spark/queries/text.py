@@ -314,3 +314,134 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         stable_round(F.col("avg_logp"), 4).alias("avg_logp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText quality rules (Rae et al. 2021, "Scaling Language
+# Models", table A1) — the rule battery real pretraining pipelines run
+# before any model-tier filter. Word-level stats are codegen HOFs (zero
+# shuffle); the repetition signal (top-bigram fraction) is the one rule
+# that genuinely needs a group-count, planned as explode + ONE shuffled
+# aggregation on (doc_id, bigram) — at 100 TB that is a map-side-combined
+# hash agg whose key space is bounded by document length, not corpus size.
+# ---------------------------------------------------------------------------
+
+_SQL_GOPHER = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         list_sum(list_transform(t, w -> len(w))) * 1.0 / len(t) AS mwl,
+         len(list_filter(t, w -> regexp_matches(w, '^[a-z]+$'))) * 1.0
+             / len(t) AS fa,
+         CAST(len(list_intersect(list_distinct(t),
+              {list(_EN_STOPWORDS)!r})) AS INT) AS n_stopwords
+  FROM toks
+),
+bc AS (
+  SELECT doc_id, bg, COUNT(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM toks
+  )
+  GROUP BY doc_id, bg
+),
+rep AS (
+  SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_frac FROM bc GROUP BY doc_id
+)
+SELECT s.doc_id,
+       s.n_words,
+       {sql_stable_round('s.mwl', 4)} AS mean_word_len,
+       {sql_stable_round('s.fa', 4)} AS frac_alpha_words,
+       s.n_stopwords,
+       {sql_stable_round('COALESCE(r.top_frac, 0.0)', 4)} AS top_bigram_frac,
+       (s.n_words BETWEEN 50 AND 100000
+        AND {sql_stable_round('s.mwl', 4)} BETWEEN 3 AND 10
+        AND {sql_stable_round('s.fa', 4)} >= 0.8
+        AND s.n_stopwords >= 2
+        AND {sql_stable_round('COALESCE(r.top_frac, 0.0)', 4)} <= 0.2)
+           AS keep
+FROM stats s LEFT JOIN rep r USING (doc_id)
+"""
+
+
+@query(
+    "doc_gopher_quality_flags",
+    oracle=_SQL_GOPHER,
+    doc="Gopher/MassiveText rule battery (Rae et al. 2021 A1, adapted to "
+        "the fixture's vocabulary): word-count bounds [50, 100k], mean "
+        "word length in [3, 10], alphabetic-word fraction >= 0.8, >= 2 "
+        "distinct stopwords, and the repetition rule — fraction of "
+        "bigram occurrences taken by the most common bigram <= 0.2. "
+        "Word stats are zero-shuffle codegen HOFs; the repetition "
+        "signal explodes bigrams into one map-side-combined (doc_id, "
+        "bigram) aggregation. The keep flag is computed from the ROUNDED "
+        "metrics in both engines so boundary docs cannot flip across "
+        "float formatting.",
+    tags=("text", "curation"),
+    extra=True,  # quality-rule family driver-gated via corpus_quality_by_lang
+)
+def doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("t"))
+
+    n = F.size("t")
+    mwl = stable_round(
+        F.aggregate("t", F.lit(0), lambda acc, w: acc + F.length(w))
+        * F.lit(1.0) / n,
+        4,
+    )
+    fa = stable_round(
+        F.size(F.filter("t", lambda w: w.rlike("^[a-z]+$"))) * F.lit(1.0) / n,
+        4,
+    )
+    ns = F.size(
+        F.array_intersect(
+            F.array_distinct("t"),
+            F.array(*[F.lit(s) for s in _EN_STOPWORDS]),
+        )
+    ).cast("int")
+    stats = base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        fa.alias("frac_alpha_words"),
+        ns.alias("n_stopwords"),
+    )
+
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("t", i), F.element_at("t", i + 1)
+        ),
+    )
+    rep = (
+        base.select("doc_id", F.explode(bigram).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            stable_round(
+                F.max("count") * F.lit(1.0) / F.sum("count"), 4
+            ).alias("top_bigram_frac")
+        )
+    )
+
+    out = stats.join(rep, "doc_id", "left").select(
+        "doc_id", "n_words", "mean_word_len", "frac_alpha_words",
+        "n_stopwords",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("n_stopwords") >= 2)
+        & (F.col("top_bigram_frac") <= 0.2)
+    )
+    return out.withColumn("keep", keep)

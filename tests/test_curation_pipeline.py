@@ -444,3 +444,46 @@ def test_pipeline_mixing_stage_composes(spark):
     assert out["curated"].join(
         out["near_deduped"].select("doc_id"), "doc_id", "left_anti"
     ).count() == 0
+
+
+def test_pii_redaction_stage(spark):
+    """redact_pii: span-level scrub (email/phone/long-id -> [REDACTED])
+    as a codegen map pass, and the pipeline stage drops documents whose
+    redaction count exceeds max_pii_hits."""
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+    from medallion_data_lake_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact a@b.example.org please the the a a of of", "en", "web"),
+            # word-separated so each id is its own span (adjacent digit runs
+            # merge into ONE phone-shaped span — also correct redaction)
+            (2, "ids 123456789 then 987654321 also 111222333 and 444555666", "en", "web"),
+            (3, "perfectly clean document text the a of in is", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["n_pii_redactions"] == 1 and "[REDACTED]" in out[1]["text"]
+    assert "a@b" not in out[1]["text"]
+    assert out[2]["n_pii_redactions"] == 4
+    assert out[3]["n_pii_redactions"] == 0
+    assert out[3]["text"].startswith("perfectly clean")
+
+    # JVM-only: the scrub must not leave codegen
+    from medallion_data_lake_spark.plans import explain_str
+
+    plan = explain_str(redact_pii(docs))
+    # (the createDataFrame source RDD's name contains "PythonRDD";
+    # what must be absent is any Python EVALUATION node)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    cfg = CurationConfig(redact_pii=True, max_pii_hits=2)
+    stages = curate_corpus(docs, config=cfg)
+    kept = {r["doc_id"]: r["text"] for r in stages["curated"].collect()}
+    assert 2 not in kept            # 4 hits > max_pii_hits
+    assert set(kept) == {1, 3}
+    assert "[REDACTED]" in kept[1] and "@" not in kept[1]
