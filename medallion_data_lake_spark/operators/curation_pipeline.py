@@ -140,6 +140,61 @@ def blocklist_scrub(docs: DataFrame, terms: Sequence[str],
     return docs.filter(keep).withColumn(text_col, scrubbed)
 
 
+def remove_common_segments(docs: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           sep: str = "\n",
+                           min_docs: int = 10) -> DataFrame:
+    """Cross-document SEGMENT dedup (CCNet/RefinedWeb line dedup): drop
+    every ``sep``-delimited segment that appears in >= ``min_docs``
+    distinct documents — navigation bars, cookie banners, license
+    boilerplate — and reassemble each document from its surviving
+    segments in original order. Documents left empty are dropped.
+
+    Plan (all DataFrame ops, no UDF): posexplode segments → ONE
+    distinct-count aggregation keyed on ``xxhash64(segment)`` (the
+    shuffle moves an 8-byte key, not the text) → anti-join survivors →
+    per-document ordered reassembly (collect_list of (pos, seg) structs,
+    array_sort on pos — deterministic, the A8 GROUP_CONCAT discipline).
+    At 100 TB both shuffles are map-side combined; frequent-segment
+    cardinality is corpus-bounded, never broadcast. A 64-bit hash
+    collision could drop an innocent segment — the standard trade every
+    line-dedup pipeline makes (CCNet uses 64-bit SHA-1 prefixes).
+    """
+    segs = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_seg"),
+        )
+        .filter(F.trim("_seg") != "")
+        .withColumn("_k", F.xxhash64("_seg"))
+    )
+    frequent = (
+        segs.groupBy("_k")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_k")
+    )
+    kept = segs.join(frequent, "_k", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
+                    lambda s: s["_seg"],
+                ),
+                sep,
+            ).alias("_rebuilt")
+        )
+    )
+    return (
+        docs.drop(text_col)
+        .join(rebuilt, id_col, "inner")  # inner = fully-boilerplate docs drop
+        .withColumnRenamed("_rebuilt", text_col)
+    )
+
+
 def pack_sequences(docs: DataFrame, token_budget: int = 512,
                    shard_col: str = "source", id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:

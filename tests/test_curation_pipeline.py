@@ -487,3 +487,52 @@ def test_pii_redaction_stage(spark):
     assert 2 not in kept            # 4 hits > max_pii_hits
     assert set(kept) == {1, 3}
     assert "[REDACTED]" in kept[1] and "@" not in kept[1]
+
+
+def test_remove_common_segments_line_dedup(spark):
+    """CCNet-style cross-document line dedup: boilerplate segments
+    appearing in >= min_docs documents vanish, unique segments survive
+    IN ORDER, fully-boilerplate documents drop entirely."""
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        remove_common_segments,
+    )
+    from medallion_data_lake_spark.plans import explain_str
+
+    boiler = "subscribe to our newsletter"
+    footer = "all rights reserved"
+    rows = []
+    for i in range(12):
+        rows.append((i, f"unique opening {i}\n{boiler}\nunique body {i}\n{footer}"))
+    rows.append((100, f"{boiler}\n{footer}"))     # nothing but boilerplate
+    rows.append((101, "rare line a\nrare line b"))  # untouched
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: r["text"]
+           for r in remove_common_segments(docs, min_docs=10).collect()}
+    assert 100 not in out                       # fully boilerplate -> dropped
+    assert out[101] == "rare line a\nrare line b"
+    for i in range(12):
+        assert out[i] == f"unique opening {i}\nunique body {i}", out[i]
+
+    # plan hygiene: no Python evaluation, no cartesian
+    plan = explain_str(remove_common_segments(docs, min_docs=10))
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_remove_common_segments_threshold(spark):
+    """A segment in min_docs-1 documents survives; at min_docs it goes."""
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        remove_common_segments,
+    )
+
+    shared = "shared but not quite boilerplate"
+    docs = spark.createDataFrame(
+        [(i, f"{shared}\nown {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out4 = {r["doc_id"]: r["text"]
+            for r in remove_common_segments(docs, min_docs=5).collect()}
+    assert all(t.startswith(shared) for t in out4.values())
+    out3 = {r["doc_id"]: r["text"]
+            for r in remove_common_segments(docs, min_docs=4).collect()}
+    assert all(t == f"own {i}" for i, t in out3.items())
