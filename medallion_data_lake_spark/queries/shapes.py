@@ -365,3 +365,97 @@ def signup_purchase_attribution_pairs(
             "unix_micros(cast(signup_ts as timestamp))) div 1000000"
         ).alias("seconds_to_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-of-counts histogram (TPC-H Q13): distribution of orders per
+# customer INCLUDING zero-order customers — the left-join + two-level
+# aggregation every retention/engagement dashboard runs
+# ---------------------------------------------------------------------------
+
+@query(
+    "customer_order_histogram",
+    oracle="""
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: orders-per-customer histogram, zero bucket "
+        "included (COUNT of the right side's key under a LEFT join counts "
+        "0 for no-order customers — COUNT(*) would lie). Two aggregations: "
+        "the first shuffles on custkey (map-side combined over the fact), "
+        "the second on the tiny count domain — effectively free. At scale "
+        "the first agg pre-aggregates orders BEFORE the join so the "
+        "customer side joins a #customers-sized rollup, not the fact.",
+    tags=("histogram",),
+    extra=True,
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    # pre-aggregate the fact to (custkey, n) BEFORE joining: the join's
+    # right side is #active-customers rows, never the raw orders table
+    per_cust = (
+        t["orders"].groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("_n"))
+    )
+    counts = (
+        t["customer"]
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce("_n", F.lit(0)).cast("long").alias("n_orders"))
+    )
+    return (
+        counts.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global-scalar filter + anti-join (TPC-H Q22's essence, sans phone
+# cntrycode — the fixture carries no phone column): rich-but-idle
+# customers relative to a population statistic
+# ---------------------------------------------------------------------------
+
+@query(
+    "idle_rich_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_mktsegment,
+           {sql_stable_round('c_acctbal', 2)} AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="TPC-H Q22 shape (country-code predicate dropped — no phone "
+        "column in the fixture): customers with above-average positive "
+        "balance and NO orders. The uncorrelated scalar subquery becomes "
+        "one broadcast scalar (Catalyst's Subquery reuse); NOT EXISTS "
+        "plans as a left-anti join against the DISTINCT order custkeys. "
+        "No correlated re-execution anywhere — at 100 TB this is one "
+        "fact-side distinct plus a broadcast filter on the dim.",
+    tags=("antijoin",),
+    extra=True,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    c = t["customer"]
+    avg_pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("_a"))
+    )
+    rich = c.join(F.broadcast(avg_pos)).filter(F.col("c_acctbal") > F.col("_a"))
+    return (
+        rich.join(
+            t["orders"].select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select(
+            "c_custkey", "c_name", "c_mktsegment",
+            stable_round(F.col("c_acctbal"), 2).alias("acctbal"),
+        )
+    )
