@@ -428,11 +428,14 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
                        WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
     doc="TPC-H Q22 shape (country-code predicate dropped — no phone "
         "column in the fixture): customers with above-average positive "
-        "balance and NO orders. The uncorrelated scalar subquery becomes "
+        "balance and no URGENT order (every fixture customer has SOME "
+        "order, so the anti-join side filters to urgent ones to keep the "
+        "result non-degenerate). The uncorrelated scalar subquery becomes "
         "one broadcast scalar (Catalyst's Subquery reuse); NOT EXISTS "
         "plans as a left-anti join against the DISTINCT order custkeys. "
         "No correlated re-execution anywhere — at 100 TB this is one "
@@ -450,7 +453,9 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = c.join(F.broadcast(avg_pos)).filter(F.col("c_acctbal") > F.col("_a"))
     return (
         rich.join(
-            t["orders"].select("o_custkey"),
+            t["orders"]
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey"),
             F.col("c_custkey") == F.col("o_custkey"),
             "left_anti",
         )
