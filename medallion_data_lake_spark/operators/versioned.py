@@ -176,6 +176,10 @@ def _mixed_schema_at(path: str, version: int | None = None) -> bool:
         mixed = bool(_read_checkpoint(path, ckpts[-1]).get("mixed_schema"))
         lo = ckpts[-1] + 1
     for e in _entries(path, lo=lo, hi=version):
+        if e.get("unified_schema"):
+            # a FULL-rewrite OPTIMIZE compacted every live file to the
+            # union schema: single-schema again, mergeSchema off
+            mixed = False
         if e.get("mode") in ("overwrite", "restore"):
             # snapshot replaced wholesale: mixedness is exactly what the
             # entry itself records (rollback stamps schema_changed when
@@ -975,6 +979,14 @@ def optimize_table(
             "removed": sorted(compacted),
             "operation": f"OPTIMIZE({len(live)}->{len(added)}){op_suffix}",
         }
+        if set(current_live) == compacted:
+            # FULL rewrite: the post-optimize live set is exactly our
+            # union-schema output, so the snapshot is single-schema
+            # again — record it so reads stop paying mergeSchema (the
+            # "OPTIMIZE doubles as schema compaction" payoff; a subset
+            # compaction or a raced-in append keeps the flag off,
+            # conservatively mixed)
+            entry["unified_schema"] = True
         if file_stats:
             entry["file_stats"] = file_stats
         if stats_rel:

@@ -128,3 +128,31 @@ def test_overwrite_resets_union_schema_reference(spark, tmp_path):
     )
     got = {r["id"]: r["score"] for r in read_table(spark, path).collect()}
     assert got == {9: None, 10: "fresh"}
+
+
+def test_full_optimize_resets_mixedness(spark, tmp_path):
+    """OPTIMIZE that rewrites the ENTIRE live set compacts an evolved
+    table to one union-schema layout — subsequent reads must drop
+    mergeSchema (flag reset via the entry's unified_schema marker),
+    while a post-optimize evolved append re-raises it."""
+    from medallion_data_lake_spark.operators.versioned import (
+        _mixed_schema_at,
+        optimize_table,
+    )
+
+    path = _vt(spark, tmp_path)
+    assert _mixed_schema_at(path)
+    optimize_table(spark, path, target_file_bytes=1 << 30)
+    assert not _mixed_schema_at(path), (
+        "full compaction left the mergeSchema flag on"
+    )
+    got = read_table(spark, path)
+    assert set(got.columns) == {"id", "tag", "score"}
+    rows = {r["id"]: (r["tag"], r["score"]) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 1.5)}
+
+    # evolution after the compaction flips it back on
+    commit(spark.createDataFrame([(3, "c", 1.0, 7)],
+                                 "id long, tag string, score double, n long"),
+           path, allow_schema_evolution=True)
+    assert _mixed_schema_at(path)
