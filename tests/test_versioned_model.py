@@ -148,3 +148,119 @@ def test_versioned_table_matches_reference_model(spark, tmp_path_factory, ops):
     now = read_table(spark, path).select("id", "tag")
     assert rebuilt.exceptAll(now).count() == 0
     assert now.exceptAll(rebuilt).count() == 0
+
+
+# op alphabet for the evolution model: evolved appends, omitting
+# appends, overwrite resets, rollback restores, full-rewrite optimize
+_evo_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "evolve_append", "merge", "overwrite",
+                         "rollback", "optimize"]),
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=99),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(ops=_evo_ops)
+def test_versioned_model_with_schema_evolution(spark, tmp_path_factory, ops):
+    """Round-5 extension of the reference-model property: arbitrary
+    interleavings of EVOLVED appends (add `score`), omitting appends,
+    overwrites (schema reset), rollbacks (restore possibly-mixed
+    snapshots), merges carrying the union schema, and full-rewrite
+    OPTIMIZE. Every value — including evolved-column values, the exact
+    thing the round-4 advisor found silently dropping — must match the
+    dict model at every version. Scores are read as None when the
+    column is absent, so a snapshot losing the column shows up as a
+    value mismatch, not a KeyError."""
+    path = str(tmp_path_factory.mktemp("evomodel") / "vt")
+    model: dict[int, tuple[str, float | None]] = {}
+    snapshots: list[dict[int, tuple[str, float | None]]] = []
+    fresh = 100
+    evolved = False  # does the CURRENT table schema include score?
+
+    def plain_df(rows):
+        return spark.createDataFrame(
+            [(i, t) for i, (t, _) in rows.items()], "id long, tag string")
+
+    def wide_df(rows):
+        return spark.createDataFrame(
+            [(i, t, s) for i, (t, s) in rows.items()],
+            "id long, tag string, score double")
+
+    def apply_real(kind, seed_k, seed_t):
+        nonlocal fresh, evolved
+        ids = sorted({seed_k, seed_k + 3, fresh + seed_k})
+        plain = {i: (f"t{seed_t}_{i}", None) for i in ids}
+        scored = {i: (f"t{seed_t}_{i}", float(seed_t)) for i in ids}
+
+        if kind in ("append", "evolve_append") and any(i in model for i in ids):
+            kind = "merge"  # keyed table: no duplicate keys
+
+        if kind == "append":
+            commit(plain_df(plain), path, allow_schema_evolution=True,
+                   stats_cols=("id",))
+            model.update(plain)
+        elif kind == "evolve_append":
+            commit(wide_df(scored), path, allow_schema_evolution=True,
+                   stats_cols=("id",))
+            evolved = True
+            model.update(scored)
+        elif kind == "merge":
+            if not model:
+                commit(plain_df(plain), path, stats_cols=("id",))
+                model.update(plain)
+            else:
+                # merge source must carry the table's union schema
+                src = wide_df(scored) if evolved else plain_df(plain)
+                merge_into(spark, path, src, key="id")
+                model.update(scored if evolved else plain)
+        elif kind == "overwrite":
+            commit(plain_df(plain), path, mode="overwrite",
+                   stats_cols=("id",))
+            evolved = False  # schema reset
+            model.clear()
+            model.update(plain)
+        elif kind == "rollback":
+            if not snapshots:
+                return
+            from medallion_data_lake_spark.operators.versioned import (
+                rollback,
+            )
+
+            to_v = seed_k % len(snapshots)
+            rollback(spark, path, to_version=to_v)
+            model.clear()
+            model.update(snapshots[to_v])
+            evolved = any(s is not None for _, s in model.values())
+        elif kind == "optimize":
+            if not model:
+                return
+            optimize_table(spark, path, target_file_bytes=1 << 30)
+        snapshots.append(dict(model))
+        fresh += 100
+
+    for kind, seed_k, seed_t in ops:
+        apply_real(kind, seed_k, seed_t)
+    if not snapshots:
+        return
+
+    def as_dict(df):
+        has_score = "score" in df.columns
+        return {
+            r["id"]: (r["tag"], r["score"] if has_score else None)
+            for r in df.collect()
+        }
+
+    assert as_dict(read_table(spark, path)) == model
+    for v, state in enumerate(snapshots):
+        assert as_dict(read_table(spark, path, version=v)) == state, (
+            f"version {v} diverged"
+        )
