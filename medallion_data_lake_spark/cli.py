@@ -70,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=["tables", "describe", "sql", "samples", "analyze",
                  "manifest", "compact", "history", "optimize", "expire",
                  "serve", "explain", "changes", "update", "delete",
-                 "curate", "verify-release"],
+                 "curate", "verify-release", "index-health"],
     )
     ap.add_argument(
         "arg",
@@ -104,6 +104,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="curate: temperature (1=natural, 0=uniform)")
     ap.add_argument("--release-name", default="release",
                     help="curate: name recorded in the manifest")
+    ap.add_argument("--health-sample", type=int, default=200,
+                    help="index-health: sample size for recall re-measure")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve: listen as a JSON HTTP API on this port "
                          "instead of the stdin REPL")
@@ -324,6 +326,18 @@ def main(argv: list[str] | None = None) -> int:
             manifest, os.path.join(out_dir, "manifest.json"))
         print(json.dumps({"funnel": manifest["funnel"],
                           "strata": len(manifest["strata"])}))
+    elif args.verb == "index-health":
+        # recall-drift telemetry for a persisted ANN index (the rebuild
+        # audit closing the append-forever lifecycle loop)
+        if not args.arg:
+            print("index-health requires an index path", file=sys.stderr)
+            return 2
+        from .operators.ann import check_index_health
+
+        report = check_index_health(spark, args.arg,
+                                    sample_n=args.health_sample)
+        print(json.dumps(report))
+        return 0 if not report["rebuild_recommended"] else 1
     elif args.verb == "verify-release":
         # re-audit a `curate` output dir against its own manifest: count
         # or checksum drift per stratum fails loudly (exit 1)

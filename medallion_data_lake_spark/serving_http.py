@@ -171,6 +171,12 @@ def run_curate_dry(serving: ServingLayer, req: dict) -> dict:
             int(req["mix_token_budget"]) if req.get("mix_token_budget")
             else None
         ),
+        blocklist=tuple(req.get("blocklist", ())),
+        redact_pii=bool(req.get("redact_pii", False)),
+        max_pii_hits=(
+            int(req["max_pii_hits"]) if req.get("max_pii_hits") is not None
+            else None
+        ),
     )
     t0 = time.perf_counter()
     observations: dict = {}

@@ -300,3 +300,19 @@ def test_index_health_flags_recall_drift(spark, tmp_path):
     assert report["drift"] is not None and report["drift"] > 0.1
     assert report["rebuild_recommended"]
     assert "recall" in report["reason"]
+
+
+def test_cli_index_health_verb(spark, emb, tmp_path, capsys):
+    """`cli index-health <path>`: JSON health report, exit 0 when
+    healthy, exit 1 when a rebuild is recommended."""
+    import json as _json
+
+    from medallion_data_lake_spark import cli
+    from medallion_data_lake_spark.operators.ann import build_ivf_index
+
+    path = str(tmp_path / "cli_idx")
+    build_ivf_index(emb, path, n_bits=MIN_BITS, measure_recall=40)
+    rc = cli.main(["index-health", path, "--health-sample", "40"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "recall" in out and "rebuild_recommended" in out
+    assert rc == (1 if out["rebuild_recommended"] else 0)
