@@ -437,6 +437,11 @@ class CurationConfig:
     # spans (a doc that is mostly PII is not salvageable by scrubbing)
     redact_pii: bool = False
     max_pii_hits: int | None = None
+    # derive embeddings FROM the text (operators/embeddings.py hashing
+    # embedder — or a real encoder swapped into the same kernel) when no
+    # precomputed embeddings table is passed, enabling semantic dedup on
+    # a text-only corpus
+    semantic_from_text: bool = False
 
 
 def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
@@ -501,6 +506,16 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
             observations[name] = obs
         stages[name] = df
         return df
+
+    if embeddings is None and cfg.semantic_from_text:
+        from .embeddings import embed_documents
+
+        # text-only corpus: derive the vectors in-pipeline (one Arrow
+        # map pass; a real encoder swaps into the same kernel)
+        embeddings = embed_documents(
+            docs, cfg.id_col, cfg.text_col, cfg.embedding_dim,
+            cfg.embedding_id_col, cfg.embedding_col,
+        )
 
     cur = stage("exact_deduped", exact_dedup(docs, cfg.id_col, cfg.text_col))
     cur = stage("near_deduped", near_dup_dedup(

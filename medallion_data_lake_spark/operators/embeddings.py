@@ -1,0 +1,76 @@
+"""Embedding generation — the text→vector stage of the training-data
+pipeline (the step that feeds semantic dedup, ANN indexes, and
+similarity search when embeddings don't arrive precomputed).
+
+Same posture as the multimodal decoders (operators/multimodal.py): the
+Spark-side contract is the deliverable — Arrow-batched pandas UDF, pure
+map pass, no shuffle, fixed-width ``array<float>`` out — and the model
+inside the kernel is a swap point. Here it is a DETERMINISTIC
+feature-hashing embedder (token n-grams hashed into a signed unit
+vector — literally the classic hashing trick, so similar texts get
+similar vectors with no model download); a real sentence encoder
+replaces ``_hash_embed`` and nothing else changes: batch size, schema,
+partitioning, and every downstream consumer (semantic_dedup,
+build_ivf_index, knn) are identical.
+
+At 100 TB: embedding is the most expensive map stage a corpus pipeline
+runs (GPU-bound in production). The shape that matters — few fat Arrow
+batches per python worker (see multimodal's coalesce note), no driver
+involvement, output column co-partitioned with the id for the join
+back — is exactly what this module pins with tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+DEFAULT_DIM = 64  # matches the fixture embeddings table
+
+
+def _hash_embed(text: str, dim: int) -> np.ndarray:
+    """Signed feature-hashing of word uni+bigrams into R^dim, L2-normed.
+    Deterministic across processes (md5, not Python hash())."""
+    v = np.zeros(dim, dtype=np.float64)
+    toks = text.lower().split()
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    for g in grams:
+        h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+        v[h % dim] += 1.0 if (h >> 63) & 1 else -1.0
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
+
+
+def text_embedder(dim: int = DEFAULT_DIM):
+    """Build the pandas UDF for ``dim``-wide embeddings (UDF return
+    types are static, so the width is bound at build time)."""
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(lambda t: _hash_embed(t, dim).tolist())
+
+    return embed
+
+
+def embed_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    out_id_col: str = "vec_id",
+    out_vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, text) → (vec_id, embedding): the corpus-side embedding pass,
+    shaped exactly like the fixture ``embeddings`` table so every
+    consumer (semantic_dedup_docs, build_ivf_index, knn queries) takes
+    the output unchanged. One Arrow-batched map stage, no shuffle."""
+    return docs.select(
+        F.col(id_col).alias(out_id_col),
+        text_embedder(dim)(F.col(text_col)).alias(out_vec_col),
+    )
