@@ -161,7 +161,20 @@ def remove_common_segments(docs: DataFrame,
     collision could drop an innocent segment — the standard trade every
     line-dedup pipeline makes (CCNet uses 64-bit SHA-1 prefixes).
     """
-    segs = (
+    segs = _exploded_segments(docs, id_col, text_col, sep)
+    frequent = (
+        segs.groupBy("_k")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_k")
+    )
+    return _scrub_frequent_segments(docs, segs, frequent, id_col, text_col, sep)
+
+
+def _exploded_segments(docs: DataFrame, id_col: str, text_col: str,
+                       sep: str) -> DataFrame:
+    """(id, _pos, _seg, _k): one row per non-empty segment, hashed."""
+    return (
         docs.select(
             F.col(id_col),
             F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_seg"),
@@ -169,13 +182,15 @@ def remove_common_segments(docs: DataFrame,
         .filter(F.trim("_seg") != "")
         .withColumn("_k", F.xxhash64("_seg"))
     )
-    frequent = (
-        segs.groupBy("_k")
-        .agg(F.count_distinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_k")
-    )
-    kept = segs.join(frequent, "_k", "left_anti")
+
+
+def _scrub_frequent_segments(docs: DataFrame, segs: DataFrame,
+                             frequent_keys: DataFrame, id_col: str,
+                             text_col: str, sep: str) -> DataFrame:
+    """Drop segments whose key is in ``frequent_keys`` (a `_k` column)
+    and reassemble in original order; fully-scrubbed documents drop.
+    Shared by the batch operator and the streaming cross-batch scrub."""
+    kept = segs.join(frequent_keys.select("_k"), "_k", "left_anti")
     rebuilt = (
         kept.groupBy(id_col)
         .agg(

@@ -583,3 +583,135 @@ def run_incremental_corpus_ingest_near(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch SEGMENT scrub (streaming CCNet line dedup)
+# ---------------------------------------------------------------------------
+#
+# The batch operator (operators/curation_pipeline.remove_common_segments)
+# needs the whole corpus to count a segment; an INCREMENTAL corpus only
+# ever sees one drop at a time. Third ledger, same discipline as the
+# fingerprint and band ledgers: per batch, each segment's distinct-doc
+# count lands as the batch's own (seg key → count) partition rows —
+# ~16 B/segment, corpus-free, replay-idempotent (dynamic partition
+# overwrite on batch id). A batch's docs are scrubbed against the
+# HISTORY-SUM + WITHIN-BATCH counts, so boilerplate crossing the
+# threshold is removed from this batch forward.
+#
+# Non-retroactivity is the documented trade: a segment that becomes
+# frequent at batch N stays in batches < N until a periodic batch
+# re-scrub of the corpus (remove_common_segments over the full corpus —
+# the compaction-style answer, run on the maintenance cadence). Counting
+# history sums the ledger per batch; at corpus scale the same two-tier
+# mirror as compact_ledger_base applies (bucketed base of completed
+# epochs + partition-pruned tail) — the ledger schema is already keyed
+# for it.
+
+
+def segment_counts(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """(seg key ``_k``, distinct-doc count ``_nd``) for one batch."""
+    from ..operators.curation_pipeline import _exploded_segments
+
+    return (
+        _exploded_segments(docs, id_col, text_col, sep)
+        .groupBy("_k")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+    )
+
+
+def scrub_batch_segments(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    seg_ledger_dir: str,
+    min_docs: int = 10,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Process one micro-batch: scrub segments frequent across
+    history+batch, write cleaned docs and the batch's segment-count
+    ledger partition (counts from the ORIGINAL text — the ledger must
+    record what was seen, or future batches would under-count exactly
+    the boilerplate being scrubbed)."""
+    from ..operators.curation_pipeline import (
+        _exploded_segments,
+        _scrub_frequent_segments,
+    )
+
+    spark = batch_df.sparkSession
+    segs = _exploded_segments(batch_df, id_col, text_col, sep)
+    batch_counts = (
+        segs.groupBy("_k").agg(F.count_distinct(id_col).alias("_nd"))
+    )
+
+    history = None
+    if os.path.isdir(seg_ledger_dir):
+        try:
+            history = (
+                spark.read.parquet(seg_ledger_dir)
+                .filter(F.col("_batch_id") != batch_id)  # replay safety
+                .groupBy("_k")
+                .agg(F.sum("_nd").alias("_nd"))
+            )
+        except Exception:
+            history = None  # first batch: empty/absent ledger
+    totals = (
+        batch_counts.unionByName(history).groupBy("_k")
+        .agg(F.sum("_nd").alias("_nd"))
+        if history is not None
+        else batch_counts
+    )
+    frequent = totals.filter(F.col("_nd") >= min_docs).select("_k")
+
+    cleaned = _scrub_frequent_segments(
+        batch_df, segs, frequent, id_col, text_col, sep
+    ).withColumn("_batch_id", F.lit(batch_id))
+    (
+        cleaned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_dir)
+    )
+    (
+        batch_counts.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(seg_ledger_dir)
+    )
+
+
+def run_incremental_segment_scrub(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    seg_ledger_dir: str,
+    checkpoint_dir: str,
+    min_docs: int = 10,
+    sep: str = "\n",
+    available_now: bool = True,
+):
+    """Stream JSON-lines document drops through the cross-batch segment
+    scrub. Exactly-once by the same two legs as the other ingesters:
+    the streaming checkpoint stops re-delivery, dynamic partition
+    overwrite makes a replayed batch rewrite only its own output and
+    ledger partitions. Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "64")
+        .json(input_dir)
+    )
+
+    def process(df: DataFrame, bid: int) -> None:
+        scrub_batch_segments(df, bid, out_dir, seg_ledger_dir,
+                             min_docs=min_docs, sep=sep)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -238,3 +238,83 @@ def test_runner_auto_compacts_completed_epochs_only(spark, tmp_path):
         assert spark.read.parquet(corpus).count() == 8
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {base}")
+
+
+def _doc(i, text):
+    return {"doc_id": i, "text": text, "lang": "en", "source": "a"}
+
+
+def test_cross_batch_segment_scrub(spark, tmp_path):
+    """Streaming CCNet line dedup: a boilerplate line crossing the
+    min_docs threshold ACROSS batches is scrubbed from the batch where
+    it crosses and every batch after; earlier batches keep it
+    (documented non-retroactivity). Unique lines always survive."""
+    from medallion_data_lake_spark.streaming.corpus import (
+        run_incremental_segment_scrub,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "clean")
+    ledger = str(tmp_path / "segledger")
+    ckpt = str(tmp_path / "ckpt")
+    boiler = "subscribe to our newsletter"
+
+    # drop 1: 3 docs with the boilerplate (below min_docs=5)
+    _write_drop(f"{in_dir}/d1.json",
+                [_doc(i, f"own line {i}\n{boiler}") for i in range(3)])
+    q = run_incremental_segment_scrub(spark, in_dir, out, ledger, ckpt,
+                                      min_docs=5)
+    q.awaitTermination(60)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert all(boiler in t for t in got.values())  # not frequent yet
+
+    # drop 2: 3 more docs -> history(3) + batch(3) >= 5: scrubbed NOW
+    _write_drop(f"{in_dir}/d2.json",
+                [_doc(10 + i, f"own line {10 + i}\n{boiler}") for i in range(3)])
+    q = run_incremental_segment_scrub(spark, in_dir, out, ledger, ckpt,
+                                      min_docs=5)
+    q.awaitTermination(60)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert len(got) == 6
+    for i in range(3):            # batch 1 keeps it (non-retroactive)
+        assert boiler in got[i]
+    for i in range(10, 13):       # batch 2 scrubbed, unique line kept
+        assert got[i] == f"own line {i}"
+
+    # drop 3: the ledger remembers — scrubbed immediately
+    _write_drop(f"{in_dir}/d3.json", [_doc(20, f"fresh line\n{boiler}")])
+    q = run_incremental_segment_scrub(spark, in_dir, out, ledger, ckpt,
+                                      min_docs=5)
+    q.awaitTermination(60)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got[20] == "fresh line"
+
+
+def test_segment_scrub_replay_idempotent(spark, tmp_path):
+    """A replayed batch (same batch id) must not double-count its own
+    prior ledger partition — rerunning scrub_batch_segments for batch 0
+    leaves counts and output identical."""
+    from medallion_data_lake_spark.streaming.corpus import (
+        scrub_batch_segments,
+    )
+
+    out = str(tmp_path / "clean")
+    ledger = str(tmp_path / "segledger")
+    docs = spark.createDataFrame(
+        [(i, f"own {i}\nshared line", "en", "a") for i in range(3)],
+        "doc_id long, text string, lang string, source string",
+    )
+    scrub_batch_segments(docs, 0, out, ledger, min_docs=3)
+    first = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    # min_docs=3 met WITHIN the batch: scrubbed already
+    assert all(t == f"own {i}" for i, t in first.items())
+
+    scrub_batch_segments(docs, 0, out, ledger, min_docs=3)  # replay
+    again = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert again == first
+    ledger_counts = {
+        r["_k"]: r["_nd"]
+        for r in spark.read.parquet(ledger).groupBy("_k")
+        .agg(F.sum("_nd").alias("_nd")).collect()
+    }
+    assert max(ledger_counts.values()) == 3  # not 6 — no double count
