@@ -621,6 +621,42 @@ def segment_counts(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def compact_segment_ledger_base(
+    spark: SparkSession,
+    seg_ledger_dir: str,
+    base_table: str,
+    n_buckets: int = 64,
+    through_batch_id: int | None = None,
+) -> dict:
+    """Two-tier base for the segment-count ledger: SUM the per-batch
+    counts through ``through_batch_id`` into a key-bucketed managed
+    table (watermark in table properties — same contract as
+    :func:`compact_ledger_base`, including the completed-epochs-only
+    rule for in-stream compaction). After this, per-batch history
+    lookup scans the base ONCE with the batch's keys broadcast (no
+    base-side shuffle, ever) plus the partition-pruned tail."""
+    ledger = spark.read.parquet(seg_ledger_dir)
+    if through_batch_id is not None:
+        ledger = ledger.filter(F.col("_batch_id") <= F.lit(through_batch_id))
+    hi = ledger.agg(F.max("_batch_id")).first()[0]
+    if hi is None:
+        return {"base_table": base_table, "compacted_through": None}
+    (
+        ledger.groupBy("_k")
+        .agg(F.sum("_nd").alias("_nd"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "_k")
+        .sortBy("_k")
+        .format("parquet")
+        .saveAsTable(base_table)
+    )
+    spark.sql(
+        f"ALTER TABLE {base_table} SET TBLPROPERTIES "
+        f"('{LEDGER_WATERMARK_PROP}'='{hi}')"
+    )
+    return {"base_table": base_table, "compacted_through": int(hi)}
+
+
 def scrub_batch_segments(
     batch_df: DataFrame,
     batch_id: int,
@@ -630,6 +666,7 @@ def scrub_batch_segments(
     sep: str = "\n",
     id_col: str = "doc_id",
     text_col: str = "text",
+    seg_base_table: str | None = None,
 ) -> None:
     """Process one micro-batch: scrub segments frequent across
     history+batch, write cleaned docs and the batch's segment-count
@@ -647,23 +684,34 @@ def scrub_batch_segments(
         segs.groupBy("_k").agg(F.count_distinct(id_col).alias("_nd"))
     )
 
-    history = None
+    parts = [batch_counts]
+    wm = -1
+    if seg_base_table is not None and spark.catalog.tableExists(seg_base_table):
+        wm = _ledger_watermark(spark, seg_base_table)
+        # base counts for ONLY this batch's keys: one in-place base scan
+        # filtered by the broadcast batch key set — the base is never
+        # shuffled, which is the whole point of the tier
+        parts.append(
+            spark.table(seg_base_table).join(
+                F.broadcast(batch_counts.select("_k")), "_k"
+            )
+        )
     if os.path.isdir(seg_ledger_dir):
         try:
-            history = (
+            parts.append(
                 spark.read.parquet(seg_ledger_dir)
-                .filter(F.col("_batch_id") != batch_id)  # replay safety
-                .groupBy("_k")
-                .agg(F.sum("_nd").alias("_nd"))
+                .filter(
+                    (F.col("_batch_id") > F.lit(wm))        # above the base
+                    & (F.col("_batch_id") != F.lit(batch_id))  # replay safety
+                )
+                .select("_k", "_nd")
             )
         except Exception:
-            history = None  # first batch: empty/absent ledger
-    totals = (
-        batch_counts.unionByName(history).groupBy("_k")
-        .agg(F.sum("_nd").alias("_nd"))
-        if history is not None
-        else batch_counts
-    )
+            pass  # first batch: empty/absent ledger
+    totals = parts[0]
+    for p in parts[1:]:
+        totals = totals.unionByName(p.select("_k", "_nd"))
+    totals = totals.groupBy("_k").agg(F.sum("_nd").alias("_nd"))
     frequent = totals.filter(F.col("_nd") >= min_docs).select("_k")
 
     cleaned = _scrub_frequent_segments(
@@ -693,6 +741,8 @@ def run_incremental_segment_scrub(
     min_docs: int = 10,
     sep: str = "\n",
     available_now: bool = True,
+    seg_base_table: str | None = None,
+    compact_base_every: int | None = None,
 ):
     """Stream JSON-lines document drops through the cross-batch segment
     scrub. Exactly-once by the same two legs as the other ingesters:
@@ -707,7 +757,19 @@ def run_incremental_segment_scrub(
 
     def process(df: DataFrame, bid: int) -> None:
         scrub_batch_segments(df, bid, out_dir, seg_ledger_dir,
-                             min_docs=min_docs, sep=sep)
+                             min_docs=min_docs, sep=sep,
+                             seg_base_table=seg_base_table)
+        if (
+            seg_base_table
+            and compact_base_every
+            and bid > 0
+            and (bid + 1) % compact_base_every == 0
+        ):
+            # completed epochs only (same rule as compact_ledger_base)
+            compact_segment_ledger_base(
+                spark, seg_ledger_dir, seg_base_table,
+                through_batch_id=bid - 1,
+            )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -318,3 +318,47 @@ def test_segment_scrub_replay_idempotent(spark, tmp_path):
         .agg(F.sum("_nd").alias("_nd")).collect()
     }
     assert max(ledger_counts.values()) == 3  # not 6 — no double count
+
+
+def test_segment_scrub_two_tier_base(spark, tmp_path):
+    """Two-tier segment ledger: after compaction, history counts come
+    from the bucketed base (batch keys broadcast, base scanned in
+    place) + the post-watermark tail; results equal the flat form and
+    a replayed batch still does not meet its own counts."""
+    from medallion_data_lake_spark.streaming.corpus import (
+        compact_segment_ledger_base,
+        scrub_batch_segments,
+    )
+
+    out = str(tmp_path / "clean")
+    ledger = str(tmp_path / "segledger")
+    base = "seg_base_t5"
+    boiler = "shared boilerplate line"
+
+    def docs(ids):
+        return spark.createDataFrame(
+            [(i, f"own {i}\n{boiler}", "en", "a") for i in ids],
+            "doc_id long, text string, lang string, source string",
+        )
+
+    try:
+        scrub_batch_segments(docs(range(3)), 0, out, ledger, min_docs=5)
+        compact_segment_ledger_base(spark, ledger, base)  # wm = 0
+        # batch 1: base(3) + batch(3) >= 5 -> scrubbed via the base path
+        scrub_batch_segments(docs(range(10, 13)), 1, out, ledger,
+                             min_docs=5, seg_base_table=base)
+        got = {r["doc_id"]: r["text"]
+               for r in spark.read.parquet(out).collect()}
+        for i in range(10, 13):
+            assert got[i] == f"own {i}"
+        for i in range(3):
+            assert boiler in got[i]  # batch 0 predates the threshold
+
+        # replay batch 1 with the base: counts must not double
+        scrub_batch_segments(docs(range(10, 13)), 1, out, ledger,
+                             min_docs=5, seg_base_table=base)
+        again = {r["doc_id"]: r["text"]
+                 for r in spark.read.parquet(out).collect()}
+        assert again == got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {base}")
