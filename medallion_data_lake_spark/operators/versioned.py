@@ -312,6 +312,84 @@ def _collect_file_stats(
     return out
 
 
+BLOOM_BITS = 4096   # 512 B/file/col in the log — KB-scale at any layout
+BLOOM_HASHES = 4    # k=4 at m/n >= 8 keeps FP rate ~2.4%
+
+
+def _bloom_hash(col, seed: int):
+    """The one hash both sides share: xxhash64 over the STRING rendering
+    (type-insensitive — a read probing id=5 must hash identically whether
+    the column is int or long)."""
+    from pyspark.sql import functions as F
+
+    return F.xxhash64(F.lit(seed), col.cast("string"))
+
+
+def _collect_bloom_filters(
+    spark: SparkSession,
+    data_path: str,
+    bloom_cols: tuple[str, ...],
+    bits: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> dict[str, dict[str, str]]:
+    """Per-file Bloom bitsets for ``bloom_cols`` over a just-written
+    commit dir — the point-lookup complement of the [min,max] ranges
+    (an equality probe on a high-NDV key where every file's range
+    overlaps everything). One aggregation over only the new files:
+    collect_set of ≤ bits ints per file per hash — KB-scale. Encoded
+    ``"{bits}:{k}:" + base64(bitset)`` under the reserved stats key
+    ``"<col>__bloom"`` so it rides the existing file_stats plumbing
+    (log entry → checkpoint folding → _file_stats_at) untouched."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.collect_set(
+            F.pmod(_bloom_hash(F.col(c), i), F.lit(bits))
+        ).alias(f"{c}__{i}")
+        for c in bloom_cols
+        for i in range(k)
+    ]
+    rows = (
+        spark.read.parquet(data_path)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, dict[str, str]] = {}
+    commit_dir = os.path.basename(data_path)
+    for r in rows:
+        base = os.path.basename(r["_f"].split("?")[0])
+        rel = os.path.join("data", commit_dir, base)
+        enc: dict[str, str] = {}
+        for c in bloom_cols:
+            bitset = bytearray((bits + 7) // 8)
+            for i in range(k):
+                for pos in r[f"{c}__{i}"] or []:
+                    bitset[pos // 8] |= 1 << (pos % 8)
+            enc[f"{c}__bloom"] = (
+                f"{bits}:{k}:" + base64.b64encode(bytes(bitset)).decode()
+            )
+        out[rel] = enc
+    return out
+
+
+def _bloom_may_contain(encoded: str, raw_hashes: list[int]) -> bool:
+    """Probe an encoded bitset with the k raw xxhash64 values (positions
+    derive per file from its own recorded bits)."""
+    import base64
+
+    bits_s, k_s, b64 = encoded.split(":", 2)
+    bits, k = int(bits_s), int(k_s)
+    bitset = base64.b64decode(b64)
+    for raw in raw_hashes[:k]:
+        pos = raw % bits
+        if not (bitset[pos // 8] >> (pos % 8)) & 1:
+            return False
+    return True
+
+
 def _file_stats_at(path: str, version: int | None = None) -> dict[str, dict]:
     """Per-file stats for the LIVE files at ``version`` — resolved from
     the newest checkpoint + tail like :func:`_state_at`."""
@@ -427,6 +505,7 @@ def commit(
     stats_cols: tuple[str, ...] = (),
     analyze_stats: bool | tuple[str, ...] = False,
     allow_schema_evolution: bool = False,
+    bloom_cols: tuple[str, ...] = (),
 ) -> dict | None:
     """Write ``df`` as one atomic commit; returns the log entry.
 
@@ -517,6 +596,13 @@ def commit(
         if stats_cols and added
         else {}
     )
+    if bloom_cols and added:
+        # blooms ride the same per-file stats dict (reserved __bloom
+        # keys) so checkpoints and resolution need no new plumbing
+        for rel, enc in _collect_bloom_filters(
+            df.sparkSession, data_path, tuple(bloom_cols)
+        ).items():
+            file_stats.setdefault(rel, {}).update(enc)
     stats_rel = (
         _write_stats_partials(
             df.sparkSession, path, data_path,
@@ -612,6 +698,7 @@ def read_table_pruned(
     hi=None,
     version: int | None = None,
     predicates: dict[str, tuple] | None = None,
+    eq: dict[str, object] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Snapshot read with FILE SKIPPING: live files whose recorded
     [min, max] range excludes the requested range(s) are never opened —
@@ -629,6 +716,16 @@ def read_table_pruned(
     every file a compact box in BOTH columns, so two-sided skipping
     multiplies instead of degenerating to the primary sort column.
 
+    ``eq={col: value, ...}`` adds POINT-LOOKUP skipping via the
+    per-file Bloom filters ``commit(bloom_cols=...)`` records — the
+    case ranges cannot help (a high-NDV key whose [min, max] spans
+    every file, e.g. unsorted ids: every range overlaps, the bloom
+    says "definitely absent" for ~97% of files at the default
+    4096-bit/4-hash layout). Both prunings compose; files without a
+    recorded bloom are conservatively read, false positives only cost
+    an extra file read (the residual equality filter keeps results
+    exact — Delta's bloom-index contract).
+
     Returns ``(df, report)`` where report carries files_read /
     files_skipped so callers and tests can audit the pruning.
     """
@@ -639,10 +736,33 @@ def read_table_pruned(
     preds = dict(predicates or {})
     if col is not None:
         preds[col] = (lo, hi)
-    if not preds:
-        raise ValueError("read_table_pruned needs col/lo/hi or predicates")
+    eq = dict(eq or {})
+    if not preds and not eq:
+        raise ValueError("read_table_pruned needs col/lo/hi, predicates, or eq")
     live, _ = _state_at(path, version)
     stats = _file_stats_at(path, version)
+
+    # equality probes: raw hash values once per column (one tiny job),
+    # positions derive per file from its own recorded bits/k
+    eq_hashes: dict[str, list[int]] = {}
+    if eq:
+        probe = spark.range(1).select(
+            *[
+                _bloom_hash(F.lit(str(v)), i).alias(f"{c}__{i}")
+                for c, v in eq.items()
+                for i in range(BLOOM_HASHES)
+            ]
+        ).first()
+        eq_hashes = {
+            c: [probe[f"{c}__{i}"] for i in range(BLOOM_HASHES)]
+            for c in eq
+        }
+
+    def bloom_admits(fstats: dict, c: str) -> bool:
+        encoded = fstats.get(f"{c}__bloom")
+        if encoded is None:
+            return True  # no bloom recorded: conservatively read
+        return _bloom_may_contain(encoded, eq_hashes[c])
 
     def overlaps(rng, plo, phi) -> bool:
         if rng is None or rng[0] is None:
@@ -659,6 +779,12 @@ def read_table_pruned(
         if all(
             overlaps(stats.get(f, {}).get(c), plo, phi)
             for c, (plo, phi) in preds.items()
+        )
+        and all(
+            bloom_admits(stats.get(f, {}), c)
+            # ranges prune eq probes too when recorded for the column
+            and overlaps(stats.get(f, {}).get(c), v, v)
+            for c, v in eq.items()
         )
     ]
     report = {
@@ -680,6 +806,8 @@ def read_table_pruned(
             df = df.filter(F.col(c) >= plo)
         if phi is not None:
             df = df.filter(F.col(c) <= phi)
+    for c, v in eq.items():
+        df = df.filter(F.col(c) == v)
     return df, report
 
 

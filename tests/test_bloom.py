@@ -1,0 +1,89 @@
+"""Per-file Bloom filters on the versioned table: point-lookup file
+skipping where [min,max] ranges are useless (high-NDV unsorted keys),
+exact results guaranteed by the residual filter."""
+
+from __future__ import annotations
+
+import pytest
+
+from medallion_data_lake_spark.operators.versioned import (
+    BLOOM_BITS,
+    commit,
+    read_table_pruned,
+)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    """4 commits × interleaved ids: every file's id RANGE spans nearly
+    the whole domain (range skipping is useless by construction), but
+    each id lives in exactly one file."""
+    path = str(tmp_path / "vt")
+    for b in range(4):
+        rows = [(i, f"v{i}") for i in range(b, 4000, 4)]  # ids mod 4 == b
+        commit(
+            spark.createDataFrame(rows, "id long, payload string"),
+            path, stats_cols=("id",), bloom_cols=("id",),
+        )
+    return path
+
+
+def test_bloom_point_lookup_skips_files(spark, table):
+    df, report = read_table_pruned(spark, table, eq={"id": 1337})
+    # each commit writes several part files (8 shuffle partitions); the
+    # key lives in exactly ONE of them. Ranges overlap everywhere; the
+    # bloom alone must prune to ~1 file (false positives possible but
+    # bounded far below "read everything")
+    assert report["files_total"] >= 4
+    assert report["files_read"] <= max(4, report["files_total"] // 8), report
+    rows = df.collect()
+    assert [(r["id"], r["payload"]) for r in rows] == [(1337, "v1337")]
+
+
+def test_bloom_absent_key_reads_nothing(spark, table):
+    """A key in no file: with 4 hashes at 4096 bits over 1000 keys/file,
+    all 4 files should say definitely-absent (FP ~2.4%/file; tolerate
+    one)."""
+    df, report = read_table_pruned(spark, table, eq={"id": 999_999})
+    assert report["files_skipped"] >= report["files_total"] - 2, report
+    assert df.count() == 0
+
+
+def test_bloom_false_positive_still_exact(spark, tmp_path):
+    """Degenerate bloom (every probe a maybe) must never change
+    RESULTS — the residual filter keeps equality exact."""
+    path = str(tmp_path / "vt")
+    commit(spark.createDataFrame([(1, "a"), (2, "b")], "id long, p string"),
+           path, bloom_cols=("id",))
+    df, report = read_table_pruned(spark, path, eq={"id": 2})
+    assert [(r["id"], r["p"]) for r in df.collect()] == [(2, "b")]
+
+
+def test_bloom_survives_checkpoint_folding(spark, tmp_path):
+    """Blooms ride file_stats into log checkpoints: after enough
+    commits to write a checkpoint, pruning still works (resolution
+    reads the checkpoint, not the expired entries)."""
+    from medallion_data_lake_spark.operators.versioned import expire_log
+
+    path = str(tmp_path / "vt")
+    for b in range(12):
+        rows = [(b * 1000 + i, "x") for i in range(50)]
+        commit(spark.createDataFrame(rows, "id long, p string"),
+               path, bloom_cols=("id",))
+    expire_log(path, keep_last=2)  # entries below the base are GONE
+    df, report = read_table_pruned(spark, path, eq={"id": 11_007})
+    assert report["files_skipped"] >= report["files_total"] - 2
+    assert df.count() == 1
+
+
+def test_files_without_bloom_are_read(spark, tmp_path):
+    """Mixed table: commits without bloom_cols stay conservatively
+    readable — pruning must not skip them."""
+    path = str(tmp_path / "vt")
+    commit(spark.createDataFrame([(1, "old")], "id long, p string"), path)
+    commit(spark.createDataFrame([(2, "new")], "id long, p string"),
+           path, bloom_cols=("id",))
+    df, report = read_table_pruned(spark, path, eq={"id": 1})
+    assert report["files_read"] >= 1
+    assert [(r["id"], r["p"]) for r in df.collect()] == [(1, "old")]
+    assert BLOOM_BITS == 4096  # layout constant pinned (log compat)
