@@ -375,6 +375,20 @@ def _collect_bloom_filters(
     return out
 
 
+def _bloomed_cols(stats: dict[str, dict], files) -> tuple[str, ...]:
+    """Columns with a recorded bloom among ``files`` — DML rewrites
+    re-record blooms for exactly these so point-skipping survives
+    updates/deletes/merges (a rewritten file without its bloom is
+    still CORRECT, just conservatively read)."""
+    suffix = "__bloom"
+    return tuple(sorted({
+        k[:-len(suffix)]
+        for f in files
+        for k in stats.get(f, {})
+        if k.endswith(suffix)
+    }))
+
+
 def _bloom_may_contain(encoded: str, raw_hashes: list[int]) -> bool:
     """Probe an encoded bitset with the k raw xxhash64 values (positions
     derive per file from its own recorded bits)."""
@@ -1374,6 +1388,7 @@ def delete_rows(
     where: str | None = None,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    keys: dict[str, list] | None = None,
 ) -> dict | None:
     """Delta-style DELETE, FILE-GRANULAR: rows matching the predicate
     are removed by rewriting ONLY the live files whose recorded
@@ -1393,6 +1408,15 @@ def delete_rows(
     per-key erasure is this + a key-range predicate; erasing the
     HISTORY too is ``vacuum`` after retention.
 
+    ``keys={col: [v, ...]}`` is the GDPR point-erasure form: delete
+    rows whose column is IN a bounded key list. Files are pruned per
+    key through BOTH the [min,max] ranges and the per-file Bloom
+    filters (``commit(bloom_cols=...)``) — erasing a handful of ids
+    from a million-file table rewrites only the files that can
+    actually hold them. The list is driver-held: thousands of keys,
+    not millions (a million-key erasure is a MERGE-shaped anti-join
+    rewrite, not a point delete).
+
     Returns the commit entry (+ files_matched / rows audit) or None if
     no row matched anywhere. Idempotent-writer contract via
     ``txn_app_id``/``txn_version`` like every other writer here.
@@ -1400,8 +1424,9 @@ def delete_rows(
     from pyspark.sql import functions as F
 
     preds = dict(predicates or {})
-    if not preds and where is None:
-        raise ValueError("delete_rows needs predicates and/or where")
+    keys = {c: list(vs) for c, vs in (keys or {}).items() if vs}
+    if not preds and where is None and not keys:
+        raise ValueError("delete_rows needs predicates, keys, and/or where")
     has_txn = txn_app_id is not None and txn_version is not None
     if has_txn:
         seen = latest_txn_version(path, txn_app_id)
@@ -1422,12 +1447,43 @@ def delete_rows(
             return False
         return True
 
+    key_hashes: dict[str, list[list[int]]] = {}
+    if keys:
+        probe = spark.range(1).select(
+            *[
+                _bloom_hash(F.lit(str(v)), i).alias(f"{c}__{j}__{i}")
+                for c, vs in keys.items()
+                for j, v in enumerate(vs)
+                for i in range(BLOOM_HASHES)
+            ]
+        ).first()
+        key_hashes = {
+            c: [
+                [probe[f"{c}__{j}__{i}"] for i in range(BLOOM_HASHES)]
+                for j in range(len(vs))
+            ]
+            for c, vs in keys.items()
+        }
+
+    def key_admits(fstats: dict, c: str) -> bool:
+        """Some key of ``c`` can live in the file (range AND bloom)."""
+        rng = fstats.get(c)
+        encoded = fstats.get(f"{c}__bloom")
+        for v, hs in zip(keys[c], key_hashes[c]):
+            if not overlaps(rng, v, v):
+                continue
+            if encoded is not None and not _bloom_may_contain(encoded, hs):
+                continue
+            return True
+        return False
+
     matched = [
         f for f in live
         if all(
             overlaps(stats.get(f, {}).get(c), lo, hi)
             for c, (lo, hi) in preds.items()
         )
+        and all(key_admits(stats.get(f, {}), c) for c in keys)
     ]
     if not matched:
         return None
@@ -1438,6 +1494,8 @@ def delete_rows(
             cond = cond & (F.col(c) >= lo)
         if hi is not None:
             cond = cond & (F.col(c) <= hi)
+    for c, vs in keys.items():
+        cond = cond & F.col(c).isin(*vs)
     if where is not None:
         cond = cond & F.expr(where)
 
@@ -1458,12 +1516,18 @@ def delete_rows(
         for f in os.listdir(data_path)
         if f.endswith(".parquet")
     )
-    stats_record = tuple(preds)
+    stats_record = tuple(preds) + tuple(k for k in keys if k not in preds)
     file_stats = (
         _collect_file_stats(spark, path, data_path, stats_record)
         if stats_record and added
         else {}
     )
+    bloom_keep = _bloomed_cols(stats, matched)
+    if bloom_keep and added:
+        for rel, enc in _collect_bloom_filters(
+            spark, data_path, bloom_keep
+        ).items():
+            file_stats.setdefault(rel, {}).update(enc)
     rewritten = set(matched)
 
     def build(version: int) -> dict | None:
@@ -1561,12 +1625,43 @@ def update_rows(
             return False
         return True
 
+    key_hashes: dict[str, list[list[int]]] = {}
+    if keys:
+        probe = spark.range(1).select(
+            *[
+                _bloom_hash(F.lit(str(v)), i).alias(f"{c}__{j}__{i}")
+                for c, vs in keys.items()
+                for j, v in enumerate(vs)
+                for i in range(BLOOM_HASHES)
+            ]
+        ).first()
+        key_hashes = {
+            c: [
+                [probe[f"{c}__{j}__{i}"] for i in range(BLOOM_HASHES)]
+                for j in range(len(vs))
+            ]
+            for c, vs in keys.items()
+        }
+
+    def key_admits(fstats: dict, c: str) -> bool:
+        """Some key of ``c`` can live in the file (range AND bloom)."""
+        rng = fstats.get(c)
+        encoded = fstats.get(f"{c}__bloom")
+        for v, hs in zip(keys[c], key_hashes[c]):
+            if not overlaps(rng, v, v):
+                continue
+            if encoded is not None and not _bloom_may_contain(encoded, hs):
+                continue
+            return True
+        return False
+
     matched = [
         f for f in live
         if all(
             overlaps(stats.get(f, {}).get(c), lo, hi)
             for c, (lo, hi) in preds.items()
         )
+        and all(key_admits(stats.get(f, {}), c) for c in keys)
     ]
     if not matched:
         return None
@@ -1577,6 +1672,8 @@ def update_rows(
             cond = cond & (F.col(c) >= lo)
         if hi is not None:
             cond = cond & (F.col(c) <= hi)
+    for c, vs in keys.items():
+        cond = cond & F.col(c).isin(*vs)
     if where is not None:
         cond = cond & F.expr(where)
     cond = F.coalesce(cond, F.lit(False))

@@ -5,6 +5,7 @@ exact results guaranteed by the residual filter."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from medallion_data_lake_spark.operators.versioned import (
     BLOOM_BITS,
@@ -87,3 +88,40 @@ def test_files_without_bloom_are_read(spark, tmp_path):
     assert report["files_read"] >= 1
     assert [(r["id"], r["p"]) for r in df.collect()] == [(1, "old")]
     assert BLOOM_BITS == 4096  # layout constant pinned (log compat)
+
+
+def test_keyed_delete_prunes_with_blooms(spark, table):
+    """GDPR point erasure: delete 3 ids from the interleaved table —
+    only the files that can hold them rewrite; results exact; the
+    rewritten files carry FRESH blooms so later point reads still
+    skip."""
+    from medallion_data_lake_spark.operators.versioned import (
+        delete_rows,
+        read_table,
+    )
+
+    out = delete_rows(spark, table, keys={"id": [8, 1337, 3999]})
+    assert out is not None and out["rows_deleted"] == 3
+    # every commit's files span the id domain; blooms confine the
+    # rewrite to the few files actually holding the 3 keys
+    assert out["files_matched"] <= max(4, (out["files_matched"]
+                                           + out["files_untouched"]) // 4)
+    left = read_table(spark, table)
+    assert left.filter(F.col("id").isin(8, 1337, 3999)).count() == 0
+    assert left.count() == 4000 - 3
+
+    # post-delete point lookup still prunes (fresh blooms on rewrites)
+    df, report = read_table_pruned(spark, table, eq={"id": 12})
+    assert report["files_skipped"] > 0
+    assert df.count() == 1
+
+
+def test_keyed_delete_no_match_is_noop(spark, table):
+    from medallion_data_lake_spark.operators.versioned import (
+        delete_rows,
+        latest_version,
+    )
+
+    before = latest_version(table)
+    assert delete_rows(spark, table, keys={"id": [999_999]}) is None
+    assert latest_version(table) == before
