@@ -1582,13 +1582,16 @@ def update_rows(
     where: str | None = None,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    keys: dict[str, list] | None = None,
 ) -> dict | None:
     """Delta-style UPDATE, FILE-GRANULAR: rows matching the predicate
     get ``set_exprs`` applied ({column: SQL expression over the row,
     e.g. {"status": "'done'", "amount": "amount * 1.1"}}); only live
     files whose recorded [min, max] ranges can contain matches are
     rewritten (same pruning as :func:`delete_rows` — give range
-    predicates whenever you have them). Unmatched rows in rewritten
+    predicates whenever you have them; ``keys={col: [v, ...]}`` is the
+    point-update form, pruned through the per-file Bloom filters
+    exactly like keyed deletes). Unmatched rows in rewritten
     files are copied unchanged; untouched files stay live by identity.
     History keeps the pre-update rows until vacuum. The commit lands as
     ``mode="update"`` with constraint enforcement on the REWRITTEN
@@ -1603,8 +1606,9 @@ def update_rows(
     if not set_exprs:
         raise ValueError("update_rows needs set_exprs")
     preds = dict(predicates or {})
-    if not preds and where is None:
-        raise ValueError("update_rows needs predicates and/or where")
+    keys = {c: list(vs) for c, vs in (keys or {}).items() if vs}
+    if not preds and where is None and not keys:
+        raise ValueError("update_rows needs predicates, keys, and/or where")
     has_txn = txn_app_id is not None and txn_version is not None
     if has_txn:
         seen = latest_txn_version(path, txn_app_id)
@@ -1703,12 +1707,18 @@ def update_rows(
         for f in os.listdir(data_path)
         if f.endswith(".parquet")
     )
-    stats_record = tuple(preds)
+    stats_record = tuple(preds) + tuple(k for k in keys if k not in preds)
     file_stats = (
         _collect_file_stats(spark, path, data_path, stats_record)
         if stats_record and added
         else {}
     )
+    bloom_keep = _bloomed_cols(stats, matched)
+    if bloom_keep and added:
+        for rel, enc in _collect_bloom_filters(
+            spark, data_path, bloom_keep
+        ).items():
+            file_stats.setdefault(rel, {}).update(enc)
     rewritten = set(matched)
 
     def build(version: int) -> dict | None:

@@ -125,3 +125,19 @@ def test_keyed_delete_no_match_is_noop(spark, table):
     before = latest_version(table)
     assert delete_rows(spark, table, keys={"id": [999_999]}) is None
     assert latest_version(table) == before
+
+
+def test_keyed_update_point_form(spark, table):
+    """update_rows(keys=...): point updates prune like keyed deletes."""
+    from medallion_data_lake_spark.operators.versioned import (
+        read_table,
+        update_rows,
+    )
+
+    out = update_rows(spark, table, set_exprs={"payload": "'patched'"},
+                      keys={"id": [7, 2048]})
+    assert out is not None and out["rows_updated"] == 2
+    got = {r["id"]: r["payload"]
+           for r in read_table(spark, table)
+           .filter(F.col("id").isin(7, 2048, 9)).collect()}
+    assert got == {7: "patched", 2048: "patched", 9: "v9"}
