@@ -29,7 +29,11 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return SF_SMOKE
+    # MDLS_TEST_SF_DIR runs the oracle sweep at a bigger scale factor
+    # (the per-round sf0.1 verification pass COVERAGE.md records)
+    import os
+
+    return os.environ.get("MDLS_TEST_SF_DIR", SF_SMOKE)
 
 
 def _env(table, op, ts, data):
