@@ -13,6 +13,10 @@ endpoint is the form a real deployment fronts with any UI):
 - ``POST /query``             -> body {"sql": "...", "max_rows": N}
                                  -> {"columns", "rows", "row_count",
                                      "elapsed_sec"}
+- ``POST /explain``           -> body {"sql": "..."} -> the plan-report
+                                 audit (shuffles, pushdown, codegen,
+                                 anti-pattern flags) WITHOUT executing —
+                                 pre-flight for expensive statements
 - ``POST /curate``            -> body {"table": "documents",
                                  "mix_alpha": a, "mix_token_budget": B,
                                  "release_name": name}
@@ -141,6 +145,16 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, run_bounded(self.serving, sql, max_rows))
             elif url.path == "/curate":
                 self._send(200, run_curate_dry(self.serving, req))
+            elif url.path == "/explain":
+                sql = req.get("sql")
+                if not sql:
+                    self._send(400, {"error": "body must carry {'sql': ...}"})
+                    return
+                from .plans import plan_report
+
+                # plan-only: nothing executes, nothing is collected —
+                # the pre-flight a user runs before an expensive query
+                self._send(200, plan_report(self.serving.query(sql)))
             else:
                 self._send(404, {"error": f"no route {url.path}"})
         except Exception as exc:

@@ -256,3 +256,19 @@ def test_http_curate_dry_run(spark):
     finally:
         server.shutdown()
         thread.join(timeout=5)
+
+
+def test_http_explain_plan_report(http_server):
+    """POST /explain: plan audit without execution — pushdown visible,
+    clean query unflagged, bad SQL surfaces as a JSON error."""
+    status, out = _post(f"{http_server}/explain", {
+        "sql": "SELECT customer_value_tier, SUM(total_spent) AS s "
+               "FROM gold_customer_summary WHERE total_spent > 50 "
+               "GROUP BY customer_value_tier",
+    })
+    assert status == 200
+    assert out["flags"] == [] and out["shuffles"] >= 1
+    assert isinstance(out["pushed_filters"], list)
+
+    status, out = _post(f"{http_server}/explain", {"sql": "SELECT * FROM nope"})
+    assert status == 400 and "error" in out
