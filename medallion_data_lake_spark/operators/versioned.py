@@ -193,6 +193,71 @@ def _mixed_schema_at(path: str, version: int | None = None) -> bool:
     return mixed
 
 
+def _dv_at(path: str, version: int | None = None) -> dict[str, list[int]]:
+    """Deletion-vector state at ``version``: live file → sorted deleted
+    row positions (merge-on-read deletes, Delta's DV model). Replay
+    rules: a ``delete_dv`` entry unions its positions into the file's
+    vector; a file leaving the live set (rewrite/overwrite/OPTIMIZE/
+    vacuum-irrelevant) drops its vector with it; a restore adopts the
+    TARGET version's vectors (the restored live set is the target's).
+    Resolved checkpoint + tail like every other derived state."""
+    if version is not None and version < 0:
+        return {}
+    ckpts = [
+        v for v in _checkpoint_versions(path)
+        if version is None or v <= version
+    ]
+    if ckpts:
+        dv: dict[str, set[int]] = {
+            f: set(ps)
+            for f, ps in _read_checkpoint(path, ckpts[-1]).get("dv", {}).items()
+        }
+        tail = _entries(path, lo=ckpts[-1] + 1, hi=version)
+    else:
+        dv = {}
+        tail = _entries(path, hi=version)
+    for e in tail:
+        if e.get("mode") == "restore" and e.get("restore_of") is not None:
+            dv = {
+                f: set(ps)
+                for f, ps in _dv_at(path, int(e["restore_of"])).items()
+            }
+            continue
+        for f in e.get("removed", []):
+            dv.pop(f, None)
+        for f, ps in e.get("dv", {}).items():
+            dv.setdefault(f, set()).update(ps)
+    live, _ = _state_at(path, version)
+    live_set = set(live)
+    return {f: sorted(ps) for f, ps in dv.items() if f in live_set and ps}
+
+
+def _apply_dvs(spark, df, path: str, files: list[str],
+               dvs: dict[str, list[int]]):
+    """Anti-join the deleted (file, row position) pairs out of a scan of
+    ``files``. The DV side is driver-held and bounded by construction
+    (``delete_rows_dv`` refuses above ``max_dv_rows``), so this is one
+    broadcast anti-join keyed on (file_name, row_index) — part-file
+    names are globally unique (uuid per write), which sidesteps URI-
+    scheme mismatches between ``_metadata.file_path`` renderings."""
+    from pyspark.sql import functions as F
+
+    relevant = {f: ps for f, ps in dvs.items() if f in set(files)}
+    if not relevant:
+        return df
+    pairs = [
+        (os.path.basename(f), int(p)) for f, ps in relevant.items() for p in ps
+    ]
+    dv_df = spark.createDataFrame(pairs, "_dv_fn string, _dv_ri long")
+    out = (
+        df.withColumn("_dv_fn", F.col("_metadata.file_name"))
+        .withColumn("_dv_ri", F.col("_metadata.row_index"))
+        .join(F.broadcast(dv_df), ["_dv_fn", "_dv_ri"], "left_anti")
+        .drop("_dv_fn", "_dv_ri")
+    )
+    return out
+
+
 def _write_checkpoint(path: str, version: int) -> None:
     """Materialize derived state at ``version``. Best-effort: a racing
     checkpointer (or a crash here) costs nothing but replay length."""
@@ -202,11 +267,12 @@ def _write_checkpoint(path: str, version: int) -> None:
     # below lands an (initially empty) checkpoint file that resolution
     # helpers would otherwise pick up and fail to parse
     mixed = _mixed_schema_at(path, version)
+    dv = _dv_at(path, version)
     target = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.json")
     try:
         get_log_store().put_exclusive(target, json.dumps(
             {"version": version, "live": live, "txns": txns,
-             "file_stats": stats, "mixed_schema": mixed,
+             "file_stats": stats, "mixed_schema": mixed, "dv": dv,
              "timestamp": time.time()},
         ))
     except FileExistsError:
@@ -701,7 +767,11 @@ def read_table(
         # files' columns. The footer-union cost is paid only for tables
         # that actually evolved — the flag rides the log + checkpoints.
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[os.path.join(path, f) for f in files])
+    df = reader.parquet(*[os.path.join(path, f) for f in files])
+    dvs = _dv_at(path, version)
+    if dvs:
+        df = _apply_dvs(spark, df, path, files, dvs)
+    return df
 
 
 def read_table_pruned(
@@ -815,6 +885,9 @@ def read_table_pruned(
     if _mixed_schema_at(path, version):
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*[os.path.join(path, f) for f in chosen])
+    dvs = _dv_at(path, version)
+    if dvs:
+        df = _apply_dvs(spark, df, path, chosen, dvs)
     for c, (plo, phi) in preds.items():
         if plo is not None:
             df = df.filter(F.col(c) >= plo)
@@ -884,6 +957,7 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
             "added": [f for f in target_live if f not in set(current_live)],
             "removed": [f for f in current_live if f not in set(target_live)],
             "operation": f"RESTORE({to_version})",
+            "restore_of": to_version,
             "table_schema": target_schema,
         }
         if target_mixed:
@@ -1058,6 +1132,12 @@ def optimize_table(
         # which the rewritten files are single-schema again
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*full)
+    dvs = _dv_at(path)
+    if dvs:
+        # compaction MATERIALIZES deletion vectors: the rewrite excludes
+        # the deleted positions and the vectors die with the replaced
+        # files (delete_rows_dv's documented materialization step)
+        df = _apply_dvs(spark, df, path, live, dvs)
     rows = df.count()
     bytes_per_row = max(total_bytes / max(rows, 1), 1e-6)
     records_per_file = max(int(target_file_bytes / bytes_per_row), 1)
@@ -1224,15 +1304,45 @@ def table_changes(
         an overwrite (which resets the latest-mixed flag), the
         overwrite's REMOVED set still spans two schemas — reading it
         without mergeSchema silently drops evolved columns from the
-        change feed."""
-        files = [os.path.join(path, f) for f in rel_files]
-        files = [f for f in files if os.path.exists(f)]
-        if not files:
+        change feed. Deletion vectors at that version are applied too:
+        rows a vector had already deleted must not re-appear as the
+        overwrite's delete rows."""
+        existing = [f for f in rel_files
+                    if os.path.exists(os.path.join(path, f))]
+        if not existing:
             return None
         reader = spark.read
         if _mixed(at_version):
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*files)
+        df = reader.parquet(*[os.path.join(path, f) for f in existing])
+        dvs = _dv_at(path, at_version)
+        if dvs:
+            df = _apply_dvs(spark, df, path, existing, dvs)
+        return df
+
+    def rows_at_positions(dv: dict, at_version):
+        """The rows a delete_dv entry removed: its files read at the
+        recorded positions (broadcast semi-join on file_name+row_index,
+        bounded by the max_dv_rows contract)."""
+        existing = [f for f in dv if os.path.exists(os.path.join(path, f))]
+        if not existing:
+            return None
+        reader = spark.read
+        if _mixed(at_version):
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[os.path.join(path, f) for f in existing])
+        pairs = [
+            (os.path.basename(f), int(p))
+            for f in existing
+            for p in dv[f]
+        ]
+        pos = spark.createDataFrame(pairs, "_dv_fn string, _dv_ri long")
+        return (
+            df.withColumn("_dv_fn", F.col("_metadata.file_name"))
+            .withColumn("_dv_ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(pos), ["_dv_fn", "_dv_ri"], "left_semi")
+            .drop("_dv_fn", "_dv_ri")
+        )
 
     def tag(df, change_type, version):
         return df.select(
@@ -1250,6 +1360,11 @@ def table_changes(
         added = rows_of(e.get("added", []), v)
         removed = rows_of(e.get("removed", []), v - 1)
         if mode == "optimize":
+            continue
+        if mode == "delete_dv":
+            gone = rows_at_positions(e.get("dv", {}), v - 1)
+            if gone is not None:
+                parts.append(tag(gone, "delete", v))
             continue
         if mode == "merge":
             key = e.get("merge_key")
@@ -1487,6 +1602,7 @@ def delete_rows(
     ]
     if not matched:
         return None
+    _refuse_dv_files(path, matched, "DELETE")
 
     cond = F.lit(True)
     for c, (lo, hi) in preds.items():
@@ -1572,6 +1688,206 @@ def delete_rows(
         "files_untouched": len(live) - len(matched),
         "rows_deleted": n_deleted,
     }
+
+
+def delete_rows_dv(
+    spark: SparkSession,
+    path: str,
+    predicates: dict[str, tuple] | None = None,
+    where: str | None = None,
+    keys: dict[str, list] | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+    max_dv_rows: int = 100_000,
+) -> dict | None:
+    """MERGE-ON-READ delete (Delta's deletion vectors): instead of
+    rewriting the matched files, record the deleted ROW POSITIONS in
+    the log; reads anti-join them out. Deleting 10 rows from a 1 GB
+    file costs a metadata commit, not a gigabyte of write
+    amplification — the right tool for small/point deletes on large
+    files, with :func:`optimize_table` as the materialization step
+    (compaction rewrites without the deleted rows and the vectors die
+    with the replaced files).
+
+    Same predicate surface as :func:`delete_rows` (ranges prune AND
+    delete, ``keys`` prunes through the Bloom filters, ``where`` is
+    row-only). Positions come from ``_metadata.row_index`` over ONLY
+    the pruned candidate files; rows already deleted by an earlier
+    vector are excluded (re-deleting is a no-op, not a double count).
+    Refuses above ``max_dv_rows`` total positions — a large delete
+    SHOULD rewrite (``delete_rows``), the vector form would just move
+    the cost to every subsequent read.
+
+    Trade-offs (same as Delta's): snapshot reads pay one broadcast
+    anti-join while vectors exist; per-file [min,max]/bloom stats
+    become upper bounds (pruning stays correct — a skipped file never
+    contained the value; a read file just filters more). History and
+    time travel are exact: the vector is versioned state, so
+    ``read_table(version=v)`` applies exactly the vectors at v.
+    """
+    from pyspark.sql import functions as F
+
+    preds = dict(predicates or {})
+    keys = {c: list(vs) for c, vs in (keys or {}).items() if vs}
+    if not preds and where is None and not keys:
+        raise ValueError("delete_rows_dv needs predicates, keys, and/or where")
+    has_txn = txn_app_id is not None and txn_version is not None
+    if has_txn:
+        seen = latest_txn_version(path, txn_app_id)
+        if seen is not None and txn_version <= seen:
+            return None
+
+    live, _ = _state_at(path)
+    if not live:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    stats = _file_stats_at(path)
+
+    def overlaps(rng, lo, hi) -> bool:
+        if rng is None or rng[0] is None:
+            return True
+        if hi is not None and rng[0] > hi:
+            return False
+        if lo is not None and rng[1] < lo:
+            return False
+        return True
+
+    key_hashes: dict[str, list[list[int]]] = {}
+    if keys:
+        probe = spark.range(1).select(
+            *[
+                _bloom_hash(F.lit(str(v)), i).alias(f"{c}__{j}__{i}")
+                for c, vs in keys.items()
+                for j, v in enumerate(vs)
+                for i in range(BLOOM_HASHES)
+            ]
+        ).first()
+        key_hashes = {
+            c: [
+                [probe[f"{c}__{j}__{i}"] for i in range(BLOOM_HASHES)]
+                for j in range(len(vs))
+            ]
+            for c, vs in keys.items()
+        }
+
+    def key_admits(fstats: dict, c: str) -> bool:
+        rng = fstats.get(c)
+        encoded = fstats.get(f"{c}__bloom")
+        for v, hs in zip(keys[c], key_hashes[c]):
+            if not overlaps(rng, v, v):
+                continue
+            if encoded is not None and not _bloom_may_contain(encoded, hs):
+                continue
+            return True
+        return False
+
+    matched = [
+        f for f in live
+        if all(
+            overlaps(stats.get(f, {}).get(c), lo, hi)
+            for c, (lo, hi) in preds.items()
+        )
+        and all(key_admits(stats.get(f, {}), c) for c in keys)
+    ]
+    if not matched:
+        return None
+
+    cond = F.lit(True)
+    for c, (lo, hi) in preds.items():
+        if lo is not None:
+            cond = cond & (F.col(c) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(c) <= hi)
+    for c, vs in keys.items():
+        cond = cond & F.col(c).isin(*vs)
+    if where is not None:
+        cond = cond & F.expr(where)
+
+    reader = spark.read
+    if _mixed_schema_at(path):
+        reader = reader.option("mergeSchema", "true")
+    base = reader.parquet(*[os.path.join(path, f) for f in matched])
+    hits = (
+        base.filter(F.coalesce(cond, F.lit(False)))
+        .select(
+            F.col("_metadata.file_name").alias("_fn"),
+            F.col("_metadata.row_index").alias("_ri"),
+        )
+        .limit(max_dv_rows + 1)
+        .collect()
+    )
+    if len(hits) > max_dv_rows:
+        raise ValueError(
+            f"delete_rows_dv matched more than max_dv_rows={max_dv_rows} "
+            f"rows on {path}; use delete_rows (file rewrite) for large "
+            "deletes — a vector this big taxes every subsequent read"
+        )
+    by_base = {os.path.basename(f): f for f in matched}
+    existing = _dv_at(path)
+    new_dv: dict[str, list[int]] = {}
+    n_new = 0
+    for r in hits:
+        rel = by_base.get(r["_fn"])
+        if rel is None:
+            continue
+        if int(r["_ri"]) in set(existing.get(rel, [])):
+            continue  # already deleted by an earlier vector
+        new_dv.setdefault(rel, []).append(int(r["_ri"]))
+        n_new += 1
+    if n_new == 0:
+        return None
+    new_dv = {f: sorted(ps) for f, ps in new_dv.items()}
+
+    def build(version: int) -> dict | None:
+        if has_txn:
+            _, txns = _state_at(path, version - 1)
+            w = txns.get(txn_app_id)
+            if w is not None and txn_version <= int(w):
+                return None
+        current_live, _ = _state_at(path, version - 1)
+        missing = set(new_dv) - set(current_live)
+        if missing:
+            raise CommitConflict(
+                f"DV DELETE on {path} raced a writer that removed "
+                f"{len(missing)} file(s); re-run on the new snapshot"
+            )
+        entry = {
+            "version": version,
+            "timestamp": time.time(),
+            "mode": "delete_dv",
+            "added": [],
+            "removed": [],
+            "dv": new_dv,
+            "operation": f"DELETE_DV({n_new} rows in {len(new_dv)} files, "
+                         "no rewrite)",
+        }
+        if has_txn:
+            entry["txn"] = {"app_id": txn_app_id, "version": txn_version}
+        return entry
+
+    entry = _publish(path, build)
+    if entry is None:
+        return None
+    return {
+        **entry,
+        "files_matched": len(new_dv),
+        "files_untouched": len(live) - len(new_dv),
+        "rows_deleted": n_new,
+    }
+
+
+def _refuse_dv_files(path: str, files, op: str) -> None:
+    """Rewrite-path guard: a file with a live deletion vector must be
+    materialized (optimize_table) before a rewrite touches it —
+    otherwise the rewrite copies rows the vector had deleted back to
+    life. Bounded scope over silent resurrection."""
+    dvs = _dv_at(path)
+    hit = sorted(set(files) & set(dvs))
+    if hit:
+        raise ValueError(
+            f"{op} on {path}: {len(hit)} matched file(s) carry deletion "
+            "vectors; run optimize_table(files=...) to materialize them "
+            f"first (e.g. {hit[:2]}...)"
+        )
 
 
 def update_rows(
@@ -1669,6 +1985,7 @@ def update_rows(
     ]
     if not matched:
         return None
+    _refuse_dv_files(path, matched, "UPDATE")
 
     cond = F.lit(True)
     for c, (lo, hi) in preds.items():
@@ -1893,6 +2210,7 @@ def merge_into(
 
     matched = [f for f in live if overlaps(stats.get(f, {}).get(key))]
     untouched_set = set(live) - set(matched)
+    _refuse_dv_files(path, matched, "MERGE")
 
     if matched:
         base_reader = spark.read
