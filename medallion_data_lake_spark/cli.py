@@ -104,6 +104,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="curate: temperature (1=natural, 0=uniform)")
     ap.add_argument("--release-name", default="release",
                     help="curate: name recorded in the manifest")
+    ap.add_argument("--keys", default=None, metavar="COL:V1,V2,...",
+                    help="update/delete: point form — bounded key list, "
+                         "pruned through the per-file Bloom filters")
+    ap.add_argument("--dv", action="store_true",
+                    help="delete: merge-on-read (deletion vector) — "
+                         "record positions, rewrite nothing")
     ap.add_argument("--health-sample", type=int, default=200,
                     help="index-health: sample size for recall re-measure")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
@@ -273,11 +279,18 @@ def main(argv: list[str] | None = None) -> int:
                 out[col] = (_coerce(lo), _coerce(hi))
             return out
 
-        if args.verb == "delete":
-            from .operators.versioned import delete_rows
+        def _keys():
+            if not args.keys:
+                return None
+            col, vals = args.keys.split(":", 1)
+            return {col: [_coerce(v) for v in vals.split(",")]}
 
-            res = delete_rows(spark, args.arg, predicates=_ranges() or None,
-                              where=args.where)
+        if args.verb == "delete":
+            from .operators.versioned import delete_rows, delete_rows_dv
+
+            fn = delete_rows_dv if args.dv else delete_rows
+            res = fn(spark, args.arg, predicates=_ranges() or None,
+                     where=args.where, keys=_keys())
         else:
             from .operators.versioned import update_rows
 
@@ -287,7 +300,8 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 2
             res = update_rows(spark, args.arg, set_exprs=sets,
-                              predicates=_ranges() or None, where=args.where)
+                              predicates=_ranges() or None, where=args.where,
+                              keys=_keys())
         if res is None:
             print(json.dumps({"matched": 0}))
         else:
