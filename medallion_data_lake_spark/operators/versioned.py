@@ -258,6 +258,25 @@ def _apply_dvs(spark, df, path: str, files: list[str],
     return out
 
 
+def _table_schema_json_logged(path: str, version: int | None = None) -> dict | None:
+    """table_schema JSON at ``version`` from the LOG + CHECKPOINTS alone
+    (no SparkSession, no parquet footers): newest log entry carrying the
+    field, else newest prior checkpoint carrying it, else None. The
+    no-spark resolver _write_checkpoint folds into each checkpoint."""
+    for e in reversed(_entries(path, hi=version)):
+        if e.get("table_schema") is not None:
+            return e["table_schema"]
+    ckpts = [
+        v for v in _checkpoint_versions(path)
+        if version is None or v <= version
+    ]
+    for cv in reversed(ckpts):
+        ts = _read_checkpoint(path, cv).get("table_schema")
+        if ts is not None:
+            return ts
+    return None
+
+
 def _write_checkpoint(path: str, version: int) -> None:
     """Materialize derived state at ``version``. Best-effort: a racing
     checkpointer (or a crash here) costs nothing but replay length."""
@@ -268,11 +287,16 @@ def _write_checkpoint(path: str, version: int) -> None:
     # helpers would otherwise pick up and fail to parse
     mixed = _mixed_schema_at(path, version)
     dv = _dv_at(path, version)
+    # persist the table (union) schema so expire_log truncating the log
+    # to a schema-less tail (DML/OPTIMIZE entries are schema-neutral)
+    # can't silently downgrade _table_schema_at to a one-file footer
+    table_schema = _table_schema_json_logged(path, version)
     target = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.json")
     try:
         get_log_store().put_exclusive(target, json.dumps(
             {"version": version, "live": live, "txns": txns,
              "file_stats": stats, "mixed_schema": mixed, "dv": dv,
+             "table_schema": table_schema,
              "timestamp": time.time()},
         ))
     except FileExistsError:
@@ -389,6 +413,36 @@ def _bloom_hash(col, seed: int):
     from pyspark.sql import functions as F
 
     return F.xxhash64(F.lit(seed), col.cast("string"))
+
+
+def _probe_lit(v, dtype=None):
+    """Probe-side literal rendered EXACTLY as the build side rendered
+    the column: :func:`_collect_bloom_filters` hashes
+    ``col.cast("string")`` — SPARK's rendering of the COLUMN's type —
+    so the probe must cast the literal to the column's table-schema
+    type before the shared string cast. Python's ``str(v)`` is not
+    that rendering (``True`` vs ``true``; int ``5`` probing a double
+    column vs ``5.0``), and the mismatch makes the bloom answer
+    "definitely absent" for values that ARE present: silently missing
+    rows on ``eq=`` point reads and silently skipped keyed deletes/
+    updates. With no known dtype the native-typed ``F.lit(v)`` still
+    beats ``str(v)`` (a bool literal renders ``true``)."""
+    from pyspark.sql import functions as F
+
+    lit = F.lit(v)
+    return lit.cast(dtype) if dtype is not None else lit
+
+
+def _column_dtypes(spark, path: str, version: int | None = None) -> dict:
+    """{column: DataType} of the table schema at ``version`` — what the
+    bloom probe sites need to render literals build-identically."""
+    try:
+        return {
+            f.name: f.dataType
+            for f in _table_schema_at(spark, path, version).fields
+        }
+    except Exception:
+        return {}  # schema unresolvable: fall back to native-lit probes
 
 
 def _collect_bloom_filters(
@@ -830,9 +884,10 @@ def read_table_pruned(
     # positions derive per file from its own recorded bits/k
     eq_hashes: dict[str, list[int]] = {}
     if eq:
+        dtypes = _column_dtypes(spark, path, version)
         probe = spark.range(1).select(
             *[
-                _bloom_hash(F.lit(str(v)), i).alias(f"{c}__{i}")
+                _bloom_hash(_probe_lit(v, dtypes.get(c)), i).alias(f"{c}__{i}")
                 for c, v in eq.items()
                 for i in range(BLOOM_HASHES)
             ]
@@ -912,15 +967,16 @@ def _table_schema_at(spark, path, version=None):
     union on every append/overwrite, rollback() the restored target's.
     Entries without the field (DML rewrites, OPTIMIZE — schema-neutral
     by construction; pre-field legacy logs) are skipped in the reverse
-    walk; a log with no recorded schema at all falls back to the
-    newest data file's footer (the pre-union behavior)."""
+    walk; then checkpoints (which persist the running schema, so an
+    expire_log-truncated tail of schema-neutral entries still
+    resolves); a log with no recorded schema anywhere falls back to
+    the newest data file's footer (the pre-union behavior)."""
     from pyspark.sql.types import StructType
 
-    entries = _entries(path, hi=version)
-    for e in reversed(entries):
-        if e.get("table_schema") is not None:
-            return StructType.fromJson(e["table_schema"])
-    return _schema_of_latest(spark, path, entries)
+    ts = _table_schema_json_logged(path, version)
+    if ts is not None:
+        return StructType.fromJson(ts)
+    return _schema_of_latest(spark, path, _entries(path, hi=version))
 
 
 def _table_schema_json_at(spark, path, version=None):
@@ -1193,6 +1249,9 @@ def optimize_table(
                 f"OPTIMIZE on {path} raced a writer that removed "
                 f"{len(missing)} compacted file(s); re-run on the new snapshot"
             )
+        # the rewrite materialized the PLAN-time vectors; a vector that
+        # landed since would die unmaterialized with the replaced file
+        _refuse_dv_drift(path, compacted, dvs, version - 1, "OPTIMIZE")
         entry = {
             "version": version,
             "timestamp": time.time(),
@@ -1564,9 +1623,11 @@ def delete_rows(
 
     key_hashes: dict[str, list[list[int]]] = {}
     if keys:
+        dtypes = _column_dtypes(spark, path)
         probe = spark.range(1).select(
             *[
-                _bloom_hash(F.lit(str(v)), i).alias(f"{c}__{j}__{i}")
+                _bloom_hash(_probe_lit(v, dtypes.get(c)), i)
+                .alias(f"{c}__{j}__{i}")
                 for c, vs in keys.items()
                 for j, v in enumerate(vs)
                 for i in range(BLOOM_HASHES)
@@ -1659,6 +1720,9 @@ def delete_rows(
                 f"DELETE on {path} raced a writer that removed "
                 f"{len(missing)} rewritten file(s); re-run on the new snapshot"
             )
+        # planning's _refuse_dv_files guaranteed the rewritten files
+        # were vector-free; a vector landing since must abort us
+        _refuse_dv_drift(path, rewritten, {}, version - 1, "DELETE")
         entry = {
             "version": version,
             "timestamp": time.time(),
@@ -1753,9 +1817,11 @@ def delete_rows_dv(
 
     key_hashes: dict[str, list[list[int]]] = {}
     if keys:
+        dtypes = _column_dtypes(spark, path)
         probe = spark.range(1).select(
             *[
-                _bloom_hash(F.lit(str(v)), i).alias(f"{c}__{j}__{i}")
+                _bloom_hash(_probe_lit(v, dtypes.get(c)), i)
+                .alias(f"{c}__{j}__{i}")
                 for c, vs in keys.items()
                 for j, v in enumerate(vs)
                 for i in range(BLOOM_HASHES)
@@ -1822,14 +1888,19 @@ def delete_rows_dv(
             "deletes — a vector this big taxes every subsequent read"
         )
     by_base = {os.path.basename(f): f for f in matched}
-    existing = _dv_at(path)
+    # set-ify ONCE outside the loop: rebuilding per hit is
+    # O(hits × vector) — ~10^10 ops at the max_dv_rows bound
+    matched_set = set(matched)
+    existing_sets = {
+        f: set(ps) for f, ps in _dv_at(path).items() if f in matched_set
+    }
     new_dv: dict[str, list[int]] = {}
     n_new = 0
     for r in hits:
         rel = by_base.get(r["_fn"])
         if rel is None:
             continue
-        if int(r["_ri"]) in set(existing.get(rel, [])):
+        if int(r["_ri"]) in existing_sets.get(rel, ()):
             continue  # already deleted by an earlier vector
         new_dv.setdefault(rel, []).append(int(r["_ri"]))
         n_new += 1
@@ -1873,6 +1944,32 @@ def delete_rows_dv(
         "files_untouched": len(live) - len(new_dv),
         "rows_deleted": n_new,
     }
+
+
+def _refuse_dv_drift(
+    path: str,
+    files,
+    planned: dict[str, list[int]],
+    version: int,
+    op: str,
+) -> None:
+    """Publish-time re-check of the planning-time deletion-vector
+    snapshot for the files a rewrite replaces. A concurrent
+    ``delete_rows_dv`` landing a vector on one of them between plan and
+    publish would otherwise be SILENTLY undone: the rewrite's output was
+    computed without (or with a stale view of) that vector, and the
+    vector dies with the file the commit removes — deleted rows
+    resurrect. Delta's ConcurrentDeleteRead rule: refuse, make the
+    caller re-plan on the new snapshot. ``version`` is the predecessor
+    snapshot the claim loop is publishing on top of."""
+    current = _dv_at(path, version)
+    for f in files:
+        if sorted(current.get(f, [])) != sorted(planned.get(f, [])):
+            raise CommitConflict(
+                f"{op} on {path}: deletion vector changed on rewritten "
+                f"file {f} between plan and publish; re-run on the new "
+                "snapshot"
+            )
 
 
 def _refuse_dv_files(path: str, files, op: str) -> None:
@@ -1947,9 +2044,11 @@ def update_rows(
 
     key_hashes: dict[str, list[list[int]]] = {}
     if keys:
+        dtypes = _column_dtypes(spark, path)
         probe = spark.range(1).select(
             *[
-                _bloom_hash(F.lit(str(v)), i).alias(f"{c}__{j}__{i}")
+                _bloom_hash(_probe_lit(v, dtypes.get(c)), i)
+                .alias(f"{c}__{j}__{i}")
                 for c, vs in keys.items()
                 for j, v in enumerate(vs)
                 for i in range(BLOOM_HASHES)
@@ -2051,6 +2150,7 @@ def update_rows(
                 f"UPDATE on {path} raced a writer that removed "
                 f"{len(missing)} rewritten file(s); re-run on the new snapshot"
             )
+        _refuse_dv_drift(path, rewritten, {}, version - 1, "UPDATE")
         entry = {
             "version": version,
             "timestamp": time.time(),
@@ -2288,6 +2388,7 @@ def merge_into(
                 f"MERGE on {path} raced a writer that removed "
                 f"{len(missing)} rewritten file(s); re-run on the new snapshot"
             )
+        _refuse_dv_drift(path, rewritten, {}, version - 1, "MERGE")
         entry = {
             "version": version,
             "timestamp": time.time(),

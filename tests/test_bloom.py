@@ -141,3 +141,50 @@ def test_keyed_update_point_form(spark, table):
            for r in read_table(spark, table)
            .filter(F.col("id").isin(7, 2048, 9)).collect()}
     assert got == {7: "patched", 2048: "patched", 9: "v9"}
+
+
+def test_bloom_probe_renders_boolean_like_build(spark, tmp_path):
+    """REGRESSION (r6 verdict #1): the build side hashes SPARK's string
+    rendering of the column (True → 'true'); a probe hashing Python's
+    str(True) ('True') false-skips every file — silently missing rows
+    on a point read. The probe must cast the literal to the column's
+    type before the shared string cast."""
+    path = str(tmp_path / "vt")
+    commit(spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(100)], "id long, flag boolean"),
+        path, bloom_cols=("flag",))
+    df, report = read_table_pruned(spark, path, eq={"flag": True})
+    assert df.count() == 50, report  # pre-fix: 0 (every file bloom-skipped)
+
+
+def test_bloom_probe_int_on_double_column(spark, tmp_path):
+    """An int probe against a double column: build renders '5.0',
+    Python's str renders '5' — pre-fix false-skip. The typed cast makes
+    both sides agree."""
+    path = str(tmp_path / "vt")
+    commit(spark.createDataFrame(
+        [(float(i), f"v{i}") for i in range(1000)],
+        "price double, p string"),
+        path, bloom_cols=("price",))
+    df, report = read_table_pruned(spark, path, eq={"price": 5})
+    assert [r["p"] for r in df.collect()] == ["v5"], report
+
+
+def test_keyed_delete_int_key_on_double_column(spark, tmp_path):
+    """GDPR keyed delete with an int key on a double column must not be
+    silently skipped by the bloom (the compliance failure mode the r6
+    verdict flagged as data-loss-grade)."""
+    from medallion_data_lake_spark.operators.versioned import (
+        delete_rows,
+        read_table,
+    )
+
+    path = str(tmp_path / "vt")
+    commit(spark.createDataFrame(
+        [(float(i), f"v{i}") for i in range(1000)],
+        "uid double, p string"),
+        path, stats_cols=("uid",), bloom_cols=("uid",))
+    out = delete_rows(spark, path, keys={"uid": [5, 900]})
+    assert out is not None and out["rows_deleted"] == 2
+    assert read_table(spark, path) \
+        .filter(F.col("uid").isin(5, 900)).count() == 0

@@ -147,3 +147,58 @@ def test_pruned_read_applies_vectors(spark, table):
     assert df.count() == 0                       # bloom admits, DV removes
     df, report = read_table_pruned(spark, table, predicates={"id": (0, 10)})
     assert df.count() == 10                      # 11 ids minus deleted 7
+
+
+def test_optimize_refuses_dv_landed_mid_rewrite(spark, table, monkeypatch):
+    """TOCTOU (r6 verdict #2): a delete_rows_dv committing between
+    OPTIMIZE's plan and publish must ABORT the rewrite — publishing
+    would replace the file with data rewritten from the pre-vector
+    snapshot while the vector dies with the removed file (silent
+    deleted-row resurrection). Delta's ConcurrentDeleteRead rule."""
+    import medallion_data_lake_spark.operators.versioned as V
+
+    real_publish = V._publish
+    fired: dict = {}
+
+    def chaos(path_, build, **kw):
+        if not fired:  # only ambush the OUTER writer's publish
+            fired["x"] = True
+            delete_rows_dv(spark, table, keys={"id": [42]})
+        return real_publish(path_, build, **kw)
+
+    monkeypatch.setattr(V, "_publish", chaos)
+    with pytest.raises(V.CommitConflict):
+        optimize_table(spark, table)
+    # the interleaved delete survives: row 42 stays deleted
+    got = read_table(spark, table)
+    assert got.filter(F.col("id") == 42).count() == 0
+    assert got.count() == 199
+    # a re-run on the fresh snapshot succeeds and MATERIALIZES the DV
+    monkeypatch.setattr(V, "_publish", real_publish)
+    out = optimize_table(spark, table)
+    assert out is not None
+    assert read_table(spark, table).count() == 199
+    assert _dv_at(table) == {}  # vector folded into the rewrite
+
+
+def test_delete_rewrite_refuses_dv_landed_mid_rewrite(spark, table,
+                                                      monkeypatch):
+    """Same TOCTOU through the DELETE rewrite path: plan-time
+    _refuse_dv_files saw vector-free files; a vector landing mid-flight
+    must abort the publish, not resurrect id=3 (which the rewrite's
+    kept-set still contains)."""
+    import medallion_data_lake_spark.operators.versioned as V
+
+    real_publish = V._publish
+    fired: dict = {}
+
+    def chaos(path_, build, **kw):
+        if not fired:
+            fired["x"] = True
+            delete_rows_dv(spark, table, keys={"id": [3]})
+        return real_publish(path_, build, **kw)
+
+    monkeypatch.setattr(V, "_publish", chaos)
+    with pytest.raises(V.CommitConflict):
+        delete_rows(spark, table, predicates={"id": (10, 50)})
+    assert read_table(spark, table).filter(F.col("id") == 3).count() == 0

@@ -156,3 +156,38 @@ def test_full_optimize_resets_mixedness(spark, tmp_path):
                                  "id long, tag string, score double, n long"),
            path, allow_schema_evolution=True)
     assert _mixed_schema_at(path)
+
+
+def test_expire_log_keeps_evolved_schema_via_checkpoint(spark, tmp_path):
+    """REGRESSION (r6 verdict #3): expire_log truncating the log to a
+    tail of schema-NEUTRAL entries (DV deletes carry no table_schema
+    and add no files) must not lose the evolved union schema —
+    checkpoints persist it. Pre-fix this raised ValueError (footer
+    fallback finds no added files in the retained tail)."""
+    from medallion_data_lake_spark.operators.versioned import (
+        _table_schema_at,
+        delete_rows_dv,
+        expire_log,
+    )
+
+    path = str(tmp_path / "vt")
+    commit(spark.createDataFrame([(1, "a")], "id long, tag string"), path)
+    commit(
+        spark.createDataFrame([(2, "b", 1.5)],
+                              "id long, tag string, score double"),
+        path, allow_schema_evolution=True,
+    )
+    for key in (1, 2):  # schema-neutral tail: metadata-only commits
+        delete_rows_dv(spark, path, predicates={"id": (key, key)})
+    expire_log(path, keep_last=2)
+    schema = _table_schema_at(spark, path)
+    assert [f.name for f in schema.fields] == ["id", "tag", "score"]
+    # and enforcement still bites: re-adding score with a new type is
+    # refused even though the schema-bearing entries are expired
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        commit(
+            spark.createDataFrame([(3, "c", "oops")],
+                                  "id long, tag string, score string"),
+            path, allow_schema_evolution=True,
+        )
