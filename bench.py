@@ -4,12 +4,16 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "queries_median": {name: sec, ...},
-   "sf": <sf>}
+   "plan_fp": {name: hex12, ...}, "sf": <sf>}
 
 "queries" holds the per-query MIN across repeats (the plan's floor —
 what the round-over-round comparison uses); "queries_median" the MEDIAN
 (the noise bar: a min/median gap on a sub-second query is machine
-weather, a plan change moves both).
+weather, a plan change moves both). "plan_fp" is a normalized hash of
+the OPTIMIZED logical plan — round-over-round, identical fp + moved
+timing = machine weather (dismiss), changed fp = a real plan change
+(investigate). Added after r6 burned a bench cycle proving a 15.6%
+aggregate swing was noise on byte-identical code.
 
 Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
@@ -38,6 +42,20 @@ from medallion_data_lake_spark.queries import load_all  # noqa: E402
 from medallion_data_lake_spark.session import get_spark  # noqa: E402
 
 
+def plan_fingerprint(df) -> str:
+    """Stable 12-hex digest of the optimized logical plan: expression
+    IDs (#123), JVM object hashes, and data paths vary across sessions
+    and scale factors without the PLAN changing — strip them so the
+    fingerprint moves only when the shape/strategy does."""
+    import hashlib
+
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"@[0-9a-f]+", "@", s)
+    s = re.sub(r"file:[^\s,\]\)]*", "file:", s)
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -64,7 +82,9 @@ def main() -> None:
     repeat = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    plan_fps: dict[str, str] = {}
     for name in names:
+        plan_fps[name] = plan_fingerprint(registry[name].build(spark, sf_dir))
         runs = []
         for _ in range(repeat):
             t0 = time.perf_counter()
@@ -83,6 +103,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "plan_fp": plan_fps,
                 "sf": sf,
             }
         )

@@ -242,6 +242,8 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A2 group-agg with count distinct (reference silver_to_gold.py:101-106 "
         "unique_customers). At 100 TB swap to approx_count_distinct where "
         "exactness isn't contractual (SURVEY.md §2.4).",
+    extra=True,  # r7 rotation: A2 count-distinct driver-gated via
+    # regional_revenue (green r1-r6 here first)
 )
 def order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -529,6 +531,8 @@ def customers_without_early_orders(spark: SparkSession, sf_dir: str) -> DataFram
     doc="P2 projection + P8 IN/BETWEEN predicates (reference "
         "fast_query.py:137-146). Filters and the 4-column projection push "
         "into the parquet scan (PushedFilters/ReadSchema).",
+    extra=True,  # r7 rotation: P8 predicates driver-gated via
+    # pricing_summary's pushed range filter (green r1-r6 here first)
 )
 def segment_balance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (

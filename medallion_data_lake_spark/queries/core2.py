@@ -637,8 +637,8 @@ def order_priority_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "4 separate aggregations. Labels via COALESCE rather than "
         "grouping_id(): the two engines disagree on grouping-bit order, "
         "values never collide with 'ALL'.",
-    # driver-gated since r5 (rotated in from extras; ROLLUP stays gated
-    # via priority_status_rollup — the cube adds the 2^k-sets evidence)
+    extra=True,  # r7 rotation: grouping-sets family driver-gated via
+    # priority_status_rollup (this cube was gated r5-r6, both green)
 )
 def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -685,8 +685,9 @@ def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order-independent parity. Spark expresses the range frame in "
         "epoch-day units (rangeBetween over a cast), DuckDB in INTERVAL — "
         "same semantics, hash-identical results.",
-    # driver-gated since r5 (rotated in from extras): the RANGE-interval
-    # frame had no driver row; ranking/lag/frame windows keep theirs
+    extra=True,  # r7 rotation: window family driver-gated via
+    # daily_revenue_growth (lag) + segment_top_customers (rank) +
+    # segment_spend_quartiles (ntile); this RANGE frame was gated r5-r6
 )
 def rolling_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

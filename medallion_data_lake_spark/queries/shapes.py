@@ -227,7 +227,8 @@ def brand_revenue_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "multiply the fact table by the metric count before aggregating "
         "— the order of reshape vs aggregate is the scale decision.",
     tags=("unpivot",),
-    extra=True,
+    # r7 rotation: promoted from extras to the driver gate (UNPIVOT
+    # inverse of the gated order_status_pivot; never had a driver row)
 )
 def order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import dsum
@@ -276,7 +277,8 @@ def order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fact scale — then left-joins the (already bounded) daily "
         "rollup; broadcast, no fact re-shuffle.",
     tags=("gapfill",),
-    extra=True,
+    # r7 rotation: promoted from extras to the driver gate (date-spine
+    # gap fill had no driver row before)
 )
 def daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -463,4 +465,264 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", "c_mktsegment",
             stable_round(F.col("c_acctbal"), 2).alias("acctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H correlated / nested subquery family (r6 verdict item 4): the five
+# classic shapes — EXISTS date-correlated (Q4), HAVING vs global scalar
+# (Q11), correlated avg threshold (Q17), IN over HAVING subquery (Q18),
+# EXISTS + NOT EXISTS (Q21) — adapted to this star schema (no
+# commitdate/receiptdate/partsupp; lateness = shipped >60 days after the
+# order date). Reference anchor: the ad-hoc SQL entry point
+# (sakila-data-lake/query_datalake.py:139-146) accepts exactly these
+# query shapes; correlated precedent sakila-schema.sql:452-460.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "priority_late_ship_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: date-correlated EXISTS — orders of 1997 with at "
+        "least one lineitem shipped >60 days after the order date, counted "
+        "per priority. Spark-first: EXISTS is a LEFT SEMI join whose "
+        "condition references both sides (Catalyst plans one shuffled "
+        "semi-hash-join on l_orderkey; the duplicate-lineitem explosion a "
+        "plain inner join + distinct would pay never materializes). The "
+        "year filter pushes to the orders scan.",
+    tags=("subquery", "exists", "semi-join"),
+)
+def priority_late_ship_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        o.join(t["lineitem"], late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
+@query(
+    "nation_value_concentration",
+    oracle=f"""
+    SELECT n_name AS nation,
+           {sql_money_sum("s_acctbal")} AS supplier_value
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    HAVING SUM(CAST(s_acctbal AS DECIMAL(18,6))) * 25 >
+           (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,6))) FROM supplier)
+    """,
+    doc="TPC-H Q11 shape: HAVING against a GLOBAL scalar subquery — "
+        "nations holding >4% of total supplier account value. Spark-first: "
+        "the scalar is a 1-row aggregate broadcast into a cross join, so "
+        "the threshold compare runs map-side over the 25-row group "
+        "aggregate (no second scan of supplier — the per-nation partials "
+        "and the global total come from independent branches Catalyst "
+        "plans as two small aggs). Decimal sums ×25 (=1/0.04) keep the "
+        "boundary compare EXACT in both engines — no float literal.",
+    tags=("subquery", "having", "scalar-agg"),
+)
+def nation_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._parity import dsum
+
+    t = _t(spark, sf_dir)
+    per_nation = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum("s_acctbal").alias("_val"))
+    )
+    total = t["supplier"].agg(dsum("s_acctbal").alias("_total"))
+    return (
+        per_nation.join(F.broadcast(total))
+        .filter(F.col("_val") * 25 > F.col("_total"))
+        .select(
+            "nation",
+            stable_round(F.col("_val").cast("double"), 2)
+            .alias("supplier_value"),
+        )
+    )
+
+
+@query(
+    "brand_small_qty_revenue",
+    oracle=f"""
+    SELECT {sql_stable_round(
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0", 2
+    )} AS avg_weekly
+    FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#19'
+      AND l1.l_quantity < 0.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                                 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+    doc="TPC-H Q17 shape: correlated scalar AVG threshold — revenue/week "
+        "from 'trickle' lineitems of one brand, quantity under half the "
+        "part's average. Spark-first decorrelation: broadcast the brand's "
+        "part keys into the lineitem scan FIRST (so the per-part average "
+        "aggregates only the brand's lineitems — identical semantics, the "
+        "correlation key determines the part), then one shuffle on "
+        "l_partkey feeds both the AVG and the threshold join. Quantities "
+        "are integer-valued doubles, so AVG is order-independent and the "
+        "0.5× boundary compare is exact cross-engine; the money sum goes "
+        "through decimal.",
+    tags=("subquery", "correlated-avg"),
+)
+def brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._parity import dsum
+
+    t = _t(spark, sf_dir)
+    brand_keys = (
+        t["part"].filter(F.col("p_brand") == "Brand#19").select("p_partkey")
+    )
+    li = t["lineitem"].join(
+        F.broadcast(brand_keys), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+        .agg(
+            stable_round(
+                dsum("l_extendedprice").cast("double") / 7.0, 2
+            ).alias("avg_weekly")
+        )
+    )
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           SUM(l_quantity) AS sum_qty
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(l_quantity) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: IN over a HAVING subquery — customers whose "
+        "orders total >300 units. Spark-first: the IN-subquery and the "
+        "outer SUM are the SAME aggregation, so lineitem is aggregated "
+        "ONCE (groupBy l_orderkey, filter >300) instead of the two scans "
+        "the SQL spells; the surviving ~0.3% of orders then join orders "
+        "(shuffle on the already-aggregated key) and the customer dim "
+        "broadcasts. Top-100 by totalprice with the unique o_orderkey "
+        "tiebreak → TakeOrderedAndProject, never a global sort. "
+        "Quantities are integer-valued doubles — SUM is exact, no "
+        "decimal detour needed for the 300 boundary.",
+    tags=("subquery", "in-having", "topk"),
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "suppliers_kept_waiting",
+    oracle="""
+    WITH lf AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lf l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM lf l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lf l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins — suppliers who "
+        "were the SOLE late shipper on multi-supplier finished orders. "
+        "Spark-first: both existentials depend only on (orderkey, "
+        "suppkey), so instead of two more shuffles of raw lineitem "
+        "(semi + anti), aggregate once to (orderkey, suppkey) grain "
+        "[late row count, any-late flag], derive per-order supplier/"
+        "late-supplier counts from THAT (map-side-combined, tiny), and "
+        "re-join on orderkey: EXISTS ≡ n_supp ≥ 2, NOT EXISTS ≡ "
+        "n_late_supp = 1 for a late row's own supplier. The exchange on "
+        "the aggregated grain is reused across both consumers; the "
+        "supplier dim broadcasts; top-100 with the s_name tiebreak is "
+        "TakeOrderedAndProject.",
+    tags=("subquery", "exists", "not-exists", "anti-join"),
+)
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    lf = (
+        t["lineitem"]
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate")
+             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .alias("late"),
+        )
+    )
+    g = lf.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_rows"),
+        F.max("late").alias("is_late"),
+    )
+    per_order = g.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("is_late").cast("int")).alias("n_late_supp"),
+    )
+    return (
+        g.join(per_order, "l_orderkey")
+        .filter(F.col("is_late")
+                & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(t["supplier"]),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("late_rows").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
     )

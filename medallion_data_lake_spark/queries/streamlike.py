@@ -289,6 +289,8 @@ def purchases_within_hour_of_signup(spark: SparkSession, sf_dir: str) -> DataFra
         "time hierarchies at 100 TB (hour partials persist; day/month "
         "reaggregate from them incrementally).",
     tags=("streaming",),
+    extra=True,  # r7 rotation: calendar-bucket agg driver-gated via
+    # order_date_math + events_hourly_windows (this was green r1-r6)
 )
 def events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import DEC

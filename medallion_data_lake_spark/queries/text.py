@@ -156,6 +156,8 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "real model would run as an Arrow-batched pandas UDF with the same "
         "shape (operators/text.py).",
     tags=("text",),
+    extra=True,  # r7 rotation: lang-ID driver-gated via
+    # corpus_quality_by_lang, which derives from this prediction
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
@@ -383,7 +385,8 @@ FROM stats s LEFT JOIN rep r USING (doc_id)
         "metrics in both engines so boundary docs cannot flip across "
         "float formatting.",
     tags=("text", "curation"),
-    extra=True,  # quality-rule family driver-gated via corpus_quality_by_lang
+    # r7 rotation: promoted from extras to the driver gate (never had a
+    # driver row; the Gopher battery is first-class curation surface)
 )
 def doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
