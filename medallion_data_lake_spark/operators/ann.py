@@ -866,11 +866,26 @@ def build_ivf_index(
     id_col: str = "vec_id",
     n_bits: int = MIN_BITS,
     measure_recall: int | None = None,
+    pq_m: int | None = None,
+    pq_k: int = 16,
+    pq_sample_fraction: float | None = None,
+    seed: int = 42,
 ) -> dict:
     """Materialize the IVF layout: (id, vec, norm) partitioned by the
     sign-bucket code. One map pass + one partitioned write; the bucket
     directory IS the inverted list. Returns the meta dict (also written
     as ``_ivf_meta.json``).
+
+    ``pq_m`` adds the PERSISTED PQ tier: a codebook is trained once at
+    build (seeded — bounded sample via ``pq_sample_fraction``), every
+    row's ``pq_code`` is stored IN the bucketed parquet, and the
+    codebook rides the meta sidecar (m·k·dim/m doubles — kilobytes).
+    Searches (:func:`search_pq_ivf_index`) then ADC-score candidates
+    from stored codes with no per-query re-encode, and appends
+    (:func:`append_to_ivf_index`) re-encode new vectors with the STORED
+    codebook — never refit, a new codebook would strand existing codes.
+    Retrofitting PQ onto a code-less index is a rebuild, same as a
+    bucket-width change (the sign family keeps builds one map pass).
 
     ``measure_recall=N`` additionally measures recall@5 (4-probe) on a
     seeded N-row sample against brute force and persists it in the meta
@@ -885,8 +900,17 @@ def build_ivf_index(
         l2_norm(F.col(vec_col)).alias("nrm"),
         sign_code(F.col(vec_col), 0, n_bits).alias("bucket"),
     )
-    indexed.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
     meta = {"n_bits": n_bits, "id_col": id_col, "vec_col": vec_col}
+    if pq_m:
+        dim = len(data.select(vec_col).first()[0])
+        centroids = pq_train(
+            data, vec_col=vec_col, m=pq_m, k=pq_k, dim=dim, seed=seed,
+            sample_fraction=pq_sample_fraction,
+        )
+        indexed = pq_encode(indexed, centroids, vec_col="vec")
+        meta["pq"] = {"m": pq_m, "k": pq_k, "dim": dim, "seed": seed,
+                      "centroids": centroids}
+    indexed.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
     with open(_os.path.join(index_path, "_ivf_meta.json"), "w") as fh:
         _json.dump(meta, fh)
     if measure_recall:
@@ -1134,6 +1158,10 @@ def append_to_ivf_index(
             l2_norm(F.col(vec_col)).alias("nrm"),
             sign_code(F.col(vec_col), 0, meta["n_bits"]).alias("bucket"),
         )
+    if meta.get("pq"):
+        # re-encode with the STORED codebook (same reason as the stored
+        # centroids above: refitting would strand every existing code)
+        indexed = pq_encode(indexed, meta["pq"]["centroids"], vec_col="vec")
     indexed.write.mode("append").partitionBy("bucket").parquet(index_path)
     return meta
 
@@ -1178,13 +1206,16 @@ def append_index_batch(
 
     with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
         meta = _json.load(fh)
+    indexed = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        sign_code(F.col(vec_col), 0, meta["n_bits"]).alias("bucket"),
+    )
+    if meta.get("pq"):
+        indexed = pq_encode(indexed, meta["pq"]["centroids"], vec_col="vec")
     (
-        batch.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("vec"),
-            l2_norm(F.col(vec_col)).alias("nrm"),
-            sign_code(F.col(vec_col), 0, meta["n_bits"]).alias("bucket"),
-        )
+        indexed
         .withColumn("_batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1286,6 +1317,60 @@ def search_ivf_index(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def search_pq_ivf_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probes: int = 4,
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF-PQ search over the PERSISTED tier: probe codes prune the
+    bucket partitions (same pushed ``isin`` as :func:`search_ivf_index`),
+    the pruned candidates are ADC-scored from their STORED ``pq_code``
+    (no re-encode — the point of persisting the tier), and the
+    shortlist is exactly re-ranked against the stored vectors. Per
+    query the work is probed-buckets × (code lookups) + shortlist exact
+    dots — bounded as the corpus grows. Requires a build with
+    ``pq_m`` (:func:`build_ivf_index`); refuses otherwise."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
+        meta = _json.load(fh)
+    if meta.get("kind", "sign") != "sign" or not meta.get("pq"):
+        raise ValueError(
+            f"index at {index_path} has no persisted PQ tier; rebuild "
+            "with build_ivf_index(pq_m=...) (codes and codebook are "
+            "build-time layout, like the bucket width)"
+        )
+    n_bits = meta["n_bits"]
+    centroids = meta["pq"]["centroids"]
+
+    q = queries.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    probe_codes = sorted({
+        r["probe"]
+        for r in q.select(
+            F.explode(
+                multiprobe_sign_codes(F.col("vec"), n_bits, n_probes)
+            ).alias("probe")
+        ).distinct().collect()
+    })
+    cand = (
+        spark.read.parquet(index_path)
+        .filter(F.col("bucket").isin(probe_codes))  # partition pruning
+    )
+    return ivf_pq_search(
+        cand, cand, q, centroids,
+        id_col="vec_id", vec_col="vec",
+        n_bits=n_bits, n_probes=n_probes, k_top=k, shortlist=shortlist,
     )
 
 

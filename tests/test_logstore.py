@@ -149,3 +149,63 @@ def test_race_retry_through_store_interface(spark, tmp_path, mem_store):
     # our commit landed AFTER the three stolen versions, exactly once
     assert entry["version"] == 3
     assert read_table(spark, path).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Cross-PROCESS race (r6 verdict item 7): the one-winner contract was
+# proven with 32 threads in one interpreter; the seam exists for separate
+# writers — two OS processes with independent page caches and no shared
+# GIL hammering the same version sequence.
+# ---------------------------------------------------------------------------
+
+
+def _race_worker(log_dir: str, tag: str, n_versions: int, out_file: str) -> None:
+    """Claim every version as fast as possible; record the wins."""
+    import json as _json
+
+    from medallion_data_lake_spark.operators.logstore import LocalLogStore
+
+    store = LocalLogStore()
+    wins = []
+    for v in range(n_versions):
+        try:
+            store.put_exclusive(
+                os.path.join(log_dir, f"{v:020d}.json"), tag
+            )
+            wins.append(v)
+        except FileExistsError:
+            pass
+    with open(out_file, "w") as fh:
+        _json.dump(wins, fh)
+
+
+def test_put_exclusive_cross_process_one_winner(tmp_path):
+    """4 OS processes × 50 versions through O_CREAT|O_EXCL: the win sets
+    must PARTITION the version space — every version claimed exactly
+    once, no version claimed twice, winner's content intact."""
+    import json as _json
+    import multiprocessing as mp
+
+    log_dir = str(tmp_path / "_log")
+    os.makedirs(log_dir)
+    n_versions, n_procs = 50, 4
+    outs = [str(tmp_path / f"wins_{i}.json") for i in range(n_procs)]
+    ctx = mp.get_context("spawn")  # no inherited fds/locks — real strangers
+    procs = [
+        ctx.Process(
+            target=_race_worker, args=(log_dir, f"proc{i}", n_versions, outs[i])
+        )
+        for i in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    win_sets = [set(_json.load(open(o))) for o in outs]
+    all_wins = [v for s in win_sets for v in s]
+    assert sorted(all_wins) == list(range(n_versions))  # partition: no dup, no gap
+    # file contents name the recorded winner (no torn/overwritten writes)
+    for i, s in enumerate(win_sets):
+        for v in s:
+            assert open(os.path.join(log_dir, f"{v:020d}.json")).read() == f"proc{i}"

@@ -154,3 +154,105 @@ def test_adc_scores_candidates_from_codes_only(spark):
     assert out.count() == 12  # 3 queries × top-4 — no vector column needed
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ tier (r6 verdict item 8): codes + codebook live WITH the
+# bucketed layout; search reads codes, append re-encodes with the stored
+# codebook — no per-call retrain.
+# ---------------------------------------------------------------------------
+
+
+def test_persisted_pq_search_matches_inflight(spark, tmp_path):
+    """build_ivf_index(pq_m=...) + search_pq_ivf_index must return the
+    SAME results as the in-flight pq_train → pq_encode → ivf_pq_search
+    path (the codebook is seeded, so the two layouts are identical)."""
+    from medallion_data_lake_spark.operators.ann import (
+        MIN_BITS,
+        build_ivf_index,
+        search_pq_ivf_index,
+    )
+
+    df = _clustered(spark)
+    queries = df.filter(F.col("vec_id").isin(0, 45, 123))
+    path = str(tmp_path / "pqidx")
+    meta = build_ivf_index(df, path, pq_m=M, pq_k=K)
+    assert meta["pq"]["m"] == M and len(meta["pq"]["centroids"]) == M
+
+    persisted = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in search_pq_ivf_index(spark, path, queries, k=5).collect()
+    }
+
+    cb = pq_train(df, m=M, k=K, dim=DIM)          # same seed default (42)
+    encoded = pq_encode(
+        df.withColumn("bucket", sign_code(F.col("embedding"), 0, MIN_BITS)),
+        cb,
+    )
+    inflight = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in ivf_pq_search(encoded, df, queries, cb, k_top=5).collect()
+    }
+    assert persisted == inflight and len(persisted) > 0
+
+
+def test_append_reencodes_with_stored_codebook(spark, tmp_path):
+    """Appends must encode NEW vectors with the codebook persisted at
+    build — meta unchanged, appended codes valid, appended neighbors
+    findable through the persisted search."""
+    import json
+
+    from medallion_data_lake_spark.operators.ann import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_pq_ivf_index,
+    )
+
+    df = _clustered(spark)
+    base = df.filter(F.col("vec_id") < 200)
+    extra = df.filter(F.col("vec_id") >= 200)
+    path = str(tmp_path / "pqidx")
+    meta0 = build_ivf_index(base, path, pq_m=M, pq_k=K)
+    append_to_ivf_index(extra, path)
+    meta1 = json.load(open(f"{path}/_ivf_meta.json"))
+    assert meta1["pq"]["centroids"] == meta0["pq"]["centroids"]
+
+    stored = spark.read.parquet(path)
+    assert stored.count() == df.count()
+    bad = stored.filter(
+        (F.size("pq_code") != M)
+        | F.exists("pq_code", lambda c: (c < 0) | (c >= K))
+    ).count()
+    assert bad == 0
+
+    # an appended vector's cluster-mates (also appended) are findable
+    q = df.filter(F.col("vec_id") == 210)
+    got = search_pq_ivf_index(spark, path, q, k=5).collect()
+    assert len(got) == 5
+    same_cluster = {r["cand_id"] for r in got if 200 <= r["cand_id"] < 240}
+    assert len(same_cluster) >= 3  # cluster 5 spans ids 200..239
+
+
+def test_persisted_pq_search_prunes_partitions(spark, tmp_path):
+    """The probe's bucket isin must reach the scan as a partition
+    filter — the layout payoff (same assertion as the code-less
+    index)."""
+    import re
+
+    from medallion_data_lake_spark.operators.ann import (
+        build_ivf_index,
+        search_pq_ivf_index,
+    )
+
+    df = _clustered(spark)
+    path = str(tmp_path / "pqidx")
+    build_ivf_index(df, path, pq_m=M, pq_k=K)
+    out = search_pq_ivf_index(
+        spark, path, df.filter(F.col("vec_id") == 7), k=3
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the isin must land as a PARTITION filter (not post-scan): a
+    # non-empty PartitionFilters clause naming bucket
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "bucket" in m.group(1), plan[:2000]
