@@ -7,6 +7,10 @@ module is that surface as a dependency-free JSON API (stdlib
 ``http.server`` only — Streamlit cannot be installed here, and a JSON
 endpoint is the form a real deployment fronts with any UI):
 
+- ``GET  /``                  -> the browser console (serving_ui.py —
+                                 one static page over these endpoints;
+                                 the reference Streamlit page's table
+                                 list + SQL box + bounded results)
 - ``GET  /tables``            -> {"tables": [...]}
 - ``GET  /describe?table=t``  -> {"name", "schema", "sample"}
 - ``GET  /samples``           -> the canned analytics pack (bounded)
@@ -103,10 +107,22 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     # -- routes -----------------------------------------------------------
+    def _send_html(self, html: str) -> None:
+        body = html.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self) -> None:
         url = urlparse(self.path)
         try:
-            if url.path == "/tables":
+            if url.path in ("/", "/index.html"):
+                from .serving_ui import INDEX_HTML
+
+                self._send_html(INDEX_HTML)
+            elif url.path == "/tables":
                 self._send(200, {"tables": self.serving.show_tables()})
             elif url.path == "/describe":
                 q = parse_qs(url.query)
