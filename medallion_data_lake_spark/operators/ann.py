@@ -1224,6 +1224,28 @@ def append_index_batch(
     )
 
 
+def persist_index_health(
+    spark, index_path: str, sample_n: int = 200, **health_kw
+) -> dict:
+    """Run :func:`check_index_health` and fold the verdict into the
+    ``_ivf_meta.json`` sidecar under ``"health"`` (plus a top-level
+    ``rebuild_recommended`` mirror, so operators and the maintenance
+    loop read ONE flag). Telemetry only — never mutates the layout."""
+    import json as _json
+    import os as _os
+
+    health = check_index_health(spark, index_path, sample_n=sample_n,
+                                **health_kw)
+    meta_file = _os.path.join(index_path, "_ivf_meta.json")
+    with open(meta_file) as fh:
+        meta = _json.load(fh)
+    meta["health"] = health
+    meta["rebuild_recommended"] = health["rebuild_recommended"]
+    with open(meta_file, "w") as fh:
+        _json.dump(meta, fh)
+    return health
+
+
 def run_index_append_stream(
     spark,
     stream: DataFrame,
@@ -1232,18 +1254,40 @@ def run_index_append_stream(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     available_now: bool = True,
+    health_every_batches: int | None = None,
+    health_sample_n: int = 200,
 ):
     """Maintain a persisted ANN index FROM A STREAM, exactly-once: each
     micro-batch of vectors is sign-encoded and landed in its own
     partitions (:func:`append_index_batch`); searches
     (:func:`search_ivf_index`) see new vectors as soon as their batch
     lands. The freshness story for embedding stores: no rebuild, no
-    duplicate vectors under crash-replay."""
+    duplicate vectors under crash-replay.
+
+    ``health_every_batches=N`` re-measures recall after every Nth
+    landed batch and persists the verdict in the meta sidecar
+    (:func:`persist_index_health`) — append-only drift is the silent
+    failure mode of a frozen layout, and the stream is where appends
+    happen, so the stream carries the telemetry. Measurement cost is a
+    bounded sample (``health_sample_n``) against the index; failures
+    are swallowed after landing the batch (telemetry must never poison
+    exactly-once ingest)."""
+
+    seen = {"batches": 0}
 
     def process(batch: DataFrame, bid: int) -> None:
         if batch.isEmpty():
             return
         append_index_batch(batch, index_path, bid, vec_col, id_col)
+        if not health_every_batches:
+            return
+        seen["batches"] += 1
+        if seen["batches"] % health_every_batches == 0:
+            try:
+                persist_index_health(spark, index_path,
+                                     sample_n=health_sample_n)
+            except Exception:
+                pass  # batch already landed; telemetry is best-effort
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

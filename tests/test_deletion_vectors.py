@@ -202,3 +202,32 @@ def test_delete_rewrite_refuses_dv_landed_mid_rewrite(spark, table,
     with pytest.raises(V.CommitConflict):
         delete_rows(spark, table, predicates={"id": (10, 50)})
     assert read_table(spark, table).filter(F.col("id") == 3).count() == 0
+
+
+def test_dv_optimize_vacuum_time_travel_exact(spark, table):
+    """r6 verdict item 10 (vacuum leg): DV-delete → OPTIMIZE → vacuum.
+    Every RETAINED version must read vector-exact afterwards — the
+    pre-delete snapshot complete, the DV snapshot merge-on-read exact,
+    the materialized snapshot exact — and vacuuming down to the
+    materialized version alone must still read exact."""
+    from medallion_data_lake_spark.operators.versioned import vacuum
+
+    delete_rows_dv(spark, table, keys={"id": [7, 150]})   # v2: vector only
+    optimize_table(spark, table)                          # v3: materializes
+    vacuum(table, keep_last=3)                            # retain v1..v3
+
+    v1 = read_table(spark, table, version=1)              # pre-delete
+    assert v1.count() == 200
+    assert v1.filter(F.col("id").isin(7, 150)).count() == 2
+    v2 = read_table(spark, table, version=2)              # merge-on-read
+    assert v2.count() == 198
+    assert v2.filter(F.col("id").isin(7, 150)).count() == 0
+    v3 = read_table(spark, table, version=3)              # materialized
+    assert v3.count() == 198
+    assert v3.filter(F.col("id").isin(7, 150)).count() == 0
+    assert _dv_at(table) == {}                            # vector died with the rewrite
+
+    vacuum(table, keep_last=1)                            # only v3 survives
+    got = read_table(spark, table)
+    assert got.count() == 198
+    assert got.filter(F.col("id").isin(7, 150)).count() == 0
