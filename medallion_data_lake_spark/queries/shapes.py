@@ -4,10 +4,13 @@ Shapes every migrating analyst reaches for that no other registry
 entry exercised: PIVOT (wide conditional aggregation) and its inverse
 UNPIVOT, ARGMIN-per-group with join-back (TPC-H Q2's "cheapest
 supplier" pattern), a conditional revenue ratio (TPC-H Q14's promo
-share), date-spine gap filling, and the batch twin of the
-stream-stream attribution join. All `extra=True`: the driver-facing
-registry is at its 50-entry cap, so these verify through the local
-oracle sweep (tests/test_oracle_parity.py) like the rest of
+share), date-spine gap filling, the batch twin of the stream-stream
+attribution join, the TPC-H correlated/nested-subquery family
+(Q4/Q11/Q17/Q18/Q21 shapes, r7), the Q15 max-over-view and Q20
+grouped-IN shapes, and the analytic-window battery
+(percent_rank/cume_dist/first/last/nth). Gate membership is per-query
+(`extra=` at each decorator, rotated by round); extras verify through
+the local oracle sweep (tests/test_oracle_parity.py) like the rest of
 EXTRA_REGISTRY.
 """
 
@@ -725,4 +728,179 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("late_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
+    )
+
+
+@query(
+    "quarter_top_revenue_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,6))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           {sql_stable_round("CAST(total_rev AS DOUBLE)", 2)} AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: a revenue view consumed twice — once for the "
+        "global MAX (scalar subquery), once to select the argmax rows. "
+        "Spark-first: the quarterly per-supplier aggregate is built once; "
+        "its 1-row MAX broadcasts into a cross join and the equality "
+        "filter picks the winner(s) — ties all surface, exactly the SQL "
+        "semantics. The equality compares DECIMAL sums, so argmax "
+        "selection cannot flip on float summation order. Catalyst reuses "
+        "the aggregation exchange for both consumers.",
+    tags=("subquery", "scalar-agg", "view"),
+    extra=True,  # correlated/scalar family driver-gated via
+    # nation_value_concentration + above_nation_avg_balance
+)
+def quarter_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._parity import dsum
+
+    t = _t(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("total_rev"))
+    )
+    top = rev.agg(F.max("total_rev").alias("_max_rev"))
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("_max_rev"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            stable_round(F.col("total_rev").cast("double"), 2)
+            .alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "dominant_volume_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT ps.l_suppkey FROM
+        (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+         FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+        JOIN (SELECT l_partkey, SUM(l_quantity) AS tq
+              FROM lineitem GROUP BY l_partkey) pt
+        ON ps.l_partkey = pt.l_partkey
+      WHERE ps.q > 0.15 * pt.tq)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape: nested IN over a GROUPED correlation — "
+        "suppliers who shipped >15% of some part's total volume. "
+        "Spark-first: ONE aggregation to the (partkey, suppkey) grain, "
+        "then the per-part total comes from a window over that already-"
+        "aggregated frame (SUM OVER partkey) instead of a second scan "
+        "of lineitem; the share filter, distinct, and broadcast "
+        "supplier join all run on grain-sized data. Quantities are "
+        "integer-valued doubles — both sums exact, the 0.15× boundary "
+        "deterministic cross-engine.",
+    tags=("subquery", "grouped-in", "window"),
+    extra=True,  # nested-subquery family driver-gated via
+    # large_volume_orders + suppliers_kept_waiting
+)
+def dominant_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    grain = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        grain.withColumn("tq", F.sum("q").over(w))
+        .filter(F.col("q") > 0.15 * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "segment_order_window_stats",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, o_totalprice,
+           {sql_stable_round(
+               "PERCENT_RANK() OVER (PARTITION BY c_custkey "
+               "ORDER BY o_totalprice, o_orderkey)", 6)} AS pct_rank,
+           {sql_stable_round(
+               "CUME_DIST() OVER (PARTITION BY c_custkey "
+               "ORDER BY o_totalprice, o_orderkey)", 6)} AS cume,
+           FIRST_VALUE(o_totalprice) OVER (PARTITION BY c_custkey
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS cheapest,
+           LAST_VALUE(o_totalprice) OVER (PARTITION BY c_custkey
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS priciest,
+           NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY c_custkey
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_cheapest
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE c_mktsegment = 'MACHINERY'
+    """,
+    doc="The remaining analytic-window battery in one query: "
+        "PERCENT_RANK, CUME_DIST, FIRST/LAST/NTH_VALUE per customer. "
+        "LAST/NTH take an EXPLICIT unbounded frame in both engines — "
+        "the default ordered-window frame stops at CURRENT ROW, where "
+        "LAST_VALUE degenerates to the current row (the classic window "
+        "trap; both engines share it, so the test pins the correct "
+        "form). Sort key carries the unique o_orderkey tiebreak so tied "
+        "prices cannot reorder across engines; rank ratios are exact "
+        "rationals, rounded only against float formatting. One shuffle "
+        "on c_custkey serves all five functions.",
+    tags=("window",),
+    extra=True,  # window family driver-gated via daily_revenue_growth,
+    # segment_top_customers, segment_spend_quartiles
+)
+def segment_order_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    base = (
+        t["orders"]
+        .join(
+            F.broadcast(
+                t["customer"]
+                .filter(F.col("c_mktsegment") == "MACHINERY")
+                .select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return base.select(
+        "c_custkey", "o_orderkey", "o_totalprice",
+        stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        stable_round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_totalprice").over(wf).alias("cheapest"),
+        F.last("o_totalprice").over(wf).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_cheapest"),
     )
