@@ -402,6 +402,27 @@ def _collect_file_stats(
     return out
 
 
+def _stat_probe(v, dtype=None):
+    """Render a RANGE-probe bound exactly as :func:`_collect_file_stats`
+    rendered the stored min/max (numbers/bools native, everything else
+    its ``str``) so overlap compares never cross Python types — a
+    datetime bound against a string-rendered stat raised TypeError
+    before this existed. A ``datetime.date`` probing a TIMESTAMP column
+    is promoted to midnight first: the same instant Spark's implicit
+    cast gives the residual row filter, so the file-pruning decision
+    and the row-level result stay consistent at the boundary."""
+    import datetime as _dt
+
+    from pyspark.sql.types import TimestampType
+
+    if (
+        dtype is not None and isinstance(dtype, TimestampType)
+        and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+    ):
+        v = _dt.datetime.combine(v, _dt.time.min)
+    return v if isinstance(v, (int, float, bool)) or v is None else str(v)
+
+
 BLOOM_BITS = 4096   # 512 B/file/col in the log — KB-scale at any layout
 BLOOM_HASHES = 4    # k=4 at m/n >= 8 keeps FP rate ~2.4%
 
@@ -879,12 +900,18 @@ def read_table_pruned(
         raise ValueError("read_table_pruned needs col/lo/hi, predicates, or eq")
     live, _ = _state_at(path, version)
     stats = _file_stats_at(path, version)
+    dtypes = _column_dtypes(spark, path, version)
+    # range compares run against the stats' RENDERED form
+    sp = {
+        c: (_stat_probe(plo, dtypes.get(c)), _stat_probe(phi, dtypes.get(c)))
+        for c, (plo, phi) in preds.items()
+    }
+    seq = {c: _stat_probe(v, dtypes.get(c)) for c, v in eq.items()}
 
     # equality probes: raw hash values once per column (one tiny job),
     # positions derive per file from its own recorded bits/k
     eq_hashes: dict[str, list[int]] = {}
     if eq:
-        dtypes = _column_dtypes(spark, path, version)
         probe = spark.range(1).select(
             *[
                 _bloom_hash(_probe_lit(v, dtypes.get(c)), i).alias(f"{c}__{i}")
@@ -917,13 +944,13 @@ def read_table_pruned(
         f for f in live
         if all(
             overlaps(stats.get(f, {}).get(c), plo, phi)
-            for c, (plo, phi) in preds.items()
+            for c, (plo, phi) in sp.items()
         )
         and all(
             bloom_admits(stats.get(f, {}), c)
             # ranges prune eq probes too when recorded for the column
-            and overlaps(stats.get(f, {}).get(c), v, v)
-            for c, v in eq.items()
+            and overlaps(stats.get(f, {}).get(c), seq[c], seq[c])
+            for c in eq
         )
     ]
     report = {
@@ -1611,6 +1638,17 @@ def delete_rows(
     if not live:
         raise FileNotFoundError(f"no versioned table at {path}")
     stats = _file_stats_at(path)
+    dtypes = _column_dtypes(spark, path)
+    # range compares run against the stats' RENDERED form (numbers
+    # native, temporal/other as their string rendering — _stat_probe)
+    sp = {
+        c: (_stat_probe(lo, dtypes.get(c)), _stat_probe(hi, dtypes.get(c)))
+        for c, (lo, hi) in preds.items()
+    }
+    skeys = {
+        c: [_stat_probe(v, dtypes.get(c)) for v in vs]
+        for c, vs in keys.items()
+    }
 
     def overlaps(rng, lo, hi) -> bool:
         if rng is None or rng[0] is None:
@@ -1623,7 +1661,6 @@ def delete_rows(
 
     key_hashes: dict[str, list[list[int]]] = {}
     if keys:
-        dtypes = _column_dtypes(spark, path)
         probe = spark.range(1).select(
             *[
                 _bloom_hash(_probe_lit(v, dtypes.get(c)), i)
@@ -1645,7 +1682,7 @@ def delete_rows(
         """Some key of ``c`` can live in the file (range AND bloom)."""
         rng = fstats.get(c)
         encoded = fstats.get(f"{c}__bloom")
-        for v, hs in zip(keys[c], key_hashes[c]):
+        for v, hs in zip(skeys[c], key_hashes[c]):
             if not overlaps(rng, v, v):
                 continue
             if encoded is not None and not _bloom_may_contain(encoded, hs):
@@ -1657,7 +1694,7 @@ def delete_rows(
         f for f in live
         if all(
             overlaps(stats.get(f, {}).get(c), lo, hi)
-            for c, (lo, hi) in preds.items()
+            for c, (lo, hi) in sp.items()
         )
         and all(key_admits(stats.get(f, {}), c) for c in keys)
     ]
@@ -1805,6 +1842,17 @@ def delete_rows_dv(
     if not live:
         raise FileNotFoundError(f"no versioned table at {path}")
     stats = _file_stats_at(path)
+    dtypes = _column_dtypes(spark, path)
+    # range compares run against the stats' RENDERED form (numbers
+    # native, temporal/other as their string rendering — _stat_probe)
+    sp = {
+        c: (_stat_probe(lo, dtypes.get(c)), _stat_probe(hi, dtypes.get(c)))
+        for c, (lo, hi) in preds.items()
+    }
+    skeys = {
+        c: [_stat_probe(v, dtypes.get(c)) for v in vs]
+        for c, vs in keys.items()
+    }
 
     def overlaps(rng, lo, hi) -> bool:
         if rng is None or rng[0] is None:
@@ -1817,7 +1865,6 @@ def delete_rows_dv(
 
     key_hashes: dict[str, list[list[int]]] = {}
     if keys:
-        dtypes = _column_dtypes(spark, path)
         probe = spark.range(1).select(
             *[
                 _bloom_hash(_probe_lit(v, dtypes.get(c)), i)
@@ -1838,7 +1885,7 @@ def delete_rows_dv(
     def key_admits(fstats: dict, c: str) -> bool:
         rng = fstats.get(c)
         encoded = fstats.get(f"{c}__bloom")
-        for v, hs in zip(keys[c], key_hashes[c]):
+        for v, hs in zip(skeys[c], key_hashes[c]):
             if not overlaps(rng, v, v):
                 continue
             if encoded is not None and not _bloom_may_contain(encoded, hs):
@@ -1850,7 +1897,7 @@ def delete_rows_dv(
         f for f in live
         if all(
             overlaps(stats.get(f, {}).get(c), lo, hi)
-            for c, (lo, hi) in preds.items()
+            for c, (lo, hi) in sp.items()
         )
         and all(key_admits(stats.get(f, {}), c) for c in keys)
     ]
@@ -2032,6 +2079,17 @@ def update_rows(
     if not live:
         raise FileNotFoundError(f"no versioned table at {path}")
     stats = _file_stats_at(path)
+    dtypes = _column_dtypes(spark, path)
+    # range compares run against the stats' RENDERED form (numbers
+    # native, temporal/other as their string rendering — _stat_probe)
+    sp = {
+        c: (_stat_probe(lo, dtypes.get(c)), _stat_probe(hi, dtypes.get(c)))
+        for c, (lo, hi) in preds.items()
+    }
+    skeys = {
+        c: [_stat_probe(v, dtypes.get(c)) for v in vs]
+        for c, vs in keys.items()
+    }
 
     def overlaps(rng, lo, hi) -> bool:
         if rng is None or rng[0] is None:
@@ -2044,7 +2102,6 @@ def update_rows(
 
     key_hashes: dict[str, list[list[int]]] = {}
     if keys:
-        dtypes = _column_dtypes(spark, path)
         probe = spark.range(1).select(
             *[
                 _bloom_hash(_probe_lit(v, dtypes.get(c)), i)
@@ -2066,7 +2123,7 @@ def update_rows(
         """Some key of ``c`` can live in the file (range AND bloom)."""
         rng = fstats.get(c)
         encoded = fstats.get(f"{c}__bloom")
-        for v, hs in zip(keys[c], key_hashes[c]):
+        for v, hs in zip(skeys[c], key_hashes[c]):
             if not overlaps(rng, v, v):
                 continue
             if encoded is not None and not _bloom_may_contain(encoded, hs):
@@ -2078,7 +2135,7 @@ def update_rows(
         f for f in live
         if all(
             overlaps(stats.get(f, {}).get(c), lo, hi)
-            for c, (lo, hi) in preds.items()
+            for c, (lo, hi) in sp.items()
         )
         and all(key_admits(stats.get(f, {}), c) for c in keys)
     ]
@@ -2300,7 +2357,10 @@ def merge_into(
             f"({agg_row['n']} rows, {agg_row['nd']} distinct {key!r}) — "
             "collapse with latest_change_per_key first"
         )
-    lo, hi = agg_row["lo"], agg_row["hi"]
+    # compare in the stats' rendered form — a temporal merge key would
+    # otherwise TypeError against the string-rendered min/max
+    _kd = _column_dtypes(spark, path).get(key)
+    lo, hi = _stat_probe(agg_row["lo"], _kd), _stat_probe(agg_row["hi"], _kd)
 
     def overlaps(rng) -> bool:
         if rng is None or rng[0] is None:

@@ -385,3 +385,52 @@ def test_update_and_delete_retry_past_append_race_and_abort_on_removal(
         V._state_at = orig
     # stale rewrite cleaned up: no orphan commit dir
     assert len(_os.listdir(_os.path.join(path, "data"))) == n_dirs
+
+
+def test_temporal_stats_pruning_and_merge(spark, tmp_path):
+    """REGRESSION (r7): file stats render non-numeric min/max as
+    strings, but range probes compared NATIVE Python values against
+    them — a timestamp-keyed merge or a datetime-bounded pruned read
+    raised TypeError ('<' between str and datetime). Probes now render
+    through _stat_probe (the stats' own rendering; date bounds promote
+    to midnight on timestamp columns) so temporal pruning works AND
+    prunes correctly."""
+    import datetime
+
+    from medallion_data_lake_spark.operators.versioned import (
+        commit,
+        merge_into,
+        read_table,
+        read_table_pruned,
+    )
+
+    path = str(tmp_path / "vt")
+    for b in range(3):  # one month per commit: disjoint ts ranges
+        rows = [
+            (datetime.datetime(2024, 1 + b, d), f"v{b}-{d}")
+            for d in range(1, 11)
+        ]
+        commit(spark.createDataFrame(rows, "ts timestamp, p string"),
+               path, stats_cols=("ts",))
+
+    df, rep = read_table_pruned(spark, path, predicates={
+        "ts": (datetime.datetime(2024, 2, 2), datetime.datetime(2024, 2, 3)),
+    })
+    assert df.count() == 2
+    assert rep["files_skipped"] > 0          # other months pruned
+
+    # date (not datetime) bounds on a timestamp column: midnight
+    # promotion keeps the boundary row IN (Spark's cast semantics)
+    df2, rep2 = read_table_pruned(spark, path, predicates={
+        "ts": (datetime.date(2024, 2, 2), datetime.date(2024, 2, 3)),
+    })
+    assert df2.count() == 2                  # rows AT midnight included
+    assert rep2["files_skipped"] > 0
+
+    src = spark.createDataFrame(
+        [(datetime.datetime(2024, 2, 5), "NEW")], "ts timestamp, p string")
+    out = merge_into(spark, path, src, key="ts")
+    assert out is not None and out["files_untouched"] > 0  # pruned merge
+    got = read_table(spark, path)
+    assert got.filter(F.col("p") == "NEW").count() == 1
+    assert got.count() == 30                 # upsert replaced, not added
