@@ -188,3 +188,39 @@ def test_keyed_delete_int_key_on_double_column(spark, tmp_path):
     assert out is not None and out["rows_deleted"] == 2
     assert read_table(spark, path) \
         .filter(F.col("uid").isin(5, 900)).count() == 0
+
+
+def test_bloom_probe_type_matrix(spark, tmp_path):
+    """Build-hash ≡ probe-hash across the column-type matrix: one table
+    with a bloom on every column type a key realistically takes; every
+    point probe must find its row (a false skip on ANY type is the
+    silent-data-loss class the r6 verdict flagged). Timestamp/date
+    probes use native Python objects — the rendering contract, not the
+    caller, owns the conversion."""
+    import datetime
+
+    path = str(tmp_path / "vt")
+    cols = "i int, l long, d double, b boolean, s string, ts timestamp, dt date"
+    rows = [
+        (n, n * 10, n * 1.5, n % 2 == 0, f"key{n}",
+         datetime.datetime(2024, 1, 1) + datetime.timedelta(days=n),
+         datetime.date(2023, 1, 1) + datetime.timedelta(days=n))
+        for n in range(50)
+    ]
+    commit(spark.createDataFrame(rows, cols), path,
+           bloom_cols=("i", "l", "d", "b", "s", "ts", "dt"))
+    probes = {
+        "i": 7,
+        "l": 70,
+        "d": 10.5,            # float probe on double
+        "b": True,            # Python bool vs Spark 'true'
+        "s": "key7",
+        "ts": datetime.datetime(2024, 1, 8),
+        "dt": datetime.date(2023, 1, 8),
+    }
+    for c, v in probes.items():
+        df, report = read_table_pruned(spark, path, eq={c: v})
+        assert df.count() >= 1, (c, v, report)
+    # int probe against the double column (cross-typed rendering)
+    df, report = read_table_pruned(spark, path, eq={"d": 3})
+    assert df.filter(F.col("i") == 2).count() == 1, report
