@@ -1426,18 +1426,34 @@ def search_index(
     id_col: str = "vec_id",
     n_probes: int = 4,
     k: int = 5,
+    use_pq: bool = False,
+    shortlist: int = 50,
 ) -> DataFrame:
     """Kind-agnostic probe of a persisted IVF index: reads the layout
     kind from ``_ivf_meta.json`` and dispatches to the sign-bucket or
     learned-codebook search (identical signatures and output schema:
     query_id, cand_id, cos_sim, rank). Consumers built ON TOP of an
     index — hard-negative mining, health checks — go through this so
-    they work on any layout the builders produce."""
+    they work on any layout the builders produce.
+
+    ``use_pq=True`` routes through the persisted PQ tier
+    (:func:`search_pq_ivf_index`: ADC from stored codes + exact
+    shortlist re-rank) — opt-in, not automatic, because the shortlist
+    stage changes the result's approximation profile and recall
+    baselines recorded against the full-vector probe must stay
+    comparable across calls."""
     import json as _json
     import os as _os
 
     with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
-        kind = _json.load(fh).get("kind", "sign")
+        meta = _json.load(fh)
+    if use_pq:
+        return search_pq_ivf_index(
+            spark, index_path, queries,
+            vec_col=vec_col, id_col=id_col, n_probes=n_probes, k=k,
+            shortlist=shortlist,
+        )
+    kind = meta.get("kind", "sign")
     fn = search_kmeans_ivf_index if kind == "kmeans" else search_ivf_index
     return fn(
         spark, index_path, queries,

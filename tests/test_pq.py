@@ -256,3 +256,36 @@ def test_persisted_pq_search_prunes_partitions(spark, tmp_path):
     # non-empty PartitionFilters clause naming bucket
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m is not None and "bucket" in m.group(1), plan[:2000]
+
+
+def test_search_index_dispatches_to_pq(spark, tmp_path):
+    """search_index(use_pq=True) routes through the persisted PQ tier
+    (≡ search_pq_ivf_index); without the flag it stays on the
+    full-vector probe; a code-less index refuses the flag loudly."""
+    import pytest as _pytest
+
+    from medallion_data_lake_spark.operators.ann import (
+        build_ivf_index,
+        search_index,
+        search_pq_ivf_index,
+    )
+
+    df = _clustered(spark)
+    q = df.filter(F.col("vec_id") == 3)
+    path = str(tmp_path / "pqidx")
+    build_ivf_index(df, path, pq_m=M, pq_k=K)
+    via_dispatch = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in search_index(spark, path, q, k=5, use_pq=True).collect()
+    }
+    direct = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in search_pq_ivf_index(spark, path, q, k=5).collect()
+    }
+    assert via_dispatch == direct and via_dispatch
+
+    plain = str(tmp_path / "plainidx")
+    build_ivf_index(df, plain)
+    assert search_index(spark, plain, q, k=5).count() == 5  # flagless ok
+    with _pytest.raises(ValueError):
+        search_index(spark, plain, q, k=5, use_pq=True)
