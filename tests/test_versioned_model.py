@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from medallion_data_lake_spark.operators.versioned import (
     commit,
     delete_rows,
+    delete_rows_dv,
     merge_into,
     optimize_table,
     read_table,
@@ -26,11 +27,14 @@ from medallion_data_lake_spark.operators.versioned import (
     update_rows,
 )
 
-# op alphabet: (kind, key-subset seed, tag seed)
+# op alphabet: (kind, key-subset seed, tag seed). delete_dv joins the
+# alphabet in r7 — merge-on-read vectors must interleave arbitrarily
+# with rewrites, history, and the change feed, not just in hand-picked
+# scenarios.
 _ops = st.lists(
     st.tuples(
         st.sampled_from(["append", "merge", "delete", "overwrite", "optimize",
-                         "update"]),
+                         "update", "delete_dv"]),
         st.integers(min_value=0, max_value=9),
         st.integers(min_value=0, max_value=99),
     ),
@@ -57,6 +61,21 @@ def test_versioned_table_matches_reference_model(spark, tmp_path_factory, ops):
     snapshots: list[dict[int, str]] = []  # model state per version
     fresh = 100  # id offset so appends also add never-seen keys
 
+    def materializing(fn):
+        """Run a rewrite op; if it refuses because matched files carry
+        deletion vectors (the documented contract), materialize them
+        with OPTIMIZE — a logical no-op version — and retry once. This
+        is exactly the workflow the refusal message prescribes, so the
+        model exercises it instead of avoiding DV+rewrite mixes."""
+        try:
+            return fn()
+        except ValueError as e:
+            if "deletion vector" not in str(e):
+                raise
+            optimize_table(spark, path, target_file_bytes=1 << 30)
+            snapshots.append(dict(model))
+            return fn()
+
     def apply_real(kind, seed_k, seed_t):
         nonlocal fresh
         rows = _rows_for(seed_k, seed_t, fresh)
@@ -77,7 +96,7 @@ def test_versioned_table_matches_reference_model(spark, tmp_path_factory, ops):
             if not model:
                 commit(df, path, stats_cols=("id",))
             else:
-                merge_into(spark, path, df, key="id")
+                materializing(lambda: merge_into(spark, path, df, key="id"))
             model.update(dict(rows))
             snapshots.append(dict(model))
             fresh += 100
@@ -87,7 +106,9 @@ def test_versioned_table_matches_reference_model(spark, tmp_path_factory, ops):
             lo = seed_k
             hi = seed_k + 4
             doomed = [i for i in model if lo <= i <= hi]
-            out = delete_rows(spark, path, predicates={"id": (lo, hi)})
+            out = materializing(
+                lambda: delete_rows(spark, path, predicates={"id": (lo, hi)})
+            )
             if doomed:
                 assert out is not None and out["rows_deleted"] == len(doomed)
                 for i in doomed:
@@ -106,17 +127,32 @@ def test_versioned_table_matches_reference_model(spark, tmp_path_factory, ops):
                 return
             lo, hi = seed_k, seed_k + 4
             hit = [i for i in model if lo <= i <= hi]
-            out = update_rows(
+            out = materializing(lambda: update_rows(
                 spark, path,
                 set_exprs={"tag": f"concat(tag, '_u{seed_t}')"},
                 predicates={"id": (lo, hi)},
-            )
+            ))
             if hit:
                 assert out is not None and out["rows_updated"] == len(hit)
                 for i in hit:
                     model[i] = f"{model[i]}_u{seed_t}"
                 snapshots.append(dict(model))
             else:
+                assert out is None
+        elif kind == "delete_dv":
+            if not model:
+                return
+            lo, hi = seed_k, seed_k + 4
+            doomed = [i for i in model if lo <= i <= hi]
+            out = delete_rows_dv(spark, path, predicates={"id": (lo, hi)})
+            if doomed:
+                assert out is not None and out["rows_deleted"] == len(doomed)
+                for i in doomed:
+                    del model[i]
+                snapshots.append(dict(model))
+            else:
+                # already-vectored rows re-match but add no NEW
+                # positions — the union is idempotent, entry elided
                 assert out is None
         elif kind == "optimize":
             if not model:
