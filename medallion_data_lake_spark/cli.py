@@ -114,7 +114,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="index-health: sample size for recall re-measure")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve: listen as a JSON HTTP API on this port "
-                         "instead of the stdin REPL")
+                         "instead of the stdin REPL (GET / serves the "
+                         "browser SQL console)")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="mdls-cli")
@@ -141,7 +142,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 print(f"serving HTTP on {server.server_address[0]}:"
                       f"{server.server_address[1]} "
-                      "(GET /tables /describe /samples, POST /query)")
+                      "(browser console at GET /; GET /tables /describe "
+                      "/samples, POST /query /explain /curate)")
                 try:
                     thread.join()
                 except KeyboardInterrupt:
