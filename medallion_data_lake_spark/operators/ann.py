@@ -370,7 +370,9 @@ def pq_train(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    assert dim % m == 0, "m must divide dim"
+    if dim % m != 0:  # not an assert: must survive python -O (a
+        # misaligned sub-slice would train a silently wrong codebook)
+        raise ValueError(f"pq_train: m={m} must divide dim={dim}")
     sub = dim // m
     src = df.sample(sample_fraction, seed=seed) if sample_fraction else df
     src = src.select(F.col(vec_col).alias("_v")).localCheckpoint(eager=True)
@@ -859,6 +861,23 @@ def bucketed_near_dup_pairs(
 # (Lance, Milvus segments, Iceberg puffin) converges on.
 
 
+def _write_meta(index_path: str, meta: dict) -> None:
+    """Atomically replace ``_ivf_meta.json`` (temp file + os.replace).
+    The sidecar is the ONLY copy of the layout params and PQ codebook,
+    and :func:`persist_index_health` rewrites it from a LIVE streaming
+    loop while searches read it — a truncating ``open("w")`` would
+    expose a torn/empty file to concurrent readers and a crash
+    mid-write would strand every stored pq_code forever."""
+    import json as _json
+    import os as _os
+
+    target = _os.path.join(index_path, "_ivf_meta.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh)
+    _os.replace(tmp, target)
+
+
 def build_ivf_index(
     data: DataFrame,
     index_path: str,
@@ -902,7 +921,13 @@ def build_ivf_index(
     )
     meta = {"n_bits": n_bits, "id_col": id_col, "vec_col": vec_col}
     if pq_m:
-        dim = len(data.select(vec_col).first()[0])
+        first = data.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "build_ivf_index(pq_m=...): input has no rows (or a null "
+                f"{vec_col!r}) — cannot derive the vector dimension"
+            )
+        dim = len(first[0])
         centroids = pq_train(
             data, vec_col=vec_col, m=pq_m, k=pq_k, dim=dim, seed=seed,
             sample_fraction=pq_sample_fraction,
@@ -911,8 +936,7 @@ def build_ivf_index(
         meta["pq"] = {"m": pq_m, "k": pq_k, "dim": dim, "seed": seed,
                       "centroids": centroids}
     indexed.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
-    with open(_os.path.join(index_path, "_ivf_meta.json"), "w") as fh:
-        _json.dump(meta, fh)
+    _write_meta(index_path, meta)
     if measure_recall:
         meta = _record_build_recall(data, index_path, meta, measure_recall)
     return meta
@@ -979,8 +1003,7 @@ def build_kmeans_ivf_index(
         "vec_col": vec_col,
         "centroids": [list(map(float, c)) for c in model.clusterCenters()],
     }
-    with open(_os.path.join(index_path, "_ivf_meta.json"), "w") as fh:
-        _json.dump(meta, fh)
+    _write_meta(index_path, meta)
     if measure_recall:
         meta = _record_build_recall(data, index_path, meta, measure_recall)
     return meta
@@ -1016,8 +1039,7 @@ def _record_build_recall(
         "recall_probes": n_probes,
         "recall_sample": sample.count(),
     }
-    with open(_os.path.join(index_path, "_ivf_meta.json"), "w") as fh:
-        _json.dump(meta, fh)
+    _write_meta(index_path, meta)
     return meta
 
 
@@ -1182,8 +1204,7 @@ def init_streaming_ivf_index(
     _os.makedirs(index_path, exist_ok=True)
     meta = {"kind": "sign", "n_bits": n_bits, "streaming": True,
             "id_col": "vec_id", "vec_col": "embedding"}
-    with open(_os.path.join(index_path, "_ivf_meta.json"), "w") as fh:
-        _json.dump(meta, fh)
+    _write_meta(index_path, meta)
     return meta
 
 
@@ -1241,8 +1262,7 @@ def persist_index_health(
         meta = _json.load(fh)
     meta["health"] = health
     meta["rebuild_recommended"] = health["rebuild_recommended"]
-    with open(meta_file, "w") as fh:
-        _json.dump(meta, fh)
+    _write_meta(index_path, meta)
     return health
 
 

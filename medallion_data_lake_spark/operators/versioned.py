@@ -260,20 +260,28 @@ def _apply_dvs(spark, df, path: str, files: list[str],
 
 def _table_schema_json_logged(path: str, version: int | None = None) -> dict | None:
     """table_schema JSON at ``version`` from the LOG + CHECKPOINTS alone
-    (no SparkSession, no parquet footers): newest log entry carrying the
-    field, else newest prior checkpoint carrying it, else None. The
-    no-spark resolver _write_checkpoint folds into each checkpoint."""
-    for e in reversed(_entries(path, hi=version)):
-        if e.get("table_schema") is not None:
-            return e["table_schema"]
+    (no SparkSession, no parquet footers): newest TAIL entry carrying
+    the field, else the newest prior checkpoint carrying it, else (for
+    pre-field legacy checkpoints only) the remaining entries below the
+    checkpoint, else None. Checkpoint + tail like every other resolver
+    — this runs on every dtype lookup, so it must not re-parse the
+    whole log when a checkpoint already folds the answer."""
     ckpts = [
         v for v in _checkpoint_versions(path)
         if version is None or v <= version
     ]
+    tail_lo = (ckpts[-1] + 1) if ckpts else 0
+    for e in reversed(_entries(path, lo=tail_lo, hi=version)):
+        if e.get("table_schema") is not None:
+            return e["table_schema"]
     for cv in reversed(ckpts):
         ts = _read_checkpoint(path, cv).get("table_schema")
         if ts is not None:
             return ts
+    if ckpts:  # legacy checkpoints without the field: full-walk fallback
+        for e in reversed(_entries(path, hi=ckpts[-1])):
+            if e.get("table_schema") is not None:
+                return e["table_schema"]
     return None
 
 
@@ -407,19 +415,30 @@ def _stat_probe(v, dtype=None):
     rendered the stored min/max (numbers/bools native, everything else
     its ``str``) so overlap compares never cross Python types — a
     datetime bound against a string-rendered stat raised TypeError
-    before this existed. A ``datetime.date`` probing a TIMESTAMP column
-    is promoted to midnight first: the same instant Spark's implicit
-    cast gives the residual row filter, so the file-pruning decision
-    and the row-level result stay consistent at the boundary."""
+    before this existed. Temporal cross-type probes normalize to the
+    COLUMN's grain first: a ``date`` probing a TIMESTAMP column promotes
+    to midnight (the instant Spark's implicit cast gives the residual
+    row filter), and a ``datetime`` probing a DATE column demotes to its
+    date — exact for an upper bound (dates ≤ any instant of day D are
+    dates ≤ D) and conservative for a lower bound (reads at most one
+    extra date's files; the residual filter keeps results exact).
+    Without the demotion the longer timestamp rendering lexically
+    exceeds the stored date string and boundary files are SILENTLY
+    pruned."""
     import datetime as _dt
 
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import DateType, TimestampType
 
     if (
         dtype is not None and isinstance(dtype, TimestampType)
         and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
     ):
         v = _dt.datetime.combine(v, _dt.time.min)
+    elif (
+        dtype is not None and isinstance(dtype, DateType)
+        and isinstance(v, _dt.datetime)
+    ):
+        v = v.date()
     return v if isinstance(v, (int, float, bool)) or v is None else str(v)
 
 

@@ -132,7 +132,8 @@ async function runQuery() {
     renderTable(r);
     status_(`${r.row_count} row(s) · server ${r.elapsed_sec}s · ` +
             `round-trip ${((performance.now() - t0) / 1000).toFixed(2)}s` +
-            (r.row_count >= r.truncated_at ? ` · truncated at ${r.truncated_at}` : ""));
+            (r.row_count >= r.truncated_at
+              ? ` · row cap ${r.truncated_at} reached` : ""));
   } catch (e) { status_(e.message, true); }
 }
 

@@ -434,3 +434,30 @@ def test_temporal_stats_pruning_and_merge(spark, tmp_path):
     got = read_table(spark, path)
     assert got.filter(F.col("p") == "NEW").count() == 1
     assert got.count() == 30                 # upsert replaced, not added
+
+
+def test_datetime_probe_on_date_column_not_false_pruned(spark, tmp_path):
+    """Symmetric temporal case (r7 self-review): a DATETIME bound on a
+    DATE column must demote to its date for the stats compare — the
+    longer timestamp rendering lexically exceeds the stored date string
+    and boundary files were silently pruned."""
+    import datetime
+
+    from medallion_data_lake_spark.operators.versioned import (
+        commit,
+        read_table_pruned,
+    )
+
+    path = str(tmp_path / "vt")
+    for b in range(3):
+        rows = [
+            (datetime.date(2024, 1 + b, d), f"v{b}-{d}") for d in range(1, 11)
+        ]
+        commit(spark.createDataFrame(rows, "d date, p string"),
+               path, stats_cols=("d",))
+    # midnight datetime bounds spanning one stored date
+    df, rep = read_table_pruned(spark, path, predicates={
+        "d": (datetime.datetime(2024, 2, 5), datetime.datetime(2024, 2, 5)),
+    })
+    assert df.count() == 1                   # pre-fix: 0 (file pruned)
+    assert rep["files_skipped"] > 0          # other months still pruned
