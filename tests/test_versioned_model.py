@@ -11,6 +11,8 @@ has: not hand-picked scenarios, but arbitrary interleavings.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -26,6 +28,10 @@ from medallion_data_lake_spark.operators.versioned import (
     table_changes,
     update_rows,
 )
+
+# CI default keeps the suite fast; MDLS_MODEL_EXAMPLES=30 ran as an r7
+# soak (both models green, DV interleavings included)
+_EXAMPLES = int(os.environ.get("MDLS_MODEL_EXAMPLES", "6"))
 
 # op alphabet: (kind, key-subset seed, tag seed). delete_dv joins the
 # alphabet in r7 — merge-on-read vectors must interleave arbitrarily
@@ -50,7 +56,7 @@ def _rows_for(seed_k: int, seed_t: int, fresh_base: int):
 
 
 @settings(
-    max_examples=6, deadline=None,
+    max_examples=_EXAMPLES, deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture,
                            HealthCheck.too_slow],
 )
@@ -201,7 +207,7 @@ _evo_ops = st.lists(
 
 
 @settings(
-    max_examples=6, deadline=None,
+    max_examples=_EXAMPLES, deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture,
                            HealthCheck.too_slow],
 )
