@@ -498,3 +498,120 @@ def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FUZZY decontamination — LSH-bucketed cross-corpus near-match (r7). The
+# exact-shingle join above misses paraphrased/partially-edited benchmark
+# leakage; MinHash+LSH catches high-Jaccard rewrites at the same
+# O(colliding pairs) cost profile as within-corpus near-dedup.
+# ---------------------------------------------------------------------------
+
+_FUZZY_TAU = 0.5  # flag when estimated Jaccard >= tau
+
+
+def _fuzzy_oracle() -> str:
+    from .dedup import N_BANDS, N_MINHASH, _SQL_SIGS_CTE, _sql_band_key
+
+    sigs_cte = _SQL_SIGS_CTE.replace(
+        "SELECT doc_id,", "SELECT doc_id, source,", 1
+    ).replace("sigs AS (SELECT doc_id,", "sigs AS (SELECT doc_id, source,")
+    mh_cols = ", ".join(f"mh{j}" for j in range(N_MINHASH))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, source, {b} AS band, {_sql_band_key(b, '')} AS bkey, "
+        f"{mh_cols} FROM sigs"
+        for b in range(N_BANDS)
+    )
+    est = (
+        "("
+        + " + ".join(
+            f"CASE WHEN c.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+            for j in range(N_MINHASH)
+        )
+        + f") / {N_MINHASH}.0"
+    )
+    return f"""
+    WITH {sigs_cte}, bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT c.doc_id, b.doc_id AS bench_doc_id,
+             {sql_stable_round(est, 4)} AS est_jaccard
+      FROM (SELECT * FROM bands WHERE source <> '{BENCH_SOURCE}') c
+      JOIN (SELECT * FROM bands WHERE source = '{BENCH_SOURCE}') b
+        ON c.band = b.band AND c.bkey = b.bkey
+      WHERE {est} >= {_FUZZY_TAU}
+    )
+    SELECT doc_id, bench_doc_id, est_jaccard FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY est_jaccard DESC, bench_doc_id
+      ) AS rn FROM cand
+    ) WHERE rn = 1
+    """
+
+
+@query(
+    "decontaminate_fuzzy_lsh",
+    oracle=_fuzzy_oracle(),
+    doc="FUZZY test-set decontamination: corpus docs whose MinHash "
+        "signature LSH-collides with a benchmark doc at estimated "
+        "Jaccard >= 0.5 — the paraphrase/partial-edit leakage the exact "
+        "shingle join (decontaminate_ngram_overlap) cannot see. Both "
+        "sides band their signatures map-side; the only shuffle joins "
+        "(band, key) tuples, so cost is O(colliding pairs) — never "
+        "corpus × benchmark. Signatures ride the band rows (the "
+        "lsh_candidate_pairs layout) so the estimate computes inside "
+        "the one join; per-doc winner via max_by, no second window "
+        "shuffle. At 100 TB: persist both signature tables and reuse "
+        "across benchmark versions.",
+    tags=("text", "curation", "dedup"),
+    extra=True,  # decontamination family driver-gated via
+    # decontaminate_ngram_overlap; LSH machinery via lsh_candidate_pairs
+)
+def decontaminate_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND, signatures
+
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+
+    def banded(side: DataFrame, id_alias: str) -> DataFrame:
+        sigs = signatures(side)
+        return sigs.select(
+            F.col("doc_id").alias(id_alias),
+            *[F.col(f"mh{j}").alias(f"{id_alias}_mh{j}")
+              for j in range(N_MINHASH)],
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(":", *[
+                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ]).alias("bkey"),
+                )
+                for b in range(N_BANDS)
+            ])).alias("_b"),
+        ).select(id_alias, *[f"{id_alias}_mh{j}" for j in range(N_MINHASH)],
+                 "_b.band", "_b.bkey")
+
+    corpus = banded(d.filter(F.col("source") != BENCH_SOURCE), "doc_id")
+    bench = banded(d.filter(F.col("source") == BENCH_SOURCE), "bench_doc_id")
+    est = sum(
+        F.when(F.col(f"doc_id_mh{j}") == F.col(f"bench_doc_id_mh{j}"), 1)
+        .otherwise(0)
+        for j in range(N_MINHASH)
+    ) / float(N_MINHASH)
+    pairs = (
+        corpus.join(bench, ["band", "bkey"])
+        .select("doc_id", "bench_doc_id",
+                stable_round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= _FUZZY_TAU)
+        .dropDuplicates(["doc_id", "bench_doc_id"])  # multi-band re-reach
+    )
+    best = F.max(
+        F.struct(F.col("est_jaccard"), (-F.col("bench_doc_id")).alias("nb"))
+    ).alias("_m")
+    return (
+        pairs.groupBy("doc_id").agg(best)
+        .select(
+            "doc_id",
+            (-F.col("_m.nb")).cast("long").alias("bench_doc_id"),
+            F.col("_m.est_jaccard").alias("est_jaccard"),
+        )
+    )
