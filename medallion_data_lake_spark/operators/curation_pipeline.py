@@ -107,6 +107,68 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     return docs.join(contaminated, id_col, "left_anti")
 
 
+def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_text_col: str = "text",
+                        min_est_jaccard: float = 0.5,
+                        production_hash: bool = False) -> DataFrame:
+    """Remove documents whose MinHash signature LSH-collides with a
+    benchmark document at estimated Jaccard >= ``min_est_jaccard`` —
+    the paraphrased/partially-edited leakage the exact n-gram join
+    (:func:`decontaminate`) cannot see. Runs AFTER it in the pipeline:
+    exact removal shrinks the fuzzy stage's input for free.
+
+    Both sides band their signatures map-side; the only shuffle joins
+    (band, key) tuples — O(colliding pairs), never corpus × benchmark.
+    Oracle-twin: the registry query ``decontaminate_fuzzy_lsh``."""
+    from ..queries.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        ROWS_PER_BAND,
+    )
+
+    def banded(side: DataFrame, sid: str, tcol: str,
+               side_id: str) -> DataFrame:
+        sigs = signatures(side, id_col=side_id, text_col=tcol,
+                          production=production_hash)
+        return sigs.select(
+            F.col("doc_id").alias(sid),
+            *[F.col(f"mh{j}").alias(f"{sid}_mh{j}")
+              for j in range(N_MINHASH)],
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(":", *[
+                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ]).alias("bkey"),
+                )
+                for b in range(N_BANDS)
+            ])).alias("_b"),
+        ).select(sid, *[f"{sid}_mh{j}" for j in range(N_MINHASH)],
+                 "_b.band", "_b.bkey")
+
+    corpus = banded(docs, "_cid", text_col, id_col)
+    # bench may be text-only (the exact stage needs no id): synthesize
+    # one — it never surfaces, it only carries the signature rows
+    bench_prepared = bench.select(
+        F.monotonically_increasing_id().alias("_bench_row_id"),
+        F.col(bench_text_col).alias("_btext"),
+    )
+    bside = banded(bench_prepared, "_bid", "_btext", "_bench_row_id")
+    est = sum(
+        F.when(F.col(f"_cid_mh{j}") == F.col(f"_bid_mh{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    ) / float(N_MINHASH)
+    flagged = (
+        corpus.join(bside, ["band", "bkey"])
+        .filter(est >= min_est_jaccard)
+        .select(F.col("_cid").alias(id_col))
+        .distinct()
+    )
+    return docs.join(flagged, id_col, "left_anti")
+
+
 def stratified_sample(docs: DataFrame,
                       rates_per_mille: Mapping[str, int],
                       default_rate_per_mille: int = 500,
@@ -424,6 +486,10 @@ class CurationConfig:
     min_est_jaccard: float = 0.5
     production_hash: bool = False  # xxhash64 shingles (cheaper, non-oracle)
     max_contamination: float = 0.0
+    # fuzzy (LSH near-match) decontamination vs the benchmark set, in
+    # ADDITION to the exact n-gram join — catches paraphrased leakage
+    fuzzy_decontaminate: bool = False
+    fuzzy_tau: float = 0.5
     rates_per_mille: Mapping[str, int] = field(default_factory=dict)
     default_rate_per_mille: int = 1000  # keep everything unless configured
     blocklist: Sequence[str] = ()
@@ -551,6 +617,11 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
             cur, bench, cfg.id_col, cfg.text_col, cfg.text_col,
             cfg.max_contamination,
         ))
+        if cfg.fuzzy_decontaminate:
+            cur = stage("fuzzy_decontaminated", fuzzy_decontaminate(
+                cur, bench, cfg.id_col, cfg.text_col, cfg.text_col,
+                cfg.fuzzy_tau, cfg.production_hash,
+            ))
     if cfg.mix_token_budget is not None:
         # note: the totals aggregation inside executes the pipeline
         # prefix once at build time (bounded |sources|-row collect) —

@@ -536,3 +536,52 @@ def test_remove_common_segments_threshold(spark):
     out3 = {r["doc_id"]: r["text"]
             for r in remove_common_segments(docs, min_docs=4).collect()}
     assert all(t == f"own {i}" for i, t in out3.items())
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    """r7: the LSH near-match stage drops a document that shares most
+    (not all) shingles with a benchmark doc — the paraphrase leak the
+    exact join misses at max_contamination thresholds above the
+    overlap — while unrelated docs survive."""
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        fuzzy_decontaminate,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.rsplit(" ", 1)[0] + " OMEGA"   # one word changed at the end
+    df = spark.createDataFrame(
+        [(1, near), (2, "totally different words nothing shared here at all")],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(base,)], "text string")
+    out = fuzzy_decontaminate(df, bench, min_est_jaccard=0.5)
+    assert {r.doc_id for r in out.collect()} == {2}
+    # raising tau past the similarity keeps both
+    out2 = fuzzy_decontaminate(df, bench, min_est_jaccard=0.99)
+    assert {r.doc_id for r in out2.collect()} == {1, 2}
+
+
+def test_pipeline_fuzzy_stage_in_funnel(spark):
+    """fuzzy_decontaminate=True adds its stage to the observed funnel
+    and composes with the exact stage."""
+    from medallion_data_lake_spark.catalog import load_star_table
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    d = load_star_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = d.filter(F.col("source") == "src0").select("text")
+    obs: dict = {}
+    stages = curate_corpus(
+        d.filter(F.col("source") != "src0"),
+        bench=bench,
+        config=CurationConfig(fuzzy_decontaminate=True),
+        observations=obs,
+    )
+    final = stages["packed"] if "packed" in stages else list(stages.values())[-1]
+    final.count()  # drive the funnel observers
+    assert "fuzzy_decontaminated" in stages
+    n_exact = stages["decontaminated"].count()
+    n_fuzzy = stages["fuzzy_decontaminated"].count()
+    assert n_fuzzy <= n_exact  # the fuzzy stage only removes further
