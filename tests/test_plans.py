@@ -186,3 +186,41 @@ def test_driver_gate_outputs_are_atomic_types(spark):
                 "gate cannot canonicalize non-atomic columns; join or hash "
                 "to a scalar in BOTH engines"
             )
+
+
+def test_subquery_family_plan_shapes(spark):
+    """r7 TPC-H shapes keep their intended physical strategies: the
+    EXISTS is a SEMI join (no fan-out), the Q18 top-100 is
+    TakeOrderedAndProject (no global sort), Q21 never degenerates to a
+    cartesian product, and the Q11 scalar rides a broadcast."""
+    plan = explain_str(REG["priority_late_ship_exists"].build(spark, SF))
+    assert "Semi" in plan or "semi" in plan          # EXISTS == semi join
+    assert "CartesianProduct" not in plan
+
+    plan = explain_str(REG["large_volume_orders"].build(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # lineitem scanned ONCE: the IN-subquery agg IS the outer agg (a
+    # second scan would show a second lineitem.parquet location)
+    assert plan.count("lineitem.parquet") == 1
+
+    plan = explain_str(REG["suppliers_kept_waiting"].build(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    plan = explain_str(REG["nation_value_concentration"].build(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+
+    plan = explain_str(REG["brand_small_qty_revenue"].build(spark, SF))
+    assert has_broadcast_join(
+        REG["brand_small_qty_revenue"].build(spark, SF)
+    )  # brand keys prune lineitem via a broadcast, never a shuffle join
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_decontamination_no_all_pairs(spark):
+    """The LSH cross-corpus join must be an equi-join on (band, key) —
+    a cartesian/nested-loop between corpus and benchmark would be the
+    O(n×m) plan the banding exists to avoid."""
+    plan = explain_str(REG["decontaminate_fuzzy_lsh"].build(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
