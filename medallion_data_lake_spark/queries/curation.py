@@ -615,3 +615,66 @@ def decontaminate_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_m.est_jaccard").alias("est_jaccard"),
         )
     )
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, list_distinct({_SQL_HS}) AS hs FROM documents
+    ),
+    exploded AS (
+        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+               unnest(hs) AS h
+        FROM hashed
+    ),
+    owner AS (SELECT h, MIN(doc_id) AS first_owner FROM exploded GROUP BY h)
+    SELECT e.doc_id, e.n_shingles,
+           CAST(SUM(CASE WHEN o.first_owner = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {sql_stable_round(
+               "SUM(CASE WHEN o.first_owner = e.doc_id THEN 1 ELSE 0 END)"
+               " * 1.0 / e.n_shingles", 4)} AS novelty_ratio
+    FROM exploded e JOIN owner o ON e.h = o.h
+    GROUP BY e.doc_id, e.n_shingles
+    """,
+    doc="Per-document n-gram NOVELTY — the fraction of a document's "
+        "shingles it is the FIRST (lowest doc_id) to contribute to the "
+        "corpus. The dedup-aware data-valuation signal: boilerplate and "
+        "late near-copies score near 0, genuinely new content near 1 — "
+        "what a curation pass ranks by when trimming to a token budget "
+        "without a quality model. Cost is exactly the exact-dedup "
+        "class: explode hashed shingles, ONE shuffle on the int64 "
+        "shingle hash for the min-owner aggregate, re-join on the same "
+        "key (co-partitioned — no second shuffle of the exploded side), "
+        "one doc-grain rollup. No all-pairs anywhere; first-ownership "
+        "by doc_id is deterministic cross-engine.",
+    tags=("text", "curation"),
+    extra=True,  # curation family driver-gated via
+    # decontaminate_ngram_overlap + stratified_sample_audit
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    exploded = d.select(
+        "doc_id",
+        F.array_distinct(shingle_hashes(F.col("text"))).alias("hs"),
+    ).select(
+        "doc_id", F.size("hs").cast("long").alias("n_shingles"),
+        F.explode("hs").alias("h"),
+    )
+    owner = exploded.groupBy("h").agg(F.min("doc_id").alias("first_owner"))
+    return (
+        exploded.join(owner, "h")
+        .groupBy("doc_id", "n_shingles")
+        .agg(
+            F.sum(
+                F.when(F.col("first_owner") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel")
+        )
+        .select(
+            "doc_id", "n_shingles", "n_novel",
+            stable_round(
+                F.col("n_novel") * F.lit(1.0) / F.col("n_shingles"), 4
+            ).alias("novelty_ratio"),
+        )
+    )
