@@ -684,13 +684,13 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Spark-first: both existentials depend only on (orderkey, "
         "suppkey), so instead of two more shuffles of raw lineitem "
         "(semi + anti), aggregate once to (orderkey, suppkey) grain "
-        "[late row count, any-late flag], derive per-order supplier/"
-        "late-supplier counts from THAT (map-side-combined, tiny), and "
-        "re-join on orderkey: EXISTS ≡ n_supp ≥ 2, NOT EXISTS ≡ "
-        "n_late_supp = 1 for a late row's own supplier. The exchange on "
-        "the aggregated grain is reused across both consumers; the "
-        "supplier dim broadcasts; top-100 with the s_name tiebreak is "
-        "TakeOrderedAndProject.",
+        "[late row count, any-late flag] and take the per-order "
+        "supplier/late-supplier counts from a WINDOW over that grain — "
+        "EXISTS ≡ n_supp ≥ 2, NOT EXISTS ≡ n_late_supp = 1 for a late "
+        "row's own supplier. ONE scan of lineitem (plan-asserted), one "
+        "grain exchange, one orderkey window exchange over grain-sized "
+        "data; the supplier dim broadcasts; top-100 with the s_name "
+        "tiebreak is TakeOrderedAndProject.",
     tags=("subquery", "exists", "not-exists", "anti-join"),
 )
 def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,12 +714,16 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_rows"),
         F.max("late").alias("is_late"),
     )
-    per_order = g.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.col("is_late").cast("int")).alias("n_late_supp"),
-    )
+    # per-order supplier/late-supplier counts via a WINDOW over the
+    # aggregated grain, not a groupBy+self-join: one exchange on
+    # l_orderkey over (order,supp)-sized data replaces a second branch
+    # re-scanning lineitem⋈orders (plan-asserted: single lineitem scan)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
     return (
-        g.join(per_order, "l_orderkey")
+        g.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum(F.col("is_late").cast("int")).over(w))
         .filter(F.col("is_late")
                 & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(t["supplier"]),

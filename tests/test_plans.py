@@ -206,6 +206,9 @@ def test_subquery_family_plan_shapes(spark):
     plan = explain_str(REG["suppliers_kept_waiting"].build(spark, SF))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+    # window-over-grain form: lineitem scanned ONCE (the groupBy+self-
+    # join form scanned the lineitem⋈orders branch twice)
+    assert plan.count("lineitem.parquet") == 1
 
     plan = explain_str(REG["nation_value_concentration"].build(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
