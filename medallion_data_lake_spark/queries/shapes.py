@@ -291,6 +291,11 @@ def daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money_sum("o_totalprice").alias("revenue"),
     )
+    # bounds branch deliberately re-reads the RAW date column (a
+    # 1-column pruned scan) rather than re-running the daily aggregate:
+    # Spark does not reuse the agg exchange across the two consumers
+    # (measured), and min/max over one pruned column is the cheaper of
+    # the two second passes
     spine = (
         t["orders"]
         .agg(
@@ -579,11 +584,12 @@ def nation_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part's average. Spark-first decorrelation: broadcast the brand's "
         "part keys into the lineitem scan FIRST (so the per-part average "
         "aggregates only the brand's lineitems — identical semantics, the "
-        "correlation key determines the part), then one shuffle on "
-        "l_partkey feeds both the AVG and the threshold join. Quantities "
-        "are integer-valued doubles, so AVG is order-independent and the "
-        "0.5× boundary compare is exact cross-engine; the money sum goes "
-        "through decimal.",
+        "correlation key determines the part), then the per-part AVG is a "
+        "WINDOW over the pruned frame — ONE lineitem scan and one "
+        "l_partkey exchange (plan-asserted), vs the aggregate+join form's "
+        "second scan. Quantities are integer-valued doubles, so AVG is "
+        "order-independent and the 0.5× boundary compare is exact "
+        "cross-engine; the money sum goes through decimal.",
     tags=("subquery", "correlated-avg"),
 )
 def brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,11 +602,11 @@ def brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].join(
         F.broadcast(brand_keys), F.col("l_partkey") == F.col("p_partkey")
     )
-    per_part = li.groupBy("l_partkey").agg(
-        F.avg("l_quantity").alias("_avg_qty")
-    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(per_part, "l_partkey")
+        li.withColumn("_avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
         .agg(
             stable_round(

@@ -412,19 +412,23 @@ def signup_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-gated since r4 (supplier_customer_nation_volume rotated out)
 )
 def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     e = _events(spark, sf_dir)
-    first_seen = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    # first-seen via a WINDOW over the one events scan — the aggregate+
+    # join-back form scanned events twice for the same user_id exchange
+    w = Window.partitionBy("user_id")
     activity = (
-        e.join(first_seen, "user_id")
+        e.select(
+            "user_id",
+            F.date_trunc("week", F.min("ts").over(w)).alias("cohort_week"),
+            F.date_trunc("week", F.col("ts")).alias("_wk"),
+        )
         .select(
             "user_id",
             "cohort_week",
-            (
-                F.datediff(F.date_trunc("week", F.col("ts")),
-                           F.col("cohort_week")) / 7
-            ).cast("long").alias("weeks_since"),
+            (F.datediff(F.col("_wk"), F.col("cohort_week")) / 7)
+            .cast("long").alias("weeks_since"),
         )
         .distinct()
     )
