@@ -777,3 +777,94 @@ def run_incremental_segment_scrub(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming FUZZY decontamination (r7) — probe each micro-batch against a
+# STATIC benchmark's LSH band rows. Unlike the ledgers above, the
+# benchmark never grows with the stream: its band frame is computed once
+# at stream start and every batch probes it with one (band, bkey)
+# equi-join — O(batch bands + collisions), never batch × benchmark.
+# ---------------------------------------------------------------------------
+
+
+def bench_band_frame(bench: DataFrame, text_col: str = "text") -> DataFrame:
+    """The benchmark's (band, bkey, h_sig) rows, materialized ONCE
+    (localCheckpoint) so per-batch probes never re-scan or re-hash the
+    benchmark. Bench may be text-only — ids are synthesized and never
+    surface (they only carry the signature rows). Eval suites are MBs
+    at any realistic size, so the checkpointed frame broadcasts into
+    each batch's probe join."""
+    prepared = bench.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    return (
+        _signature_bands(prepared)
+        .select("band", "bkey", F.col("sig").alias("h_sig"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def fuzzy_decon_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    bench_bands: DataFrame,
+    out_dir: str,
+    min_est_jaccard: float = 0.5,
+) -> None:
+    """One micro-batch through the fuzzy screen: band the batch's
+    signatures, drop docs whose any-band collision with the benchmark
+    verifies at est Jaccard >= tau, land survivors under the batch's
+    own partition (dynamic overwrite — replay rewrites exactly itself,
+    the same exactly-once contract as every ledger here)."""
+    bands = _signature_bands(batch_df)
+    hits = (
+        bands.join(F.broadcast(bench_bands), ["band", "bkey"])
+        .filter(
+            _est_jaccard(F.col("sig"), F.col("h_sig")) >= min_est_jaccard
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    (
+        batch_df.join(hits, "doc_id", "left_anti")
+        .withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_dir)
+    )
+
+
+def run_streaming_fuzzy_decon(
+    spark: SparkSession,
+    input_dir: str,
+    bench: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_est_jaccard: float = 0.5,
+    available_now: bool = True,
+):
+    """Maintain a decontaminated corpus FROM A STREAM: every arriving
+    document is screened against the static benchmark (exact leakage is
+    a special case of fuzzy at tau=1.0 under signature equality; run
+    the exact ledgered ingester first when both are wanted). Batch twin
+    with the oracle: the registry query ``decontaminate_fuzzy_lsh`` /
+    pipeline stage ``fuzzy_decontaminate``."""
+    bench_bands = bench_band_frame(bench)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "64")
+        .json(input_dir)
+    )
+
+    def process(df: DataFrame, bid: int) -> None:
+        fuzzy_decon_batch(df, bid, bench_bands, out_dir, min_est_jaccard)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -362,3 +362,44 @@ def test_segment_scrub_two_tier_base(spark, tmp_path):
         assert again == got
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {base}")
+
+
+def test_streaming_fuzzy_decon_screens_near_benchmark_docs(spark, tmp_path):
+    """r7: each micro-batch is screened against the static benchmark's
+    LSH bands — a near-copy of a benchmark doc is dropped, unrelated
+    docs land; checkpoint-loss replay rewrites the batch's own
+    partition without duplicating."""
+    import shutil
+
+    from medallion_data_lake_spark.streaming.corpus import (
+        run_streaming_fuzzy_decon,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.rsplit(" ", 1)[0] + " OMEGA"  # one word changed
+    bench = spark.createDataFrame([(base,)], "text string")
+
+    _write_drop(f"{in_dir}/drop1.json", [
+        {"doc_id": 1, "text": near, "lang": "en", "source": "a"},
+        {"doc_id": 2, "text": "completely different words nothing shared here",
+         "lang": "en", "source": "a"},
+    ])
+    _write_drop(f"{in_dir}/drop2.json", [
+        {"doc_id": 3, "text": base, "lang": "en", "source": "b"},  # verbatim
+        {"doc_id": 4, "text": "more unrelated content entirely fresh",
+         "lang": "en", "source": "b"},
+    ])
+    q = run_streaming_fuzzy_decon(spark, in_dir, bench, out, ckpt)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {2, 4}  # both benchmark-similar docs screened out
+
+    # checkpoint loss → full replay: same result, no duplicates
+    shutil.rmtree(ckpt)
+    q = run_streaming_fuzzy_decon(spark, in_dir, bench, out, ckpt)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == {2, 4} and len(rows) == 2
