@@ -71,6 +71,8 @@ INDEX_HTML = """<!DOCTYPE html>
   <nav>
     <h2>Tables</h2>
     <div id="tables"><span style="color:var(--dim)">loading…</span></div>
+    <h2 style="margin-top:14px">Canned pack</h2>
+    <button id="samples">Run sample queries</button>
   </nav>
   <section>
     <textarea id="sql" spellcheck="false"
@@ -163,8 +165,40 @@ async function loadTables() {
   } catch (e) { status_(e.message, true); }
 }
 
+async function runSamples() {
+  status_("running canned pack…");
+  try {
+    const r = await api("/samples");
+    const box = document.createElement("div");
+    for (const [name, result] of Object.entries(r)) {
+      const h = document.createElement("h3");
+      h.textContent = name; h.style.margin = "14px 0 6px";
+      box.appendChild(h);
+      const wrap = document.createElement("div"); wrap.className = "wrap";
+      const tbl = document.createElement("table");
+      const head = tbl.createTHead().insertRow();
+      for (const c of result.columns) {
+        const th = document.createElement("th"); th.textContent = c;
+        head.appendChild(th);
+      }
+      const body = tbl.createTBody();
+      for (const row of result.rows) {
+        const tr = body.insertRow();
+        for (const v of row) {
+          tr.insertCell().textContent =
+            v === null ? "∅" : typeof v === "object" ? JSON.stringify(v) : String(v);
+        }
+      }
+      wrap.appendChild(tbl); box.appendChild(wrap);
+    }
+    $("out").replaceChildren(box);
+    status_(`${Object.keys(r).length} canned quer${Object.keys(r).length === 1 ? "y" : "ies"}`);
+  } catch (e) { status_(e.message, true); }
+}
+
 $("run").onclick = runQuery;
 $("explain").onclick = explainQuery;
+$("samples").onclick = runSamples;
 $("sql").addEventListener("keydown", e => {
   if ((e.ctrlKey || e.metaKey) && e.key === "Enter") runQuery();
 });

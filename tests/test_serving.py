@@ -288,8 +288,8 @@ def test_http_index_page_serves_console(http_server):
     assert html.lstrip().startswith("<!DOCTYPE html>")
     # the page drives exactly the JSON API: its fetch targets must name
     # the live routes, and the DOM hooks its JS binds must exist
-    for needle in ('"/tables"', '"/query"', '"/explain"',
-                   'id="sql"', 'id="run"', 'id="tables"'):
+    for needle in ('"/tables"', '"/query"', '"/explain"', '"/samples"',
+                   'id="sql"', 'id="run"', 'id="tables"', 'id="samples"'):
         assert needle in html, needle
     # the round trip the page performs on load, over the live socket:
     tables = _get(f"{http_server}/tables")["tables"]
