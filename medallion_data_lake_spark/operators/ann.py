@@ -867,12 +867,23 @@ def _write_meta(index_path: str, meta: dict) -> None:
     and :func:`persist_index_health` rewrites it from a LIVE streaming
     loop while searches read it — a truncating ``open("w")`` would
     expose a torn/empty file to concurrent readers and a crash
-    mid-write would strand every stored pq_code forever."""
+    mid-write would strand every stored pq_code forever.
+
+    The tmp name is per-writer unique (pid + uuid): a FIXED shared tmp
+    (the old ``target + '.tmp'``) let two concurrent meta writers — a
+    streaming health persist racing a manual health call or a rebuild —
+    interleave writes into the same file and publish torn JSON via
+    os.replace, the exact corruption this helper exists to prevent.
+    Concurrent writers now race only at the atomic replace, so the
+    published file is always one writer's complete document
+    (last-writer-wins; fine for the telemetry fields, and layout fields
+    are only written by builds)."""
     import json as _json
     import os as _os
+    import uuid as _uuid
 
     target = _os.path.join(index_path, "_ivf_meta.json")
-    tmp = target + ".tmp"
+    tmp = f"{target}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as fh:
         _json.dump(meta, fh)
     _os.replace(tmp, target)
@@ -1291,9 +1302,14 @@ def run_index_append_stream(
     happen, so the stream carries the telemetry. Measurement cost is a
     bounded sample (``health_sample_n``) against the index; failures
     are swallowed after landing the batch (telemetry must never poison
-    exactly-once ingest)."""
+    exactly-once ingest).
 
-    seen = {"batches": 0}
+    Cadence derives from the DURABLE batch id (``bid % N == 0``), not an
+    in-process counter: a counter resets on every stream restart, so
+    under frequent restarts health would re-measure far less often than
+    configured (or immediately), silently diverging from the documented
+    every-Nth-batch schedule. The batch id is checkpoint-persisted, so
+    the schedule survives restarts and replays land on the same ticks."""
 
     def process(batch: DataFrame, bid: int) -> None:
         if batch.isEmpty():
@@ -1301,8 +1317,7 @@ def run_index_append_stream(
         append_index_batch(batch, index_path, bid, vec_col, id_col)
         if not health_every_batches:
             return
-        seen["batches"] += 1
-        if seen["batches"] % health_every_batches == 0:
+        if bid % health_every_batches == 0:
             try:
                 persist_index_health(spark, index_path,
                                      sample_n=health_sample_n)

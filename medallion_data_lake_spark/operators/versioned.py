@@ -285,9 +285,30 @@ def _table_schema_json_logged(path: str, version: int | None = None) -> dict | N
     return None
 
 
-def _write_checkpoint(path: str, version: int) -> None:
+#: every field a current-generation checkpoint carries; a checkpoint
+#: missing any of these was written by an older code generation and must
+#: be upgraded before the log below it is expired (the resolvers'
+#: legacy fallbacks walk the pre-checkpoint entries, which expire_log
+#: deletes)
+_CKPT_FIELDS = frozenset(
+    {"live", "txns", "file_stats", "mixed_schema", "dv", "table_schema"}
+)
+
+
+def _write_checkpoint(path: str, version: int, upgrade: bool = False) -> None:
     """Materialize derived state at ``version``. Best-effort: a racing
-    checkpointer (or a crash here) costs nothing but replay length."""
+    checkpointer (or a crash here) costs nothing but replay length.
+
+    ``upgrade=True`` (expire_log's path) additionally REPLACES a
+    pre-existing checkpoint that lacks any current field: exclusive-
+    create alone would keep a legacy (pre-table_schema) checkpoint
+    as-is, and once expire_log deletes the entries below it the
+    legacy full-walk fallbacks in ``_table_schema_json_logged`` /
+    ``_dv_at`` find nothing — the silent-downgrade regression the
+    field was added to fix would resurface on migrated tables. The
+    replace is delete + exclusive-create, non-atomic by LogStore
+    contract, but only ever runs while the full log below still
+    exists, so a reader (or crash) in the gap resolves from entries."""
     live, txns = _state_at(path, version)
     stats = _file_stats_at(path, version)
     # resolve ALL derived state before the exclusive-create: the open()
@@ -300,15 +321,29 @@ def _write_checkpoint(path: str, version: int) -> None:
     # can't silently downgrade _table_schema_at to a one-file footer
     table_schema = _table_schema_json_logged(path, version)
     target = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.json")
+    store = get_log_store()
+    payload = json.dumps(
+        {"version": version, "live": live, "txns": txns,
+         "file_stats": stats, "mixed_schema": mixed, "dv": dv,
+         "table_schema": table_schema,
+         "timestamp": time.time()},
+    )
     try:
-        get_log_store().put_exclusive(target, json.dumps(
-            {"version": version, "live": live, "txns": txns,
-             "file_stats": stats, "mixed_schema": mixed, "dv": dv,
-             "table_schema": table_schema,
-             "timestamp": time.time()},
-        ))
+        store.put_exclusive(target, payload)
     except FileExistsError:
-        pass
+        if not upgrade:
+            return
+        try:
+            existing = json.loads(store.read(target))
+        except Exception:
+            existing = {}
+        if _CKPT_FIELDS.issubset(existing):
+            return  # current-generation checkpoint; keep it
+        store.delete(target)
+        try:
+            store.put_exclusive(target, payload)
+        except FileExistsError:
+            pass  # a racing upgrader re-created it; theirs is current
 
 
 def latest_txn_version(path: str, app_id: str) -> int | None:
@@ -1153,7 +1188,11 @@ def expire_log(path: str, keep_last: int = 1) -> dict:
     if not versions:
         return {"files_deleted": doomed, "entries_deleted": 0, "base": None}
     base = versions[-max(keep_last, 1):][0]
-    _write_checkpoint(path, base)  # idempotent ('x'-create); makes base standalone
+    # upgrade=True: a legacy checkpoint at base (missing table_schema or
+    # other later-added fields) must be rewritten BEFORE the entries
+    # below it are deleted — its fallback resolution path is exactly
+    # those entries (see _write_checkpoint docstring)
+    _write_checkpoint(path, base, upgrade=True)  # makes base standalone
     dropped = 0
     store = get_log_store()
     for v in versions:

@@ -788,22 +788,33 @@ def run_incremental_segment_scrub(
 # ---------------------------------------------------------------------------
 
 
-def bench_band_frame(bench: DataFrame, text_col: str = "text") -> DataFrame:
-    """The benchmark's (band, bkey, h_sig) rows, materialized ONCE
-    (localCheckpoint) so per-batch probes never re-scan or re-hash the
-    benchmark. Bench may be text-only — ids are synthesized and never
-    surface (they only carry the signature rows). Eval suites are MBs
-    at any realistic size, so the checkpointed frame broadcasts into
-    each batch's probe join."""
+def bench_band_frame(
+    bench: DataFrame, text_col: str = "text", durable_path: str | None = None
+) -> DataFrame:
+    """The benchmark's (band, bkey, h_sig) rows, materialized ONCE so
+    per-batch probes never re-scan or re-hash the benchmark. Bench may
+    be text-only — ids are synthesized and never surface (they only
+    carry the signature rows). Eval suites are MBs at any realistic
+    size, so the materialized frame broadcasts into each batch's probe
+    join.
+
+    Materialization is localCheckpoint by default — right for
+    availableNow runs, where the stream outlives no executor. For a
+    LONG-LIVED stream pass ``durable_path``: localCheckpoint blocks are
+    non-reliable (lineage is discarded), so losing the executor holding
+    them mid-run would fail every subsequent micro-batch permanently;
+    a parquet round-trip re-reads from durable storage instead."""
     prepared = bench.select(
         F.monotonically_increasing_id().alias("doc_id"),
         F.col(text_col).alias("text"),
     )
-    return (
-        _signature_bands(prepared)
-        .select("band", "bkey", F.col("sig").alias("h_sig"))
-        .localCheckpoint(eager=True)
+    bands = _signature_bands(prepared).select(
+        "band", "bkey", F.col("sig").alias("h_sig")
     )
+    if durable_path is None:
+        return bands.localCheckpoint(eager=True)
+    bands.write.mode("overwrite").parquet(durable_path)
+    return bands.sparkSession.read.parquet(durable_path)
 
 
 def fuzzy_decon_batch(
@@ -851,8 +862,21 @@ def run_streaming_fuzzy_decon(
     a special case of fuzzy at tau=1.0 under signature equality; run
     the exact ledgered ingester first when both are wanted). Batch twin
     with the oracle: the registry query ``decontaminate_fuzzy_lsh`` /
-    pipeline stage ``fuzzy_decontaminate``."""
-    bench_bands = bench_band_frame(bench)
+    pipeline stage ``fuzzy_decontaminate``.
+
+    availableNow runs keep the band frame in executor memory
+    (localCheckpoint); a long-lived run persists it to durable parquet
+    beside the checkpoint so executor loss can't strand the stream
+    (localCheckpoint lineage is unrecomputable — see
+    :func:`bench_band_frame`)."""
+    import os as _os
+
+    bench_bands = bench_band_frame(
+        bench,
+        durable_path=None if available_now else _os.path.join(
+            checkpoint_dir.rstrip("/") + "_bench_bands"
+        ),
+    )
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", "64")

@@ -191,3 +191,49 @@ def test_expire_log_keeps_evolved_schema_via_checkpoint(spark, tmp_path):
                                   "id long, tag string, score string"),
             path, allow_schema_evolution=True,
         )
+
+
+def test_expire_log_upgrades_legacy_checkpoint(spark, tmp_path):
+    """REGRESSION (r7 advice): _write_checkpoint is exclusive-create, so
+    a LEGACY checkpoint (written before the table_schema field existed)
+    at expire_log's base version used to survive as-is — and once the
+    entries below it were deleted, _table_schema_json_logged's legacy
+    full-walk fallback found nothing and schema resolution silently
+    degraded to the one-file footer. expire_log must upgrade such a
+    checkpoint (rewrite with current fields) BEFORE truncating."""
+    import json
+    import os
+
+    from medallion_data_lake_spark.operators.versioned import (
+        _log_dir,
+        _table_schema_at,
+        _write_checkpoint,
+        delete_rows_dv,
+        expire_log,
+    )
+
+    path = str(tmp_path / "vt")
+    commit(spark.createDataFrame([(1, "a")], "id long, tag string"), path)
+    commit(
+        spark.createDataFrame([(2, "b", 1.5)],
+                              "id long, tag string, score double"),
+        path, allow_schema_evolution=True,
+    )
+    for key in (1, 2):  # schema-neutral tail (versions 2, 3)
+        delete_rows_dv(spark, path, predicates={"id": (key, key)})
+
+    # simulate a migrated table: a pre-field checkpoint at the future
+    # base (version 2) — current payload with table_schema stripped
+    _write_checkpoint(path, 2)
+    ck_file = os.path.join(_log_dir(path), f"{2:020d}.checkpoint.json")
+    legacy = json.load(open(ck_file))
+    del legacy["table_schema"]
+    with open(ck_file, "w") as fh:
+        json.dump(legacy, fh)
+
+    expire_log(path, keep_last=2)  # base=2; entries 0,1 are deleted
+
+    upgraded = json.load(open(ck_file))
+    assert upgraded.get("table_schema") is not None  # rewritten in place
+    schema = _table_schema_at(spark, path)
+    assert [f.name for f in schema.fields] == ["id", "tag", "score"]
