@@ -364,6 +364,9 @@ def calendar_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sakila-schema.sql:519-525). The HAVING predicate compares the "
         "EXACT decimal sum — a raw double sum near the threshold could "
         "admit different groups per engine.",
+    extra=True,  # r8 rotation: HAVING stays driver-gated via
+    # nation_value_concentration (scalar-subquery HAVING) and
+    # large_volume_orders (IN-over-HAVING)
 )
 def big_spenders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -562,6 +565,8 @@ def segment_balance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A7 scalar aggregate + IFNULL/coalesce null-safe sum (reference "
         "get_customer_balance, sakila-schema.sql:562-578) + P5 conditional "
         "aggregation.",
+    extra=True,  # r8 rotation: scalar aggregates stay driver-gated via
+    # brand_small_qty_revenue; IFNULL/coalesce via customer_open_balance
 )
 def scalar_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned = F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))

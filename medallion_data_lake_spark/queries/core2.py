@@ -77,6 +77,8 @@ def customers_with_jumbo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="GROUP BY ROLLUP: hierarchical subtotals (priority, priority+status, "
         "grand total) in one pass — Spark expands grouping sets in a single "
         "shuffle rather than N separate aggregations.",
+    extra=True,  # r8 rotation: the grouping-sets family's driver row
+    # moves to priority_status_grouping_sets (ROLLUP is its special case)
 )
 def priority_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -191,9 +193,8 @@ def price_distribution_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Date arithmetic family (reference get_customer_balance/rewards_report "
         "date math, sakila-schema.sql:505-507,569-570): quarter, last_day, "
         "interval add, date_trunc. Row-level, codegen'd, filter pushed down.",
-    # driver-gated since r4: carries the date function family's driver row
-    # (calendar_trends rotated to extra; its AGG shape stays gated via
-    # events_cascading_rollup)
+    extra=True,  # r8 rotation (gated r4-r7, green): calendar math stays
+    # driver-gated via daily_order_spine + events_hourly_windows
 )
 def order_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -781,8 +782,8 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wanted. Labels via COALESCE (engines disagree on "
         "grouping_id bit order).",
     tags=("grouping-sets",),
-    extra=True,  # grouping-sets family driver-gated via
-    # priority_status_rollup
+    # r8 rotation: promoted to the driver gate, taking the grouping-sets
+    # family's row from priority_status_rollup (its special case)
 )
 def priority_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)

@@ -563,8 +563,8 @@ def _fuzzy_oracle() -> str:
         "shuffle. At 100 TB: persist both signature tables and reuse "
         "across benchmark versions.",
     tags=("text", "curation", "dedup"),
-    extra=True,  # decontamination family driver-gated via
-    # decontaminate_ngram_overlap; LSH machinery via lsh_candidate_pairs
+    # r8 rotation: promoted to the driver gate (new in r7, never had a
+    # driver row)
 )
 def decontaminate_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND, signatures
@@ -650,8 +650,8 @@ def decontaminate_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "one doc-grain rollup. No all-pairs anywhere; first-ownership "
         "by doc_id is deterministic cross-engine.",
     tags=("text", "curation"),
-    extra=True,  # curation family driver-gated via
-    # decontaminate_ngram_overlap + stratified_sample_audit
+    # r8 rotation: promoted to the driver gate (new in r7, never had a
+    # driver row)
 )
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")

@@ -199,6 +199,9 @@ _FPRINT_SQL = r"md5(lower(regexp_replace(text, '\s+', ' ', 'g')))"
         "shuffle on the fingerprint; at 100 TB this is the cheapest dedup "
         "and runs first to shrink the near-dup input.",
     tags=("dedup",),
+    extra=True,  # r8 rotation: exact-dedup grouping stays driver-gated
+    # via dedup_groups_connected; fingerprinting via
+    # doc_winnowing_fingerprints; LSH via lsh_candidate_pairs
 )
 def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
@@ -560,6 +563,8 @@ def minhash_lsh_ml_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "operators/ann.py (adaptive_sign_bucket + bucketed_near_dup_pairs "
         "— max bucket size bounded regardless of n).",
     tags=("dedup",),
+    extra=True,  # r8 rotation: embedding-space neighbor search stays
+    # driver-gated via ann_ivf_bucketed + knn_bruteforce_cosine
 )
 def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import dot, l2_norm

@@ -48,6 +48,8 @@ PART_STRIDE = 100  # l_partkey % stride == 0 -> deterministic "probe" subset
         "as a per-row function call; here it is one conditional "
         "aggregation — a single shuffle on the (part, supplier) key, "
         "with the probe-subset filter pushed to the scan.",
+    extra=True,  # r8 rotation: stored-routine family stays driver-gated
+    # via customer_open_balance (get_customer_balance shape)
 )
 def part_stock_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_star_tables(spark, sf_dir, register=False)["lineitem"]

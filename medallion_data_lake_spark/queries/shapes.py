@@ -230,8 +230,8 @@ def brand_revenue_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "multiply the fact table by the metric count before aggregating "
         "— the order of reshape vs aggregate is the scale decision.",
     tags=("unpivot",),
-    # r7 rotation: promoted from extras to the driver gate (UNPIVOT
-    # inverse of the gated order_status_pivot; never had a driver row)
+    extra=True,  # r8 rotation (gated r7, green): reshape family stays
+    # driver-gated via order_status_pivot (the inverse shape)
 )
 def order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import dsum
@@ -767,8 +767,8 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "selection cannot flip on float summation order. Catalyst reuses "
         "the aggregation exchange for both consumers.",
     tags=("subquery", "scalar-agg", "view"),
-    extra=True,  # correlated/scalar family driver-gated via
-    # nation_value_concentration + above_nation_avg_balance
+    # r8 rotation: promoted to the driver gate (Q15 shape, new in r7,
+    # never had a driver row)
 )
 def quarter_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import dsum
@@ -823,8 +823,8 @@ def quarter_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "integer-valued doubles — both sums exact, the 0.15× boundary "
         "deterministic cross-engine.",
     tags=("subquery", "grouped-in", "window"),
-    extra=True,  # nested-subquery family driver-gated via
-    # large_volume_orders + suppliers_kept_waiting
+    # r8 rotation: promoted to the driver gate (Q20 shape, new in r7,
+    # never had a driver row)
 )
 def dominant_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -886,8 +886,8 @@ def dominant_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rationals, rounded only against float formatting. One shuffle "
         "on c_custkey serves all five functions.",
     tags=("window",),
-    extra=True,  # window family driver-gated via daily_revenue_growth,
-    # segment_top_customers, segment_spend_quartiles
+    # r8 rotation: promoted to the driver gate (analytic-window battery,
+    # new in r7, never had a driver row)
 )
 def segment_order_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -913,4 +913,242 @@ def segment_order_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(wf).alias("cheapest"),
         F.last("o_totalprice").over(wf).alias("priciest"),
         F.nth_value("o_totalprice", 2).over(wf).alias("second_cheapest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H multi-dimension join family — Q7/Q8/Q9 shapes (r8). Reference
+# anchor: the 8-way sales_by_store join chain
+# (/root/reference/source/sakila-db/sakila-schema.sql:403-418) is the
+# same shape class at toy scale: one fact spine threaded through a fan
+# of dimensions, aggregated by dimension attributes. Spark-first plan
+# for all three: filter and broadcast EVERY dimension into the lineitem
+# scan first, keep exactly ONE fact-fact shuffle (lineitem⨝orders on
+# the order key), aggregate last (plan-asserted in tests/test_plans.py:
+# single lineitem scan, no second fact exchange).
+# ---------------------------------------------------------------------------
+
+_Q7_NATIONS = ("NATION_1", "NATION_2")  # fixture nation-name domain
+
+
+@query(
+    "two_nation_trade_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           {sql_money_sum("l.l_extendedprice * (1 - l.l_discount)")} AS volume
+    FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE ((ns.n_name = '{_Q7_NATIONS[0]}' AND nc.n_name = '{_Q7_NATIONS[1]}')
+        OR (ns.n_name = '{_Q7_NATIONS[1]}' AND nc.n_name = '{_Q7_NATIONS[0]}'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping): bilateral trade between two "
+        "named nations by supplier nation × customer nation × ship year. "
+        "Spark-first: the nation filter lands on BOTH endpoint dims "
+        "BEFORE the facts — supplier and customer each broadcast-join "
+        "the 2-nation slice (pruning the fact rows to ~ (2/25)² of the "
+        "pair space map-side), the shipdate range pushes into the "
+        "lineitem scan, and the only shuffle is lineitem⨝orders on the "
+        "order key. The symmetric-pair disjunction runs as a residual "
+        "filter over the two broadcast-carried nation names — never a "
+        "join condition that would defeat the equi-join planner.",
+    tags=("join-family", "q7"),
+    # first gated r8 (new)
+)
+def two_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    pair = t["nation"].filter(F.col("n_name").isin(*_Q7_NATIONS))
+    sup = (
+        t["supplier"]
+        .join(F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cus = (
+        t["customer"]
+        .join(F.broadcast(pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = t["orders"].join(
+        F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    return (
+        l.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == _Q7_NATIONS[0])
+             & (F.col("cust_nation") == _Q7_NATIONS[1]))
+            | ((F.col("supp_nation") == _Q7_NATIONS[1])
+               & (F.col("cust_nation") == _Q7_NATIONS[0]))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("volume")
+        )
+    )
+
+
+@query(
+    "nation_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {sql_money_sum(
+               "CASE WHEN ns.n_name = 'NATION_3' "
+               "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             AS nation_volume,
+           {sql_money_sum("l.l_extendedprice * (1 - l.l_discount)")}
+             AS total_volume,
+           {sql_stable_round(
+               "CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_3' "
+               "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END"
+               " AS DECIMAL(18,6))) AS DOUBLE)"
+               " / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)"
+               " AS DECIMAL(18,6))) AS DOUBLE)", 6)} AS mkt_share
+    FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = nc.n_regionkey
+    WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): one supplier nation's "
+        "share of ECONOMY-part volume sold into region AMERICA, per "
+        "order year — a year-CASE ratio over an 8-relation join. "
+        "Spark-first: numerator and denominator come from the SAME "
+        "aggregation pass (CASE-gated decimal sum over the target "
+        "nation vs the unconditional sum — never two scans joined "
+        "back); region⨝nation⨝customer collapses to one broadcast key "
+        "set pruning orders map-side; the filtered part keys and the "
+        "supplier→nation mapping broadcast into the lineitem scan; one "
+        "fact-fact shuffle (lineitem⨝orders). Decimal sums before the "
+        "double division (queries/_parity.py discipline).",
+    tags=("join-family", "q8", "ratio"),
+    # first gated r8 (new)
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._parity import dsum
+
+    t = _t(spark, sf_dir)
+    region_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cus = (
+        t["customer"]
+        .join(F.broadcast(region_nations),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    sup = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    econ_parts = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate")
+             >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate")
+               < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(econ_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            money_sum(target).alias("nation_volume"),
+            money_sum(vol).alias("total_volume"),
+            stable_round(
+                dsum(target).cast("double") / dsum(vol).cast("double"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+@query(
+    "product_profit_by_nation_year",
+    oracle=f"""
+    SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {sql_money_sum("l.l_extendedprice * (1 - l.l_discount)")}
+             AS sum_profit
+    FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product-type profit): revenue on parts whose "
+        "name matches a token, by SUPPLIER nation × order year. (The "
+        "fixtures carry no partsupp table, so Q9's ps_supplycost × "
+        "quantity term is omitted — the join/aggregation shape, which "
+        "is what Q9 stresses, is intact.) Spark-first: the LIKE-filtered "
+        "part keys and the supplier→nation mapping broadcast into the "
+        "lineitem scan (map-side pruning before any exchange), one "
+        "fact-fact shuffle on the order key, aggregate to the tiny "
+        "nation×year grid last; the final ORDER BY sorts ~25×7 rows.",
+    tags=("join-family", "q9"),
+    # first gated r8 (new)
+)
+def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    red_parts = (
+        t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
+    )
+    sup = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"].select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
     )

@@ -171,6 +171,9 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "standard Spark formulation of time-series as-of semantics. First "
         "purchase before any view → NULL (no match).",
     tags=("streaming",),
+    extra=True,  # r8 rotation: time-interval join semantics stay
+    # driver-gated via purchases_within_hour_of_signup; sessionization
+    # via user_sessionization
 )
 def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (

@@ -220,6 +220,30 @@ def test_subquery_family_plan_shapes(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q789_join_family_plan_shapes(spark):
+    """r8 TPC-H Q7/Q8/Q9 shapes: every dimension broadcasts, lineitem is
+    scanned exactly ONCE per query, and the only fact-fact exchange is
+    lineitem⨝orders — the properties that keep an 8-relation join from
+    multiplying fact scans or cross-joining at 100 TB."""
+    for name in (
+        "two_nation_trade_volume",
+        "nation_market_share",
+        "product_profit_by_nation_year",
+    ):
+        df = REG[name].build(spark, SF)
+        plan = explain_str(df)
+        assert plan.count("lineitem.parquet") == 1, name  # single fact scan
+        assert "CartesianProduct" not in plan, name
+        assert has_broadcast_join(df), name  # dims ride broadcasts
+    # Q7's shipdate range and Q8's orderdate range push into the scans
+    assert has_pushed_filter(
+        REG["two_nation_trade_volume"].build(spark, SF), "l_shipdate"
+    )
+    assert has_pushed_filter(
+        REG["nation_market_share"].build(spark, SF), "o_orderdate"
+    )
+
+
 def test_fuzzy_decontamination_no_all_pairs(spark):
     """The LSH cross-corpus join must be an equi-join on (band, key) —
     a cartesian/nested-loop between corpus and benchmark would be the
