@@ -32,7 +32,12 @@ package magic. This module implements them the way Delta/Iceberg do:
   whose txn_version is ≤ the app's recorded watermark is SKIPPED. This
   is Delta's txnAppId/txnVersion idempotent-write contract: a replayed
   streaming micro-batch (crash between the table commit and the stream
-  checkpoint epoch commit) must not double-merge.
+  checkpoint epoch commit) must not double-merge;
+- ``rename_column`` / ``drop_column`` are METADATA-ONLY commits (Delta's
+  column-mapping "name" mode): the log speaks logical names, data files
+  keep their sticky physical names, reads project one to the other per
+  version — so a rename or drop is one log entry at any table size, and
+  per-file stats/blooms (keyed physically) keep pruning across renames.
 
 At 100 TB the log stays KB-per-commit (file paths + stats), and
 data-file granularity means an append touches only its own files —
@@ -291,7 +296,8 @@ def _table_schema_json_logged(path: str, version: int | None = None) -> dict | N
 #: legacy fallbacks walk the pre-checkpoint entries, which expire_log
 #: deletes)
 _CKPT_FIELDS = frozenset(
-    {"live", "txns", "file_stats", "mixed_schema", "dv", "table_schema"}
+    {"live", "txns", "file_stats", "mixed_schema", "dv", "table_schema",
+     "column_mapping"}
 )
 
 
@@ -320,12 +326,13 @@ def _write_checkpoint(path: str, version: int, upgrade: bool = False) -> None:
     # to a schema-less tail (DML/OPTIMIZE entries are schema-neutral)
     # can't silently downgrade _table_schema_at to a one-file footer
     table_schema = _table_schema_json_logged(path, version)
+    column_mapping = _column_mapping_at(path, version)
     target = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.json")
     store = get_log_store()
     payload = json.dumps(
         {"version": version, "live": live, "txns": txns,
          "file_stats": stats, "mixed_schema": mixed, "dv": dv,
-         "table_schema": table_schema,
+         "table_schema": table_schema, "column_mapping": column_mapping,
          "timestamp": time.time()},
     )
     try:
@@ -792,30 +799,61 @@ def commit(
 
     _enforce_constraints(df, path)
 
+    # column mapping: users and this API speak LOGICAL names; data files
+    # carry PHYSICAL names. Appends translate on write; an overwrite
+    # resets the mapping (its snapshot is single-generation by
+    # construction, so logical == physical again). A NEW column whose
+    # name collides with a renamed column's physical or a dropped
+    # column's retired physical gets a fresh col-<uuid> physical name —
+    # rebinding old bytes to a new logical identity is the corruption
+    # column mapping exists to prevent.
+    prior_cm = (
+        _column_mapping_at(path) if latest_version(path) is not None
+        else {"map": {}, "retired": []}
+    )
+    if mode == "overwrite":
+        cm = {"map": {}, "retired": []}
+        cm_changed = not _cm_is_identity(prior_cm)
+    else:
+        cm = {"map": dict(prior_cm.get("map", {})),
+              "retired": list(prior_cm.get("retired", []))}
+        cm_changed = False
+        if not _cm_is_identity(cm):
+            taken = set(cm["map"].values()) | set(cm["retired"])
+            mapped = set(cm["map"])
+            for f in df.schema.fields:
+                if f.name not in mapped and f.name in taken:
+                    cm["map"][f.name] = f"col-{uuid.uuid4().hex[:8]}"
+                    cm_changed = True
+    write_df = _to_physical_names(df, cm)
+    stats_phys = tuple(_cm_phys(cm, c) for c in stats_cols)
+    bloom_phys = tuple(_cm_phys(cm, c) for c in bloom_cols)
+
     commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
     data_path = os.path.join(path, "data", commit_dir)
-    df.write.mode("error").parquet(data_path)
+    write_df.write.mode("error").parquet(data_path)
     added = sorted(
         os.path.join("data", commit_dir, f)
         for f in os.listdir(data_path)
         if f.endswith(".parquet")
     )
     file_stats = (
-        _collect_file_stats(df.sparkSession, path, data_path, stats_cols)
-        if stats_cols and added
+        _collect_file_stats(df.sparkSession, path, data_path, stats_phys)
+        if stats_phys and added
         else {}
     )
-    if bloom_cols and added:
+    if bloom_phys and added:
         # blooms ride the same per-file stats dict (reserved __bloom
         # keys) so checkpoints and resolution need no new plumbing
         for rel, enc in _collect_bloom_filters(
-            df.sparkSession, data_path, tuple(bloom_cols)
+            df.sparkSession, data_path, bloom_phys
         ).items():
             file_stats.setdefault(rel, {}).update(enc)
     stats_rel = (
         _write_stats_partials(
             df.sparkSession, path, data_path,
-            None if analyze_stats is True else tuple(analyze_stats),
+            None if analyze_stats is True
+            else tuple(_cm_phys(cm, c) for c in analyze_stats),
         )
         if analyze_stats and added
         else None
@@ -844,6 +882,8 @@ def commit(
             entry["stats_partials"] = stats_rel
         if schema_changed:
             entry["schema_changed"] = True
+        if cm_changed:
+            entry["column_mapping"] = cm
         return entry
 
     entry = _publish(path, build, max_retries)
@@ -900,7 +940,8 @@ def read_table(
     dvs = _dv_at(path, version)
     if dvs:
         df = _apply_dvs(spark, df, path, files, dvs)
-    return df
+    # physical -> logical names (identity mapping returns df untouched)
+    return _apply_column_mapping(spark, df, path, version)
 
 
 def read_table_pruned(
@@ -955,6 +996,11 @@ def read_table_pruned(
     live, _ = _state_at(path, version)
     stats = _file_stats_at(path, version)
     dtypes = _column_dtypes(spark, path, version)
+    # predicates arrive on LOGICAL names; per-file stats/blooms are
+    # keyed by PHYSICAL names (sticky across renames, so pruning keeps
+    # working after a metadata-only rename with zero stats migration)
+    cm = _column_mapping_at(path, version)
+    pc = lambda c: _cm_phys(cm, c)  # noqa: E731
     # range compares run against the stats' RENDERED form
     sp = {
         c: (_stat_probe(plo, dtypes.get(c)), _stat_probe(phi, dtypes.get(c)))
@@ -979,7 +1025,7 @@ def read_table_pruned(
         }
 
     def bloom_admits(fstats: dict, c: str) -> bool:
-        encoded = fstats.get(f"{c}__bloom")
+        encoded = fstats.get(f"{pc(c)}__bloom")
         if encoded is None:
             return True  # no bloom recorded: conservatively read
         return _bloom_may_contain(encoded, eq_hashes[c])
@@ -997,13 +1043,13 @@ def read_table_pruned(
     chosen = [
         f for f in live
         if all(
-            overlaps(stats.get(f, {}).get(c), plo, phi)
+            overlaps(stats.get(f, {}).get(pc(c)), plo, phi)
             for c, (plo, phi) in sp.items()
         )
         and all(
             bloom_admits(stats.get(f, {}), c)
             # ranges prune eq probes too when recorded for the column
-            and overlaps(stats.get(f, {}).get(c), seq[c], seq[c])
+            and overlaps(stats.get(f, {}).get(pc(c)), seq[c], seq[c])
             for c in eq
         )
     ]
@@ -1024,6 +1070,9 @@ def read_table_pruned(
     dvs = _dv_at(path, version)
     if dvs:
         df = _apply_dvs(spark, df, path, chosen, dvs)
+    # project to logical names BEFORE the residual filters, which are
+    # expressed (like the predicates) in logical terms
+    df = _apply_column_mapping(spark, df, path, version)
     for c, (plo, phi) in preds.items():
         if plo is not None:
             df = df.filter(F.col(c) >= plo)
@@ -1075,6 +1124,259 @@ def _union_schema(base, new):
     )
 
 
+# ---------------------------------------------------------------------------
+# Column mapping — metadata-only RENAME / DROP (Delta's column-mapping
+# "name" mode). The log's table_schema always speaks LOGICAL names (what
+# users query); data files always carry PHYSICAL names (what parquet
+# stores). The mapping {logical: physical} lives in log entries /
+# checkpoints, so a rename or drop is ONE metadata commit — never a
+# table rewrite — and time travel resolves each version's own names.
+# Physical names are sticky: the column keeps its first-written physical
+# name forever, so every historical file stays readable and per-file
+# stats / bloom filters (keyed by physical name) keep pruning across
+# renames with zero migration. A column added after a drop/rename whose
+# name collides with a live or retired physical name gets a fresh
+# ``col-<uuid>`` physical name (Delta's collision rule).
+# ---------------------------------------------------------------------------
+
+
+def _column_mapping_at(path: str, version: int | None = None) -> dict:
+    """{"map": {logical: physical (non-identity only)}, "retired":
+    [physical, ...]} at ``version`` — newest entry carrying the field,
+    else newest prior checkpoint, else identity. Same checkpoint + tail
+    walk as ``_table_schema_json_logged``."""
+    ckpts = [
+        v for v in _checkpoint_versions(path)
+        if version is None or v <= version
+    ]
+    tail_lo = (ckpts[-1] + 1) if ckpts else 0
+    for e in reversed(_entries(path, lo=tail_lo, hi=version)):
+        if e.get("column_mapping") is not None:
+            return e["column_mapping"]
+    for cv in reversed(ckpts):
+        cm = _read_checkpoint(path, cv).get("column_mapping")
+        if cm is not None:
+            return cm
+    if ckpts:  # legacy checkpoints: walk the remaining entries below
+        for e in reversed(_entries(path, hi=ckpts[-1])):
+            if e.get("column_mapping") is not None:
+                return e["column_mapping"]
+    return {"map": {}, "retired": []}
+
+
+def _cm_is_identity(cm: dict) -> bool:
+    return not cm.get("map") and not cm.get("retired")
+
+
+def _cm_phys(cm: dict, name: str) -> str:
+    return cm.get("map", {}).get(name, name)
+
+
+def _cm_translate_keys(cm: dict, d: dict | None) -> dict:
+    """Dict keyed by logical column names -> same dict keyed physical."""
+    if not d or _cm_is_identity(cm):
+        return dict(d or {})
+    return {_cm_phys(cm, k): v for k, v in d.items()}
+
+
+def _cm_refuse_expr(cm: dict, expr: str | None, what: str) -> None:
+    """Raw SQL strings (``where``, SET expressions) written in CURRENT
+    logical names resolve fine inside DML rewrites — evaluation runs
+    over a dual-name frame (:func:`_with_logical_aliases`). What must
+    be refused is a reference to a STALE name: a renamed column's old
+    (physical) name, or a dropped column's retired physical. Both still
+    exist as columns in the data files, so the expression would silently
+    bind to an identity the table no longer exposes."""
+    if expr is None or _cm_is_identity(cm):
+        return
+    stale = (
+        set(cm.get("map", {}).values()) | set(cm.get("retired", []))
+    ) - set(cm.get("map", {}))
+    hits = [s for s in stale if re.search(rf"\b{re.escape(s)}\b", expr)]
+    if hits:
+        raise ValueError(
+            f"{what} references {sorted(hits)} — the pre-rename (or "
+            f"dropped) name(s) of column(s) under this table's column "
+            f"mapping ({cm.get('map', {})}; retired "
+            f"{cm.get('retired', [])}). Rewrite the expression using the "
+            "current logical names."
+        )
+
+
+def _with_logical_aliases(df: DataFrame, cm: dict) -> DataFrame:
+    """PHYSICAL frame + evaluation-only alias columns carrying the
+    logical names of renamed columns, so structured predicates
+    (translated to physical) and raw SQL written in logical terms BOTH
+    resolve during DML evaluation. Writers must re-select the physical
+    columns afterwards — the aliases never land in files."""
+    if _cm_is_identity(cm) or not cm.get("map"):
+        return df
+    from pyspark.sql import functions as F
+
+    out = df
+    for logical, phys in cm["map"].items():
+        if phys in df.columns and logical not in df.columns:
+            out = out.withColumn(logical, F.col(phys))
+    return out
+
+
+def _to_physical_names(df: DataFrame, cm: dict) -> DataFrame:
+    """LOGICAL frame -> PHYSICAL frame for a data-file write: rename the
+    mapped columns; everything else passes through. Pure projection."""
+    if _cm_is_identity(cm) or not cm.get("map"):
+        return df
+    from pyspark.sql import functions as F
+
+    m = cm["map"]
+    return df.select(
+        *[F.col(c).alias(m.get(c, c)) for c in df.columns]
+    )
+
+
+def _apply_column_mapping(spark, df: DataFrame, path: str,
+                          version: int | None = None) -> DataFrame:
+    """PHYSICAL scan -> LOGICAL frame: project exactly the version's
+    logical schema, reading each field from its mapped physical column
+    (dropped columns' physicals simply aren't selected; a physical
+    absent from every scanned file — possible only mid-evolution —
+    reads as typed NULL). Identity mapping returns the frame untouched,
+    so unrenamed tables pay nothing."""
+    cm = _column_mapping_at(path, version)
+    if _cm_is_identity(cm):
+        return df
+    from pyspark.sql import functions as F
+
+    schema = _table_schema_at(spark, path, version)
+    cols = []
+    for f in schema.fields:
+        phys = _cm_phys(cm, f.name)
+        if phys in df.columns:
+            cols.append(F.col(phys).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def rename_column(spark: SparkSession, path: str, old: str, new: str) -> dict:
+    """Metadata-only column RENAME: one log commit updating the logical
+    schema and the logical→physical mapping — zero data files touched,
+    instant at any size. Queries by the new name work immediately;
+    ``read_table(version=v)`` for pre-rename v resolves the OLD name
+    (the mapping is versioned state like everything else). Per-file
+    stats and bloom filters keep pruning (they are keyed by the
+    physical name, which never changes). Declarative constraints on the
+    column follow the rename; a raw CHECK constraint mentioning it is
+    refused (rewrite the constraint first)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = _table_schema_at(spark, path)
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"rename_column: no column {old!r} in {names}")
+    if new in names:
+        raise ValueError(f"rename_column: column {new!r} already exists")
+    cm = _column_mapping_at(path)
+    taken = set(cm.get("map", {}).values()) | set(cm.get("retired", []))
+    # physical names of identity-mapped columns are their logical names —
+    # `new` colliding with one was caught by the logical check above;
+    # colliding with a RENAMED column's physical or a retired physical
+    # would make scans ambiguous. Renaming a column back to its OWN
+    # physical name is the identity-restoring case and always fine.
+    own_phys = cm.get("map", {}).get(old, old)
+    if new in taken and new != own_phys:
+        raise ValueError(
+            f"rename_column: {new!r} collides with a physical column name "
+            "still present in data files (renamed or dropped earlier); "
+            "choose another name"
+        )
+    for spec in table_constraints(path):
+        if spec.get("kind") == "check" and re.search(
+            rf"\b{re.escape(old)}\b", spec.get("sql", "")
+        ):
+            raise ValueError(
+                f"rename_column: CHECK constraint {spec.get('name')!r} "
+                f"references {old!r}; drop or rewrite the constraint first"
+            )
+
+    new_map = dict(cm.get("map", {}))
+    new_map[new] = new_map.pop(old, old)  # physical name is sticky
+    if new_map.get(new) == new:
+        del new_map[new]  # renamed back to its physical: identity again
+    new_cm = {"map": new_map, "retired": list(cm.get("retired", []))}
+    new_schema = StructType([
+        StructField(new, f.dataType, f.nullable, f.metadata)
+        if f.name == old else f
+        for f in schema.fields
+    ])
+    # declarative (col-keyed) constraints follow the logical rename
+    specs = table_constraints(path)
+    if any(s.get("col") == old for s in specs):
+        set_table_constraints(path, [
+            {**s, "col": new} if s.get("col") == old else s for s in specs
+        ])
+
+    def build(version: int) -> dict:
+        return {
+            "version": version,
+            "timestamp": time.time(),
+            "mode": "alter",
+            "added": [],
+            "removed": [],
+            "operation": f"RENAME COLUMN({old} -> {new})",
+            "table_schema": new_schema.jsonValue(),
+            "column_mapping": new_cm,
+        }
+
+    return _publish(path, build)
+
+
+def drop_column(spark: SparkSession, path: str, name: str) -> dict:
+    """Metadata-only column DROP: one log commit removing the column
+    from the logical schema and retiring its physical name — data files
+    keep the bytes (history and time travel still read them; OPTIMIZE /
+    overwrite rewrites shed them physically), but every current-version
+    read stops projecting it. Re-adding a column with this name later
+    gets a FRESH physical name (never the retired bytes). Refused while
+    any constraint references the column."""
+    from pyspark.sql.types import StructType
+
+    schema = _table_schema_at(spark, path)
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"drop_column: no column {name!r} in {names}")
+    if len(names) == 1:
+        raise ValueError("drop_column: cannot drop the only column")
+    for spec in table_constraints(path):
+        if spec.get("col") == name or (
+            spec.get("kind") == "check"
+            and re.search(rf"\b{re.escape(name)}\b", spec.get("sql", ""))
+        ):
+            raise ValueError(
+                f"drop_column: constraint {spec} references {name!r}; "
+                "drop the constraint first"
+            )
+    cm = _column_mapping_at(path)
+    new_map = dict(cm.get("map", {}))
+    phys = new_map.pop(name, name)
+    retired = sorted(set(cm.get("retired", [])) | {phys})
+    new_cm = {"map": new_map, "retired": retired}
+    new_schema = StructType([f for f in schema.fields if f.name != name])
+
+    def build(version: int) -> dict:
+        return {
+            "version": version,
+            "timestamp": time.time(),
+            "mode": "alter",
+            "added": [],
+            "removed": [],
+            "operation": f"DROP COLUMN({name})",
+            "table_schema": new_schema.jsonValue(),
+            "column_mapping": new_cm,
+        }
+
+    return _publish(path, build)
+
+
 def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
     """Publish a NEW commit whose live set equals ``to_version``'s —
     metadata-only, instant at any size, history preserved (this is
@@ -1084,6 +1386,7 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
     target_live, _ = _state_at(path, to_version)
     target_mixed = _mixed_schema_at(path, to_version)
     target_schema = _table_schema_json_at(spark, path, to_version)
+    target_cm = _column_mapping_at(path, to_version)
 
     def build(version: int) -> dict:
         current_live, _ = _state_at(path, version - 1)
@@ -1096,6 +1399,9 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
             "operation": f"RESTORE({to_version})",
             "restore_of": to_version,
             "table_schema": target_schema,
+            # the restored snapshot's names must resolve like they did
+            # at to_version — the mapping is versioned state too
+            "column_mapping": target_cm,
         }
         if target_mixed:
             # the restored live set spans >1 schema: stamp the entry so
@@ -1250,6 +1556,13 @@ def optimize_table(
     on-disk bytes-per-row like ``maintenance.compact_table``.
     """
     from pyspark.sql import functions as F
+
+    # zorder/stats columns arrive logical; the rewrite is physical
+    _cm = _column_mapping_at(path)
+    zorder_by = tuple(_cm_phys(_cm, c) for c in zorder_by)
+    stats_cols = tuple(_cm_phys(_cm, c) for c in stats_cols)
+    if not isinstance(analyze_stats, bool) and analyze_stats:
+        analyze_stats = tuple(_cm_phys(_cm, c) for c in analyze_stats)
 
     snapshot, _ = _state_at(path)
     if files is not None:
@@ -1442,6 +1755,25 @@ def table_changes(
             _mixed_memo[at_version] = _mixed_schema_at(path, at_version)
         return _mixed_memo[at_version]
 
+    # change rows are consumed to rebuild the CURRENT table, so every
+    # branch surfaces under the names at the feed's END version: each
+    # row's columns resolve physically under ITS version's mapping, then
+    # re-label to the end-version logical names (same physical identity
+    # = same feed column, across any number of renames). A column
+    # dropped by `hi` keeps its physical name and union-nulls.
+    cm_hi = _column_mapping_at(path, hi)
+    _rev_hi = {p: l for l, p in cm_hi.get("map", {}).items()}
+
+    def to_hi_names(df, at_version):
+        cmv = _column_mapping_at(path, at_version)
+        if _cm_is_identity(cmv) and _cm_is_identity(cm_hi):
+            return df
+        m_v = cmv.get("map", {})
+        return df.select(*[
+            F.col(c).alias(_rev_hi.get(m_v.get(c, c), m_v.get(c, c)))
+            for c in df.columns
+        ])
+
     def rows_of(rel_files, at_version):
         """Read one entry's historical file set. Mixedness is evaluated
         AT THAT VERSION, not at the latest: after evolution followed by
@@ -1462,7 +1794,10 @@ def table_changes(
         dvs = _dv_at(path, at_version)
         if dvs:
             df = _apply_dvs(spark, df, path, existing, dvs)
-        return df
+        # physical -> the row's version's logical -> end-version names
+        return to_hi_names(
+            _apply_column_mapping(spark, df, path, at_version), at_version
+        )
 
     def rows_at_positions(dv: dict, at_version):
         """The rows a delete_dv entry removed: its files read at the
@@ -1481,11 +1816,14 @@ def table_changes(
             for p in dv[f]
         ]
         pos = spark.createDataFrame(pairs, "_dv_fn string, _dv_ri long")
-        return (
+        picked = (
             df.withColumn("_dv_fn", F.col("_metadata.file_name"))
             .withColumn("_dv_ri", F.col("_metadata.row_index"))
             .join(F.broadcast(pos), ["_dv_fn", "_dv_ri"], "left_semi")
             .drop("_dv_fn", "_dv_ri")
+        )
+        return to_hi_names(
+            _apply_column_mapping(spark, picked, path, at_version), at_version
         )
 
     def tag(df, change_type, version):
@@ -1512,6 +1850,10 @@ def table_changes(
             continue
         if mode == "merge":
             key = e.get("merge_key")
+            # merge entries record the PHYSICAL key; the change frames
+            # carry END-version names — resolve through the hi mapping
+            if key is not None:
+                key = _rev_hi.get(key, key)
             if added is None or removed is None or key is None:
                 raise ValueError(
                     f"version {v}: MERGE entry lacks data for change "
@@ -1686,6 +2028,13 @@ def delete_rows(
     keys = {c: list(vs) for c, vs in (keys or {}).items() if vs}
     if not preds and where is None and not keys:
         raise ValueError("delete_rows needs predicates, keys, and/or where")
+    # predicates/keys arrive on LOGICAL names; the rewrite reads and
+    # writes PHYSICAL files — translate the structured args, refuse raw
+    # SQL that references renamed/dropped names (see _cm_refuse_expr)
+    _cm = _column_mapping_at(path)
+    _cm_refuse_expr(_cm, where, "delete_rows where=")
+    preds = _cm_translate_keys(_cm, preds)
+    keys = _cm_translate_keys(_cm, keys)
     has_txn = txn_app_id is not None and txn_version is not None
     if has_txn:
         seen = latest_txn_version(path, txn_app_id)
@@ -1696,7 +2045,10 @@ def delete_rows(
     if not live:
         raise FileNotFoundError(f"no versioned table at {path}")
     stats = _file_stats_at(path)
-    dtypes = _column_dtypes(spark, path)
+    dtypes = {
+        _cm_phys(_cm, k): v
+        for k, v in _column_dtypes(spark, path).items()
+    }
     # range compares run against the stats' RENDERED form (numbers
     # native, temporal/other as their string rendering — _stat_probe)
     sp = {
@@ -1775,10 +2127,14 @@ def delete_rows(
     if _mixed_schema_at(path):
         reader = reader.option("mergeSchema", "true")
     base = reader.parquet(*[os.path.join(path, f) for f in matched])
-    n_deleted = base.filter(cond).count()
+    # dual-name evaluation: physical columns + logical aliases, so the
+    # raw `where` (written in logical terms) resolves; the rewrite
+    # re-selects physical columns only
+    aug = _with_logical_aliases(base, _cm)
+    n_deleted = aug.filter(cond).count()
     if n_deleted == 0:
         return None  # stats said "maybe"; rows said no — publish nothing
-    kept = base.filter(~F.coalesce(cond, F.lit(False)))
+    kept = aug.filter(~F.coalesce(cond, F.lit(False))).select(*base.columns)
 
     commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
     data_path = os.path.join(path, "data", commit_dir)
@@ -1890,6 +2246,11 @@ def delete_rows_dv(
     keys = {c: list(vs) for c, vs in (keys or {}).items() if vs}
     if not preds and where is None and not keys:
         raise ValueError("delete_rows_dv needs predicates, keys, and/or where")
+    # logical -> physical, same contract as delete_rows
+    _cm = _column_mapping_at(path)
+    _cm_refuse_expr(_cm, where, "delete_rows_dv where=")
+    preds = _cm_translate_keys(_cm, preds)
+    keys = _cm_translate_keys(_cm, keys)
     has_txn = txn_app_id is not None and txn_version is not None
     if has_txn:
         seen = latest_txn_version(path, txn_app_id)
@@ -1900,7 +2261,10 @@ def delete_rows_dv(
     if not live:
         raise FileNotFoundError(f"no versioned table at {path}")
     stats = _file_stats_at(path)
-    dtypes = _column_dtypes(spark, path)
+    dtypes = {
+        _cm_phys(_cm, k): v
+        for k, v in _column_dtypes(spark, path).items()
+    }
     # range compares run against the stats' RENDERED form (numbers
     # native, temporal/other as their string rendering — _stat_probe)
     sp = {
@@ -1977,12 +2341,20 @@ def delete_rows_dv(
     if _mixed_schema_at(path):
         reader = reader.option("mergeSchema", "true")
     base = reader.parquet(*[os.path.join(path, f) for f in matched])
-    hits = (
-        base.filter(F.coalesce(cond, F.lit(False)))
-        .select(
+    # pull the metadata columns into the frame FIRST (projections drop
+    # access to the hidden _metadata struct), then add the logical
+    # aliases so a raw `where` in logical terms resolves
+    aug = _with_logical_aliases(
+        base.select(
             F.col("_metadata.file_name").alias("_fn"),
             F.col("_metadata.row_index").alias("_ri"),
-        )
+            "*",
+        ),
+        _cm,
+    )
+    hits = (
+        aug.filter(F.coalesce(cond, F.lit(False)))
+        .select("_fn", "_ri")
         .limit(max_dv_rows + 1)
         .collect()
     )
@@ -2127,6 +2499,17 @@ def update_rows(
     keys = {c: list(vs) for c, vs in (keys or {}).items() if vs}
     if not preds and where is None and not keys:
         raise ValueError("update_rows needs predicates, keys, and/or where")
+    # logical -> physical, same contract as delete_rows; SET keys
+    # translate (the rewrite is physical), SET bodies and where are raw
+    # SQL over the physical frame and are refused when they reference
+    # renamed/dropped names
+    _cm = _column_mapping_at(path)
+    _cm_refuse_expr(_cm, where, "update_rows where=")
+    for _k, _v in set_exprs.items():
+        _cm_refuse_expr(_cm, _v, f"update_rows set_exprs[{_k}]=")
+    preds = _cm_translate_keys(_cm, preds)
+    keys = _cm_translate_keys(_cm, keys)
+    set_exprs = _cm_translate_keys(_cm, set_exprs)
     has_txn = txn_app_id is not None and txn_version is not None
     if has_txn:
         seen = latest_txn_version(path, txn_app_id)
@@ -2137,7 +2520,10 @@ def update_rows(
     if not live:
         raise FileNotFoundError(f"no versioned table at {path}")
     stats = _file_stats_at(path)
-    dtypes = _column_dtypes(spark, path)
+    dtypes = {
+        _cm_phys(_cm, k): v
+        for k, v in _column_dtypes(spark, path).items()
+    }
     # range compares run against the stats' RENDERED form (numbers
     # native, temporal/other as their string rendering — _stat_probe)
     sp = {
@@ -2217,18 +2603,29 @@ def update_rows(
     if _mixed_schema_at(path):
         reader = reader.option("mergeSchema", "true")
     base = reader.parquet(*[os.path.join(path, f) for f in matched])
+    # dual-name evaluation (physical + logical aliases): SET bodies and
+    # `where` written in logical terms resolve; the select below
+    # re-projects exactly the physical columns, so the aliases never
+    # reach the rewritten files
+    aug = _with_logical_aliases(base, _cm)
     unknown = set(set_exprs) - set(base.columns)
     if unknown:
         raise ValueError(f"update_rows SET names unknown column(s) {sorted(unknown)}")
-    n_updated = base.filter(cond).count()
+    n_updated = aug.filter(cond).count()
     if n_updated == 0:
         return None
-    updated = base.select(*[
+    updated = aug.select(*[
         (F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c))).alias(c)
         if c in set_exprs else F.col(c)
         for c in base.columns
     ])
-    _enforce_constraints(updated, path)
+    # constraints are declared on LOGICAL names; enforce on the logical
+    # overlay of the (physical) rewrite
+    _enforce_constraints(
+        updated if _cm_is_identity(_cm)
+        else _apply_column_mapping(spark, updated, path),
+        path,
+    )
 
     commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
     data_path = os.path.join(path, "data", commit_dir)
@@ -2393,6 +2790,16 @@ def merge_into(
         path,
     )
 
+    # source arrives on LOGICAL names; the rewrite reads and writes
+    # PHYSICAL files — convert once here, then the whole merge (key
+    # range probe, file pruning, union, output stats) runs physically
+    _cm = _column_mapping_at(path)
+    if not _cm_is_identity(_cm):
+        source = _to_physical_names(source, _cm)
+        key = _cm_phys(_cm, key)
+        if delete_col:
+            delete_col = _cm_phys(_cm, delete_col)
+
     live, _ = _state_at(path)
     if not live:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -2417,7 +2824,10 @@ def merge_into(
         )
     # compare in the stats' rendered form — a temporal merge key would
     # otherwise TypeError against the string-rendered min/max
-    _kd = _column_dtypes(spark, path).get(key)
+    # (dtypes are keyed logical; key is physical by now)
+    _kd = {
+        _cm_phys(_cm, k): v for k, v in _column_dtypes(spark, path).items()
+    }.get(key)
     lo, hi = _stat_probe(agg_row["lo"], _kd), _stat_probe(agg_row["hi"], _kd)
 
     def overlaps(rng) -> bool:

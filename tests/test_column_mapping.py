@@ -1,0 +1,225 @@
+"""Column mapping (operators/versioned.py rename_column / drop_column —
+r7 verdict item 5): rename and drop are METADATA-ONLY commits. The
+contract under test: query by the new name works immediately with zero
+data files rewritten; time travel resolves each version's OWN names;
+per-file stats and bloom pruning keep working across a rename (keys are
+physical and sticky); constraints follow; DML (delete/update/merge)
+speaks logical names; dropped-column re-adds get fresh physical names.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.operators.versioned import (
+    _column_mapping_at,
+    commit,
+    delete_rows,
+    delete_rows_dv,
+    drop_column,
+    expire_log,
+    merge_into,
+    optimize_table,
+    read_table,
+    read_table_pruned,
+    rename_column,
+    rollback,
+    set_table_constraints,
+    table_changes,
+    update_rows,
+)
+
+
+def _data_files(path):
+    return sorted(glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                            recursive=True))
+
+
+def _mk(spark, tmp_path, rows=((1, "a", 10.0), (2, "b", 20.0))):
+    path = str(tmp_path / "vt")
+    commit(
+        spark.createDataFrame(list(rows), "id long, tag string, score double"),
+        path, stats_cols=("id",), bloom_cols=("id",),
+    )
+    return path
+
+
+def test_rename_is_metadata_only_and_versioned(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    files_before = _data_files(path)
+    v_before = 0
+
+    rename_column(spark, path, "tag", "label")
+
+    assert _data_files(path) == files_before  # zero bytes rewritten
+    now = read_table(spark, path)
+    assert "label" in now.columns and "tag" not in now.columns
+    assert {r["label"] for r in now.collect()} == {"a", "b"}
+    # time travel resolves the OLD name at the pre-rename version
+    old = read_table(spark, path, version=v_before)
+    assert "tag" in old.columns and "label" not in old.columns
+    assert {r["tag"] for r in old.collect()} == {"a", "b"}
+
+
+def test_rename_then_append_and_stats_pruning_follow(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    commit(
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                              "id long, tag string, score double"),
+        path, stats_cols=("id", "score"), bloom_cols=("id",),
+    )
+    rename_column(spark, path, "score", "rating")
+    # append speaks the NEW logical name; lands physically as `score`
+    commit(
+        spark.createDataFrame([(3, "c", 30.0)],
+                              "id long, tag string, rating double"),
+        path, stats_cols=("rating",), bloom_cols=("id",),
+    )
+    now = read_table(spark, path)
+    assert {r["rating"] for r in now.collect()} == {10.0, 20.0, 30.0}
+    # physical name is sticky: files never contain `rating`
+    raw = spark.read.parquet(*[
+        os.path.join(path, "") + f.split(path + os.sep, 1)[1]
+        for f in _data_files(path)
+    ])
+    assert "score" in raw.columns and "rating" not in raw.columns
+    # pruning by the NEW name probes stats recorded under the physical
+    df, report = read_table_pruned(spark, path, "rating", 25.0, 99.0)
+    assert report["files_skipped"] >= 1  # the (10,20) file pruned
+    assert {r["rating"] for r in df.collect()} == {30.0}
+    # bloom point-lookup by an untouched column still composes
+    df2, rep2 = read_table_pruned(spark, path, eq={"id": 3})
+    assert {r["id"] for r in df2.collect()} == {3}
+
+
+def test_dml_speaks_logical_names_after_rename(spark, tmp_path):
+    path = _mk(spark, tmp_path,
+               rows=((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+    rename_column(spark, path, "score", "rating")
+
+    # structured predicates on the new name
+    out = delete_rows(spark, path, predicates={"rating": (25.0, 99.0)})
+    assert out["rows_deleted"] == 1
+    # raw where in logical terms resolves (dual-name evaluation)
+    out = update_rows(
+        spark, path,
+        set_exprs={"tag": "concat(tag, '_x')"},
+        where="rating >= 20.0",
+    )
+    assert out["rows_updated"] == 1
+    got = {r["id"]: (r["tag"], r["rating"])
+           for r in read_table(spark, path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b_x", 20.0)}
+    # the STALE physical name is refused loudly, not silently bound
+    with pytest.raises(ValueError, match="score"):
+        delete_rows(spark, path, where="score > 0")
+
+    # DV delete via keys on the renamed column
+    out = delete_rows_dv(spark, path, predicates={"rating": (10.0, 10.0)})
+    assert out["rows_deleted"] == 1
+    assert {r["id"] for r in read_table(spark, path).collect()} == {2}
+
+    # materialize the vector before the rewrite (documented contract)
+    optimize_table(spark, path, target_file_bytes=1 << 30)
+
+    # merge keyed on a renamed column: rename the KEY itself
+    rename_column(spark, path, "id", "doc_id")
+    src = spark.createDataFrame(
+        [(2, "b2", 21.0), (9, "z", 90.0)],
+        "doc_id long, tag string, rating double",
+    )
+    merge_into(spark, path, src, key="doc_id")
+    got = {r["doc_id"]: r["tag"] for r in read_table(spark, path).collect()}
+    assert got == {2: "b2", 9: "z"}
+
+
+def test_drop_column_and_fresh_physical_on_readd(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    v0_files = _data_files(path)
+    drop_column(spark, path, "score")
+    assert _data_files(path) == v0_files  # metadata only
+    now = read_table(spark, path)
+    assert "score" not in now.columns
+    # time travel still shows it
+    assert "score" in read_table(spark, path, version=0).columns
+
+    # re-adding `score` must NOT resurrect the retired bytes: the new
+    # column gets a fresh physical name and old rows read as NULL
+    commit(
+        spark.createDataFrame([(3, "c", 99.0)],
+                              "id long, tag string, score double"),
+        path, allow_schema_evolution=True,
+    )
+    cm = _column_mapping_at(path)
+    assert cm["map"].get("score", "score") != "score"  # fresh physical
+    got = {r["id"]: r["score"] for r in read_table(spark, path).collect()}
+    assert got == {1: None, 2: None, 3: 99.0}
+
+
+def test_constraints_follow_rename_and_block_drop(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    set_table_constraints(path, [
+        {"kind": "in_range", "col": "score", "lo": 0.0, "hi": 100.0},
+    ])
+    rename_column(spark, path, "score", "rating")
+    # enforcement now speaks the new name: violating append refused
+    with pytest.raises(Exception, match="rating"):
+        commit(
+            spark.createDataFrame([(9, "x", 999.0)],
+                                  "id long, tag string, rating double"),
+            path,
+        )
+    # dropping a constrained column is refused until the constraint goes
+    with pytest.raises(ValueError, match="constraint"):
+        drop_column(spark, path, "rating")
+
+
+def test_rename_survives_optimize_rollback_cdf_expire(spark, tmp_path):
+    path = _mk(spark, tmp_path)                      # v0
+    rename_column(spark, path, "tag", "label")       # v1
+    commit(spark.createDataFrame([(3, "c", 30.0)],
+                                 "id long, label string, score double"),
+           path)                                     # v2
+    optimize_table(spark, path, target_file_bytes=1 << 30)  # v3
+    assert set(read_table(spark, path).columns) == {"id", "label", "score"}
+
+    # CDF rows surface under each version's own names
+    feed = table_changes(spark, path, 0)
+    assert "label" in feed.columns
+    inserts = feed.filter(F.col("_change_type") == "insert")
+    assert inserts.count() >= 3
+
+    # rollback to pre-rename restores the old logical name
+    rollback(spark, path, to_version=0)              # v4
+    assert "tag" in read_table(spark, path).columns
+    rollback(spark, path, to_version=2)              # v5: mapped again
+    assert "label" in read_table(spark, path).columns
+
+    # expire below the rename: the mapping survives via the checkpoint
+    expire_log(path, keep_last=2)
+    assert "label" in read_table(spark, path).columns
+    got = {r["id"]: r["label"] for r in read_table(spark, path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_rename_validation(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(spark, path, "tag", "score")
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(spark, path, "nope", "x")
+    rename_column(spark, path, "tag", "label")
+    # renaming another column INTO the retired/physical name is refused
+    with pytest.raises(ValueError, match="physical"):
+        rename_column(spark, path, "score", "tag")
+    # rename back to the original physical name: identity again
+    rename_column(spark, path, "label", "tag")
+    assert _column_mapping_at(path) == {"map": {}, "retired": []}
+    with pytest.raises(ValueError, match="only column"):
+        p2 = str(tmp_path / "one")
+        commit(spark.createDataFrame([(1,)], "id long"), p2)
+        drop_column(spark, p2, "id")

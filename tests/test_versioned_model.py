@@ -36,11 +36,12 @@ _EXAMPLES = int(os.environ.get("MDLS_MODEL_EXAMPLES", "6"))
 # op alphabet: (kind, key-subset seed, tag seed). delete_dv joins the
 # alphabet in r7 — merge-on-read vectors must interleave arbitrarily
 # with rewrites, history, and the change feed, not just in hand-picked
-# scenarios.
+# scenarios. rename joins in r8 — the metadata-only column mapping must
+# interleave with every writer and still resolve names per version.
 _ops = st.lists(
     st.tuples(
         st.sampled_from(["append", "merge", "delete", "overwrite", "optimize",
-                         "update", "delete_dv"]),
+                         "update", "delete_dv", "rename"]),
         st.integers(min_value=0, max_value=9),
         st.integers(min_value=0, max_value=99),
     ),
@@ -66,6 +67,7 @@ def test_versioned_table_matches_reference_model(spark, tmp_path_factory, ops):
     model: dict[int, str] = {}
     snapshots: list[dict[int, str]] = []  # model state per version
     fresh = 100  # id offset so appends also add never-seen keys
+    tagcol = {"name": "tag"}  # current LOGICAL name of the value column
 
     def materializing(fn):
         """Run a rewrite op; if it refuses because matched files carry
@@ -85,7 +87,7 @@ def test_versioned_table_matches_reference_model(spark, tmp_path_factory, ops):
     def apply_real(kind, seed_k, seed_t):
         nonlocal fresh
         rows = _rows_for(seed_k, seed_t, fresh)
-        df = spark.createDataFrame(rows, "id long, tag string")
+        df = spark.createDataFrame(rows, f"id long, {tagcol['name']} string")
         if kind == "append":
             # append must not duplicate keys the table already holds —
             # route through merge when any key exists (the model is a
@@ -133,9 +135,10 @@ def test_versioned_table_matches_reference_model(spark, tmp_path_factory, ops):
                 return
             lo, hi = seed_k, seed_k + 4
             hit = [i for i in model if lo <= i <= hi]
+            tc = tagcol["name"]
             out = materializing(lambda: update_rows(
                 spark, path,
-                set_exprs={"tag": f"concat(tag, '_u{seed_t}')"},
+                set_exprs={tc: f"concat({tc}, '_u{seed_t}')"},
                 predicates={"id": (lo, hi)},
             ))
             if hit:
@@ -165,6 +168,18 @@ def test_versioned_table_matches_reference_model(spark, tmp_path_factory, ops):
                 return
             optimize_table(spark, path, target_file_bytes=1 << 30)
             snapshots.append(dict(model))  # logical no-op, new version
+        elif kind == "rename":
+            if not model:
+                return
+            from medallion_data_lake_spark.operators.versioned import (
+                rename_column,
+            )
+
+            cur = tagcol["name"]
+            new = "label" if cur == "tag" else "tag"
+            rename_column(spark, path, cur, new)
+            tagcol["name"] = new
+            snapshots.append(dict(model))  # metadata-only, new version
 
     for kind, seed_k, seed_t in ops:
         apply_real(kind, seed_k, seed_t)
@@ -173,7 +188,10 @@ def test_versioned_table_matches_reference_model(spark, tmp_path_factory, ops):
         return  # sequence was all no-ops on an empty table
 
     def as_dict(df):
-        return {r["id"]: r["tag"] for r in df.collect()}
+        # the value column's name varies per version under renames —
+        # resolve it structurally (the one column that isn't id)
+        vc = [c for c in df.columns if c != "id"][0]
+        return {r["id"]: r[vc] for r in df.collect()}
 
     # 1. current snapshot == model
     assert as_dict(read_table(spark, path)) == model
@@ -186,8 +204,9 @@ def test_versioned_table_matches_reference_model(spark, tmp_path_factory, ops):
         F.col("_change_type").isin("insert", "update_postimage"))
     minus = feed.filter(
         F.col("_change_type").isin("delete", "update_preimage"))
-    rebuilt = plus.select("id", "tag").exceptAll(minus.select("id", "tag"))
-    now = read_table(spark, path).select("id", "tag")
+    tc = tagcol["name"]  # the feed surfaces END-version names
+    rebuilt = plus.select("id", tc).exceptAll(minus.select("id", tc))
+    now = read_table(spark, path).select("id", tc)
     assert rebuilt.exceptAll(now).count() == 0
     assert now.exceptAll(rebuilt).count() == 0
 
