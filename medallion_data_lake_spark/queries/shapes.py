@@ -1152,3 +1152,253 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+# ---------------------------------------------------------------------------
+# The remaining TPC-H query shapes (r8) — Q6/Q10/Q12/Q16/Q19, completing
+# all 22. Fixture adaptations are named per query: the tables carry no
+# l_shipmode/l_commitdate (Q12), no partsupp (Q16), no p_container
+# (Q19); the SHAPE each query stresses — the plan class — is intact.
+# All extras: the driver gate is at its 50-query cap; these verify
+# through the local oracle sweep like the rest of EXTRA_REGISTRY.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "discount_revenue_delta",
+    oracle=f"""
+    SELECT {sql_money_sum("l_extendedprice * l_discount")} AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecasting revenue change): one conjunctive "
+        "multi-range filter feeding a single scalar sum — the purest "
+        "pushdown test in the suite. All three ranges reach the parquet "
+        "scan as PushedFilters (row groups outside any range are never "
+        "decoded); no join, no shuffle beyond the 1-row aggregate.",
+    tags=("q6", "scan"),
+    extra=True,  # scan+scalar family driver-gated via pricing_summary
+    # + scalar_totals' twin brand_small_qty_revenue
+)
+def discount_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate")
+             >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate")
+               < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount"))
+            .alias("revenue_delta")
+        )
+    )
+
+
+@query(
+    "returned_item_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue,
+           n_name AS nation
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): quarterly revenue "
+        "lost to returns per customer, top-20. Spark-first: the quarter "
+        "filter prunes orders at the scan, the returnflag filter prunes "
+        "lineitem at the scan, the one fact-fact shuffle joins the two "
+        "pruned sides on the order key, customer and nation broadcast, "
+        "and the top-20 (c_custkey tiebreak) is TakeOrderedAndProject — "
+        "never a global sort of the aggregate.",
+    tags=("q10", "topk"),
+    extra=True,  # join+topk family driver-gated via top_revenue_parts,
+    # large_volume_orders, regional_revenue
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate")
+         >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    l = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    nat = t["nation"].select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "linestatus_priority_counts",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (shipping modes / order priority): per-category "
+        "high/low priority line counts via CASE buckets over a fact-fact "
+        "join. (Fixture adaptation: the tables carry no l_shipmode or "
+        "commit/receipt dates, so the grouping category is l_linestatus "
+        "and the date predicate is the shipdate year — the CASE-bucketed "
+        "dual-count aggregation over a pruned join, which is what Q12 "
+        "stresses, is intact.) One shuffle joins the two pruned scans; "
+        "both counts come from ONE aggregation pass.",
+    tags=("q12",),
+    extra=True,  # CASE-bucket aggregation driver-gated via
+    # order_status_pivot + priority_status_grouping_sets
+)
+def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate")
+         >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(t["orders"].select("o_orderkey", "o_orderpriority"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "part_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 14, 19)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship): distinct-supplier "
+        "counts per part attribute triple, excluding a NOT-IN supplier "
+        "subquery. (Fixture adaptation: no partsupp table — the "
+        "part-supplier relation is lineitem's (l_partkey, l_suppkey), and "
+        "the 'complaints' exclusion is negative-balance suppliers.) "
+        "Spark-first: NOT IN over a provably non-null key plans as a "
+        "broadcast ANTI join (never the null-aware nested loop); the "
+        "size/brand filters prune part BEFORE it broadcasts into the "
+        "lineitem scan; one shuffle for the count-distinct aggregation.",
+    tags=("q16", "anti-join"),
+    extra=True,  # anti-join family driver-gated via
+    # customers_without_early_orders; count-distinct via regional_revenue
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 14, 19)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "disjunctive_brand_revenue",
+    oracle=f"""
+    SELECT {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#7'  AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue, disjunctive predicates): "
+        "three OR-ed brand/size/quantity conjunctions across a "
+        "part⨝lineitem join. (Fixture adaptation: no p_container — the "
+        "container IN-lists are dropped; the disjunction-over-join, "
+        "which is what Q19 stresses, is intact.) Spark-first: the "
+        "part-side disjuncts (brand+size) prefilter part BEFORE it "
+        "broadcasts — Catalyst cannot push a mixed-side OR through the "
+        "join on its own, so the derivable part-only implication "
+        "(union of the three brand/size boxes) is written explicitly; "
+        "the full disjunction remains as the residual join predicate. "
+        "One broadcast join, one scalar aggregate, no shuffle.",
+    tags=("q19", "disjunction"),
+    extra=True,  # predicate-pushdown family driver-gated via
+    # pricing_summary; scalar agg via brand_small_qty_revenue
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    part_box = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15))
+    )
+    full = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    parts = t["part"].filter(part_box).select("p_partkey", "p_brand", "p_size")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(full)
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+    )

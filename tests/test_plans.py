@@ -244,6 +244,38 @@ def test_q789_join_family_plan_shapes(spark):
     )
 
 
+def test_q6_q10_q12_q16_q19_plan_shapes(spark):
+    """r8 completion of the TPC-H 22: scan-pushdown, anti-join, and
+    disjunction shapes keep their intended physical strategies."""
+    # Q6: all three ranges reach the scan; no join anywhere
+    df = REG["discount_revenue_delta"].build(spark, SF)
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, c), c
+    assert "Join" not in explain_str(df)
+
+    # Q10: top-20 is TakeOrderedAndProject; dims broadcast
+    plan = explain_str(REG["returned_item_customers"].build(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_join(REG["returned_item_customers"].build(spark, SF))
+
+    # Q16: NOT IN plans as a broadcast ANTI join, never the null-aware
+    # nested loop (the key is provably non-null)
+    plan = explain_str(REG["part_supplier_counts"].build(spark, SF))
+    assert "Anti" in plan or "anti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # Q19: one broadcast join, no cartesian, part prefiltered before it
+    df = REG["disjunctive_brand_revenue"].build(spark, SF)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+    # Q12: single fact-fact shuffle join; both counts in one aggregation
+    plan = explain_str(REG["linestatus_priority_counts"].build(spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+
+
 def test_fuzzy_decontamination_no_all_pairs(spark):
     """The LSH cross-corpus join must be an equi-join on (band, key) —
     a cartesian/nested-loop between corpus and benchmark would be the
