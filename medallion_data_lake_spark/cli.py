@@ -70,7 +70,9 @@ def main(argv: list[str] | None = None) -> int:
         choices=["tables", "describe", "sql", "samples", "analyze",
                  "manifest", "compact", "history", "optimize", "expire",
                  "serve", "explain", "changes", "update", "delete",
-                 "curate", "verify-release", "index-health"],
+                 "curate", "verify-release", "index-health",
+                 "rename-column", "drop-column", "index-delete",
+                 "index-compact"],
     )
     ap.add_argument(
         "arg",
@@ -112,6 +114,12 @@ def main(argv: list[str] | None = None) -> int:
                          "record positions, rewrite nothing")
     ap.add_argument("--health-sample", type=int, default=200,
                     help="index-health: sample size for recall re-measure")
+    ap.add_argument("--from-col", default=None,
+                    help="current column name for rename-column")
+    ap.add_argument("--to-col", default=None,
+                    help="new column name for rename-column")
+    ap.add_argument("--col", default=None,
+                    help="column name for drop-column")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve: listen as a JSON HTTP API on this port "
                          "instead of the stdin REPL (GET / serves the "
@@ -377,6 +385,54 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"base": out["base"],
                           "entries_deleted": out["entries_deleted"],
                           "files_deleted": len(out["files_deleted"])}))
+    elif args.verb == "rename-column":
+        # metadata-only DDL (operators/versioned.py column mapping)
+        if not args.arg or not args.from_col or not args.to_col:
+            print("rename-column requires a table path, --from-col and "
+                  "--to-col", file=sys.stderr)
+            return 2
+        from .operators.versioned import rename_column
+
+        entry = rename_column(spark, args.arg, args.from_col, args.to_col)
+        print(json.dumps({"version": entry["version"],
+                          "operation": entry["operation"]}))
+    elif args.verb == "drop-column":
+        if not args.arg or not args.col:
+            print("drop-column requires a table path and --col",
+                  file=sys.stderr)
+            return 2
+        from .operators.versioned import drop_column
+
+        entry = drop_column(spark, args.arg, args.col)
+        print(json.dumps({"version": entry["version"],
+                          "operation": entry["operation"]}))
+    elif args.verb == "index-delete":
+        # GDPR delete against a persisted ANN index: tombstone the ids
+        # (searches exclude immediately; index-compact purges bytes)
+        if not args.arg or not args.keys:
+            print("index-delete requires an index path and "
+                  "--keys COL:V1,V2,...", file=sys.stderr)
+            return 2
+        from .operators.ann import delete_from_index
+
+        col, vals = args.keys.split(":", 1)
+
+        def _as_id(v: str):
+            try:
+                return int(v)
+            except ValueError:
+                return v
+
+        ids = [_as_id(v) for v in vals.split(",")]
+        delete_from_index(spark, args.arg, ids, id_col=col)
+        print(json.dumps({"tombstoned": len(ids)}))
+    elif args.verb == "index-compact":
+        if not args.arg:
+            print("index-compact requires an index path", file=sys.stderr)
+            return 2
+        from .operators.ann import compact_index_tombstones
+
+        print(json.dumps(compact_index_tombstones(spark, args.arg)))
     return 0
 
 

@@ -206,6 +206,34 @@ def test_rename_survives_optimize_rollback_cdf_expire(spark, tmp_path):
     assert got == {1: "a", 2: "b", 3: "c"}
 
 
+def test_mapping_composes_with_schema_evolution(spark, tmp_path):
+    """Evolution (additive append) and mapping interleave: add a column,
+    rename IT, keep appending — mergeSchema reads, pruned reads, and
+    time travel all resolve each version's own names and values."""
+    path = str(tmp_path / "vt")
+    commit(spark.createDataFrame([(1, "a")], "id long, tag string"),
+           path, stats_cols=("id",))                       # v0
+    commit(spark.createDataFrame([(2, "b", 0.5)],
+                                 "id long, tag string, score double"),
+           path, allow_schema_evolution=True,
+           stats_cols=("id",))                             # v1 evolves
+    rename_column(spark, path, "score", "rating")          # v2
+    commit(spark.createDataFrame([(3, "c", 0.9)],
+                                 "id long, tag string, rating double"),
+           path, allow_schema_evolution=True,
+           stats_cols=("id",))                             # v3
+
+    now = read_table(spark, path)
+    got = {r["id"]: r["rating"] for r in now.collect()}
+    assert got == {1: None, 2: 0.5, 3: 0.9}  # v0's file lacks the column
+    # pruned point read through the mapping + evolved files
+    df, _ = read_table_pruned(spark, path, eq={"id": 2})
+    assert [r["rating"] for r in df.collect()] == [0.5]
+    # per-version names: v1 says score, v3 says rating
+    assert "score" in read_table(spark, path, version=1).columns
+    assert "rating" in read_table(spark, path, version=3).columns
+
+
 def test_rename_validation(spark, tmp_path):
     path = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="already exists"):

@@ -225,6 +225,24 @@ def test_streaming_delete_exactly_once_and_compaction_hook(spark, tmp_path):
     )
 
 
+def test_compaction_on_kmeans_layout(spark, tmp_path):
+    """The learned-codebook layout partitions on cell id only — the
+    compaction's partition-column discovery must handle it identically
+    to the sign layout."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "kidx")
+    build_kmeans_ivf_index(emb, idx, k=8)
+    doomed = [r["vec_id"] for r in emb.select("vec_id").limit(5).collect()]
+    delete_from_index(spark, idx, doomed)
+    n_before = spark.read.parquet(idx).count()
+    out = compact_index_tombstones(spark, idx)
+    assert out["purged_rows"] == len(doomed)
+    assert read_tombstones(spark, idx) is None
+    assert spark.read.parquet(idx).count() == n_before - len(doomed)
+    queries = emb.filter(F.col("vec_id") >= 50).limit(3)
+    assert not (_hits(spark, idx, queries, n_probes=4, k=5) & set(doomed))
+
+
 def test_delete_batch_replay_rewrites_own_partition(spark, tmp_path):
     emb = _emb(spark)
     idx = str(tmp_path / "idx")

@@ -3,6 +3,8 @@ catalog → reconciliation, through pipeline.run_pipeline."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from medallion_data_lake_spark.pipeline import reconcile, run_pipeline
 
 
@@ -158,3 +160,47 @@ def test_cli_verify_release_detects_drift(tmp_path, capsys):
     assert cli.main(["verify-release", out]) == 1
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not report["ok"] and report["problems"]
+
+
+def test_cli_ddl_and_index_delete_verbs(capsys, spark, tmp_path):
+    """r8 CLI surface: rename-column / drop-column (metadata-only DDL)
+    and index-delete / index-compact (ANN tombstones)."""
+    import json as _json
+
+    from medallion_data_lake_spark.catalog import load_star_table
+    from medallion_data_lake_spark.cli import main
+    from medallion_data_lake_spark.operators.ann import (
+        MIN_BITS,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from medallion_data_lake_spark.operators.versioned import commit, read_table
+
+    table = str(tmp_path / "vt")
+    commit(spark.createDataFrame([(1, "a"), (2, "b")],
+                                 "id long, tag string"), table)
+    rc = main(["rename-column", table, "--from-col", "tag",
+               "--to-col", "label"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["operation"] == "RENAME COLUMN(tag -> label)"
+    assert "label" in read_table(spark, table).columns
+
+    rc = main(["drop-column", table, "--col", "label"])
+    assert rc == 0
+    assert read_table(spark, table).columns == ["id"]
+    capsys.readouterr()
+
+    idx = str(tmp_path / "idx")
+    emb = load_star_table(spark, "/root/testdata/sf0.001", "embeddings")
+    build_ivf_index(emb, idx, n_bits=MIN_BITS)
+    rc = main(["index-delete", idx, "--keys", "vec_id:0,1,2"])
+    assert rc == 0
+    capsys.readouterr()
+    q = emb.filter(F.col("vec_id") < 5)
+    hits = {r["cand_id"]
+            for r in search_ivf_index(spark, idx, q, k=5).collect()}
+    assert not (hits & {0, 1, 2})
+    rc = main(["index-compact", idx])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["purged_rows"] == 3
