@@ -708,7 +708,22 @@ def analyze_table(
     report["files_covered"] = len(covered)
     report["files_missing"] = len(set(live) - covered)
     merged = merge_stats_partials(alive.drop("file"))
-    return (finalize_stats(merged) if finalize else merged), report
+    out = finalize_stats(merged) if finalize else merged
+    # partials are keyed by PHYSICAL column names (they were collected
+    # over the written files); surface the version's LOGICAL names so a
+    # post-rename ANALYZE reads like the table the user queries
+    cm = _column_mapping_at(path, version)
+    if not _cm_is_identity(cm) and "column" in out.columns:
+        rev = spark.createDataFrame(
+            [(p, l) for l, p in cm.get("map", {}).items()],
+            "column string, _logical string",
+        )
+        out = (
+            out.join(F.broadcast(rev), "column", "left")
+            .withColumn("column", F.coalesce("_logical", "column"))
+            .drop("_logical")
+        )
+    return out, report
 
 
 def commit(

@@ -234,6 +234,25 @@ def test_mapping_composes_with_schema_evolution(spark, tmp_path):
     assert "rating" in read_table(spark, path, version=3).columns
 
 
+def test_analyze_surfaces_logical_names(spark, tmp_path):
+    """ANALYZE partials are collected over physical files; the output
+    must still speak the version's logical names after a rename."""
+    from medallion_data_lake_spark.operators.versioned import analyze_table
+
+    path = str(tmp_path / "vt")
+    commit(
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                              "id long, tag string, score double")
+        .repartition(1),
+        path, analyze_stats=True,
+    )
+    rename_column(spark, path, "score", "rating")
+    stats, report = analyze_table(spark, path)
+    cols = {r["column"] for r in stats.collect()}
+    assert "rating" in cols and "score" not in cols
+    assert report["files_missing"] == 0
+
+
 def test_rename_validation(spark, tmp_path):
     path = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="already exists"):
