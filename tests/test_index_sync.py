@@ -1,0 +1,104 @@
+"""CDF → index delete propagation (operators/index_sync.py): erase in
+ONE place — the versioned corpus table — and the serving ANN index
+forgets too. Erasure-shaped commits (delete / DV-delete / merge-delete)
+tombstone; replacement-shaped commits (overwrite) do not; the watermark
+makes re-syncs no-ops and crash-replays idempotent."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.catalog import load_star_table
+from medallion_data_lake_spark.operators.ann import (
+    MIN_BITS,
+    build_ivf_index,
+    read_tombstones,
+    search_ivf_index,
+)
+from medallion_data_lake_spark.operators.index_sync import (
+    read_sync_watermark,
+    sync_deletes_to_index,
+)
+from medallion_data_lake_spark.operators.versioned import (
+    commit,
+    delete_rows_dv,
+    latest_version,
+    merge_into,
+    read_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _setup(spark, tmp_path):
+    emb = load_star_table(spark, SF, "embeddings")
+    table = str(tmp_path / "corpus")
+    commit(emb, table, stats_cols=("vec_id",))
+    idx = str(tmp_path / "idx")
+    build_ivf_index(read_table(spark, table), idx, n_bits=MIN_BITS)
+    return emb, table, idx
+
+
+def _hits(spark, idx, queries):
+    return {
+        r["cand_id"]
+        for r in search_ivf_index(spark, idx, queries, n_probes=4, k=5).collect()
+    }
+
+
+def test_table_delete_propagates_and_watermark_advances(spark, tmp_path):
+    emb, table, idx = _setup(spark, tmp_path)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    delete_rows_dv(spark, table, keys={"vec_id": [5, 6, 7]})
+    out = sync_deletes_to_index(spark, table, idx)
+    assert out["ids_tombstoned"] == 3
+    assert read_sync_watermark(idx, table) == latest_version(table)
+    assert not (_hits(spark, idx, queries) & {5, 6, 7})
+
+    # re-sync with no new commits: no-op, ledger untouched
+    before = read_tombstones(spark, idx).count()
+    out2 = sync_deletes_to_index(spark, table, idx)
+    assert out2["ids_tombstoned"] == 0
+    assert read_tombstones(spark, idx).count() == before
+
+
+def test_merge_deletes_tombstone_but_upserts_do_not(spark, tmp_path):
+    emb, table, idx = _setup(spark, tmp_path)
+    src = (
+        emb.filter(F.col("vec_id").isin(10, 11, 12))
+        .withColumn("_del", F.col("vec_id") == 10)
+    )
+    merge_into(spark, table, src, key="vec_id", delete_col="_del")
+    out = sync_deletes_to_index(spark, table, idx)
+    assert out["ids_tombstoned"] == 1
+    t = {r["vec_id"] for r in read_tombstones(spark, idx).collect()}
+    assert t == {10}  # updated keys 11/12 are NOT erased
+
+
+def test_overwrite_is_replacement_not_erasure(spark, tmp_path):
+    emb, table, idx = _setup(spark, tmp_path)
+    commit(emb.filter(F.col("vec_id") >= 100), table, mode="overwrite")
+    out = sync_deletes_to_index(spark, table, idx)
+    assert out["ids_tombstoned"] == 0  # re-ingest path, not tombstones
+    assert read_tombstones(spark, idx) is None
+    assert read_sync_watermark(idx, table) == latest_version(table)
+
+
+def test_crash_replay_is_idempotent(spark, tmp_path):
+    emb, table, idx = _setup(spark, tmp_path)
+    delete_rows_dv(spark, table, keys={"vec_id": [1, 2]})
+    sync_deletes_to_index(spark, table, idx)
+    # simulate a crash BEFORE the watermark advanced: rewind it
+    state_file = os.path.join(idx, "_index_sync.json")
+    state = json.load(open(state_file))
+    state["watermarks"][os.path.abspath(table)] = -1
+    json.dump(state, open(state_file, "w"))
+    out = sync_deletes_to_index(spark, table, idx)  # replay same range
+    assert out["ids_tombstoned"] == 2
+    assert read_tombstones(spark, idx).count() == 2  # no duplicates
+    queries = emb.filter(F.col("vec_id").isin(50, 51))
+    assert not (_hits(spark, idx, queries) & {1, 2})
