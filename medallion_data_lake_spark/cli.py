@@ -72,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
                  "serve", "explain", "changes", "update", "delete",
                  "curate", "verify-release", "index-health",
                  "rename-column", "drop-column", "index-delete",
-                 "index-compact"],
+                 "index-compact", "index-sync"],
     )
     ap.add_argument(
         "arg",
@@ -114,6 +114,10 @@ def main(argv: list[str] | None = None) -> int:
                          "record positions, rewrite nothing")
     ap.add_argument("--health-sample", type=int, default=200,
                     help="index-health: sample size for recall re-measure")
+    ap.add_argument("--index", default=None,
+                    help="persisted ANN index path for index-sync")
+    ap.add_argument("--id-col", default="vec_id",
+                    help="document id column for index-sync")
     ap.add_argument("--from-col", default=None,
                     help="current column name for rename-column")
     ap.add_argument("--to-col", default=None,
@@ -433,6 +437,17 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.ann import compact_index_tombstones
 
         print(json.dumps(compact_index_tombstones(spark, args.arg)))
+    elif args.verb == "index-sync":
+        # propagate the versioned table's erasures into the index's
+        # tombstone ledger (operators/index_sync.py)
+        if not args.arg or not args.index:
+            print("index-sync requires a versioned-table path and "
+                  "--index PATH", file=sys.stderr)
+            return 2
+        from .operators.index_sync import sync_deletes_to_index
+
+        print(json.dumps(sync_deletes_to_index(
+            spark, args.arg, args.index, id_col=args.id_col)))
     return 0
 
 
