@@ -60,13 +60,19 @@ from medallion_data_lake_spark.session import get_spark  # noqa: E402
 
 def plan_fingerprint(df) -> str:
     """Stable 12-hex digest of the optimized logical plan: expression
-    IDs (#123), JVM object hashes, and data paths vary across sessions
-    and scale factors without the PLAN changing — strip them so the
-    fingerprint moves only when the shape/strategy does."""
+    IDs (#123), higher-order-function lambda variable counters
+    (lambda x_7 — a SESSION-GLOBAL counter, so the same plan renders
+    x_1 in a fresh session and x_93 after other lambda-bearing plans),
+    JVM object hashes, and data paths all vary without the PLAN
+    changing — strip them so the fingerprint moves only when the
+    shape/strategy does. (The lambda normalization was added in r8:
+    without it, in-suite fingerprints of every HOF-bearing query
+    depended on test execution order.)"""
     import hashlib
 
     s = df._jdf.queryExecution().optimizedPlan().toString()
     s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"\b([a-z])_\d+\b", r"\1_", s)  # lambda vars: x_7 -> x_
     s = re.sub(r"@[0-9a-f]+", "@", s)
     s = re.sub(r"file:[^\s,\]\)]*", "file:", s)
     return hashlib.md5(s.encode()).hexdigest()[:12]

@@ -29,6 +29,23 @@ def test_fingerprint_stable_across_rebuilds(spark):
     assert a == b
 
 
+def test_fingerprint_stable_across_lambda_counter(spark):
+    """REGRESSION (r8): Spark names higher-order-function lambda
+    variables with a SESSION-GLOBAL counter (x_1, x_3, ...), so the
+    same HOF-bearing plan renders differently depending on how many
+    lambda plans the session built before it. The normalization must
+    erase that, or every documents/embeddings query's fingerprint
+    depends on test execution order."""
+    a = plan_fingerprint(REG["doc_lang_id"].build(
+        spark, "/root/testdata/sf0.001"))
+    # burn lambda counters with OTHER HOF-bearing plans
+    for n in ("doc_quality_score", "knn_bruteforce_cosine"):
+        REG[n].build(spark, "/root/testdata/sf0.001")
+    b = plan_fingerprint(REG["doc_lang_id"].build(
+        spark, "/root/testdata/sf0.001"))
+    assert a == b
+
+
 def test_fingerprint_distinguishes_plans(spark):
     fps = {
         plan_fingerprint(REG[n].build(spark, "/root/testdata/sf0.001"))

@@ -34,6 +34,13 @@ SF = "/root/testdata/sf0.001"
 
 
 def _current_fps(spark) -> dict[str, str]:
+    # the baseline is defined over UNCACHED plans: an earlier test (or
+    # interactive session) that cached a shared frame makes Spark's
+    # CacheManager substitute InMemoryRelation into every matching
+    # sub-plan, moving fingerprints that have nothing to do with the
+    # query's own code (observed via tests/test_serving.py's cached
+    # gold tables drifting all documents/embeddings-based fps)
+    spark.catalog.clearCache()
     return {
         name: plan_fingerprint(spec.build(spark, SF))
         for name, spec in sorted(load_all_extra().items())
