@@ -420,14 +420,10 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.ann import delete_from_index
 
         col, vals = args.keys.split(":", 1)
-
-        def _as_id(v: str):
-            try:
-                return int(v)
-            except ValueError:
-                return v
-
-        ids = [_as_id(v) for v in vals.split(",")]
+        # raw strings: delete_from_index coerces to the index's id dtype
+        # (an int() guess here would crash string-keyed indexes whose
+        # ids happen to look numeric)
+        ids = vals.split(",")
         delete_from_index(spark, args.arg, ids, id_col=col)
         print(json.dumps({"tombstoned": len(ids)}))
     elif args.verb == "index-compact":

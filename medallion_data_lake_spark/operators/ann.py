@@ -37,9 +37,10 @@ work stays bounded:
 - deletes: ``delete_from_index`` / ``run_index_delete_stream`` write a
   tombstone ledger every search anti-joins (merge-on-read, O(ids));
   ``compact_index_tombstones`` rewrites only the affected bucket
-  partitions and clears the ledger last (crash-safe, idempotent) — so
-  a GDPR delete on the corpus propagates to the serving index without
-  a rebuild.
+  partitions and drops exactly the purged ids from the ledger last
+  (crash-safe, idempotent; deletes that outran their append stay
+  masked) — so a GDPR delete on the corpus propagates to the serving
+  index without a rebuild.
 
 Scale notes: split rounds touch only oversized buckets (broadcast
 membership join); lineage is truncated each round with localCheckpoint
@@ -883,16 +884,12 @@ def _write_meta(index_path: str, meta: dict) -> None:
     Concurrent writers now race only at the atomic replace, so the
     published file is always one writer's complete document
     (last-writer-wins; fine for the telemetry fields, and layout fields
-    are only written by builds)."""
-    import json as _json
+    are only written by builds). Shared recipe: ``_atomic``."""
     import os as _os
-    import uuid as _uuid
 
-    target = _os.path.join(index_path, "_ivf_meta.json")
-    tmp = f"{target}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as fh:
-        _json.dump(meta, fh)
-    _os.replace(tmp, target)
+    from ._atomic import atomic_write_json
+
+    atomic_write_json(_os.path.join(index_path, "_ivf_meta.json"), meta)
 
 
 def build_ivf_index(
@@ -1320,16 +1317,22 @@ def run_index_append_stream(
     the schedule survives restarts and replays land on the same ticks.
 
     ``compact_tombstones_over=N`` folds delete maintenance into the same
-    loop: after each landed batch, if the tombstone ledger (written by
-    :func:`delete_from_index` / the delete stream) holds more than N
-    ids, the affected buckets are physically rewritten and the ledger
-    cleared (:func:`compact_index_tombstones`). Best-effort and
-    idempotent, same contract as the health hook."""
+    loop: if the tombstone ledger (written by :func:`delete_from_index`
+    / the delete stream) holds more than N ids, the affected buckets
+    are physically rewritten and the purged ids dropped from the ledger
+    (:func:`compact_index_tombstones`). Compaction runs BEFORE the new
+    batch lands, so it only ever touches partitions of batches whose
+    checkpoint offsets have committed — a partition it rewrites can
+    never be replayed, so a purged-then-unmasked id cannot resurrect
+    through crash-replay. (For the same reason, when an append stream
+    and a delete stream run concurrently, put the compaction hook HERE,
+    not on the delete stream: only this hook can order compaction
+    against in-flight append partitions.) Best-effort and idempotent,
+    same contract as the health hook."""
 
     def process(batch: DataFrame, bid: int) -> None:
         if batch.isEmpty():
             return
-        append_index_batch(batch, index_path, bid, vec_col, id_col)
         if compact_tombstones_over:
             try:
                 t = read_tombstones(spark, index_path)
@@ -1337,6 +1340,7 @@ def run_index_append_stream(
                     compact_index_tombstones(spark, index_path)
             except Exception:
                 pass  # ledger is durable; compaction retries next batch
+        append_index_batch(batch, index_path, bid, vec_col, id_col)
         if not health_every_batches:
             return
         if bid % health_every_batches == 0:
@@ -1376,18 +1380,22 @@ def run_index_append_stream(
 #   relative to corpus size; the join adds no shuffle);
 # - COMPACTION rewrites exactly the bucket partitions that contain
 #   tombstoned rows (dynamic partition overwrite — untouched buckets are
-#   never read) and clears the ledger LAST, so a crash at any point
-#   leaves the mask intact and the whole operation idempotent;
+#   never read) and updates the ledger LAST and SELECTIVELY: only ids
+#   whose rows were physically purged leave the ledger; a tombstone
+#   with no matching rows (a delete that outran its append) is
+#   retained so the rows stay masked when they land. A crash at any
+#   point leaves a superset of the correct mask — idempotent;
 # - the STREAMING path lands each delete batch under its own
 #   ``_tb_batch=<id>`` partition with dynamic overwrite, so a replayed
 #   batch rewrites exactly itself — the same exactly-once contract as
 #   append_index_batch.
 #
 # Semantics: a tombstone masks EVERY row of that id — including rows
-# appended after the delete — until the ledger is explicitly cleared
-# (clear_tombstones) . That is the GDPR-correct reading ("purge all
-# copies"); re-adding a previously deleted document is a deliberate
-# two-step (clear, then append).
+# appended after the delete — until its rows are physically purged by
+# a compaction (which then drops exactly that id from the ledger) or
+# the ledger is explicitly cleared (clear_tombstones). That is the
+# GDPR-correct reading ("purge all copies"); re-adding a previously
+# deleted document is a deliberate two-step (clear, then append).
 
 _TOMBSTONE_DIR = "_tombstones"
 
@@ -1436,8 +1444,20 @@ def delete_from_index(spark, index_path: str, ids, id_col: str = "vec_id") -> No
     else:
         idx_ids = spark.read.parquet(index_path).select("vec_id").limit(0)
         id_type = idx_ids.schema["vec_id"].dataType.simpleString()
+        # coerce plain-Python ids to the INDEX's id dtype here, where
+        # the dtype is known — callers (e.g. the CLI, which only has
+        # strings) must not guess: a numeric-looking string id against
+        # a string-keyed index would otherwise fail type verification
+        if id_type in ("string", "varchar"):
+            conv = str
+        elif id_type in ("double", "float"):
+            conv = float
+        elif id_type.startswith("decimal"):
+            conv = lambda v: v  # noqa: E731 — pass through, Spark verifies
+        else:
+            conv = int
         doomed = spark.createDataFrame(
-            [(i,) for i in ids], f"vec_id {id_type}"
+            [(conv(i),) for i in ids], f"vec_id {id_type}"
         ).distinct()
     (
         doomed.withColumn("_tb_batch", F.lit(f"adhoc-{_uuid.uuid4().hex[:12]}"))
@@ -1496,7 +1516,11 @@ def run_index_delete_stream(
     compaction whenever the ledger exceeds N ids — best-effort after
     the batch is durably landed (maintenance must never poison
     exactly-once ingest), and idempotent, so a crash mid-compaction
-    just re-runs it next batch."""
+    just re-runs it next batch. When an APPEND stream runs
+    concurrently, leave this hook off and compact from the append
+    stream instead (``run_index_append_stream(compact_tombstones_over=…)``):
+    only the append stream can order compaction against its own
+    in-flight partitions, which this stream cannot see."""
 
     def process(batch: DataFrame, bid: int) -> None:
         if batch.isEmpty():
@@ -1522,7 +1546,7 @@ def run_index_delete_stream(
 
 
 def compact_index_tombstones(spark, index_path: str) -> dict:
-    """Physically purge tombstoned rows and clear the ledger.
+    """Physically purge tombstoned rows; clear only the MATCHED ids.
 
     Scale shape: the ledger broadcast-semi-joins the index ONCE to find
     the affected partitions (bounded by tombstone count, not index
@@ -1530,11 +1554,22 @@ def compact_index_tombstones(spark, index_path: str) -> dict:
     partition overwrite — at 100 TB the untouched 99.99% of buckets are
     never opened); partitions whose every row was tombstoned get their
     directories removed explicitly (dynamic overwrite can't touch a
-    partition it writes no rows for). The ledger is cleared LAST, so a
-    crash anywhere leaves searches correct (mask still applies) and a
-    re-run converges: anti-joining already-purged ids is a no-op.
+    partition it writes no rows for).
 
-    Returns {"purged_rows", "rewritten_partitions", "removed_partitions"}.
+    The ledger is updated LAST, and SELECTIVELY: only ids whose rows
+    were physically purged leave the ledger. A tombstone with no
+    matching rows is a delete that outran its append (the ingest
+    stream hasn't landed the doc yet, or a crashed batch will replay)
+    — clearing it here would unmask those rows the moment they land,
+    breaking the documented tombstone-wins-over-later-appends
+    guarantee. Such ids are RETAINED and resolve at a later compaction
+    once their rows exist. Every crash prefix of the update leaves a
+    SUPERSET of the correct mask (retained ids are written before old
+    partitions are dropped), so searches stay correct and a re-run
+    converges.
+
+    Returns {"purged_rows", "rewritten_partitions",
+    "removed_partitions", "retained_tombstones"}.
     """
     import os as _os
     import shutil as _shutil
@@ -1542,7 +1577,7 @@ def compact_index_tombstones(spark, index_path: str) -> dict:
     tomb = read_tombstones(spark, index_path)
     if tomb is None or tomb.isEmpty():
         return {"purged_rows": 0, "rewritten_partitions": 0,
-                "removed_partitions": 0}
+                "removed_partitions": 0, "retained_tombstones": 0}
     idx = spark.read.parquet(index_path)
     # streaming layouts carry (_batch_id, bucket); batch layouts (bucket)
     pcols = [c for c in ("_batch_id", "bucket") if c in idx.columns]
@@ -1555,9 +1590,18 @@ def compact_index_tombstones(spark, index_path: str) -> dict:
         .collect()
     )
     if not affected:
-        clear_tombstones(index_path)
+        # every tombstone is for an id with no rows yet — retain all of
+        # them (masks must survive until the append lands and a later
+        # compaction purges it)
         return {"purged_rows": 0, "rewritten_partitions": 0,
-                "removed_partitions": 0}
+                "removed_partitions": 0,
+                "retained_tombstones": int(tomb.count())}
+    # ids with no rows in the index RIGHT NOW stay masked; materialize
+    # before the rewrite below invalidates the files this plan reads
+    retained = tomb.join(
+        idx.select("vec_id"), "vec_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    n_retained = retained.count()
 
     def _pred(row):
         p = F.lit(True)
@@ -1600,12 +1644,41 @@ def compact_index_tombstones(spark, index_path: str) -> dict:
         )
         _shutil.rmtree(d, ignore_errors=True)
         removed += 1
-    clear_tombstones(index_path)
+    if n_retained == 0:
+        clear_tombstones(index_path)
+    else:
+        _retain_only(index_path, retained)
     return {
         "purged_rows": int(purged),
         "rewritten_partitions": len(affected) - removed,
         "removed_partitions": removed,
+        "retained_tombstones": int(n_retained),
     }
+
+
+def _retain_only(index_path: str, retained: DataFrame) -> None:
+    """Rewrite the ledger to exactly ``retained``, superset-safe: the
+    retained ids land under a fresh ``_tb_batch=retain-*`` partition
+    FIRST, then every other partition is dropped. A crash at any point
+    leaves a superset of the correct mask (over-masking ids whose rows
+    were already purged is harmless; under-masking never happens)."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    keep = f"retain-{_uuid.uuid4().hex[:12]}"
+    tp = _tombstones_path(index_path)
+    (
+        retained.select("vec_id")
+        .withColumn("_tb_batch", F.lit(keep))
+        .repartition(1)
+        .write.mode("append")
+        .partitionBy("_tb_batch")
+        .parquet(tp)
+    )
+    for name in _os.listdir(tp):
+        if name.startswith("_tb_batch=") and name != f"_tb_batch={keep}":
+            _shutil.rmtree(_os.path.join(tp, name), ignore_errors=True)
 
 
 def search_ivf_index(

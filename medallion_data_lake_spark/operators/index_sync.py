@@ -11,13 +11,14 @@ erase in ONE place and both surfaces forget.
 Mechanics:
 
 - ``sync_deletes_to_index`` reads ``table_changes`` from a persisted
-  per-index watermark to the log tip, keeps ``_change_type='delete'``
-  rows from ERASURE-shaped commits only (``delete`` / ``delete_dv`` /
-  ``merge`` — an overwrite or restore also emits delete rows, but those
-  are REPLACEMENT semantics: the doc population changes wholesale and
-  the index is re-ingested alongside, so tombstoning them would mask
-  the re-added corpus forever under tombstone-wins), extracts the ids,
-  and lands them in the index's tombstone ledger.
+  per-index watermark to the log tip, reduces the range to the LAST
+  change per id (delete-then-re-add = alive), keeps the ids whose last
+  change is a delete from an ERASURE-shaped commit (``delete`` /
+  ``delete_dv`` / ``merge`` — an overwrite or restore also emits delete
+  rows, but those are REPLACEMENT semantics: the doc population changes
+  wholesale and the index is re-ingested alongside, so tombstoning them
+  would mask the re-added corpus forever under tombstone-wins), and
+  lands them in the index's tombstone ledger.
 - Idempotent under crash-replay: the ledger write is a dynamic
   partition overwrite keyed by the processed version range, tombstones
   are additive, and the watermark (in the index's meta sidecar)
@@ -43,7 +44,7 @@ import os
 from pyspark.sql import functions as F
 
 from .ann import _tombstones_path, read_tombstones  # noqa: F401
-from .versioned import _entries, latest_version, table_changes
+from .versioned import _commit_versions, _entries, latest_version, table_changes
 
 #: commit modes whose CDF delete rows mean ERASURE (tombstone the index)
 #: rather than wholesale replacement (re-ingest the index instead)
@@ -68,7 +69,7 @@ def read_sync_watermark(index_path: str, table_path: str) -> int:
 
 
 def _advance_watermark(index_path: str, table_path: str, version: int) -> None:
-    import uuid
+    from ._atomic import atomic_write_json
 
     p = _state_path(index_path)
     state = {"watermarks": {}}
@@ -76,10 +77,7 @@ def _advance_watermark(index_path: str, table_path: str, version: int) -> None:
         state = json.load(open(p))
         state.setdefault("watermarks", {})
     state["watermarks"][os.path.abspath(table_path)] = int(version)
-    tmp = f"{p}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(state, fh)
-    os.replace(tmp, p)  # same atomic-publish discipline as _write_meta
+    atomic_write_json(p, state)  # same publish discipline as _write_meta
 
 
 def sync_deletes_to_index(
@@ -87,15 +85,39 @@ def sync_deletes_to_index(
     table_path: str,
     index_path: str,
     id_col: str = "vec_id",
+    on_expired_gap: str = "error",
 ) -> dict:
     """Propagate the table's erasures since the last sync into the
     index's tombstone ledger. Returns
     ``{"from_version", "to_version", "ids_tombstoned"}`` (a no-op sync
     returns ids_tombstoned=0 and leaves the ledger untouched).
 
+    Within the processed range the LAST change per id wins: an id
+    deleted and later re-inserted (or re-ingested by an overwrite) in
+    the same range is ALIVE and is not tombstoned. Without this, the
+    bootstrap sync (watermark −1 replays full history) would tombstone
+    a doc that was deleted early and legitimately re-added later — and
+    the next compaction would then permanently purge a LIVE document
+    from the index (r8 self-review finding). Within one commit version
+    an insert outranks a delete (an overwrite both removes and re-adds:
+    replacement, not erasure).
+
+    Expired history (``expire_log``): the sync range is clamped to the
+    oldest retained log version. On BOOTSTRAP that is sound whenever
+    the index was built from a snapshot at or after that version (the
+    normal build-then-sync flow — erasures older than the snapshot have
+    nothing to mask). On an INCREMENTAL sync a gap means erasure
+    commits were expired before this index consumed them —
+    unrecoverable, so it raises with guidance; pass
+    ``on_expired_gap="skip"`` to accept (the result then carries
+    ``"expired_gap": [from, to]``). Same retention contract as any CDC
+    consumer: keep log history at least as long as your sync cadence.
+
     Call on the same maintenance cadence as ``compact_index_tombstones``
     (or from the delete feed's foreachBatch); both are idempotent, so
     over-calling costs one bounded change-feed scan."""
+    from pyspark.sql import Window
+
     lv = latest_version(table_path)
     if lv is None:
         raise FileNotFoundError(f"no versioned table at {table_path}")
@@ -104,6 +126,21 @@ def sync_deletes_to_index(
         return {"from_version": wm + 1, "to_version": lv, "ids_tombstoned": 0}
 
     lo = wm + 1
+    versions = _commit_versions(table_path)
+    oldest = versions[0] if versions else 0
+    gap = None
+    if lo < oldest:
+        if wm >= 0 and on_expired_gap != "skip":
+            raise ValueError(
+                f"index-sync gap on {table_path}: versions {lo}.."
+                f"{oldest - 1} were expired (expire_log) before this "
+                "index consumed them — erasures in that range cannot be "
+                "recovered from the change feed. Rebuild the index from "
+                "the current snapshot, or pass on_expired_gap='skip' to "
+                "accept the gap."
+            )
+        gap = [lo, oldest - 1]
+        lo = oldest
     erasure_versions = [
         e["version"]
         for e in _entries(table_path, lo=lo, hi=lv)
@@ -112,8 +149,23 @@ def sync_deletes_to_index(
     n = 0
     if erasure_versions:
         feed = table_changes(spark, table_path, lo, lv)
-        doomed = (
+        alive_rank = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(0)
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_commit_version").desc(), alive_rank.desc()
+        )
+        last = (
             feed.filter(
+                F.col("_change_type").isin(
+                    "insert", "update_postimage", "delete"
+                )
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        doomed = (
+            last.filter(
                 (F.col("_change_type") == "delete")
                 & F.col("_commit_version").isin(erasure_versions)
             )
@@ -135,4 +187,7 @@ def sync_deletes_to_index(
             )
     # advance ONLY after the ledger is durable (crash => replay, not loss)
     _advance_watermark(index_path, table_path, lv)
-    return {"from_version": lo, "to_version": lv, "ids_tombstoned": int(n)}
+    out = {"from_version": lo, "to_version": lv, "ids_tombstoned": int(n)}
+    if gap is not None:
+        out["expired_gap"] = gap
+    return out

@@ -59,6 +59,19 @@ class LogStore:
     def ensure_dir(self, dir_path: str) -> None:
         raise NotImplementedError
 
+    def replace(self, file_path: str, text: str) -> None:
+        """Overwrite ``file_path`` with ``text``, atomically where the
+        backend allows (POSIX rename, mutex-held dict swap). The default
+        is delete + exclusive-create — NON-atomic: a concurrent reader
+        can observe the file missing in the gap, so callers relying on
+        this for metadata a reader may hold a listing of must tolerate
+        a transient miss (see ``versioned._read_checkpoint``)."""
+        try:
+            self.delete(file_path)
+        except (FileNotFoundError, KeyError):
+            pass
+        self.put_exclusive(file_path, text)
+
 
 class LocalLogStore(LogStore):
     """POSIX filesystem: ``open(..., 'x')`` IS the atomic create (the
@@ -85,6 +98,14 @@ class LocalLogStore(LogStore):
 
     def ensure_dir(self, dir_path: str) -> None:
         os.makedirs(dir_path, exist_ok=True)
+
+    def replace(self, file_path: str, text: str) -> None:
+        # write-then-rename: readers see the old OR the new bytes,
+        # never a missing or torn file (kernel-atomic rename)
+        tmp = f"{file_path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, file_path)
 
 
 class InMemoryLogStore(LogStore):
@@ -125,6 +146,10 @@ class InMemoryLogStore(LogStore):
     def ensure_dir(self, dir_path: str) -> None:
         with self._lock:
             self._dirs.add(dir_path)
+
+    def replace(self, file_path: str, text: str) -> None:
+        with self._lock:  # single swap under the mutex: atomic
+            self._files[file_path] = text
 
 
 _STORE: LogStore = LocalLogStore()

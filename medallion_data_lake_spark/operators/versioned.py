@@ -135,9 +135,21 @@ def _checkpoint_versions(path: str) -> list[int]:
 
 
 def _read_checkpoint(path: str, version: int) -> dict:
-    return json.loads(get_log_store().read(
-        os.path.join(_log_dir(path), f"{version:020d}.checkpoint.json")
-    ))
+    """Read one checkpoint, tolerating the non-atomic replace window of
+    LogStore backends without atomic overwrite (the default ``replace``
+    is delete + exclusive-create): a reader that listed the checkpoint
+    just before an upgrader swapped it would otherwise crash on a file
+    that exists again milliseconds later. Brief retry, then raise — a
+    checkpoint that STAYS missing is real corruption and must be loud."""
+    target = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.json")
+    store = get_log_store()
+    for attempt in range(5):
+        try:
+            return json.loads(store.read(target))
+        except (FileNotFoundError, KeyError):
+            if attempt == 4:
+                raise
+            time.sleep(0.05 * (attempt + 1))
 
 
 def _state_at(path: str, version: int | None = None) -> tuple[list[str], dict]:
@@ -312,9 +324,11 @@ def _write_checkpoint(path: str, version: int, upgrade: bool = False) -> None:
     legacy full-walk fallbacks in ``_table_schema_json_logged`` /
     ``_dv_at`` find nothing — the silent-downgrade regression the
     field was added to fix would resurface on migrated tables. The
-    replace is delete + exclusive-create, non-atomic by LogStore
-    contract, but only ever runs while the full log below still
-    exists, so a reader (or crash) in the gap resolves from entries."""
+    replace is atomic on backends that support it (``LogStore.replace``:
+    POSIX rename, in-memory swap); on the delete+create fallback a
+    reader in the gap retries (``_read_checkpoint``), and it only ever
+    runs while the full log below still exists, so even a crash in the
+    gap resolves from entries."""
     live, txns = _state_at(path, version)
     stats = _file_stats_at(path, version)
     # resolve ALL derived state before the exclusive-create: the open()
@@ -346,11 +360,10 @@ def _write_checkpoint(path: str, version: int, upgrade: bool = False) -> None:
             existing = {}
         if _CKPT_FIELDS.issubset(existing):
             return  # current-generation checkpoint; keep it
-        store.delete(target)
-        try:
-            store.put_exclusive(target, payload)
-        except FileExistsError:
-            pass  # a racing upgrader re-created it; theirs is current
+        # atomic where the backend allows (POSIX rename / mutex swap);
+        # on backends with only the delete+create fallback, readers
+        # tolerate the gap via _read_checkpoint's retry
+        store.replace(target, payload)
 
 
 def latest_txn_version(path: str, app_id: str) -> int | None:
@@ -1194,6 +1207,29 @@ def _cm_translate_keys(cm: dict, d: dict | None) -> dict:
     return {_cm_phys(cm, k): v for k, v in d.items()}
 
 
+def _cm_refuse_names(cm: dict, names, what: str) -> None:
+    """Structured column NAMES (preds/keys dict keys, SET targets) get
+    the same stale-name discipline as raw SQL (:func:`_cm_refuse_expr`):
+    a renamed-away old name or a dropped column's retired physical is
+    NOT translated by ``_cm_translate_keys`` (it isn't a current logical
+    name), yet still names a live column in the data files — so DML
+    would silently prune/match/mutate an identity the table no longer
+    exposes. Refuse loudly instead (r8 self-review finding)."""
+    if not names or _cm_is_identity(cm):
+        return
+    stale = (
+        set(cm.get("map", {}).values()) | set(cm.get("retired", []))
+    ) - set(cm.get("map", {}))
+    hits = sorted(set(names) & stale)
+    if hits:
+        raise ValueError(
+            f"{what} names column(s) {hits} — the pre-rename (or "
+            f"dropped) name(s) under this table's column mapping "
+            f"({cm.get('map', {})}; retired {cm.get('retired', [])}). "
+            "Use the current logical names."
+        )
+
+
 def _cm_refuse_expr(cm: dict, expr: str | None, what: str) -> None:
     """Raw SQL strings (``where``, SET expressions) written in CURRENT
     logical names resolve fine inside DML rewrites — evaluation runs
@@ -1281,56 +1317,71 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> dict:
     stats and bloom filters keep pruning (they are keyed by the
     physical name, which never changes). Declarative constraints on the
     column follow the rename; a raw CHECK constraint mentioning it is
-    refused (rewrite the constraint first)."""
+    refused (rewrite the constraint first).
+
+    All validation and schema/mapping derivation run INSIDE the
+    ``_publish`` retry loop, against the fresh log tip — a lost version
+    race (concurrent schema-evolving append, another DDL) recomputes
+    instead of republishing state derived from the stale tip, which
+    would silently drop the race winner's schema/mapping change. The
+    constraint sidecar is rewritten only AFTER the commit publishes; a
+    crash in between leaves a constraint naming the old column, which
+    the next write refuses LOUDLY (re-run ``set_table_constraints`` to
+    repair) rather than silently enforcing against ghost data."""
     from pyspark.sql.types import StructField, StructType
 
-    schema = _table_schema_at(spark, path)
-    names = [f.name for f in schema.fields]
-    if old not in names:
-        raise ValueError(f"rename_column: no column {old!r} in {names}")
-    if new in names:
-        raise ValueError(f"rename_column: column {new!r} already exists")
-    cm = _column_mapping_at(path)
-    taken = set(cm.get("map", {}).values()) | set(cm.get("retired", []))
-    # physical names of identity-mapped columns are their logical names —
-    # `new` colliding with one was caught by the logical check above;
-    # colliding with a RENAMED column's physical or a retired physical
-    # would make scans ambiguous. Renaming a column back to its OWN
-    # physical name is the identity-restoring case and always fine.
-    own_phys = cm.get("map", {}).get(old, old)
-    if new in taken and new != own_phys:
-        raise ValueError(
-            f"rename_column: {new!r} collides with a physical column name "
-            "still present in data files (renamed or dropped earlier); "
-            "choose another name"
-        )
-    for spec in table_constraints(path):
-        if spec.get("kind") == "check" and re.search(
-            rf"\b{re.escape(old)}\b", spec.get("sql", "")
-        ):
-            raise ValueError(
-                f"rename_column: CHECK constraint {spec.get('name')!r} "
-                f"references {old!r}; drop or rewrite the constraint first"
-            )
-
-    new_map = dict(cm.get("map", {}))
-    new_map[new] = new_map.pop(old, old)  # physical name is sticky
-    if new_map.get(new) == new:
-        del new_map[new]  # renamed back to its physical: identity again
-    new_cm = {"map": new_map, "retired": list(cm.get("retired", []))}
-    new_schema = StructType([
-        StructField(new, f.dataType, f.nullable, f.metadata)
-        if f.name == old else f
-        for f in schema.fields
-    ])
-    # declarative (col-keyed) constraints follow the logical rename
-    specs = table_constraints(path)
-    if any(s.get("col") == old for s in specs):
-        set_table_constraints(path, [
-            {**s, "col": new} if s.get("col") == old else s for s in specs
-        ])
+    renamed_specs: list[dict] | None = None
 
     def build(version: int) -> dict:
+        nonlocal renamed_specs
+        schema = _table_schema_at(spark, path)
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"rename_column: no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"rename_column: column {new!r} already exists")
+        cm = _column_mapping_at(path)
+        taken = set(cm.get("map", {}).values()) | set(cm.get("retired", []))
+        # physical names of identity-mapped columns are their logical
+        # names — `new` colliding with one was caught by the logical
+        # check above; colliding with a RENAMED column's physical or a
+        # retired physical would make scans ambiguous. Renaming a column
+        # back to its OWN physical name is identity-restoring, always ok.
+        own_phys = cm.get("map", {}).get(old, old)
+        if new in taken and new != own_phys:
+            raise ValueError(
+                f"rename_column: {new!r} collides with a physical column "
+                "name still present in data files (renamed or dropped "
+                "earlier); choose another name"
+            )
+        for spec in table_constraints(path):
+            if spec.get("kind") == "check" and re.search(
+                rf"\b{re.escape(old)}\b", spec.get("sql", "")
+            ):
+                raise ValueError(
+                    f"rename_column: CHECK constraint {spec.get('name')!r} "
+                    f"references {old!r}; drop or rewrite the constraint "
+                    "first"
+                )
+
+        new_map = dict(cm.get("map", {}))
+        new_map[new] = new_map.pop(old, old)  # physical name is sticky
+        if new_map.get(new) == new:
+            del new_map[new]  # renamed back to its physical: identity again
+        new_cm = {"map": new_map, "retired": list(cm.get("retired", []))}
+        new_schema = StructType([
+            StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old else f
+            for f in schema.fields
+        ])
+        # declarative (col-keyed) constraints follow the logical rename —
+        # staged here, applied only after the publish succeeds
+        specs = table_constraints(path)
+        renamed_specs = (
+            [{**s, "col": new} if s.get("col") == old else s for s in specs]
+            if any(s.get("col") == old for s in specs)
+            else None
+        )
         return {
             "version": version,
             "timestamp": time.time(),
@@ -1342,7 +1393,10 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> dict:
             "column_mapping": new_cm,
         }
 
-    return _publish(path, build)
+    entry = _publish(path, build)
+    if entry is not None and renamed_specs is not None:
+        set_table_constraints(path, renamed_specs)
+    return entry
 
 
 def drop_column(spark: SparkSession, path: str, name: str) -> dict:
@@ -1352,32 +1406,33 @@ def drop_column(spark: SparkSession, path: str, name: str) -> dict:
     overwrite rewrites shed them physically), but every current-version
     read stops projecting it. Re-adding a column with this name later
     gets a FRESH physical name (never the retired bytes). Refused while
-    any constraint references the column."""
+    any constraint references the column. Validation and derivation run
+    inside the ``_publish`` retry loop against the fresh tip (same
+    lost-race discipline as :func:`rename_column`)."""
     from pyspark.sql.types import StructType
 
-    schema = _table_schema_at(spark, path)
-    names = [f.name for f in schema.fields]
-    if name not in names:
-        raise ValueError(f"drop_column: no column {name!r} in {names}")
-    if len(names) == 1:
-        raise ValueError("drop_column: cannot drop the only column")
-    for spec in table_constraints(path):
-        if spec.get("col") == name or (
-            spec.get("kind") == "check"
-            and re.search(rf"\b{re.escape(name)}\b", spec.get("sql", ""))
-        ):
-            raise ValueError(
-                f"drop_column: constraint {spec} references {name!r}; "
-                "drop the constraint first"
-            )
-    cm = _column_mapping_at(path)
-    new_map = dict(cm.get("map", {}))
-    phys = new_map.pop(name, name)
-    retired = sorted(set(cm.get("retired", [])) | {phys})
-    new_cm = {"map": new_map, "retired": retired}
-    new_schema = StructType([f for f in schema.fields if f.name != name])
-
     def build(version: int) -> dict:
+        schema = _table_schema_at(spark, path)
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"drop_column: no column {name!r} in {names}")
+        if len(names) == 1:
+            raise ValueError("drop_column: cannot drop the only column")
+        for spec in table_constraints(path):
+            if spec.get("col") == name or (
+                spec.get("kind") == "check"
+                and re.search(rf"\b{re.escape(name)}\b", spec.get("sql", ""))
+            ):
+                raise ValueError(
+                    f"drop_column: constraint {spec} references {name!r}; "
+                    "drop the constraint first"
+                )
+        cm = _column_mapping_at(path)
+        new_map = dict(cm.get("map", {}))
+        phys = new_map.pop(name, name)
+        retired = sorted(set(cm.get("retired", [])) | {phys})
+        new_cm = {"map": new_map, "retired": retired}
+        new_schema = StructType([f for f in schema.fields if f.name != name])
         return {
             "version": version,
             "timestamp": time.time(),
@@ -2048,6 +2103,8 @@ def delete_rows(
     # SQL that references renamed/dropped names (see _cm_refuse_expr)
     _cm = _column_mapping_at(path)
     _cm_refuse_expr(_cm, where, "delete_rows where=")
+    _cm_refuse_names(_cm, {**(preds or {}), **(keys or {})},
+                     "delete_rows preds/keys")
     preds = _cm_translate_keys(_cm, preds)
     keys = _cm_translate_keys(_cm, keys)
     has_txn = txn_app_id is not None and txn_version is not None
@@ -2264,6 +2321,8 @@ def delete_rows_dv(
     # logical -> physical, same contract as delete_rows
     _cm = _column_mapping_at(path)
     _cm_refuse_expr(_cm, where, "delete_rows_dv where=")
+    _cm_refuse_names(_cm, {**(preds or {}), **(keys or {})},
+                     "delete_rows_dv preds/keys")
     preds = _cm_translate_keys(_cm, preds)
     keys = _cm_translate_keys(_cm, keys)
     has_txn = txn_app_id is not None and txn_version is not None
@@ -2522,6 +2581,10 @@ def update_rows(
     _cm_refuse_expr(_cm, where, "update_rows where=")
     for _k, _v in set_exprs.items():
         _cm_refuse_expr(_cm, _v, f"update_rows set_exprs[{_k}]=")
+    _cm_refuse_names(
+        _cm, {**(preds or {}), **(keys or {}), **set_exprs},
+        "update_rows preds/keys/SET targets",
+    )
     preds = _cm_translate_keys(_cm, preds)
     keys = _cm_translate_keys(_cm, keys)
     set_exprs = _cm_translate_keys(_cm, set_exprs)
@@ -2908,17 +2971,29 @@ def merge_into(
         for f in os.listdir(data_path)
         if f.endswith(".parquet")
     )
-    file_stats = (
-        _collect_file_stats(spark, path, data_path, (key,)) if added else {}
-    )
-    stats_rel = (
-        _write_stats_partials(
-            spark, path, data_path,
-            None if analyze_stats is True else tuple(analyze_stats),
+    try:
+        file_stats = (
+            _collect_file_stats(spark, path, data_path, (key,))
+            if added else {}
         )
-        if analyze_stats and added
-        else None
-    )
+        stats_rel = (
+            _write_stats_partials(
+                spark, path, data_path,
+                # analyze_stats arrives in LOGICAL names; the files just
+                # written carry physical columns (same translation as
+                # commit()/optimize_table — merge_into was missed, r8
+                # self-review finding)
+                None if analyze_stats is True
+                else tuple(_cm_phys(_cm, c) for c in analyze_stats),
+            )
+            if analyze_stats and added
+            else None
+        )
+    except Exception:
+        # stats collection failed after the data write: drop the
+        # unpublished commit dir instead of stranding orphan files
+        shutil.rmtree(data_path, ignore_errors=True)
+        raise
     rewritten = set(matched)
 
     def build(version: int) -> dict | None:

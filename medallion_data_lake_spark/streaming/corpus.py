@@ -869,13 +869,10 @@ def run_streaming_fuzzy_decon(
     beside the checkpoint so executor loss can't strand the stream
     (localCheckpoint lineage is unrecomputable — see
     :func:`bench_band_frame`)."""
-    import os as _os
-
     bench_bands = bench_band_frame(
         bench,
-        durable_path=None if available_now else _os.path.join(
-            checkpoint_dir.rstrip("/") + "_bench_bands"
-        ),
+        durable_path=None if available_now
+        else checkpoint_dir.rstrip("/") + "_bench_bands",
     )
     stream = (
         spark.readStream.schema(DOC_SCHEMA)

@@ -270,3 +270,127 @@ def test_rename_validation(spark, tmp_path):
         p2 = str(tmp_path / "one")
         commit(spark.createDataFrame([(1,)], "id long"), p2)
         drop_column(spark, p2, "id")
+
+
+def test_ddl_lost_race_recomputes_from_fresh_tip(spark, tmp_path):
+    """A rename that loses its version race must rebuild schema+mapping
+    from the race WINNER's tip, not republish state derived before the
+    race (r8 self-review finding): here the winner is a schema-evolving
+    append adding ``extra`` — a stale-state retry would publish a
+    table_schema without it, silently un-evolving the table."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from medallion_data_lake_spark.operators import logstore
+    from medallion_data_lake_spark.operators.versioned import _table_schema_at
+
+    path = _mk(spark, tmp_path)
+    inner = logstore.get_log_store()
+
+    class OneRace(logstore.LogStore):
+        fired = False
+
+        def list(self, d):
+            return inner.list(d)
+
+        def read(self, f):
+            return inner.read(f)
+
+        def ensure_dir(self, d):
+            inner.ensure_dir(d)
+
+        def delete(self, f):
+            inner.delete(f)
+
+        def put_exclusive(self, f, text):
+            if not OneRace.fired and '"RENAME COLUMN' in text:
+                OneRace.fired = True
+                mine = _json.loads(text)
+                comp = StructType(
+                    list(_table_schema_at(spark, path).fields)
+                    + [StructField("extra", LongType())]
+                )
+                inner.put_exclusive(f, _json.dumps({
+                    "version": mine["version"], "timestamp": 0.0,
+                    "mode": "append", "added": [], "removed": [],
+                    "operation": "APPEND(race-winner)",
+                    "table_schema": comp.jsonValue(),
+                }))
+                raise FileExistsError(f)
+            inner.put_exclusive(f, text)
+
+    prev = logstore.set_log_store(OneRace())
+    try:
+        rename_column(spark, path, "tag", "label")
+    finally:
+        logstore.set_log_store(prev)
+
+    assert OneRace.fired
+    final = {f.name for f in _table_schema_at(spark, path).fields}
+    assert final == {"id", "label", "score", "extra"}
+
+
+def test_structured_stale_names_refused(spark, tmp_path):
+    """Structured preds/keys/SET targets get the same stale-name
+    refusal as raw SQL (r8 self-review finding): after rename/drop, the
+    old (physical) name still exists in the data files, so an
+    un-translated dict key would silently bind to it."""
+    path = _mk(spark, tmp_path,
+               rows=((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+    rename_column(spark, path, "score", "rating")
+
+    with pytest.raises(ValueError, match="score"):
+        delete_rows(spark, path, predicates={"score": (0.0, 99.0)})
+    with pytest.raises(ValueError, match="score"):
+        delete_rows(spark, path, keys={"score": [10.0]})
+    with pytest.raises(ValueError, match="score"):
+        delete_rows_dv(spark, path, predicates={"score": (0.0, 99.0)})
+    with pytest.raises(ValueError, match="score"):
+        update_rows(spark, path, set_exprs={"score": "0.0"},
+                    where="rating > 0")
+    with pytest.raises(ValueError, match="score"):
+        update_rows(spark, path, set_exprs={"tag": "'x'"},
+                    predicates={"score": (0.0, 99.0)})
+
+    # nothing was mutated by the refused calls
+    got = {r["id"]: r["rating"] for r in read_table(spark, path).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0}
+
+    # dropped column: SET target refused too
+    drop_column(spark, path, "rating")
+    with pytest.raises(ValueError, match="rating"):
+        update_rows(spark, path, set_exprs={"rating": "1.0"},
+                    where="id = 1")
+
+
+def test_merge_analyze_stats_on_column_mapped_table(spark, tmp_path):
+    """merge_into(analyze_stats=...) must translate logical stat names
+    to physical like commit()/optimize_table do (r8 self-review
+    finding — pre-fix this raised UNRESOLVED_COLUMN and stranded the
+    commit dir)."""
+    import glob as _glob
+
+    path = _mk(spark, tmp_path)
+    rename_column(spark, path, "score", "rating")
+    src = spark.createDataFrame(
+        [(2, "b2", 21.0), (9, "z", 90.0)],
+        "id long, tag string, rating double",
+    )
+    merge_into(spark, path, src, key="id", analyze_stats=("rating",))
+    got = {r["id"]: r["rating"] for r in read_table(spark, path).collect()}
+    assert got == {1: 10.0, 2: 21.0, 9: 90.0}
+    # no stranded commit dirs: every data/commit-* on disk is referenced
+    # by some log entry (pre-vacuum, history legitimately keeps removed
+    # files — orphans are dirs NO entry ever added)
+    from medallion_data_lake_spark.operators.versioned import _entries
+    referenced = {
+        os.path.dirname(f)
+        for e in _entries(path)
+        for f in e.get("added", [])
+    }
+    on_disk = {
+        os.path.relpath(d, path)
+        for d in _glob.glob(os.path.join(path, "data", "commit-*"))
+    }
+    assert on_disk <= referenced

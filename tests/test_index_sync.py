@@ -102,3 +102,53 @@ def test_crash_replay_is_idempotent(spark, tmp_path):
     assert read_tombstones(spark, idx).count() == 2  # no duplicates
     queries = emb.filter(F.col("vec_id").isin(50, 51))
     assert not (_hits(spark, idx, queries) & {1, 2})
+
+
+def test_delete_then_readd_in_range_stays_alive(spark, tmp_path):
+    """Last-change-wins (r8 self-review finding): a doc deleted at v1
+    but re-appended at v2 is LIVE — the bootstrap sync (full-history
+    replay) must not tombstone it, or the next compaction would
+    permanently purge a live document."""
+    emb, table, idx = _setup(spark, tmp_path)
+    delete_rows_dv(spark, table, keys={"vec_id": [5, 6]})         # v1
+    commit(emb.filter(F.col("vec_id") == 5), table)               # v2: re-add 5
+    out = sync_deletes_to_index(spark, table, idx)
+    assert out["ids_tombstoned"] == 1
+    assert {r["vec_id"] for r in read_tombstones(spark, idx).collect()} == {6}
+    queries = emb.filter(F.col("vec_id") < 3)
+    assert 6 not in _hits(spark, idx, queries)
+
+
+def test_expired_history_bootstrap_clamps_and_incremental_gap_raises(
+    spark, tmp_path
+):
+    """expire_log before the first sync must not wedge the sync forever
+    (r8 self-review finding): bootstrap clamps to the oldest retained
+    version; an INCREMENTAL sync that lost versions raises with
+    guidance unless the gap is explicitly accepted."""
+    import pytest
+
+    from medallion_data_lake_spark.operators.versioned import expire_log
+
+    emb, table, idx = _setup(spark, tmp_path)
+    commit(emb.limit(1), table)                                   # v1 filler
+    delete_rows_dv(spark, table, keys={"vec_id": [7]})            # v2
+    expire_log(table, keep_last=2)                                # drop v0
+    # bootstrap (wm=-1): clamps lo to the oldest retained version and works
+    out = sync_deletes_to_index(spark, table, idx)
+    assert out["ids_tombstoned"] == 1
+    assert out["to_version"] == latest_version(table)
+
+    # incremental gap: rewind the watermark below the retained floor
+    state_file = os.path.join(idx, "_index_sync.json")
+    state = json.load(open(state_file))
+    delete_rows_dv(spark, table, keys={"vec_id": [8]})            # v3
+    expire_log(table, keep_last=1)
+    state["watermarks"][os.path.abspath(table)] = 0
+    json.dump(state, open(state_file, "w"))
+    with pytest.raises(ValueError, match="expired"):
+        sync_deletes_to_index(spark, table, idx)
+    out2 = sync_deletes_to_index(spark, table, idx,
+                                 on_expired_gap="skip")
+    assert "expired_gap" in out2
+    assert read_sync_watermark(idx, table) == latest_version(table)

@@ -7,7 +7,10 @@ and the streaming delete leg must be exactly-once under replay. The
 compaction contract: search results are IDENTICAL before and after the
 rewrite (minus nothing — the mask already hid the rows), the purged rows
 are physically gone, only affected bucket partitions are rewritten, and
-a crash anywhere re-runs safely because the ledger is cleared last.
+a crash anywhere re-runs safely because the ledger update is last and
+superset-safe. A tombstone whose rows never landed (a delete that
+outran its append) must SURVIVE compaction so the rows stay masked
+when they arrive.
 """
 
 from __future__ import annotations
@@ -140,7 +143,51 @@ def test_compaction_purges_rows_and_preserves_results(spark, tmp_path):
     # idempotent: a second run (crash-replay shape) is a no-op
     out2 = compact_index_tombstones(spark, idx)
     assert out2 == {"purged_rows": 0, "rewritten_partitions": 0,
-                    "removed_partitions": 0}
+                    "removed_partitions": 0, "retained_tombstones": 0}
+
+
+def test_inflight_delete_survives_compaction(spark, tmp_path):
+    """GDPR tombstone-wins under ingest lag: a delete whose doc hasn't
+    been indexed yet must NOT be dropped by a compaction that finds no
+    rows for it — clearing it would unmask the doc the moment its
+    append lands (r8 self-review finding)."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    # index everything EXCEPT vec_id 0/1 — their deletes arrive early
+    build_ivf_index(emb.filter(F.col("vec_id") >= 2), idx, n_bits=MIN_BITS)
+    queries = emb.filter(F.col("vec_id") < 5)
+    victim = sorted(_hits(spark, idx, queries, n_probes=4, k=5))[0]
+    delete_from_index(spark, idx, [victim, 0, 1])
+
+    out = compact_index_tombstones(spark, idx)
+    assert out["purged_rows"] == 1            # only the indexed victim
+    assert out["retained_tombstones"] == 2    # 0/1 stay masked
+    assert {r["vec_id"] for r in read_tombstones(spark, idx).collect()} == {0, 1}
+
+    # the late append lands — the retained tombstones still mask it
+    append_to_ivf_index(emb.filter(F.col("vec_id") < 2), idx)
+    hits = _hits(spark, idx, queries, n_probes=4, k=5)
+    assert not (hits & {0, 1, victim})
+
+    # the NEXT compaction finds the rows, purges them, empties the ledger
+    out2 = compact_index_tombstones(spark, idx)
+    assert out2["purged_rows"] == 2
+    assert out2["retained_tombstones"] == 0
+    assert read_tombstones(spark, idx) is None
+    assert spark.read.parquet(idx).filter(F.col("vec_id") < 2).count() == 0
+
+
+def test_compaction_with_nothing_indexed_retains_everything(spark, tmp_path):
+    """All-unmatched ledger: compaction is a no-op that reports the
+    retained count and leaves the ledger byte-identical in effect."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") >= 100), idx, n_bits=MIN_BITS)
+    delete_from_index(spark, idx, [0, 1, 2])
+    out = compact_index_tombstones(spark, idx)
+    assert out == {"purged_rows": 0, "rewritten_partitions": 0,
+                   "removed_partitions": 0, "retained_tombstones": 3}
+    assert read_tombstones(spark, idx).count() == 3
 
 
 def test_clear_tombstones_is_the_explicit_readd_path(spark, tmp_path):
