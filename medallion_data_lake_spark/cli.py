@@ -72,7 +72,8 @@ def main(argv: list[str] | None = None) -> int:
                  "serve", "explain", "changes", "update", "delete",
                  "curate", "verify-release", "index-health",
                  "rename-column", "drop-column", "index-delete",
-                 "index-compact", "index-sync"],
+                 "index-compact", "index-sync", "staged",
+                 "publish-staged", "abandon-staged", "expire-staged"],
     )
     ap.add_argument(
         "arg",
@@ -124,6 +125,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="new column name for rename-column")
     ap.add_argument("--col", default=None,
                     help="column name for drop-column")
+    ap.add_argument("--staging-id", default=None,
+                    help="publish-staged/abandon-staged: the id returned "
+                         "by operators.wap.stage_commit")
+    ap.add_argument("--older-than", type=float, default=86400.0,
+                    help="expire-staged: reclaim stagings older than this "
+                         "many seconds (default 1 day)")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve: listen as a JSON HTTP API on this port "
                          "instead of the stdin REPL (GET / serves the "
@@ -444,6 +451,47 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(sync_deletes_to_index(
             spark, args.arg, args.index, id_col=args.id_col)))
+    elif args.verb == "staged":
+        # write-audit-publish: list the table's live stagings
+        if not args.arg:
+            print("staged requires a table path", file=sys.stderr)
+            return 2
+        from .operators.wap import list_staged
+
+        for m in list_staged(args.arg):
+            print(json.dumps({
+                "staging_id": m["staging_id"], "mode": m["mode"],
+                "files": len(m["added"]), "age_sec": round(m["age_sec"], 1),
+                "base_version": m["base_version"],
+            }))
+    elif args.verb == "publish-staged":
+        if not args.arg or not args.staging_id:
+            print("publish-staged requires a table path and --staging-id",
+                  file=sys.stderr)
+            return 2
+        from .operators.wap import publish_staged
+
+        entry = publish_staged(spark, args.arg, args.staging_id)
+        print(json.dumps({"version": entry["version"],
+                          "operation": entry["operation"]}))
+    elif args.verb == "abandon-staged":
+        if not args.arg or not args.staging_id:
+            print("abandon-staged requires a table path and --staging-id",
+                  file=sys.stderr)
+            return 2
+        from .operators.wap import abandon_staged
+
+        abandon_staged(args.arg, args.staging_id)
+        print(json.dumps({"abandoned": args.staging_id}))
+    elif args.verb == "expire-staged":
+        if not args.arg:
+            print("expire-staged requires a table path", file=sys.stderr)
+            return 2
+        from .operators.wap import expire_staged
+
+        print(json.dumps(
+            {"expired": expire_staged(args.arg, args.older_than)}
+        ))
     return 0
 
 

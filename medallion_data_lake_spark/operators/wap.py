@@ -1,0 +1,434 @@
+"""Write-Audit-Publish (WAP): stage a commit invisibly, audit the
+staged snapshot with declarative expectations, then publish it as one
+atomic metadata operation — or abandon it without readers ever having
+seen a row.
+
+The naive quality gate — commit, run checks, roll back on failure —
+has two holes at any scale: readers (and downstream incremental
+consumers: CDF, index-sync, materialized views) observe the bad rows in
+the window before the rollback, and the rollback itself is a second
+commit that every change-feed consumer must then understand. WAP closes
+both: staged data files live under the table's ``data/`` directory but
+are referenced by NO log entry, so every reader, the change feed, and
+``vacuum`` (whose candidate universe is log-referenced files only) are
+blind to them; the audit runs against exactly the files that would
+publish; and publishing writes one ordinary log entry pointing at the
+already-written files — zero data movement, same atomicity as
+:func:`~.versioned.commit`.
+
+This is the Iceberg ``write.wap.enabled`` / dbt build-then-swap pattern
+(public knowledge), expressed over this repo's versioned log. The
+audit vocabulary is ``operators/expectations.py`` (one aggregation pass
+over the staged batch, never the table).
+
+Scale shape at 100 TB: staging costs exactly what the commit would
+(one write of the batch); the audit reads ONLY the staged files
+(``scope="increment"``, O(batch)) unless a dataset-wide property is
+being gated (``scope="full"`` — the preview union is lazy, so a
+uniqueness check still aggregates keys, not rows); publish and abandon
+are metadata-only. Nothing here holds locks: a staged commit that loses
+a version race at publish re-validates against the fresh tip inside the
+shared ``_publish`` claim loop, exactly like a live commit.
+
+Concurrency contract at publish time (all re-checked against the FRESH
+log tip, not stage-time state):
+
+- a concurrent APPEND is fine for a staged append (both land);
+- additive schema evolution on the tip is fine (the entry's union
+  schema is recomputed); a TYPE conflict refuses (SchemaDriftError);
+- concurrent DDL (rename/drop — the column mapping moved) refuses with
+  ``CommitConflict``: the staged files were written under the old
+  mapping generation, so the only safe answer is re-stage;
+- a constraint change between stage and publish refuses with
+  ``CommitConflict``: the audit that approved this data ran under the
+  old contract.
+
+Crash safety: the manifest under ``_staging/`` is written LAST at stage
+time (a crash mid-stage leaves an unreferenced data dir that
+``abandon_staged``/``expire_staged`` reclaims); the published entry
+records its ``staging_id``, and ``publish_staged`` is idempotent — a
+crash between publish and manifest cleanup replays into "already
+published: clean up and return the existing entry", never a double
+publish.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .versioned import (
+    CommitConflict,
+    _cm_is_identity,
+    _cm_phys,
+    _collect_bloom_filters,
+    _collect_file_stats,
+    _column_mapping_at,
+    _enforce_constraints,
+    _entries,
+    _publish,
+    _state_at,
+    _table_schema_at,
+    _to_physical_names,
+    _union_schema,
+    latest_version,
+    read_table,
+    table_constraints,
+)
+
+_STAGING_DIR = "_staging"
+
+
+def _staging_root(path: str) -> str:
+    return os.path.join(path, _STAGING_DIR)
+
+
+def _manifest_path(path: str, staging_id: str) -> str:
+    return os.path.join(_staging_root(path), f"{staging_id}.json")
+
+
+def _read_manifest(path: str, staging_id: str) -> dict:
+    p = _manifest_path(path, staging_id)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"no staged commit {staging_id!r} under {path} "
+            "(published already, abandoned, or never staged?)"
+        )
+    return json.load(open(p))
+
+
+def _constraints_fp(path: str) -> str:
+    """Order-independent fingerprint of the table contract."""
+    import hashlib
+
+    specs = table_constraints(path)
+    blob = json.dumps(sorted(specs, key=json.dumps), sort_keys=True)
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def stage_commit(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    stats_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
+    allow_schema_evolution: bool = False,
+) -> str:
+    """Write ``df``'s data files under the table WITHOUT publishing a
+    log entry; returns a ``staging_id`` for audit/publish/abandon.
+
+    Validation (schema enforcement, declarative constraints, column
+    mapping) runs NOW, against the current tip — staging a batch that
+    could never publish should fail at stage time, not after the audit.
+    The same checks re-run against the fresh tip at publish (see module
+    docstring for the conflict contract). ``analyze_stats`` partials
+    are deliberately not supported here (their sidecar layout is keyed
+    to published commits); run :func:`~.versioned.analyze_table` after
+    publish, or use plain ``commit`` when stats-at-write matter more
+    than the audit gate."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    spark = df.sparkSession
+
+    schema_changed = False
+    table_schema = df.schema
+    if mode == "append" and latest_version(path) is not None:
+        from .evolution import SchemaDriftError, diff_schemas
+
+        current = _table_schema_at(spark, path)
+        cur_types = {f.name: f.dataType.simpleString() for f in current.fields}
+        new_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        table_schema = _union_schema(current, df.schema)
+        if cur_types != new_types:
+            changed = [
+                n for n in cur_types
+                if n in new_types and cur_types[n] != new_types[n]
+            ]
+            if changed or not allow_schema_evolution:
+                drift = diff_schemas(df.schema, current)
+                raise SchemaDriftError(
+                    f"staged append schema drifts from table {path}: {drift}"
+                    + ("" if changed else
+                       " (pass allow_schema_evolution=True for additive drift)")
+                )
+            schema_changed = True
+
+    _enforce_constraints(df, path)
+
+    # column mapping, same derivation as commit(): appends translate to
+    # physical names; an overwrite resets the mapping
+    prior_cm = (
+        _column_mapping_at(path) if latest_version(path) is not None
+        else {"map": {}, "retired": []}
+    )
+    if mode == "overwrite":
+        cm = {"map": {}, "retired": []}
+        cm_changed = not _cm_is_identity(prior_cm)
+    else:
+        cm = {"map": dict(prior_cm.get("map", {})),
+              "retired": list(prior_cm.get("retired", []))}
+        cm_changed = False
+        if not _cm_is_identity(cm):
+            taken = set(cm["map"].values()) | set(cm["retired"])
+            mapped = set(cm["map"])
+            for f in df.schema.fields:
+                if f.name not in mapped and f.name in taken:
+                    cm["map"][f.name] = f"col-{uuid.uuid4().hex[:8]}"
+                    cm_changed = True
+    write_df = _to_physical_names(df, cm)
+
+    staging_id = f"wap-{uuid.uuid4().hex[:12]}"
+    commit_dir = f"commit-{staging_id}"
+    data_path = os.path.join(path, "data", commit_dir)
+    write_df.write.mode("error").parquet(data_path)
+    added = sorted(
+        os.path.join("data", commit_dir, f)
+        for f in os.listdir(data_path)
+        if f.endswith(".parquet")
+    )
+    stats_phys = tuple(_cm_phys(cm, c) for c in stats_cols)
+    bloom_phys = tuple(_cm_phys(cm, c) for c in bloom_cols)
+    file_stats = (
+        _collect_file_stats(spark, path, data_path, stats_phys)
+        if stats_phys and added else {}
+    )
+    if bloom_phys and added:
+        for rel, enc in _collect_bloom_filters(
+            spark, data_path, bloom_phys
+        ).items():
+            file_stats.setdefault(rel, {}).update(enc)
+
+    manifest = {
+        "staging_id": staging_id,
+        "mode": mode,
+        "added": added,
+        "data_dir": os.path.join("data", commit_dir),
+        "batch_schema": df.schema.jsonValue(),
+        "table_schema": table_schema.jsonValue(),
+        "schema_changed": schema_changed,
+        "allow_schema_evolution": allow_schema_evolution,
+        "prior_cm": prior_cm,
+        "cm": cm,
+        "cm_changed": cm_changed,
+        "file_stats": file_stats,
+        "constraints_fp": _constraints_fp(path),
+        "base_version": latest_version(path),
+        "created": time.time(),
+    }
+    os.makedirs(_staging_root(path), exist_ok=True)
+    # manifest LAST: its existence is what makes the staged dir real
+    from ._atomic import atomic_write_json
+
+    atomic_write_json(_manifest_path(path, staging_id), manifest)
+    return staging_id
+
+
+def _staged_frame(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
+    """The staged files on LOGICAL names (reverse of the staged cm)."""
+    from pyspark.sql.types import StructType
+
+    batch = StructType.fromJson(manifest["batch_schema"])
+    raw = spark.read.parquet(os.path.join(path, manifest["data_dir"]))
+    cm = manifest["cm"]
+    return raw.select(*[
+        F.col(_cm_phys(cm, f.name)).alias(f.name) for f in batch.fields
+    ])
+
+
+def read_staged(
+    spark: SparkSession,
+    path: str,
+    staging_id: str,
+    scope: str = "increment",
+) -> DataFrame:
+    """Preview a staged commit before anyone else can see it.
+
+    ``scope="increment"`` — just the staged rows (what an append adds;
+    O(batch), the audit default). ``scope="full"`` — the snapshot AS IT
+    WOULD BE after publish: current table ∪ increment for an append,
+    the staged rows alone for an overwrite (lazy union; dataset-wide
+    checks like uniqueness need this one)."""
+    if scope not in ("increment", "full"):
+        raise ValueError(f"scope must be increment|full, got {scope!r}")
+    m = _read_manifest(path, staging_id)
+    staged = _staged_frame(spark, path, m)
+    if scope == "increment" or m["mode"] == "overwrite":
+        return staged
+    if latest_version(path) is None:
+        return staged
+    return read_table(spark, path).unionByName(
+        staged, allowMissingColumns=True
+    )
+
+
+def publish_staged(spark: SparkSession, path: str, staging_id: str) -> dict:
+    """Turn the staged files into a real commit: one log entry, zero
+    data movement. Re-validates against the FRESH tip inside the claim
+    loop (see module docstring); idempotent — if this staging_id
+    already published (crash between publish and cleanup), returns the
+    existing entry and just removes the manifest."""
+    already = [
+        e for e in _entries(path) if e.get("staging_id") == staging_id
+    ]
+    if already:
+        _drop_manifest(path, staging_id)
+        return already[-1]
+    m = _read_manifest(path, staging_id)
+    data_dir = os.path.join(path, m["data_dir"])
+    if not os.path.isdir(data_dir):
+        raise FileNotFoundError(
+            f"staged data dir {m['data_dir']} vanished under {path} — "
+            "was the staging abandoned?"
+        )
+    from pyspark.sql.types import StructType
+
+    batch_schema = StructType.fromJson(m["batch_schema"])
+
+    def build(version: int) -> dict:
+        if _constraints_fp(path) != m["constraints_fp"]:
+            raise CommitConflict(
+                f"table contract on {path} changed after staging "
+                f"{staging_id}: the audit ran under the old constraints "
+                "— re-stage (or re-audit) against the current contract"
+            )
+        if _column_mapping_at(path) != m["prior_cm"] and m["mode"] != "overwrite":
+            raise CommitConflict(
+                f"column mapping on {path} moved after staging "
+                f"{staging_id} (concurrent RENAME/DROP): staged files "
+                "carry the old physical layout — re-stage"
+            )
+        schema_changed = m["schema_changed"]
+        table_schema_json = m["table_schema"]
+        if m["mode"] == "append" and version > 0:
+            from .evolution import SchemaDriftError, diff_schemas
+
+            current = _table_schema_at(spark, path, version - 1)
+            cur_types = {
+                f.name: f.dataType.simpleString() for f in current.fields
+            }
+            new_types = {
+                f.name: f.dataType.simpleString()
+                for f in batch_schema.fields
+            }
+            table_schema_json = _union_schema(
+                current, batch_schema
+            ).jsonValue()
+            if cur_types != new_types:
+                changed = [
+                    n for n in cur_types
+                    if n in new_types and cur_types[n] != new_types[n]
+                ]
+                if changed or not m["allow_schema_evolution"]:
+                    raise SchemaDriftError(
+                        f"tip of {path} evolved after staging "
+                        f"{staging_id} and the staged schema now "
+                        f"conflicts: "
+                        f"{diff_schemas(batch_schema, current)}"
+                    )
+                schema_changed = True
+        live, _ = _state_at(path, version - 1)
+        entry = {
+            "version": version,
+            "timestamp": time.time(),
+            "mode": m["mode"],
+            "added": m["added"],
+            "removed": live if m["mode"] == "overwrite" else [],
+            "operation": f"WRITE(staged {staging_id})",
+            "staging_id": staging_id,
+            "table_schema": table_schema_json,
+        }
+        if m["file_stats"]:
+            entry["file_stats"] = m["file_stats"]
+        if schema_changed:
+            entry["schema_changed"] = True
+        if m["cm_changed"]:
+            entry["column_mapping"] = m["cm"]
+        return entry
+
+    entry = _publish(path, build)
+    _drop_manifest(path, staging_id)
+    return entry
+
+
+def _drop_manifest(path: str, staging_id: str) -> None:
+    try:
+        os.remove(_manifest_path(path, staging_id))
+    except FileNotFoundError:
+        pass
+
+
+def abandon_staged(path: str, staging_id: str) -> None:
+    """Drop a staged commit: manifest first (the staging stops being
+    addressable), then the data dir. Readers never saw it; nothing to
+    roll back."""
+    m = None
+    try:
+        m = _read_manifest(path, staging_id)
+    except FileNotFoundError:
+        pass
+    _drop_manifest(path, staging_id)
+    if m is not None:
+        shutil.rmtree(os.path.join(path, m["data_dir"]), ignore_errors=True)
+
+
+def list_staged(path: str) -> list[dict]:
+    """Manifests of every live staging on this table (age included —
+    feed ``expire_staged`` on maintenance cadence)."""
+    root = _staging_root(path)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for f in sorted(os.listdir(root)):
+        if f.endswith(".json"):
+            m = json.load(open(os.path.join(root, f)))
+            m["age_sec"] = time.time() - m.get("created", 0)
+            out.append(m)
+    return out
+
+
+def expire_staged(path: str, older_than_sec: float) -> list[str]:
+    """Reclaim stagings older than the horizon (abandoned pipelines,
+    crashed audits). Returns the expired staging_ids."""
+    expired = []
+    for m in list_staged(path):
+        if m["age_sec"] > older_than_sec:
+            abandon_staged(path, m["staging_id"])
+            expired.append(m["staging_id"])
+    return expired
+
+
+def audit_and_publish(
+    spark: SparkSession,
+    path: str,
+    staging_id: str,
+    expectations,
+    scope: str = "increment",
+    on_fail: str = "keep",
+) -> dict:
+    """The WAP wrapper: run the expectations suite against the staged
+    data, publish on pass, keep-or-abandon on fail.
+
+    ``on_fail="keep"`` (default) leaves the staging in place for
+    inspection via :func:`read_staged` — the quarantine IS the staging
+    area; ``"abandon"`` reclaims it immediately. Returns
+    ``{"published", "report", "entry"|None, "staging_id"}``."""
+    if on_fail not in ("keep", "abandon"):
+        raise ValueError(f"on_fail must be keep|abandon, got {on_fail!r}")
+    from .expectations import run_expectations
+
+    frame = read_staged(spark, path, staging_id, scope=scope)
+    report = run_expectations(frame, expectations)
+    if report["passed"]:
+        entry = publish_staged(spark, path, staging_id)
+        return {"published": True, "report": report, "entry": entry,
+                "staging_id": staging_id}
+    if on_fail == "abandon":
+        abandon_staged(path, staging_id)
+    return {"published": False, "report": report, "entry": None,
+            "staging_id": staging_id}
