@@ -73,7 +73,8 @@ def main(argv: list[str] | None = None) -> int:
                  "curate", "verify-release", "index-health",
                  "rename-column", "drop-column", "index-delete",
                  "index-compact", "index-sync", "staged",
-                 "publish-staged", "abandon-staged", "expire-staged"],
+                 "publish-staged", "abandon-staged", "expire-staged",
+                 "clone"],
     )
     ap.add_argument(
         "arg",
@@ -131,6 +132,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--older-than", type=float, default=86400.0,
                     help="expire-staged: reclaim stagings older than this "
                          "many seconds (default 1 day)")
+    ap.add_argument("--at-version", type=int, default=None,
+                    help="clone: source snapshot version (default: latest)")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve: listen as a JSON HTTP API on this port "
                          "instead of the stdin REPL (GET / serves the "
@@ -492,6 +495,19 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(
             {"expired": expire_staged(args.arg, args.older_than)}
         ))
+    elif args.verb == "clone":
+        # zero-copy shallow clone of a versioned table (optionally at a
+        # historical version)
+        if not args.arg or not args.out:
+            print("clone requires a source table path and --out DST",
+                  file=sys.stderr)
+            return 2
+        from .operators.versioned import clone_table
+
+        entry = clone_table(spark, args.arg, args.out,
+                            version=args.at_version)
+        print(json.dumps({"version": entry["version"],
+                          "operation": entry["operation"]}))
     return 0
 
 

@@ -1485,6 +1485,81 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
     return entry
 
 
+def clone_table(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+) -> dict:
+    """SHALLOW CLONE: a new versioned table at ``dst`` whose v0
+    references the SOURCE's data files in place — zero bytes copied,
+    instant at any size (Delta's ``CREATE TABLE ... SHALLOW CLONE``).
+    The clone is a full first-class table from then on: writes, DML,
+    OPTIMIZE, DDL, and time travel on either side never affect the
+    other (clone rewrites land under the clone; the shared files are
+    only ever dereferenced, never mutated — the log format is
+    immutable-files + metadata, which is what makes this free).
+
+    The whole source snapshot state rides the clone's v0 entry:
+    file-skipping stats and bloom filters (keys translated to the
+    clone-relative paths), deletion vectors, the union schema, the
+    column mapping, and the mixed-schema flag; declarative constraints
+    copy via their sidecar. ``version`` clones a historical snapshot
+    (time-travel clone — the cheap way to hand a team yesterday's
+    100 TB table).
+
+    Retention contract (same as Delta's shallow clone): ``vacuum`` on
+    the CLONE never deletes files outside its own directory (guarded),
+    but ``vacuum``/``expire_log`` on the SOURCE can remove files the
+    clone still references — keep source retention ≥ clone lifetime,
+    or OPTIMIZE the clone (a full rewrite localizes every referenced
+    byte, detaching it from the source)."""
+    if latest_version(src) is None:
+        raise FileNotFoundError(f"no versioned table at {src}")
+    if latest_version(dst) is not None:
+        raise ValueError(f"clone destination {dst} already exists")
+    files, _ = _state_at(src, version)
+    stats = _file_stats_at(src, version)
+    dv = _dv_at(src, version)
+    schema = _table_schema_json_at(spark, src, version)
+    cm = _column_mapping_at(src, version)
+    mixed = _mixed_schema_at(src, version)
+    src_v = latest_version(src) if version is None else version
+
+    def xlate(rel: str) -> str:
+        return os.path.relpath(
+            os.path.normpath(os.path.join(src, rel)), dst
+        )
+
+    added = [xlate(f) for f in files]
+
+    def build(v: int) -> dict:
+        entry = {
+            "version": v,
+            "timestamp": time.time(),
+            "mode": "overwrite",
+            "added": added,
+            "removed": [],
+            "operation": f"CLONE({src} @ v{src_v})",
+            "clone_of": {"path": os.path.abspath(src), "version": src_v},
+            "table_schema": schema,
+            "column_mapping": cm,
+        }
+        if stats:
+            entry["file_stats"] = {xlate(f): s for f, s in stats.items()}
+        if dv:
+            entry["dv"] = {xlate(f): ps for f, ps in dv.items()}
+        if mixed:
+            entry["schema_changed"] = True
+        return entry
+
+    entry = _publish(dst, build)
+    src_constraints = table_constraints(src)
+    if src_constraints:
+        set_table_constraints(dst, src_constraints)
+    return entry
+
+
 def history(path: str) -> list[dict]:
     """Commit log, oldest first (version/timestamp/operation/file counts)."""
     return [
@@ -1526,7 +1601,15 @@ def vacuum(path: str, keep_last: int = 1, dry_run: bool = False) -> list[str]:
         all_files.update(e.get("added", []))
     for cv in _checkpoint_versions(path):
         all_files.update(_read_checkpoint(path, cv).get("live", []))
-    doomed = sorted(all_files - keep)
+    # never delete a file outside this table's directory: a shallow
+    # clone (clone_table) references the SOURCE's files via ../ paths —
+    # dereferencing them here is fine, physically deleting them would
+    # corrupt the source table
+    root = os.path.abspath(path)
+    doomed = sorted(
+        f for f in (all_files - keep)
+        if os.path.abspath(os.path.join(path, f)).startswith(root + os.sep)
+    )
     if dry_run:
         return doomed
     for rel in doomed:

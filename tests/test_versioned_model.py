@@ -38,10 +38,15 @@ _EXAMPLES = int(os.environ.get("MDLS_MODEL_EXAMPLES", "6"))
 # with rewrites, history, and the change feed, not just in hand-picked
 # scenarios. rename joins in r8 — the metadata-only column mapping must
 # interleave with every writer and still resolve names per version.
+# staged (write-audit-publish) also joins in r8: the op is TWO-PHASE —
+# one op stages, a later op publishes or abandons — so arbitrary
+# writers and DDL interleave between stage and publish, pinning the
+# publish-time contract (appends/overwrites compose; a rename in
+# between must refuse with CommitConflict, never corrupt).
 _ops = st.lists(
     st.tuples(
         st.sampled_from(["append", "merge", "delete", "overwrite", "optimize",
-                         "update", "delete_dv", "rename"]),
+                         "update", "delete_dv", "rename", "staged"]),
         st.integers(min_value=0, max_value=9),
         st.integers(min_value=0, max_value=99),
     ),
@@ -180,9 +185,70 @@ def test_versioned_table_matches_reference_model(spark, tmp_path_factory, ops):
             rename_column(spark, path, cur, new)
             tagcol["name"] = new
             snapshots.append(dict(model))  # metadata-only, new version
+        elif kind == "staged":
+            _apply_staged(seed_k, seed_t)
+
+    from medallion_data_lake_spark.operators.evolution import SchemaDriftError
+    from medallion_data_lake_spark.operators.versioned import CommitConflict
+    from medallion_data_lake_spark.operators.wap import (
+        abandon_staged,
+        publish_staged,
+        stage_commit,
+    )
+
+    # one in-flight staging: sid, rows, and whether any op that can
+    # legitimately break publishability (rename/overwrite — the column
+    # mapping or table schema moved) landed since the stage
+    pending: dict = {}
+
+    def _resolve_staged(seed_t):
+        """Publish (even seed) or abandon (odd) the in-flight staging.
+        Contract under interleaving: a CLEAN staging (no rename or
+        overwrite since stage) must publish and land exactly the staged
+        rows; a dirtied one either refuses (CommitConflict /
+        SchemaDriftError — never corruption) or publishes correctly,
+        and the final whole-table/feed comparison validates whichever
+        happened."""
+        sid, rows, clean = pending["sid"], pending["rows"], pending["clean"]
+        pending.clear()
+        if seed_t % 2 == 1:
+            abandon_staged(path, sid)
+            return
+        try:
+            publish_staged(spark, path, sid)
+        except (CommitConflict, SchemaDriftError):
+            assert not clean, "clean staging must never refuse to publish"
+            abandon_staged(path, sid)
+            return
+        model.update(dict(rows))
+        snapshots.append(dict(model))
+
+    def _apply_staged(seed_k, seed_t):
+        nonlocal fresh
+        if pending:
+            _resolve_staged(seed_t)
+            return
+        # reserve a private id band: staged rows must not collide with
+        # any other op's keys while invisible (the model is a keyed
+        # dict; duplicate ids after publish would be unrepresentable)
+        rows = [(fresh + seed_k, f"s{seed_t}"),
+                (fresh + seed_k + 3, f"s{seed_t}b")]
+        fresh += 100
+        df = spark.createDataFrame(
+            rows, f"id long, {tagcol['name']} string"
+        )
+        pending.update({
+            "sid": stage_commit(df, path, stats_cols=("id",)),
+            "rows": rows,
+            "clean": True,
+        })
 
     for kind, seed_k, seed_t in ops:
         apply_real(kind, seed_k, seed_t)
+        if pending and kind in ("rename", "overwrite"):
+            pending["clean"] = False
+    if pending:
+        _resolve_staged(ops[-1][2])
 
     if not snapshots:
         return  # sequence was all no-ops on an empty table
