@@ -197,3 +197,46 @@ def test_staged_stats_ride_into_the_entry(spark, tmp_path):
     entry = publish_staged(spark, path, sid)
     fs = entry["file_stats"]
     assert fs and all("id" in v for v in fs.values())
+
+
+def test_wap_gates_curation_pipeline_output(spark, tmp_path):
+    """The training-data flow the two subsystems exist for: curate the
+    corpus (operators/curation_pipeline.py), STAGE the curated cut on
+    the versioned corpus table, audit the staged increment with the
+    release contract, publish on pass — downstream consumers (CDF,
+    index-sync, incremental views) never see an unaudited row."""
+    from medallion_data_lake_spark.catalog import load_star_table
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+    from medallion_data_lake_spark.operators.expectations import custom
+
+    docs = load_star_table(spark, "/root/testdata/sf0.001", "documents")
+    curated = curate_corpus(
+        docs, config=CurationConfig(semantic_from_text=False)
+    )["curated"]
+
+    table = str(tmp_path / "corpus")
+    sid = stage_commit(curated, table, stats_cols=("doc_id",))
+    out = audit_and_publish(
+        spark, table, sid,
+        [not_null("doc_id"), not_null("text"),
+         custom("nonempty_text", F.length("text") > 0),
+         unique("doc_id")],
+    )
+    assert out["published"], out["report"]
+    n = read_table(spark, table).count()
+    assert n == out["report"]["n_rows"] > 0
+
+    # a poisoned batch (null text) is blocked before any reader sees it
+    bad = spark.createDataFrame(
+        [(10**9, None, "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sid2 = stage_commit(bad, table)
+    out2 = audit_and_publish(
+        spark, table, sid2, [not_null("text")], on_fail="abandon"
+    )
+    assert not out2["published"]
+    assert read_table(spark, table).count() == n
