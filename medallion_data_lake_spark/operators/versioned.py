@@ -739,6 +739,61 @@ def analyze_table(
     return out, report
 
 
+def _check_append_drift(path, current, batch_schema, allow, what="append"):
+    """The table's one schema-enforcement rule, shared by live commits
+    (:func:`commit`) and staged ones (``wap.stage_commit`` at stage
+    time AND ``wap.publish_staged`` against the fresh tip) — three call
+    sites, ONE rule, so a new drift refinement cannot silently let a
+    staged batch publish what a direct commit would refuse. Returns
+    ``(union_schema, schema_changed)``; raises ``SchemaDriftError`` on
+    a type change or non-additive drift without the evolution flag."""
+    from .evolution import SchemaDriftError, diff_schemas
+
+    cur_types = {f.name: f.dataType.simpleString() for f in current.fields}
+    new_types = {f.name: f.dataType.simpleString()
+                 for f in batch_schema.fields}
+    table_schema = _union_schema(current, batch_schema)
+    if cur_types == new_types:
+        return table_schema, False
+    changed = [
+        n for n in cur_types
+        if n in new_types and cur_types[n] != new_types[n]
+    ]
+    if changed or not allow:
+        drift = diff_schemas(batch_schema, current)
+        raise SchemaDriftError(
+            f"{what} schema drifts from table {path}: {drift}"
+            + ("" if changed else
+               " (pass allow_schema_evolution=True for additive drift)")
+        )
+    return table_schema, True
+
+
+def _derive_cm(prior_cm: dict, mode: str, field_names) -> tuple[dict, bool]:
+    """Column-mapping derivation for a write, shared with the WAP
+    staging path (same single-rule rationale as
+    :func:`_check_append_drift`): an overwrite resets the mapping (its
+    snapshot is single-generation, logical == physical again); an
+    append keeps it, and a NEW column colliding with a renamed column's
+    physical or a retired physical gets a fresh ``col-<uuid>`` physical
+    name — rebinding old bytes to a new logical identity is the
+    corruption column mapping exists to prevent. Returns
+    ``(cm, cm_changed)``."""
+    if mode == "overwrite":
+        return {"map": {}, "retired": []}, not _cm_is_identity(prior_cm)
+    cm = {"map": dict(prior_cm.get("map", {})),
+          "retired": list(prior_cm.get("retired", []))}
+    cm_changed = False
+    if not _cm_is_identity(cm):
+        taken = set(cm["map"].values()) | set(cm["retired"])
+        mapped = set(cm["map"])
+        for name in field_names:
+            if name not in mapped and name in taken:
+                cm["map"][name] = f"col-{uuid.uuid4().hex[:8]}"
+                cm_changed = True
+    return cm, cm_changed
+
+
 def commit(
     df: DataFrame,
     path: str,
@@ -791,31 +846,16 @@ def commit(
     schema_changed = False
     table_schema = df.schema
     if mode == "append" and latest_version(path) is not None:
-        from .evolution import SchemaDriftError, diff_schemas
-
         # diff against the table's UNION schema from the log, not the
         # last commit's first data file: after an evolved append that
         # OMITS column c, a later append re-introducing c with a
         # different type must still be refused as a type change (vs the
         # file footer c would look like a brand-new column and slip
         # through, breaking every subsequent mergeSchema read)
-        current = _table_schema_at(df.sparkSession, path)
-        cur_types = {f.name: f.dataType.simpleString() for f in current.fields}
-        new_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        table_schema = _union_schema(current, df.schema)
-        if cur_types != new_types:
-            changed = [
-                n for n in cur_types
-                if n in new_types and cur_types[n] != new_types[n]
-            ]
-            if changed or not allow_schema_evolution:
-                drift = diff_schemas(df.schema, current)
-                raise SchemaDriftError(
-                    f"append schema drifts from table {path}: {drift}"
-                    + ("" if changed else
-                       " (pass allow_schema_evolution=True for additive drift)")
-                )
-            schema_changed = True
+        table_schema, schema_changed = _check_append_drift(
+            path, _table_schema_at(df.sparkSession, path), df.schema,
+            allow_schema_evolution,
+        )
     has_txn = txn_app_id is not None and txn_version is not None
 
     def _already_applied() -> bool:
@@ -839,20 +879,9 @@ def commit(
         _column_mapping_at(path) if latest_version(path) is not None
         else {"map": {}, "retired": []}
     )
-    if mode == "overwrite":
-        cm = {"map": {}, "retired": []}
-        cm_changed = not _cm_is_identity(prior_cm)
-    else:
-        cm = {"map": dict(prior_cm.get("map", {})),
-              "retired": list(prior_cm.get("retired", []))}
-        cm_changed = False
-        if not _cm_is_identity(cm):
-            taken = set(cm["map"].values()) | set(cm["retired"])
-            mapped = set(cm["map"])
-            for f in df.schema.fields:
-                if f.name not in mapped and f.name in taken:
-                    cm["map"][f.name] = f"col-{uuid.uuid4().hex[:8]}"
-                    cm_changed = True
+    cm, cm_changed = _derive_cm(
+        prior_cm, mode, [f.name for f in df.schema.fields]
+    )
     write_df = _to_physical_names(df, cm)
     stats_phys = tuple(_cm_phys(cm, c) for c in stats_cols)
     bloom_phys = tuple(_cm_phys(cm, c) for c in bloom_cols)
@@ -1514,17 +1543,30 @@ def clone_table(
     clone still references — keep source retention ≥ clone lifetime,
     or OPTIMIZE the clone (a full rewrite localizes every referenced
     byte, detaching it from the source)."""
-    if latest_version(src) is None:
+    lv = latest_version(src)
+    if lv is None:
         raise FileNotFoundError(f"no versioned table at {src}")
     if latest_version(dst) is not None:
         raise ValueError(f"clone destination {dst} already exists")
-    files, _ = _state_at(src, version)
-    stats = _file_stats_at(src, version)
-    dv = _dv_at(src, version)
-    schema = _table_schema_json_at(spark, src, version)
-    cm = _column_mapping_at(src, version)
-    mixed = _mixed_schema_at(src, version)
-    src_v = latest_version(src) if version is None else version
+    # pin the source version ONCE, then resolve EVERY piece of snapshot
+    # state at that pinned version: with version=None, seven independent
+    # "latest" lookups would each race a concurrent source writer and
+    # the clone could mix v=N files with v=N+1 vectors/stats/schema
+    src_v = lv if version is None else version
+    known = _commit_versions(src) + _checkpoint_versions(src)
+    if src_v > lv or src_v not in range(min(known), lv + 1):
+        raise ValueError(
+            f"clone source version {src_v} out of range "
+            f"(history spans {min(known)}..{lv}"
+            + ("" if min(known) == 0 else "; older expired, see expire_log")
+            + ")"
+        )
+    files, _ = _state_at(src, src_v)
+    stats = _file_stats_at(src, src_v)
+    dv = _dv_at(src, src_v)
+    schema = _table_schema_json_at(spark, src, src_v)
+    cm = _column_mapping_at(src, src_v)
+    mixed = _mixed_schema_at(src, src_v)
 
     def xlate(rel: str) -> str:
         return os.path.relpath(
@@ -1534,6 +1576,15 @@ def clone_table(
     added = [xlate(f) for f in files]
 
     def build(v: int) -> dict:
+        if v != 0:
+            # a racer created the destination between the existence
+            # check and the claim: publishing v1 here would silently
+            # MERGE two unrelated tables (overwrite replay keeps the
+            # racer's v0 files live alongside ours)
+            raise ValueError(
+                f"clone destination {dst} already exists "
+                "(created concurrently)"
+            )
         entry = {
             "version": v,
             "timestamp": time.time(),

@@ -65,18 +65,18 @@ from pyspark.sql import functions as F
 
 from .versioned import (
     CommitConflict,
-    _cm_is_identity,
+    _check_append_drift,
     _cm_phys,
     _collect_bloom_filters,
     _collect_file_stats,
     _column_mapping_at,
+    _derive_cm,
     _enforce_constraints,
     _entries,
     _publish,
     _state_at,
     _table_schema_at,
     _to_physical_names,
-    _union_schema,
     latest_version,
     read_table,
     table_constraints,
@@ -139,25 +139,12 @@ def stage_commit(
     schema_changed = False
     table_schema = df.schema
     if mode == "append" and latest_version(path) is not None:
-        from .evolution import SchemaDriftError, diff_schemas
-
-        current = _table_schema_at(spark, path)
-        cur_types = {f.name: f.dataType.simpleString() for f in current.fields}
-        new_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        table_schema = _union_schema(current, df.schema)
-        if cur_types != new_types:
-            changed = [
-                n for n in cur_types
-                if n in new_types and cur_types[n] != new_types[n]
-            ]
-            if changed or not allow_schema_evolution:
-                drift = diff_schemas(df.schema, current)
-                raise SchemaDriftError(
-                    f"staged append schema drifts from table {path}: {drift}"
-                    + ("" if changed else
-                       " (pass allow_schema_evolution=True for additive drift)")
-                )
-            schema_changed = True
+        # THE schema-enforcement rule, shared with commit() — staged
+        # and live writes must refuse identically
+        table_schema, schema_changed = _check_append_drift(
+            path, _table_schema_at(spark, path), df.schema,
+            allow_schema_evolution, what="staged append",
+        )
 
     _enforce_constraints(df, path)
 
@@ -167,20 +154,9 @@ def stage_commit(
         _column_mapping_at(path) if latest_version(path) is not None
         else {"map": {}, "retired": []}
     )
-    if mode == "overwrite":
-        cm = {"map": {}, "retired": []}
-        cm_changed = not _cm_is_identity(prior_cm)
-    else:
-        cm = {"map": dict(prior_cm.get("map", {})),
-              "retired": list(prior_cm.get("retired", []))}
-        cm_changed = False
-        if not _cm_is_identity(cm):
-            taken = set(cm["map"].values()) | set(cm["retired"])
-            mapped = set(cm["map"])
-            for f in df.schema.fields:
-                if f.name not in mapped and f.name in taken:
-                    cm["map"][f.name] = f"col-{uuid.uuid4().hex[:8]}"
-                    cm_changed = True
+    cm, cm_changed = _derive_cm(
+        prior_cm, mode, [f.name for f in df.schema.fields]
+    )
     write_df = _to_physical_names(df, cm)
 
     staging_id = f"wap-{uuid.uuid4().hex[:12]}"
@@ -267,19 +243,38 @@ def read_staged(
     )
 
 
+def _published_entry(path: str, staging_id: str, lo: int = 0) -> dict | None:
+    """The already-published entry for ``staging_id``, or None. ``lo``
+    bounds the scan (an entry can only exist above the staging's base
+    version — without the bound every probe reads the whole log)."""
+    hits = [
+        e for e in _entries(path, lo=lo)
+        if e.get("staging_id") == staging_id
+    ]
+    return hits[-1] if hits else None
+
+
 def publish_staged(spark: SparkSession, path: str, staging_id: str) -> dict:
     """Turn the staged files into a real commit: one log entry, zero
     data movement. Re-validates against the FRESH tip inside the claim
     loop (see module docstring); idempotent — if this staging_id
-    already published (crash between publish and cleanup), returns the
-    existing entry and just removes the manifest."""
-    already = [
-        e for e in _entries(path) if e.get("staging_id") == staging_id
-    ]
-    if already:
+    already published (crash between publish and cleanup, or a plain
+    double-call), returns the existing entry and just removes the
+    manifest."""
+    try:
+        m = _read_manifest(path, staging_id)
+    except FileNotFoundError:
+        # manifest gone: either published-and-cleaned (return the entry)
+        # or abandoned/never staged (the original error stands)
+        already = _published_entry(path, staging_id)
+        if already is not None:
+            return already
+        raise
+    base_lo = (m["base_version"] if m["base_version"] is not None else -1) + 1
+    already = _published_entry(path, staging_id, lo=base_lo)
+    if already is not None:
         _drop_manifest(path, staging_id)
-        return already[-1]
-    m = _read_manifest(path, staging_id)
+        return already
     data_dir = os.path.join(path, m["data_dir"])
     if not os.path.isdir(data_dir):
         raise FileNotFoundError(
@@ -297,41 +292,32 @@ def publish_staged(spark: SparkSession, path: str, staging_id: str) -> dict:
                 f"{staging_id}: the audit ran under the old constraints "
                 "— re-stage (or re-audit) against the current contract"
             )
-        if _column_mapping_at(path) != m["prior_cm"] and m["mode"] != "overwrite":
+        schema_changed = m["schema_changed"]
+        table_schema_json = m["table_schema"]
+        cm, cm_changed = m["cm"], m["cm_changed"]
+        if m["mode"] == "overwrite":
+            # an overwrite resets the mapping regardless of what landed
+            # since the stage — but cm_changed must be recomputed on the
+            # FRESH tip: a rename between stage and publish left a live
+            # non-identity mapping that this entry must explicitly reset,
+            # or reads of the new snapshot would alias through it
+            cm, cm_changed = _derive_cm(
+                _column_mapping_at(path), "overwrite", []
+            )
+        elif _column_mapping_at(path) != m["prior_cm"]:
             raise CommitConflict(
                 f"column mapping on {path} moved after staging "
                 f"{staging_id} (concurrent RENAME/DROP): staged files "
                 "carry the old physical layout — re-stage"
             )
-        schema_changed = m["schema_changed"]
-        table_schema_json = m["table_schema"]
         if m["mode"] == "append" and version > 0:
-            from .evolution import SchemaDriftError, diff_schemas
-
-            current = _table_schema_at(spark, path, version - 1)
-            cur_types = {
-                f.name: f.dataType.simpleString() for f in current.fields
-            }
-            new_types = {
-                f.name: f.dataType.simpleString()
-                for f in batch_schema.fields
-            }
-            table_schema_json = _union_schema(
-                current, batch_schema
-            ).jsonValue()
-            if cur_types != new_types:
-                changed = [
-                    n for n in cur_types
-                    if n in new_types and cur_types[n] != new_types[n]
-                ]
-                if changed or not m["allow_schema_evolution"]:
-                    raise SchemaDriftError(
-                        f"tip of {path} evolved after staging "
-                        f"{staging_id} and the staged schema now "
-                        f"conflicts: "
-                        f"{diff_schemas(batch_schema, current)}"
-                    )
-                schema_changed = True
+            # THE shared enforcement rule, against the fresh tip
+            table_schema, schema_changed = _check_append_drift(
+                path, _table_schema_at(spark, path, version - 1),
+                batch_schema, m["allow_schema_evolution"],
+                what=f"staged append (staging {staging_id}, tip moved)",
+            )
+            table_schema_json = table_schema.jsonValue()
         live, _ = _state_at(path, version - 1)
         entry = {
             "version": version,
@@ -347,8 +333,8 @@ def publish_staged(spark: SparkSession, path: str, staging_id: str) -> dict:
             entry["file_stats"] = m["file_stats"]
         if schema_changed:
             entry["schema_changed"] = True
-        if m["cm_changed"]:
-            entry["column_mapping"] = m["cm"]
+        if cm_changed:
+            entry["column_mapping"] = cm
         return entry
 
     entry = _publish(path, build)
@@ -366,12 +352,25 @@ def _drop_manifest(path: str, staging_id: str) -> None:
 def abandon_staged(path: str, staging_id: str) -> None:
     """Drop a staged commit: manifest first (the staging stops being
     addressable), then the data dir. Readers never saw it; nothing to
-    roll back."""
+    roll back.
+
+    Published-guard: a crash between publish and manifest cleanup
+    leaves a stale manifest whose data files ARE now log-referenced —
+    abandoning that staging must drop only the manifest, never the
+    bytes (a maintenance `expire_staged` would otherwise physically
+    delete committed data)."""
     m = None
     try:
         m = _read_manifest(path, staging_id)
     except FileNotFoundError:
         pass
+    if m is not None:
+        base_lo = (
+            (m["base_version"] if m["base_version"] is not None else -1) + 1
+        )
+        if _published_entry(path, staging_id, lo=base_lo) is not None:
+            _drop_manifest(path, staging_id)  # stale manifest only
+            return
     _drop_manifest(path, staging_id)
     if m is not None:
         shutil.rmtree(os.path.join(path, m["data_dir"]), ignore_errors=True)
@@ -394,12 +393,44 @@ def list_staged(path: str) -> list[dict]:
 
 def expire_staged(path: str, older_than_sec: float) -> list[str]:
     """Reclaim stagings older than the horizon (abandoned pipelines,
-    crashed audits). Returns the expired staging_ids."""
+    crashed audits). Returns the expired staging_ids.
+
+    Also sweeps MANIFEST-LESS staged dirs: a crash between the data
+    write and the manifest write leaves ``data/commit-wap-*`` that no
+    manifest or log entry will ever reference — invisible to
+    ``abandon_staged`` (manifest-driven) and to ``vacuum`` (whose
+    candidate universe is log-referenced files), so without this sweep
+    every crashed staging leaks its bytes forever. A dir is reclaimed
+    only when it is older than the horizon (never a stage-in-progress),
+    has no manifest, and no log entry references its staging_id."""
     expired = []
     for m in list_staged(path):
         if m["age_sec"] > older_than_sec:
             abandon_staged(path, m["staging_id"])
             expired.append(m["staging_id"])
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        manifested = {m["staging_id"] for m in list_staged(path)}
+        published = {
+            e.get("staging_id")
+            for e in _entries(path)
+            if e.get("staging_id")
+        }
+        now = time.time()
+        for d in os.listdir(data_root):
+            if not d.startswith("commit-wap-"):
+                continue
+            sid = d[len("commit-"):]
+            if sid in manifested or sid in published:
+                continue
+            full = os.path.join(data_root, d)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age > older_than_sec:
+                shutil.rmtree(full, ignore_errors=True)
+                expired.append(sid)
     return expired
 
 

@@ -157,3 +157,69 @@ def test_clone_of_clone(spark, tmp_path):
     clone_table(spark, d1, d2)
     assert _parquets(d2) == []
     assert read_table(spark, d2).count() == 10
+
+
+def test_clone_refuses_out_of_range_versions(spark, tmp_path):
+    from medallion_data_lake_spark.operators.versioned import expire_log
+
+    src = _mk(spark, tmp_path)
+    commit(spark.createDataFrame([(50, "x", 5.0)],
+                                 "id long, tag string, score double"), src)
+    with pytest.raises(ValueError, match="out of range"):
+        clone_table(spark, src, str(tmp_path / "d1"), version=999)
+    commit(spark.createDataFrame([(51, "y", 5.0)],
+                                 "id long, tag string, score double"), src)
+    expire_log(src, keep_last=1)
+    with pytest.raises(ValueError, match="out of range"):
+        clone_table(spark, src, str(tmp_path / "d2"), version=0)
+
+
+def test_clone_creation_race_refuses_not_merges(spark, tmp_path):
+    """A racer creating the destination between the existence check and
+    the claim must make the clone REFUSE — publishing at v1 would
+    silently merge two unrelated tables (r8 second-pass review
+    finding)."""
+    import json as _json
+
+    from medallion_data_lake_spark.operators import logstore
+
+    src = _mk(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    inner = logstore.get_log_store()
+
+    class OneRace(logstore.LogStore):
+        fired = False
+
+        def list(self, d):
+            return inner.list(d)
+
+        def read(self, f):
+            return inner.read(f)
+
+        def ensure_dir(self, d):
+            inner.ensure_dir(d)
+
+        def delete(self, f):
+            inner.delete(f)
+
+        def put_exclusive(self, f, text):
+            if not OneRace.fired and '"CLONE(' in text:
+                OneRace.fired = True
+                mine = _json.loads(text)
+                inner.put_exclusive(f, _json.dumps({
+                    "version": mine["version"], "timestamp": 0.0,
+                    "mode": "append",
+                    "added": ["data/commit-racer/r.parquet"],
+                    "removed": [],
+                    "operation": "APPEND(racer)",
+                }))
+                raise FileExistsError(f)
+            inner.put_exclusive(f, text)
+
+    prev = logstore.set_log_store(OneRace())
+    try:
+        with pytest.raises(ValueError, match="already exists"):
+            clone_table(spark, src, dst)
+    finally:
+        logstore.set_log_store(prev)
+    assert OneRace.fired

@@ -240,3 +240,71 @@ def test_wap_gates_curation_pipeline_output(spark, tmp_path):
     )
     assert not out2["published"]
     assert read_table(spark, table).count() == n
+
+
+def test_abandon_after_published_crash_keeps_data(spark, tmp_path):
+    """Crash window: publish landed, manifest cleanup didn't. A later
+    abandon/expire on the stale manifest must drop ONLY the manifest —
+    rmtree'ing the (now log-referenced) data dir would permanently
+    destroy committed rows (r8 second-pass review finding)."""
+    import shutil as _sh
+
+    path = _mk(spark, tmp_path)
+    sid = stage_commit(_batch(spark, [(3, "c", 30.0)]), path)
+    mf = os.path.join(path, "_staging", f"{sid}.json")
+    saved = mf + ".crashcopy"
+    _sh.copy(mf, saved)
+    publish_staged(spark, path, sid)          # cleans the manifest
+    _sh.copy(saved, mf)                       # simulate the crash leak
+    os.remove(saved)
+
+    abandon_staged(path, sid)                 # maintenance sweep
+    assert list_staged(path) == []            # stale manifest gone...
+    # ...and the committed rows are fully intact and readable
+    assert {r["id"] for r in read_table(spark, path).collect()} == {1, 2, 3}
+
+
+def test_overwrite_publish_resets_mapping_after_concurrent_rename(
+    spark, tmp_path
+):
+    """A rename landing between stage(overwrite) and publish must not
+    leak its mapping into the overwritten snapshot: the publish entry
+    explicitly resets the mapping, reads speak the BATCH's names, and
+    a later re-append of the batch column stays identity-mapped."""
+    from medallion_data_lake_spark.operators.versioned import (
+        _column_mapping_at,
+    )
+
+    path = _mk(spark, tmp_path)
+    sid = stage_commit(_batch(spark, [(7, "g", 70.0)]), path,
+                       mode="overwrite")
+    rename_column(spark, path, "score", "rating")
+    publish_staged(spark, path, sid)
+    now = read_table(spark, path)
+    assert set(now.columns) == {"id", "tag", "score"}
+    assert {(r["id"], r["score"]) for r in now.collect()} == {(7, 70.0)}
+    cm = _column_mapping_at(path)
+    assert cm == {"map": {}, "retired": []}  # identity again
+    # appending 'score' keeps identity (no fresh col-uuid physical)
+    commit(_batch(spark, [(8, "h", 80.0)]), path)
+    assert _column_mapping_at(path) == {"map": {}, "retired": []}
+
+
+def test_expire_staged_sweeps_manifestless_crash_dirs(spark, tmp_path):
+    """A crash between the staged data write and the manifest write
+    leaves a dir no manifest, entry, or vacuum can see — the
+    expire_staged sweep is its only reclaimer."""
+    path = _mk(spark, tmp_path)
+    leak = os.path.join(path, "data", "commit-wap-deadbeefcafe")
+    os.makedirs(leak)
+    open(os.path.join(leak, "part-0.parquet"), "w").write("x")
+    os.utime(leak, (0, 0))  # ancient mtime
+
+    # a LIVE (manifested) staging of the same shape must survive
+    sid = stage_commit(_batch(spark, [(3, "c", 30.0)]), path)
+
+    out = expire_staged(path, older_than_sec=3600)
+    assert out == ["wap-deadbeefcafe"]
+    assert not os.path.isdir(leak)
+    assert [m["staging_id"] for m in list_staged(path)] == [sid]
+    publish_staged(spark, path, sid)  # still publishable
