@@ -1,0 +1,547 @@
+"""``format("medallion_lake")`` — the versioned table as a native
+Spark data source (PySpark 4 Python Data Source API), batch AND
+streaming.
+
+The reference exposes its tables only through its own CLI/driver
+(``/root/reference/sakila-data-lake/query_datalake.py`` materializes
+temp views per query); this module instead plugs the lakehouse into
+Spark's OWN source surface, so any Spark job — including ones that know
+nothing about this package — can read a versioned table:
+
+    spark.dataSource.register(MedallionLakeDataSource)
+    spark.read.format("medallion_lake").load(path)                # batch
+    spark.readStream.format("medallion_lake").load(path)          # tail
+
+Streaming is the point: ``table_changes`` (operators/versioned.py) is a
+poll-style batch CDF; this source turns the SAME commit log into a
+Structured Streaming source with engine-managed exactly-once offsets —
+the piece that connects the lakehouse to every downstream incremental
+pipeline (Delta's streaming-source role).
+
+Why this is safe to rebuild worker-side (no SparkSession on executors):
+
+- **Offsets are log versions.** The commit log is an append-only
+  sequence of immutable JSON entries; offset ``{"version": N}`` means
+  "consumed through commit N". Replaying ``partitions(start, end)``
+  for the same offsets re-lists the same immutable entries — the
+  determinism Structured Streaming's exactly-once contract needs.
+- **One partition per data file.** Every entry names whole files
+  (``added`` / ``removed``); a file is independently readable with
+  pyarrow, so the work unit parallelizes without any cross-file state.
+- **Deletion vectors are per-file row positions.** A DV mask applies
+  locally inside the file's partition (drop row indexes) — no
+  anti-join needed on this path, unlike the JVM read
+  (``_apply_dvs``), because the reader controls row order.
+- **Physical column names are sticky across renames** (column
+  mapping, versioned.py): partitions align columns by PHYSICAL name
+  and re-label to the declared logical schema, so a mid-stream RENAME
+  never misbinds a column, and files from before/after the rename
+  feed the same output column.
+
+Streaming modes (mirroring Delta's source semantics):
+
+- default: initial SNAPSHOT of the table at stream start (emitted as
+  the first micro-batch), then an append-only TAIL. Non-append commits
+  fail loudly unless ``ignoreDeletes`` (skip delete/delete_dv commits)
+  or ``ignoreChanges`` (skip deletes AND re-emit the added files of
+  rewrite commits — duplicates by design, Delta's documented
+  contract) is set.
+- ``startingVersion=N``: no snapshot; tail from commit N inclusive.
+- ``startingVersion=latest``: no snapshot; only commits after stream
+  start.
+- ``readChangeFeed=true``: rows carry ``_change_type`` ∈
+  {insert, delete} + ``_commit_version``. Rewrite commits
+  (delete/update/merge/overwrite/restore) stream in UNCANCELLED form —
+  removed files' surviving rows as deletes, added files' rows as
+  inserts — which is multiset-equivalent to the minimal diff (copied
+  rows appear as paired delete+insert and cancel under apply
+  semantics). The batch ``table_changes`` remains the classified form
+  (update_pre/postimage); use it when pairing matters. OPTIMIZE and
+  metadata-only commits (``alter``) contribute nothing in every mode —
+  compaction and renames must be invisible downstream.
+
+Batch reads push file skipping down: ``pushFilters`` prunes whole
+files against the per-file [min, max] stats recorded in the log
+(same ranges ``read_table_pruned`` uses), and returns every filter to
+Spark for residual evaluation — pruning is an optimization, never a
+correctness dependency. At 100 TB the JVM scan (``read_table``)
+remains the throughput path for batch; this source's batch reader is
+the interop path (same results, Arrow-batched per file), and the
+STREAMING reader is incremental by construction (per-commit files
+only, never the table).
+
+Scale notes: offset resolution is O(checkpoint + tail) via the log
+checkpoints; ``maxVersionsPerBatch`` bounds catch-up batches (a
+restart 10k commits behind becomes many bounded micro-batches instead
+of one giant one); partitions carry only file paths + DV positions
+(DV size is already capped by ``delete_rows_dv``'s ``max_dv_rows``
+contract), never data.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructField, StructType
+
+from ..operators.versioned import (
+    _cm_phys,
+    _column_mapping_at,
+    _dv_at,
+    _entries,
+    _file_stats_at,
+    _stat_probe,
+    _state_at,
+    _table_schema_json_logged,
+    latest_version,
+)
+
+FORMAT_NAME = "medallion_lake"
+
+#: commit modes that change no rows — invisible to every streaming mode
+_NO_DATA_MODES = frozenset({"optimize", "alter"})
+#: commit modes that rewrite files (removed + added in one commit)
+_REWRITE_MODES = frozenset({"delete", "update", "merge", "overwrite",
+                            "restore"})
+
+@dataclass
+class LakeFilePartition(InputPartition):
+    """One data file's slice of the read. Picklable, data-free: the
+    worker opens ``file`` with pyarrow, drops ``drop_positions`` (DV
+    mask) or takes ``take_positions`` (a delete_dv commit's removed
+    rows), aligns columns by PHYSICAL name to the declared schema
+    (missing physical -> typed nulls: pre-evolution files), and
+    re-labels to logical names."""
+
+    file: str
+    #: [(logical_name, physical_name), ...] in declared-schema order
+    fields: list = field(default_factory=list)
+    #: declared data schema (Spark JSON, logical names, no CDF cols)
+    schema_json: dict = field(default_factory=dict)
+    drop_positions: list | None = None
+    take_positions: list | None = None
+    #: None = plain rows; else the CDF tag for every row in this slice
+    change_type: str | None = None
+    commit_version: int | None = None
+
+
+def _read_lake_partition(p: LakeFilePartition) -> Iterator:
+    """Worker-side file read — pure pyarrow, no SparkSession. Yields
+    Arrow record batches matching the source's declared schema."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(StructType.fromJson(p.schema_json))
+    pf = pq.ParquetFile(p.file)
+    present = set(pf.schema_arrow.names)
+    want = [phys for _, phys in p.fields if phys in present]
+    tbl = pf.read(columns=want)
+    if p.take_positions is not None:
+        tbl = tbl.take(pa.array(sorted(p.take_positions), type=pa.int64()))
+    elif p.drop_positions:
+        mask = np.ones(tbl.num_rows, dtype=bool)
+        mask[np.asarray(p.drop_positions, dtype=np.int64)] = False
+        tbl = tbl.filter(pa.array(mask))
+    n = tbl.num_rows
+    cols, names = [], []
+    for (logical, phys), fld in zip(p.fields, target):
+        if phys in tbl.column_names:
+            col = tbl[phys]
+            if col.type != fld.type:
+                # schema evolution only widens (commit() refuses type
+                # changes), so the declared type is always the wider
+                # one; safe=False only relaxes temporal unit narrowing
+                # (parquet ns -> Spark us)
+                col = col.cast(fld.type, safe=False)
+        else:
+            col = pa.nulls(n, type=fld.type)
+        cols.append(col)
+        names.append(logical)
+    if p.change_type is not None:
+        cols.append(pa.array([p.change_type] * n, type=pa.string()))
+        names.append("_change_type")
+        cols.append(pa.array([p.commit_version] * n, type=pa.int64()))
+        names.append("_commit_version")
+    out = pa.table(dict(zip(names, cols)))
+    if out.num_rows == 0:
+        # an all-deleted or empty slice still needs a schema-bearing
+        # batch (the engine accepts zero batches too, but an empty
+        # iterator from EVERY partition of a batch is fine — just
+        # return nothing)
+        return
+    yield from out.to_batches()
+
+
+def _declared_fields(path: str, version: int | None):
+    """(schema_json, [(logical, physical), ...]) at ``version`` —
+    resolved from the LOG ONLY (checkpoint + tail walk; this source
+    never needs a SparkSession for metadata). Raises on tables whose
+    log predates schema recording: such tables re-record on their next
+    commit, and the JVM path (read_table) covers them meanwhile."""
+    schema_json = _table_schema_json_logged(path, version)
+    if schema_json is None:
+        raise ValueError(
+            f"versioned table at {path} has no recorded table_schema in "
+            "its log (written by a pre-schema code generation). Read it "
+            "once with read_table / commit to it once to record the "
+            "schema, or use read_table for this table."
+        )
+    cm = _column_mapping_at(path, version)
+    fields = [
+        (f["name"], _cm_phys(cm, f["name"]))
+        for f in schema_json["fields"]
+    ]
+    return schema_json, fields
+
+
+def _opt(options: dict, name: str, default: str | None = None) -> str | None:
+    """Case-insensitive option lookup (Spark lowercases SQL-set options
+    but preserves python-set ones)."""
+    lowered = {k.lower(): v for k, v in options.items()}
+    return lowered.get(name.lower(), default)
+
+
+def _flag(options: dict, name: str) -> bool:
+    return str(_opt(options, name, "false")).lower() in ("true", "1", "yes")
+
+
+class MedallionLakeBatchReader(DataSourceReader):
+    """Batch: one partition per live data file at the requested
+    version, DV positions attached. ``pushFilters`` prunes files on
+    the log's per-file [min, max] stats and returns EVERY filter for
+    residual evaluation — identical results with or without pruning."""
+
+    def __init__(self, path: str, options: dict):
+        self._path = path
+        v = _opt(options, "version")
+        self._version = int(v) if v is not None else None
+        self._schema_json, self._fields = _declared_fields(path, self._version)
+        self._ranges: dict[str, list] = {}  # physical -> [lo, hi] probes
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        # logical -> physical for the stats keys; dtype for the probe
+        # rendering (same rendering _collect_file_stats stored)
+        types = {
+            f["name"]: StructField.fromJson(f).dataType
+            for f in self._schema_json["fields"]
+        }
+        phys = dict(self._fields)
+
+        def tighten(col, lo=None, hi=None):
+            p = phys.get(col)
+            if p is None:
+                return
+            cur = self._ranges.setdefault(p, [None, None])
+            if lo is not None and (cur[0] is None or lo > cur[0]):
+                cur[0] = lo
+            if hi is not None and (cur[1] is None or hi < cur[1]):
+                cur[1] = hi
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                yield f
+                continue
+            col = attr[0]
+            dt = types.get(col)
+            if isinstance(f, EqualTo):
+                v = _stat_probe(f.value, dt)
+                tighten(col, lo=v, hi=v)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                tighten(col, lo=_stat_probe(f.value, dt))
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                tighten(col, hi=_stat_probe(f.value, dt))
+            elif isinstance(f, In):
+                probes = [_stat_probe(v, dt) for v in f.value]
+                if probes and all(p is not None for p in probes):
+                    tighten(col, lo=min(probes), hi=max(probes))
+            # every filter stays with Spark: stats pruning is
+            # necessary-condition only (files, not rows)
+            yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files, _ = _state_at(self._path, self._version)
+        dvs = _dv_at(self._path, self._version)
+        stats = _file_stats_at(self._path, self._version)
+
+        def admits(rel: str) -> bool:
+            fstats = stats.get(rel, {})
+            for p, (lo, hi) in self._ranges.items():
+                rng = fstats.get(p)
+                if not rng or rng[0] is None:
+                    continue  # no stats: conservatively read
+                fmin, fmax = rng
+                try:
+                    if hi is not None and fmin > hi:
+                        return False
+                    if lo is not None and fmax < lo:
+                        return False
+                except TypeError:
+                    continue  # cross-type probe: conservatively read
+            return True
+
+        return [
+            LakeFilePartition(
+                file=os.path.join(self._path, rel),
+                fields=self._fields,
+                schema_json=self._schema_json,
+                drop_positions=dvs.get(rel),
+            )
+            for rel in files
+            if admits(rel)
+        ]
+
+    def read(self, partition: LakeFilePartition) -> Iterator:
+        return _read_lake_partition(partition)
+
+
+class MedallionLakeStreamReader(DataSourceStreamReader):
+    """Streaming tail of the commit log. Offset = ``{"version": N,
+    "snap": bool}``: consumed through commit N; ``snap`` False means
+    the initial snapshot AT N is still owed (first micro-batch)."""
+
+    def __init__(self, path: str, options: dict):
+        self._path = path
+        self._cdf = _flag(options, "readChangeFeed")
+        self._ignore_deletes = _flag(options, "ignoreDeletes")
+        self._ignore_changes = _flag(options, "ignoreChanges")
+        mv = _opt(options, "maxVersionsPerBatch")
+        self._max_versions = int(mv) if mv is not None else None
+        self._starting = _opt(options, "startingVersion")
+        self._schema_json, self._fields = _declared_fields(path, None)
+        self._last_end: int | None = None  # throttle anchor, in-process
+
+    # -- offsets ----------------------------------------------------
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        lv = latest_version(self._path)
+        if lv is None:
+            raise FileNotFoundError(f"no versioned table at {self._path}")
+        if self._starting is None:
+            off = {"version": lv, "snap": False}      # snapshot + tail
+        elif str(self._starting).lower() == "latest":
+            off = {"version": lv, "snap": True}       # tail only
+        else:
+            off = {"version": int(self._starting) - 1, "snap": True}
+        # seed the catch-up throttle: a FRESH stream starting far
+        # behind should get bounded batches from its very first one
+        self._last_end = off["version"]
+        return off
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        lv = latest_version(self._path)
+        if (
+            self._max_versions is not None
+            and self._last_end is not None
+            and lv > self._last_end + self._max_versions
+        ):
+            # bounded catch-up: a consumer far behind gets many bounded
+            # micro-batches, not one giant one. BEST-EFFORT from the
+            # SECOND planned batch of each run: the Python source API's
+            # latestOffset receives no start offset and the engine asks
+            # for it before initialOffset/partitions, so the first
+            # batch of a (re)started run has no safe anchor — guessing
+            # one from the options could fall BEHIND a restarted
+            # checkpoint and regress offsets (duplicate re-emission).
+            # Correctness never depends on the bound, only batch sizing.
+            lv = self._last_end + self._max_versions
+        return {"version": lv, "snap": True}
+
+    def commit(self, end: dict) -> None:  # noqa: N802
+        pass  # log-based source: nothing to release
+
+    # -- planning ---------------------------------------------------
+
+    def _file_parts(self, rels, at_version, dvs, change_type):
+        parts = []
+        for rel in rels:
+            full = os.path.join(self._path, rel)
+            if not os.path.exists(full):
+                # vacuumed beyond retention — same contract as
+                # table_changes: the surviving files still replay
+                continue
+            parts.append(LakeFilePartition(
+                file=full,
+                fields=self._fields,
+                schema_json=self._schema_json,
+                drop_positions=(dvs or {}).get(rel),
+                change_type=change_type,
+                commit_version=at_version,
+            ))
+        return parts
+
+    def _entry_partitions(self, e: dict) -> list:
+        v, mode = e["version"], e.get("mode")
+        if mode in _NO_DATA_MODES:
+            return []
+        tag_ins = "insert" if self._cdf else None
+        if mode == "append":
+            # appended files carry no DV at their own commit
+            return self._file_parts(e.get("added", []), v, None, tag_ins)
+        if mode == "delete_dv":
+            if self._cdf:
+                return [
+                    LakeFilePartition(
+                        file=os.path.join(self._path, rel),
+                        fields=self._fields,
+                        schema_json=self._schema_json,
+                        take_positions=list(ps),
+                        change_type="delete",
+                        commit_version=v,
+                    )
+                    for rel, ps in e.get("dv", {}).items()
+                    if os.path.exists(os.path.join(self._path, rel))
+                ]
+            if self._ignore_deletes or self._ignore_changes:
+                return []
+            raise ValueError(
+                f"commit {v} of {self._path} is a DV delete; an "
+                "append-only stream cannot represent it. Set "
+                "ignoreDeletes=true to skip delete commits, or "
+                "readChangeFeed=true for row-level change semantics."
+            )
+        if mode in _REWRITE_MODES:
+            if self._cdf:
+                # uncancelled form: removed rows (under the PREVIOUS
+                # version's DVs — rows a vector already deleted must
+                # not re-appear as deletes) + added rows (under THIS
+                # version's DVs — a restore adopts its target's
+                # vectors). Multiset-equivalent to the minimal diff.
+                return (
+                    self._file_parts(e.get("removed", []), v,
+                                     _dv_at(self._path, v - 1), "delete")
+                    + self._file_parts(e.get("added", []), v,
+                                       _dv_at(self._path, v), "insert")
+                )
+            if mode == "delete" and self._ignore_deletes:
+                # rows removed; survivors were already streamed when
+                # first appended — skipping loses nothing append-only
+                return []
+            if self._ignore_changes:
+                # Delta's documented contract: rewrite commits re-emit
+                # their added files (duplicates possible downstream)
+                return self._file_parts(
+                    e.get("added", []), v, _dv_at(self._path, v), None
+                )
+            raise ValueError(
+                f"commit {v} of {self._path} is a {mode} (file rewrite); "
+                "an append-only stream cannot represent it. Set "
+                "ignoreChanges=true (re-emits rewritten files, may "
+                "duplicate), or readChangeFeed=true for row-level "
+                "change semantics."
+            )
+        # unknown/metadata-only commit shapes: nothing to stream, but an
+        # entry that DID move data must never be silently skipped
+        if e.get("added") or e.get("removed") or e.get("dv"):
+            raise ValueError(
+                f"commit {v} of {self._path} has unrecognized mode "
+                f"{mode!r} with data changes — refusing to guess its "
+                "stream semantics"
+            )
+        return []
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[InputPartition] = []
+        if not start.get("snap", True):
+            v0 = start["version"]
+            files, _ = _state_at(self._path, v0)
+            dvs = _dv_at(self._path, v0)
+            parts += self._file_parts(
+                files, v0, dvs, "insert" if self._cdf else None
+            )
+        for e in _entries(self._path, lo=start["version"] + 1,
+                          hi=end["version"]):
+            parts += self._entry_partitions(e)
+        self._last_end = end["version"]
+        return parts
+
+    def read(self, partition: LakeFilePartition) -> Iterator:
+        return _read_lake_partition(partition)
+
+
+class MedallionLakeDataSource(DataSource):
+    """``spark.dataSource.register(MedallionLakeDataSource)`` then
+    ``format("medallion_lake")``. Options: ``version`` (batch),
+    ``startingVersion`` / ``ignoreDeletes`` / ``ignoreChanges`` /
+    ``readChangeFeed`` / ``maxVersionsPerBatch`` (streaming)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _path(self) -> str:
+        p = _opt(self.options, "path")
+        if not p:
+            raise ValueError(
+                f"{FORMAT_NAME} needs a table path: .load(path) or "
+                ".option('path', ...)"
+            )
+        return p
+
+    def schema(self) -> StructType:
+        path = self._path()
+        v = _opt(self.options, "version")
+        schema_json, _ = _declared_fields(
+            path, int(v) if v is not None else None
+        )
+        st = StructType.fromJson(schema_json)
+        if _flag(self.options, "readChangeFeed"):
+            from pyspark.sql.types import LongType, StringType
+
+            st = StructType(
+                st.fields
+                + [StructField("_change_type", StringType(), False),
+                   StructField("_commit_version", LongType(), False)]
+            )
+        return st
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return MedallionLakeBatchReader(self._path(), dict(self.options))
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:  # noqa: N802
+        return MedallionLakeStreamReader(self._path(), dict(self.options))
+
+
+def register_lake_source(spark) -> None:
+    """Idempotent registration of the ``medallion_lake`` format. Also
+    enables ``spark.sql.python.filterPushdown.enabled`` (runtime SQL
+    conf, default false in 4.1): with it off, Spark refuses ANY reader
+    that implements ``pushFilters`` — the batch reader's file skipping
+    needs it."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(MedallionLakeDataSource)
+
+
+def read_table_stream(spark, path: str, **options):
+    """``spark.readStream`` over a versioned table (registers the
+    source first). Keyword options mirror the format options:
+    ``starting_version``, ``ignore_deletes``, ``ignore_changes``,
+    ``read_change_feed``, ``max_versions_per_batch``."""
+    register_lake_source(spark)
+    reader = spark.readStream.format(FORMAT_NAME)
+    rename = {
+        "starting_version": "startingVersion",
+        "ignore_deletes": "ignoreDeletes",
+        "ignore_changes": "ignoreChanges",
+        "read_change_feed": "readChangeFeed",
+        "max_versions_per_batch": "maxVersionsPerBatch",
+    }
+    for k, v in options.items():
+        reader = reader.option(rename.get(k, k), str(v))
+    return reader.load(path)

@@ -1,0 +1,394 @@
+"""The ``medallion_lake`` Python Data Source
+(sources/lakehouse_source.py): the versioned table as a native Spark
+format — batch reads match ``read_table`` exactly (DVs, renames,
+schema evolution), batch file skipping prunes partitions via pushed
+filters, and the STREAMING reader tails the commit log with
+engine-managed exactly-once offsets (snapshot + tail, restart
+recovery, Delta-parity failure modes on non-append commits, CDF rows
+that net-apply to the current table)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.operators.versioned import (
+    commit,
+    delete_rows_dv,
+    optimize_table,
+    read_table,
+    rename_column,
+    update_rows,
+)
+from medallion_data_lake_spark.sources.lakehouse_source import (
+    FORMAT_NAME,
+    read_table_stream,
+    register_lake_source,
+)
+
+
+def _mk(spark, tmp_path, name="vt"):
+    path = str(tmp_path / name)
+    commit(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)],
+            "id long, tag string, score double",
+        ),
+        path,
+    )
+    return path
+
+
+def _more(spark, rows, ddl="id long, tag string, score double"):
+    return spark.createDataFrame(rows, ddl)
+
+
+def _run_available_now(df, out, ck):
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return q
+
+
+def _rows(spark, out, cols=("id", "tag")):
+    files = [
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    ] if os.path.isdir(out) else []
+    if not files:
+        return []
+    try:
+        df = spark.read.parquet(out)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+    except Exception:
+        # mid-write race while polling a live stream's sink: the
+        # _spark_metadata log may not have committed any file yet
+        return []
+
+
+# ---------------------------------------------------------------------------
+# batch
+# ---------------------------------------------------------------------------
+
+
+def test_batch_read_matches_read_table(spark, tmp_path):
+    """DV delete + metadata-only rename: the data source and the JVM
+    read path must agree byte-for-byte on rows AND logical names."""
+    path = _mk(spark, tmp_path)
+    commit(_more(spark, [(3, "c", 30.0)]), path)
+    delete_rows_dv(spark, path, keys={"id": [2]})
+    rename_column(spark, path, "score", "rating")
+
+    register_lake_source(spark)
+    got = spark.read.format(FORMAT_NAME).load(path)
+    assert got.columns == ["id", "tag", "rating"]
+    want = read_table(spark, path)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_batch_read_evolved_table_nulls_missing_columns(spark, tmp_path):
+    """Pre-evolution files lack the new physical column — the reader
+    must null-fill per file, mirroring mergeSchema semantics."""
+    path = _mk(spark, tmp_path)
+    commit(
+        _more(spark, [(3, "c", 30.0, "x")],
+              "id long, tag string, score double, extra string"),
+        path,
+        allow_schema_evolution=True,
+    )
+    register_lake_source(spark)
+    got = spark.read.format(FORMAT_NAME).load(path)
+    by_id = {r["id"]: r["extra"] for r in got.collect()}
+    assert by_id == {1: None, 2: None, 3: "x"}
+
+
+def test_batch_read_version_pin(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    commit(_more(spark, [(3, "c", 30.0)]), path)
+    register_lake_source(spark)
+    v0 = (
+        spark.read.format(FORMAT_NAME).option("version", "0").load(path)
+    )
+    assert {r["id"] for r in v0.collect()} == {1, 2}
+
+
+def test_batch_pushdown_prunes_files(spark, tmp_path):
+    """Two files with disjoint id ranges + an id predicate: the pushed
+    filter must shrink the scan to ONE input partition (file skipping
+    via the log's per-file stats), and results stay exact."""
+    path = str(tmp_path / "vt")
+    commit(_more(spark, [(1, "a", 1.0), (2, "b", 2.0)]), path,
+           stats_cols=("id",))
+    commit(_more(spark, [(100, "x", 3.0), (200, "y", 4.0)]), path,
+           stats_cols=("id",))
+    register_lake_source(spark)
+    df = spark.read.format(FORMAT_NAME).load(path).filter(F.col("id") >= 100)
+    assert {r["id"] for r in df.collect()} == {100, 200}
+    # unit-level: the reader's partitions() honors the pushed range
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from medallion_data_lake_spark.sources.lakehouse_source import (
+        MedallionLakeBatchReader,
+    )
+
+    import pyarrow as pa
+
+    from medallion_data_lake_spark.sources.lakehouse_source import (
+        _read_lake_partition,
+    )
+
+    reader = MedallionLakeBatchReader(path, {})
+    n_all = len(reader.partitions())
+    leftover = list(reader.pushFilters([GreaterThanOrEqual(("id",), 100)]))
+    assert len(leftover) == 1  # every filter stays with Spark (residual)
+    pruned = reader.partitions()
+    assert len(pruned) < n_all
+    admitted = pa.Table.from_batches(
+        [b for p in pruned for b in _read_lake_partition(p)]
+    )
+    assert set(admitted.column("id").to_pylist()) == {100, 200}
+
+
+# ---------------------------------------------------------------------------
+# streaming: snapshot + tail, exactly-once restart
+# ---------------------------------------------------------------------------
+
+
+def test_stream_snapshot_then_tail_exactly_once(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    delete_rows_dv(spark, path, keys={"id": [2]})  # snapshot honors DVs
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    _run_available_now(read_table_stream(spark, path), out, ck)
+    assert _rows(spark, out) == [(1, "a")]
+
+    commit(_more(spark, [(3, "c", 30.0)]), path)
+    commit(_more(spark, [(4, "d", 40.0)]), path)
+    _run_available_now(read_table_stream(spark, path), out, ck)
+    assert _rows(spark, out) == [(1, "a"), (3, "c"), (4, "d")]
+
+    # re-run with zero new commits: no duplicates (offset idempotence)
+    _run_available_now(read_table_stream(spark, path), out, ck)
+    assert _rows(spark, out) == [(1, "a"), (3, "c"), (4, "d")]
+
+
+def test_stream_starting_version_latest_skips_history(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(
+        read_table_stream(spark, path, starting_version="latest"), out, ck
+    )
+    assert _rows(spark, out) == []
+    commit(_more(spark, [(3, "c", 30.0)]), path)
+    _run_available_now(
+        read_table_stream(spark, path, starting_version="latest"), out, ck
+    )
+    assert _rows(spark, out) == [(3, "c")]
+
+
+def test_stream_starting_version_replays_from_there(spark, tmp_path):
+    path = _mk(spark, tmp_path)                     # v0
+    commit(_more(spark, [(3, "c", 30.0)]), path)    # v1
+    commit(_more(spark, [(4, "d", 40.0)]), path)    # v2
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(
+        read_table_stream(spark, path, starting_version=1), out, ck
+    )
+    assert _rows(spark, out) == [(3, "c"), (4, "d")]
+
+
+def test_stream_optimize_is_invisible(spark, tmp_path):
+    """Compaction rewrites files but changes no rows — the tail must
+    emit nothing for it (the property that makes auto-compaction safe
+    inside ingest loops)."""
+    path = _mk(spark, tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(read_table_stream(spark, path), out, ck)
+    commit(_more(spark, [(3, "c", 30.0)]), path)
+    optimize_table(spark, path)
+    _run_available_now(read_table_stream(spark, path), out, ck)
+    assert _rows(spark, out) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_rename_between_restarts_binds_by_physical(spark, tmp_path):
+    """A rename between restarts surfaces the NEW logical name on the
+    restarted stream (Delta-style: schema changes appear at restart),
+    and the physical-name binding keeps the VALUES correct — the
+    post-rename append's bytes land under the renamed column, never
+    misbound, and the alter commit itself emits nothing."""
+    path = _mk(spark, tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(read_table_stream(spark, path), out, ck)
+    rename_column(spark, path, "score", "rating")
+    commit(_more(spark, [(3, "c", 30.0)],
+                 "id long, tag string, rating double"), path)
+    sdf = read_table_stream(spark, path)
+    assert sdf.columns == ["id", "tag", "rating"]
+    _run_available_now(sdf, out, ck)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    got = {
+        r["id"]: (r["score"], r["rating"]) for r in merged.collect()
+    }
+    # run-1 rows under the old name, run-2's row under the new — and
+    # exactly one output row per id (no re-emission of the snapshot)
+    assert got == {1: (10.0, None), 2: (20.0, None), 3: (None, 30.0)}
+
+
+# ---------------------------------------------------------------------------
+# streaming: non-append commits (Delta-parity failure modes)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_fails_on_delete_without_flags(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(read_table_stream(spark, path), out, ck)
+    delete_rows_dv(spark, path, keys={"id": [1]})
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="ignoreDeletes"):
+        _run_available_now(read_table_stream(spark, path), out, ck)
+
+
+def test_stream_ignore_deletes_skips_delete_commits(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(
+        read_table_stream(spark, path, ignore_deletes=True), out, ck
+    )
+    delete_rows_dv(spark, path, keys={"id": [1]})
+    commit(_more(spark, [(3, "c", 30.0)]), path)
+    _run_available_now(
+        read_table_stream(spark, path, ignore_deletes=True), out, ck
+    )
+    assert _rows(spark, out) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_ignore_changes_reemits_rewrites(spark, tmp_path):
+    """Delta's documented ignoreChanges contract: an UPDATE's rewritten
+    files re-emit (copied rows duplicate downstream — by design)."""
+    path = _mk(spark, tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(
+        read_table_stream(spark, path, ignore_changes=True), out, ck
+    )
+    update_rows(spark, path, {"tag": "'B'"}, where="id = 2")
+    _run_available_now(
+        read_table_stream(spark, path, ignore_changes=True), out, ck
+    )
+    got = _rows(spark, out)
+    # original snapshot + the full rewritten file (both rows again)
+    assert got.count((2, "B")) == 1      # updated value arrived
+    assert (2, "b") in got               # pre-image from the snapshot
+
+
+# ---------------------------------------------------------------------------
+# streaming: change-data-feed mode
+# ---------------------------------------------------------------------------
+
+
+def test_stream_cdf_net_applies_to_current_table(spark, tmp_path):
+    """insert/delete rows from the CDF stream, net-applied as a
+    multiset, must reproduce the live table exactly — across appends,
+    an update rewrite (uncancelled form), and a DV delete."""
+    path = _mk(spark, tmp_path)
+    commit(_more(spark, [(3, "c", 30.0)]), path)
+    update_rows(spark, path, {"tag": "'B'"}, where="id = 2")
+    delete_rows_dv(spark, path, keys={"id": [1]})
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(
+        read_table_stream(spark, path, read_change_feed=True,
+                          starting_version=0),
+        out, ck,
+    )
+    rows = spark.read.parquet(out).collect()
+    assert set(r["_change_type"] for r in rows) <= {"insert", "delete"}
+    from collections import Counter
+
+    net: Counter = Counter()
+    for r in rows:
+        delta = 1 if r["_change_type"] == "insert" else -1
+        net[(r["id"], r["tag"], r["score"])] += delta
+    applied = sorted(k for k, c in net.items() for _ in range(c))
+    current = sorted(map(tuple, read_table(spark, path).collect()))
+    assert applied == current
+
+
+def test_stream_cdf_snapshot_mode_tags_inserts(spark, tmp_path):
+    """Default (no startingVersion) + CDF: the initial snapshot arrives
+    as inserts at the stream-start version, then changes tail."""
+    path = _mk(spark, tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(
+        read_table_stream(spark, path, read_change_feed=True), out, ck
+    )
+    rows = spark.read.parquet(out).collect()
+    assert {(r["_change_type"], r["_commit_version"]) for r in rows} == {
+        ("insert", 0)
+    }
+    delete_rows_dv(spark, path, keys={"id": [2]})
+    _run_available_now(
+        read_table_stream(spark, path, read_change_feed=True), out, ck
+    )
+    rows = spark.read.parquet(out).collect()
+    deletes = [r for r in rows if r["_change_type"] == "delete"]
+    assert [(r["id"], r["_commit_version"]) for r in deletes] == [(2, 1)]
+
+
+def test_stream_max_versions_per_batch_bounds_catchup(spark, tmp_path):
+    """A running consumer that falls behind gets bounded micro-batches
+    — offsets advance <= N versions per batch after the first one (the
+    Python source API gives latestOffset no start offset, so the first
+    planned batch of a run is unbounded by design; see the reader's
+    latestOffset). Needs a processing-time trigger: availableNow falls
+    back to single-batch for Python sources, which would mask the
+    throttle."""
+    import json
+    import time
+
+    path = _mk(spark, tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        read_table_stream(spark, path, starting_version=0,
+                          max_versions_per_batch=2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(_rows(spark, out)) < 2:
+            time.sleep(0.25)          # batch 0 (v0) landed
+        for i in range(3, 9):         # now fall 6 commits behind
+            commit(_more(spark, [(i, f"r{i}", float(i))]), path)
+        deadline = time.time() + 120
+        while time.time() < deadline and len(_rows(spark, out)) < 8:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(_rows(spark, out)) == 8  # all rows, exactly once
+    offsets_dir = os.path.join(ck, "offsets")
+    batches = sorted(
+        int(f) for f in os.listdir(offsets_dir) if f.isdigit()
+    )
+    ends = []
+    for b in batches:
+        with open(os.path.join(offsets_dir, str(b))) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        ends.append(json.loads(lines[-1])["version"])
+    steps = [b - a for a, b in zip(ends, ends[1:])]
+    # catch-up from v0 to v6 at <=2 versions per step -> >=3 more
+    # batches after batch 0, every step bounded
+    assert len(steps) >= 3
+    assert all(s <= 2 for s in steps)
