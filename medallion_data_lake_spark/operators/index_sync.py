@@ -191,3 +191,110 @@ def sync_deletes_to_index(
     if gap is not None:
         out["expired_gap"] = gap
     return out
+
+
+def _apply_sync_batch(batch, bid, table_path, index_path, id_col) -> None:
+    """One CDF micro-batch -> ledger tombstones. Same reduction as the
+    batch sync, scoped to the batch's version range: last change per id
+    wins (insert outranks delete within one version — a rewrite's
+    copied rows arrive as paired delete+insert from the streaming
+    feed's uncancelled form and cancel here), and only deletes from
+    ERASURE-shaped commits tombstone. Idempotent under Structured
+    Streaming's batch replay: the ledger partition is keyed by the
+    stream's batch id (``_tb_batch=cdfs-<bid>``), so a replay rewrites
+    exactly itself."""
+    from pyspark.sql import Window
+
+    from .ann import delete_index_batch
+
+    versions = [
+        r[0] for r in batch.select("_commit_version").distinct().collect()
+    ]
+    if not versions:
+        return
+    modes = {
+        e["version"]: e.get("mode")
+        for e in _entries(table_path, lo=min(versions), hi=max(versions))
+    }
+    erasure = [v for v in versions if modes.get(v) in ERASURE_MODES]
+    if erasure:
+        alive_rank = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_commit_version").desc(), alive_rank.desc()
+        )
+        doomed = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .filter(
+                (F.col("_change_type") == "delete")
+                & F.col("_commit_version").isin(erasure)
+            )
+            .select(id_col)
+            .distinct()
+        )
+        if doomed.limit(1).count():
+            delete_index_batch(doomed, index_path,
+                               batch_id=f"cdfs-{bid}", id_col=id_col)
+    # after the ledger: a crash between the two replays this batch into
+    # the same masking state (same contract as the batch sync)
+    _advance_watermark(index_path, table_path, max(versions))
+
+
+def run_index_sync_stream(
+    spark,
+    table_path: str,
+    index_path: str,
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    trigger_interval: str | None = None,
+    max_versions_per_batch: int | None = None,
+):
+    """The STREAMING form of :func:`sync_deletes_to_index`: tail the
+    corpus table's change feed (``sources/lakehouse_source.py``,
+    ``readChangeFeed=true``) and propagate erasures into the index's
+    tombstone ledger continuously — no polling cadence to tune, and
+    progress rides the stream's own exactly-once offset checkpoint.
+
+    ``available_now=True`` (default) is the one-shot maintenance call:
+    catch up to the log tip, then stop — a drop-in for the batch sync
+    on a cron. Pass ``available_now=False`` with a
+    ``trigger_interval`` for a resident stream.
+
+    Semantics match the batch sync per micro-batch (last change per id
+    wins; only erasure-shaped commits tombstone). ONE documented
+    divergence: a delete and a re-add that land in DIFFERENT
+    micro-batches leave the id tombstoned (tombstone-wins is the
+    ledger's contract — ``ann.clear_tombstones`` + re-append is the
+    supported re-add flow, exactly as for ``delete_index_batch``). The
+    batch sync over the same whole range would see the re-add and keep
+    the id alive; a resident stream with small batches trades that
+    range-wide view for latency. The watermark file still advances so
+    batch and stream syncs interoperate on one table.
+
+    At 100 TB: each micro-batch plans one partition per CHANGED file in
+    its version range (never a table scan), the reduction shuffles only
+    the batch's change rows on ``id_col``, and the ledger write is one
+    small keyed partition."""
+    from ..sources.lakehouse_source import read_table_stream
+
+    wm = read_sync_watermark(index_path, table_path)
+    opts = {"read_change_feed": True, "starting_version": wm + 1}
+    if max_versions_per_batch is not None:
+        opts["max_versions_per_batch"] = max_versions_per_batch
+    feed = read_table_stream(spark, table_path, **opts).select(
+        id_col, "_change_type", "_commit_version"
+    )
+    writer = feed.writeStream.foreachBatch(
+        lambda b, bid: _apply_sync_batch(
+            b, bid, table_path, index_path, id_col
+        )
+    ).option(
+        "checkpointLocation",
+        checkpoint_dir or os.path.join(index_path, "_sync_checkpoint"),
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval is not None:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

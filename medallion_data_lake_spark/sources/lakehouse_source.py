@@ -188,12 +188,20 @@ def _read_lake_partition(p: LakeFilePartition) -> Iterator:
     yield from out.to_batches()
 
 
-def _declared_fields(path: str, version: int | None):
+def _declared_fields(path: str, version: int | None,
+                     columns: str | None = None):
     """(schema_json, [(logical, physical), ...]) at ``version`` —
     resolved from the LOG ONLY (checkpoint + tail walk; this source
     never needs a SparkSession for metadata). Raises on tables whose
     log predates schema recording: such tables re-record on their next
-    commit, and the JVM path (read_table) covers them meanwhile."""
+    commit, and the JVM path (read_table) covers them meanwhile.
+
+    ``columns`` (comma-separated logical names) is the source's MANUAL
+    projection pushdown: the Python Data Source API does no automatic
+    column pruning, so without it every partition would read every
+    column off disk — ruinous when a consumer wants ids out of a table
+    whose widest column is an embedding array. The projection narrows
+    both the declared schema and the per-file parquet read."""
     schema_json = _table_schema_json_logged(path, version)
     if schema_json is None:
         raise ValueError(
@@ -201,6 +209,19 @@ def _declared_fields(path: str, version: int | None):
             "its log (written by a pre-schema code generation). Read it "
             "once with read_table / commit to it once to record the "
             "schema, or use read_table for this table."
+        )
+    if columns is not None:
+        want = [c.strip() for c in columns.split(",") if c.strip()]
+        have = {f["name"] for f in schema_json["fields"]}
+        missing = [c for c in want if c not in have]
+        if missing:
+            raise ValueError(
+                f"columns option names {missing} not in the table "
+                f"schema at {path} (has {sorted(have)})"
+            )
+        schema_json = dict(
+            schema_json,
+            fields=[f for f in schema_json["fields"] if f["name"] in want],
         )
     cm = _column_mapping_at(path, version)
     fields = [
@@ -231,7 +252,9 @@ class MedallionLakeBatchReader(DataSourceReader):
         self._path = path
         v = _opt(options, "version")
         self._version = int(v) if v is not None else None
-        self._schema_json, self._fields = _declared_fields(path, self._version)
+        self._schema_json, self._fields = _declared_fields(
+            path, self._version, _opt(options, "columns")
+        )
         self._ranges: dict[str, list] = {}  # physical -> [lo, hi] probes
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
@@ -324,7 +347,9 @@ class MedallionLakeStreamReader(DataSourceStreamReader):
         mv = _opt(options, "maxVersionsPerBatch")
         self._max_versions = int(mv) if mv is not None else None
         self._starting = _opt(options, "startingVersion")
-        self._schema_json, self._fields = _declared_fields(path, None)
+        self._schema_json, self._fields = _declared_fields(
+            path, None, _opt(options, "columns")
+        )
         self._last_end: int | None = None  # throttle anchor, in-process
 
     # -- offsets ----------------------------------------------------
@@ -498,7 +523,8 @@ class MedallionLakeDataSource(DataSource):
         path = self._path()
         v = _opt(self.options, "version")
         schema_json, _ = _declared_fields(
-            path, int(v) if v is not None else None
+            path, int(v) if v is not None else None,
+            _opt(self.options, "columns"),
         )
         st = StructType.fromJson(schema_json)
         if _flag(self.options, "readChangeFeed"):

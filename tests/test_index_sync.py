@@ -152,3 +152,73 @@ def test_expired_history_bootstrap_clamps_and_incremental_gap_raises(
                                  on_expired_gap="skip")
     assert "expired_gap" in out2
     assert read_sync_watermark(idx, table) == latest_version(table)
+
+
+# ---------------------------------------------------------------------------
+# streaming sync (run_index_sync_stream over the medallion_lake source)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_sync_tombstones_and_is_exactly_once(spark, tmp_path):
+    """One-shot (availableNow) streaming sync: erasures reach the
+    ledger, search forgets, the watermark advances, and a second run
+    from the same checkpoint adds nothing (engine-managed offsets)."""
+    from medallion_data_lake_spark.operators.index_sync import (
+        run_index_sync_stream,
+    )
+
+    emb, table, idx = _setup(spark, tmp_path)
+    delete_rows_dv(spark, table, keys={"vec_id": [5, 6, 7]})
+
+    q = run_index_sync_stream(spark, table, idx)
+    q.awaitTermination(180)
+    t = {r["vec_id"] for r in read_tombstones(spark, idx).collect()}
+    assert t == {5, 6, 7}
+    queries = emb.filter(F.col("vec_id") < 3)
+    assert not (_hits(spark, idx, queries) & {5, 6, 7})
+    assert read_sync_watermark(idx, table) == latest_version(table)
+
+    before = read_tombstones(spark, idx).count()
+    q2 = run_index_sync_stream(spark, table, idx)
+    q2.awaitTermination(180)
+    assert read_tombstones(spark, idx).count() == before
+
+
+def test_streaming_sync_overwrite_is_replacement_not_erasure(
+    spark, tmp_path
+):
+    """An overwrite's CDF delete rows are wholesale replacement — the
+    streaming sync must not tombstone them (the index is re-ingested
+    alongside; tombstone-wins would mask the re-added corpus)."""
+    from medallion_data_lake_spark.operators.index_sync import (
+        run_index_sync_stream,
+    )
+
+    emb, table, idx = _setup(spark, tmp_path)
+    commit(emb.filter(F.col("vec_id") >= 10), table, mode="overwrite")
+
+    q = run_index_sync_stream(spark, table, idx)
+    q.awaitTermination(180)
+    assert read_tombstones(spark, idx) is None
+    assert read_sync_watermark(idx, table) == latest_version(table)
+
+
+def test_streaming_sync_delete_then_readd_in_range_stays_alive(
+    spark, tmp_path
+):
+    """Within one micro-batch the LAST change per id wins: a doc
+    deleted and later re-appended before the sync ran is alive — the
+    same rule that keeps the batch sync's bootstrap from tombstoning
+    re-added docs."""
+    from medallion_data_lake_spark.operators.index_sync import (
+        run_index_sync_stream,
+    )
+
+    emb, table, idx = _setup(spark, tmp_path)
+    delete_rows_dv(spark, table, keys={"vec_id": [5, 6]})
+    commit(emb.filter(F.col("vec_id") == 5), table)  # 5 re-added, 6 not
+
+    q = run_index_sync_stream(spark, table, idx)
+    q.awaitTermination(180)
+    t = {r["vec_id"] for r in read_tombstones(spark, idx).collect()}
+    assert t == {6}

@@ -110,6 +110,27 @@ def test_batch_read_evolved_table_nulls_missing_columns(spark, tmp_path):
     assert by_id == {1: None, 2: None, 3: "x"}
 
 
+def test_columns_option_projects_schema_and_read(spark, tmp_path):
+    """Manual projection pushdown (the Python source API has no
+    automatic column pruning): the declared schema narrows AND the
+    per-file parquet read only touches the named columns."""
+    path = _mk(spark, tmp_path)
+    register_lake_source(spark)
+    df = (
+        spark.read.format(FORMAT_NAME).option("columns", "id").load(path)
+    )
+    assert df.columns == ["id"]
+    assert {r["id"] for r in df.collect()} == {1, 2}
+    with pytest.raises(Exception, match="not in the table schema"):
+        spark.read.format(FORMAT_NAME).option(
+            "columns", "nope"
+        ).load(path).collect()
+    # streaming honors it too (CDF columns append after the projection)
+    sdf = read_table_stream(spark, path, columns="id",
+                            read_change_feed=True)
+    assert sdf.columns == ["id", "_change_type", "_commit_version"]
+
+
 def test_batch_read_version_pin(spark, tmp_path):
     path = _mk(spark, tmp_path)
     commit(_more(spark, [(3, "c", 30.0)]), path)
