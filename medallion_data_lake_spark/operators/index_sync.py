@@ -69,6 +69,10 @@ def read_sync_watermark(index_path: str, table_path: str) -> int:
 
 
 def _advance_watermark(index_path: str, table_path: str, version: int) -> None:
+    """Monotonic: a replayed range (stream batch replay, overlapping
+    batch/stream syncs) must never REGRESS the watermark — a regression
+    followed by expire_log past the true high-water mark would make the
+    next sync raise a spurious unrecoverable gap."""
     from ._atomic import atomic_write_json
 
     p = _state_path(index_path)
@@ -76,8 +80,44 @@ def _advance_watermark(index_path: str, table_path: str, version: int) -> None:
     if os.path.exists(p):
         state = json.load(open(p))
         state.setdefault("watermarks", {})
-    state["watermarks"][os.path.abspath(table_path)] = int(version)
+    key = os.path.abspath(table_path)
+    if int(version) <= int(state["watermarks"].get(key, -1)):
+        return
+    state["watermarks"][key] = int(version)
     atomic_write_json(p, state)  # same publish discipline as _write_meta
+
+
+def _doomed_ids(feed, erasure_versions, id_col: str):
+    """THE erasure reduction, shared by the batch sync and the
+    streaming sync (one rule — the two paths must never diverge on
+    which ids die): last change per id wins, ranked by commit version
+    then aliveness (insert/update_postimage outranks delete WITHIN one
+    version — an overwrite or a rewrite's copied rows arrive as paired
+    delete+insert and cancel); survivors whose last change is a delete
+    from an ERASURE-shaped commit are the doomed set."""
+    from pyspark.sql import Window
+
+    alive_rank = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), 1
+    ).otherwise(0)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_commit_version").desc(), alive_rank.desc()
+    )
+    return (
+        feed.filter(
+            F.col("_change_type").isin(
+                "insert", "update_postimage", "delete"
+            )
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(
+            (F.col("_change_type") == "delete")
+            & F.col("_commit_version").isin(list(erasure_versions))
+        )
+        .select(F.col(id_col).alias("vec_id"))
+        .distinct()
+    )
 
 
 def sync_deletes_to_index(
@@ -116,8 +156,6 @@ def sync_deletes_to_index(
     Call on the same maintenance cadence as ``compact_index_tombstones``
     (or from the delete feed's foreachBatch); both are idempotent, so
     over-calling costs one bounded change-feed scan."""
-    from pyspark.sql import Window
-
     lv = latest_version(table_path)
     if lv is None:
         raise FileNotFoundError(f"no versioned table at {table_path}")
@@ -149,29 +187,7 @@ def sync_deletes_to_index(
     n = 0
     if erasure_versions:
         feed = table_changes(spark, table_path, lo, lv)
-        alive_rank = F.when(
-            F.col("_change_type").isin("insert", "update_postimage"), 1
-        ).otherwise(0)
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_commit_version").desc(), alive_rank.desc()
-        )
-        last = (
-            feed.filter(
-                F.col("_change_type").isin(
-                    "insert", "update_postimage", "delete"
-                )
-            )
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-        )
-        doomed = (
-            last.filter(
-                (F.col("_change_type") == "delete")
-                & F.col("_commit_version").isin(erasure_versions)
-            )
-            .select(F.col(id_col).alias("vec_id"))
-            .distinct()
-        )
+        doomed = _doomed_ids(feed, erasure_versions, id_col)
         n = doomed.count()
         if n:
             # same exactly-once shape as delete_index_batch: the ledger
@@ -194,19 +210,22 @@ def sync_deletes_to_index(
 
 
 def _apply_sync_batch(batch, bid, table_path, index_path, id_col) -> None:
-    """One CDF micro-batch -> ledger tombstones. Same reduction as the
-    batch sync, scoped to the batch's version range: last change per id
-    wins (insert outranks delete within one version — a rewrite's
-    copied rows arrive as paired delete+insert from the streaming
-    feed's uncancelled form and cancel here), and only deletes from
-    ERASURE-shaped commits tombstone. Idempotent under Structured
-    Streaming's batch replay: the ledger partition is keyed by the
-    stream's batch id (``_tb_batch=cdfs-<bid>``), so a replay rewrites
-    exactly itself."""
-    from pyspark.sql import Window
+    """One CDF micro-batch -> ledger tombstones, via the SAME reduction
+    as the batch sync (:func:`_doomed_ids`), scoped to the batch's
+    version range. Idempotent under Structured Streaming's batch
+    replay: the ledger partition is keyed by the stream's batch id
+    (``_tb_batch=cdfs-<bid>``), so a replay rewrites exactly itself.
 
+    Versions at or below the persisted watermark are dropped first:
+    a batch sync may have processed them already WITH the range-wide
+    last-wins view (delete@v6 + re-add@v7 = alive) — re-tombstoning
+    v6 from a stream micro-batch that happens to split v6 and v7
+    would mask a LIVE doc, and the next compaction would purge it."""
     from .ann import delete_index_batch
 
+    wm = read_sync_watermark(index_path, table_path)
+    if wm >= 0:
+        batch = batch.filter(F.col("_commit_version") > wm)
     versions = [
         r[0] for r in batch.select("_commit_version").distinct().collect()
     ]
@@ -218,23 +237,10 @@ def _apply_sync_batch(batch, bid, table_path, index_path, id_col) -> None:
     }
     erasure = [v for v in versions if modes.get(v) in ERASURE_MODES]
     if erasure:
-        alive_rank = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_commit_version").desc(), alive_rank.desc()
-        )
-        doomed = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .filter(
-                (F.col("_change_type") == "delete")
-                & F.col("_commit_version").isin(erasure)
-            )
-            .select(id_col)
-            .distinct()
-        )
+        doomed = _doomed_ids(batch, erasure, id_col)
         if doomed.limit(1).count():
             delete_index_batch(doomed, index_path,
-                               batch_id=f"cdfs-{bid}", id_col=id_col)
+                               batch_id=f"cdfs-{bid}")
     # after the ledger: a crash between the two replays this batch into
     # the same masking state (same contract as the batch sync)
     _advance_watermark(index_path, table_path, max(versions))
@@ -276,23 +282,36 @@ def run_index_sync_stream(
     its version range (never a table scan), the reduction shuffles only
     the batch's change rows on ``id_col``, and the ledger write is one
     small keyed partition."""
+    import hashlib
+
     from ..sources.lakehouse_source import read_table_stream
 
     wm = read_sync_watermark(index_path, table_path)
-    opts = {"read_change_feed": True, "starting_version": wm + 1}
+    opts = {
+        "read_change_feed": True,
+        "starting_version": wm + 1,
+        # projection pushdown: this consumer needs ONLY the id — never
+        # pay the embedding-array I/O per changed file
+        "columns": id_col,
+    }
     if max_versions_per_batch is not None:
         opts["max_versions_per_batch"] = max_versions_per_batch
-    feed = read_table_stream(spark, table_path, **opts).select(
-        id_col, "_change_type", "_commit_version"
-    )
+    feed = read_table_stream(spark, table_path, **opts)
+    if checkpoint_dir is None:
+        # keyed per (index, TABLE) like the watermark file: one index
+        # fed from several tables must not resume table B's stream
+        # from table A's committed offsets
+        tkey = hashlib.md5(
+            os.path.abspath(table_path).encode()
+        ).hexdigest()[:12]
+        checkpoint_dir = os.path.join(
+            index_path, "_sync_checkpoint", tkey
+        )
     writer = feed.writeStream.foreachBatch(
         lambda b, bid: _apply_sync_batch(
             b, bid, table_path, index_path, id_col
         )
-    ).option(
-        "checkpointLocation",
-        checkpoint_dir or os.path.join(index_path, "_sync_checkpoint"),
-    )
+    ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     elif trigger_interval is not None:

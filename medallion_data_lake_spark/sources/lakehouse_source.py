@@ -8,9 +8,19 @@ temp views per query); this module instead plugs the lakehouse into
 Spark's OWN source surface, so any Spark job — including ones that know
 nothing about this package — can read a versioned table:
 
-    spark.dataSource.register(MedallionLakeDataSource)
+    from medallion_data_lake_spark.sources.lakehouse_source import (
+        register_lake_source,
+    )
+    register_lake_source(spark)   # registers + enables Python filter
+                                  # pushdown (required conf, see below)
     spark.read.format("medallion_lake").load(path)                # batch
     spark.readStream.format("medallion_lake").load(path)          # tail
+
+Registering the class directly (``spark.dataSource.register(
+MedallionLakeDataSource)``) also works, but batch reads then require
+``spark.sql.python.filterPushdown.enabled=true`` yourself — Spark 4.1
+refuses ANY reader that implements ``pushFilters`` while that conf is
+false, so ``register_lake_source`` sets it.
 
 Streaming is the point: ``table_changes`` (operators/versioned.py) is a
 poll-style batch CDF; this source turns the SAME commit log into a
@@ -101,6 +111,7 @@ from pyspark.sql.types import StructField, StructType
 from ..operators.versioned import (
     _cm_phys,
     _column_mapping_at,
+    _commit_versions,
     _dv_at,
     _entries,
     _file_stats_at,
@@ -142,6 +153,11 @@ class LakeFilePartition(InputPartition):
 def _read_lake_partition(p: LakeFilePartition) -> Iterator:
     """Worker-side file read — pure pyarrow, no SparkSession. Yields
     Arrow record batches matching the source's declared schema."""
+    if p is None:
+        # the engine substitutes [None] for an EMPTY partitions() list
+        # (plan_data_source_read.py) — e.g. every file pruned by a
+        # pushed filter, or an all-deleted snapshot: a valid 0-row read
+        return
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -363,7 +379,17 @@ class MedallionLakeStreamReader(DataSourceStreamReader):
         elif str(self._starting).lower() == "latest":
             off = {"version": lv, "snap": True}       # tail only
         else:
-            off = {"version": int(self._starting) - 1, "snap": True}
+            sv = int(self._starting)
+            if sv < 0 or sv > lv + 1:
+                # beyond-tip starts must refuse: the committed offset
+                # would sit at the TIP (sv-1 is unreachable), and once
+                # new commits land the stream would emit versions BELOW
+                # the requested start — the opposite of what was asked
+                raise ValueError(
+                    f"startingVersion={sv} out of range for {self._path}"
+                    f" (log tip is {lv}; use 0..{lv + 1} or 'latest')"
+                )
+            off = {"version": sv - 1, "snap": True}
         # seed the catch-up throttle: a FRESH stream starting far
         # behind should get bounded batches from its very first one
         self._last_end = off["version"]
@@ -483,6 +509,22 @@ class MedallionLakeStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         parts: list[InputPartition] = []
+        lo, hi = start["version"] + 1, end["version"]
+        if lo <= hi:
+            oldest = min(_commit_versions(self._path), default=lo)
+            if lo < oldest:
+                # expired history: silently replaying only the retained
+                # tail would make the consumer's state drift
+                # UNDETECTABLY (the exact hazard table_changes raises
+                # for) — a stream down longer than log retention must
+                # re-bootstrap, not limp on
+                raise ValueError(
+                    f"stream gap on {self._path}: versions {lo}.."
+                    f"{oldest - 1} were expired (expire_log) before this "
+                    "stream consumed them. Re-bootstrap with a fresh "
+                    "checkpoint (default snapshot mode, or "
+                    f"startingVersion={oldest})."
+                )
         if not start.get("snap", True):
             v0 = start["version"]
             files, _ = _state_at(self._path, v0)
@@ -490,10 +532,9 @@ class MedallionLakeStreamReader(DataSourceStreamReader):
             parts += self._file_parts(
                 files, v0, dvs, "insert" if self._cdf else None
             )
-        for e in _entries(self._path, lo=start["version"] + 1,
-                          hi=end["version"]):
+        for e in _entries(self._path, lo=lo, hi=hi):
             parts += self._entry_partitions(e)
-        self._last_end = end["version"]
+        self._last_end = hi
         return parts
 
     def read(self, partition: LakeFilePartition) -> Iterator:
@@ -538,6 +579,15 @@ class MedallionLakeDataSource(DataSource):
         return st
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if _flag(self.options, "readChangeFeed"):
+            # the batch reader emits plain rows; serving the declared
+            # N+2-column CDF schema from it would schema-mismatch at
+            # runtime — refuse up front with the right pointer
+            raise ValueError(
+                "readChangeFeed is a STREAMING option "
+                "(spark.readStream); for a batch change feed use "
+                "operators.versioned.table_changes()"
+            )
         return MedallionLakeBatchReader(self._path(), dict(self.options))
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:  # noqa: N802

@@ -222,3 +222,29 @@ def test_streaming_sync_delete_then_readd_in_range_stays_alive(
     q.awaitTermination(180)
     t = {r["vec_id"] for r in read_tombstones(spark, idx).collect()}
     assert t == {6}
+
+
+def test_apply_sync_batch_skips_versions_already_synced(spark, tmp_path):
+    """Batch/stream interop: versions at or below the persisted
+    watermark were processed with the RANGE-WIDE last-wins view (a
+    delete + later re-add = alive); a stream micro-batch replaying only
+    the delete's version must not re-tombstone the live doc, and the
+    watermark must never regress."""
+    from medallion_data_lake_spark.operators.index_sync import (
+        _apply_sync_batch,
+    )
+
+    emb, table, idx = _setup(spark, tmp_path)
+    delete_rows_dv(spark, table, keys={"vec_id": [5]})       # v1
+    commit(emb.filter(F.col("vec_id") == 5), table)          # v2 re-add
+    out = sync_deletes_to_index(spark, table, idx)           # wm -> 2
+    assert out["ids_tombstoned"] == 0
+
+    stale = spark.createDataFrame(
+        [(5, "delete", 1)],
+        "vec_id long, _change_type string, _commit_version long",
+    )
+    _apply_sync_batch(stale, 99, table, idx, "vec_id")
+    t = read_tombstones(spark, idx)
+    assert t is None or 5 not in {r["vec_id"] for r in t.collect()}
+    assert read_sync_watermark(idx, table) == latest_version(table)

@@ -413,3 +413,70 @@ def test_stream_max_versions_per_batch_bounds_catchup(spark, tmp_path):
     # batches after batch 0, every step bounded
     assert len(steps) >= 3
     assert all(s <= 2 for s in steps)
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions (r8 second-pass review of the source)
+# ---------------------------------------------------------------------------
+
+
+def test_batch_read_zero_admitted_files_returns_empty(spark, tmp_path):
+    """The engine substitutes [None] for an empty partitions() list —
+    a filter that prunes EVERY file (or an all-deleted snapshot) must
+    come back as 0 rows, not a worker crash."""
+    path = str(tmp_path / "vt")
+    commit(_more(spark, [(1, "a", 1.0), (2, "b", 2.0)]), path,
+           stats_cols=("id",))
+    register_lake_source(spark)
+    df = (
+        spark.read.format(FORMAT_NAME).load(path)
+        .filter(F.col("id") > 10**6)
+    )
+    assert df.count() == 0
+
+
+def test_batch_read_change_feed_refused_with_pointer(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    register_lake_source(spark)
+    with pytest.raises(Exception, match="table_changes"):
+        (
+            spark.read.format(FORMAT_NAME)
+            .option("readChangeFeed", "true")
+            .load(path)
+            .collect()
+        )
+
+
+def test_stream_starting_version_beyond_tip_refused(spark, tmp_path):
+    path = _mk(spark, tmp_path)  # tip = v0
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="out of range"):
+        _run_available_now(
+            read_table_stream(spark, path, starting_version=5), out, ck
+        )
+    # tip+1 is legal: "everything after the current tip"
+    _run_available_now(
+        read_table_stream(spark, path, starting_version=1), out, ck
+    )
+    assert _rows(spark, out) == []
+
+
+def test_stream_refuses_expired_gap(spark, tmp_path):
+    """A stream down longer than log retention must fail loudly on
+    restart (consumer-drift hazard), not silently replay only the
+    retained tail — same contract as table_changes."""
+    from medallion_data_lake_spark.operators.versioned import expire_log
+
+    path = _mk(spark, tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(read_table_stream(spark, path), out, ck)  # @v0
+    for i in range(3, 7):
+        commit(_more(spark, [(i, f"r{i}", float(i))]), path)
+    expire_log(path, keep_last=1)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="expired"):
+        _run_available_now(read_table_stream(spark, path), out, ck)
