@@ -97,6 +97,7 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -105,6 +106,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructField, StructType
 
@@ -592,6 +594,241 @@ class MedallionLakeDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:  # noqa: N802
         return MedallionLakeStreamReader(self._path(), dict(self.options))
+
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        return MedallionLakeStreamWriter(
+            self._path(), schema, overwrite, dict(self.options)
+        )
+
+
+# ---------------------------------------------------------------------------
+# streaming SINK: df.writeStream.format("medallion_lake") — one atomic
+# versioned commit per micro-batch, exactly-once via the log's txn
+# watermark. The write leg runs on executors (pyarrow parquet, no
+# SparkSession); the commit leg runs in the sink runner process, which
+# also has NO SparkSession — every check it performs (txn idempotence,
+# schema drift against the fresh tip, mapping drift) is pure-log, the
+# same resolvers the readers use. What therefore CANNOT run here:
+# table constraints (SQL exprs need Spark) and bloom filters (Spark's
+# xxhash64). Tables with constraints are refused up front — use
+# streaming/versioned_sink.run_append_stream (foreachBatch, full
+# commit() semantics) for those; stats are recorded for NUMERIC columns
+# only (int/float render identically in pyarrow and Spark — temporal/
+# string renderings differ subtly between engines and a mismatched
+# rendering would silently break later stats pruning).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LakeWriteMessage(WriterCommitMessage):
+    """One task's written file (or None for an empty slice) + its
+    numeric min/max stats, shipped to the driver-side commit."""
+
+    file: str | None = None
+    rows: int = 0
+    stats: dict = field(default_factory=dict)
+
+
+class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
+    """APPEND (default) or per-batch OVERWRITE (outputMode complete)
+    into a versioned table. Requires ``txnAppId`` — the (appId,
+    batchId) txn watermark is the second leg of exactly-once (the
+    stream checkpoint stops re-delivery; the watermark stops re-APPLY
+    when a batch replays after its commit published but before the
+    checkpoint epoch committed)."""
+
+    def __init__(self, path: str, schema: StructType, overwrite: bool,
+                 options: dict):
+        self._path = path
+        self._schema = schema
+        self._mode = "overwrite" if overwrite else "append"
+        self._app_id = _opt(options, "txnAppId")
+        if not self._app_id:
+            raise ValueError(
+                f"{FORMAT_NAME} sink needs option('txnAppId', ...): the "
+                "(appId, batchId) watermark in the commit log is what "
+                "makes replayed micro-batches idempotent. Give each "
+                "logical stream its own stable id."
+            )
+        from ..operators.versioned import table_constraints
+
+        if table_constraints(path):
+            raise ValueError(
+                f"table {path} has CHECK constraints; the native sink's "
+                "commit leg has no SparkSession to enforce them — use "
+                "streaming.versioned_sink.run_append_stream (foreachBatch "
+                "-> full commit() semantics) for constrained tables."
+            )
+        sc = _opt(options, "statsColumns")
+        self._stats_cols = tuple(
+            c.strip() for c in sc.split(",") if c.strip()
+        ) if sc else ()
+        allow = _flag(options, "allowSchemaEvolution")
+        self._allow_evolution = allow
+        exists = latest_version(path) is not None
+        # capture the mapping generation the tasks will write under;
+        # commit() refuses if it moved (files would carry stale
+        # physical names — same rule as WAP publish)
+        from ..operators.versioned import _derive_cm
+
+        self._prior_cm = (
+            _column_mapping_at(path) if exists
+            else {"map": {}, "retired": []}
+        )
+        self._cm, self._cm_changed = _derive_cm(
+            self._prior_cm, self._mode, [f.name for f in schema.fields]
+        )
+        numeric = {"byte", "short", "integer", "long", "float", "double"}
+        bad = [
+            f.name for f in schema.fields
+            if f.name in self._stats_cols
+            and f.dataType.typeName() not in numeric
+        ]
+        if bad:
+            raise ValueError(
+                f"statsColumns {bad} are non-numeric; the native sink "
+                "records numeric min/max only (temporal/string stat "
+                "renderings differ between pyarrow and Spark and would "
+                "poison later pruning). Use run_append_stream for full "
+                "stats collection."
+            )
+        if exists and self._mode == "append":
+            from ..operators.versioned import (
+                _check_append_drift,
+                _table_schema_json_logged,
+            )
+
+            logged = _table_schema_json_logged(path)
+            if logged is not None:
+                # early loud failure at stream START; re-checked against
+                # the fresh tip inside every commit
+                _check_append_drift(
+                    path, StructType.fromJson(logged), schema, allow,
+                    what="stream-sink append",
+                )
+
+    # -- executor leg ------------------------------------------------
+
+    def write(self, iterator) -> LakeWriteMessage:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return LakeWriteMessage()
+        tbl = pa.Table.from_batches(batches)
+        m = self._cm.get("map", {})
+        if m:
+            tbl = tbl.rename_columns(
+                [m.get(c, c) for c in tbl.column_names]
+            )
+        rel_dir = os.path.join("data", f"commit-dsw-{_uuid.uuid4().hex[:12]}")
+        os.makedirs(os.path.join(self._path, rel_dir), exist_ok=True)
+        rel = os.path.join(rel_dir, f"part-{_uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, os.path.join(self._path, rel))
+        stats = {}
+        for c in self._stats_cols:
+            phys = m.get(c, c)
+            if phys in tbl.column_names:
+                import pyarrow.compute as pc
+
+                col = tbl[phys]
+                mm = pc.min_max(col).as_py()
+                stats[phys] = [mm["min"], mm["max"]]
+        return LakeWriteMessage(file=rel, rows=tbl.num_rows, stats=stats)
+
+    # -- driver leg (sink runner process, pure-log) --------------------
+
+    def _cleanup(self, messages) -> None:
+        import shutil as _shutil
+
+        for msg in messages or []:
+            if msg is not None and msg.file:
+                _shutil.rmtree(
+                    os.path.dirname(os.path.join(self._path, msg.file)),
+                    ignore_errors=True,
+                )
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import time as _time
+
+        from ..operators.versioned import (
+            _check_append_drift,
+            _publish,
+            _table_schema_json_logged,
+            latest_txn_version,
+        )
+
+        done = latest_txn_version(self._path, self._app_id)
+        if done is not None and done >= batchId:
+            # replay after a published commit: the retried tasks wrote
+            # fresh files nothing references — drop them, keep the
+            # original commit
+            self._cleanup(messages)
+            return
+        if (
+            latest_version(self._path) is not None
+            and _column_mapping_at(self._path) != self._prior_cm
+        ):
+            self._cleanup(messages)
+            raise ValueError(
+                f"column mapping on {self._path} moved while the stream "
+                "sink was writing (concurrent RENAME/DROP): this batch's "
+                "files carry the old physical layout — restart the query."
+            )
+        added = sorted(m.file for m in messages if m is not None and m.file)
+        file_stats = {
+            m.file: m.stats
+            for m in messages
+            if m is not None and m.file and m.stats
+        }
+        table_schema = self._schema
+        schema_changed = False
+
+        def build(version: int) -> dict | None:
+            nonlocal table_schema, schema_changed
+            done = latest_txn_version(self._path, self._app_id)
+            if done is not None and done >= batchId:
+                return None
+            if self._mode == "append" and version > 0:
+                logged = _table_schema_json_logged(
+                    self._path, version - 1
+                )
+                if logged is not None:
+                    # THE shared drift rule, against the fresh tip
+                    table_schema, schema_changed = _check_append_drift(
+                        self._path, StructType.fromJson(logged),
+                        self._schema, self._allow_evolution,
+                        what="stream-sink append",
+                    )
+            removed = []
+            if self._mode == "overwrite" and version > 0:
+                removed, _ = _state_at(self._path, version - 1)
+            entry = {
+                "version": version,
+                "timestamp": _time.time(),
+                "mode": self._mode,
+                "added": added,
+                "removed": removed,
+                "operation": f"STREAM-SINK({self._app_id})",
+                "table_schema": table_schema.jsonValue(),
+                "txn": {"app_id": self._app_id, "version": int(batchId)},
+            }
+            if file_stats:
+                entry["file_stats"] = file_stats
+            if schema_changed:
+                entry["schema_changed"] = True
+            if self._cm_changed:
+                entry["column_mapping"] = self._cm
+            return entry
+
+        if _publish(self._path, build) is None:
+            self._cleanup(messages)  # duplicate won the race
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        self._cleanup(messages)
 
 
 def register_lake_source(spark) -> None:

@@ -480,3 +480,186 @@ def test_stream_refuses_expired_gap(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="expired"):
         _run_available_now(read_table_stream(spark, path), out, ck)
+
+
+# ---------------------------------------------------------------------------
+# streaming SINK: writeStream.format("medallion_lake")
+# ---------------------------------------------------------------------------
+
+
+def _sink(df, dst, ck, app="t", **opts):
+    w = (
+        df.writeStream.format(FORMAT_NAME)
+        .option("path", dst)
+        .option("txnAppId", app)
+        .option("checkpointLocation", ck)
+    )
+    for k, v in opts.items():
+        w = w.option(k, str(v))
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+
+def test_sink_roundtrip_exactly_once_with_stats(spark, tmp_path):
+    """source table -> stream -> sink table: rows arrive exactly once
+    across restarts, commits land as versioned entries with the txn
+    watermark, and numeric per-file stats ride the log (usable by
+    later merge/delete pruning on the destination)."""
+    from medallion_data_lake_spark.operators.versioned import (
+        _file_stats_at,
+        history,
+    )
+
+    src = _mk(spark, tmp_path, "src")
+    dst, ck = str(tmp_path / "dst"), str(tmp_path / "ckink")
+    register_lake_source(spark)
+
+    _sink(read_table_stream(spark, src), dst, ck, statsColumns="id")
+    assert sorted(map(tuple, read_table(spark, dst).collect())) == [
+        (1, "a", 10.0), (2, "b", 20.0)
+    ]
+    commit(_more(spark, [(3, "c", 30.0)]), src)
+    _sink(read_table_stream(spark, src), dst, ck, statsColumns="id")
+    got = sorted(map(tuple, read_table(spark, dst).collect()))
+    assert got == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+    ops = {h.get("operation") for h in history(dst)}
+    assert ops == {"STREAM-SINK(t)"}
+    stats = _file_stats_at(dst)
+    assert stats and all("id" in s for s in stats.values())
+
+
+def test_sink_requires_txn_app_id(spark, tmp_path):
+    src = _mk(spark, tmp_path, "src")
+    register_lake_source(spark)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(Exception, match="txnAppId"):
+        q = (
+            read_table_stream(spark, src)
+            .writeStream.format(FORMAT_NAME)
+            .option("path", str(tmp_path / "dst"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+
+def test_sink_refuses_constrained_tables_and_bad_stats_cols(
+    spark, tmp_path
+):
+    from medallion_data_lake_spark.operators.versioned import (
+        set_table_constraints,
+    )
+
+    src = _mk(spark, tmp_path, "src")
+    dst = _mk(spark, tmp_path, "dst")
+    set_table_constraints(
+        dst, [{"kind": "check", "name": "pos", "sql": "score > 0"}]
+    )
+    register_lake_source(spark)
+    with pytest.raises(Exception, match="run_append_stream"):
+        _sink(read_table_stream(spark, src), dst, str(tmp_path / "ck1"))
+
+    dst2 = str(tmp_path / "dst2")
+    with pytest.raises(Exception, match="non-numeric"):
+        _sink(read_table_stream(spark, src), dst2,
+              str(tmp_path / "ck2"), statsColumns="tag")
+
+
+def test_sink_commit_replay_is_idempotent(spark, tmp_path):
+    """Direct unit drive of the crash window: a batch whose commit
+    PUBLISHED but whose checkpoint epoch didn't — the replayed commit
+    must drop the retried files and keep the original entry."""
+    import pyarrow as pa
+
+    from medallion_data_lake_spark.sources.lakehouse_source import (
+        MedallionLakeStreamWriter,
+    )
+    from medallion_data_lake_spark.operators.versioned import history
+
+    dst = str(tmp_path / "dst")
+    os.makedirs(dst)
+    schema = "id long, tag string, score double"
+    from pyspark.sql.types import StructType
+    st = spark.createDataFrame([], schema).schema
+
+    w = MedallionLakeStreamWriter(dst, st, False, {"txnAppId": "u"})
+    batch = pa.record_batch(
+        {"id": [1, 2], "tag": ["a", "b"], "score": [1.0, 2.0]}
+    )
+    m1 = w.write(iter([batch]))
+    w.commit([m1], 0)
+    assert read_table(spark, dst).count() == 2
+    # replay: same batchId, fresh task files
+    m2 = w.write(iter([batch]))
+    w.commit([m2], 0)
+    assert read_table(spark, dst).count() == 2        # not doubled
+    assert len(history(dst)) == 1
+    assert not os.path.isdir(
+        os.path.dirname(os.path.join(dst, m2.file))
+    )  # retried files cleaned
+
+
+def test_sink_refuses_mapping_drift(spark, tmp_path):
+    """A RENAME landing between stream start and a batch commit leaves
+    the written files on the old physical layout — the commit must
+    refuse, not publish misbound columns."""
+    import pyarrow as pa
+
+    from medallion_data_lake_spark.sources.lakehouse_source import (
+        MedallionLakeStreamWriter,
+    )
+
+    dst = _mk(spark, tmp_path, "dst")
+    st = spark.createDataFrame(
+        [], "id long, tag string, score double"
+    ).schema
+    w = MedallionLakeStreamWriter(dst, st, False, {"txnAppId": "u2"})
+    rename_column(spark, dst, "score", "rating")
+    m = w.write(iter([pa.record_batch(
+        {"id": [9], "tag": ["z"], "score": [9.0]}
+    )]))
+    with pytest.raises(ValueError, match="RENAME"):
+        w.commit([m], 0)
+    # refused batch left no files behind
+    assert not os.path.exists(os.path.join(dst, os.path.dirname(m.file)))
+
+
+def test_sink_complete_mode_overwrites_per_batch(spark, tmp_path):
+    """outputMode complete -> per-batch OVERWRITE commits: the
+    destination always holds exactly the latest aggregate snapshot."""
+    src = _mk(spark, tmp_path, "src")
+    dst, ck = str(tmp_path / "dst"), str(tmp_path / "ck")
+    register_lake_source(spark)
+    agg = (
+        read_table_stream(spark, src)
+        .groupBy("tag").agg(F.sum("score").alias("total"))
+    )
+    q = (
+        agg.writeStream.format(FORMAT_NAME)
+        .outputMode("complete")
+        .option("path", dst)
+        .option("txnAppId", "aggrun")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(map(tuple, read_table(spark, dst).collect())) == [
+        ("a", 10.0), ("b", 20.0)
+    ]
+    commit(_more(spark, [(3, "a", 5.0)]), src)
+    q = (
+        agg.writeStream.format(FORMAT_NAME)
+        .outputMode("complete")
+        .option("path", dst)
+        .option("txnAppId", "aggrun")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(map(tuple, read_table(spark, dst).collect())) == [
+        ("a", 15.0), ("b", 20.0)
+    ]
