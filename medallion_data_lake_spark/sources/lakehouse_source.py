@@ -610,8 +610,9 @@ class MedallionLakeDataSource(DataSource):
 # schema drift against the fresh tip, mapping drift) is pure-log, the
 # same resolvers the readers use. What therefore CANNOT run here:
 # table constraints (SQL exprs need Spark) and bloom filters (Spark's
-# xxhash64). Tables with constraints are refused up front — use
-# streaming/versioned_sink.run_append_stream (foreachBatch, full
+# xxhash64). Constrained tables are refused by the write leg BEFORE any
+# file lands (a mid-stream ALTER ADD CONSTRAINT must not leak files) —
+# use streaming/versioned_sink.run_append_stream (foreachBatch, full
 # commit() semantics) for those; stats are recorded for NUMERIC columns
 # only (int/float render identically in pyarrow and Spark — temporal/
 # string renderings differ subtly between engines and a mismatched
@@ -622,11 +623,21 @@ class MedallionLakeDataSource(DataSource):
 @dataclass
 class LakeWriteMessage(WriterCommitMessage):
     """One task's written file (or None for an empty slice) + its
-    numeric min/max stats, shipped to the driver-side commit."""
+    numeric min/max stats, PLUS the column-mapping generation the file
+    was written under. The engine builds the write-leg writer ONCE at
+    query start but re-instantiates the commit-leg writer fresh per
+    batch (PythonStreamingSinkCommitRunner), so any state the commit
+    needs about what the FILES actually contain must travel in the
+    messages — instance attributes captured at commit-leg __init__
+    describe the log at COMMIT time, not write time."""
 
     file: str | None = None
     rows: int = 0
     stats: dict = field(default_factory=dict)
+    #: mapping the task renamed columns under (logical -> physical)
+    cm: dict = field(default_factory=dict)
+    #: the mapping generation cm was derived FROM (drift base)
+    prior_cm: dict = field(default_factory=dict)
 
 
 class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
@@ -635,7 +646,13 @@ class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
     batchId) txn watermark is the second leg of exactly-once (the
     stream checkpoint stops re-delivery; the watermark stops re-APPLY
     when a batch replays after its commit published but before the
-    checkpoint epoch committed)."""
+    checkpoint epoch committed).
+
+    One deliberate divergence from ``commit()``: per-batch OVERWRITE
+    KEEPS the table's column mapping instead of resetting it — the
+    long-lived write-leg writer renames columns under the mapping it
+    captured at query start, so a reset would misbind every later
+    batch's files. Delta's overwrite keeps the mapping too."""
 
     def __init__(self, path: str, schema: StructType, overwrite: bool,
                  options: dict):
@@ -650,39 +667,38 @@ class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
                 "makes replayed micro-batches idempotent. Give each "
                 "logical stream its own stable id."
             )
-        from ..operators.versioned import table_constraints
-
-        if table_constraints(path):
-            raise ValueError(
-                f"table {path} has CHECK constraints; the native sink's "
-                "commit leg has no SparkSession to enforce them — use "
-                "streaming.versioned_sink.run_append_stream (foreachBatch "
-                "-> full commit() semantics) for constrained tables."
-            )
         sc = _opt(options, "statsColumns")
         self._stats_cols = tuple(
             c.strip() for c in sc.split(",") if c.strip()
         ) if sc else ()
-        allow = _flag(options, "allowSchemaEvolution")
-        self._allow_evolution = allow
+        self._allow_evolution = _flag(options, "allowSchemaEvolution")
         exists = latest_version(path) is not None
-        # capture the mapping generation the tasks will write under;
-        # commit() refuses if it moved (files would carry stale
-        # physical names — same rule as WAP publish)
+        # the mapping generation the write-leg tasks rename under; the
+        # commit leg learns it from the MESSAGES (see LakeWriteMessage)
         from ..operators.versioned import _derive_cm
 
         self._prior_cm = (
             _column_mapping_at(path) if exists
             else {"map": {}, "retired": []}
         )
-        self._cm, self._cm_changed = _derive_cm(
-            self._prior_cm, self._mode, [f.name for f in schema.fields]
+        # append semantics for the derivation even in overwrite mode:
+        # the sink keeps the mapping (class docstring), so collisions
+        # with live/retired physicals must still get fresh names
+        self._cm, _ = _derive_cm(
+            self._prior_cm, "append", [f.name for f in schema.fields]
         )
+        by_name = {f.name: f for f in schema.fields}
+        missing = [c for c in self._stats_cols if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"statsColumns {missing} not in the stream schema "
+                f"(has {sorted(by_name)}) — a typo here would silently "
+                "record no stats and degrade later pruning to full scans."
+            )
         numeric = {"byte", "short", "integer", "long", "float", "double"}
         bad = [
-            f.name for f in schema.fields
-            if f.name in self._stats_cols
-            and f.dataType.typeName() not in numeric
+            c for c in self._stats_cols
+            if by_name[c].dataType.typeName() not in numeric
         ]
         if bad:
             raise ValueError(
@@ -692,19 +708,30 @@ class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
                 "poison later pruning). Use run_append_stream for full "
                 "stats collection."
             )
-        if exists and self._mode == "append":
+        if exists:
             from ..operators.versioned import (
                 _check_append_drift,
                 _table_schema_json_logged,
             )
 
             logged = _table_schema_json_logged(path)
-            if logged is not None:
-                # early loud failure at stream START; re-checked against
-                # the fresh tip inside every commit
+            if logged is None:
+                # publishing the stream schema as authoritative over a
+                # pre-schema-recording log would silently NARROW the
+                # table's union schema (live files may carry columns
+                # the stream lacks) — same refusal as _declared_fields
+                raise ValueError(
+                    f"versioned table at {path} has no recorded "
+                    "table_schema in its log (pre-schema code "
+                    "generation); commit() to it once to record the "
+                    "schema before pointing the native sink at it."
+                )
+            if self._mode == "append":
+                # early loud failure at stream START; re-checked
+                # against the fresh tip inside every commit
                 _check_append_drift(
-                    path, StructType.fromJson(logged), schema, allow,
-                    what="stream-sink append",
+                    path, StructType.fromJson(logged), schema,
+                    self._allow_evolution, what="stream-sink append",
                 )
 
     # -- executor leg ------------------------------------------------
@@ -713,33 +740,71 @@ class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
         import uuid as _uuid
 
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return LakeWriteMessage()
-        tbl = pa.Table.from_batches(batches)
-        m = self._cm.get("map", {})
-        if m:
-            tbl = tbl.rename_columns(
-                [m.get(c, c) for c in tbl.column_names]
+        from ..operators.versioned import table_constraints
+
+        if table_constraints(self._path):
+            # checked per task BEFORE any file lands (a mid-stream
+            # "ALTER ADD CONSTRAINT" must not leak this batch's files):
+            # the commit leg has no SparkSession to enforce SQL exprs
+            raise ValueError(
+                f"table {self._path} has CHECK constraints; the native "
+                "sink cannot enforce them — use streaming.versioned_sink"
+                ".run_append_stream (foreachBatch -> full commit() "
+                "semantics) for constrained tables."
             )
-        rel_dir = os.path.join("data", f"commit-dsw-{_uuid.uuid4().hex[:12]}")
-        os.makedirs(os.path.join(self._path, rel_dir), exist_ok=True)
-        rel = os.path.join(rel_dir, f"part-{_uuid.uuid4().hex}.parquet")
-        pq.write_table(tbl, os.path.join(self._path, rel))
-        stats = {}
-        for c in self._stats_cols:
-            phys = m.get(c, c)
-            if phys in tbl.column_names:
-                import pyarrow.compute as pc
+        m = self._cm.get("map", {})
+        writer = None
+        rel = None
+        rows = 0
+        mins: dict = {}
+        maxs: dict = {}
+        stat_phys = [m.get(c, c) for c in self._stats_cols]
+        for b in iterator:
+            if not b.num_rows:
+                continue
+            t = pa.Table.from_batches([b])
+            if m:
+                t = t.rename_columns(
+                    [m.get(c, c) for c in t.column_names]
+                )
+            if writer is None:
+                rel_dir = os.path.join(
+                    "data", f"commit-dsw-{_uuid.uuid4().hex[:12]}"
+                )
+                os.makedirs(
+                    os.path.join(self._path, rel_dir), exist_ok=True
+                )
+                rel = os.path.join(
+                    rel_dir, f"part-{_uuid.uuid4().hex}.parquet"
+                )
+                writer = pq.ParquetWriter(
+                    os.path.join(self._path, rel), t.schema
+                )
+            # batch-by-batch: peak memory is ONE arrow batch, not the
+            # whole task slice (catch-up batches can be arbitrarily big)
+            writer.write_table(t)
+            rows += t.num_rows
+            for phys in stat_phys:
+                if phys in t.column_names:
+                    mm = pc.min_max(t[phys]).as_py()
+                    if mm["min"] is not None:
+                        if phys not in mins or mm["min"] < mins[phys]:
+                            mins[phys] = mm["min"]
+                        if phys not in maxs or mm["max"] > maxs[phys]:
+                            maxs[phys] = mm["max"]
+        if writer is None:
+            return LakeWriteMessage(cm=self._cm, prior_cm=self._prior_cm)
+        writer.close()
+        stats = {p: [mins[p], maxs[p]] for p in mins}
+        return LakeWriteMessage(
+            file=rel, rows=rows, stats=stats,
+            cm=self._cm, prior_cm=self._prior_cm,
+        )
 
-                col = tbl[phys]
-                mm = pc.min_max(col).as_py()
-                stats[phys] = [mm["min"], mm["max"]]
-        return LakeWriteMessage(file=rel, rows=tbl.num_rows, stats=stats)
-
-    # -- driver leg (sink runner process, pure-log) --------------------
+    # -- driver leg (commit runner process, pure-log) ------------------
 
     def _cleanup(self, messages) -> None:
         import shutil as _shutil
@@ -768,16 +833,14 @@ class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
             # original commit
             self._cleanup(messages)
             return
-        if (
-            latest_version(self._path) is not None
-            and _column_mapping_at(self._path) != self._prior_cm
-        ):
-            self._cleanup(messages)
-            raise ValueError(
-                f"column mapping on {self._path} moved while the stream "
-                "sink was writing (concurrent RENAME/DROP): this batch's "
-                "files carry the old physical layout — restart the query."
-            )
+        # the files' OWN mapping generation, from the write-leg
+        # messages; an empty batch falls back to this (fresh) instance's
+        # capture — with no files there is nothing to misbind
+        carrier = next(
+            (m for m in messages if m is not None and m.file), None
+        )
+        msg_cm = carrier.cm if carrier else self._cm
+        msg_prior = carrier.prior_cm if carrier else self._prior_cm
         added = sorted(m.file for m in messages if m is not None and m.file)
         file_stats = {
             m.file: m.stats
@@ -792,6 +855,21 @@ class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
             done = latest_txn_version(self._path, self._app_id)
             if done is not None and done >= batchId:
                 return None
+            if version > 0:
+                # INSIDE the claim loop (re-runs on every lost race,
+                # like wap.publish_staged): the current mapping must be
+                # the generation the files were written under — or the
+                # one this sink itself published (a collision-derived
+                # mapping lands with the first batch and stays current
+                # for the rest of the run)
+                current = _column_mapping_at(self._path)
+                if current not in (msg_prior, msg_cm):
+                    raise ValueError(
+                        f"column mapping on {self._path} moved while "
+                        "the stream sink was writing (concurrent "
+                        "RENAME/DROP): this batch's files carry the old "
+                        "physical layout — restart the query."
+                    )
             if self._mode == "append" and version > 0:
                 logged = _table_schema_json_logged(
                     self._path, version - 1
@@ -820,11 +898,23 @@ class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
                 entry["file_stats"] = file_stats
             if schema_changed:
                 entry["schema_changed"] = True
-            if self._cm_changed:
-                entry["column_mapping"] = self._cm
+            if msg_cm != msg_prior:
+                # collision-derived fresh physicals: record the files'
+                # binding (overwrite mode still KEEPS the mapping —
+                # class docstring)
+                entry["column_mapping"] = msg_cm
             return entry
 
-        if _publish(self._path, build) is None:
+        try:
+            published = _publish(self._path, build)
+        except Exception:
+            # SchemaDriftError / mapping drift / CommitConflict after
+            # exhausted retries: the batch's files were never referenced
+            # by any entry and vacuum's universe is log-referenced files
+            # — without this they would leak forever
+            self._cleanup(messages)
+            raise
+        if published is None:
             self._cleanup(messages)  # duplicate won the race
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803

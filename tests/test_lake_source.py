@@ -663,3 +663,82 @@ def test_sink_complete_mode_overwrites_per_batch(spark, tmp_path):
     assert sorted(map(tuple, read_table(spark, dst).collect())) == [
         ("a", 15.0), ("b", 20.0)
     ]
+
+
+def test_sink_stats_typo_refused(spark, tmp_path):
+    src = _mk(spark, tmp_path, "src")
+    register_lake_source(spark)
+    with pytest.raises(Exception, match="not in the stream schema"):
+        _sink(read_table_stream(spark, src), str(tmp_path / "d"),
+              str(tmp_path / "ck"), statsColumns="idd")
+
+
+def test_sink_overwrite_keeps_column_mapping(spark, tmp_path):
+    """Per-batch OVERWRITE keeps the mapping (unlike commit(), which
+    resets it): the long-lived write-leg writer renames under the
+    mapping captured at query start, so a reset would misbind every
+    later batch's files."""
+    import pyarrow as pa
+
+    from medallion_data_lake_spark.sources.lakehouse_source import (
+        MedallionLakeStreamWriter,
+    )
+    from medallion_data_lake_spark.operators.versioned import (
+        _column_mapping_at,
+    )
+
+    dst = _mk(spark, tmp_path, "dst")
+    rename_column(spark, dst, "score", "rating")
+    cm_before = _column_mapping_at(dst)
+    st = spark.createDataFrame(
+        [], "id long, tag string, rating double"
+    ).schema
+    w = MedallionLakeStreamWriter(dst, st, True, {"txnAppId": "ow"})
+    m = w.write(iter([pa.record_batch(
+        {"id": [7], "tag": ["g"], "rating": [70.0]}
+    )]))
+    w.commit([m], 0)
+    assert _column_mapping_at(dst) == cm_before  # mapping retained
+    got = read_table(spark, dst)
+    assert got.columns == ["id", "tag", "rating"]
+    assert [tuple(r) for r in got.collect()] == [(7, "g", 70.0)]
+    # second batch from the SAME long-lived instance still binds
+    m2 = w.write(iter([pa.record_batch(
+        {"id": [8], "tag": ["h"], "rating": [80.0]}
+    )]))
+    w.commit([m2], 1)
+    assert sorted(map(tuple, read_table(spark, dst).collect())) == [
+        (8, "h", 80.0)
+    ]
+
+
+def test_sink_failed_commit_cleans_files(spark, tmp_path):
+    """A commit refused by the drift rule must delete the batch's
+    files — they are referenced by no entry, and vacuum's candidate
+    universe is log-referenced files, so a leak here is permanent."""
+    import pyarrow as pa
+
+    from medallion_data_lake_spark.sources.lakehouse_source import (
+        MedallionLakeStreamWriter,
+    )
+
+    dst = _mk(spark, tmp_path, "dst")
+    st = spark.createDataFrame(
+        [], "id long, tag string, score string"  # type change: refused
+    ).schema
+    w = MedallionLakeStreamWriter.__new__(MedallionLakeStreamWriter)
+    # bypass the early __init__ drift check to reach the commit-leg one
+    w._path, w._schema, w._mode = dst, st, "append"
+    w._app_id, w._stats_cols = "drifty", ()
+    w._allow_evolution = False
+    w._prior_cm = {"map": {}, "retired": []}
+    w._cm = {"map": {}, "retired": []}
+    m = w.write(iter([pa.record_batch(
+        {"id": [9], "tag": ["z"], "score": ["oops"]}
+    )]))
+    assert os.path.exists(os.path.join(dst, m.file))
+    with pytest.raises(Exception, match="drift"):
+        w.commit([m], 0)
+    assert not os.path.exists(
+        os.path.join(dst, os.path.dirname(m.file))
+    )
