@@ -72,7 +72,8 @@ def main(argv: list[str] | None = None) -> int:
                  "serve", "explain", "changes", "update", "delete",
                  "curate", "verify-release", "index-health",
                  "rename-column", "drop-column", "index-delete",
-                 "index-compact", "index-sync", "staged",
+                 "index-compact", "index-sync", "index-sync-stream",
+                 "tail", "staged",
                  "publish-staged", "abandon-staged", "expire-staged",
                  "clone"],
     )
@@ -118,6 +119,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="index-health: sample size for recall re-measure")
     ap.add_argument("--index", default=None,
                     help="persisted ANN index path for index-sync")
+    ap.add_argument("--cdf", action="store_true",
+                    help="tail: emit change rows (_change_type, "
+                         "_commit_version) instead of plain appends")
+    ap.add_argument("--checkpoint", default=None,
+                    help="tail: offset checkpoint dir (reuse to get "
+                         "only-new rows across invocations)")
     ap.add_argument("--id-col", default="vec_id",
                     help="document id column for index-sync")
     ap.add_argument("--from-col", default=None,
@@ -454,6 +461,53 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(sync_deletes_to_index(
             spark, args.arg, args.index, id_col=args.id_col)))
+    elif args.verb == "index-sync-stream":
+        # the streaming form: tail the table's change feed through the
+        # medallion_lake source, one-shot catch-up (availableNow)
+        if not args.arg or not args.index:
+            print("index-sync-stream requires a versioned-table path "
+                  "and --index PATH", file=sys.stderr)
+            return 2
+        from .operators.index_sync import (
+            read_sync_watermark,
+            run_index_sync_stream,
+        )
+
+        q = run_index_sync_stream(
+            spark, args.arg, args.index, id_col=args.id_col
+        )
+        q.awaitTermination()
+        print(json.dumps({
+            "synced_through": read_sync_watermark(args.index, args.arg)
+        }))
+    elif args.verb == "tail":
+        # follow a versioned table as a stream (medallion_lake source):
+        # prints the new rows (or CDF change rows with --cdf) since the
+        # last run with the same --checkpoint, via the console sink
+        if not args.arg:
+            print("tail requires a table path", file=sys.stderr)
+            return 2
+        import tempfile
+
+        from .sources.lakehouse_source import read_table_stream
+
+        opts = {}
+        if args.cdf:
+            opts["read_change_feed"] = True
+        if args.from_version:
+            opts["starting_version"] = args.from_version
+        ck = args.checkpoint or tempfile.mkdtemp(prefix="mdls-tail-")
+        q = (
+            read_table_stream(spark, args.arg, **opts)
+            .writeStream.format("console")
+            .option("truncate", "false")
+            .option("numRows", str(args.limit))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        print(json.dumps({"checkpoint": ck}))
     elif args.verb == "staged":
         # write-audit-publish: list the table's live stagings
         if not args.arg:
