@@ -96,6 +96,7 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
@@ -600,6 +601,11 @@ class MedallionLakeDataSource(DataSource):
             self._path(), schema, overwrite, dict(self.options)
         )
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return MedallionLakeBatchWriter(
+            self._path(), schema, overwrite, dict(self.options)
+        )
+
 
 # ---------------------------------------------------------------------------
 # streaming SINK: df.writeStream.format("medallion_lake") — one atomic
@@ -640,27 +646,27 @@ class LakeWriteMessage(WriterCommitMessage):
     prior_cm: dict = field(default_factory=dict)
 
 
-class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
-    """APPEND (default) or per-batch OVERWRITE (outputMode complete)
-    into a versioned table. Requires ``txnAppId`` — the (appId,
-    batchId) txn watermark is the second leg of exactly-once (the
-    stream checkpoint stops re-delivery; the watermark stops re-APPLY
-    when a batch replays after its commit published but before the
-    checkpoint epoch committed).
+class _LakeArrowWriterCore:
+    """Shared write/commit machinery for the streaming sink and the
+    batch writer — identical file format, stats, mapping discipline,
+    and claim-loop checks; only the txn leg differs (streams carry the
+    (txnAppId, batchId) watermark, batch saves have no replay to
+    defend against).
 
-    One deliberate divergence from ``commit()``: per-batch OVERWRITE
-    KEEPS the table's column mapping instead of resetting it — the
-    long-lived write-leg writer renames columns under the mapping it
+    One deliberate divergence from ``commit()``: OVERWRITE KEEPS the
+    table's column mapping instead of resetting it — the long-lived
+    stream write-leg writer renames columns under the mapping it
     captured at query start, so a reset would misbind every later
-    batch's files. Delta's overwrite keeps the mapping too."""
+    batch's files. Delta's overwrite keeps the mapping too; the batch
+    writer follows the same rule so the format is self-consistent."""
 
     def __init__(self, path: str, schema: StructType, overwrite: bool,
-                 options: dict):
+                 options: dict, require_txn: bool):
         self._path = path
         self._schema = schema
         self._mode = "overwrite" if overwrite else "append"
         self._app_id = _opt(options, "txnAppId")
-        if not self._app_id:
+        if require_txn and not self._app_id:
             raise ValueError(
                 f"{FORMAT_NAME} sink needs option('txnAppId', ...): the "
                 "(appId, batchId) watermark in the commit log is what "
@@ -816,7 +822,7 @@ class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
                     ignore_errors=True,
                 )
 
-    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+    def _commit_impl(self, messages, batch_id: int | None) -> None:
         import time as _time
 
         from ..operators.versioned import (
@@ -826,8 +832,12 @@ class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
             latest_txn_version,
         )
 
-        done = latest_txn_version(self._path, self._app_id)
-        if done is not None and done >= batchId:
+        has_txn = batch_id is not None and self._app_id is not None
+        done = (
+            latest_txn_version(self._path, self._app_id)
+            if has_txn else None
+        )
+        if done is not None and done >= batch_id:
             # replay after a published commit: the retried tasks wrote
             # fresh files nothing references — drop them, keep the
             # original commit
@@ -852,9 +862,10 @@ class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
 
         def build(version: int) -> dict | None:
             nonlocal table_schema, schema_changed
-            done = latest_txn_version(self._path, self._app_id)
-            if done is not None and done >= batchId:
-                return None
+            if has_txn:
+                done = latest_txn_version(self._path, self._app_id)
+                if done is not None and done >= batch_id:
+                    return None
             if version > 0:
                 # INSIDE the claim loop (re-runs on every lost race,
                 # like wap.publish_staged): the current mapping must be
@@ -890,10 +901,16 @@ class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
                 "mode": self._mode,
                 "added": added,
                 "removed": removed,
-                "operation": f"STREAM-SINK({self._app_id})",
+                "operation": (
+                    f"STREAM-SINK({self._app_id})" if has_txn
+                    else f"WRITE({FORMAT_NAME})"
+                ),
                 "table_schema": table_schema.jsonValue(),
-                "txn": {"app_id": self._app_id, "version": int(batchId)},
             }
+            if has_txn:
+                entry["txn"] = {
+                    "app_id": self._app_id, "version": int(batch_id)
+                }
             if file_stats:
                 entry["file_stats"] = file_stats
             if schema_changed:
@@ -917,7 +934,41 @@ class MedallionLakeStreamWriter(DataSourceStreamArrowWriter):
         if published is None:
             self._cleanup(messages)  # duplicate won the race
 
+
+class MedallionLakeStreamWriter(_LakeArrowWriterCore,
+                                DataSourceStreamArrowWriter):
+    """APPEND (default) or per-batch OVERWRITE (outputMode complete):
+    one atomic versioned commit per micro-batch, exactly-once via the
+    (txnAppId, batchId) watermark (required)."""
+
+    def __init__(self, path: str, schema: StructType, overwrite: bool,
+                 options: dict):
+        super().__init__(path, schema, overwrite, options,
+                         require_txn=True)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        self._commit_impl(messages, int(batchId))
+
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        self._cleanup(messages)
+
+
+class MedallionLakeBatchWriter(_LakeArrowWriterCore,
+                               DataSourceArrowWriter):
+    """``df.write.format("medallion_lake").save(path)`` — SaveMode
+    append/overwrite as one atomic versioned commit (same file format,
+    stats, mapping and drift discipline as the streaming sink; no txn
+    leg — batch saves have no replay to defend against)."""
+
+    def __init__(self, path: str, schema: StructType, overwrite: bool,
+                 options: dict):
+        super().__init__(path, schema, overwrite, options,
+                         require_txn=False)
+
+    def commit(self, messages) -> None:
+        self._commit_impl(messages, None)
+
+    def abort(self, messages) -> None:
         self._cleanup(messages)
 
 

@@ -742,3 +742,38 @@ def test_sink_failed_commit_cleans_files(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(dst, os.path.dirname(m.file))
     )
+
+
+def test_batch_writer_save_modes(spark, tmp_path):
+    """df.write.format('medallion_lake'): append/overwrite land as
+    atomic versioned commits with the same file format and drift
+    discipline as the streaming sink."""
+    from medallion_data_lake_spark.operators.versioned import history
+
+    dst = str(tmp_path / "dst")
+    register_lake_source(spark)
+    # Python data sources accept only Append/Overwrite SaveModes
+    _more(spark, [(1, "a", 1.0)]).write.format(FORMAT_NAME).mode(
+        "append"
+    ).save(dst)
+    _more(spark, [(2, "b", 2.0)]).write.format(FORMAT_NAME).mode(
+        "append"
+    ).save(dst)
+    assert sorted(map(tuple, read_table(spark, dst).collect())) == [
+        (1, "a", 1.0), (2, "b", 2.0)
+    ]
+    _more(spark, [(9, "z", 9.0)]).write.format(FORMAT_NAME).mode(
+        "overwrite"
+    ).save(dst)
+    assert [tuple(r) for r in read_table(spark, dst).collect()] == [
+        (9, "z", 9.0)
+    ]
+    assert [h["mode"] for h in history(dst)] == [
+        "append", "append", "overwrite"
+    ]
+    # drift discipline: a type change refuses like commit()
+    with pytest.raises(Exception, match="drift"):
+        _more(spark, [(3, "c", "nope")],
+              "id long, tag string, score string").write.format(
+            FORMAT_NAME
+        ).mode("append").save(dst)
