@@ -73,7 +73,7 @@ def main(argv: list[str] | None = None) -> int:
                  "curate", "verify-release", "index-health",
                  "rename-column", "drop-column", "index-delete",
                  "index-compact", "index-sync", "index-sync-stream",
-                 "tail", "staged",
+                 "tail", "sweep-orphans", "staged",
                  "publish-staged", "abandon-staged", "expire-staged",
                  "clone"],
     )
@@ -119,6 +119,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="index-health: sample size for recall re-measure")
     ap.add_argument("--index", default=None,
                     help="persisted ANN index path for index-sync")
+    ap.add_argument("--older-than", type=float, default=6 * 3600,
+                    help="sweep-orphans: minimum age (sec) before an "
+                         "unreferenced commit dir is reclaimed")
     ap.add_argument("--cdf", action="store_true",
                     help="tail: emit change rows (_change_type, "
                          "_commit_version) instead of plain appends")
@@ -508,6 +511,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         q.awaitTermination()
         print(json.dumps({"checkpoint": ck}))
+    elif args.verb == "sweep-orphans":
+        # reclaim commit dirs no entry/checkpoint/staging references
+        # (crash-between-write-and-publish leaks; see versioned.py)
+        if not args.arg:
+            print("sweep-orphans requires a table path", file=sys.stderr)
+            return 2
+        from .operators.versioned import sweep_orphan_commit_dirs
+
+        print(json.dumps({"swept": sweep_orphan_commit_dirs(
+            args.arg, older_than_sec=args.older_than)}))
     elif args.verb == "staged":
         # write-audit-publish: list the table's live stagings
         if not args.arg:

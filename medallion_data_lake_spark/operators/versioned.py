@@ -1679,6 +1679,66 @@ def vacuum(path: str, keep_last: int = 1, dry_run: bool = False) -> list[str]:
     return doomed
 
 
+def sweep_orphan_commit_dirs(
+    path: str, older_than_sec: float, dry_run: bool = False
+) -> list[str]:
+    """Reclaim ``data/commit-*`` dirs that NO log entry or checkpoint
+    has ever referenced — the leak class every crash-between-write-and-
+    publish leaves behind (a writer killed before ``commit()``
+    published; a stream-sink driver killed between the task writes and
+    the commit leg; a lost-race duplicate whose cleanup itself died).
+    These files are invisible to readers (entries name files, not
+    dirs) AND to :func:`vacuum` (whose candidate universe is
+    log-referenced files), so without this sweep they leak forever.
+
+    Safety rails: a dir survives if ANY of its files is referenced by
+    any retained entry or checkpoint (committed data), if a live WAP
+    staging manifest claims it (staged-not-yet-published data — that
+    lifecycle belongs to ``wap.expire_staged``), or if it is younger
+    than ``older_than_sec`` (a write in flight RIGHT NOW). Run it on
+    the same maintenance cadence as vacuum, with a horizon comfortably
+    above the longest plausible write (hours, not minutes)."""
+    data_root = os.path.join(path, "data")
+    if not os.path.isdir(data_root):
+        return []
+    referenced_dirs: set[str] = set()
+    for e in _entries(path):
+        for rel in e.get("added", []):
+            referenced_dirs.add(rel.split(os.sep)[1])
+    for cv in _checkpoint_versions(path):
+        for rel in _read_checkpoint(path, cv).get("live", []):
+            parts = rel.split(os.sep)
+            if len(parts) > 1:
+                referenced_dirs.add(parts[1])
+    staged_dirs: set[str] = set()
+    staging_root = os.path.join(path, "_staging")
+    if os.path.isdir(staging_root):
+        for f in os.listdir(staging_root):
+            if f.endswith(".json"):
+                try:
+                    m = json.load(open(os.path.join(staging_root, f)))
+                    staged_dirs.add(os.path.basename(m.get("data_dir", "")))
+                except (OSError, ValueError):
+                    continue  # unreadable manifest: leave its dir alone
+    now = time.time()
+    swept = []
+    for d in sorted(os.listdir(data_root)):
+        if not d.startswith("commit-"):
+            continue
+        if d in referenced_dirs or d in staged_dirs:
+            continue
+        full = os.path.join(data_root, d)
+        try:
+            if now - os.path.getmtime(full) <= older_than_sec:
+                continue
+        except OSError:
+            continue
+        swept.append(os.path.join("data", d))
+        if not dry_run:
+            shutil.rmtree(full, ignore_errors=True)
+    return swept
+
+
 def expire_log(path: str, keep_last: int = 1) -> dict:
     """Bound table METADATA the way ``vacuum`` bounds data: drop history
     older than the last ``keep_last`` versions — first vacuum the

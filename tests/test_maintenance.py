@@ -143,3 +143,53 @@ def test_range_sorted_write_prunes_on_footer_stats(spark, tmp_path):
     touched = sum(1 for (a, b) in ranges if a <= probe <= b)
     assert touched == 1
     assert spark.read.parquet(path).count() == df.count()
+
+
+def test_sweep_orphan_commit_dirs(spark, tmp_path):
+    """Crash-between-write-and-publish leaks: an unreferenced old
+    commit dir is reclaimed; committed dirs, LIVE WAP stagings, and
+    young (in-flight) dirs survive."""
+    import os
+    import time
+
+    from medallion_data_lake_spark.operators.versioned import (
+        commit,
+        read_table,
+        sweep_orphan_commit_dirs,
+    )
+    from medallion_data_lake_spark.operators.wap import (
+        list_staged,
+        publish_staged,
+        stage_commit,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame([(1, "a")], "id long, tag string")
+    commit(df, path)
+    sid = stage_commit(
+        spark.createDataFrame([(2, "b")], "id long, tag string"), path
+    )
+    leak_old = os.path.join(path, "data", "commit-deadbeef0001")
+    os.makedirs(leak_old)
+    open(os.path.join(leak_old, "p.parquet"), "w").write("x")
+    os.utime(leak_old, (0, 0))
+    leak_new = os.path.join(path, "data", "commit-deadbeef0002")
+    os.makedirs(leak_new)
+    open(os.path.join(leak_new, "p.parquet"), "w").write("x")
+
+    assert sweep_orphan_commit_dirs(path, 3600, dry_run=True) == [
+        os.path.join("data", "commit-deadbeef0001")
+    ]
+    swept = sweep_orphan_commit_dirs(path, 3600)
+    assert swept == [os.path.join("data", "commit-deadbeef0001")]
+    assert not os.path.isdir(leak_old)
+    assert os.path.isdir(leak_new)                 # young: in flight
+    assert read_table(spark, path).count() == 1    # committed intact
+    assert [m["staging_id"] for m in list_staged(path)] == [sid]
+    publish_staged(spark, path, sid)               # staging unharmed
+    assert read_table(spark, path).count() == 2
+    # after an old dir ages past the horizon it goes too
+    os.utime(leak_new, (0, 0))
+    assert sweep_orphan_commit_dirs(path, 3600) == [
+        os.path.join("data", "commit-deadbeef0002")
+    ]
