@@ -119,9 +119,6 @@ def main(argv: list[str] | None = None) -> int:
                     help="index-health: sample size for recall re-measure")
     ap.add_argument("--index", default=None,
                     help="persisted ANN index path for index-sync")
-    ap.add_argument("--older-than", type=float, default=6 * 3600,
-                    help="sweep-orphans: minimum age (sec) before an "
-                         "unreferenced commit dir is reclaimed")
     ap.add_argument("--cdf", action="store_true",
                     help="tail: emit change rows (_change_type, "
                          "_commit_version) instead of plain appends")
@@ -140,8 +137,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="publish-staged/abandon-staged: the id returned "
                          "by operators.wap.stage_commit")
     ap.add_argument("--older-than", type=float, default=86400.0,
-                    help="expire-staged: reclaim stagings older than this "
-                         "many seconds (default 1 day)")
+                    help="expire-staged / sweep-orphans: reclaim items "
+                         "older than this many seconds (default 1 day)")
     ap.add_argument("--at-version", type=int, default=None,
                     help="clone: source snapshot version (default: latest)")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",

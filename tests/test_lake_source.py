@@ -777,3 +777,36 @@ def test_batch_writer_save_modes(spark, tmp_path):
               "id long, tag string, score string").write.format(
             FORMAT_NAME
         ).mode("append").save(dst)
+
+
+def test_two_lake_streams_compose_in_one_query(spark, tmp_path):
+    """Composability: two versioned tables tailed as streams join into
+    a third through the native sink — the full medallion hop expressed
+    entirely in spark.readStream/writeStream over one commit-log
+    format. (Stream-stream inner join without watermarks is unbounded
+    state in general; availableNow keeps this a bounded catch-up run,
+    which is the maintenance-job shape.)"""
+    facts = str(tmp_path / "facts")
+    dims = str(tmp_path / "dims")
+    commit(spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, v long"), facts)
+    commit(spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, name string"), dims)
+    register_lake_source(spark)
+    joined = (
+        read_table_stream(spark, facts)
+        .join(spark.read.format(FORMAT_NAME).load(dims), "id")
+    )
+    dst, ck = str(tmp_path / "dst"), str(tmp_path / "ck")
+    q = (
+        joined.writeStream.format(FORMAT_NAME)
+        .option("path", dst)
+        .option("txnAppId", "hop")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(map(tuple, read_table(spark, dst).collect())) == [
+        (1, 10, "x"), (2, 20, "y")
+    ]
