@@ -261,6 +261,37 @@ def _flag(options: dict, name: str) -> bool:
     return str(_opt(options, name, "false")).lower() in ("true", "1", "yes")
 
 
+
+def _resolve_version_opt(path: str, options: dict) -> int | None:
+    """``version`` / ``timestampAsOf`` -> a pinned log version (None =
+    latest). Timestamp travel resolves to the newest commit at/before
+    the instant, from entry timestamps alone — same rule as
+    ``read_table(as_of_timestamp=...)``. Accepts epoch seconds or an
+    ISO date/datetime string."""
+    v = _opt(options, "version")
+    ts = _opt(options, "timestampAsOf")
+    if v is not None and ts is not None:
+        raise ValueError("give version OR timestampAsOf, not both")
+    if v is not None:
+        return int(v)
+    if ts is None:
+        return None
+    try:
+        cutoff = float(ts)
+    except ValueError:
+        import datetime as _dt
+
+        cutoff = _dt.datetime.fromisoformat(ts).timestamp()
+    eligible = [
+        e["version"] for e in _entries(path) if e["timestamp"] <= cutoff
+    ]
+    if not eligible:
+        raise ValueError(
+            f"no commit at or before timestampAsOf={ts} on {path}"
+        )
+    return max(eligible)
+
+
 class MedallionLakeBatchReader(DataSourceReader):
     """Batch: one partition per live data file at the requested
     version, DV positions attached. ``pushFilters`` prunes files on
@@ -269,8 +300,7 @@ class MedallionLakeBatchReader(DataSourceReader):
 
     def __init__(self, path: str, options: dict):
         self._path = path
-        v = _opt(options, "version")
-        self._version = int(v) if v is not None else None
+        self._version = _resolve_version_opt(path, options)
         self._schema_json, self._fields = _declared_fields(
             path, self._version, _opt(options, "columns")
         )
@@ -565,9 +595,8 @@ class MedallionLakeDataSource(DataSource):
 
     def schema(self) -> StructType:
         path = self._path()
-        v = _opt(self.options, "version")
         schema_json, _ = _declared_fields(
-            path, int(v) if v is not None else None,
+            path, _resolve_version_opt(path, dict(self.options)),
             _opt(self.options, "columns"),
         )
         st = StructType.fromJson(schema_json)

@@ -810,3 +810,30 @@ def test_two_lake_streams_compose_in_one_query(spark, tmp_path):
     assert sorted(map(tuple, read_table(spark, dst).collect())) == [
         (1, 10, "x"), (2, 20, "y")
     ]
+
+
+def test_batch_read_timestamp_as_of(spark, tmp_path):
+    """timestampAsOf resolves to the newest commit at/before the
+    instant — same contract as read_table(as_of_timestamp=...)."""
+    import json as _json
+    import os as _os
+
+    path = _mk(spark, tmp_path)                   # v0
+    commit(_more(spark, [(3, "c", 30.0)]), path)  # v1
+    log = _os.path.join(path, "_log")
+    ts0 = _json.load(open(_os.path.join(log, f"{0:020d}.json")))["timestamp"]
+    register_lake_source(spark)
+    old = (
+        spark.read.format(FORMAT_NAME)
+        .option("timestampAsOf", str(ts0))
+        .load(path)
+    )
+    assert {r["id"] for r in old.collect()} == {1, 2}
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format(FORMAT_NAME)
+            .option("timestampAsOf", str(ts0))
+            .option("version", "1")
+            .load(path)
+            .collect()
+        )
