@@ -589,8 +589,19 @@ class MedallionLakeDataSource(DataSource):
         if not p:
             raise ValueError(
                 f"{FORMAT_NAME} needs a table path: .load(path) or "
-                ".option('path', ...)"
+                ".option('path', ...). (A catalog table created with "
+                "CREATE TABLE ... USING medallion_lake loses its "
+                "OPTIONS at scan time — Spark 4.1 re-instantiates "
+                "Python sources without them; register a temp view "
+                "over spark.read.format(...).load(path) instead.)"
             )
+        if p.startswith("file:"):
+            # SQL DDL (CREATE TABLE ... USING medallion_lake) hands the
+            # source a qualified file: URI; the log resolvers speak
+            # plain filesystem paths
+            from urllib.parse import urlparse
+
+            p = urlparse(p).path
         return p
 
     def schema(self) -> StructType:
