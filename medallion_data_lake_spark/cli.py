@@ -93,8 +93,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="optimize: comma-separated columns to ZORDER BY")
     ap.add_argument("--keep-last", type=int, default=7,
                     help="expire: snapshots to retain (data + log)")
-    ap.add_argument("--from-version", type=int, default=0,
-                    help="changes: feed start version (inclusive)")
+    ap.add_argument("--from-version", type=int, default=None,
+                    help="changes/tail: feed start version (inclusive; "
+                         "changes defaults to 0, tail to snapshot mode)")
     ap.add_argument("--range", action="append", default=[],
                     metavar="COL:LO:HI",
                     help="update/delete: range predicate (repeatable; "
@@ -283,7 +284,10 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         from .operators.versioned import table_changes
 
-        table_changes(spark, args.arg, args.from_version).orderBy(
+        table_changes(
+            spark, args.arg,
+            0 if args.from_version is None else args.from_version,
+        ).orderBy(
             "_commit_version"
         ).show(args.limit, truncate=False)
     elif args.verb in ("update", "delete"):
@@ -494,7 +498,7 @@ def main(argv: list[str] | None = None) -> int:
         opts = {}
         if args.cdf:
             opts["read_change_feed"] = True
-        if args.from_version:
+        if args.from_version is not None:
             opts["starting_version"] = args.from_version
         ck = args.checkpoint or tempfile.mkdtemp(prefix="mdls-tail-")
         q = (

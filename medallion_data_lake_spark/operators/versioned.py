@@ -953,6 +953,19 @@ def commit(
     return entry
 
 
+def version_at_timestamp(path: str, cutoff: float) -> int:
+    """THE timestamp-travel rule (newest commit at/before ``cutoff``,
+    epoch seconds) — shared by ``read_table(as_of_timestamp=...)`` and
+    the ``medallion_lake`` data source's ``timestampAsOf`` option so
+    the two surfaces can never resolve the same instant differently."""
+    eligible = [
+        e["version"] for e in _entries(path) if e["timestamp"] <= cutoff
+    ]
+    if not eligible:
+        raise ValueError(f"no commit at or before ts={cutoff} on {path}")
+    return max(eligible)
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -966,14 +979,7 @@ def read_table(
     if latest_version(path) is None:
         raise FileNotFoundError(f"no versioned table at {path}")
     if as_of_timestamp is not None:
-        eligible = [
-            e["version"]
-            for e in _entries(path)
-            if e["timestamp"] <= as_of_timestamp
-        ]
-        if not eligible:
-            raise ValueError(f"no commit at or before ts={as_of_timestamp}")
-        version = max(eligible)
+        version = version_at_timestamp(path, as_of_timestamp)
     if version is not None:
         known = _commit_versions(path) + _checkpoint_versions(path)
         oldest = min(known)
@@ -1701,15 +1707,13 @@ def sweep_orphan_commit_dirs(
     data_root = os.path.join(path, "data")
     if not os.path.isdir(data_root):
         return []
-    referenced_dirs: set[str] = set()
-    for e in _entries(path):
-        for rel in e.get("added", []):
-            referenced_dirs.add(rel.split(os.sep)[1])
-    for cv in _checkpoint_versions(path):
-        for rel in _read_checkpoint(path, cv).get("live", []):
-            parts = rel.split(os.sep)
-            if len(parts) > 1:
-                referenced_dirs.add(parts[1])
+    # scan _staging BEFORE the log: publish_staged writes the log entry
+    # FIRST and drops the manifest after, so a publish racing this
+    # sweep is caught on one side or the other (manifest still present
+    # -> staged_dirs protects it; manifest already gone -> the entry
+    # exists by the time the log scan below runs). Scanning the log
+    # first would leave a window where a just-published dir looks
+    # unreferenced AND unmanifested — and gets deleted (data loss).
     staged_dirs: set[str] = set()
     staging_root = os.path.join(path, "_staging")
     if os.path.isdir(staging_root):
@@ -1720,22 +1724,55 @@ def sweep_orphan_commit_dirs(
                     staged_dirs.add(os.path.basename(m.get("data_dir", "")))
                 except (OSError, ValueError):
                     continue  # unreadable manifest: leave its dir alone
+    referenced_dirs: set[str] = set()
+    for e in _entries(path):
+        for rel in e.get("added", []):
+            referenced_dirs.add(rel.split(os.sep)[1])
+    for cv in _checkpoint_versions(path):
+        for rel in _read_checkpoint(path, cv).get("live", []):
+            parts = rel.split(os.sep)
+            if len(parts) > 1:
+                referenced_dirs.add(parts[1])
     now = time.time()
     swept = []
+    stats_root = os.path.join(path, "_stats")
+
+    def _old_enough(full: str) -> bool:
+        try:
+            return now - os.path.getmtime(full) > older_than_sec
+        except OSError:
+            return False
+
     for d in sorted(os.listdir(data_root)):
         if not d.startswith("commit-"):
             continue
         if d in referenced_dirs or d in staged_dirs:
             continue
         full = os.path.join(data_root, d)
-        try:
-            if now - os.path.getmtime(full) <= older_than_sec:
-                continue
-        except OSError:
+        if not _old_enough(full):
             continue
         swept.append(os.path.join("data", d))
         if not dry_run:
             shutil.rmtree(full, ignore_errors=True)
+            # the same crash leaks the commit's _stats partials
+            # (written pre-publish by analyze_stats) — reclaim together
+            shutil.rmtree(os.path.join(stats_root, d), ignore_errors=True)
+    # stats partials whose data dir is already gone (e.g. swept by an
+    # earlier code generation) leak independently — same rails apply
+    if os.path.isdir(stats_root):
+        for d in sorted(os.listdir(stats_root)):
+            if (
+                d.startswith("commit-")
+                and d not in referenced_dirs
+                and d not in staged_dirs
+                and not os.path.isdir(os.path.join(data_root, d))
+                and _old_enough(os.path.join(stats_root, d))
+            ):
+                swept.append(os.path.join("_stats", d))
+                if not dry_run:
+                    shutil.rmtree(
+                        os.path.join(stats_root, d), ignore_errors=True
+                    )
     return swept
 
 

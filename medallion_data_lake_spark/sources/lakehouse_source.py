@@ -264,10 +264,15 @@ def _flag(options: dict, name: str) -> bool:
 
 def _resolve_version_opt(path: str, options: dict) -> int | None:
     """``version`` / ``timestampAsOf`` -> a pinned log version (None =
-    latest). Timestamp travel resolves to the newest commit at/before
-    the instant, from entry timestamps alone — same rule as
-    ``read_table(as_of_timestamp=...)``. Accepts epoch seconds or an
-    ISO date/datetime string."""
+    latest), via the SAME resolution rule as
+    ``read_table(as_of_timestamp=...)`` (``version_at_timestamp``).
+    Accepts epoch seconds or an ISO date/datetime string; a NAIVE ISO
+    string is interpreted as UTC — this source has no SparkSession (no
+    session timezone), and resolving in the driver's OS zone would let
+    two drivers in different zones pin DIFFERENT versions for the same
+    literal. Pass an explicit offset (``...+02:00``) to override."""
+    from ..operators.versioned import version_at_timestamp
+
     v = _opt(options, "version")
     ts = _opt(options, "timestampAsOf")
     if v is not None and ts is not None:
@@ -281,15 +286,11 @@ def _resolve_version_opt(path: str, options: dict) -> int | None:
     except ValueError:
         import datetime as _dt
 
-        cutoff = _dt.datetime.fromisoformat(ts).timestamp()
-    eligible = [
-        e["version"] for e in _entries(path) if e["timestamp"] <= cutoff
-    ]
-    if not eligible:
-        raise ValueError(
-            f"no commit at or before timestampAsOf={ts} on {path}"
-        )
-    return max(eligible)
+        parsed = _dt.datetime.fromisoformat(ts)
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+        cutoff = parsed.timestamp()
+    return version_at_timestamp(path, cutoff)
 
 
 class MedallionLakeBatchReader(DataSourceReader):
@@ -596,12 +597,13 @@ class MedallionLakeDataSource(DataSource):
                 "over spark.read.format(...).load(path) instead.)"
             )
         if p.startswith("file:"):
-            # SQL DDL (CREATE TABLE ... USING medallion_lake) hands the
-            # source a qualified file: URI; the log resolvers speak
-            # plain filesystem paths
-            from urllib.parse import urlparse
+            # contexts that qualify paths hand the source a file: URI;
+            # the log resolvers speak plain filesystem paths. unquote
+            # undoes the percent-encoding qualification applies (a
+            # space becomes %20 on the way in)
+            from urllib.parse import unquote, urlparse
 
-            p = urlparse(p).path
+            p = unquote(urlparse(p).path)
         return p
 
     def schema(self) -> StructType:
@@ -704,6 +706,9 @@ class _LakeArrowWriterCore:
                  options: dict, require_txn: bool):
         self._path = path
         self._schema = schema
+        #: "stream sink" or "batch writer" — error text must not tell a
+        #: df.write user to restart a nonexistent streaming query
+        self._kind = "stream sink" if require_txn else "batch writer"
         self._mode = "overwrite" if overwrite else "append"
         self._app_id = _opt(options, "txnAppId")
         if require_txn and not self._app_id:
@@ -777,7 +782,7 @@ class _LakeArrowWriterCore:
                 # against the fresh tip inside every commit
                 _check_append_drift(
                     path, StructType.fromJson(logged), schema,
-                    self._allow_evolution, what="stream-sink append",
+                    self._allow_evolution, what=f"{self._kind} append",
                 )
 
     # -- executor leg ------------------------------------------------
@@ -915,11 +920,15 @@ class _LakeArrowWriterCore:
                 # for the rest of the run)
                 current = _column_mapping_at(self._path)
                 if current not in (msg_prior, msg_cm):
+                    remedy = (
+                        "restart the query" if self._kind == "stream sink"
+                        else "retry the save"
+                    )
                     raise ValueError(
                         f"column mapping on {self._path} moved while "
-                        "the stream sink was writing (concurrent "
+                        f"the {self._kind} was writing (concurrent "
                         "RENAME/DROP): this batch's files carry the old "
-                        "physical layout — restart the query."
+                        f"physical layout — {remedy}."
                     )
             if self._mode == "append" and version > 0:
                 logged = _table_schema_json_logged(
@@ -930,7 +939,7 @@ class _LakeArrowWriterCore:
                     table_schema, schema_changed = _check_append_drift(
                         self._path, StructType.fromJson(logged),
                         self._schema, self._allow_evolution,
-                        what="stream-sink append",
+                        what=f"{self._kind} append",
                     )
             removed = []
             if self._mode == "overwrite" and version > 0:

@@ -188,8 +188,20 @@ def test_sweep_orphan_commit_dirs(spark, tmp_path):
     assert [m["staging_id"] for m in list_staged(path)] == [sid]
     publish_staged(spark, path, sid)               # staging unharmed
     assert read_table(spark, path).count() == 2
-    # after an old dir ages past the horizon it goes too
+    # after an old dir ages past the horizon it goes too, together
+    # with its leaked _stats partials from the same crash
     os.utime(leak_new, (0, 0))
+    stats_leak = os.path.join(path, "_stats", "commit-deadbeef0002")
+    os.makedirs(stats_leak)
+    open(os.path.join(stats_leak, "p.parquet"), "w").write("x")
     assert sweep_orphan_commit_dirs(path, 3600) == [
         os.path.join("data", "commit-deadbeef0002")
+    ]
+    assert not os.path.isdir(stats_leak)
+    # a standalone orphaned _stats dir (no data dir) is reclaimed too
+    stats_only = os.path.join(path, "_stats", "commit-deadbeef0003")
+    os.makedirs(stats_only)
+    os.utime(stats_only, (0, 0))
+    assert sweep_orphan_commit_dirs(path, 3600) == [
+        os.path.join("_stats", "commit-deadbeef0003")
     ]
