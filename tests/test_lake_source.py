@@ -729,6 +729,7 @@ def test_sink_failed_commit_cleans_files(spark, tmp_path):
     w = MedallionLakeStreamWriter.__new__(MedallionLakeStreamWriter)
     # bypass the early __init__ drift check to reach the commit-leg one
     w._path, w._schema, w._mode = dst, st, "append"
+    w._kind = "stream sink"
     w._app_id, w._stats_cols = "drifty", ()
     w._allow_evolution = False
     w._prior_cm = {"map": {}, "retired": []}
