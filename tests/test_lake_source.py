@@ -838,3 +838,23 @@ def test_batch_read_timestamp_as_of(spark, tmp_path):
             .load(path)
             .collect()
         )
+
+
+def test_source_reads_shallow_clone(spark, tmp_path):
+    """A shallow clone's files are ../-relative into the SOURCE table
+    — both the batch reader and the streaming snapshot must resolve
+    them (and keep honoring the clone's own DVs)."""
+    from medallion_data_lake_spark.operators.versioned import clone_table
+
+    src = _mk(spark, tmp_path, "src")
+    dst = str(tmp_path / "cl")
+    clone_table(spark, src, dst)
+    delete_rows_dv(spark, dst, keys={"id": [1]})  # diverge the clone
+    register_lake_source(spark)
+    got = spark.read.format(FORMAT_NAME).load(dst)
+    assert sorted(map(tuple, got.collect())) == [(2, "b", 20.0)]
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(read_table_stream(spark, dst), out, ck)
+    assert _rows(spark, out) == [(2, "b")]
+    # the source table is untouched
+    assert spark.read.format(FORMAT_NAME).load(src).count() == 2
