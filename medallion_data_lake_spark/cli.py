@@ -73,7 +73,7 @@ def main(argv: list[str] | None = None) -> int:
                  "curate", "verify-release", "index-health",
                  "rename-column", "drop-column", "index-delete",
                  "index-compact", "index-sync", "index-sync-stream",
-                 "tail", "sweep-orphans", "staged",
+                 "tail", "sweep-orphans", "restore", "staged",
                  "publish-staged", "abandon-staged", "expire-staged",
                  "clone"],
     )
@@ -141,7 +141,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="expire-staged / sweep-orphans: reclaim items "
                          "older than this many seconds (default 1 day)")
     ap.add_argument("--at-version", type=int, default=None,
-                    help="clone: source snapshot version (default: latest)")
+                    help="clone: source snapshot version (default: "
+                         "latest); restore: the version to restore to")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve: listen as a JSON HTTP API on this port "
                          "instead of the stdin REPL (GET / serves the "
@@ -512,6 +513,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         q.awaitTermination()
         print(json.dumps({"checkpoint": ck}))
+    elif args.verb == "restore":
+        # time travel made durable: publish a restore commit pointing
+        # the table back at --at-version (history is kept — a restore
+        # is itself a new version)
+        if not args.arg or args.at_version is None:
+            print("restore requires a table path and --at-version N",
+                  file=sys.stderr)
+            return 2
+        from .operators.versioned import rollback
+
+        print(json.dumps(rollback(spark, args.arg, args.at_version)))
     elif args.verb == "sweep-orphans":
         # reclaim commit dirs no entry/checkpoint/staging references
         # (crash-between-write-and-publish leaks; see versioned.py)

@@ -858,3 +858,86 @@ def test_source_reads_shallow_clone(spark, tmp_path):
     assert _rows(spark, out) == [(2, "b")]
     # the source table is untouched
     assert spark.read.format(FORMAT_NAME).load(src).count() == 2
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_stream_cdf_model_random_histories(spark, tmp_path, seed):
+    """Model test: a random history of appends, DV deletes, updates,
+    optimizes, renames, and overwrites — the CDF stream replayed from
+    version 0 must NET-APPLY to exactly the live table, whatever the
+    interleaving. (The streaming analog of the versioned model test's
+    invariant: the change feed is a lossless decomposition.)"""
+    import random
+
+    from medallion_data_lake_spark.operators.versioned import (
+        optimize_table,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"vt{seed}")
+    next_id = [0]
+
+    def fresh_rows(n):
+        rows = [
+            (next_id[0] + i, f"r{next_id[0] + i}",
+             float(rng.randint(0, 99)))
+            for i in range(n)
+        ]
+        next_id[0] += n
+        return rows
+
+    commit(_more(spark, fresh_rows(3)), path)
+    renamed = False
+    ddl = "id long, tag string, {} double"
+    for _ in range(rng.randint(4, 7)):
+        op = rng.choice(
+            ["append", "delete_dv", "update", "optimize", "rename",
+             "overwrite"]
+        )
+        score_col = "rating" if renamed else "score"
+        try:
+            if op == "append":
+                commit(_more(spark, fresh_rows(rng.randint(1, 3)),
+                             ddl.format(score_col)), path)
+            elif op == "delete_dv":
+                live = [r["id"] for r in read_table(spark, path).collect()]
+                if live:
+                    delete_rows_dv(
+                        spark, path,
+                        keys={"id": rng.sample(live,
+                                               min(2, len(live)))},
+                    )
+            elif op == "update":
+                update_rows(spark, path, {"tag": "'U'"},
+                            where=f"id % 3 = {rng.randint(0, 2)}")
+            elif op == "optimize":
+                optimize_table(spark, path)
+            elif op == "rename" and not renamed:
+                rename_column(spark, path, "score", "rating")
+                renamed = True
+            elif op == "overwrite":
+                commit(_more(spark, fresh_rows(2),
+                             ddl.format(score_col)), path,
+                       mode="overwrite")
+        except ValueError:
+            continue  # e.g. UPDATE refusing DV-carrying files: legal
+
+    out, ck = str(tmp_path / f"o{seed}"), str(tmp_path / f"c{seed}")
+    _run_available_now(
+        read_table_stream(spark, path, read_change_feed=True,
+                          starting_version=0),
+        out, ck,
+    )
+    from collections import Counter
+
+    score_col = "rating" if renamed else "score"
+    net: Counter = Counter()
+    if os.path.isdir(out) and any(
+        f.endswith(".parquet") for f in os.listdir(out)
+    ):
+        for r in spark.read.parquet(out).collect():
+            delta = 1 if r["_change_type"] == "insert" else -1
+            net[(r["id"], r["tag"], r[score_col])] += delta
+    applied = sorted(k for k, c in net.items() for _ in range(c))
+    current = sorted(map(tuple, read_table(spark, path).collect()))
+    assert applied == current
