@@ -72,6 +72,34 @@ def _run_op(spark, table: str, op: str, side: int) -> list[dict]:
                 out.append({"op": op, "outcome": "ok" if r else "noop",
                             "key": side * 10 + i,
                             "rows": (r or {}).get("rows_deleted", 0)})
+            elif op == "sink":
+                # the native format's commit leg racing other writers:
+                # same claim loop as commit(), pure-log checks, so the
+                # documented outcomes are identical
+                import pyarrow as pa
+                from pyspark.sql.types import (
+                    LongType,
+                    StringType,
+                    StructField,
+                    StructType,
+                )
+
+                from medallion_data_lake_spark.sources.lakehouse_source import (  # noqa: E501
+                    MedallionLakeStreamWriter,
+                )
+
+                ids = [3000 + side * 500 + i * 10 + j for j in range(5)]
+                st = StructType([StructField("id", LongType()),
+                                 StructField("tag", StringType())])
+                w = MedallionLakeStreamWriter(
+                    table, st, False, {"txnAppId": f"xproc-{side}"}
+                )
+                m = w.write(iter([pa.record_batch(
+                    {"id": ids, "tag": [f"s{side}_{i}"] * 5}
+                )]))
+                w.commit([m], i)
+                out.append({"op": "append", "outcome": "ok", "ids": ids,
+                            "version": -1})
             elif op == "update":
                 r = update_rows(
                     spark, table,
@@ -126,6 +154,10 @@ _PAIRS = [
     ("optimize", "dv_delete"),
     ("optimize", "update"),
     ("dv_delete", "update"),
+    # the medallion_lake sink's commit leg vs the classic writers
+    ("sink", "append"),
+    ("sink", "dv_delete"),
+    ("sink", "optimize"),
 ]
 
 
