@@ -204,3 +204,55 @@ def test_cli_ddl_and_index_delete_verbs(capsys, spark, tmp_path):
     rc = main(["index-compact", idx])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["purged_rows"] == 3
+
+
+def test_cli_tail_restore_sweep_verbs(capsys, spark, tmp_path):
+    """r8 third-pass CLI surface: tail (follow a table through the
+    medallion_lake source; repeated runs with one checkpoint emit
+    only-new rows), restore (--at-version rollback commit), and
+    sweep-orphans (unreferenced commit-dir reclamation)."""
+    import json as _json
+    import os as _os
+
+    from medallion_data_lake_spark.cli import main
+    from medallion_data_lake_spark.operators.versioned import (
+        commit,
+        read_table,
+    )
+
+    table = str(tmp_path / "vt")
+    commit(spark.createDataFrame([(1, "a")], "id long, tag string"), table)
+    ck = str(tmp_path / "ck")
+
+    assert main(["tail", table, "--checkpoint", ck]) == 0
+    out1 = capsys.readouterr().out  # console rows go to JVM stdout;
+    assert ck in out1               # the verb reports its checkpoint
+    offsets = _os.path.join(ck, "offsets")
+
+    def batch_files():
+        return sorted(
+            f for f in _os.listdir(offsets) if not f.startswith(".")
+        )
+
+    assert batch_files() == ["0"]
+    commit(spark.createDataFrame([(2, "b")], "id long, tag string"), table)
+    assert main(["tail", table, "--checkpoint", ck]) == 0
+    capsys.readouterr()
+    # a second batch was planned from the SAME checkpoint (only-new)
+    assert batch_files() == ["0", "1"]
+    with open(_os.path.join(offsets, "1")) as fh:
+        assert '"version": 1' in fh.read().splitlines()[-1]
+
+    assert main(["restore", table, "--at-version", "0"]) == 0
+    entry = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert entry["mode"] == "restore"
+    assert read_table(spark, table).count() == 1
+
+    leak = _os.path.join(table, "data", "commit-orphan01")
+    _os.makedirs(leak)
+    open(_os.path.join(leak, "p.parquet"), "w").write("x")
+    _os.utime(leak, (0, 0))
+    assert main(["sweep-orphans", table, "--older-than", "60"]) == 0
+    swept = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert swept["swept"] == [_os.path.join("data", "commit-orphan01")]
+    assert not _os.path.isdir(leak)
