@@ -262,6 +262,23 @@ def _flag(options: dict, name: str) -> bool:
 
 
 
+def _parse_ts_opt(ts: str) -> float:
+    """Timestamp option -> epoch seconds. Accepts epoch seconds or an
+    ISO date/datetime string; a NAIVE ISO string is interpreted as UTC
+    (no SparkSession here, so no session timezone — and resolving in
+    the driver's OS zone would let two drivers pin different versions
+    for the same literal). Pass an explicit offset to override."""
+    try:
+        return float(ts)
+    except ValueError:
+        import datetime as _dt
+
+        parsed = _dt.datetime.fromisoformat(ts)
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+        return parsed.timestamp()
+
+
 def _resolve_version_opt(path: str, options: dict) -> int | None:
     """``version`` / ``timestampAsOf`` -> a pinned log version (None =
     latest), via the SAME resolution rule as
@@ -281,16 +298,7 @@ def _resolve_version_opt(path: str, options: dict) -> int | None:
         return int(v)
     if ts is None:
         return None
-    try:
-        cutoff = float(ts)
-    except ValueError:
-        import datetime as _dt
-
-        parsed = _dt.datetime.fromisoformat(ts)
-        if parsed.tzinfo is None:
-            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
-        cutoff = parsed.timestamp()
-    return version_at_timestamp(path, cutoff)
+    return version_at_timestamp(path, _parse_ts_opt(ts))
 
 
 class MedallionLakeBatchReader(DataSourceReader):
@@ -397,6 +405,11 @@ class MedallionLakeStreamReader(DataSourceStreamReader):
         mv = _opt(options, "maxVersionsPerBatch")
         self._max_versions = int(mv) if mv is not None else None
         self._starting = _opt(options, "startingVersion")
+        self._starting_ts = _opt(options, "startingTimestamp")
+        if self._starting is not None and self._starting_ts is not None:
+            raise ValueError(
+                "give startingVersion OR startingTimestamp, not both"
+            )
         self._schema_json, self._fields = _declared_fields(
             path, None, _opt(options, "columns")
         )
@@ -408,6 +421,20 @@ class MedallionLakeStreamReader(DataSourceStreamReader):
         lv = latest_version(self._path)
         if lv is None:
             raise FileNotFoundError(f"no versioned table at {self._path}")
+        if self._starting_ts is not None:
+            # Delta's startingTimestamp rule: replay every commit AT or
+            # AFTER the instant (no snapshot); an instant past the tip
+            # means "tail only from here on". Same naive-ISO-means-UTC
+            # rule as the batch reader's timestampAsOf.
+            cutoff = _parse_ts_opt(self._starting_ts)
+            eligible = [
+                e["version"] for e in _entries(self._path)
+                if e["timestamp"] >= cutoff
+            ]
+            sv = min(eligible) if eligible else lv + 1
+            off = {"version": sv - 1, "snap": True}
+            self._last_end = off["version"]
+            return off
         if self._starting is None:
             off = {"version": lv, "snap": False}      # snapshot + tail
         elif str(self._starting).lower() == "latest":
@@ -1040,6 +1067,7 @@ def read_table_stream(spark, path: str, **options):
     reader = spark.readStream.format(FORMAT_NAME)
     rename = {
         "starting_version": "startingVersion",
+        "starting_timestamp": "startingTimestamp",
         "ignore_deletes": "ignoreDeletes",
         "ignore_changes": "ignoreChanges",
         "read_change_feed": "readChangeFeed",

@@ -941,3 +941,33 @@ def test_stream_cdf_model_random_histories(spark, tmp_path, seed):
     applied = sorted(k for k, c in net.items() for _ in range(c))
     current = sorted(map(tuple, read_table(spark, path).collect()))
     assert applied == current
+
+
+def test_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp replays every commit AT or AFTER the instant
+    (no snapshot); an instant past the tip means tail-only."""
+    import json as _json
+    import os as _os
+
+    path = _mk(spark, tmp_path)                     # v0
+    commit(_more(spark, [(3, "c", 30.0)]), path)    # v1
+    log = _os.path.join(path, "_log")
+    ts1 = _json.load(open(_os.path.join(log, f"{1:020d}.json")))["timestamp"]
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(
+        read_table_stream(spark, path, startingTimestamp=str(ts1)), out, ck
+    )
+    assert _rows(spark, out) == [(3, "c")]          # v0 is before ts1
+    # an instant past the tip: nothing until the next commit
+    out2, ck2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    _run_available_now(
+        read_table_stream(spark, path,
+                          startingTimestamp=str(ts1 + 9999)), out2, ck2
+    )
+    assert _rows(spark, out2) == []
+    commit(_more(spark, [(4, "d", 40.0)]), path)
+    _run_available_now(
+        read_table_stream(spark, path,
+                          startingTimestamp=str(ts1 + 9999)), out2, ck2
+    )
+    assert _rows(spark, out2) == [(4, "d")]
