@@ -1488,6 +1488,22 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
     Delta's RESTORE, not a destructive reset). Goes through the shared
     claim loop, so a concurrent writer just costs a retry with both
     live sets recomputed against the new tip."""
+    lv = latest_version(path)
+    if lv is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    known = _commit_versions(path) + _checkpoint_versions(path)
+    oldest = min(known)
+    if to_version > lv or to_version < oldest:
+        # a beyond-tip target would "succeed" as a no-op commit stamped
+        # RESTORE(<nonexistent>), and an expired target would die later
+        # with a misleading schema error — refuse up front, with the
+        # same message shape as read_table's expired-version refusal
+        raise ValueError(
+            f"restore target version {to_version} out of range "
+            f"(history spans {oldest}..{lv}"
+            + ("" if oldest == 0 else "; older expired, see expire_log")
+            + ")"
+        )
     target_live, _ = _state_at(path, to_version)
     target_mixed = _mixed_schema_at(path, to_version)
     target_schema = _table_schema_json_at(spark, path, to_version)

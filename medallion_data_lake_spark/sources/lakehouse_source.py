@@ -425,13 +425,37 @@ class MedallionLakeStreamReader(DataSourceStreamReader):
             # Delta's startingTimestamp rule: replay every commit AT or
             # AFTER the instant (no snapshot); an instant past the tip
             # means "tail only from here on". Same naive-ISO-means-UTC
-            # rule as the batch reader's timestampAsOf.
+            # rule as the batch reader's timestampAsOf. The scan walks
+            # the log NEWEST-first and stops at the first entry before
+            # the cutoff — O(matching tail), not O(retained log).
             cutoff = _parse_ts_opt(self._starting_ts)
-            eligible = [
-                e["version"] for e in _entries(self._path)
-                if e["timestamp"] >= cutoff
-            ]
-            sv = min(eligible) if eligible else lv + 1
+            versions = _commit_versions(self._path)
+            sv = lv + 1
+            oldest_ts = None
+            for v in reversed(versions):
+                e = _entries(self._path, lo=v, hi=v)[0]
+                if e["timestamp"] >= cutoff:
+                    sv = v
+                else:
+                    break
+                oldest_ts = e["timestamp"]
+            if versions and versions[0] > 0 and sv == versions[0] and (
+                oldest_ts is None or cutoff < oldest_ts
+            ):
+                # the cutoff predates the oldest RETAINED entry and
+                # older entries were expired: "replay from <cutoff>"
+                # cannot be satisfied — silently starting at the
+                # retained tail would drop every row committed in the
+                # expired range (same hazard the expired-gap guard in
+                # partitions() refuses)
+                raise ValueError(
+                    f"startingTimestamp={self._starting_ts} predates "
+                    f"the retained history of {self._path} (entries "
+                    f"before version {versions[0]} are expired). "
+                    "Re-bootstrap with snapshot mode (no "
+                    "startingVersion/startingTimestamp) or "
+                    f"startingVersion={versions[0]}."
+                )
             off = {"version": sv - 1, "snap": True}
             self._last_end = off["version"]
             return off

@@ -17,8 +17,9 @@ reported-successful append's rows are present exactly once, every
 reported-successful DV-delete's keys are gone, and every
 reported-successful update is reflected in the row.
 
-One spawned Spark JVM per pair (~20 s startup each) — the matrix is 6
-pairs, so this file is the slowest in the suite by design; it buys the
+One spawned Spark JVM per pair (~20 s startup each) — the matrix is
+10 pairs (6 classic + 4 involving the medallion_lake sink's commit
+leg), so this file is the slowest in the suite by design; it buys the
 only evidence that the optimistic-concurrency story holds between real
 OS processes, not threads.
 """
@@ -158,6 +159,7 @@ _PAIRS = [
     ("sink", "append"),
     ("sink", "dv_delete"),
     ("sink", "optimize"),
+    ("sink", "update"),
 ]
 
 

@@ -339,6 +339,10 @@ def test_stream_cdf_net_applies_to_current_table(spark, tmp_path):
     for r in rows:
         delta = 1 if r["_change_type"] == "insert" else -1
         net[(r["id"], r["tag"], r["score"])] += delta
+    # negatives must FAIL, not vanish: range(c) of a negative count is
+    # empty, which would let an over-emitted delete slip through the
+    # "lossless decomposition" check
+    assert all(c >= 0 for c in net.values()), dict(net)
     applied = sorted(k for k, c in net.items() for _ in range(c))
     current = sorted(map(tuple, read_table(spark, path).collect()))
     assert applied == current
@@ -938,6 +942,10 @@ def test_stream_cdf_model_random_histories(spark, tmp_path, seed):
         for r in spark.read.parquet(out).collect():
             delta = 1 if r["_change_type"] == "insert" else -1
             net[(r["id"], r["tag"], r[score_col])] += delta
+    # negatives must FAIL, not vanish: range(c) of a negative count is
+    # empty, which would let an over-emitted delete slip through the
+    # "lossless decomposition" check
+    assert all(c >= 0 for c in net.values()), dict(net)
     applied = sorted(k for k, c in net.items() for _ in range(c))
     current = sorted(map(tuple, read_table(spark, path).collect()))
     assert applied == current
@@ -971,3 +979,40 @@ def test_stream_starting_timestamp(spark, tmp_path):
                           startingTimestamp=str(ts1 + 9999)), out2, ck2
     )
     assert _rows(spark, out2) == [(4, "d")]
+
+
+def test_stream_starting_timestamp_refuses_expired_prefix(
+    spark, tmp_path
+):
+    """A cutoff that predates the retained history cannot be satisfied
+    — silently starting at the retained tail would drop every row from
+    the expired range (same contract as the expired-gap guard)."""
+    from medallion_data_lake_spark.operators.versioned import expire_log
+
+    path = _mk(spark, tmp_path)
+    for i in range(3, 7):
+        commit(_more(spark, [(i, f"r{i}", float(i))]), path)
+    expire_log(path, keep_last=2)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="predates"):
+        _run_available_now(
+            read_table_stream(spark, path, startingTimestamp="0"), out, ck
+        )
+
+
+def test_restore_refuses_out_of_range(spark, tmp_path):
+    from medallion_data_lake_spark.operators.versioned import (
+        expire_log,
+        rollback,
+    )
+
+    path = _mk(spark, tmp_path)                    # v0
+    commit(_more(spark, [(3, "c", 30.0)]), path)   # v1
+    with pytest.raises(ValueError, match="out of range"):
+        rollback(spark, path, 99)
+    commit(_more(spark, [(4, "d", 40.0)]), path)   # v2
+    expire_log(path, keep_last=1)
+    with pytest.raises(ValueError, match="out of range"):
+        rollback(spark, path, 0)
