@@ -1453,7 +1453,16 @@ def delete_from_index(spark, index_path: str, ids, id_col: str = "vec_id") -> No
         elif id_type in ("double", "float"):
             conv = float
         elif id_type.startswith("decimal"):
-            conv = lambda v: v  # noqa: E731 — pass through, Spark verifies
+            import decimal as _decimal
+
+            # the contract above ("coerce HERE, where the dtype is
+            # known") applies to decimals too: a raw CLI string would
+            # fail createDataFrame's type verification. Floats round-trip
+            # through str so Decimal(0.1) artifacts never enter the probe.
+            conv = lambda v: (  # noqa: E731
+                v if isinstance(v, _decimal.Decimal)
+                else _decimal.Decimal(str(v))
+            )
         else:
             conv = int
         doomed = spark.createDataFrame(

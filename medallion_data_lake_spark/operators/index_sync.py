@@ -287,9 +287,22 @@ def run_index_sync_stream(
     from ..sources.lakehouse_source import read_table_stream
 
     wm = read_sync_watermark(index_path, table_path)
+    start = wm + 1
+    if wm < 0:
+        # BOOTSTRAP clamp, mirroring the batch sync: a never-synced
+        # index starts at version 0, but on a table whose early history
+        # was expire_log'd the stream source's expired-gap guard would
+        # refuse 0..oldest-1 — a gap that is sound on bootstrap (the
+        # index was built from a snapshot at or after the oldest
+        # retained version; erasures older than the snapshot have
+        # nothing to mask). An INCREMENTAL gap (wm >= 0) still reaches
+        # the source guard and raises, same contract as the batch sync.
+        versions = _commit_versions(table_path)
+        if versions:
+            start = max(start, versions[0])
     opts = {
         "read_change_feed": True,
-        "starting_version": wm + 1,
+        "starting_version": start,
         # projection pushdown: this consumer needs ONLY the id — never
         # pay the embedding-array I/O per changed file
         "columns": id_col,

@@ -976,7 +976,8 @@ def read_table(
     at/before ``as_of_timestamp`` (time travel). Latest/pinned reads
     resolve from the newest log checkpoint + tail; only timestamp travel
     scans entry timestamps."""
-    if latest_version(path) is None:
+    lv = latest_version(path)
+    if lv is None:
         raise FileNotFoundError(f"no versioned table at {path}")
     if as_of_timestamp is not None:
         version = version_at_timestamp(path, as_of_timestamp)
@@ -988,6 +989,15 @@ def read_table(
                 f"version {version} expired (history starts at {oldest}; "
                 "see expire_log retention)"
             )
+    else:
+        # Pin 'latest' ONCE and hand the same version to every resolver
+        # below. Resolving files / DVs / mixed-schema / column-mapping as
+        # four independent 'latest' lookups lets a rewrite commit landing
+        # between them pair version-N files with version-N+1 DVs — e.g.
+        # OPTIMIZE purging DV'd rows pops a removed file's DV while the
+        # stale file list still includes it, transiently resurrecting
+        # deleted rows (the unpinned-latest race clone_table pins against).
+        version = lv
     files, _ = _state_at(path, version)
     if not files:
         # a valid-but-empty snapshot (e.g. overwrite with 0 rows)
@@ -1048,8 +1058,13 @@ def read_table_pruned(
     """
     from pyspark.sql import functions as F
 
-    if latest_version(path) is None:
+    lv = latest_version(path)
+    if lv is None:
         raise FileNotFoundError(f"no versioned table at {path}")
+    if version is None:
+        # same pin-latest-once rule as read_table: stats / dtypes /
+        # column-mapping / DV resolution must all see ONE snapshot
+        version = lv
     preds = dict(predicates or {})
     if col is not None:
         preds[col] = (lo, hi)
@@ -1272,13 +1287,22 @@ def _cm_refuse_expr(cm: dict, expr: str | None, what: str) -> None:
     be refused is a reference to a STALE name: a renamed column's old
     (physical) name, or a dropped column's retired physical. Both still
     exist as columns in the data files, so the expression would silently
-    bind to an identity the table no longer exposes."""
+    bind to an identity the table no longer exposes.
+
+    The scan ignores quoted STRING LITERALS and ``--`` comments before
+    matching (r8 ADVICE): ``tag = 'old_col'`` compares against a value
+    that merely spells the old name — refusing it would reject a valid
+    DML expression. Backtick-quoted identifiers still count: they DO
+    bind to columns."""
     if expr is None or _cm_is_identity(cm):
         return
     stale = (
         set(cm.get("map", {}).values()) | set(cm.get("retired", []))
     ) - set(cm.get("map", {}))
-    hits = [s for s in stale if re.search(rf"\b{re.escape(s)}\b", expr)]
+    # mask '...' / "..." literals ('' and "" escapes included) and
+    # line comments — occurrences inside them are data, not references
+    scanned = re.sub(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|--[^\n]*", " ", expr)
+    hits = [s for s in stale if re.search(rf"\b{re.escape(s)}\b", scanned)]
     if hits:
         raise ValueError(
             f"{what} references {sorted(hits)} — the pre-rename (or "

@@ -310,6 +310,16 @@ class MedallionLakeBatchReader(DataSourceReader):
     def __init__(self, path: str, options: dict):
         self._path = path
         self._version = _resolve_version_opt(path, options)
+        if self._version is None:
+            # Pin 'latest' ONCE at reader construction. partitions()
+            # resolves files, DVs, and stats as three separate lookups;
+            # left unpinned, a rewrite commit landing between them (e.g.
+            # OPTIMIZE purging DV'd rows) can pop a removed file's DV
+            # while the stale file list still includes it — transiently
+            # resurrecting deleted rows. Pinning here also keeps the
+            # declared schema and the scanned snapshot on ONE version
+            # (Delta's snapshot-at-analysis rule).
+            self._version = latest_version(path)
         self._schema_json, self._fields = _declared_fields(
             path, self._version, _opt(options, "columns")
         )

@@ -394,3 +394,31 @@ def test_merge_analyze_stats_on_column_mapped_table(spark, tmp_path):
         for d in _glob.glob(os.path.join(path, "data", "commit-*"))
     }
     assert on_disk <= referenced
+
+
+def test_stale_name_inside_string_literal_is_not_refused(spark, tmp_path):
+    """A quoted literal or comment that merely SPELLS a stale name is
+    data, not a column reference (r8 ADVICE: the word-boundary scan
+    refused ``tag = 'score'`` after score→rating). Backtick-quoted
+    identifiers still refuse — they do bind to columns."""
+    path = _mk(spark, tmp_path,
+               rows=((1, "score", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+    rename_column(spark, path, "score", "rating")
+
+    # literal occurrences: all legal
+    out = delete_rows(spark, path, where="tag = 'score'")
+    assert out["rows_deleted"] == 1
+    out = update_rows(
+        spark, path,
+        set_exprs={"tag": "concat(tag, '_score')"},
+        where="rating >= 20.0 -- old column was score",
+    )
+    assert out["rows_updated"] == 2
+    got = {r["id"]: r["tag"] for r in read_table(spark, path).collect()}
+    assert got == {2: "b_score", 3: "c_score"}
+
+    # a real (backticked or bare) stale reference still refuses
+    with pytest.raises(ValueError, match="score"):
+        delete_rows(spark, path, where="`score` > 0")
+    with pytest.raises(ValueError, match="score"):
+        delete_rows(spark, path, where="score > 0 AND tag = 'x'")

@@ -248,3 +248,48 @@ def test_apply_sync_batch_skips_versions_already_synced(spark, tmp_path):
     t = read_tombstones(spark, idx)
     assert t is None or 5 not in {r["vec_id"] for r in t.collect()}
     assert read_sync_watermark(idx, table) == latest_version(table)
+
+
+def test_streaming_sync_bootstrap_clamps_expired_history(spark, tmp_path):
+    """Bootstrap parity with the batch sync on an expire_log'd table
+    (r8 ADVICE): a never-synced index (wm=-1) must clamp its stream's
+    startingVersion to the oldest retained commit — the naive wm+1=0
+    trips the source's expired-gap refusal and the streaming CLI verb
+    fails on any previously-expired table. An INCREMENTAL gap must
+    still refuse (the guard is only bypassed for the bootstrap case the
+    batch sync already documents as sound)."""
+    import json as _json
+
+    import pytest
+
+    from medallion_data_lake_spark.operators.index_sync import (
+        run_index_sync_stream,
+    )
+    from medallion_data_lake_spark.operators.versioned import expire_log
+
+    emb, table, idx = _setup(spark, tmp_path)
+    commit(emb.limit(1), table)                                   # v1 filler
+    delete_rows_dv(spark, table, keys={"vec_id": [7]})            # v2
+    expire_log(table, keep_last=2)                                # drop v0
+
+    # bootstrap (wm=-1): clamps startingVersion to the retained floor
+    q = run_index_sync_stream(spark, table, idx)
+    q.awaitTermination(180)
+    t = {r["vec_id"] for r in read_tombstones(spark, idx).collect()}
+    assert t == {7}
+    assert read_sync_watermark(idx, table) == latest_version(table)
+
+    # incremental gap: rewind the watermark below the retained floor —
+    # the source's expired-gap guard must still refuse
+    delete_rows_dv(spark, table, keys={"vec_id": [8]})            # v3
+    expire_log(table, keep_last=1)
+    state_file = os.path.join(idx, "_index_sync.json")
+    state = _json.load(open(state_file))
+    state["watermarks"][os.path.abspath(table)] = 0
+    _json.dump(state, open(state_file, "w"))
+    with pytest.raises(Exception, match="expired"):
+        q2 = run_index_sync_stream(
+            spark, table, idx,
+            checkpoint_dir=str(tmp_path / "ckpt_gap"),
+        )
+        q2.awaitTermination(180)

@@ -300,3 +300,29 @@ def test_delete_batch_replay_rewrites_own_partition(spark, tmp_path):
     assert read_tombstones(spark, idx).count() == 6
     raw = spark.read.parquet(os.path.join(idx, "_tombstones"))
     assert raw.count() == 6
+
+
+def test_delete_coerces_plain_ids_to_index_dtype(spark, tmp_path):
+    """delete_from_index's stated contract: plain-Python ids are coerced
+    HERE, where the index's id dtype is known — the CLI only has strings.
+    Decimal-keyed indexes were the gap (r8 ADVICE: identity passthrough
+    left raw strings to fail createDataFrame type verification)."""
+    from decimal import Decimal
+
+    emb = _emb(spark).withColumn(
+        "vec_id", F.col("vec_id").cast("decimal(10,0)")
+    )
+    idx = str(tmp_path / "idx_dec")
+    build_ivf_index(emb, idx, n_bits=MIN_BITS)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    before = search_ivf_index(spark, idx, queries, n_probes=4, k=5).collect()
+    victims = sorted({r["cand_id"] for r in before})[:2]
+    assert victims
+
+    # the CLI path: string ids against a decimal-keyed index
+    delete_from_index(spark, idx, [str(v) for v in victims])
+
+    t = {r["vec_id"] for r in read_tombstones(spark, idx).collect()}
+    assert t == {Decimal(str(v)) for v in victims}
+    assert not (_hits(spark, idx, queries, n_probes=4, k=5) & set(victims))
