@@ -154,6 +154,8 @@ def customer_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rounded revenue with a p_partkey tiebreak — deterministic across "
         "engines and partitionings. Reference shape: "
         "query_datalake.py:219-228 top-10 films.",
+    extra=True,  # r9 rotation (gated r1-r8, green): top-K family stays
+    # driver-gated via large_volume_orders + suppliers_kept_waiting
 )
 def top_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -471,6 +473,9 @@ def layer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="W1 ranking window, partitioned by segment (fixing the reference's "
         "unpartitioned Window.orderBy hazard, silver_to_gold.py:123 / "
         "SURVEY.md §4.3.1). Ties break on c_custkey.",
+    extra=True,  # r9 rotation (gated r1-r8, green): ranking windows stay
+    # driver-gated via part_cheapest_supplier + segment_spend_quartiles
+    # + quarter_top_revenue_supplier
 )
 def segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
@@ -506,6 +511,8 @@ def segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="left_anti join (semi/anti extension, SURVEY.md §2.3) — customers "
         "with no orders before 1995-07-01. Catalyst plans a broadcast/SMJ "
         "anti join; no driver-side set materialization.",
+    extra=True,  # r9 rotation (gated r1-r8, green): anti-join/NOT-EXISTS stays
+    # driver-gated via suppliers_kept_waiting + priority_late_ship_exists
 )
 def customers_without_early_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -630,6 +637,8 @@ def dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate+join; no per-row re-execution. The threshold comparison "
         "uses the raw double avg in both engines: a strict inequality "
         "against a value never exactly equal to any c_acctbal.",
+    extra=True,  # r9 rotation (gated r1-r8, green): correlated scalar subqueries
+    # stay driver-gated via nation_value_concentration + brand_small_qty_revenue
 )
 def above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)

@@ -233,6 +233,8 @@ def order_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sakila-schema.sql:379-381): upper/lower/substr/length/concat and "
         "the same first-upper-rest-lower composition (initcap equivalent "
         "built from primitives — DuckDB lacks initcap).",
+    extra=True,  # r9 rotation (gated r1-r8, green): string family stays
+    # driver-gated via pii_redaction_stats + blocklist_scrub_stats (first gated r9)
 )
 def customer_name_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = F.col("c_name")

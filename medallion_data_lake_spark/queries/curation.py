@@ -167,6 +167,8 @@ def _rate_col():
         "the only shuffle. sampled_id_sum pins the exact sampled set, so "
         "the oracle verifies membership, not just counts.",
     tags=("curation",),
+    extra=True,  # r9 rotation (gated r2-r8, green): sampling/packing family stays
+    # driver-gated via sequence_packing_plan
 )
 def stratified_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
@@ -211,9 +213,7 @@ _SQL_BLOCK = "('" + "', '".join(BLOCKLIST) + "')"
         "(filter/size/array_join HOFs over the token array — no UDF, no "
         "shuffle; scales linearly with corpus size).",
     tags=("text", "curation"),
-    extra=True,  # shape overlaps doc_quality_score's driver row; gate
-                 # slots go to the decontamination/sampling stages
-)
+)  # first gated r9
 def blocklist_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokens(F.col("text"))
@@ -267,8 +267,7 @@ PII_PATTERNS = {
         "verified at zero here; behavioral coverage with planted PII "
         "lives in test_curation_pipeline.)",
     tags=("text", "curation"),
-    extra=True,  # scalar-function driver evidence via customer_name_formatting
-)
+)  # first gated r9
 def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     cols = [
@@ -314,7 +313,8 @@ SHUFFLE_SEED = 7
         "a single global ORDER BY would funnel the corpus through one "
         "range partitioner.",
     tags=("curation",),
-    extra=True,  # ordering/window driver evidence via segment_top_customers
+    extra=True,  # ordering/window driver evidence via segment_spend_quartiles
+    # + segment_order_window_stats (segment_top_customers rotated out r9)
 )
 def corpus_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -364,8 +364,7 @@ _SQL_BIGRAMS = (
         "Explode + two-level aggregation keyed by doc — fully "
         "map-reducible, no per-doc state beyond the hash groups.",
     tags=("text", "curation"),
-    extra=True,  # text-family driver evidence via doc_quality_score
-)
+)  # first gated r9
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     t = tokens(F.col("text"))
@@ -480,9 +479,7 @@ def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scales with corpus size like the scan itself. chunk_hash is the "
         "content address a downstream shard writer dedups/ships by.",
     tags=("curation",),
-    extra=True,  # 1:N explode shape driver-covered via decontaminate's
-                 # shingle explode; locally oracle-verified
-)
+)  # first gated r9
 def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     t = d.select("doc_id", tokens(F.col("text")).alias("toks"))

@@ -564,7 +564,7 @@ def minhash_lsh_ml_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "— max bucket size bounded regardless of n).",
     tags=("dedup",),
     extra=True,  # r8 rotation: embedding-space neighbor search stays
-    # driver-gated via ann_ivf_bucketed + knn_bruteforce_cosine
+    # driver-gated via ann_ivf_bucketed (knn_bruteforce_cosine rotated out r9)
 )
 def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import dot, l2_norm

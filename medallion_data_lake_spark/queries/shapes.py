@@ -402,7 +402,6 @@ def signup_purchase_attribution_pairs(
         "the first agg pre-aggregates orders BEFORE the join so the "
         "customer side joins a #customers-sized rollup, not the fact.",
     tags=("histogram",),
-    extra=True,
 )
 def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -451,7 +450,6 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "No correlated re-execution anywhere — at 100 TB this is one "
         "fact-side distinct plus a broadcast filter on the dim.",
     tags=("antijoin",),
-    extra=True,
 )
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -1227,8 +1225,8 @@ def discount_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and the top-20 (c_custkey tiebreak) is TakeOrderedAndProject — "
         "never a global sort of the aggregate.",
     tags=("q10", "topk"),
-    extra=True,  # join+topk family driver-gated via top_revenue_parts,
-    # large_volume_orders, regional_revenue
+    extra=True,  # join+topk family driver-gated via large_volume_orders,
+    # regional_revenue (top_revenue_parts rotated out r9)
 )
 def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)

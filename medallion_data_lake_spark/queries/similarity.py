@@ -79,6 +79,8 @@ def sign_bucket(emb: Column) -> Column:
         "orders by round(cos,6) with a vec_id tiebreak so float "
         "last-bit differences can't reorder ranks across engines.",
     tags=("similarity",),
+    extra=True,  # r9 rotation (gated r1-r8, green): similarity family stays
+    # driver-gated via ann_ivf_bucketed
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)

@@ -120,6 +120,9 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(F.session_window / applyInPandasWithState in the streaming "
         "layer). All windows partitioned by user — no global ordering.",
     tags=("streaming",),
+    extra=True,  # r9 rotation (gated r1-r8, green): streaming batch-twin family stays
+    # driver-gated via events_hourly_windows + purchases_within_hour_of_signup
+    # + weekly_retention_cohorts
 )
 def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -352,9 +355,7 @@ def events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "every stage's frontier table is |converted users| rows, "
         "shrinking monotonically down the funnel.",
     tags=("streaming",),
-    extra=True,  # events-analytics variant; family driver-verified via
-                 # sessionization/as-of/rollup queries
-)
+)  # first gated r9
 def signup_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     s = (

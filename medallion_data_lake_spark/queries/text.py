@@ -64,9 +64,7 @@ _SQL_STOPS = (
     doc="North-star token counting: whitespace tokenization via split + "
         "size, pure map-side (no shuffle).",
     tags=("text",),
-    extra=True,  # folded: doc_quality_score carries n_tokens + char_len
-                 # and doc_bpe_token_count covers the counting family
-)
+)  # first gated r9
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokens(F.col("text"))
@@ -90,6 +88,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runs / digit runs / single symbols) approximating BPE segment "
         "boundaries, counted JVM-side with regexp_extract_all.",
     tags=("text",),
+    extra=True,  # r9 rotation (gated r2-r8, green): token counting stays
+    # driver-gated via doc_token_stats (first gated r9) + corpus_quality_by_lang
 )
 def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
@@ -234,8 +234,7 @@ def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(term, doc) table; top-k via TakeOrderedAndProject, never a global "
         "sort.",
     tags=("text",),
-    extra=True,  # vocab rollup variant of the driver-gated corpus_quality_by_lang
-)
+)  # first gated r9
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     per_doc = (
