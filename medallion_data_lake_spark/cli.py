@@ -75,7 +75,8 @@ def main(argv: list[str] | None = None) -> int:
                  "index-compact", "index-sync", "index-sync-stream",
                  "tail", "sweep-orphans", "restore", "staged",
                  "publish-staged", "abandon-staged", "expire-staged",
-                 "clone"],
+                 "clone", "txn-commit", "txn-list", "txn-recover",
+                 "txn-compensate", "txn-expire"],
     )
     ap.add_argument(
         "arg",
@@ -143,6 +144,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--at-version", type=int, default=None,
                     help="clone: source snapshot version (default: "
                          "latest); restore: the version to restore to")
+    ap.add_argument("--leg", action="append", default=[],
+                    metavar="TABLE=STAGING_ID",
+                    help="txn-commit: one staged leg (repeatable)")
+    ap.add_argument("--txn-id", default=None,
+                    help="txn-compensate: the transaction to abort")
+    ap.add_argument("--retry-stuck", action="store_true",
+                    help="txn-recover: also retry stuck transactions "
+                         "(after resolving the recorded conflict)")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve: listen as a JSON HTTP API on this port "
                          "instead of the stdin REPL (GET / serves the "
@@ -588,6 +597,66 @@ def main(argv: list[str] | None = None) -> int:
                             version=args.at_version)
         print(json.dumps({"version": entry["version"],
                           "operation": entry["operation"]}))
+    elif args.verb == "txn-commit":
+        # multi-table atomic commit of staged legs (operators/txn.py):
+        # arg is the coordinator dir, each --leg a stage_commit result
+        if not args.arg or not args.leg:
+            print("txn-commit requires a txn-root path and at least one "
+                  "--leg TABLE=STAGING_ID", file=sys.stderr)
+            return 2
+        from .operators.txn import commit_txn
+
+        legs = [tuple(spec.split("=", 1)) for spec in args.leg]
+        if any(len(p) != 2 for p in legs):
+            print("--leg must be TABLE=STAGING_ID", file=sys.stderr)
+            return 2
+        m = commit_txn(spark, args.arg, legs)
+        print(json.dumps({"txn_id": m["txn_id"], "status": m["status"],
+                          "legs": m["legs"]}))
+    elif args.verb == "txn-list":
+        if not args.arg:
+            print("txn-list requires a txn-root path", file=sys.stderr)
+            return 2
+        from .operators.txn import list_txns
+
+        for m in list_txns(args.arg):
+            print(json.dumps({
+                "txn_id": m["txn_id"], "status": m["status"],
+                "legs": [
+                    {"table": leg["table"],
+                     "version": leg.get("version")}
+                    for leg in m["legs"]
+                ],
+            }))
+    elif args.verb == "txn-recover":
+        # roll prepared (and, with --retry-stuck, stuck) txns forward;
+        # idempotent — safe on a schedule
+        if not args.arg:
+            print("txn-recover requires a txn-root path", file=sys.stderr)
+            return 2
+        from .operators.txn import recover_txns
+
+        for m in recover_txns(spark, args.arg,
+                              retry_stuck=args.retry_stuck):
+            print(json.dumps({"txn_id": m["txn_id"],
+                              "status": m["status"]}))
+    elif args.verb == "txn-compensate":
+        if not args.arg or not args.txn_id:
+            print("txn-compensate requires a txn-root path and --txn-id",
+                  file=sys.stderr)
+            return 2
+        from .operators.txn import compensate_stuck_txn
+
+        m = compensate_stuck_txn(spark, args.arg, args.txn_id)
+        print(json.dumps({"txn_id": m["txn_id"], "status": m["status"]}))
+    elif args.verb == "txn-expire":
+        if not args.arg:
+            print("txn-expire requires a txn-root path", file=sys.stderr)
+            return 2
+        from .operators.txn import expire_txns
+
+        print(json.dumps({"expired": expire_txns(
+            args.arg, older_than_sec=args.older_than)}))
     return 0
 
 

@@ -1,0 +1,329 @@
+"""Multi-table transactions: stage writes on several versioned tables,
+then make them durable ALL-OR-NOTHING through one coordinator manifest.
+
+A medallion pipeline commits related tables together — conformed events
+plus the gold rollup, a curated corpus plus its benchmark exclusion
+list. Committing them one `commit()` at a time leaves a failure window
+where table A carries the new batch and table B never gets it, and
+nothing records that the pair was supposed to move together. The
+reference pipeline (sakila-data-lake's bronze→silver→gold scripts) has
+the same hole — each layer lands independently.
+
+This module is the classic write-ahead coordinator (the pattern behind
+multi-table transactions in catalogs like Nessie, and percolator-style
+primary-record commit), expressed over this repo's primitives:
+
+1. **Stage** every table's batch with ``wap.stage_commit`` — data files
+   written, zero visibility, full validation (schema enforcement,
+   constraints, column mapping) already done per leg.
+2. **Decide** with ONE atomic ``LogStore.put_exclusive`` of the txn
+   manifest (status ``prepared``, listing every (table, staging_id)).
+   Before this file exists, nothing published — abandoning the stagings
+   aborts the txn with readers having seen nothing. Once it exists, the
+   transaction WILL commit: the manifest is the redo log.
+3. **Roll forward** each leg via ``wap.publish_staged`` — idempotent
+   per staging_id, so a crash anywhere in this loop is repaired by
+   ``recover_txns`` replaying the same publishes (an already-published
+   leg returns its existing entry; no double commit is possible).
+4. **Finalize**: the manifest flips to ``committed`` carrying each
+   leg's published version — which doubles as a cross-table savepoint
+   (``operators/savepoint.py`` shape), so a reader can open the exact
+   transaction-consistent world later.
+
+Isolation contract (stated, not oversold): per-table reads are snapshot
+reads of that table's log — a reader opening tables independently
+DURING roll-forward can observe a prefix (table A committed, table B
+not yet). What the coordinator guarantees is atomic DURABILITY —
+after ``recover_txns`` no committed-txn leg is ever missing and no
+unprepared leg is ever visible — plus a recorded consistent snapshot
+(``txn_snapshot``) for readers who want transaction-level isolation.
+That is the same guarantee multi-table commits give in log-per-table
+lakehouse formats without a central catalog pointer; true cross-table
+linearizability needs the catalog to BE the root of every read, which
+would put a single sequencer in front of 100 TB of independent tables.
+
+Conflict handling: ``publish_staged`` re-validates each leg against its
+table's fresh tip. Concurrent appends and additive evolution publish
+fine; a concurrent DDL (rename/drop) or constraint change on one table
+refuses with ``CommitConflict`` — the txn parks as ``stuck`` (legs
+published so far stay published; the manifest records the error).
+``commit_txn`` PRE-CHECKS every leg against its tip before writing the
+manifest, so the stuck window is the commit-time race only, not "the
+constraint changed an hour ago". A stuck txn is resolved either by
+``recover_txns(retry_stuck=True)`` after reverting the conflicting DDL,
+or by ``compensate_stuck_txn`` (saga-style: RESTORE each published leg
+— refused unless that leg is still the table's tip — and abandon the
+rest), which flips the manifest to ``aborted``.
+
+Scale shape at 100 TB: staging costs exactly the data writes the tables
+needed anyway; decide/roll-forward/finalize are pure metadata (one
+small JSON put + one log entry per table); recovery lists one
+directory of KB-sized manifests. Nothing here scans data, holds locks,
+or serializes unrelated tables — only the tables IN a transaction
+share its fate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import SparkSession
+
+from .logstore import get_log_store
+from .versioned import CommitConflict, latest_version, read_table, rollback
+from .wap import (
+    _constraints_fp,
+    _published_entry,
+    _read_manifest,
+    abandon_staged,
+    publish_staged,
+)
+
+
+class TxnStuck(RuntimeError):
+    """A prepared transaction hit a per-leg CommitConflict during roll
+    forward. Already-published legs stay published; the manifest (status
+    ``stuck``) records which leg refused and why. Resolve the conflict,
+    then ``recover_txns(retry_stuck=True)`` — or ``compensate_stuck_txn``
+    to abort saga-style."""
+
+
+def _txn_file(txn_root: str, txn_id: str) -> str:
+    return os.path.join(txn_root, f"{txn_id}.json")
+
+
+def _write_manifest(txn_root: str, manifest: dict) -> None:
+    # replace(), not put_exclusive: status updates after the decision
+    # point. Concurrent updaters (a live commit_txn and a recover_txns)
+    # replay the SAME idempotent publishes, so both write the same
+    # content for the same legs — last-writer-wins is benign.
+    get_log_store().replace(
+        _txn_file(txn_root, manifest["txn_id"]), json.dumps(manifest)
+    )
+
+
+def read_txn(txn_root: str, txn_id: str) -> dict:
+    return json.loads(get_log_store().read(_txn_file(txn_root, txn_id)))
+
+
+def list_txns(txn_root: str) -> list[dict]:
+    """Every transaction manifest under ``txn_root`` (KB each), oldest
+    id first."""
+    store = get_log_store()
+    out = []
+    for f in store.list(txn_root):
+        if f.endswith(".json"):
+            out.append(json.loads(store.read(os.path.join(txn_root, f))))
+    return out
+
+
+def _normalize_legs(legs) -> list[dict]:
+    pairs = [(os.path.abspath(t), sid) for t, sid in legs]
+    if not pairs:
+        raise ValueError("commit_txn needs at least one (table, staging_id) leg")
+    tables = [t for t, _ in pairs]
+    if len(set(tables)) != len(tables):
+        raise ValueError(
+            "one leg per table: two stagings on the same table have no "
+            "defined publish order inside a transaction — stage their "
+            "union, or run two transactions"
+        )
+    return [{"table": t, "staging_id": sid} for t, sid in pairs]
+
+
+def _preflight(legs: list[dict]) -> None:
+    """Re-run the publish-time refusals BEFORE the decision point, so a
+    conflict that already exists aborts the txn cleanly (nothing
+    published, stagings still abandonable) instead of parking it stuck
+    after leg one. The commit-time race remains — that is what ``stuck``
+    handles."""
+    from .versioned import _column_mapping_at
+
+    for leg in legs:
+        t, sid = leg["table"], leg["staging_id"]
+        m = _read_manifest(t, sid)  # raises if never staged / abandoned
+        if _constraints_fp(t) != m["constraints_fp"]:
+            raise CommitConflict(
+                f"txn pre-check: table contract on {t} changed after "
+                f"staging {sid} — re-stage/re-audit before commit_txn"
+            )
+        if m["mode"] == "append" and _column_mapping_at(t) != m["prior_cm"]:
+            raise CommitConflict(
+                f"txn pre-check: column mapping on {t} moved after "
+                f"staging {sid} (concurrent RENAME/DROP) — re-stage"
+            )
+
+
+def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
+    """Publish every leg that has no recorded version yet; finalize to
+    ``committed``. Idempotent: replaying after ANY crash point converges
+    on the same versions (publish_staged returns the existing entry for
+    an already-published staging_id)."""
+    for leg in manifest["legs"]:
+        if leg.get("version") is not None:
+            continue
+        try:
+            entry = publish_staged(spark, leg["table"], leg["staging_id"])
+        except CommitConflict as e:
+            manifest["status"] = "stuck"
+            leg["error"] = str(e)
+            _write_manifest(txn_root, manifest)
+            raise TxnStuck(
+                f"txn {manifest['txn_id']} stuck on {leg['table']}: {e}"
+            ) from e
+        leg["version"] = entry["version"]
+        leg.pop("error", None)
+        # persist per-leg progress: a crash here costs one idempotent
+        # re-publish, not a re-derivation of what already landed
+        _write_manifest(txn_root, manifest)
+    manifest["status"] = "committed"
+    manifest["completed"] = time.time()
+    # the committed manifest IS a cross-table savepoint (same shape as
+    # operators/savepoint.py): each member pinned at the version that
+    # made its leg visible — the transaction-consistent world
+    manifest["savepoint"] = {
+        "created": manifest["completed"],
+        "tables": {
+            leg["table"]: {"path": leg["table"], "version": leg["version"]}
+            for leg in manifest["legs"]
+        },
+    }
+    _write_manifest(txn_root, manifest)
+    return manifest
+
+
+def commit_txn(
+    spark: SparkSession,
+    txn_root: str,
+    legs,
+    note: str | None = None,
+) -> dict:
+    """Atomically commit staged writes across tables.
+
+    ``legs`` is a sequence of ``(table_path, staging_id)`` pairs, each
+    from :func:`~.wap.stage_commit` (optionally audited via
+    ``wap.audit_and_publish``'s expectation vocabulary before calling
+    this). Returns the committed manifest. To ABORT instead, don't call
+    this — ``abandon_staged`` each leg; readers never saw a row.
+
+    Raises ``CommitConflict`` from the pre-check (nothing published,
+    txn not created) or :class:`TxnStuck` from a commit-time race (txn
+    recorded, partially published — see module docstring)."""
+    norm = _normalize_legs(legs)
+    _preflight(norm)
+    txn_id = f"txn-{uuid.uuid4().hex[:12]}"
+    manifest = {
+        "txn_id": txn_id,
+        "status": "prepared",
+        "created": time.time(),
+        "legs": norm,
+    }
+    if note:
+        manifest["note"] = note
+    store = get_log_store()
+    store.ensure_dir(txn_root)
+    # THE decision point: exclusive-create of the prepared manifest.
+    # Before this line: abort by abandoning stagings. After it: the txn
+    # commits, here or in recover_txns.
+    store.put_exclusive(_txn_file(txn_root, txn_id), json.dumps(manifest))
+    return _roll_forward(spark, txn_root, manifest)
+
+
+def recover_txns(
+    spark: SparkSession, txn_root: str, retry_stuck: bool = False
+) -> list[dict]:
+    """Repair after crashes: roll every ``prepared`` manifest forward
+    (idempotent — safe to run on a schedule, or concurrently with a
+    live ``commit_txn`` of the same txn). ``retry_stuck=True`` also
+    retries ``stuck`` txns — do that after resolving the recorded
+    conflict, and not concurrently with ``compensate_stuck_txn``.
+    Returns the manifests it acted on, with their final status."""
+    acted = []
+    for m in list_txns(txn_root):
+        if m["status"] == "prepared" or (
+            retry_stuck and m["status"] == "stuck"
+        ):
+            try:
+                acted.append(_roll_forward(spark, txn_root, m))
+            except TxnStuck:
+                acted.append(read_txn(txn_root, m["txn_id"]))
+    return acted
+
+
+def compensate_stuck_txn(
+    spark: SparkSession, txn_root: str, txn_id: str
+) -> dict:
+    """Saga-style abort of a ``stuck`` transaction: RESTORE each
+    published leg to its pre-leg version (``versioned.rollback`` — a
+    compensating commit, history preserved) and abandon the unpublished
+    stagings; the manifest flips to ``aborted``.
+
+    Refused unless every published leg is still its table's TIP: if
+    later commits landed on top, a blind restore would revert THEM too
+    — that situation needs a human (targeted ``delete_rows`` of the
+    leg's rows, or accept the txn and retry forward). Run this instead
+    of, never concurrently with, ``recover_txns(retry_stuck=True)``."""
+    m = read_txn(txn_root, txn_id)
+    if m["status"] != "stuck":
+        raise ValueError(
+            f"txn {txn_id} is {m['status']!r}, not stuck — compensation "
+            "is only for transactions parked by a roll-forward conflict"
+        )
+    published = [leg for leg in m["legs"] if leg.get("version") is not None]
+    for leg in published:
+        if latest_version(leg["table"]) != leg["version"]:
+            raise CommitConflict(
+                f"cannot compensate txn {txn_id}: {leg['table']} moved "
+                f"past the leg's version {leg['version']} — restoring "
+                "would revert unrelated commits; resolve forward instead"
+            )
+    for leg in published:
+        entry = rollback(spark, leg["table"], leg["version"] - 1)
+        leg["compensated_by"] = entry["version"]
+    for leg in m["legs"]:
+        if leg.get("version") is None:
+            abandon_staged(leg["table"], leg["staging_id"])
+            leg["abandoned"] = True
+    m["status"] = "aborted"
+    m["completed"] = time.time()
+    _write_manifest(txn_root, m)
+    return m
+
+
+def txn_snapshot(
+    spark: SparkSession, txn_root: str, txn_id: str
+) -> dict[str, "object"]:
+    """Open every member table of a COMMITTED transaction at its pinned
+    leg version — the transaction-consistent world, regardless of what
+    landed since. Returns ``{table_path: DataFrame}``. Costs exactly a
+    pinned ``read_table`` per member (pure log metadata resolution)."""
+    m = read_txn(txn_root, txn_id)
+    if m["status"] != "committed":
+        raise ValueError(
+            f"txn {txn_id} is {m['status']!r} — snapshots exist only "
+            "for committed transactions"
+        )
+    return {
+        leg["table"]: read_table(spark, leg["table"], version=leg["version"])
+        for leg in m["legs"]
+    }
+
+
+def expire_txns(txn_root: str, older_than_sec: float) -> list[str]:
+    """Drop terminal (committed/aborted) manifests older than the
+    horizon — the retention sweep for the coordinator directory. Never
+    touches prepared/stuck manifests: those are redo records, and
+    deleting one would un-decide a transaction."""
+    store = get_log_store()
+    now = time.time()
+    dropped = []
+    for m in list_txns(txn_root):
+        if m["status"] in ("committed", "aborted") and (
+            now - m.get("completed", m.get("created", now))
+        ) > older_than_sec:
+            store.delete(_txn_file(txn_root, m["txn_id"]))
+            dropped.append(m["txn_id"])
+    return dropped

@@ -256,3 +256,46 @@ def test_cli_tail_restore_sweep_verbs(capsys, spark, tmp_path):
     swept = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert swept["swept"] == [_os.path.join("data", "commit-orphan01")]
     assert not _os.path.isdir(leak)
+
+
+def test_cli_txn_verbs(capsys, spark, tmp_path):
+    """Multi-table transaction CLI surface: txn-commit publishes staged
+    legs atomically; txn-list shows the manifest; txn-recover is an
+    idempotent no-op afterwards; txn-expire reclaims the terminal
+    record."""
+    import json as _json
+
+    from medallion_data_lake_spark.cli import main
+    from medallion_data_lake_spark.operators.versioned import (
+        commit,
+        read_table,
+    )
+    from medallion_data_lake_spark.operators.wap import stage_commit
+
+    a = str(tmp_path / "ta")
+    b = str(tmp_path / "tb")
+    root = str(tmp_path / "_txn")
+    commit(spark.createDataFrame([(1, "x")], "id long, tag string"), a)
+    commit(spark.createDataFrame([(1, 1.0)], "id long, total double"), b)
+    sa = stage_commit(
+        spark.createDataFrame([(2, "y")], "id long, tag string"), a)
+    sb = stage_commit(
+        spark.createDataFrame([(2, 2.0)], "id long, total double"), b)
+
+    rc = main(["txn-commit", root, "--leg", f"{a}={sa}", "--leg", f"{b}={sb}"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["status"] == "committed"
+    assert {r["id"] for r in read_table(spark, a).collect()} == {1, 2}
+    assert {r["id"] for r in read_table(spark, b).collect()} == {1, 2}
+
+    assert main(["txn-list", root]) == 0
+    listed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert listed["txn_id"] == out["txn_id"]
+    assert [leg["version"] for leg in listed["legs"]] == [1, 1]
+
+    assert main(["txn-recover", root]) == 0
+    assert capsys.readouterr().out.strip() == ""  # nothing to act on
+
+    assert main(["txn-expire", root, "--older-than", "0"]) == 0
+    expired = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert expired["expired"] == [out["txn_id"]]

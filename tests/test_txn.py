@@ -1,0 +1,369 @@
+"""Multi-table transactions (operators/txn.py): stage on N tables,
+decide once, roll forward idempotently — all-or-nothing durability
+with crash recovery, stuck-txn parking on commit-time conflicts, and
+saga-style compensation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from medallion_data_lake_spark.operators import txn as T
+from medallion_data_lake_spark.operators.txn import (
+    TxnStuck,
+    commit_txn,
+    compensate_stuck_txn,
+    expire_txns,
+    list_txns,
+    read_txn,
+    recover_txns,
+    txn_snapshot,
+)
+from medallion_data_lake_spark.operators.versioned import (
+    CommitConflict,
+    commit,
+    history,
+    latest_version,
+    read_table,
+    set_table_constraints,
+)
+from medallion_data_lake_spark.operators.wap import list_staged, stage_commit
+
+
+def _mk(spark, tmp_path):
+    a = str(tmp_path / "events")
+    b = str(tmp_path / "rollup")
+    commit(spark.createDataFrame([(1, "x")], "id long, tag string"), a)
+    commit(spark.createDataFrame([(1, 10.0)], "id long, total double"), b)
+    return a, b, str(tmp_path / "_txn")
+
+
+def _stage_pair(spark, a, b, offset=100):
+    sa = stage_commit(
+        spark.createDataFrame([(offset, "y")], "id long, tag string"), a)
+    sb = stage_commit(
+        spark.createDataFrame([(offset, 99.0)], "id long, total double"), b)
+    return sa, sb
+
+
+def test_commit_txn_publishes_all_legs_atomically(spark, tmp_path):
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+
+    m = commit_txn(spark, root, [(a, sa), (b, sb)], note="batch 100")
+
+    assert m["status"] == "committed"
+    assert {r["id"] for r in read_table(spark, a).collect()} == {1, 100}
+    assert {r["id"] for r in read_table(spark, b).collect()} == {1, 100}
+    # per-leg versions recorded; manifest doubles as a savepoint
+    assert all(leg["version"] == 1 for leg in m["legs"])
+    assert set(m["savepoint"]["tables"]) == {
+        os.path.abspath(a), os.path.abspath(b)
+    }
+    # no staging manifests left behind
+    assert list_staged(a) == [] and list_staged(b) == []
+
+
+def test_snapshot_is_the_transaction_consistent_world(spark, tmp_path):
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+    m = commit_txn(spark, root, [(a, sa), (b, sb)])
+
+    # later commits must not leak into the txn's snapshot
+    commit(spark.createDataFrame([(999, "late")], "id long, tag string"), a)
+    snap = txn_snapshot(spark, root, m["txn_id"])
+    assert {r["id"] for r in snap[os.path.abspath(a)].collect()} == {1, 100}
+    assert {r["id"] for r in snap[os.path.abspath(b)].collect()} == {1, 100}
+
+
+def test_abort_before_decision_is_invisible(spark, tmp_path):
+    from medallion_data_lake_spark.operators.wap import abandon_staged
+
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+    # the documented abort path: no manifest was written, just abandon
+    abandon_staged(a, sa)
+    abandon_staged(b, sb)
+    assert latest_version(a) == 0 and latest_version(b) == 0
+    assert list_txns(root) == []
+
+
+def test_crash_mid_roll_forward_recovers_forward(spark, tmp_path, monkeypatch):
+    """Kill the coordinator after leg A publishes: the prepared manifest
+    is the redo log — recover_txns completes leg B with no double
+    publish of leg A."""
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+
+    real = T.publish_staged
+    calls = {"n": 0}
+
+    def dies_after_first(spark_, path, sid):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated coordinator crash")
+        return real(spark_, path, sid)
+
+    monkeypatch.setattr(T, "publish_staged", dies_after_first)
+    with pytest.raises(RuntimeError, match="simulated"):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.setattr(T, "publish_staged", real)
+
+    # torn state: A visible, B not — exactly what recovery must repair
+    assert latest_version(a) == 1 and latest_version(b) == 0
+    (m,) = list_txns(root)
+    assert m["status"] == "prepared"
+    assert m["legs"][0]["version"] == 1
+    assert m["legs"][1].get("version") is None
+
+    acted = recover_txns(spark, root)
+    assert [x["status"] for x in acted] == ["committed"]
+    assert latest_version(a) == 1, "leg A must not publish twice"
+    assert latest_version(b) == 1
+    assert {r["id"] for r in read_table(spark, b).collect()} == {1, 100}
+
+
+def test_recover_replay_is_idempotent(spark, tmp_path):
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+    m = commit_txn(spark, root, [(a, sa), (b, sb)])
+
+    # manually rewind the manifest to prepared (crash before finalize)
+    rewound = dict(m, status="prepared")
+    rewound.pop("savepoint")
+    T._write_manifest(root, rewound)
+    acted = recover_txns(spark, root)
+    assert [x["status"] for x in acted] == ["committed"]
+    # replay published nothing new on either table
+    assert latest_version(a) == 1 and latest_version(b) == 1
+    assert len(history(a)) == 2 and len(history(b)) == 2
+    # and running recovery again acts on nothing
+    assert recover_txns(spark, root) == []
+
+
+def test_preflight_conflict_aborts_cleanly(spark, tmp_path):
+    """A conflict that already exists at commit time (constraints moved
+    after staging) must refuse BEFORE the decision point: no manifest,
+    nothing published, stagings still abandonable."""
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+    set_table_constraints(b, [{"kind": "check", "name": "pos", "sql": "total >= 0"}])
+
+    with pytest.raises(CommitConflict, match="pre-check"):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    assert list_txns(root) == []
+    assert latest_version(a) == 0 and latest_version(b) == 0
+    assert {m["staging_id"] for m in list_staged(a)} == {sa}
+
+
+def test_commit_time_race_parks_stuck_then_compensates(
+    spark, tmp_path, monkeypatch
+):
+    """A conflict landing BETWEEN the pre-check and a leg's publish
+    parks the txn stuck (leg A stays published, the error is recorded);
+    compensate_stuck_txn restores A and abandons B's staging."""
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+
+    real = T.publish_staged
+
+    def conflict_on_b(spark_, path, sid):
+        if path == b:
+            # the race: constraints change after pre-flight, before B
+            set_table_constraints(b, [{"kind": "check", "name": "pos", "sql": "total >= 0"}])
+        return real(spark_, path, sid)
+
+    monkeypatch.setattr(T, "publish_staged", conflict_on_b)
+    with pytest.raises(TxnStuck, match="contract"):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.setattr(T, "publish_staged", real)
+
+    (m,) = list_txns(root)
+    assert m["status"] == "stuck"
+    assert m["legs"][0]["version"] == 1
+    assert "contract" in m["legs"][1]["error"]
+    # default recovery leaves stuck txns alone
+    assert recover_txns(spark, root) == []
+
+    out = compensate_stuck_txn(spark, root, m["txn_id"])
+    assert out["status"] == "aborted"
+    # leg A restored: live set equals pre-txn, history preserved
+    assert {r["id"] for r in read_table(spark, a).collect()} == {1}
+    assert latest_version(a) == 2  # append + compensating RESTORE
+    # leg B's staging abandoned, nothing ever published there
+    assert latest_version(b) == 0
+    assert list_staged(b) == []
+    # snapshots only exist for committed txns
+    with pytest.raises(ValueError, match="aborted"):
+        txn_snapshot(spark, root, m["txn_id"])
+
+
+def test_stuck_txn_retries_forward_after_conflict_resolved(
+    spark, tmp_path, monkeypatch
+):
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+
+    real = T.publish_staged
+
+    def conflict_on_b(spark_, path, sid):
+        if path == b:
+            set_table_constraints(b, [{"kind": "check", "name": "pos", "sql": "total >= 0"}])
+        return real(spark_, path, sid)
+
+    monkeypatch.setattr(T, "publish_staged", conflict_on_b)
+    with pytest.raises(TxnStuck):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.setattr(T, "publish_staged", real)
+
+    # resolution: the staged batch satisfies the new contract — but the
+    # staged manifest's fingerprint is from before, so the supported
+    # forward path is reverting the DDL that raced in
+    set_table_constraints(b, [])
+    acted = recover_txns(spark, root, retry_stuck=True)
+    assert [x["status"] for x in acted] == ["committed"]
+    assert {r["id"] for r in read_table(spark, b).collect()} == {1, 100}
+
+
+def test_compensation_refuses_when_table_moved_past_leg(
+    spark, tmp_path, monkeypatch
+):
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+
+    real = T.publish_staged
+
+    def conflict_on_b(spark_, path, sid):
+        if path == b:
+            set_table_constraints(b, [{"kind": "check", "name": "pos", "sql": "total >= 0"}])
+        return real(spark_, path, sid)
+
+    monkeypatch.setattr(T, "publish_staged", conflict_on_b)
+    with pytest.raises(TxnStuck):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.setattr(T, "publish_staged", real)
+
+    # an unrelated commit lands on A after the leg published
+    commit(spark.createDataFrame([(7, "z")], "id long, tag string"), a)
+    (m,) = list_txns(root)
+    with pytest.raises(CommitConflict, match="moved past"):
+        compensate_stuck_txn(spark, root, m["txn_id"])
+    # nothing reverted, manifest still stuck
+    assert read_txn(root, m["txn_id"])["status"] == "stuck"
+    assert {r["id"] for r in read_table(spark, a).collect()} == {1, 100, 7}
+
+
+def test_leg_validation(spark, tmp_path):
+    a, b, root = _mk(spark, tmp_path)
+    sa, _ = _stage_pair(spark, a, b)
+    with pytest.raises(ValueError, match="at least one"):
+        commit_txn(spark, root, [])
+    with pytest.raises(ValueError, match="one leg per table"):
+        commit_txn(spark, root, [(a, sa), (a, sa)])
+    with pytest.raises(FileNotFoundError):
+        commit_txn(spark, root, [(a, "wap-never-staged")])
+    assert list_txns(root) == []
+
+
+def test_expire_drops_only_terminal_manifests(spark, tmp_path, monkeypatch):
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+    m1 = commit_txn(spark, root, [(a, sa)])
+
+    # a prepared manifest (crash before any publish)
+    sa2 = stage_commit(
+        spark.createDataFrame([(200, "y2")], "id long, tag string"), a)
+    real = T.publish_staged
+    monkeypatch.setattr(
+        T, "publish_staged",
+        lambda *args: (_ for _ in ()).throw(RuntimeError("crash")))
+    with pytest.raises(RuntimeError):
+        commit_txn(spark, root, [(a, sa2)])
+    monkeypatch.setattr(T, "publish_staged", real)
+
+    dropped = expire_txns(root, older_than_sec=0.0)
+    assert dropped == [m1["txn_id"]]
+    (left,) = list_txns(root)
+    assert left["status"] == "prepared", "redo records must survive expiry"
+    # and the survivor still recovers
+    acted = recover_txns(spark, root)
+    assert [x["status"] for x in acted] == ["committed"]
+    assert {r["id"] for r in read_table(spark, a).collect()} == {1, 100, 200}
+
+
+# ---------------------------------------------------------------------------
+# cross-process crash recovery: the coordinator dies for real (os._exit
+# in a spawned interpreter, own JVM), a stranger process repairs
+# ---------------------------------------------------------------------------
+
+def _coordinator_that_dies_after_leg_one(a, b, root, result):
+    """Runs in a SPAWNED process: stages both legs, calls the real
+    commit_txn, and hard-exits (no cleanup, no finalize) the instant
+    the first leg publishes — the worst crash point for atomicity."""
+    import json as _json
+    import os as _os
+    import sys
+
+    sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    from medallion_data_lake_spark.operators import txn as T_
+    from medallion_data_lake_spark.operators.wap import stage_commit
+    from medallion_data_lake_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="txn-crash", master="local[4]",
+        extra_conf={"spark.sql.shuffle.partitions": 4},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sa = stage_commit(
+        spark.createDataFrame([(100, "y")], "id long, tag string"), a)
+    sb = stage_commit(
+        spark.createDataFrame([(100, 99.0)], "id long, total double"), b)
+
+    real = T_.publish_staged
+
+    def bomb(spark_, path, sid):
+        entry = real(spark_, path, sid)
+        _json.dump({"published": path, "version": entry["version"]},
+                   open(result, "w"))
+        _os._exit(1)  # die before the per-leg progress write
+
+    T_.publish_staged = bomb
+    T_.commit_txn(spark, root, [(a, sa), (b, sb)])
+
+
+def test_cross_process_crash_then_recovery(spark, tmp_path):
+    import multiprocessing as mp
+    import time as _time
+
+    a, b, root = _mk(spark, tmp_path)
+    result = str(tmp_path / "result.json")
+    ctx = mp.get_context("spawn")
+    proc = ctx.Process(
+        target=_coordinator_that_dies_after_leg_one,
+        args=(a, b, root, result),
+    )
+    proc.start()
+    proc.join(timeout=300)
+    assert proc.exitcode == 1, "coordinator must have died mid-txn"
+    crash = json.load(open(result))
+    assert crash["published"] == os.path.abspath(a)
+
+    # torn world, and the manifest doesn't even carry leg A's version
+    # (the crash landed before the progress write — recovery must
+    # rediscover it through publish_staged's idempotence)
+    assert latest_version(a) == 1 and latest_version(b) == 0
+    (m,) = list_txns(root)
+    assert m["status"] == "prepared"
+    assert all(leg.get("version") is None for leg in m["legs"])
+
+    deadline = _time.time() + 60
+    acted = recover_txns(spark, root)
+    assert _time.time() < deadline
+    assert [x["status"] for x in acted] == ["committed"]
+    assert latest_version(a) == 1, "recovery must not re-publish leg A"
+    assert latest_version(b) == 1
+    assert {r["id"] for r in read_table(spark, a).collect()} == {1, 100}
+    assert {r["id"] for r in read_table(spark, b).collect()} == {1, 100}
