@@ -73,12 +73,18 @@ import uuid
 from pyspark.sql import SparkSession
 
 from .logstore import get_log_store
-from .versioned import CommitConflict, latest_version, read_table, rollback
+from .versioned import (
+    CommitConflict,
+    _read_entry as _entry_at,
+    latest_version,
+    read_table,
+    rollback,
+)
 from .wap import (
     _constraints_fp,
-    _published_entry,
     _read_manifest,
     abandon_staged,
+    mark_staging_txn,
     publish_staged,
 )
 
@@ -100,6 +106,11 @@ def _write_manifest(txn_root: str, manifest: dict) -> None:
     # point. Concurrent updaters (a live commit_txn and a recover_txns)
     # replay the SAME idempotent publishes, so both write the same
     # content for the same legs — last-writer-wins is benign.
+    # Backend note: LocalLogStore.replace is kernel-atomic (rename);
+    # the LogStore BASE default is delete+create, which a concurrent
+    # read can observe as transiently missing — a custom backend used
+    # for txn roots should override replace with its atomic form (the
+    # same requirement versioned._write_checkpoint already states).
     get_log_store().replace(
         _txn_file(txn_root, manifest["txn_id"]), json.dumps(manifest)
     )
@@ -225,6 +236,12 @@ def commit_txn(
         manifest["note"] = note
     store = get_log_store()
     store.ensure_dir(txn_root)
+    # mark each staged manifest as this txn's leg BEFORE deciding:
+    # once the prepared manifest exists, the stagings are the redo
+    # log, and maintenance (wap.expire_staged) / manual abandon must
+    # not destroy them out from under a recoverable transaction
+    for leg in norm:
+        mark_staging_txn(leg["table"], leg["staging_id"], txn_root, txn_id)
     # THE decision point: exclusive-create of the prepared manifest.
     # Before this line: abort by abandoning stagings. After it: the txn
     # commits, here or in recover_txns.
@@ -250,6 +267,12 @@ def recover_txns(
                 acted.append(_roll_forward(spark, txn_root, m))
             except TxnStuck:
                 acted.append(read_txn(txn_root, m["txn_id"]))
+            except Exception as e:  # noqa: BLE001 — per-txn isolation
+                # one poisoned txn (vanished staged dir, transient store
+                # error) must not block recovery of every OTHER prepared
+                # txn behind it in the listing; the manifest is left
+                # untouched (still prepared) for the next sweep
+                acted.append(dict(m, status="error", error=repr(e)))
     return acted
 
 
@@ -258,35 +281,85 @@ def compensate_stuck_txn(
 ) -> dict:
     """Saga-style abort of a ``stuck`` transaction: RESTORE each
     published leg to its pre-leg version (``versioned.rollback`` — a
-    compensating commit, history preserved) and abandon the unpublished
-    stagings; the manifest flips to ``aborted``.
+    compensating commit, history preserved; a leg that CREATED its
+    table compensates with an empty overwrite, since version -1 does
+    not exist) and abandon the unpublished stagings; the manifest flips
+    to ``aborted``.
 
-    Refused unless every published leg is still its table's TIP: if
-    later commits landed on top, a blind restore would revert THEM too
-    — that situation needs a human (targeted ``delete_rows`` of the
-    leg's rows, or accept the txn and retry forward). Run this instead
-    of, never concurrently with, ``recover_txns(retry_stuck=True)``."""
+    Crash-safe and resumable: intent is recorded first (``aborting`` —
+    recovery never retries an aborting txn forward), each compensating
+    commit is persisted per leg, and a re-run adopts a restore that
+    landed but was not yet recorded instead of refusing it as drift.
+
+    Refused unless every uncompensated published leg is still its
+    table's TIP: if later commits landed on top, a blind restore would
+    revert THEM too — that situation needs a human (targeted
+    ``delete_rows`` of the leg's rows, or accept the txn and retry
+    forward). Run this instead of, never concurrently with,
+    ``recover_txns(retry_stuck=True)``."""
     m = read_txn(txn_root, txn_id)
-    if m["status"] != "stuck":
+    if m["status"] not in ("stuck", "aborting"):
         raise ValueError(
             f"txn {txn_id} is {m['status']!r}, not stuck — compensation "
-            "is only for transactions parked by a roll-forward conflict"
+            "is only for transactions parked by a roll-forward conflict "
+            "(or resuming its own crashed 'aborting' pass)"
         )
     published = [leg for leg in m["legs"] if leg.get("version") is not None]
-    for leg in published:
-        if latest_version(leg["table"]) != leg["version"]:
-            raise CommitConflict(
-                f"cannot compensate txn {txn_id}: {leg['table']} moved "
-                f"past the leg's version {leg['version']} — restoring "
-                "would revert unrelated commits; resolve forward instead"
+    todo = [leg for leg in published if "compensated_by" not in leg]
+    # tip checks for EVERY remaining leg before the first restore: a
+    # mid-loop refusal would strand a half-compensated transaction
+    adoptable: dict[int, int] = {}
+    for i, leg in enumerate(todo):
+        tip = latest_version(leg["table"])
+        if tip == leg["version"]:
+            continue
+        # resume case: a previous compensation pass crashed after
+        # restoring this leg but before recording it — adopt the tip
+        # iff it IS that compensating commit
+        entry = _entry_at(leg["table"], tip)
+        if leg["version"] == 0:
+            compensated = (
+                entry.get("mode") == "overwrite" and not entry.get("added")
             )
-    for leg in published:
-        entry = rollback(spark, leg["table"], leg["version"] - 1)
-        leg["compensated_by"] = entry["version"]
+        else:
+            compensated = entry.get("restore_of") == leg["version"] - 1
+        if m["status"] == "aborting" and compensated:
+            adoptable[i] = tip
+            continue
+        raise CommitConflict(
+            f"cannot compensate txn {txn_id}: {leg['table']} moved "
+            f"past the leg's version {leg['version']} — restoring "
+            "would revert unrelated commits; resolve forward instead"
+        )
+    # intent recorded FIRST: from here the txn is 'aborting', recovery
+    # will not retry it forward, and a crash resumes HERE
+    m["status"] = "aborting"
+    _write_manifest(txn_root, m)
+    for i, leg in enumerate(todo):
+        if i in adoptable:
+            leg["compensated_by"] = adoptable[i]
+        elif leg["version"] == 0:
+            # this leg CREATED the table — there is no version -1 to
+            # restore to; compensate with an empty overwrite (a valid
+            # empty snapshot, history preserved like any restore)
+            from .versioned import _table_schema_at, commit
+
+            empty = spark.createDataFrame(
+                [], _table_schema_at(spark, leg["table"], 0)
+            )
+            entry = commit(empty, leg["table"], mode="overwrite")
+            leg["compensated_by"] = entry["version"]
+        else:
+            entry = rollback(spark, leg["table"], leg["version"] - 1)
+            leg["compensated_by"] = entry["version"]
+        # per-leg progress, same discipline as _roll_forward: a crash
+        # costs one adopt-the-tip resume, never a wedged manifest
+        _write_manifest(txn_root, m)
     for leg in m["legs"]:
-        if leg.get("version") is None:
-            abandon_staged(leg["table"], leg["staging_id"])
+        if leg.get("version") is None and not leg.get("abandoned"):
+            abandon_staged(leg["table"], leg["staging_id"], force=True)
             leg["abandoned"] = True
+            _write_manifest(txn_root, m)
     m["status"] = "aborted"
     m["completed"] = time.time()
     _write_manifest(txn_root, m)
@@ -310,6 +383,54 @@ def txn_snapshot(
         leg["table"]: read_table(spark, leg["table"], version=leg["version"])
         for leg in m["legs"]
     }
+
+
+def audit_and_commit_txn(
+    spark: SparkSession,
+    txn_root: str,
+    legs,
+    note: str | None = None,
+    scope: str = "increment",
+    on_fail: str = "keep",
+) -> dict:
+    """The multi-table WAP wrapper: audit EVERY staged leg against its
+    expectations suite first; only if all pass does the transaction
+    commit — one failing table keeps (``on_fail="keep"``, quarantine
+    for inspection via ``wap.read_staged``) or abandons
+    (``"abandon"``) ALL stagings, so a batch that fails quality on one
+    table never half-lands anywhere.
+
+    ``legs`` is a sequence of ``(table_path, staging_id, expectations)``
+    where ``expectations`` is an ``operators/expectations.py`` suite (or
+    None to skip the audit for that leg). Returns ``{"committed",
+    "reports": {table: report}, "manifest"|None}``. Each audit is one
+    aggregation over that leg's staged scope — same cost contract as
+    ``wap.audit_and_publish``, multiplied by legs, never by tables not
+    in the transaction."""
+    if on_fail not in ("keep", "abandon"):
+        raise ValueError(f"on_fail must be keep|abandon, got {on_fail!r}")
+    from .expectations import run_expectations
+    from .wap import read_staged
+
+    reports: dict[str, dict] = {}
+    all_passed = True
+    for t, sid, exps in legs:
+        if exps is None:
+            continue
+        rep = run_expectations(
+            read_staged(spark, t, sid, scope=scope), exps
+        )
+        reports[os.path.abspath(t)] = rep
+        all_passed = all_passed and rep["passed"]
+    if not all_passed:
+        if on_fail == "abandon":
+            for t, sid, _ in legs:
+                abandon_staged(t, sid)
+        return {"committed": False, "reports": reports, "manifest": None}
+    m = commit_txn(
+        spark, txn_root, [(t, sid) for t, sid, _ in legs], note=note
+    )
+    return {"committed": True, "reports": reports, "manifest": m}
 
 
 def expire_txns(txn_root: str, older_than_sec: float) -> list[str]:

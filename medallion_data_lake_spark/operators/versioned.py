@@ -1289,19 +1289,29 @@ def _cm_refuse_expr(cm: dict, expr: str | None, what: str) -> None:
     exist as columns in the data files, so the expression would silently
     bind to an identity the table no longer exposes.
 
-    The scan ignores quoted STRING LITERALS and ``--`` comments before
+    The scan ignores quoted STRING LITERALS and comments before
     matching (r8 ADVICE): ``tag = 'old_col'`` compares against a value
     that merely spells the old name — refusing it would reject a valid
     DML expression. Backtick-quoted identifiers still count: they DO
-    bind to columns."""
+    bind to columns. The literal lexer matches Spark's DEFAULT string
+    rules (backslash escapes active, ``''``/``""`` doubling, ``--`` and
+    ``/* */`` comments); under the legacy
+    ``spark.sql.parser.escapedStringLiterals=true`` conf a ``\\'``
+    ENDS a literal instead of escaping a quote, so a stale name in the
+    expression tail after such a literal can evade this guard — the
+    conservative pre-masking behavior, restored only for that corner."""
     if expr is None or _cm_is_identity(cm):
         return
     stale = (
         set(cm.get("map", {}).values()) | set(cm.get("retired", []))
     ) - set(cm.get("map", {}))
-    # mask '...' / "..." literals ('' and "" escapes included) and
-    # line comments — occurrences inside them are data, not references
-    scanned = re.sub(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|--[^\n]*", " ", expr)
+    # mask '...' / "..." literals (backslash and doubled-quote escapes,
+    # Spark's default lexing) and comments — occurrences inside them
+    # are data, not references
+    scanned = re.sub(
+        r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"|--[^\n]*|/\*.*?\*/",
+        " ", expr, flags=re.S,
+    )
     hits = [s for s in stale if re.search(rf"\b{re.escape(s)}\b", scanned)]
     if hits:
         raise ValueError(

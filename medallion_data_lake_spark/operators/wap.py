@@ -349,7 +349,60 @@ def _drop_manifest(path: str, staging_id: str) -> None:
         pass
 
 
-def abandon_staged(path: str, staging_id: str) -> None:
+# a staging marked as a txn leg whose coordinator manifest is MISSING
+# is in the mark-then-decide gap (or the coordinator died pre-decision):
+# protect it briefly, then let normal expiry reclaim it
+TXN_MARKER_GRACE_SEC = 3600.0
+
+
+def _txn_protection(m: dict) -> str | None:
+    """Why this staged manifest must not be reclaimed, or None.
+
+    A staging marked as a leg of a multi-table transaction
+    (``operators/txn.py`` stamps ``m["txn"]`` before the decision
+    point) is part of that txn's REDO LOG while the txn is undecided or
+    live: reclaiming it would make a prepared txn permanently
+    unrecoverable — leg A visible, leg B lost, the torn state the
+    coordinator exists to prevent."""
+    marker = m.get("txn")
+    if not marker:
+        return None
+    target = os.path.join(marker["root"], f"{marker['id']}.json")
+    from .logstore import get_log_store
+
+    try:
+        status = json.loads(get_log_store().read(target)).get("status")
+    except (FileNotFoundError, KeyError):
+        # manifest not there (yet): the mark-to-decide gap, or a
+        # coordinator that died before deciding — grace-protect, then
+        # free (an undecided txn whose marker aged out never commits)
+        if time.time() - marker.get("marked_at", 0) < TXN_MARKER_GRACE_SEC:
+            return f"txn {marker['id']} deciding"
+        return None
+    if status in ("prepared", "stuck", "aborting"):
+        return f"txn {marker['id']} is {status}"
+    return None
+
+
+def mark_staging_txn(
+    path: str, staging_id: str, txn_root: str, txn_id: str
+) -> None:
+    """Stamp a staged manifest as a transaction leg (called by
+    ``txn.commit_txn`` before its decision point) so maintenance
+    (``expire_staged``) and manual ``abandon_staged`` refuse to destroy
+    the txn's redo state while the txn is live."""
+    from ._atomic import atomic_write_json
+
+    m = _read_manifest(path, staging_id)
+    m["txn"] = {
+        "root": os.path.abspath(txn_root),
+        "id": txn_id,
+        "marked_at": time.time(),
+    }
+    atomic_write_json(_manifest_path(path, staging_id), m)
+
+
+def abandon_staged(path: str, staging_id: str, force: bool = False) -> None:
     """Drop a staged commit: manifest first (the staging stops being
     addressable), then the data dir. Readers never saw it; nothing to
     roll back.
@@ -358,12 +411,25 @@ def abandon_staged(path: str, staging_id: str) -> None:
     leaves a stale manifest whose data files ARE now log-referenced —
     abandoning that staging must drop only the manifest, never the
     bytes (a maintenance `expire_staged` would otherwise physically
-    delete committed data)."""
+    delete committed data).
+
+    Txn-guard: a staging marked as a live transaction leg refuses
+    (``force=True`` overrides — that is for the txn machinery itself,
+    e.g. ``compensate_stuck_txn`` abandoning its own legs)."""
     m = None
     try:
         m = _read_manifest(path, staging_id)
     except FileNotFoundError:
         pass
+    if m is not None and not force:
+        why = _txn_protection(m)
+        if why is not None:
+            raise ValueError(
+                f"staging {staging_id} on {path} is a transaction leg "
+                f"({why}) — abandoning it would destroy the txn's redo "
+                "state; resolve the transaction instead (txn-recover / "
+                "txn-compensate)"
+            )
     if m is not None:
         base_lo = (
             (m["base_version"] if m["base_version"] is not None else -1) + 1
@@ -406,7 +472,11 @@ def expire_staged(path: str, older_than_sec: float) -> list[str]:
     expired = []
     for m in list_staged(path):
         if m["age_sec"] > older_than_sec:
-            abandon_staged(path, m["staging_id"])
+            if _txn_protection(m) is not None:
+                # a live transaction's redo state — the txn machinery
+                # (recover/compensate/expire_txns) owns its lifecycle
+                continue
+            abandon_staged(path, m["staging_id"], force=True)
             expired.append(m["staging_id"])
     data_root = os.path.join(path, "data")
     if os.path.isdir(data_root):

@@ -307,19 +307,21 @@ class MedallionLakeBatchReader(DataSourceReader):
     the log's per-file [min, max] stats and returns EVERY filter for
     residual evaluation — identical results with or without pruning."""
 
-    def __init__(self, path: str, options: dict):
+    def __init__(self, path: str, options: dict, pinned: int | None = None):
         self._path = path
         self._version = _resolve_version_opt(path, options)
         if self._version is None:
-            # Pin 'latest' ONCE at reader construction. partitions()
-            # resolves files, DVs, and stats as three separate lookups;
-            # left unpinned, a rewrite commit landing between them (e.g.
-            # OPTIMIZE purging DV'd rows) can pop a removed file's DV
-            # while the stale file list still includes it — transiently
-            # resurrecting deleted rows. Pinning here also keeps the
-            # declared schema and the scanned snapshot on ONE version
-            # (Delta's snapshot-at-analysis rule).
-            self._version = latest_version(path)
+            # Pin 'latest' ONCE. partitions() resolves files, DVs, and
+            # stats as three separate lookups; left unpinned, a rewrite
+            # commit landing between them (e.g. OPTIMIZE purging DV'd
+            # rows) can pop a removed file's DV while the stale file
+            # list still includes it — transiently resurrecting deleted
+            # rows. ``pinned`` is the DataSource's load-time latest, so
+            # the declared schema and the scanned snapshot stay on ONE
+            # version (Delta's snapshot-at-analysis rule) even though
+            # schema() and reader() are separate engine calls; direct
+            # construction without it pins here instead.
+            self._version = pinned if pinned is not None else latest_version(path)
         self._schema_json, self._fields = _declared_fields(
             path, self._version, _opt(options, "columns")
         )
@@ -646,6 +648,28 @@ class MedallionLakeDataSource(DataSource):
     def name(cls) -> str:
         return FORMAT_NAME
 
+    def __init__(self, options: dict):
+        super().__init__(options)
+        # Pin the batch snapshot at SOURCE construction (load time):
+        # schema() and reader() are separate engine calls (potentially
+        # in separate runner processes), and each resolving 'latest'
+        # independently would declare version N's schema while scanning
+        # version N+1's files if a commit lands between them. The pin
+        # travels with the pickled instance; explicit version/
+        # timestampAsOf options take precedence (resolved per call),
+        # and the streaming paths ignore it (offsets pin their own
+        # versions). None (table absent / no path yet, e.g. a writer)
+        # falls back to per-call resolution, same as before.
+        self._load_time_latest = None
+        try:
+            if (
+                _opt(options, "version") is None
+                and _opt(options, "timestampAsOf") is None
+            ):
+                self._load_time_latest = latest_version(self._path())
+        except Exception:
+            self._load_time_latest = None
+
     def _path(self) -> str:
         p = _opt(self.options, "path")
         if not p:
@@ -669,9 +693,11 @@ class MedallionLakeDataSource(DataSource):
 
     def schema(self) -> StructType:
         path = self._path()
+        v = _resolve_version_opt(path, dict(self.options))
+        if v is None:
+            v = self._load_time_latest
         schema_json, _ = _declared_fields(
-            path, _resolve_version_opt(path, dict(self.options)),
-            _opt(self.options, "columns"),
+            path, v, _opt(self.options, "columns"),
         )
         st = StructType.fromJson(schema_json)
         if _flag(self.options, "readChangeFeed"):
@@ -694,7 +720,10 @@ class MedallionLakeDataSource(DataSource):
                 "(spark.readStream); for a batch change feed use "
                 "operators.versioned.table_changes()"
             )
-        return MedallionLakeBatchReader(self._path(), dict(self.options))
+        return MedallionLakeBatchReader(
+            self._path(), dict(self.options),
+            pinned=self._load_time_latest,
+        )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:  # noqa: N802
         return MedallionLakeStreamReader(self._path(), dict(self.options))

@@ -422,3 +422,24 @@ def test_stale_name_inside_string_literal_is_not_refused(spark, tmp_path):
         delete_rows(spark, path, where="`score` > 0")
     with pytest.raises(ValueError, match="score"):
         delete_rows(spark, path, where="score > 0 AND tag = 'x'")
+
+
+def test_literal_masker_matches_spark_string_lexing(spark, tmp_path):
+    """The masker must lex like Spark's DEFAULT string rules: a
+    backslash-escaped quote does NOT end a literal, so code after it is
+    still scanned; block comments are masked like line comments."""
+    path = _mk(spark, tmp_path,
+               rows=((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+    rename_column(spark, path, "score", "rating")
+
+    # 'a\'' is ONE literal under default lexing; `score > 0` after it
+    # is real code and must refuse
+    with pytest.raises(ValueError, match="score"):
+        delete_rows(spark, path, where=r"tag = 'a\'' OR score > 0")
+    # stale name inside a block comment: data, not a reference
+    out = delete_rows(spark, path,
+                      where="rating >= 30.0 /* score was renamed */")
+    assert out["rows_deleted"] == 1
+    # backslash escapes inside a masked literal don't leak the mask
+    out = delete_rows(spark, path, where=r"tag = 'sc\tore' AND rating > 0")
+    assert out is None  # matched nothing: a legal no-op, not a refusal

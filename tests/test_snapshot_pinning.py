@@ -105,3 +105,33 @@ def test_batch_reader_pins_version_at_construction(spark, tmp_path):
         assert by_rel[rel].drop_positions == positions, (
             "pinned snapshot must pair pinned files with PINNED DVs"
         )
+
+
+def test_data_source_pins_schema_and_scan_on_one_version(spark, tmp_path):
+    """schema() and reader() are SEPARATE engine calls (potentially in
+    separate runner processes): both must resolve the same load-time
+    version, or a commit landing between them pairs version-N's
+    declared schema with version-N+1's files. End-to-end: a DataFrame
+    loaded before a commit scans the load-time snapshot."""
+    from medallion_data_lake_spark.sources.lakehouse_source import (
+        FORMAT_NAME,
+        register_lake_source,
+    )
+
+    path = str(tmp_path / "pin_ds")
+    commit(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, payload string"), path)
+    register_lake_source(spark)
+
+    df = spark.read.format(FORMAT_NAME).load(path)
+    # a commit lands after load (analysis) but before the scan plans
+    commit(spark.createDataFrame(
+        [(999, "late")], "id long, payload string"), path)
+
+    ids = {r.id for r in df.collect()}
+    assert 999 not in ids, "scan drifted past the load-time snapshot"
+    assert len(ids) == 10
+    # a FRESH load sees the new tip
+    ids2 = {r.id for r in
+            spark.read.format(FORMAT_NAME).load(path).collect()}
+    assert 999 in ids2 and len(ids2) == 11

@@ -367,3 +367,223 @@ def test_cross_process_crash_then_recovery(spark, tmp_path):
     assert latest_version(b) == 1
     assert {r["id"] for r in read_table(spark, a).collect()} == {1, 100}
     assert {r["id"] for r in read_table(spark, b).collect()} == {1, 100}
+
+
+# ---------------------------------------------------------------------------
+# review-pass hardening: redo-state protection, version-0 legs,
+# compensation crash-resume, recovery isolation
+# ---------------------------------------------------------------------------
+
+def test_prepared_txn_legs_survive_staging_maintenance(
+    spark, tmp_path, monkeypatch
+):
+    """A prepared txn's unpublished stagings are its REDO LOG:
+    wap.expire_staged must skip them and manual abandon_staged must
+    refuse, or a crashed coordinator's txn becomes permanently torn."""
+    from medallion_data_lake_spark.operators.wap import (
+        abandon_staged,
+        expire_staged,
+    )
+
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+
+    real = T.publish_staged
+    calls = {"n": 0}
+
+    def dies_after_first(spark_, path, sid):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated coordinator crash")
+        return real(spark_, path, sid)
+
+    monkeypatch.setattr(T, "publish_staged", dies_after_first)
+    with pytest.raises(RuntimeError):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.setattr(T, "publish_staged", real)
+
+    # the maintenance sweep (horizon 0: everything is 'old') must leave
+    # the prepared txn's leg alone
+    assert expire_staged(b, older_than_sec=0.0) == []
+    with pytest.raises(ValueError, match="transaction leg"):
+        abandon_staged(b, sb)
+
+    acted = recover_txns(spark, root)
+    assert [x["status"] for x in acted] == ["committed"]
+    assert {r["id"] for r in read_table(spark, b).collect()} == {1, 100}
+    # terminal txn: the (now published) staging is gone, and expiry of
+    # the manifest itself works as before
+    assert list_staged(b) == []
+
+
+def test_compensation_of_a_table_creating_leg(spark, tmp_path, monkeypatch):
+    """A leg whose publish CREATED its table (version 0) has no
+    version -1 to restore to: compensation lands an empty overwrite
+    instead of crashing in rollback's range check."""
+    a, b, root = _mk(spark, tmp_path)
+    c = str(tmp_path / "brand_new")
+    sc = stage_commit(
+        spark.createDataFrame([(1, "n")], "id long, tag string"), c)
+    sa = stage_commit(
+        spark.createDataFrame([(100, "y")], "id long, tag string"), a)
+
+    real = T.publish_staged
+
+    def conflict_on_a(spark_, path, sid):
+        if path == a:
+            set_table_constraints(
+                a, [{"kind": "check", "name": "pos", "sql": "id >= 0"}])
+        return real(spark_, path, sid)
+
+    monkeypatch.setattr(T, "publish_staged", conflict_on_a)
+    with pytest.raises(TxnStuck):
+        commit_txn(spark, root, [(c, sc), (a, sa)])
+    monkeypatch.setattr(T, "publish_staged", real)
+
+    (m,) = list_txns(root)
+    assert m["legs"][0]["version"] == 0  # the creating leg published
+
+    out = compensate_stuck_txn(spark, root, m["txn_id"])
+    assert out["status"] == "aborted"
+    assert read_table(spark, c).count() == 0  # empty overwrite, not a crash
+    assert latest_version(c) == 1
+    assert latest_version(a) == 0  # leg never published, staging abandoned
+    assert list_staged(a) == []
+
+
+def test_compensation_resumes_after_crash_between_restore_and_record(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-safety of the abort path itself: a compensating RESTORE
+    that landed but was never recorded is ADOPTED by the re-run (the
+    manifest said 'aborting', the tip IS that restore) instead of being
+    refused as 'moved past' — and the leg is not restored twice."""
+    a, b, root = _mk(spark, tmp_path)
+    c = str(tmp_path / "t3")
+    commit(spark.createDataFrame([(1, 5.0)], "id long, total double"), c)
+    sa, sb = _stage_pair(spark, a, b)
+    sc = stage_commit(
+        spark.createDataFrame([(100, 9.0)], "id long, total double"), c)
+
+    real = T.publish_staged
+
+    def conflict_on_c(spark_, path, sid):
+        if path == c:
+            set_table_constraints(
+                c, [{"kind": "check", "name": "pos", "sql": "total >= 0"}])
+        return real(spark_, path, sid)
+
+    monkeypatch.setattr(T, "publish_staged", conflict_on_c)
+    with pytest.raises(TxnStuck):
+        commit_txn(spark, root, [(a, sa), (b, sb), (c, sc)])
+    monkeypatch.setattr(T, "publish_staged", real)
+
+    # first compensation pass 'crashes' right after leg A's restore
+    # lands, before the manifest records it
+    real_rb = T.rollback
+
+    def crash_after_first_restore(spark_, path, to_version):
+        entry = real_rb(spark_, path, to_version)
+        raise RuntimeError("simulated crash after restore landed")
+
+    (m,) = list_txns(root)
+    monkeypatch.setattr(T, "rollback", crash_after_first_restore)
+    with pytest.raises(RuntimeError, match="simulated"):
+        compensate_stuck_txn(spark, root, m["txn_id"])
+    monkeypatch.setattr(T, "rollback", real_rb)
+
+    mid = read_txn(root, m["txn_id"])
+    assert mid["status"] == "aborting"
+    assert all("compensated_by" not in leg for leg in mid["legs"])
+    assert latest_version(a) == 2  # the unrecorded restore IS on the log
+
+    out = compensate_stuck_txn(spark, root, m["txn_id"])
+    assert out["status"] == "aborted"
+    assert latest_version(a) == 2, "adopted, not restored a second time"
+    assert latest_version(b) == 2  # restored by the resume pass
+    assert {r["id"] for r in read_table(spark, a).collect()} == {1}
+    assert {r["id"] for r in read_table(spark, b).collect()} == {1}
+    assert latest_version(c) == 0 and list_staged(c) == []
+
+
+def test_recover_isolates_a_poisoned_txn(spark, tmp_path, monkeypatch):
+    """One unrecoverable manifest (its staged dir AND manifest were
+    destroyed out-of-band) must not block recovery of the healthy txn
+    behind it in the listing."""
+    import shutil
+
+    a, b, root = _mk(spark, tmp_path)
+
+    # txn 1: poisoned — force a lexically-small id so it lists first
+    sa = stage_commit(
+        spark.createDataFrame([(100, "y")], "id long, tag string"), a)
+    monkeypatch.setattr(
+        T.uuid, "uuid4",
+        lambda: type("U", (), {"hex": "0" * 32})())
+    real = T.publish_staged
+    monkeypatch.setattr(
+        T, "publish_staged",
+        lambda *args: (_ for _ in ()).throw(RuntimeError("crash")))
+    with pytest.raises(RuntimeError):
+        commit_txn(spark, root, [(a, sa)])
+    monkeypatch.undo()
+    # out-of-band destruction (bypassing the txn guard on purpose)
+    from medallion_data_lake_spark.operators.wap import abandon_staged
+    abandon_staged(a, sa, force=True)
+
+    # txn 2: healthy, prepared (crashes before any publish)
+    sb = stage_commit(
+        spark.createDataFrame([(100, 99.0)], "id long, total double"), b)
+    monkeypatch.setattr(
+        T, "publish_staged",
+        lambda *args: (_ for _ in ()).throw(RuntimeError("crash")))
+    with pytest.raises(RuntimeError):
+        commit_txn(spark, root, [(b, sb)])
+    monkeypatch.undo()
+
+    acted = recover_txns(spark, root)
+    by_status = sorted(x["status"] for x in acted)
+    assert by_status == ["committed", "error"]
+    assert {r["id"] for r in read_table(spark, b).collect()} == {1, 100}
+    # the poisoned one is still prepared on disk for the next sweep
+    assert {x["status"] for x in list_txns(root)} == {"prepared", "committed"}
+
+
+def test_audit_and_commit_txn_gates_all_legs_together(spark, tmp_path):
+    """Multi-table WAP: one leg failing its expectations keeps BOTH
+    stagings out (nothing half-lands); a clean re-stage commits both."""
+    from medallion_data_lake_spark.operators.expectations import in_range
+    from medallion_data_lake_spark.operators.txn import audit_and_commit_txn
+
+    a, b, root = _mk(spark, tmp_path)
+    sa = stage_commit(
+        spark.createDataFrame([(100, "y")], "id long, tag string"), a)
+    sb = stage_commit(
+        spark.createDataFrame([(100, -5.0)], "id long, total double"), b)
+
+    out = audit_and_commit_txn(
+        spark, root,
+        [(a, sa, None), (b, sb, [in_range("total", 0.0, 1e9)])],
+    )
+    assert out["committed"] is False
+    rep = out["reports"][os.path.abspath(b)]
+    assert not rep["passed"] and rep["checks"]["in_range_total"] == 1
+    assert latest_version(a) == 0 and latest_version(b) == 0
+    assert list_txns(root) == []
+    # quarantine (on_fail="keep"): both stagings still inspectable
+    assert {m["staging_id"] for m in list_staged(a)} == {sa}
+    assert {m["staging_id"] for m in list_staged(b)} == {sb}
+
+    # fix table B's batch, audit again, commit both atomically
+    from medallion_data_lake_spark.operators.wap import abandon_staged
+    abandon_staged(b, sb)
+    sb2 = stage_commit(
+        spark.createDataFrame([(100, 5.0)], "id long, total double"), b)
+    out2 = audit_and_commit_txn(
+        spark, root,
+        [(a, sa, None), (b, sb2, [in_range("total", 0.0, 1e9)])],
+    )
+    assert out2["committed"] is True
+    assert out2["manifest"]["status"] == "committed"
+    assert {r["id"] for r in read_table(spark, a).collect()} == {1, 100}
+    assert {r["total"] for r in read_table(spark, b).collect()} == {10.0, 5.0}
