@@ -86,6 +86,7 @@ from .wap import (
     abandon_staged,
     mark_staging_txn,
     publish_staged,
+    unmark_staging_txn,
 )
 
 
@@ -145,17 +146,20 @@ def _normalize_legs(legs) -> list[dict]:
     return [{"table": t, "staging_id": sid} for t, sid in pairs]
 
 
-def _preflight(legs: list[dict]) -> None:
+def _preflight(legs: list[dict]) -> dict[str, dict]:
     """Re-run the publish-time refusals BEFORE the decision point, so a
     conflict that already exists aborts the txn cleanly (nothing
     published, stagings still abandonable) instead of parking it stuck
     after leg one. The commit-time race remains — that is what ``stuck``
-    handles."""
+    handles. Returns the parsed staging manifests keyed by table so the
+    marking pass doesn't re-read each one."""
     from .versioned import _column_mapping_at
 
+    manifests: dict[str, dict] = {}
     for leg in legs:
         t, sid = leg["table"], leg["staging_id"]
         m = _read_manifest(t, sid)  # raises if never staged / abandoned
+        manifests[t] = m
         if _constraints_fp(t) != m["constraints_fp"]:
             raise CommitConflict(
                 f"txn pre-check: table contract on {t} changed after "
@@ -166,6 +170,7 @@ def _preflight(legs: list[dict]) -> None:
                 f"txn pre-check: column mapping on {t} moved after "
                 f"staging {sid} (concurrent RENAME/DROP) — re-stage"
             )
+    return manifests
 
 
 def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
@@ -224,7 +229,7 @@ def commit_txn(
     txn not created) or :class:`TxnStuck` from a commit-time race (txn
     recorded, partially published — see module docstring)."""
     norm = _normalize_legs(legs)
-    _preflight(norm)
+    staged_manifests = _preflight(norm)
     txn_id = f"txn-{uuid.uuid4().hex[:12]}"
     manifest = {
         "txn_id": txn_id,
@@ -240,12 +245,29 @@ def commit_txn(
     # once the prepared manifest exists, the stagings are the redo
     # log, and maintenance (wap.expire_staged) / manual abandon must
     # not destroy them out from under a recoverable transaction
+    manifest_file = _txn_file(txn_root, txn_id)
     for leg in norm:
-        mark_staging_txn(leg["table"], leg["staging_id"], txn_root, txn_id)
+        mark_staging_txn(
+            leg["table"], leg["staging_id"], txn_root, txn_id,
+            manifest_file=manifest_file,
+            manifest=staged_manifests[leg["table"]],
+        )
     # THE decision point: exclusive-create of the prepared manifest.
     # Before this line: abort by abandoning stagings. After it: the txn
     # commits, here or in recover_txns.
-    store.put_exclusive(_txn_file(txn_root, txn_id), json.dumps(manifest))
+    try:
+        store.put_exclusive(manifest_file, json.dumps(manifest))
+    except Exception:
+        # decision never happened: unmark so the documented abort path
+        # (abandon_staged per leg) works immediately instead of hitting
+        # the marker guard for its grace window. (A process DEATH here
+        # can't unmark — that is what the grace window is for.)
+        for leg in norm:
+            try:
+                unmark_staging_txn(leg["table"], leg["staging_id"], txn_id)
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
+        raise
     return _roll_forward(spark, txn_root, manifest)
 
 
@@ -276,8 +298,40 @@ def recover_txns(
     return acted
 
 
+def _compensate_creating_leg(spark: SparkSession, path: str, txn_id: str) -> dict:
+    """The compensating commit for a leg that CREATED its table
+    (published as version 0 — there is no version -1 to restore to):
+    an explicit empty overwrite published directly through the claim
+    loop, stamped ``txn_compensate_of`` so a crash-resumed compensation
+    can ADOPT it unambiguously. (A plain ``commit(empty_df,
+    mode="overwrite")`` records one empty parquet part-file in
+    ``added`` — indistinguishable on resume from an unrelated
+    overwrite, which wedged the resume path; found by live repro.)"""
+    from .versioned import _publish, _state_at, _table_schema_json_at
+
+    schema_json = _table_schema_json_at(spark, path, 0)
+
+    def build(version: int) -> dict:
+        live, _ = _state_at(path, version - 1)
+        return {
+            "version": version,
+            "timestamp": time.time(),
+            "mode": "overwrite",
+            "added": [],
+            "removed": live,
+            "operation": f"TXN_COMPENSATE({txn_id})",
+            "txn_compensate_of": 0,
+            "table_schema": schema_json,
+        }
+
+    entry = _publish(path, build)
+    assert entry is not None  # build never skips
+    return entry
+
+
 def compensate_stuck_txn(
-    spark: SparkSession, txn_root: str, txn_id: str
+    spark: SparkSession, txn_root: str, txn_id: str,
+    allow_prepared: bool = False,
 ) -> dict:
     """Saga-style abort of a ``stuck`` transaction: RESTORE each
     published leg to its pre-leg version (``versioned.rollback`` — a
@@ -296,13 +350,28 @@ def compensate_stuck_txn(
     revert THEM too — that situation needs a human (targeted
     ``delete_rows`` of the leg's rows, or accept the txn and retry
     forward). Run this instead of, never concurrently with,
-    ``recover_txns(retry_stuck=True)``."""
+    ``recover_txns(retry_stuck=True)``.
+
+    ``allow_prepared=True`` extends compensation to a PREPARED txn —
+    the terminal path for a transaction whose redo state was destroyed
+    out-of-band (``recover_txns`` keeps reporting ``error`` on it
+    forever: a staged dir deleted bypassing the txn guard, expired
+    data). A prepared txn promised to commit, so this is an explicit
+    operator decision, never automatic; legs whose stagings are gone
+    have nothing to abandon, published legs compensate as usual, and
+    the txn reaches ``aborted`` — unpinning its surviving stagings from
+    the maintenance guard."""
     m = read_txn(txn_root, txn_id)
-    if m["status"] not in ("stuck", "aborting"):
+    ok_states = ("stuck", "aborting") + (
+        ("prepared",) if allow_prepared else ()
+    )
+    if m["status"] not in ok_states:
         raise ValueError(
             f"txn {txn_id} is {m['status']!r}, not stuck — compensation "
             "is only for transactions parked by a roll-forward conflict "
-            "(or resuming its own crashed 'aborting' pass)"
+            "(or resuming its own crashed 'aborting' pass; pass "
+            "allow_prepared=True to terminally abort an unrecoverable "
+            "prepared txn)"
         )
     published = [leg for leg in m["legs"] if leg.get("version") is not None]
     todo = [leg for leg in published if "compensated_by" not in leg]
@@ -318,9 +387,7 @@ def compensate_stuck_txn(
         # iff it IS that compensating commit
         entry = _entry_at(leg["table"], tip)
         if leg["version"] == 0:
-            compensated = (
-                entry.get("mode") == "overwrite" and not entry.get("added")
-            )
+            compensated = entry.get("txn_compensate_of") == 0
         else:
             compensated = entry.get("restore_of") == leg["version"] - 1
         if m["status"] == "aborting" and compensated:
@@ -339,15 +406,7 @@ def compensate_stuck_txn(
         if i in adoptable:
             leg["compensated_by"] = adoptable[i]
         elif leg["version"] == 0:
-            # this leg CREATED the table — there is no version -1 to
-            # restore to; compensate with an empty overwrite (a valid
-            # empty snapshot, history preserved like any restore)
-            from .versioned import _table_schema_at, commit
-
-            empty = spark.createDataFrame(
-                [], _table_schema_at(spark, leg["table"], 0)
-            )
-            entry = commit(empty, leg["table"], mode="overwrite")
+            entry = _compensate_creating_leg(spark, leg["table"], txn_id)
             leg["compensated_by"] = entry["version"]
         else:
             entry = rollback(spark, leg["table"], leg["version"] - 1)
@@ -409,6 +468,10 @@ def audit_and_commit_txn(
     in the transaction."""
     if on_fail not in ("keep", "abandon"):
         raise ValueError(f"on_fail must be keep|abandon, got {on_fail!r}")
+    # leg validation FIRST: an invalid leg list (empty, duplicate
+    # tables — which would also silently collapse the reports dict)
+    # must refuse before any Spark aggregation is paid
+    _normalize_legs([(t, sid) for t, sid, _ in legs])
     from .expectations import run_expectations
     from .wap import read_staged
 

@@ -367,15 +367,22 @@ def _txn_protection(m: dict) -> str | None:
     marker = m.get("txn")
     if not marker:
         return None
-    target = os.path.join(marker["root"], f"{marker['id']}.json")
+    # the marker carries the coordinator's own manifest path ("file",
+    # written by txn._txn_file) so this guard never re-derives the
+    # coordinator's naming scheme; legacy markers fall back
+    target = marker.get(
+        "file", os.path.join(marker["root"], f"{marker['id']}.json")
+    )
     from .logstore import get_log_store
 
     try:
         status = json.loads(get_log_store().read(target)).get("status")
-    except (FileNotFoundError, KeyError):
-        # manifest not there (yet): the mark-to-decide gap, or a
-        # coordinator that died before deciding — grace-protect, then
-        # free (an undecided txn whose marker aged out never commits)
+    except (FileNotFoundError, KeyError, ValueError):
+        # manifest not there (yet) or torn mid-write (the base
+        # LogStore.replace / put_exclusive windows): the mark-to-decide
+        # gap, or a coordinator that died before deciding — grace-
+        # protect, then free (an undecided txn never commits). A torn
+        # read heals on the next sweep; it must never crash maintenance.
         if time.time() - marker.get("marked_at", 0) < TXN_MARKER_GRACE_SEC:
             return f"txn {marker['id']} deciding"
         return None
@@ -385,20 +392,41 @@ def _txn_protection(m: dict) -> str | None:
 
 
 def mark_staging_txn(
-    path: str, staging_id: str, txn_root: str, txn_id: str
+    path: str, staging_id: str, txn_root: str, txn_id: str,
+    manifest_file: str | None = None, manifest: dict | None = None,
 ) -> None:
     """Stamp a staged manifest as a transaction leg (called by
     ``txn.commit_txn`` before its decision point) so maintenance
     (``expire_staged``) and manual ``abandon_staged`` refuse to destroy
-    the txn's redo state while the txn is live."""
+    the txn's redo state while the txn is live. ``manifest`` skips the
+    re-read when the caller already holds the parsed staging manifest."""
     from ._atomic import atomic_write_json
 
-    m = _read_manifest(path, staging_id)
+    m = manifest if manifest is not None else _read_manifest(path, staging_id)
+    m.pop("age_sec", None)  # a list_staged()-shaped dict: display-only
     m["txn"] = {
         "root": os.path.abspath(txn_root),
         "id": txn_id,
         "marked_at": time.time(),
     }
+    if manifest_file is not None:
+        m["txn"]["file"] = os.path.abspath(manifest_file)
+    atomic_write_json(_manifest_path(path, staging_id), m)
+
+
+def unmark_staging_txn(path: str, staging_id: str, txn_id: str) -> None:
+    """Remove a txn marker (the coordinator's pre-decision failure
+    cleanup): only the NAMED txn's marker is removed, so a racing
+    re-mark by a different transaction is never clobbered."""
+    from ._atomic import atomic_write_json
+
+    try:
+        m = _read_manifest(path, staging_id)
+    except FileNotFoundError:
+        return
+    if m.get("txn", {}).get("id") != txn_id:
+        return
+    m.pop("txn")
     atomic_write_json(_manifest_path(path, staging_id), m)
 
 

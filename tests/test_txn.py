@@ -587,3 +587,142 @@ def test_audit_and_commit_txn_gates_all_legs_together(spark, tmp_path):
     assert out2["manifest"]["status"] == "committed"
     assert {r["id"] for r in read_table(spark, a).collect()} == {1, 100}
     assert {r["total"] for r in read_table(spark, b).collect()} == {10.0, 5.0}
+
+
+def test_creating_leg_compensation_resumes_after_crash(
+    spark, tmp_path, monkeypatch
+):
+    """The confirmed repro from review: a creating leg's compensating
+    commit lands but is not recorded; the re-run must ADOPT it (via the
+    txn_compensate_of stamp) instead of wedging on 'moved past'."""
+    a, b, root = _mk(spark, tmp_path)
+    c = str(tmp_path / "brand_new")
+    sc = stage_commit(
+        spark.createDataFrame([(1, "n")], "id long, tag string"), c)
+    sa = stage_commit(
+        spark.createDataFrame([(100, "y")], "id long, tag string"), a)
+
+    real = T.publish_staged
+
+    def conflict_on_a(spark_, path, sid):
+        if path == a:
+            set_table_constraints(
+                a, [{"kind": "check", "name": "pos", "sql": "id >= 0"}])
+        return real(spark_, path, sid)
+
+    monkeypatch.setattr(T, "publish_staged", conflict_on_a)
+    with pytest.raises(TxnStuck):
+        commit_txn(spark, root, [(c, sc), (a, sa)])
+    monkeypatch.setattr(T, "publish_staged", real)
+    (m,) = list_txns(root)
+
+    real_cc = T._compensate_creating_leg
+
+    def crash_after_compensate(spark_, path, txn_id):
+        real_cc(spark_, path, txn_id)
+        raise RuntimeError("simulated crash after compensation landed")
+
+    monkeypatch.setattr(T, "_compensate_creating_leg", crash_after_compensate)
+    with pytest.raises(RuntimeError, match="simulated"):
+        compensate_stuck_txn(spark, root, m["txn_id"])
+    monkeypatch.setattr(T, "_compensate_creating_leg", real_cc)
+    assert latest_version(c) == 1  # the unrecorded compensation IS there
+
+    out = compensate_stuck_txn(spark, root, m["txn_id"])
+    assert out["status"] == "aborted"
+    assert latest_version(c) == 1, "adopted, not compensated twice"
+    assert read_table(spark, c).count() == 0
+
+
+def test_unrecoverable_prepared_txn_has_a_terminal_path(
+    spark, tmp_path, monkeypatch
+):
+    """Redo state destroyed out-of-band: recover keeps erroring, but
+    compensate_stuck_txn(allow_prepared=True) terminally aborts —
+    restoring the published legs and unpinning the survivors."""
+    from medallion_data_lake_spark.operators.wap import abandon_staged
+
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+
+    real = T.publish_staged
+    calls = {"n": 0}
+
+    def dies_after_first(spark_, path, sid):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated coordinator crash")
+        return real(spark_, path, sid)
+
+    monkeypatch.setattr(T, "publish_staged", dies_after_first)
+    with pytest.raises(RuntimeError):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.setattr(T, "publish_staged", real)
+
+    # leg B's redo state destroyed bypassing the guard
+    abandon_staged(b, sb, force=True)
+    acted = recover_txns(spark, root)
+    assert [x["status"] for x in acted] == ["error"]
+
+    (m,) = list_txns(root)
+    with pytest.raises(ValueError, match="allow_prepared"):
+        compensate_stuck_txn(spark, root, m["txn_id"])
+    out = compensate_stuck_txn(spark, root, m["txn_id"],
+                               allow_prepared=True)
+    assert out["status"] == "aborted"
+    assert {r["id"] for r in read_table(spark, a).collect()} == {1}
+    assert latest_version(b) == 0
+    assert recover_txns(spark, root) == []  # terminal: nothing to act on
+
+
+def test_failed_decision_write_unmarks_legs_immediately(
+    spark, tmp_path, monkeypatch
+):
+    """put_exclusive of the decision manifest fails (store error): the
+    documented abort path (abandon each staging) must work immediately,
+    not after the marker grace window."""
+    from medallion_data_lake_spark.operators import logstore as L
+    from medallion_data_lake_spark.operators.wap import abandon_staged
+
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+
+    store = L.get_log_store()
+    real_put = store.put_exclusive
+
+    def refuse_txn_manifest(file_path, text):
+        if "/_txn/" in file_path or file_path.startswith(root):
+            raise OSError("simulated store outage")
+        return real_put(file_path, text)
+
+    monkeypatch.setattr(store, "put_exclusive", refuse_txn_manifest)
+    with pytest.raises(OSError, match="outage"):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.setattr(store, "put_exclusive", real_put)
+
+    assert list_txns(root) == []
+    # no grace-window refusal: the markers were removed on the way out
+    abandon_staged(a, sa)
+    abandon_staged(b, sb)
+    assert list_staged(a) == [] and list_staged(b) == []
+
+
+def test_torn_txn_manifest_never_crashes_maintenance(spark, tmp_path):
+    """A half-written coordinator manifest (the put_exclusive /
+    non-atomic-replace windows) must read as 'deciding' (grace-
+    protected), not crash expire_staged with JSONDecodeError."""
+    from medallion_data_lake_spark.operators.wap import (
+        expire_staged,
+        mark_staging_txn,
+    )
+
+    a, b, root = _mk(spark, tmp_path)
+    sa = stage_commit(
+        spark.createDataFrame([(100, "y")], "id long, tag string"), a)
+    os.makedirs(root, exist_ok=True)
+    torn = os.path.join(root, "txn-torn.json")
+    open(torn, "w").write('{"txn_id": "txn-torn", "st')  # torn mid-write
+    mark_staging_txn(a, sa, root, "txn-torn", manifest_file=torn)
+
+    assert expire_staged(a, older_than_sec=0.0) == []  # protected, no crash
+    assert {m["staging_id"] for m in list_staged(a)} == {sa}
