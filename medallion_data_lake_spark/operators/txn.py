@@ -190,6 +190,15 @@ def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
             raise TxnStuck(
                 f"txn {manifest['txn_id']} stuck on {leg['table']}: {e}"
             ) from e
+        if entry is None:
+            # txn-watermarked staging whose batch the table already
+            # covers (an earlier txn for the same micro-batch published
+            # this leg before a crash/replay): the rows are in — record
+            # the covering tip as the leg's snapshot version and move on
+            leg["version"] = latest_version(leg["table"])
+            leg["duplicate_skip"] = True
+            _write_manifest(txn_root, manifest)
+            continue
         leg["version"] = entry["version"]
         leg.pop("error", None)
         # persist per-leg progress: a crash here costs one idempotent
@@ -379,6 +388,13 @@ def compensate_stuck_txn(
     # mid-loop refusal would strand a half-compensated transaction
     adoptable: dict[int, int] = {}
     for i, leg in enumerate(todo):
+        if leg.get("duplicate_skip"):
+            raise CommitConflict(
+                f"cannot compensate txn {txn_id}: leg {leg['table']} was "
+                "a duplicate-skip — its rows were published by an EARLIER "
+                "transaction's entry, so no single commit of this txn can "
+                "be restored away; resolve forward instead"
+            )
         tip = latest_version(leg["table"])
         if tip == leg["version"]:
             continue

@@ -119,9 +119,20 @@ def stage_commit(
     stats_cols: tuple[str, ...] = (),
     bloom_cols: tuple[str, ...] = (),
     allow_schema_evolution: bool = False,
-) -> str:
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> str | None:
     """Write ``df``'s data files under the table WITHOUT publishing a
     log entry; returns a ``staging_id`` for audit/publish/abandon.
+
+    With ``txn_app_id``/``txn_version`` the staging inherits
+    :func:`~.versioned.commit`'s idempotence contract: if the app's
+    recorded watermark already covers ``txn_version``, the stage is
+    skipped (returns None — the batch already published, don't pay the
+    data write) and the eventual publish re-checks inside the claim
+    loop and records the watermark. This is what makes STREAMED staged
+    writes (one staging per micro-batch, published through
+    ``txn.commit_txn``) exactly-once under checkpoint replay.
 
     Validation (schema enforcement, declarative constraints, column
     mapping) runs NOW, against the current tip — staging a batch that
@@ -135,6 +146,14 @@ def stage_commit(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
+
+    has_txn = txn_app_id is not None and txn_version is not None
+    if has_txn:
+        from .versioned import latest_txn_version
+
+        seen = latest_txn_version(path, txn_app_id)
+        if seen is not None and txn_version <= seen:
+            return None  # replayed batch: already published, skip the write
 
     schema_changed = False
     table_schema = df.schema
@@ -197,6 +216,12 @@ def stage_commit(
         "base_version": latest_version(path),
         "created": time.time(),
     }
+    if has_txn:
+        # "txn_watermark", not "txn": the latter key on a staging
+        # manifest is the multi-table-transaction LEG marker
+        manifest["txn_watermark"] = {
+            "app_id": txn_app_id, "version": txn_version,
+        }
     os.makedirs(_staging_root(path), exist_ok=True)
     # manifest LAST: its existence is what makes the staged dir real
     from ._atomic import atomic_write_json
@@ -254,13 +279,17 @@ def _published_entry(path: str, staging_id: str, lo: int = 0) -> dict | None:
     return hits[-1] if hits else None
 
 
-def publish_staged(spark: SparkSession, path: str, staging_id: str) -> dict:
+def publish_staged(
+    spark: SparkSession, path: str, staging_id: str
+) -> dict | None:
     """Turn the staged files into a real commit: one log entry, zero
     data movement. Re-validates against the FRESH tip inside the claim
     loop (see module docstring); idempotent — if this staging_id
     already published (crash between publish and cleanup, or a plain
     double-call), returns the existing entry and just removes the
-    manifest."""
+    manifest. Returns None ONLY when the staging carries a txn
+    watermark the table already covers (a replayed micro-batch staged
+    a duplicate): the staged files are reclaimed unseen."""
     try:
         m = _read_manifest(path, staging_id)
     except FileNotFoundError:
@@ -285,7 +314,17 @@ def publish_staged(spark: SparkSession, path: str, staging_id: str) -> dict:
 
     batch_schema = StructType.fromJson(m["batch_schema"])
 
-    def build(version: int) -> dict:
+    def build(version: int) -> dict | None:
+        tw = m.get("txn_watermark")
+        if tw is not None:
+            # the same inside-the-claim-loop re-check as commit(): a
+            # concurrent duplicate (replayed micro-batch staged twice)
+            # loses HERE, not by double-publishing
+            from .versioned import latest_txn_version
+
+            seen = latest_txn_version(path, tw["app_id"])
+            if seen is not None and tw["version"] <= seen:
+                return None
         if _constraints_fp(path) != m["constraints_fp"]:
             raise CommitConflict(
                 f"table contract on {path} changed after staging "
@@ -329,6 +368,11 @@ def publish_staged(spark: SparkSession, path: str, staging_id: str) -> dict:
             "staging_id": staging_id,
             "table_schema": table_schema_json,
         }
+        if m.get("txn_watermark") is not None:
+            entry["txn"] = {
+                "app_id": m["txn_watermark"]["app_id"],
+                "version": m["txn_watermark"]["version"],
+            }
         if m["file_stats"]:
             entry["file_stats"] = m["file_stats"]
         if schema_changed:
@@ -338,6 +382,13 @@ def publish_staged(spark: SparkSession, path: str, staging_id: str) -> dict:
         return entry
 
     entry = _publish(path, build)
+    if entry is None:
+        # idempotent duplicate skip (txn watermark already covers this
+        # batch): the staged files were never referenced by any entry —
+        # reclaim them like commit() reclaims its orphaned data dir
+        _drop_manifest(path, staging_id)
+        shutil.rmtree(data_dir, ignore_errors=True)
+        return None
     _drop_manifest(path, staging_id)
     return entry
 

@@ -93,3 +93,66 @@ def run_append_stream(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def run_txn_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    outputs: dict,
+    txn_root: str,
+    checkpoint: str,
+    app_id: str | None = None,
+    available_now: bool = True,
+):
+    """One stream, SEVERAL versioned tables, atomically per micro-batch
+    — the streaming face of ``operators/txn.py``.
+
+    ``outputs`` maps ``table_path -> transform`` where each transform is
+    ``(batch_df) -> DataFrame`` (the slice of the batch that table
+    ingests; return an empty frame to skip a table for a batch). Every
+    micro-batch stages each transform's output on its table
+    (``wap.stage_commit``) and publishes the set through ONE
+    transaction manifest (``txn.commit_txn``) — a crash between leg
+    publishes is repaired by ``txn.recover_txns`` (run it on the same
+    maintenance cadence as any coordinator), never by readers seeing a
+    half-landed batch forever.
+
+    Exactly-once is the standard two-leg contract, extended across
+    tables: the stream checkpoint stops re-DELIVERY; each leg's
+    ``(app, batch_id)`` txn watermark stops re-APPLY when a batch
+    replays after some legs published but before the checkpoint epoch
+    committed — a replayed batch's stage is skipped per table the
+    watermark already covers (``stage_commit`` returns None), and a
+    staged duplicate racing an in-flight recovery loses inside the
+    publish claim loop. At 100 TB the per-batch cost is the N data
+    writes the tables needed anyway plus N+1 metadata puts."""
+    from ..operators.txn import commit_txn
+    from ..operators.wap import stage_commit
+
+    txn_app = app_id or f"txn-stream::{os.path.abspath(checkpoint)}"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        legs = []
+        for table_path, transform in outputs.items():
+            out = transform(batch)
+            if out.isEmpty():
+                continue
+            sid = stage_commit(
+                out, table_path,
+                txn_app_id=txn_app, txn_version=batch_id,
+            )
+            if sid is not None:  # None = replayed batch, already applied
+                legs.append((table_path, sid))
+        if legs:
+            commit_txn(
+                spark, txn_root, legs, note=f"{txn_app} batch {batch_id}"
+            )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
