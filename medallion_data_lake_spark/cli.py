@@ -564,8 +564,13 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.wap import publish_staged
 
         entry = publish_staged(spark, args.arg, args.staging_id)
-        print(json.dumps({"version": entry["version"],
-                          "operation": entry["operation"]}))
+        if entry is None:
+            # txn-watermarked staging whose batch the table already
+            # covers: nothing published, files reclaimed unseen
+            print(json.dumps({"duplicate_skip": True}))
+        else:
+            print(json.dumps({"version": entry["version"],
+                              "operation": entry["operation"]}))
     elif args.verb == "abandon-staged":
         if not args.arg or not args.staging_id:
             print("abandon-staged requires a table path and --staging-id",

@@ -173,6 +173,27 @@ def _preflight(legs: list[dict]) -> dict[str, dict]:
     return manifests
 
 
+def _covering_version(path: str, tw: dict | None) -> int:
+    """The version of the FIRST log entry whose ``(app, version)``
+    watermark covers ``tw`` — the entry that actually published a
+    duplicate-skipped leg's rows. Falls back to the tip when the
+    watermark is unknown (manifest already gone on a replayed
+    roll-forward — the tip still covers the rows, it may just pin
+    later commits too)."""
+    from .versioned import _entries
+
+    if tw is not None:
+        for e in _entries(path):
+            t = e.get("txn")
+            if (
+                t is not None
+                and t.get("app_id") == tw["app_id"]
+                and t.get("version") >= tw["version"]
+            ):
+                return e["version"]
+    return latest_version(path)
+
+
 def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
     """Publish every leg that has no recorded version yet; finalize to
     ``committed``. Idempotent: replaying after ANY crash point converges
@@ -181,6 +202,14 @@ def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
     for leg in manifest["legs"]:
         if leg.get("version") is not None:
             continue
+        # the staging's watermark, read BEFORE publish (a duplicate-skip
+        # deletes the manifest): needed to resolve the COVERING entry
+        try:
+            tw = _read_manifest(
+                leg["table"], leg["staging_id"]
+            ).get("txn_watermark")
+        except FileNotFoundError:
+            tw = None
         try:
             entry = publish_staged(spark, leg["table"], leg["staging_id"])
         except CommitConflict as e:
@@ -194,9 +223,13 @@ def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
             # txn-watermarked staging whose batch the table already
             # covers (an earlier txn for the same micro-batch published
             # this leg before a crash/replay): the rows are in — record
-            # the covering tip as the leg's snapshot version and move on
-            leg["version"] = latest_version(leg["table"])
+            # the COVERING entry's version (the first one whose
+            # watermark reached this batch), not the current tip, so
+            # the txn's savepoint never pins unrelated later commits
+            # and concurrent roll-forwards record the same version
+            leg["version"] = _covering_version(leg["table"], tw)
             leg["duplicate_skip"] = True
+            leg.pop("error", None)
             _write_manifest(txn_root, manifest)
             continue
         leg["version"] = entry["version"]
@@ -255,22 +288,24 @@ def commit_txn(
     # log, and maintenance (wap.expire_staged) / manual abandon must
     # not destroy them out from under a recoverable transaction
     manifest_file = _txn_file(txn_root, txn_id)
-    for leg in norm:
-        mark_staging_txn(
-            leg["table"], leg["staging_id"], txn_root, txn_id,
-            manifest_file=manifest_file,
-            manifest=staged_manifests[leg["table"]],
-        )
-    # THE decision point: exclusive-create of the prepared manifest.
-    # Before this line: abort by abandoning stagings. After it: the txn
-    # commits, here or in recover_txns.
     try:
+        for leg in norm:
+            mark_staging_txn(
+                leg["table"], leg["staging_id"], txn_root, txn_id,
+                manifest_file=manifest_file,
+                manifest=staged_manifests[leg["table"]],
+            )
+        # THE decision point: exclusive-create of the prepared manifest.
+        # Before this line: abort by abandoning stagings. After it: the
+        # txn commits, here or in recover_txns.
         store.put_exclusive(manifest_file, json.dumps(manifest))
     except Exception:
-        # decision never happened: unmark so the documented abort path
-        # (abandon_staged per leg) works immediately instead of hitting
-        # the marker guard for its grace window. (A process DEATH here
-        # can't unmark — that is what the grace window is for.)
+        # decision never happened (a mark failed partway, or the
+        # manifest put itself did): unmark every leg so the documented
+        # abort path (abandon_staged per leg) works immediately instead
+        # of hitting the marker guard for its grace window. (A process
+        # DEATH here can't unmark — that is what the grace window is
+        # for.)
         for leg in norm:
             try:
                 unmark_staging_txn(leg["table"], leg["staging_id"], txn_id)
@@ -394,6 +429,22 @@ def compensate_stuck_txn(
                 "a duplicate-skip — its rows were published by an EARLIER "
                 "transaction's entry, so no single commit of this txn can "
                 "be restored away; resolve forward instead"
+            )
+        if _entry_at(leg["table"], leg["version"]).get("txn") is not None:
+            # the leg's entry carries an (app, batch) txn WATERMARK (a
+            # streamed staging): restoring the rows away would NOT
+            # retract the watermark — _state_at accumulates watermarks
+            # and restore entries never un-learn them — so a replayed
+            # batch would be skipped on this table while other tables
+            # re-apply it: a silent, permanent half-landed batch. The
+            # safe resolution for streamed txns is always FORWARD
+            # (recover_txns; the stream's checkpoint replays the rest).
+            raise CommitConflict(
+                f"cannot compensate txn {txn_id}: leg {leg['table']} "
+                "published with a streaming txn watermark — restore "
+                "cannot retract the watermark, so a replayed batch would "
+                "skip this table forever; resolve forward instead "
+                "(recover_txns, then restart the stream)"
             )
         tip = latest_version(leg["table"])
         if tip == leg["version"]:

@@ -453,6 +453,17 @@ def mark_staging_txn(
     re-read when the caller already holds the parsed staging manifest."""
     from ._atomic import atomic_write_json
 
+    if manifest is not None and not os.path.exists(
+        _manifest_path(path, staging_id)
+    ):
+        # the staging was reclaimed between the caller's read and this
+        # mark (cron expire_staged, manual abandon): writing the cached
+        # dict would RESURRECT a manifest whose data dir is gone and
+        # wedge the txn as unrecoverable-prepared — refuse like the
+        # re-read path does, while the txn can still abort cleanly
+        raise FileNotFoundError(
+            f"staging {staging_id} on {path} vanished before marking"
+        )
     m = manifest if manifest is not None else _read_manifest(path, staging_id)
     m.pop("age_sec", None)  # a list_staged()-shaped dict: display-only
     m["txn"] = {
@@ -606,6 +617,14 @@ def audit_and_publish(
     report = run_expectations(frame, expectations)
     if report["passed"]:
         entry = publish_staged(spark, path, staging_id)
+        if entry is None:
+            # txn-watermarked staging already covered (stream replay):
+            # THIS call published nothing; the rows are in via the
+            # earlier entry — flagged so callers never dereference
+            # entry["version"] on the skip
+            return {"published": False, "duplicate_skip": True,
+                    "report": report, "entry": None,
+                    "staging_id": staging_id}
         return {"published": True, "report": report, "entry": entry,
                 "staging_id": staging_id}
     if on_fail == "abandon":

@@ -118,35 +118,57 @@ def run_txn_stream(
     half-landed batch forever.
 
     Exactly-once is the standard two-leg contract, extended across
-    tables: the stream checkpoint stops re-DELIVERY; each leg's
-    ``(app, batch_id)`` txn watermark stops re-APPLY when a batch
-    replays after some legs published but before the checkpoint epoch
-    committed — a replayed batch's stage is skipped per table the
-    watermark already covers (``stage_commit`` returns None), and a
-    staged duplicate racing an in-flight recovery loses inside the
-    publish claim loop. At 100 TB the per-batch cost is the N data
-    writes the tables needed anyway plus N+1 metadata puts."""
+    tables: the stream checkpoint stops re-DELIVERY of a batch; each
+    leg's ``(app, batch_id)`` txn watermark stops re-APPLY when the
+    SAME batch replays (restart from the same checkpoint, or a wiped
+    checkpoint re-reading the same input set) after some legs published
+    but before the checkpoint epoch committed — a replayed batch's
+    stage is skipped per table the watermark already covers
+    (``stage_commit`` returns None), and a staged duplicate racing an
+    in-flight recovery loses inside the publish claim loop.
+
+    The watermark keys on BATCH IDS, like every Spark streaming sink:
+    wiping a checkpoint and reusing its path after NEW input arrived
+    restarts batch ids at 0, so a low-numbered batch carrying new rows
+    would be skipped as "already applied" — if you must discard a
+    checkpoint with new data pending, also change ``app_id`` (or the
+    checkpoint path, which the default app_id derives from). Same
+    contract as ``run_append_stream``/``commit(txn_app_id=...)``.
+
+    A streamed txn that parks ``stuck`` is resolved FORWARD
+    (``recover_txns``) — compensation refuses watermarked legs, because
+    a restore cannot retract the watermark and the replayed batch would
+    then skip one table forever.
+
+    At 100 TB the per-batch cost is the N data writes the tables needed
+    anyway plus N+1 metadata puts; the batch is persisted once so the N
+    transforms (and their empty-checks) never recompute the source."""
     from ..operators.txn import commit_txn
     from ..operators.wap import stage_commit
 
     txn_app = app_id or f"txn-stream::{os.path.abspath(checkpoint)}"
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        legs = []
-        for table_path, transform in outputs.items():
-            out = transform(batch)
-            if out.isEmpty():
-                continue
-            sid = stage_commit(
-                out, table_path,
-                txn_app_id=txn_app, txn_version=batch_id,
-            )
-            if sid is not None:  # None = replayed batch, already applied
-                legs.append((table_path, sid))
-        if legs:
-            commit_txn(
-                spark, txn_root, legs, note=f"{txn_app} batch {batch_id}"
-            )
+        batch.persist()
+        try:
+            legs = []
+            for table_path, transform in outputs.items():
+                out = transform(batch)
+                if out.isEmpty():
+                    continue
+                sid = stage_commit(
+                    out, table_path,
+                    txn_app_id=txn_app, txn_version=batch_id,
+                )
+                if sid is not None:  # None = replay, already applied
+                    legs.append((table_path, sid))
+            if legs:
+                commit_txn(
+                    spark, txn_root, legs,
+                    note=f"{txn_app} batch {batch_id}",
+                )
+        finally:
+            batch.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

@@ -726,3 +726,149 @@ def test_torn_txn_manifest_never_crashes_maintenance(spark, tmp_path):
 
     assert expire_staged(a, older_than_sec=0.0) == []  # protected, no crash
     assert {m["staging_id"] for m in list_staged(a)} == {sa}
+
+
+# ---------------------------------------------------------------------------
+# third review pass: watermark/compensation interactions
+# ---------------------------------------------------------------------------
+
+def test_compensation_refuses_watermarked_legs(spark, tmp_path, monkeypatch):
+    """A restore cannot retract a leg entry's (app, batch) watermark, so
+    compensating a streamed txn would make the replayed batch skip one
+    table forever — refuse, resolve forward."""
+    a, b, root = _mk(spark, tmp_path)
+    sa = stage_commit(
+        spark.createDataFrame([(100, "y")], "id long, tag string"), a,
+        txn_app_id="stream-x", txn_version=7)
+    sb = stage_commit(
+        spark.createDataFrame([(100, 9.0)], "id long, total double"), b,
+        txn_app_id="stream-x", txn_version=7)
+
+    real = T.publish_staged
+
+    def conflict_on_b(spark_, path, sid):
+        if path == b:
+            set_table_constraints(
+                b, [{"kind": "check", "name": "pos", "sql": "total >= 0"}])
+        return real(spark_, path, sid)
+
+    monkeypatch.setattr(T, "publish_staged", conflict_on_b)
+    with pytest.raises(TxnStuck):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.setattr(T, "publish_staged", real)
+
+    (m,) = list_txns(root)
+    with pytest.raises(CommitConflict, match="watermark"):
+        compensate_stuck_txn(spark, root, m["txn_id"])
+    # forward resolution still works after reverting the DDL
+    set_table_constraints(b, [])
+    acted = recover_txns(spark, root, retry_stuck=True)
+    assert [x["status"] for x in acted] == ["committed"]
+
+
+def test_duplicate_skip_records_covering_version_not_tip(spark, tmp_path):
+    """A replayed leg's recorded version must be the entry that COVERS
+    its batch, not whatever the tip happens to be — the committed
+    savepoint must not pin unrelated later commits."""
+    from medallion_data_lake_spark.operators.versioned import (
+        latest_txn_version,
+    )
+
+    a, b, root = _mk(spark, tmp_path)
+    # batch 5 already published on A (v1, carries the watermark) ...
+    commit(spark.createDataFrame([(100, "y")], "id long, tag string"), a,
+           txn_app_id="app-z", txn_version=5)
+    assert latest_txn_version(a, "app-z") == 5
+    # ... then an unrelated commit lands (v2)
+    commit(spark.createDataFrame([(777, "w")], "id long, tag string"), a)
+
+    sa = stage_commit(
+        spark.createDataFrame([(100, "y")], "id long, tag string"), a,
+        txn_app_id="app-z", txn_version=4)  # a covered, OLDER batch
+    assert sa is None or isinstance(sa, str)
+    # stage_commit's fast path already skips: simulate the race where
+    # the staging landed BEFORE coverage by writing watermark-free then
+    # patching — instead stage an uncovered batch and cover it after
+    sa = stage_commit(
+        spark.createDataFrame([(101, "z")], "id long, tag string"), a,
+        txn_app_id="app-z", txn_version=6)
+    sb = stage_commit(
+        spark.createDataFrame([(101, 9.0)], "id long, total double"), b,
+        txn_app_id="app-z", txn_version=6)
+    # batch 6 gets covered on A by a racing writer before our publish
+    commit(spark.createDataFrame([(101, "z")], "id long, tag string"), a,
+           txn_app_id="app-z", txn_version=6)                      # v3
+    commit(spark.createDataFrame([(888, "v")], "id long, tag string"), a)  # v4
+
+    m = commit_txn(spark, root, [(a, sa), (b, sb)])
+    leg_a = next(leg for leg in m["legs"] if leg["table"] == os.path.abspath(a))
+    assert leg_a["duplicate_skip"] is True
+    assert leg_a["version"] == 3, "must pin the covering entry, not tip v4"
+    snap = txn_snapshot(spark, root, m["txn_id"])
+    ids = {r["id"] for r in snap[os.path.abspath(a)].collect()}
+    assert 888 not in ids and 101 in ids
+
+
+def test_mark_loop_partial_failure_unmarks_earlier_legs(
+    spark, tmp_path, monkeypatch
+):
+    from medallion_data_lake_spark.operators.wap import abandon_staged
+
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+
+    real_mark = T.mark_staging_txn
+    calls = {"n": 0}
+
+    def fails_on_second(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated disk full")
+        return real_mark(*args, **kw)
+
+    monkeypatch.setattr(T, "mark_staging_txn", fails_on_second)
+    with pytest.raises(OSError, match="disk full"):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.setattr(T, "mark_staging_txn", real_mark)
+
+    assert list_txns(root) == []
+    # leg 1's marker was removed on the way out: abort works NOW
+    abandon_staged(a, sa)
+    abandon_staged(b, sb)
+    assert list_staged(a) == [] and list_staged(b) == []
+
+
+def test_mark_refuses_to_resurrect_a_reclaimed_staging(spark, tmp_path):
+    from medallion_data_lake_spark.operators.wap import (
+        abandon_staged,
+        list_staged as ls,
+        mark_staging_txn,
+    )
+
+    a, b, root = _mk(spark, tmp_path)
+    sa, _ = _stage_pair(spark, a, b)
+    (stale,) = ls(a)  # the caller's cached manifest dict
+    abandon_staged(a, sa)  # cron reclaims it in between
+
+    with pytest.raises(FileNotFoundError, match="vanished"):
+        mark_staging_txn(a, sa, root, "txn-x", manifest=stale)
+    assert ls(a) == [], "the stale dict must not be written back"
+
+
+def test_audit_and_publish_reports_duplicate_skip(spark, tmp_path):
+    from medallion_data_lake_spark.operators.expectations import not_null
+    from medallion_data_lake_spark.operators.wap import audit_and_publish
+
+    a, b, _ = _mk(spark, tmp_path)
+    df = spark.createDataFrame([(100, "y")], "id long, tag string")
+    sa1 = stage_commit(df, a, txn_app_id="app-q", txn_version=1)
+    # publish via a racing commit of the same batch
+    commit(df, a, txn_app_id="app-q", txn_version=1)
+
+    out = audit_and_publish(spark, a, sa1, [not_null("id")])
+    assert out == {
+        "published": False, "duplicate_skip": True,
+        "report": out["report"], "entry": None, "staging_id": sa1,
+    }
+    assert out["report"]["passed"]
+    assert read_table(spark, a).count() == 2  # 1 seed + 1 (once, not twice)
