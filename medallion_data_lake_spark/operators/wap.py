@@ -134,6 +134,15 @@ def stage_commit(
     writes (one staging per micro-batch, published through
     ``txn.commit_txn``) exactly-once under checkpoint replay.
 
+    The watermark is a HIGH-WATER mark (``txn_version <= seen`` skips —
+    Delta's SetTransaction rule): it assumes an app's batch ids are
+    applied in NON-DECREASING order per table, which Structured
+    Streaming guarantees (batch N+1 never starts before batch N's epoch
+    commits; a restart replays N first). An out-of-band coordinator
+    that publishes batch N+1 while batch N's transaction is still
+    PREPARED would make N's recovery skip it as covered — don't issue
+    higher batch ids past an unrecovered transaction of the same app.
+
     Validation (schema enforcement, declarative constraints, column
     mapping) runs NOW, against the current tip — staging a batch that
     could never publish should fail at stage time, not after the audit.
