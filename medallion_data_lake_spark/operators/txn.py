@@ -173,17 +173,21 @@ def _preflight(legs: list[dict]) -> dict[str, dict]:
     return manifests
 
 
-def _covering_version(path: str, tw: dict | None) -> int:
+def _covering_version(path: str, tw: dict | None, base: int | None) -> int:
     """The version of the FIRST log entry whose ``(app, version)``
     watermark covers ``tw`` — the entry that actually published a
-    duplicate-skipped leg's rows. Falls back to the tip when the
-    watermark is unknown (manifest already gone on a replayed
-    roll-forward — the tip still covers the rows, it may just pin
-    later commits too)."""
+    duplicate-skipped leg's rows. ``base`` (the staging's base_version)
+    bounds the scan: the covering entry is provably newer than the
+    staging's base (the batch was not covered at stage time), so a
+    long-lived streamed table never pays an O(#commits) walk. Falls
+    back to the tip when the watermark is unknown (manifest already
+    gone on a replayed roll-forward — the tip still covers the rows,
+    it may just pin later commits too)."""
     from .versioned import _entries
 
     if tw is not None:
-        for e in _entries(path):
+        lo = (base + 1) if base is not None else 0
+        for e in _entries(path, lo=lo):
             t = e.get("txn")
             if (
                 t is not None
@@ -202,14 +206,15 @@ def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
     for leg in manifest["legs"]:
         if leg.get("version") is not None:
             continue
-        # the staging's watermark, read BEFORE publish (a duplicate-skip
-        # deletes the manifest): needed to resolve the COVERING entry
+        # the staging's watermark + base version, read before publish:
+        # needed to resolve the COVERING entry on a duplicate-skip
+        # (bounding the scan to commits after the staging's base)
         try:
-            tw = _read_manifest(
-                leg["table"], leg["staging_id"]
-            ).get("txn_watermark")
+            _m_leg = _read_manifest(leg["table"], leg["staging_id"])
+            tw = _m_leg.get("txn_watermark")
+            base = _m_leg.get("base_version")
         except FileNotFoundError:
-            tw = None
+            tw, base = None, None
         try:
             entry = publish_staged(spark, leg["table"], leg["staging_id"])
         except CommitConflict as e:
@@ -226,11 +231,17 @@ def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
             # the COVERING entry's version (the first one whose
             # watermark reached this batch), not the current tip, so
             # the txn's savepoint never pins unrelated later commits
-            # and concurrent roll-forwards record the same version
-            leg["version"] = _covering_version(leg["table"], tw)
+            # and concurrent roll-forwards record the same version.
+            # ORDER MATTERS: persist the skip into the txn manifest
+            # FIRST, reclaim the staging AFTER — publish_staged left a
+            # txn-marked staging's redo state in place precisely so a
+            # crash here replays into the same skip instead of an
+            # unresolvable prepared txn.
+            leg["version"] = _covering_version(leg["table"], tw, base)
             leg["duplicate_skip"] = True
             leg.pop("error", None)
             _write_manifest(txn_root, manifest)
+            abandon_staged(leg["table"], leg["staging_id"], force=True)
             continue
         leg["version"] = entry["version"]
         leg.pop("error", None)
@@ -430,6 +441,27 @@ def compensate_stuck_txn(
                 "transaction's entry, so no single commit of this txn can "
                 "be restored away; resolve forward instead"
             )
+        tip = latest_version(leg["table"])
+        if tip != leg["version"]:
+            # resume case FIRST: a previous compensation pass crashed
+            # after restoring this leg but before recording it — adopt
+            # the tip iff it IS that compensating commit (a landed
+            # restore is adopted even for a watermarked leg: it cannot
+            # be un-landed, and refusing would strand the txn in
+            # 'aborting' forever)
+            entry = _entry_at(leg["table"], tip)
+            if leg["version"] == 0:
+                compensated = entry.get("txn_compensate_of") == 0
+            else:
+                compensated = entry.get("restore_of") == leg["version"] - 1
+            if m["status"] == "aborting" and compensated:
+                adoptable[i] = tip
+                continue
+            raise CommitConflict(
+                f"cannot compensate txn {txn_id}: {leg['table']} moved "
+                f"past the leg's version {leg['version']} — restoring "
+                "would revert unrelated commits; resolve forward instead"
+            )
         if _entry_at(leg["table"], leg["version"]).get("txn") is not None:
             # the leg's entry carries an (app, batch) txn WATERMARK (a
             # streamed staging): restoring the rows away would NOT
@@ -446,25 +478,6 @@ def compensate_stuck_txn(
                 "skip this table forever; resolve forward instead "
                 "(recover_txns, then restart the stream)"
             )
-        tip = latest_version(leg["table"])
-        if tip == leg["version"]:
-            continue
-        # resume case: a previous compensation pass crashed after
-        # restoring this leg but before recording it — adopt the tip
-        # iff it IS that compensating commit
-        entry = _entry_at(leg["table"], tip)
-        if leg["version"] == 0:
-            compensated = entry.get("txn_compensate_of") == 0
-        else:
-            compensated = entry.get("restore_of") == leg["version"] - 1
-        if m["status"] == "aborting" and compensated:
-            adoptable[i] = tip
-            continue
-        raise CommitConflict(
-            f"cannot compensate txn {txn_id}: {leg['table']} moved "
-            f"past the leg's version {leg['version']} — restoring "
-            "would revert unrelated commits; resolve forward instead"
-        )
     # intent recorded FIRST: from here the txn is 'aborting', recovery
     # will not retry it forward, and a crash resumes HERE
     m["status"] = "aborting"
@@ -509,6 +522,56 @@ def txn_snapshot(
         leg["table"]: read_table(spark, leg["table"], version=leg["version"])
         for leg in m["legs"]
     }
+
+
+def resolve_broken_txn(spark: SparkSession, txn_root: str, txn_id: str) -> dict:
+    """Terminal state for a transaction that can NEITHER roll forward
+    NOR compensate: its unpublished legs' redo state (staged manifest
+    and files) was destroyed out-of-band AND some published leg carries
+    a streaming watermark compensation refuses to revert. ``broken``
+    records the tear honestly — which legs published, which were lost —
+    instead of ``recover_txns`` reporting ``error`` on every sweep
+    forever while the maintenance guard pins the surviving stagings.
+
+    Refused while the txn is still resolvable: every unpublished leg
+    must be verifiably unrecoverable (staging gone and no published
+    entry for its staging_id), and a txn whose legs ALL published is
+    completable — run ``recover_txns``. Prefer
+    ``compensate_stuck_txn(allow_prepared=True)`` when no published leg
+    is watermarked: that path actually reverts. This one only records."""
+    from .wap import _published_entry
+
+    m = read_txn(txn_root, txn_id)
+    if m["status"] not in ("prepared", "stuck"):
+        raise ValueError(
+            f"txn {txn_id} is {m['status']!r} — only a prepared/stuck "
+            "transaction can be declared broken"
+        )
+    unpublished = [leg for leg in m["legs"] if leg.get("version") is None]
+    if not unpublished:
+        raise ValueError(
+            f"txn {txn_id} has every leg published — it is completable, "
+            "run recover_txns instead of declaring it broken"
+        )
+    for leg in unpublished:
+        t, sid = leg["table"], leg["staging_id"]
+        try:
+            _read_manifest(t, sid)
+            still_staged = True
+        except FileNotFoundError:
+            still_staged = False
+        base_lo = 0
+        if still_staged or _published_entry(t, sid, lo=base_lo) is not None:
+            raise ValueError(
+                f"txn {txn_id} is still resolvable: leg {t} has live "
+                "redo state (or already published) — recover_txns / "
+                "compensate_stuck_txn are the right tools"
+            )
+        leg["lost"] = True
+    m["status"] = "broken"
+    m["completed"] = time.time()
+    _write_manifest(txn_root, m)
+    return m
 
 
 def audit_and_commit_txn(
@@ -572,7 +635,7 @@ def expire_txns(txn_root: str, older_than_sec: float) -> list[str]:
     now = time.time()
     dropped = []
     for m in list_txns(txn_root):
-        if m["status"] in ("committed", "aborted") and (
+        if m["status"] in ("committed", "aborted", "broken") and (
             now - m.get("completed", m.get("created", now))
         ) > older_than_sec:
             store.delete(_txn_file(txn_root, m["txn_id"]))

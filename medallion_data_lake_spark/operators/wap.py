@@ -393,10 +393,16 @@ def publish_staged(
     entry = _publish(path, build)
     if entry is None:
         # idempotent duplicate skip (txn watermark already covers this
-        # batch): the staged files were never referenced by any entry —
-        # reclaim them like commit() reclaims its orphaned data dir
-        _drop_manifest(path, staging_id)
-        shutil.rmtree(data_dir, ignore_errors=True)
+        # batch): the staged files were never referenced by any entry.
+        # A staging that is a TRANSACTION LEG keeps its manifest and
+        # files — the coordinator must persist the skip into its own
+        # manifest FIRST and reclaim after (a reclaim here, before the
+        # txn records the skip, would destroy the redo state a crash
+        # needs); everything else is reclaimed like commit() reclaims
+        # its orphaned data dir.
+        if m.get("txn") is None:
+            _drop_manifest(path, staging_id)
+            shutil.rmtree(data_dir, ignore_errors=True)
         return None
     _drop_manifest(path, staging_id)
     return entry

@@ -782,13 +782,12 @@ def test_duplicate_skip_records_covering_version_not_tip(spark, tmp_path):
     # ... then an unrelated commit lands (v2)
     commit(spark.createDataFrame([(777, "w")], "id long, tag string"), a)
 
-    sa = stage_commit(
+    covered = stage_commit(
         spark.createDataFrame([(100, "y")], "id long, tag string"), a,
         txn_app_id="app-z", txn_version=4)  # a covered, OLDER batch
-    assert sa is None or isinstance(sa, str)
-    # stage_commit's fast path already skips: simulate the race where
-    # the staging landed BEFORE coverage by writing watermark-free then
-    # patching — instead stage an uncovered batch and cover it after
+    assert covered is None, "fast path must skip a covered batch"
+    # now stage an UNCOVERED batch and let a racing writer cover it
+    # between stage and publish — the duplicate-skip path under test
     sa = stage_commit(
         spark.createDataFrame([(101, "z")], "id long, tag string"), a,
         txn_app_id="app-z", txn_version=6)
@@ -872,3 +871,95 @@ def test_audit_and_publish_reports_duplicate_skip(spark, tmp_path):
     }
     assert out["report"]["passed"]
     assert read_table(spark, a).count() == 2  # 1 seed + 1 (once, not twice)
+
+
+def test_resolve_broken_txn_is_the_honest_terminal(
+    spark, tmp_path, monkeypatch
+):
+    """A prepared txn whose unpublished redo state was destroyed AND
+    whose published leg is watermarked (compensation refuses): neither
+    forward nor backward works — resolve_broken_txn records the tear
+    terminally instead of recover erroring on every sweep forever."""
+    from medallion_data_lake_spark.operators.txn import resolve_broken_txn
+    from medallion_data_lake_spark.operators.wap import abandon_staged
+
+    a, b, root = _mk(spark, tmp_path)
+    sa = stage_commit(
+        spark.createDataFrame([(100, "y")], "id long, tag string"), a,
+        txn_app_id="stream-w", txn_version=3)
+    sb = stage_commit(
+        spark.createDataFrame([(100, 9.0)], "id long, total double"), b,
+        txn_app_id="stream-w", txn_version=3)
+
+    real = T.publish_staged
+    calls = {"n": 0}
+
+    def dies_after_first(spark_, path, sid):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("crash")
+        return real(spark_, path, sid)
+
+    monkeypatch.setattr(T, "publish_staged", dies_after_first)
+    with pytest.raises(RuntimeError):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.setattr(T, "publish_staged", real)
+    (m,) = list_txns(root)
+
+    # while the redo state is intact, declaring broken is refused
+    with pytest.raises(ValueError, match="still resolvable"):
+        resolve_broken_txn(spark, root, m["txn_id"])
+    abandon_staged(b, sb, force=True)  # out-of-band destruction
+    assert [x["status"] for x in recover_txns(spark, root)] == ["error"]
+    with pytest.raises(CommitConflict, match="watermark"):
+        compensate_stuck_txn(spark, root, m["txn_id"], allow_prepared=True)
+
+    out = resolve_broken_txn(spark, root, m["txn_id"])
+    assert out["status"] == "broken"
+    assert out["legs"][1]["lost"] is True
+    assert recover_txns(spark, root) == []  # terminal: sweeps are quiet
+    from medallion_data_lake_spark.operators.txn import expire_txns
+    assert expire_txns(root, older_than_sec=0.0) == [m["txn_id"]]
+
+
+def test_duplicate_skip_crash_window_is_replayable(
+    spark, tmp_path, monkeypatch
+):
+    """The skip is persisted into the txn manifest BEFORE the staging
+    is reclaimed: a crash between the two leaves the staging behind,
+    the resumed roll-forward completes from the recorded version, and
+    staging expiry reclaims the leftover once the txn is terminal."""
+    a, b, root = _mk(spark, tmp_path)
+    df_a = spark.createDataFrame([(101, "z")], "id long, tag string")
+    sa = stage_commit(df_a, a, txn_app_id="app-k", txn_version=2)
+    sb = stage_commit(
+        spark.createDataFrame([(101, 9.0)], "id long, total double"), b,
+        txn_app_id="app-k", txn_version=2)
+    # a racing writer covers A's batch between stage and publish
+    commit(df_a, a, txn_app_id="app-k", txn_version=2)
+
+    real_ab = T.abandon_staged
+
+    def crash_on_reclaim(path, sid, force=False):
+        raise RuntimeError("crash before reclaim")
+
+    monkeypatch.setattr(T, "abandon_staged", crash_on_reclaim)
+    with pytest.raises(RuntimeError, match="reclaim"):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.setattr(T, "abandon_staged", real_ab)
+
+    # the skip was recorded; the staging (the redo state) survived
+    (m,) = list_txns(root)
+    leg_a = next(leg for leg in m["legs"]
+                 if leg["table"] == os.path.abspath(a))
+    assert leg_a["duplicate_skip"] is True and leg_a["version"] == 1
+    assert {x["staging_id"] for x in list_staged(a)} == {sa}
+
+    acted = recover_txns(spark, root)
+    assert [x["status"] for x in acted] == ["committed"]
+    assert read_table(spark, a).filter("id = 101").count() == 1  # once
+    assert read_table(spark, b).filter("id = 101").count() == 1
+    # terminal txn: protection lifted, expiry reclaims the leftover
+    from medallion_data_lake_spark.operators.wap import expire_staged
+    assert expire_staged(a, older_than_sec=0.0) == [sa]
+    assert list_staged(a) == []

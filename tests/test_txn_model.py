@@ -2,8 +2,9 @@
 coordinator (operators/txn.py).
 
 A seeded scenario generator drives transactions over three versioned
-tables, injecting a crash at a RANDOM publish point in a random subset
-of them (before the decision, between legs, before finalize), randomly
+tables, injecting a crash at a RANDOM leg publish or at the finalize
+write in a random subset of them (pre-decision aborts are a separate
+action; pre-decision CRASHES are unit-tested in test_txn.py), randomly
 interleaving recovery sweeps and duplicate replays (same txn app/batch
 re-staged, the streaming replay shape). The generator honors the one
 ordering precondition the watermark contract states (stage_commit
@@ -80,10 +81,20 @@ def test_txn_coordinator_random_crash_schedule(
 
     monkeypatch.setattr(T, "publish_staged", crashing_publish)
 
+    real_wm = T._write_manifest
+
+    def crashing_finalize(root_, manifest):
+        if crash_plan.get("fin") and manifest.get("status") == "committed":
+            crash_plan["fin"] = False
+            raise RuntimeError("scheduled crash")
+        return real_wm(root_, manifest)
+
+    monkeypatch.setattr(T, "_write_manifest", crashing_finalize)
+
     expected: dict[str, set[int]] = {p: set() for p in tables}  # batch ids
     aborted: list[int] = []
 
-    def stage_batch(batch_id, members, replay=False):
+    def stage_batch(batch_id, members):
         legs = []
         for p in members:
             sid = stage_commit(
@@ -101,7 +112,7 @@ def test_txn_coordinator_random_crash_schedule(
     for batch_id in range(1, N_TXNS + 1):
         members = rng.sample(tables, rng.randint(1, N_TABLES))
         legs = stage_batch(batch_id, members)
-        action = rng.choice(["commit", "crash", "abort"])
+        action = rng.choice(["commit", "crash", "crash_finalize", "abort"])
         if action == "abort":
             # pre-decision abort: readers must never see the batch
             for p, sid in legs:
@@ -111,6 +122,7 @@ def test_txn_coordinator_random_crash_schedule(
         crash_plan["at"] = (
             rng.randint(1, len(legs)) if action == "crash" else None
         )
+        crash_plan["fin"] = action == "crash_finalize"
         crash_plan["count"] = 0
         crashed = False
         try:
@@ -126,14 +138,14 @@ def test_txn_coordinator_random_crash_schedule(
         # a restarted stream beats the maintenance recover)
         replay_first = rng.random() < 0.5
         if crashed and replay_first:
-            replay_legs = stage_batch(batch_id, members, replay=True)
+            replay_legs = stage_batch(batch_id, members)
             if replay_legs:
                 commit_txn(spark, root, replay_legs,
                            note=f"replay {batch_id}")
         if crashed or rng.random() < 0.5:
             recover_txns(spark, root)
         if rng.random() < 0.4:
-            replay_legs = stage_batch(batch_id, members, replay=True)
+            replay_legs = stage_batch(batch_id, members)
             if replay_legs:
                 commit_txn(spark, root, replay_legs,
                            note=f"replay {batch_id}")
@@ -160,6 +172,8 @@ def test_txn_coordinator_random_crash_schedule(
             assert b not in per_batch, "aborted batch became visible"
         versions = _commit_versions(p)
         assert versions == list(range(len(versions))), "version chain gap"
-        # nothing staged leaks once txns are terminal
-        assert expire_staged(p, older_than_sec=0.0) == [] or True
-        assert list_staged(p) == []
+        # nothing staged leaks once txns are terminal — list FIRST
+        # (expire would reclaim the evidence), then prove expiry finds
+        # nothing either
+        assert list_staged(p) == [], "staging leak"
+        assert expire_staged(p, older_than_sec=0.0) == []
