@@ -489,6 +489,20 @@ def mark_staging_txn(
     if manifest_file is not None:
         m["txn"]["file"] = os.path.abspath(manifest_file)
     atomic_write_json(_manifest_path(path, staging_id), m)
+    if not os.path.isdir(os.path.join(path, m["data_dir"])):
+        # post-write re-verify closes the check-then-act race: a
+        # reclaim that interleaved between the exists-check and the
+        # write (manifest deleted, data dir rmtree'd) must not leave a
+        # RESURRECTED manifest pointing at vanished bytes — the txn
+        # would decide and then wedge on 'staged data dir vanished'.
+        # After our write the reclaimer can no longer intervene: a
+        # marked manifest is guard-protected (expire skips, abandon
+        # refuses), so dir-present here means dir-stays.
+        _drop_manifest(path, staging_id)
+        raise FileNotFoundError(
+            f"staging {staging_id} on {path} was reclaimed concurrently "
+            "with marking"
+        )
 
 
 def unmark_staging_txn(path: str, staging_id: str, txn_id: str) -> None:

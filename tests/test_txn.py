@@ -963,3 +963,26 @@ def test_duplicate_skip_crash_window_is_replayable(
     from medallion_data_lake_spark.operators.wap import expire_staged
     assert expire_staged(a, older_than_sec=0.0) == [sa]
     assert list_staged(a) == []
+
+
+def test_mark_post_write_verify_closes_the_reclaim_race(spark, tmp_path):
+    """A reclaim interleaving between mark's exists-check and its write
+    must not leave a resurrected manifest pointing at vanished bytes —
+    the post-write re-verify drops it and raises."""
+    import shutil
+
+    from medallion_data_lake_spark.operators.wap import (
+        list_staged as ls,
+        mark_staging_txn,
+    )
+
+    a, b, root = _mk(spark, tmp_path)
+    sa, _ = _stage_pair(spark, a, b)
+    (stale,) = ls(a)
+    # simulate the interleaving: the data dir is already gone but the
+    # manifest deletion hasn't landed yet when mark's exists-check runs
+    shutil.rmtree(os.path.join(a, stale["data_dir"]))
+
+    with pytest.raises(FileNotFoundError, match="reclaimed concurrently"):
+        mark_staging_txn(a, sa, root, "txn-y", manifest=dict(stale))
+    assert ls(a) == [], "no resurrected manifest may remain"
