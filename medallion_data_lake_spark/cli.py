@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
                  "tail", "sweep-orphans", "restore", "staged",
                  "publish-staged", "abandon-staged", "expire-staged",
                  "clone", "txn-commit", "txn-list", "txn-recover",
-                 "txn-compensate", "txn-expire"],
+                 "txn-compensate", "txn-resolve-broken", "txn-expire"],
     )
     ap.add_argument(
         "arg",
@@ -654,6 +654,20 @@ def main(argv: list[str] | None = None) -> int:
 
         m = compensate_stuck_txn(spark, args.arg, args.txn_id)
         print(json.dumps({"txn_id": m["txn_id"], "status": m["status"]}))
+    elif args.verb == "txn-resolve-broken":
+        # honest terminal for a txn that can neither roll forward nor
+        # compensate (redo state destroyed + watermarked published leg)
+        if not args.arg or not args.txn_id:
+            print("txn-resolve-broken requires a txn-root path and "
+                  "--txn-id", file=sys.stderr)
+            return 2
+        from .operators.txn import resolve_broken_txn
+
+        m = resolve_broken_txn(spark, args.arg, args.txn_id)
+        print(json.dumps({
+            "txn_id": m["txn_id"], "status": m["status"],
+            "lost": [leg["table"] for leg in m["legs"] if leg.get("lost")],
+        }))
     elif args.verb == "txn-expire":
         if not args.arg:
             print("txn-expire requires a txn-root path", file=sys.stderr)
