@@ -11,10 +11,10 @@ from __future__ import annotations
 
 import pytest
 
-from medallion_data_lake_spark.queries import load_all
+from medallion_data_lake_spark.queries import load_all_extra
 from tests.test_oracle_parity import canon_rows
 
-REG = load_all()
+REG = load_all_extra()  # full local surface: rotation-proof
 SF = "/root/testdata/sf0.001"
 
 # the queries most sensitive to partitioning: float aggregation, window

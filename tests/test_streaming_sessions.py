@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from medallion_data_lake_spark.catalog import load_star_table
-from medallion_data_lake_spark.queries import load_all
+from medallion_data_lake_spark.queries import load_all_extra
 from medallion_data_lake_spark.streaming import events as se
 
 
@@ -38,7 +38,7 @@ def test_session_window_stream_matches_batch_sessionization(spark, tmp_path_fact
     }
     batch = {
         (r["user_id"], r["n_events"])
-        for r in load_all()["user_sessionization"]
+        for r in load_all_extra()["user_sessionization"]
         .build(spark, "/root/testdata/sf0.001")
         .collect()
     }
