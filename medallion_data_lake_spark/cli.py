@@ -566,7 +566,9 @@ def main(argv: list[str] | None = None) -> int:
         entry = publish_staged(spark, args.arg, args.staging_id)
         if entry is None:
             # txn-watermarked staging whose batch the table already
-            # covers: nothing published, files reclaimed unseen
+            # covers: nothing published here (a txn-leg staging keeps
+            # its files for the coordinator; expire-staged sweeps them
+            # once the txn is terminal)
             print(json.dumps({"duplicate_skip": True}))
         else:
             print(json.dumps({"version": entry["version"],

@@ -198,23 +198,46 @@ def _covering_version(path: str, tw: dict | None, base: int | None) -> int:
     return latest_version(path)
 
 
+def _skip_covered_leg(txn_root: str, manifest: dict, leg: dict,
+                      tw: dict, base: int | None) -> None:
+    """Record a duplicate-skip: the leg's batch is already published
+    (an earlier txn / replay for the same micro-batch) — pin the
+    COVERING entry's version (the first one whose watermark reached
+    this batch), not the current tip, so the txn's savepoint never
+    pins unrelated later commits and concurrent roll-forwards record
+    the same version."""
+    leg["version"] = _covering_version(leg["table"], tw, base)
+    leg["duplicate_skip"] = True
+    leg.pop("error", None)
+    _write_manifest(txn_root, manifest)
+
+
 def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
     """Publish every leg that has no recorded version yet; finalize to
     ``committed``. Idempotent: replaying after ANY crash point converges
     on the same versions (publish_staged returns the existing entry for
-    an already-published staging_id)."""
+    an already-published staging_id). A leg whose redo state is broken
+    (staging vanished) does NOT block the legs after it — they publish,
+    the error is recorded, and the txn stays prepared for the next
+    sweep (or ``resolve_broken_txn``)."""
+    from .versioned import latest_txn_version
+
+    failures: list[Exception] = []
     for leg in manifest["legs"]:
         if leg.get("version") is not None:
             continue
-        # the staging's watermark + base version, read before publish:
-        # needed to resolve the COVERING entry on a duplicate-skip
-        # (bounding the scan to commits after the staging's base)
+        # the staging's watermark + base version, read before publish
+        # (needed to resolve the COVERING entry on a duplicate-skip,
+        # bounding the scan to commits after the staging's base); falls
+        # back to the copies commit_txn denormalized into this manifest
+        # so a DESTROYED staging can still be classified
         try:
             _m_leg = _read_manifest(leg["table"], leg["staging_id"])
             tw = _m_leg.get("txn_watermark")
             base = _m_leg.get("base_version")
         except FileNotFoundError:
-            tw, base = None, None
+            tw = leg.get("txn_watermark")
+            base = leg.get("base_version")
         try:
             entry = publish_staged(spark, leg["table"], leg["staging_id"])
         except CommitConflict as e:
@@ -224,23 +247,29 @@ def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
             raise TxnStuck(
                 f"txn {manifest['txn_id']} stuck on {leg['table']}: {e}"
             ) from e
+        except FileNotFoundError as e:
+            # redo state gone (staging destroyed out-of-band, never
+            # published under this staging_id). If the manifest-recorded
+            # watermark shows the BATCH is covered anyway (a replay txn
+            # published the same rows), this is a duplicate-skip, not a
+            # loss. Either way the remaining legs must not be blocked.
+            if tw is not None:
+                seen = latest_txn_version(leg["table"], tw["app_id"])
+                if seen is not None and tw["version"] <= seen:
+                    _skip_covered_leg(txn_root, manifest, leg, tw, base)
+                    continue
+            leg["error"] = str(e)
+            _write_manifest(txn_root, manifest)
+            failures.append(e)
+            continue
         if entry is None:
             # txn-watermarked staging whose batch the table already
-            # covers (an earlier txn for the same micro-batch published
-            # this leg before a crash/replay): the rows are in — record
-            # the COVERING entry's version (the first one whose
-            # watermark reached this batch), not the current tip, so
-            # the txn's savepoint never pins unrelated later commits
-            # and concurrent roll-forwards record the same version.
-            # ORDER MATTERS: persist the skip into the txn manifest
-            # FIRST, reclaim the staging AFTER — publish_staged left a
-            # txn-marked staging's redo state in place precisely so a
-            # crash here replays into the same skip instead of an
-            # unresolvable prepared txn.
-            leg["version"] = _covering_version(leg["table"], tw, base)
-            leg["duplicate_skip"] = True
-            leg.pop("error", None)
-            _write_manifest(txn_root, manifest)
+            # covers. ORDER MATTERS: persist the skip into the txn
+            # manifest FIRST, reclaim the staging AFTER —
+            # publish_staged left a txn-marked staging's redo state in
+            # place precisely so a crash here replays into the same
+            # skip instead of an unresolvable prepared txn.
+            _skip_covered_leg(txn_root, manifest, leg, tw, base)
             abandon_staged(leg["table"], leg["staging_id"], force=True)
             continue
         leg["version"] = entry["version"]
@@ -248,6 +277,11 @@ def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
         # persist per-leg progress: a crash here costs one idempotent
         # re-publish, not a re-derivation of what already landed
         _write_manifest(txn_root, manifest)
+    if failures:
+        # some legs published, the broken one(s) are recorded: the txn
+        # stays PREPARED (recover retries; resolve_broken_txn is the
+        # terminal if the redo state is verifiably gone)
+        raise failures[0]
     manifest["status"] = "committed"
     manifest["completed"] = time.time()
     # the committed manifest IS a cross-table savepoint (same shape as
@@ -283,6 +317,16 @@ def commit_txn(
     recorded, partially published — see module docstring)."""
     norm = _normalize_legs(legs)
     staged_manifests = _preflight(norm)
+    for leg in norm:
+        sm = staged_manifests[leg["table"]]
+        # denormalize the staging's watermark + base into the TXN
+        # manifest: if the staging is ever destroyed out-of-band, these
+        # let recovery classify 'covered by a replay' (duplicate-skip)
+        # vs 'genuinely lost' instead of erroring blind
+        if sm.get("txn_watermark") is not None:
+            leg["txn_watermark"] = sm["txn_watermark"]
+        if sm.get("base_version") is not None:
+            leg["base_version"] = sm["base_version"]
     txn_id = f"txn-{uuid.uuid4().hex[:12]}"
     manifest = {
         "txn_id": txn_id,
@@ -553,15 +597,34 @@ def resolve_broken_txn(spark: SparkSession, txn_root: str, txn_id: str) -> dict:
             f"txn {txn_id} has every leg published — it is completable, "
             "run recover_txns instead of declaring it broken"
         )
+    from .versioned import latest_txn_version
+
     for leg in unpublished:
         t, sid = leg["table"], leg["staging_id"]
+        tw = leg.get("txn_watermark")
+        if tw is not None:
+            seen = latest_txn_version(t, tw["app_id"])
+            if seen is not None and tw["version"] <= seen:
+                raise ValueError(
+                    f"txn {txn_id} is still resolvable: leg {t}'s batch "
+                    "is watermark-covered (a replay published the rows) "
+                    "— run recover_txns, which records the duplicate-skip"
+                )
         try:
-            _read_manifest(t, sid)
-            still_staged = True
+            sm = _read_manifest(t, sid)
+            # a manifest whose data dir is gone is a ZOMBIE (a reclaim
+            # raced the marker write): addressable but unpublishable —
+            # verifiably lost, and the dangling manifest goes with it
+            still_staged = os.path.isdir(os.path.join(t, sm["data_dir"]))
+            if not still_staged:
+                from .wap import _drop_manifest
+
+                _drop_manifest(t, sid)
         except FileNotFoundError:
             still_staged = False
-        base_lo = 0
-        if still_staged or _published_entry(t, sid, lo=base_lo) is not None:
+        # full-log probe on purpose: the staging manifest (and with it
+        # the base_version that bounds this scan elsewhere) is gone
+        if still_staged or _published_entry(t, sid) is not None:
             raise ValueError(
                 f"txn {txn_id} is still resolvable: leg {t} has live "
                 "redo state (or already published) — recover_txns / "
@@ -627,10 +690,12 @@ def audit_and_commit_txn(
 
 
 def expire_txns(txn_root: str, older_than_sec: float) -> list[str]:
-    """Drop terminal (committed/aborted) manifests older than the
-    horizon — the retention sweep for the coordinator directory. Never
-    touches prepared/stuck manifests: those are redo records, and
-    deleting one would un-decide a transaction."""
+    """Drop terminal (committed/aborted/broken) manifests older than
+    the horizon — the retention sweep for the coordinator directory.
+    Never touches prepared/stuck manifests: those are redo records, and
+    deleting one would un-decide a transaction. (A ``broken`` manifest
+    is the record of a torn batch — size the horizon so it is read
+    before it is reaped, like any incident log.)"""
     store = get_log_store()
     now = time.time()
     dropped = []

@@ -298,7 +298,10 @@ def publish_staged(
     double-call), returns the existing entry and just removes the
     manifest. Returns None ONLY when the staging carries a txn
     watermark the table already covers (a replayed micro-batch staged
-    a duplicate): the staged files are reclaimed unseen."""
+    a duplicate): a plain staging's files are reclaimed unseen; a
+    staging marked as a TRANSACTION LEG keeps its redo state — the
+    coordinator records the skip, then reclaims (``expire_staged``
+    sweeps any leftover once the txn is terminal)."""
     try:
         m = _read_manifest(path, staging_id)
     except FileNotFoundError:

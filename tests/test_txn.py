@@ -986,3 +986,104 @@ def test_mark_post_write_verify_closes_the_reclaim_race(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="reclaimed concurrently"):
         mark_staging_txn(a, sa, root, "txn-y", manifest=dict(stale))
     assert ls(a) == [], "no resurrected manifest may remain"
+
+
+def test_broken_leg_does_not_block_later_legs(spark, tmp_path, monkeypatch):
+    """A leg whose redo state vanished must not stop the legs AFTER it
+    from publishing on the recovery sweep; the txn then terminates via
+    resolve_broken_txn with only the genuinely lost leg recorded."""
+    from medallion_data_lake_spark.operators.txn import resolve_broken_txn
+    from medallion_data_lake_spark.operators.wap import abandon_staged
+
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+
+    monkeypatch.setattr(
+        T, "publish_staged",
+        lambda *args: (_ for _ in ()).throw(RuntimeError("crash")))
+    with pytest.raises(RuntimeError):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.undo()
+    abandon_staged(a, sa, force=True)  # leg ONE's redo state destroyed
+
+    acted = recover_txns(spark, root)
+    assert [x["status"] for x in acted] == ["error"]
+    # ... but leg TWO published anyway
+    assert latest_version(b) == 1
+    assert {r["id"] for r in read_table(spark, b).collect()} == {1, 100}
+
+    (m,) = list_txns(root)
+    out = resolve_broken_txn(spark, root, m["txn_id"])
+    assert out["status"] == "broken"
+    assert [leg.get("lost") for leg in out["legs"]] == [True, None]
+
+
+def test_destroyed_but_covered_leg_recovers_as_duplicate_skip(
+    spark, tmp_path, monkeypatch
+):
+    """The txn manifest's denormalized watermark classifies a destroyed
+    staging whose batch a replay already published: recovery records
+    the duplicate-skip and the txn COMMITS instead of erroring."""
+    from medallion_data_lake_spark.operators.wap import abandon_staged
+
+    a, b, root = _mk(spark, tmp_path)
+    df_a = spark.createDataFrame([(100, "y")], "id long, tag string")
+    sa = stage_commit(df_a, a, txn_app_id="app-r", txn_version=9)
+    sb = stage_commit(
+        spark.createDataFrame([(100, 9.0)], "id long, total double"), b,
+        txn_app_id="app-r", txn_version=9)
+
+    monkeypatch.setattr(
+        T, "publish_staged",
+        lambda *args: (_ for _ in ()).throw(RuntimeError("crash")))
+    with pytest.raises(RuntimeError):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.undo()
+
+    # a replay publishes A's batch, then A's staging is destroyed
+    commit(df_a, a, txn_app_id="app-r", txn_version=9)
+    abandon_staged(a, sa, force=True)
+
+    acted = recover_txns(spark, root)
+    assert [x["status"] for x in acted] == ["committed"]
+    (m,) = list_txns(root)
+    leg_a = next(leg for leg in m["legs"]
+                 if leg["table"] == os.path.abspath(a))
+    assert leg_a["duplicate_skip"] is True and leg_a["version"] == 1
+    assert read_table(spark, a).filter("id = 100").count() == 1
+    assert read_table(spark, b).filter("id = 100").count() == 1
+
+
+def test_zombie_staging_manifest_is_terminable(spark, tmp_path, monkeypatch):
+    """A manifest whose data dir vanished (a reclaim raced the marker
+    write) is unpublishable but addressable: recovery records the error
+    without blocking other legs, and resolve_broken_txn classifies it
+    as lost and drops the dangling manifest."""
+    import shutil
+
+    from medallion_data_lake_spark.operators.txn import resolve_broken_txn
+    from medallion_data_lake_spark.operators.wap import (
+        _read_manifest,
+        list_staged as ls,
+    )
+
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+
+    monkeypatch.setattr(
+        T, "publish_staged",
+        lambda *args: (_ for _ in ()).throw(RuntimeError("crash")))
+    with pytest.raises(RuntimeError):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.undo()
+
+    shutil.rmtree(os.path.join(a, _read_manifest(a, sa)["data_dir"]))
+    acted = recover_txns(spark, root)
+    assert [x["status"] for x in acted] == ["error"]
+    assert latest_version(b) == 1  # the healthy leg landed
+
+    (m,) = list_txns(root)
+    out = resolve_broken_txn(spark, root, m["txn_id"])
+    assert out["status"] == "broken"
+    assert out["legs"][0]["lost"] is True
+    assert ls(a) == [], "the zombie manifest was dropped"
