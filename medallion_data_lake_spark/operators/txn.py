@@ -220,7 +220,7 @@ def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
     (staging vanished) does NOT block the legs after it — they publish,
     the error is recorded, and the txn stays prepared for the next
     sweep (or ``resolve_broken_txn``)."""
-    from .versioned import latest_txn_version
+    from .versioned import watermark_covered
 
     failures: list[Exception] = []
     for leg in manifest["legs"]:
@@ -253,11 +253,12 @@ def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
             # watermark shows the BATCH is covered anyway (a replay txn
             # published the same rows), this is a duplicate-skip, not a
             # loss. Either way the remaining legs must not be blocked.
-            if tw is not None:
-                seen = latest_txn_version(leg["table"], tw["app_id"])
-                if seen is not None and tw["version"] <= seen:
-                    _skip_covered_leg(txn_root, manifest, leg, tw, base)
-                    continue
+            if watermark_covered(leg["table"], tw):
+                _skip_covered_leg(txn_root, manifest, leg, tw, base)
+                # symmetric with the entry-is-None skip: reclaim any
+                # zombie manifest now (a no-op when it is already gone)
+                abandon_staged(leg["table"], leg["staging_id"], force=True)
+                continue
             leg["error"] = str(e)
             _write_manifest(txn_root, manifest)
             failures.append(e)
@@ -597,21 +598,29 @@ def resolve_broken_txn(spark: SparkSession, txn_root: str, txn_id: str) -> dict:
             f"txn {txn_id} has every leg published — it is completable, "
             "run recover_txns instead of declaring it broken"
         )
-    from .versioned import latest_txn_version
+    from .versioned import watermark_covered
 
     for leg in unpublished:
         t, sid = leg["table"], leg["staging_id"]
-        tw = leg.get("txn_watermark")
-        if tw is not None:
-            seen = latest_txn_version(t, tw["app_id"])
-            if seen is not None and tw["version"] <= seen:
-                raise ValueError(
-                    f"txn {txn_id} is still resolvable: leg {t}'s batch "
-                    "is watermark-covered (a replay published the rows) "
-                    "— run recover_txns, which records the duplicate-skip"
-                )
+        sm = None
         try:
             sm = _read_manifest(t, sid)
+        except FileNotFoundError:
+            pass
+        # coverage check FIRST, from the denormalized copy OR the
+        # surviving staging manifest (legacy manifests predate the
+        # denormalization) — and strictly before any zombie cleanup,
+        # which would destroy the only remaining watermark record
+        tw = leg.get("txn_watermark") or (
+            sm.get("txn_watermark") if sm is not None else None
+        )
+        if watermark_covered(t, tw):
+            raise ValueError(
+                f"txn {txn_id} is still resolvable: leg {t}'s batch "
+                "is watermark-covered (a replay published the rows) "
+                "— run recover_txns, which records the duplicate-skip"
+            )
+        if sm is not None:
             # a manifest whose data dir is gone is a ZOMBIE (a reclaim
             # raced the marker write): addressable but unpublishable —
             # verifiably lost, and the dangling manifest goes with it
@@ -620,11 +629,13 @@ def resolve_broken_txn(spark: SparkSession, txn_root: str, txn_id: str) -> dict:
                 from .wap import _drop_manifest
 
                 _drop_manifest(t, sid)
-        except FileNotFoundError:
+        else:
             still_staged = False
-        # full-log probe on purpose: the staging manifest (and with it
-        # the base_version that bounds this scan elsewhere) is gone
-        if still_staged or _published_entry(t, sid) is not None:
+        # bounded when the (zombie) manifest still carried its base;
+        # full-log probe only when even that record is gone
+        base = sm.get("base_version") if sm is not None else None
+        lo = (base + 1) if base is not None else 0
+        if still_staged or _published_entry(t, sid, lo=lo) is not None:
             raise ValueError(
                 f"txn {txn_id} is still resolvable: leg {t} has live "
                 "redo state (or already published) — recover_txns / "

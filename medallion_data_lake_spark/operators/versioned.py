@@ -379,6 +379,19 @@ def latest_txn_version(path: str, app_id: str) -> int | None:
 # ---------------------------------------------------------------------------
 
 
+def watermark_covered(path: str, tw: dict | None) -> bool:
+    """True when the table's recorded watermark for ``tw["app_id"]``
+    already covers ``tw["version"]`` — THE coverage predicate, shared
+    by the publish gates (``commit``/``wap.publish_staged``), the stage
+    fast-path, and the txn coordinator's classifiers so they can never
+    diverge (a classifier stricter or looser than the gate mislabels a
+    batch as lost or as applied)."""
+    if tw is None:
+        return False
+    seen = latest_txn_version(path, tw["app_id"])
+    return seen is not None and tw["version"] <= seen
+
+
 def _publish(
     path: str,
     build_entry: Callable[[int], dict | None],

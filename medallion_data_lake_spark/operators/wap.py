@@ -158,10 +158,11 @@ def stage_commit(
 
     has_txn = txn_app_id is not None and txn_version is not None
     if has_txn:
-        from .versioned import latest_txn_version
+        from .versioned import watermark_covered
 
-        seen = latest_txn_version(path, txn_app_id)
-        if seen is not None and txn_version <= seen:
+        if watermark_covered(
+            path, {"app_id": txn_app_id, "version": txn_version}
+        ):
             return None  # replayed batch: already published, skip the write
 
     schema_changed = False
@@ -327,16 +328,13 @@ def publish_staged(
     batch_schema = StructType.fromJson(m["batch_schema"])
 
     def build(version: int) -> dict | None:
-        tw = m.get("txn_watermark")
-        if tw is not None:
-            # the same inside-the-claim-loop re-check as commit(): a
-            # concurrent duplicate (replayed micro-batch staged twice)
-            # loses HERE, not by double-publishing
-            from .versioned import latest_txn_version
+        # the same inside-the-claim-loop re-check as commit(): a
+        # concurrent duplicate (replayed micro-batch staged twice)
+        # loses HERE, not by double-publishing
+        from .versioned import watermark_covered
 
-            seen = latest_txn_version(path, tw["app_id"])
-            if seen is not None and tw["version"] <= seen:
-                return None
+        if watermark_covered(path, m.get("txn_watermark")):
+            return None
         if _constraints_fp(path) != m["constraints_fp"]:
             raise CommitConflict(
                 f"table contract on {path} changed after staging "

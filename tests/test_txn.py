@@ -1087,3 +1087,49 @@ def test_zombie_staging_manifest_is_terminable(spark, tmp_path, monkeypatch):
     assert out["status"] == "broken"
     assert out["legs"][0]["lost"] is True
     assert ls(a) == [], "the zombie manifest was dropped"
+
+
+def test_legacy_zombie_covered_leg_refuses_broken_and_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """A pre-denormalization manifest (no per-leg txn_watermark) with a
+    ZOMBIE staging (data dir gone) whose batch a replay covered: the
+    surviving staging manifest's own watermark must be consulted BEFORE
+    any zombie cleanup — resolve_broken_txn refuses (the rows are in!)
+    and recover_txns commits the txn as a duplicate-skip."""
+    import shutil
+
+    from medallion_data_lake_spark.operators.txn import resolve_broken_txn
+    from medallion_data_lake_spark.operators.wap import _read_manifest
+
+    a, b, root = _mk(spark, tmp_path)
+    df_a = spark.createDataFrame([(100, "y")], "id long, tag string")
+    sa = stage_commit(df_a, a, txn_app_id="app-l", txn_version=5)
+    sb = stage_commit(
+        spark.createDataFrame([(100, 9.0)], "id long, total double"), b,
+        txn_app_id="app-l", txn_version=5)
+
+    monkeypatch.setattr(
+        T, "publish_staged",
+        lambda *args: (_ for _ in ()).throw(RuntimeError("crash")))
+    with pytest.raises(RuntimeError):
+        commit_txn(spark, root, [(a, sa), (b, sb)])
+    monkeypatch.undo()
+
+    # simulate a legacy manifest: strip the denormalized watermarks
+    (m,) = list_txns(root)
+    for leg in m["legs"]:
+        leg.pop("txn_watermark", None)
+        leg.pop("base_version", None)
+    T._write_manifest(root, m)
+
+    # a replay covers A's batch; A's staging then turns zombie
+    commit(df_a, a, txn_app_id="app-l", txn_version=5)
+    shutil.rmtree(os.path.join(a, _read_manifest(a, sa)["data_dir"]))
+
+    with pytest.raises(ValueError, match="watermark-covered"):
+        resolve_broken_txn(spark, root, m["txn_id"])
+    acted = recover_txns(spark, root)
+    assert [x["status"] for x in acted] == ["committed"]
+    assert read_table(spark, a).filter("id = 100").count() == 1
+    assert read_table(spark, b).filter("id = 100").count() == 1
