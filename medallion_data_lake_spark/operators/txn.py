@@ -121,14 +121,53 @@ def read_txn(txn_root: str, txn_id: str) -> dict:
     return json.loads(get_log_store().read(_txn_file(txn_root, txn_id)))
 
 
+# statuses from which a manifest never moves again (``aborted`` via
+# compensation, ``broken`` via resolve_broken_txn, ``committed`` via
+# roll-forward). A concurrent writer holding a stale in-memory copy
+# must never regress one of these.
+_TERMINAL_STATUSES = frozenset({"committed", "aborted", "broken"})
+
+
+def _write_manifest_unless_terminal(txn_root: str, manifest: dict) -> dict | None:
+    """Guarded manifest update for CONCURRENT runners of the same txn
+    (a live ``commit_txn`` racing a ``recover_txns`` sweep). A plain
+    ``_write_manifest`` is last-writer-wins over the whole file, so a
+    runner holding a stale 'prepared' copy could transiently regress an
+    on-disk 'committed' manifest (dropping its savepoint) until its own
+    finalize rewrote it — making a concurrent ``txn_snapshot`` of a
+    just-committed txn spuriously raise. Re-read the on-disk manifest
+    first: if another runner already drove the txn to a terminal
+    status, ADOPT that manifest (return it, write nothing) — both
+    runners replay the same idempotent publishes, so the terminal copy
+    already contains every leg version this runner would record. For
+    non-terminal on-disk states the write proceeds (same-content
+    last-writer-wins, benign as before). The read-then-write window is
+    not zero, but a regression now requires the OTHER runner to
+    finalize inside this runner's read→write gap of the SAME update —
+    down from 'any time since this runner loaded the manifest'."""
+    try:
+        on_disk = read_txn(txn_root, manifest["txn_id"])
+    except (FileNotFoundError, ValueError):
+        on_disk = None  # not written yet, or torn mid-replace: proceed
+    if on_disk is not None and on_disk.get("status") in _TERMINAL_STATUSES:
+        return on_disk
+    _write_manifest(txn_root, manifest)
+    return None
+
+
 def list_txns(txn_root: str) -> list[dict]:
     """Every transaction manifest under ``txn_root`` (KB each), oldest
-    id first."""
+    FIRST — ordered by each manifest's recorded ``created`` timestamp
+    (txn-id tiebreak), not by listing order: store listings are
+    lexicographic over ids, and legacy ids were random uuid hex. New
+    ids carry a zero-padded ``time_ns`` prefix so the two orders agree
+    going forward."""
     store = get_log_store()
     out = []
     for f in store.list(txn_root):
         if f.endswith(".json"):
             out.append(json.loads(store.read(os.path.join(txn_root, f))))
+    out.sort(key=lambda m: (m.get("created", 0.0), m.get("txn_id", "")))
     return out
 
 
@@ -173,16 +212,18 @@ def _preflight(legs: list[dict]) -> dict[str, dict]:
     return manifests
 
 
-def _covering_version(path: str, tw: dict | None, base: int | None) -> int:
-    """The version of the FIRST log entry whose ``(app, version)``
-    watermark covers ``tw`` — the entry that actually published a
-    duplicate-skipped leg's rows. ``base`` (the staging's base_version)
-    bounds the scan: the covering entry is provably newer than the
-    staging's base (the batch was not covered at stage time), so a
-    long-lived streamed table never pays an O(#commits) walk. Falls
-    back to the tip when the watermark is unknown (manifest already
-    gone on a replayed roll-forward — the tip still covers the rows,
-    it may just pin later commits too)."""
+def _covering_version(path: str, tw: dict | None, base: int | None) -> tuple[int, bool]:
+    """``(version, verified)`` of the FIRST log entry whose
+    ``(app, version)`` watermark covers ``tw`` — the entry that actually
+    published a duplicate-skipped leg's rows. ``base`` (the staging's
+    base_version) bounds the scan: the covering entry is provably newer
+    than the staging's base (the batch was not covered at stage time),
+    so a long-lived streamed table never pays an O(#commits) walk.
+    Falls back to ``(tip, False)`` when the watermark is unknown
+    (legacy manifest without the denormalized watermark, already gone
+    on a replayed roll-forward — the tip still covers the rows, it may
+    just pin unrelated later commits, and two concurrent roll-forwards
+    can read different tips)."""
     from .versioned import _entries
 
     if tw is not None:
@@ -194,22 +235,29 @@ def _covering_version(path: str, tw: dict | None, base: int | None) -> int:
                 and t.get("app_id") == tw["app_id"]
                 and t.get("version") >= tw["version"]
             ):
-                return e["version"]
-    return latest_version(path)
+                return e["version"], True
+    return latest_version(path), False
 
 
 def _skip_covered_leg(txn_root: str, manifest: dict, leg: dict,
-                      tw: dict, base: int | None) -> None:
+                      tw: dict, base: int | None) -> dict | None:
     """Record a duplicate-skip: the leg's batch is already published
     (an earlier txn / replay for the same micro-batch) — pin the
     COVERING entry's version (the first one whose watermark reached
     this batch), not the current tip, so the txn's savepoint never
     pins unrelated later commits and concurrent roll-forwards record
-    the same version."""
-    leg["version"] = _covering_version(leg["table"], tw, base)
+    the same version. On the legacy tip-fallback path (watermark
+    unknown — see ``_covering_version``) the pin is approximate:
+    ``version_unverified`` is recorded so savepoint consumers know the
+    pinned version may include unrelated later commits. Returns the
+    adopted terminal manifest if a concurrent runner already finalized
+    this txn (see ``_write_manifest_unless_terminal``), else None."""
+    leg["version"], verified = _covering_version(leg["table"], tw, base)
+    if not verified:
+        leg["version_unverified"] = True
     leg["duplicate_skip"] = True
     leg.pop("error", None)
-    _write_manifest(txn_root, manifest)
+    return _write_manifest_unless_terminal(txn_root, manifest)
 
 
 def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
@@ -243,7 +291,12 @@ def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
         except CommitConflict as e:
             manifest["status"] = "stuck"
             leg["error"] = str(e)
-            _write_manifest(txn_root, manifest)
+            adopted = _write_manifest_unless_terminal(txn_root, manifest)
+            if adopted is not None:
+                # a concurrent runner already finalized this txn — the
+                # conflict this runner saw is stale (its publish raced
+                # the other runner's); the txn is resolved, not stuck
+                return adopted
             raise TxnStuck(
                 f"txn {manifest['txn_id']} stuck on {leg['table']}: {e}"
             ) from e
@@ -254,13 +307,17 @@ def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
             # published the same rows), this is a duplicate-skip, not a
             # loss. Either way the remaining legs must not be blocked.
             if watermark_covered(leg["table"], tw):
-                _skip_covered_leg(txn_root, manifest, leg, tw, base)
+                adopted = _skip_covered_leg(txn_root, manifest, leg, tw, base)
                 # symmetric with the entry-is-None skip: reclaim any
                 # zombie manifest now (a no-op when it is already gone)
                 abandon_staged(leg["table"], leg["staging_id"], force=True)
+                if adopted is not None:
+                    return adopted
                 continue
             leg["error"] = str(e)
-            _write_manifest(txn_root, manifest)
+            adopted = _write_manifest_unless_terminal(txn_root, manifest)
+            if adopted is not None:
+                return adopted
             failures.append(e)
             continue
         if entry is None:
@@ -270,14 +327,20 @@ def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
             # publish_staged left a txn-marked staging's redo state in
             # place precisely so a crash here replays into the same
             # skip instead of an unresolvable prepared txn.
-            _skip_covered_leg(txn_root, manifest, leg, tw, base)
+            adopted = _skip_covered_leg(txn_root, manifest, leg, tw, base)
             abandon_staged(leg["table"], leg["staging_id"], force=True)
+            if adopted is not None:
+                return adopted
             continue
         leg["version"] = entry["version"]
         leg.pop("error", None)
         # persist per-leg progress: a crash here costs one idempotent
-        # re-publish, not a re-derivation of what already landed
-        _write_manifest(txn_root, manifest)
+        # re-publish, not a re-derivation of what already landed. The
+        # guarded write adopts a concurrent runner's terminal manifest
+        # instead of transiently regressing it to 'prepared'.
+        adopted = _write_manifest_unless_terminal(txn_root, manifest)
+        if adopted is not None:
+            return adopted
     if failures:
         # some legs published, the broken one(s) are recorded: the txn
         # stays PREPARED (recover retries; resolve_broken_txn is the
@@ -295,8 +358,8 @@ def _roll_forward(spark: SparkSession, txn_root: str, manifest: dict) -> dict:
             for leg in manifest["legs"]
         },
     }
-    _write_manifest(txn_root, manifest)
-    return manifest
+    adopted = _write_manifest_unless_terminal(txn_root, manifest)
+    return adopted if adopted is not None else manifest
 
 
 def commit_txn(
@@ -328,7 +391,11 @@ def commit_txn(
             leg["txn_watermark"] = sm["txn_watermark"]
         if sm.get("base_version") is not None:
             leg["base_version"] = sm["base_version"]
-    txn_id = f"txn-{uuid.uuid4().hex[:12]}"
+    # id = sortable creation instant + randomness: 16 hex digits of
+    # time_ns (zero-padded → lexicographic order == chronological order
+    # until ~year 2554) keeps directory listings chronological, the
+    # uuid suffix keeps concurrent committers collision-free
+    txn_id = f"txn-{time.time_ns():016x}-{uuid.uuid4().hex[:12]}"
     manifest = {
         "txn_id": txn_id,
         "status": "prepared",

@@ -436,13 +436,18 @@ def _txn_protection(m: dict) -> str | None:
         return None
     # the marker carries the coordinator's own manifest path ("file",
     # written by txn._txn_file) so this guard never re-derives the
-    # coordinator's naming scheme; legacy markers fall back
-    target = marker.get(
-        "file", os.path.join(marker["root"], f"{marker['id']}.json")
-    )
+    # coordinator's naming scheme; legacy markers fall back — LAZILY,
+    # so a malformed marker missing both keys classifies as torn (the
+    # except arm below) instead of crashing the whole expire_staged
+    # maintenance sweep with a KeyError
     from .logstore import get_log_store
 
     try:
+        target = (
+            marker["file"]
+            if "file" in marker
+            else os.path.join(marker["root"], f"{marker['id']}.json")
+        )
         status = json.loads(get_log_store().read(target)).get("status")
     except (FileNotFoundError, KeyError, ValueError):
         # manifest not there (yet) or torn mid-write (the base

@@ -1133,3 +1133,96 @@ def test_legacy_zombie_covered_leg_refuses_broken_and_recovers(
     assert [x["status"] for x in acted] == ["committed"]
     assert read_table(spark, a).filter("id = 100").count() == 1
     assert read_table(spark, b).filter("id = 100").count() == 1
+
+
+def test_recovery_with_stale_copy_never_regresses_committed(spark, tmp_path):
+    """r9-ADVICE txn.py:388 — a recover sweep holding a stale 'prepared'
+    copy of a txn that a live commit_txn already finalized must ADOPT
+    the on-disk committed manifest, not last-writer-wins it back to
+    'prepared' (which dropped the savepoint and made a concurrent
+    txn_snapshot of the just-committed txn spuriously raise)."""
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+    committed = commit_txn(spark, root, [(a, sa), (b, sb)])
+
+    # what a concurrent recover_txns loaded at ITS list_txns instant:
+    # the prepared manifest, no leg versions yet
+    stale = json.loads(json.dumps(committed))
+    stale["status"] = "prepared"
+    stale.pop("savepoint", None)
+    stale.pop("completed", None)
+    for leg in stale["legs"]:
+        leg.pop("version", None)
+
+    out = T._roll_forward(spark, root, stale)
+    assert out["status"] == "committed"
+    on_disk = read_txn(root, committed["txn_id"])
+    assert on_disk["status"] == "committed"
+    assert on_disk["savepoint"] == committed["savepoint"]
+    snap = txn_snapshot(spark, root, committed["txn_id"])
+    assert {r["id"] for r in snap[os.path.abspath(a)].collect()} == {1, 100}
+
+
+def test_txn_ids_and_listing_are_chronological(spark, tmp_path):
+    """r9-ADVICE txn.py:125 — list_txns promises oldest-first: ids now
+    carry a sortable time_ns prefix AND the listing orders by each
+    manifest's recorded created time, so legacy random-uuid ids keep
+    the contract too."""
+    a, b, root = _mk(spark, tmp_path)
+    ids = []
+    for off in (100, 200, 300):
+        sa, sb = _stage_pair(spark, a, b, offset=off)
+        ids.append(commit_txn(spark, root, [(a, sa), (b, sb)])["txn_id"])
+    assert sorted(ids) == ids, "new ids must sort chronologically"
+    # a legacy random-id manifest (lexicographically LAST) with the
+    # oldest created time must still list first
+    legacy = {"txn_id": "txn-zzzzzzzzzzzz", "status": "aborted",
+              "created": 0.0, "legs": []}
+    T._write_manifest(root, legacy)
+    assert [m["txn_id"] for m in list_txns(root)] == [legacy["txn_id"], *ids]
+
+
+def test_malformed_txn_marker_heals_instead_of_crashing():
+    """r9-ADVICE wap.py:437 — a marker missing BOTH 'file' and 'root'
+    must classify through the torn-marker arm (grace-protect, then
+    free), not crash the expire_staged sweep with an eager KeyError."""
+    import time as _time
+
+    from medallion_data_lake_spark.operators.wap import (
+        TXN_MARKER_GRACE_SEC,
+        _txn_protection,
+    )
+
+    fresh = {"txn": {"id": "txn-x", "marked_at": _time.time()}}
+    assert _txn_protection(fresh) is not None  # inside the grace window
+    stale = {"txn": {"id": "txn-x",
+                     "marked_at": _time.time() - TXN_MARKER_GRACE_SEC - 1}}
+    assert _txn_protection(stale) is None  # freed after grace
+
+
+def test_tip_fallback_duplicate_skip_is_marked_unverified(spark, tmp_path):
+    """r9-ADVICE txn.py:198 — the legacy tip-fallback pin (watermark
+    unknown) records version_unverified=True so savepoint consumers
+    know the pin may include unrelated later commits; the verified
+    covering-entry path records no such flag."""
+    a, b, root = _mk(spark, tmp_path)
+    T.get_log_store().ensure_dir(root)
+    commit(spark.createDataFrame([(2, "y")], "id long, tag string"), a)
+
+    manifest = {"txn_id": "txn-unit", "status": "prepared", "created": 1.0,
+                "legs": [{"table": os.path.abspath(a), "staging_id": "s-x"}]}
+    leg = manifest["legs"][0]
+    T._write_manifest(root, manifest)
+    assert T._skip_covered_leg(root, manifest, leg, None, None) is None
+    assert leg["duplicate_skip"] is True
+    assert leg["version"] == latest_version(a)
+    assert leg["version_unverified"] is True
+
+    commit(spark.createDataFrame([(3, "z")], "id long, tag string"), a,
+           txn_app_id="app-q", txn_version=7)
+    leg2 = {"table": os.path.abspath(a), "staging_id": "s-y"}
+    manifest["legs"].append(leg2)
+    T._skip_covered_leg(root, manifest, leg2,
+                        {"app_id": "app-q", "version": 7}, None)
+    assert leg2["version"] == latest_version(a)
+    assert "version_unverified" not in leg2
