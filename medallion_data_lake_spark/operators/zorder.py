@@ -27,14 +27,15 @@ The stats pass is a single min/max aggregate (no shuffle beyond the
 final reduce). Linear min/max scaling is skew-sensitive; for heavily
 skewed columns substitute quantile cuts for ``width_bucket`` bounds
 (same downstream plan). Verified by reading parquet footer statistics
-(tests/test_zorder.py): on 200k rows / two uniform dims, a filter on
-the NON-sorted dimension touches 9 of 32 z-ordered files vs all 32
-single-sorted (single-column layouts skip nothing there) — that is
-the property z-ordering buys. On both-dims box predicates z-order
-matches the single sort at 32 files (15 vs 15 over 5 boxes) and pulls
-ahead as file count grows (27 vs 35 at 128 files): the box advantage
-scales with files-per-dimension, the non-sorted-dim advantage is
-structural at any file count.
+(tests/test_zorder.py): on 200k rows / two uniform dims at 128 files,
+a filter on the NON-sorted dimension touches 28-29 of 128 z-ordered
+files vs all 128 single-sorted (single-column layouts skip nothing
+there) — that is the property z-ordering buys. On both-dims box
+predicates z-order wins 26-28 vs 36-37 (5 probe boxes, stable across
+repartitionByRange boundary-sampling seeds); at 32 files the two
+layouts tie within sampling noise — the box advantage scales with
+files-per-dimension, the non-sorted-dim advantage is structural at
+any file count.
 """
 
 from __future__ import annotations

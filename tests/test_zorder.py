@@ -23,7 +23,14 @@ from medallion_data_lake_spark.operators.zorder import (
 )
 
 N = 200_000
-N_FILES = 32
+# 128 files, NOT 32: repartitionByRange samples boundaries with an
+# RDD-id-derived seed, so the exact layout depends on session history.
+# At 32 files the both-dims box advantage is within sampling noise
+# (r9 verdict: 19v17 in-suite, 15v15 isolated — order-dependent flake);
+# at 128 files the gap is STRUCTURAL and stable across seeds (measured
+# 4 trials with distinct RDD ids: box z∈[26,28] vs s∈[36,37], y-slice
+# z∈[28,29] vs s=128 — an 8+-file margin no boundary jitter closes).
+N_FILES = 128
 
 
 def _file_ranges(path, cols):
@@ -82,26 +89,22 @@ def test_zorder_skips_files_in_both_dims(spark, grid_df, tmp_path):
     sr = _file_ranges(spath, ["x", "y"])
     assert len(zr) >= N_FILES // 2 and len(sr) >= N_FILES // 2
 
-    # Box predicates (both dims): at 32 files the z-region granularity
-    # (~256x128 cells) and the x-stripe width (~312) are comparable, so
-    # z-order only ties the single sort here (measured 15 vs 15 over
-    # 5 boxes; the gap opens with file count — 27 vs 35 at 128 files).
-    # repartitionByRange samples boundaries with an RDD-id-derived seed,
-    # so the exact layout depends on session history (in-suite vs
-    # isolated runs differ; observed spreads: 15v15, 18v14) — assert
-    # near-parity with one file of slack per probe box rather than an
-    # exact tie; the decisive structural assertions below stay strict.
+    # Box predicates (both dims): at 128 files the z-order advantage is
+    # structural — measured z∈[26,28] vs s∈[36,37] across 4 independent
+    # layouts (distinct repartitionByRange seeds), so a strict win is
+    # safe against boundary-sampling jitter. (At 32 files the two
+    # layouts tie within noise — the assertion that flaked in r9.)
     boxes = [
         {"x": (lo, lo + 500), "y": (lo, lo + 500)}
         for lo in (500, 2400, 4300, 6200, 8100)
     ]
     z_box = sum(_files_touched(zr, b) for b in boxes)
     s_box = sum(_files_touched(sr, b) for b in boxes)
-    assert z_box <= s_box + len(boxes), (z_box, s_box)
+    assert z_box < s_box, (z_box, s_box)
 
     # The decisive z-order property: a filter on the NON-sorted
     # dimension. The x-sorted layout can skip nothing at all; z-order
-    # keeps y ranges tight too (measured 9 of 32 files).
+    # keeps y ranges tight too (measured 28-29 of 128 files).
     ybox = {"y": (1000, 1500)}
     z_y = _files_touched(zr, ybox)
     s_y = _files_touched(sr, ybox)
