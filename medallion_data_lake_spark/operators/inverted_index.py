@@ -1,0 +1,397 @@
+"""Inverted index + BM25 keyword retrieval over a document corpus.
+
+The missing text modality (r9 verdict): the text stack scores, filters,
+dedups and decontaminates, but "which documents contain / rank highest
+for these terms" needed a full corpus scan per question. A real
+training-data pipeline asks that constantly — contamination audits
+("which docs mention this benchmark?"), targeted domain pulls, blocklist
+forensics. The reference's search-shaped capability is its ad-hoc SQL
+surface (reference: sakila-data-lake/query_datalake.py:139-146 — LIKE
+over a scanned table); this module gives the same questions a persisted,
+incrementally-maintained posting-list index and BM25 ranking instead.
+
+Index layout — four versioned tables under one root, so every read is a
+snapshot and maintenance composes with the rest of the lakehouse:
+
+- ``postings``   (term, doc_id, tf): each appended batch is
+  range-partitioned and sorted by term with per-file min/max stats AND
+  a term Bloom filter recorded at commit — a query term opens only the
+  files whose stats/bloom admit it (``read_table_pruned(eq=...)``),
+  never the corpus.
+- ``doclens``    (doc_id, dl): per-document token counts for the BM25
+  length normalizer.
+- ``termstats``  (term, df_delta, cf_delta): PER-BATCH document/corpus
+  frequency deltas. Appends never rewrite: readers fold deltas with one
+  small aggregation (the index_sync pattern), and
+  :func:`compact_bm25_stats` folds them physically when the delta tail
+  grows.
+- ``corpus_stats`` (n_docs, sum_dl): one delta row per batch, folded the
+  same way.
+
+Incremental contract: appended ``doc_id``s must be NEW documents (the
+corpus is append-only — re-adding an id would double-count df/tf; dedup
+upstream). Batch REPLAYS are exactly-once: every append rides the
+``(txn_app_id, txn_version)`` watermark, and the four tables land
+atomically through one ``operators/txn.py`` manifest, so a crash between
+legs can never publish postings whose corpus stats are missing.
+
+Scale shape at 100 TB:
+- build/append = explode + ONE two-stage count aggregation (map-side
+  combine absorbs the token fan-out) + one range shuffle on term for
+  the sorted layout; identical plan family to ``corpus_vocab_topk``.
+- search = K pruned point-reads of postings (K = query terms, each
+  opening only bloom-surviving files) + a broadcast join of the tiny
+  candidate set against doclens + one top-k (TakeOrderedAndProject).
+  Nothing scans the corpus; cost scales with posting-list length, not
+  collection size.
+- stats folds are metadata-scale (termstats is bounded by vocabulary,
+  corpus_stats by batch count).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.text import tokens  # THE tokenizer — shared with the oracle-checked text queries
+from .versioned import commit, latest_version, read_table, read_table_pruned
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_POSTINGS = "postings"
+_DOCLENS = "doclens"
+_TERMSTATS = "termstats"
+_CORPUS = "corpus_stats"
+
+
+def _t(index_root: str, name: str) -> str:
+    import os
+
+    return os.path.join(index_root, name)
+
+
+def clean_tokens(text_col: Column) -> Column:
+    """Whitespace tokens with edge-empties dropped — the indexing
+    tokenization, shared with the gated retrieval queries so the index
+    and the oracle-checked arithmetic cannot drift."""
+    return F.filter(tokens(text_col), lambda t: t != F.lit(""))
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, tf) — explode + two-stage count aggregation; the
+    map-side partial combine absorbs the explode fan-out before the one
+    shuffle on (term, doc_id)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(clean_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def build_doclens(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dl) — pure map, no shuffle."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(clean_tokens(F.col(text_col))).cast("long").alias("dl"),
+    )
+
+
+def bm25_idf(n_docs: Column, df: Column) -> Column:
+    """Okapi BM25 idf: ``ln(1 + (N - df + 0.5) / (df + 0.5))`` — always
+    positive (the +1 form), standard Robertson/Sparck-Jones. One shared
+    expression (integer N/df → identical doubles in any engine that
+    evaluates the same primitive ops — queries/_parity.py)."""
+    return F.log(
+        F.lit(1.0) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5))
+    )
+
+
+def bm25_term_score(
+    tf: Column, dl: Column, avgdl: Column, idf: Column,
+    k1: float = BM25_K1, b: float = BM25_B,
+) -> Column:
+    """Per-(term, doc) BM25 contribution:
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Kept as ONE expression shared by the persisted-index search and the
+    oracle-gated ``bm25_topk_docs`` query (queries/retrieval.py) — the
+    two evaluate identical primitive ops, which is what makes the
+    DuckDB oracle's doubles match bit-for-bit (queries/_parity.py)."""
+    return idf * (
+        tf * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
+    )
+
+
+def _batch_tables(docs: DataFrame, id_col: str, text_col: str) -> dict[str, DataFrame]:
+    """The four per-batch delta frames an append lands."""
+    postings = build_postings(docs, id_col, text_col)
+    doclens = build_doclens(docs, id_col, text_col)
+    termstats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_delta"),
+        F.sum("tf").cast("long").alias("cf_delta"),
+    )
+    corpus = doclens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    return {
+        _POSTINGS: postings,
+        _DOCLENS: doclens,
+        _TERMSTATS: termstats,
+        _CORPUS: corpus,
+    }
+
+
+def _sorted_postings(postings: DataFrame, n_files: int | None) -> DataFrame:
+    """Range-partition + sort by term so every output file covers a
+    compact term range: min/max stats prune range-adjacent lookups, the
+    bloom prunes the rest."""
+    n = n_files or postings.sparkSession.sparkContext.defaultParallelism
+    return postings.repartitionByRange(n, "term").sortWithinPartitions(
+        "term", "doc_id"
+    )
+
+
+def append_bm25_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> dict:
+    """Append a batch of NEW documents to the index (creates it on
+    first call) — all four tables land through ONE transaction
+    manifest, so readers never observe postings without their stats.
+    With ``txn_app_id``/``txn_version`` the append is exactly-once
+    under replay (the stage-side watermark skip). Returns the committed
+    txn manifest."""
+    from .txn import commit_txn
+    from .wap import stage_commit
+
+    batch = _batch_tables(docs, id_col, text_col)
+    batch[_POSTINGS] = _sorted_postings(batch[_POSTINGS], n_files)
+    stage_opts = {
+        _POSTINGS: {"stats_cols": ("term",), "bloom_cols": ("term",)},
+        _DOCLENS: {"stats_cols": ("doc_id",)},
+        _TERMSTATS: {},
+        _CORPUS: {},
+    }
+    legs = []
+    for name, df in batch.items():
+        sid = stage_commit(
+            df, _t(index_root, name),
+            txn_app_id=txn_app_id, txn_version=txn_version,
+            **stage_opts[name],
+        )
+        if sid is not None:  # None = replayed batch, already covered
+            legs.append((_t(index_root, name), sid))
+    if not legs:
+        return {"status": "duplicate_skip", "legs": []}
+    return commit_txn(
+        spark, _t(index_root, "_txn"), legs,
+        note=f"bm25 append {txn_app_id or ''}:{txn_version if txn_version is not None else ''}",
+    )
+
+
+def create_bm25_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int | None = None,
+) -> dict:
+    """Initial build — just the first append."""
+    if latest_version(_t(index_root, _POSTINGS)) is not None:
+        raise ValueError(
+            f"index already exists at {index_root}; use append_bm25_index"
+        )
+    return append_bm25_index(
+        spark, docs, index_root, id_col, text_col, n_files
+    )
+
+
+def corpus_stats(spark: SparkSession, index_root: str) -> tuple[int, float]:
+    """(N, avgdl) folded from the per-batch delta rows — one tiny agg."""
+    row = (
+        read_table(spark, _t(index_root, _CORPUS))
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+        .first()
+    )
+    n = int(row["n"] or 0)
+    return n, (float(row["s"]) / n if n else 0.0)
+
+
+def term_stats(
+    spark: SparkSession, index_root: str, terms: list[str] | None = None
+) -> DataFrame:
+    """(term, df, cf, idf) folded from the delta rows. ``terms`` bounds
+    the fold to the query's terms (pushed-down IN filter); None returns
+    the whole (vocabulary-bounded) table — the terms-with-df audit."""
+    n, _ = corpus_stats(spark, index_root)
+    ts = read_table(spark, _t(index_root, _TERMSTATS))
+    if terms is not None:
+        ts = ts.filter(F.col("term").isin(list(terms)))
+    return ts.groupBy("term").agg(
+        F.sum("df_delta").cast("long").alias("df"),
+        F.sum("cf_delta").cast("long").alias("cf"),
+    ).withColumn("idf", bm25_idf(F.lit(n), F.col("df")))
+
+
+def bm25_candidates(
+    spark: SparkSession, index_root: str, terms: list[str]
+) -> tuple[DataFrame, dict]:
+    """Posting rows for ``terms`` via per-term pruned point-reads —
+    min/max stats (sorted layout) + term blooms skip every file that
+    cannot contain the term. Returns (df, merged pruning report)."""
+    parts, report = [], {"files_read": 0, "files_skipped": 0}
+    for t in sorted(set(terms)):
+        df, r = read_table_pruned(
+            spark, _t(index_root, _POSTINGS), eq={"term": t}
+        )
+        parts.append(df)
+        report["files_read"] += r["files_read"]
+        report["files_skipped"] += r["files_skipped"]
+    return reduce(DataFrame.unionByName, parts), report
+
+
+def bm25_search(
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents for ``terms`` under Okapi BM25, computed
+    entirely from the persisted index: K pruned posting reads, a
+    broadcast idf map (≤K rows), a broadcast join of the candidate set
+    against doclens, one top-k. Returns (doc_id, n_terms_matched,
+    score) ordered by score desc with doc_id tiebreak."""
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("bm25_search needs at least one query term")
+    n, avgdl = corpus_stats(spark, index_root)
+    cand, _ = bm25_candidates(spark, index_root, terms)
+    idf = term_stats(spark, index_root, terms).select("term", "idf")
+    doclens = read_table(spark, _t(index_root, _DOCLENS))
+    scored = (
+        cand.join(F.broadcast(idf), "term")
+        # candidate side is bounded by the query's posting lists —
+        # broadcast it against the (corpus-sized) doclens table
+        .hint("broadcast")
+        .join(doclens, "doc_id")
+        .withColumn(
+            "_s",
+            bm25_term_score(
+                F.col("tf"), F.col("dl"), F.lit(avgdl), F.col("idf"), k1, b
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            # decimal-cast before the sum: order-independent, so ranking
+            # ties break identically run-over-run (queries/_parity.py)
+            F.sum(F.col("_s").cast("decimal(28,12)")).alias("_score"),
+        )
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            F.col("_score").cast("double").alias("score"),
+        )
+    )
+
+
+def compact_bm25_stats(spark: SparkSession, index_root: str) -> dict:
+    """Fold the per-batch delta tails physically: rewrite ``termstats``
+    as one row per term and ``corpus_stats`` as one total row (atomic
+    snapshot overwrites through the normal commit claim loop — a racing
+    append either lands before the fold's snapshot and is included, or
+    conflicts in the claim loop and retries). Readers are oblivious:
+    the fold is a no-op under the same delta-summing reads."""
+    ts_path, cs_path = _t(index_root, _TERMSTATS), _t(index_root, _CORPUS)
+    folded_ts = (
+        read_table(spark, ts_path)
+        .groupBy("term")
+        .agg(
+            F.sum("df_delta").cast("long").alias("df_delta"),
+            F.sum("cf_delta").cast("long").alias("cf_delta"),
+        )
+    )
+    n_terms = folded_ts.count()
+    commit(folded_ts, ts_path, mode="overwrite")
+    folded_cs = read_table(spark, cs_path).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    commit(folded_cs, cs_path, mode="overwrite")
+    return {"terms": int(n_terms), "corpus_rows": 1}
+
+
+def run_postings_append_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    index_root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int | None = None,
+    available_now: bool = True,
+):
+    """Keep the inverted index fresh FROM A STREAM of documents,
+    exactly-once: each micro-batch appends its four delta tables through
+    one transaction manifest keyed by the durable batch id — a
+    checkpoint replay re-stages nothing (watermark skip), and a crash
+    between legs is repaired forward by ``txn.recover_txns``, never
+    visible as postings-without-stats. Rides ``run_txn_stream``'s
+    contract (streaming/versioned_sink.py) with the per-table
+    transforms supplied here."""
+    import os
+
+    from ..streaming.versioned_sink import run_txn_stream
+
+    txn_app = f"bm25::{os.path.abspath(checkpoint)}"
+
+    def _leg(name: str):
+        def transform(batch: DataFrame) -> DataFrame:
+            out = _batch_tables(batch, id_col, text_col)[name]
+            if name == _POSTINGS:
+                out = _sorted_postings(out, n_files)
+            return out
+
+        return transform
+
+    outputs = {
+        _t(index_root, name): _leg(name)
+        for name in (_POSTINGS, _DOCLENS, _TERMSTATS, _CORPUS)
+    }
+    stage_opts = {
+        _t(index_root, _POSTINGS): {
+            "stats_cols": ("term",), "bloom_cols": ("term",),
+        },
+        _t(index_root, _DOCLENS): {"stats_cols": ("doc_id",)},
+    }
+    return run_txn_stream(
+        spark, stream, outputs, _t(index_root, "_txn"), checkpoint,
+        app_id=txn_app, available_now=available_now,
+        stage_opts=stage_opts,
+    )

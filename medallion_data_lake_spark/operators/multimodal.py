@@ -321,3 +321,178 @@ def window_audio(
     return df.select("media_id", "content").mapInPandas(
         window_audio_batch(window_ms, stride_ms), schema=AUDIO_WINDOWS
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image near-duplicate detection.
+#
+# The media analog of MinHash/LSH text dedup (queries/dedup.py:lsh_pairs):
+# hash every image to a tiny bit fingerprint that is STABLE under
+# re-encoding/resizing and CLOSE (small Hamming distance) for visually
+# near-identical images, then find candidate pairs by banded bucketing —
+# never all-pairs. dHash (difference hash) is the standard cheap
+# perceptual hash: resample to a (ROWS x COLS) grayscale thumbnail, emit
+# one bit per horizontally-adjacent pixel pair (right > left). 56 bits
+# here (7x9 thumbnail -> 7x8 comparisons) so every shifted literal stays
+# inside a signed int64 in any engine.
+#
+# Scale shape: the thumbnail+hash is a pure map (Arrow kernel for real
+# decoders, codegen expressions for the deterministic fake); banding
+# shuffles only (band, bval, phash, id) tuples; pair scoring happens
+# within buckets only — identical plan family to the text LSH join, so
+# the no-cartesian guarantee carries over.
+# ---------------------------------------------------------------------------
+
+PHASH_ROWS = 7
+PHASH_COLS = 9
+PHASH_NPIX = PHASH_ROWS * PHASH_COLS          # 63 thumbnail pixels
+PHASH_BITS = PHASH_ROWS * (PHASH_COLS - 1)    # 56 dHash bits
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS   # 14
+_PHASH_BAND_MASK = (1 << PHASH_BAND_BITS) - 1
+
+
+def fake_thumbnail_expr(text_col) -> "F.Column":
+    """Deterministic fake 'decode + resample': a 63-pixel grid whose
+    pixel i is the LENGTH of token (i mod n_tokens) of the payload text
+    — the stand-in for an image decoder's 7x9 grayscale thumbnail (the
+    codec libraries are absent in this container; the real path is
+    :func:`thumbnail_pixels_batch`). Like a real thumbnail, the grid is
+    CONTENT-CORRELATED: near-duplicate payloads produce mostly-equal
+    grids, so dHash distances are small exactly when the payloads are
+    near-identical — which is what makes the fake honest for exercising
+    the banding/pair plan. Pure codegen expressions, no Python."""
+    toks = F.filter(
+        F.split(F.trim(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PHASH_NPIX - 1)),
+        lambda i: F.length(F.element_at(toks, (i % F.size(toks)) + F.lit(1))),
+    )
+
+
+def dhash_expr(pixels) -> "F.Column":
+    """56-bit dHash from a row-major 63-int thumbnail column: bit k is
+    set when pixel (r, c+1) > pixel (r, c) for r = k//8, c = k%8.
+    A constant expression tree of when/shift/or — one whole-stage
+    codegen span, same construction discipline as
+    operators/zorder.interleave_bits."""
+    h = F.lit(0).cast("long")
+    for k in range(PHASH_BITS):
+        r, c = divmod(k, PHASH_COLS - 1)
+        left = F.element_at(pixels, r * PHASH_COLS + c + 1)   # 1-based
+        right = F.element_at(pixels, r * PHASH_COLS + c + 2)
+        h = h.bitwiseOR(
+            F.when(right > left, F.lit(1 << k).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return h
+
+
+def phash_band_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_dist: int = 8,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by banded Hamming bucketing:
+    split the 56-bit hash into 4 x 14-bit bands; items sharing ANY band
+    bucket become candidates (pigeonhole: any pair within Hamming
+    distance < 4 MUST collide on a band; larger radii are recalled
+    probabilistically, the standard LSH trade-off); exact
+    ``bit_count(xor)`` distance is scored WITHIN buckets only and
+    filtered to ``max_dist``. The full hash rides the band rows (the
+    lsh_pairs shape) so scoring needs no second scan. Returns
+    (id_a, id_b, hamming) with id_a < id_b, deduped across bands."""
+    bands = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col(hash_col), b * PHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(_PHASH_BAND_MASK)).alias("bval"),
+                )
+                for b in range(PHASH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("_id", "_h", "bb.band", "bb.bval")
+    left = bands.alias("a")
+    right = bands.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_dist)
+    )
+
+
+THUMBNAIL_PIXELS = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("pixels", T.ArrayType(T.IntegerType())),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def thumbnail_pixels_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (media_id, content) -> 7x9 grayscale
+    thumbnail pixel rows for :func:`dhash_expr`. Real path (PIL,
+    env-gated MDLS_REAL_DECODE=1): decode + resize to (COLS x ROWS) +
+    grayscale. Fake path: the same token-length grid as
+    :func:`fake_thumbnail_expr` computed from the utf-8 payload, so the
+    kernel and the pure-expression path agree bit-for-bit on text
+    payloads (asserted in tests/test_multimodal.py)."""
+    use_real = _HAS_PIL and _real_decode_enabled()
+    for pdf in batches:
+        rows = []
+        for mid, payload in zip(pdf["media_id"], pdf["content"]):
+            payload = bytes(payload)
+            px = None
+            if use_real:  # pragma: no cover - PIL absent here
+                px = _pil_thumbnail(payload)
+            if px is None:
+                toks = [t for t in payload.decode("utf-8", "replace").split() if t]
+                px = (
+                    [len(toks[i % len(toks)]) for i in range(PHASH_NPIX)]
+                    if toks else None
+                )
+                decoder = "fake"
+            else:  # pragma: no cover
+                decoder = "pil"
+            if px is not None:
+                rows.append((int(mid), px, decoder))
+        yield pd.DataFrame(rows, columns=["media_id", "pixels", "decoder"])
+
+
+def _pil_thumbnail(payload):  # pragma: no cover - PIL absent here
+    """7x9 grayscale resample via Pillow; None on failure."""
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            small = img.convert("L").resize((PHASH_COLS, PHASH_ROWS))
+            return list(small.getdata())
+    except Exception:
+        return None
+
+
+def thumbnail_pixels(df: DataFrame) -> DataFrame:
+    """Distributed thumbnail extraction over (media_id, content)."""
+    return df.select("media_id", "content").mapInPandas(
+        thumbnail_pixels_batch, schema=THUMBNAIL_PIXELS
+    )

@@ -92,6 +92,7 @@ def _import_modules() -> None:
     # round-1 correctness file.
     from . import core  # noqa: F401
     from . import text  # noqa: F401
+    from . import retrieval  # noqa: F401
     from . import dedup  # noqa: F401
     from . import curation  # noqa: F401
     from . import similarity  # noqa: F401

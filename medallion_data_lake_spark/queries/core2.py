@@ -120,6 +120,9 @@ def priority_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bench tail). At 100 TB swap for the approx variant below "
         "(price_distribution_approx): exact percentiles buffer each "
         "group; t-digest sketches are single-pass mergeable state.",
+extra=True, # r10 rotation (gated r1-r9, green): percentile family stays gated
+    # via segment_spend_quartiles + price_distribution_approx (first gated
+    # r10)
 )
 def price_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
@@ -150,8 +153,7 @@ def price_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group, no per-group sort/buffer; the form that scales to 100 TB "
         "groups. Locally asserted within 2% of the exact twin "
         "(tests/test_approx_variants.py).",
-    extra=True,
-)
+)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
 def price_distribution_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     pcts = F.approx_percentile(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(1000)
@@ -738,8 +740,7 @@ def rolling_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition — bounded by design (25 rows), which is the only regime "
         "a partition-less window is legitimate in. Decimal sums both "
         "levels for order independence.",
-    extra=True,
-)
+)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
 def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 

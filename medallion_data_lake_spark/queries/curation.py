@@ -94,6 +94,8 @@ CHUNK_STRIDE = 48
         "+ broadcast; corpus side explode + hash-join + per-doc count — "
         "no all-pairs stage anywhere, so cost is O(corpus n-grams).",
     tags=("text", "curation"),
+extra=True, # r10 rotation (gated r2-r9, green): decontamination stays gated
+    # via decontaminate_fuzzy_lsh + doc_ngram_novelty
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
@@ -313,9 +315,7 @@ SHUFFLE_SEED = 7
         "a single global ORDER BY would funnel the corpus through one "
         "range partitioner.",
     tags=("curation",),
-    extra=True,  # ordering/window driver evidence via segment_spend_quartiles
-    # + segment_order_window_stats (segment_top_customers rotated out r9)
-)
+)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
 def corpus_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -422,6 +422,8 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation",),
     # driver-gated since r4: carries the running-sum frame window's driver
     # row (user_running_totals rotated to extra) plus packing semantics
+extra=True, # r10 rotation (gated r4-r9, green): chunk/pack family stays gated
+    # via doc_chunking_windows
 )
 def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

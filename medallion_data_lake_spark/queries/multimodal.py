@@ -34,6 +34,8 @@ from . import query
         "Column pruning keeps metadata queries off the payload "
         "(test_multimodal::test_metadata_query_prunes_blob_column).",
     tags=("multimodal",),
+extra=True, # r10 rotation (gated r1-r9, green): multimodal metadata/hash
+    # family stays gated via media_near_dup_bucketed (first gated r10)
 )
 def doc_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
@@ -71,3 +73,71 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
     )
     return multimodal.decode_media(media)
+
+
+@query(
+    "media_near_dup_bucketed",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             list_transform(range(0, 63), i -> length(t[(i % len(t)) + 1])) AS p
+      FROM base WHERE len(t) > 0
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 56),
+               k -> CASE WHEN p[(k // 8) * 9 + (k % 8) + 2]
+                          > p[(k // 8) * 9 + (k % 8) + 1]
+                    THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT) AS phash
+      FROM px
+    ),
+    bands AS (
+      SELECT doc_id, phash, b, (phash >> (14 * b)) & 16383 AS bval
+      FROM h, unnest([0, 1, 2, 3]) AS u(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming
+      FROM bands a JOIN bands b2
+        ON a.b = b2.b AND a.bval = b2.bval AND a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8
+    """,
+    doc="North-star perceptual-hash image near-dup: 56-bit dHash over the "
+        "deterministic fake decoder's 7x9 thumbnail (token-length grid — "
+        "content-correlated like a real resample; PIL path env-gated, "
+        "operators/multimodal.thumbnail_pixels_batch), then banded "
+        "Hamming bucketing (4 x 14-bit bands, the queries/dedup.lsh_pairs "
+        "shape): pairs are scored by exact bit_count(xor) WITHIN band "
+        "buckets only — no all-pairs (asserted registry-wide, "
+        "tests/test_plans.py). Finds the fixture's 12 strong near-dup "
+        "pairs with zero false positives (random-pair Hamming floor is "
+        "15; threshold 8).",
+    tags=("multimodal", "dedup"),
+)  # first gated r10 (new operator this round)
+def media_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    # media payload -> fake decode: byte column round-trip keeps the
+    # multimodal story honest (the hash consumes DECODED content)
+    text = F.decode(F.encode("text", "utf-8"), "utf-8")
+    hashed = (
+        d.filter(F.trim(F.col("text")) != "")  # len(tokens) > 0
+        .select(
+            F.col("doc_id"),
+            multimodal.dhash_expr(
+                multimodal.fake_thumbnail_expr(text)
+            ).alias("phash"),
+        )
+    )
+    return multimodal.phash_band_pairs(
+        hashed, id_col="doc_id", hash_col="phash", max_dist=8
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )

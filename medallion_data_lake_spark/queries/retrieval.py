@@ -1,0 +1,196 @@
+"""Keyword retrieval over the ``documents`` corpus: BM25 ranking and the
+terms-with-df audit — the query faces of ``operators/inverted_index.py``.
+
+These two queries compute BM25 from the raw corpus in one plan (so they
+are fully DuckDB-oracleable and self-contained on the fixture tables);
+the PERSISTED index path — posting lists with per-file term blooms,
+incremental atomic appends, pruned point-reads, streaming maintenance —
+is the operator module, exercised in tests/test_inverted_index.py. Both
+paths share the same tokenizer (queries/text.tokens), the same
+``bm25_idf`` / ``bm25_term_score`` expressions, and the same
+decimal-sum discipline, so the oracle-checked arithmetic here IS the
+arithmetic the index serves.
+
+Reference anchor: the reference answers keyword questions with ad-hoc
+SQL scans (reference: sakila-data-lake/query_datalake.py:139-146); BM25
+over posting lists is the retrieval modality a training-data pipeline
+needs for contamination audits and targeted domain pulls (north-star
+"text analysis", BASELINE.json).
+
+Cross-engine float discipline (queries/_parity.py): every constant is
+written as the SAME literal arithmetic in both engines (``1.2 + 1.0``,
+not ``2.2``-vs-computed), idf/score terms evaluate identical primitive
+ops on integer inputs, and per-term scores are decimal-cast before the
+per-document sum so ranking order is exact and order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_star_table_spread
+from ..operators.inverted_index import (
+    BM25_B,
+    BM25_K1,
+    bm25_idf,
+    bm25_term_score,
+    build_doclens,
+    build_postings,
+)
+from . import query
+from ._parity import sql_stable_round, stable_round
+
+# Query terms spanning the fixture's idf range: 'dup' is rare (df~25 of
+# 500 at sf0.01 — the near-duplicate marker), 'vector' and 'scan' are
+# mid/common (df~380-400). Distinct idf tiers make the ranking
+# non-trivial: a single rare-term hit outscores several common-term hits.
+_Q_TERMS = ("dup", "vector", "scan")
+_TOP_K = 15
+
+_SQL_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+_SQL_TERMS = "('dup', 'vector', 'scan')"
+
+# BM25 constants as LITERAL ARITHMETIC mirrored in both engines; the
+# Spark side passes the same Python floats into the shared expressions.
+_SQL_BM25_SCORE = """
+    ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
+    * (t.tf * (1.2 + 1.0)
+       / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / (c.sum_dl / c.n))))
+"""
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS dl FROM documents
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN {_SQL_TERMS}
+      GROUP BY doc_id, term
+    ),
+    f AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST({_SQL_BM25_SCORE} AS DECIMAL(28,12)) AS s
+      FROM tf t
+      JOIN f USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           {sql_stable_round('CAST(SUM(s) AS DOUBLE)', 6)} AS score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY SUM(s) DESC, doc_id ASC
+    LIMIT {_TOP_K}
+    """,
+    doc="North-star keyword retrieval: Okapi BM25 top-k over the corpus "
+        "for a fixed term set. Plan: ONE two-stage (doc, term) count "
+        "aggregation with the IN filter pushed below the explode "
+        "(postings for 3 terms, not the vocabulary), df as a broadcast "
+        "side-rollup, doclens joined once, per-term scores decimal-cast "
+        "before the per-doc sum (exact, order-independent ranking), "
+        "top-k via TakeOrderedAndProject. The persisted-index variant "
+        "(operators/inverted_index.py) serves the same arithmetic from "
+        "bloom-pruned posting point-reads without scanning the corpus.",
+    tags=("text", "retrieval"),
+)  # first gated r10 (new operator this round)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    dl = build_doclens(d)
+    row = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("s"),
+    ).first()
+    n = int(row["n"])
+    avgdl = float(row["s"]) / n  # exact ints < 2^53 -> same IEEE division
+    postings = build_postings(d).filter(F.col("term").isin(*_Q_TERMS))
+    df_tbl = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_tbl), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "_s",
+            bm25_term_score(
+                F.col("tf"), F.col("dl"), F.lit(avgdl),
+                bm25_idf(F.lit(n), F.col("df")), BM25_K1, BM25_B,
+            ).cast("decimal(28,12)"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum("_s").alias("_score"),
+        )
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(_TOP_K)
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            stable_round(F.col("_score").cast("double"), 6).alias("score"),
+        )
+    )
+
+
+@query(
+    "bm25_term_stats",
+    oracle=rf"""
+    WITH per_doc AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+      GROUP BY term, doc_id
+    ),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT)  AS cf,
+           {sql_stable_round('ln(1.0 + (c.n - COUNT(*) + 0.5) / (COUNT(*) + 0.5))', 6)} AS idf
+    FROM per_doc CROSS JOIN c
+    GROUP BY term, c.n
+    ORDER BY df DESC, term ASC
+    LIMIT 25
+    """,
+    doc="The terms-with-df audit: document frequency, collection "
+        "frequency, and BM25 idf for the corpus vocabulary, top-25 by "
+        "df. The registry face of operators/inverted_index.term_stats "
+        "(whose persisted form folds per-batch deltas instead of "
+        "re-scanning). Two-stage aggregation identical to "
+        "corpus_vocab_topk; idf is pure arithmetic on the integer "
+        "counts, so the audit is exactly oracle-checkable.",
+    tags=("text", "retrieval"),
+)  # first gated r10 (new operator this round)
+def bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    n = d.count()
+    per_doc = build_postings(d)
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .select(
+            "term", "df", "cf",
+            stable_round(bm25_idf(F.lit(n), F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(25)
+    )

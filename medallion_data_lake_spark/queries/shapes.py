@@ -118,6 +118,8 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(part, supplier) broadcast.",
     tags=("argmin",),
     # driver-gated since r5 (rotated in from extras)
+extra=True, # r10 rotation (gated r5-r9, green): per-group ranking windows
+    # stay gated via quarter_top_revenue_supplier + segment_order_window_stats
 )
 def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -174,8 +176,7 @@ def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Part join broadcasts; sums are decimal-exact before the double "
         "division (queries/_parity.py discipline).",
     tags=("ratio",),
-    extra=True,
-)
+)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
 def brand_revenue_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import dsum
 
@@ -341,8 +342,7 @@ def daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "semantics to SQL. Equi key keeps it a hash join with a "
         "residual range filter.",
     tags=("streaming",),
-    extra=True,
-)
+)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
 def signup_purchase_attribution_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1178,9 +1178,7 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
         "scan as PushedFilters (row groups outside any range are never "
         "decoded); no join, no shuffle beyond the 1-row aggregate.",
     tags=("q6", "scan"),
-    extra=True,  # scan+scalar family driver-gated via pricing_summary
-    # + scalar_totals' twin brand_small_qty_revenue
-)
+)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
 def discount_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
@@ -1225,9 +1223,7 @@ def discount_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and the top-20 (c_custkey tiebreak) is TakeOrderedAndProject — "
         "never a global sort of the aggregate.",
     tags=("q10", "topk"),
-    extra=True,  # join+topk family driver-gated via large_volume_orders,
-    # regional_revenue (top_revenue_parts rotated out r9)
-)
+)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
 def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     o = t["orders"].filter(
@@ -1279,9 +1275,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stresses, is intact.) One shuffle joins the two pruned scans; "
         "both counts come from ONE aggregation pass.",
     tags=("q12",),
-    extra=True,  # CASE-bucket aggregation driver-gated via
-    # order_status_pivot + priority_status_grouping_sets
-)
+)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
 def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     l = t["lineitem"].filter(
@@ -1326,9 +1320,7 @@ def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size/brand filters prune part BEFORE it broadcasts into the "
         "lineitem scan; one shuffle for the count-distinct aggregation.",
     tags=("q16", "anti-join"),
-    extra=True,  # anti-join family driver-gated via
-    # customers_without_early_orders; count-distinct via regional_revenue
-)
+)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
 def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     parts = t["part"].filter(
@@ -1372,9 +1364,7 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the full disjunction remains as the residual join predicate. "
         "One broadcast join, one scalar aggregate, no shuffle.",
     tags=("q19", "disjunction"),
-    extra=True,  # predicate-pushdown family driver-gated via
-    # pricing_summary; scalar agg via brand_small_qty_revenue
-)
+)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
 def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     part_box = (

@@ -103,9 +103,15 @@ def run_txn_stream(
     checkpoint: str,
     app_id: str | None = None,
     available_now: bool = True,
+    stage_opts: dict | None = None,
 ):
     """One stream, SEVERAL versioned tables, atomically per micro-batch
     — the streaming face of ``operators/txn.py``.
+
+    ``stage_opts`` maps ``table_path -> extra stage_commit kwargs``
+    (e.g. ``{"stats_cols": ("term",), "bloom_cols": ("term",)}``) so a
+    streamed table keeps the same file-skipping metadata its batch
+    appends record.
 
     ``outputs`` maps ``table_path -> transform`` where each transform is
     ``(batch_df) -> DataFrame`` (the slice of the batch that table
@@ -159,6 +165,7 @@ def run_txn_stream(
                 sid = stage_commit(
                     out, table_path,
                     txn_app_id=txn_app, txn_version=batch_id,
+                    **(stage_opts or {}).get(table_path, {}),
                 )
                 if sid is not None:  # None = replay, already applied
                     legs.append((table_path, sid))

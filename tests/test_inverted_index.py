@@ -1,0 +1,245 @@
+"""Inverted index + BM25 (operators/inverted_index.py): build/search
+parity against from-scratch BM25, incremental appends (atomic across the
+four index tables), bloom/stats pruning on posting point-reads, stats
+folding, and exactly-once streaming maintenance with crash/replay."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.operators import inverted_index as II
+from medallion_data_lake_spark.operators.inverted_index import (
+    append_bm25_index,
+    bm25_candidates,
+    bm25_search,
+    compact_bm25_stats,
+    corpus_stats,
+    create_bm25_index,
+    run_postings_append_stream,
+    term_stats,
+)
+from medallion_data_lake_spark.operators.versioned import read_table
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog barked at the cat"),
+    (3, "quantum flux capacitor hums"),
+    (4, "cat cat cat cat"),
+    (5, "dog dog quantum"),
+    (6, "mat on the floor by the door"),
+    (7, "flux and more flux for the capacitor"),
+    (8, "completely unrelated words here"),
+]
+
+
+def _docs(spark, rows=None):
+    return spark.createDataFrame(rows or DOCS, "doc_id long, text string")
+
+
+def _bm25_scratch(spark, docs, terms, k):
+    """BM25 computed directly from the docs frame — the oracle for the
+    persisted-index path (same shared expressions, no index)."""
+    from medallion_data_lake_spark.operators.inverted_index import (
+        BM25_B,
+        BM25_K1,
+        bm25_idf,
+        bm25_term_score,
+        build_doclens,
+        build_postings,
+    )
+
+    dl = build_doclens(docs)
+    row = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
+    n, avgdl = int(row["n"]), float(row["s"]) / int(row["n"])
+    postings = build_postings(docs).filter(F.col("term").isin(*terms))
+    df_tbl = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        postings.join(df_tbl, "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "_s",
+            bm25_term_score(
+                F.col("tf"), F.col("dl"), F.lit(avgdl),
+                bm25_idf(F.lit(n), F.col("df")), BM25_K1, BM25_B,
+            ).cast("decimal(28,12)"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_s").alias("_score"))
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.col("_score").cast("double").alias("score"))
+    )
+
+
+def test_search_matches_from_scratch_bm25(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=4)
+    terms = ["cat", "quantum", "flux"]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(spark, root, terms, k=8).collect()
+    }
+    want = {
+        r["doc_id"]: r["score"]
+        for r in _bm25_scratch(spark, _docs(spark), terms, 8).collect()
+    }
+    assert got == want  # exact: same shared expressions, decimal sums
+
+
+def test_incremental_append_equals_full_build(spark, tmp_path):
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "inc")
+    create_bm25_index(spark, _docs(spark), full, n_files=2)
+    create_bm25_index(spark, _docs(spark, DOCS[:4]), inc, n_files=2)
+    append_bm25_index(spark, _docs(spark, DOCS[4:]), inc, n_files=2)
+
+    assert corpus_stats(spark, full) == corpus_stats(spark, inc)
+    ts = lambda r: {  # noqa: E731
+        x["term"]: (x["df"], x["cf"], x["idf"])
+        for x in term_stats(spark, r).collect()
+    }
+    assert ts(full) == ts(inc)
+    for terms in (["cat"], ["quantum", "mat"], ["flux", "dog", "cat"]):
+        a = [tuple(r) for r in bm25_search(spark, full, terms, k=8).collect()]
+        b = [tuple(r) for r in bm25_search(spark, inc, terms, k=8).collect()]
+        assert a == b, terms
+
+
+def test_posting_reads_prune_files(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=4)
+    append_bm25_index(spark, _docs(spark, [(10, "zebra yak"), (11, "zebra")]),
+                      root, n_files=4)
+    _, report = bm25_candidates(spark, root, ["zebra"])
+    # the sorted+bloomed layout must skip most files for a point term
+    assert report["files_skipped"] > report["files_read"] > 0
+
+
+def test_create_refuses_existing_index(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2)
+    with pytest.raises(ValueError, match="already exists"):
+        create_bm25_index(spark, _docs(spark), root)
+
+
+def test_append_is_atomic_across_tables(spark, tmp_path, monkeypatch):
+    """A crash between table legs must never publish postings whose
+    corpus stats are missing: recovery rolls the txn forward."""
+    from medallion_data_lake_spark.operators import txn as T
+    from medallion_data_lake_spark.operators.txn import recover_txns
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2)
+    before = corpus_stats(spark, root)
+
+    real = T.publish_staged
+    calls = {"n": 0}
+
+    def crash_after_first(spark_, table, sid):
+        if calls["n"] >= 1:
+            raise RuntimeError("crash between legs")
+        calls["n"] += 1
+        return real(spark_, table, sid)
+
+    monkeypatch.setattr(T, "publish_staged", crash_after_first)
+    with pytest.raises(RuntimeError, match="crash between legs"):
+        append_bm25_index(spark, _docs(spark, DOCS[4:]), root, n_files=2)
+    monkeypatch.undo()
+
+    # prepared txn: repair forward, then the index is fully consistent
+    acted = recover_txns(spark, os.path.join(root, "_txn"))
+    assert [m["status"] for m in acted] == ["committed"]
+    n, avgdl = corpus_stats(spark, root)
+    assert n == len(DOCS) and n > before[0]
+    got = [tuple(r) for r in bm25_search(spark, root, ["quantum"], k=8).collect()]
+    want = [
+        tuple(r)
+        for r in _bm25_scratch(spark, _docs(spark), ["quantum"], 8).collect()
+    ]
+    assert [(d, s) for d, _, s in got] == want
+
+
+def test_append_replay_is_exactly_once(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    m1 = append_bm25_index(
+        spark, _docs(spark), root, n_files=2, txn_app_id="app", txn_version=0
+    )
+    assert m1["status"] == "committed"
+    stats1 = corpus_stats(spark, root)
+    m2 = append_bm25_index(  # replayed batch: nothing stages, nothing lands
+        spark, _docs(spark), root, n_files=2, txn_app_id="app", txn_version=0
+    )
+    assert m2["status"] == "duplicate_skip"
+    assert corpus_stats(spark, root) == stats1
+
+
+def test_compact_stats_is_invisible_to_readers(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2)
+    append_bm25_index(spark, _docs(spark, DOCS[4:6]), root, n_files=2)
+    append_bm25_index(spark, _docs(spark, DOCS[6:]), root, n_files=2)
+    terms = ["cat", "flux"]
+    pre = [tuple(r) for r in bm25_search(spark, root, terms, k=8).collect()]
+    pre_stats = corpus_stats(spark, root)
+    n_delta_rows = read_table(spark, os.path.join(root, "corpus_stats")).count()
+    assert n_delta_rows == 3  # one delta row per batch
+
+    out = compact_bm25_stats(spark, root)
+    assert out["corpus_rows"] == 1
+    assert read_table(spark, os.path.join(root, "corpus_stats")).count() == 1
+    assert corpus_stats(spark, root) == pre_stats
+    assert [tuple(r) for r in bm25_search(spark, root, terms, k=8).collect()] == pre
+
+
+def _write_jsonl(inp, name, rows):
+    with open(os.path.join(inp, name), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+
+def test_streaming_maintenance_exactly_once(spark, tmp_path):
+    """The posting-list stream (verdict #7): batches land atomically via
+    the txn watermark; a checkpoint-loss replay of the SAME input set
+    re-applies nothing — no duplicate postings, stats unchanged."""
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    root = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).json(inp)
+        run_postings_append_stream(spark, stream, root, ck, n_files=2)
+
+    _write_jsonl(inp, "b0.json", [
+        {"doc_id": d, "text": t} for d, t in DOCS[:4]])
+    run()
+    assert corpus_stats(spark, root)[0] == 4
+
+    _write_jsonl(inp, "b1.json", [
+        {"doc_id": d, "text": t} for d, t in DOCS[4:]])
+    run()
+    assert corpus_stats(spark, root)[0] == len(DOCS)
+
+    # the stream-built index answers exactly like a batch-built one
+    batch_root = str(tmp_path / "batch_idx")
+    create_bm25_index(spark, _docs(spark), batch_root, n_files=2)
+    for terms in (["cat", "quantum"], ["flux"]):
+        a = [tuple(r) for r in bm25_search(spark, root, terms, k=8).collect()]
+        b = [tuple(r) for r in bm25_search(spark, batch_root, terms, k=8).collect()]
+        assert a == b
+
+    # checkpoint loss: same input replays under batch ids 0..1 — the
+    # (app, batch) watermark skips every leg; postings stay exact
+    import shutil
+
+    shutil.rmtree(ck)
+    pre_postings = read_table(spark, os.path.join(root, "postings")).count()
+    run()
+    assert read_table(spark, os.path.join(root, "postings")).count() == pre_postings
+    assert corpus_stats(spark, root)[0] == len(DOCS)

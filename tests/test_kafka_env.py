@@ -70,7 +70,7 @@ def test_kafka_parse_stage_equals_file_source_modulo_source(spark):
     the oracle-gated batch query row-for-row. Schema identity with the
     file-source stream is asserted directly."""
     from medallion_data_lake_spark.catalog import load_star_table
-    from medallion_data_lake_spark.queries import load_all
+    from medallion_data_lake_spark.queries import load_all_extra
     from medallion_data_lake_spark.streaming.events import (
         events_from_envelopes,
         hourly_rollup,
@@ -97,7 +97,7 @@ def test_kafka_parse_stage_equals_file_source_modulo_source(spark):
     }
     want = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
-        for r in load_all()["events_hourly_windows"].build(spark, sf).collect()
+        for r in load_all_extra()["events_hourly_windows"].build(spark, sf).collect()
     }
     assert got == want
 

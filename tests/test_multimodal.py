@@ -114,3 +114,109 @@ def test_window_audio_overlapping_coverage(spark):
     # no shuffle in the plan (map-side 1:N expansion)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (dHash + banded Hamming bucketing)
+# ---------------------------------------------------------------------------
+
+
+def _pixel_df(spark, items):
+    """(media_id, pixels) -> (media_id, phash) via the JVM expression."""
+    df = spark.createDataFrame(items, "media_id long, pixels array<int>")
+    return df.select("media_id", multimodal.dhash_expr(F.col("pixels")).alias("phash"))
+
+
+def test_dhash_known_bits(spark):
+    # strictly increasing pixels: every right > left comparison fires ->
+    # all 56 bits set; constant pixels -> no bit set
+    inc = list(range(multimodal.PHASH_NPIX))
+    flat = [7] * multimodal.PHASH_NPIX
+    rows = {r["media_id"]: r["phash"]
+            for r in _pixel_df(spark, [(1, inc), (2, flat)]).collect()}
+    assert rows[1] == (1 << multimodal.PHASH_BITS) - 1
+    assert rows[2] == 0
+
+
+def test_near_dup_images_bucket_together_distinct_dont(spark):
+    """The r9-verdict acceptance case: a near-duplicate image pair (one
+    pixel region changed -> few dHash bits flip) collides on a band and
+    survives the Hamming threshold; two distinct images don't pair."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.randrange(256) for _ in range(multimodal.PHASH_NPIX)]
+    neardup = list(base)
+    neardup[10] = 255 - neardup[10]      # one "pixel" edited -> <=2 bits flip
+    distinct = [rng.randrange(256) for _ in range(multimodal.PHASH_NPIX)]
+
+    hashed = _pixel_df(spark, [(1, base), (2, neardup), (3, distinct)])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_band_pairs(
+            hashed, id_col="media_id", max_dist=8
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert all(p == (1, 2) for p in pairs), f"false pairs: {pairs}"
+
+
+def test_exact_dup_hamming_zero_across_bands_once(spark):
+    """An exact duplicate collides on EVERY band but must emit ONE
+    deduped pair with hamming 0."""
+    px = [i % 9 for i in range(multimodal.PHASH_NPIX)]
+    hashed = _pixel_df(spark, [(1, px), (2, px)])
+    rows = multimodal.phash_band_pairs(hashed, id_col="media_id").collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
+
+def test_thumbnail_kernel_matches_expression_path(spark):
+    """The mapInPandas fake-decode kernel and the pure-expression fake
+    thumbnail agree bit-for-bit on text payloads (the deterministic
+    contract that makes the gated query's oracle honest)."""
+    texts = [(1, "the cat sat on the mat"), (2, "a bb ccc dddd"), (3, "x")]
+    d = spark.createDataFrame(texts, "media_id long, text string")
+    via_expr = {
+        r["media_id"]: r["px"]
+        for r in d.select(
+            "media_id",
+            multimodal.fake_thumbnail_expr(F.col("text")).alias("px"),
+        ).collect()
+    }
+    via_kernel = {
+        r["media_id"]: r["pixels"]
+        for r in multimodal.thumbnail_pixels(
+            d.select("media_id", F.encode("text", "utf-8").alias("content"))
+        ).collect()
+    }
+    assert via_kernel == via_expr
+    assert all(len(v) == multimodal.PHASH_NPIX for v in via_kernel.values())
+
+
+def test_thumbnail_kernel_real_decoder_parity(spark):
+    """Env-gated PIL parity: with a real decoder present, a solid-color
+    PNG and its re-encoded copy hash identically (the property dHash
+    exists for). Skipped in this container (no PIL)."""
+    import os
+
+    import pytest
+
+    if not (multimodal._HAS_PIL and os.environ.get("MDLS_REAL_DECODE") == "1"):
+        pytest.skip("real decoder not available/enabled")
+    from io import BytesIO  # pragma: no cover - PIL absent here
+
+    from PIL import Image
+
+    buf1, buf2 = BytesIO(), BytesIO()
+    img = Image.new("L", (100, 80), color=128)
+    img.save(buf1, format="PNG")
+    img.resize((50, 40)).save(buf2, format="PNG")
+    d = spark.createDataFrame(
+        [(1, buf1.getvalue()), (2, buf2.getvalue())],
+        "media_id long, content binary",
+    )
+    hashed = multimodal.thumbnail_pixels(d).select(
+        "media_id", multimodal.dhash_expr(F.col("pixels")).alias("phash")
+    )
+    rows = {r["media_id"]: r["phash"] for r in hashed.collect()}
+    assert rows[1] == rows[2]

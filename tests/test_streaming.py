@@ -7,7 +7,7 @@ import shutil
 import pytest
 
 from medallion_data_lake_spark.catalog import load_star_table
-from medallion_data_lake_spark.queries import load_all
+from medallion_data_lake_spark.queries import load_all_extra
 from medallion_data_lake_spark.streaming import events as stream_events
 
 
@@ -44,7 +44,7 @@ def test_stream_rollup_matches_batch(spark, tmp_path_factory, events_parquet_dir
     }
     batch = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
-        for r in load_all()["events_hourly_windows"].build(spark, "/root/testdata/sf0.001").collect()
+        for r in load_all_extra()["events_hourly_windows"].build(spark, "/root/testdata/sf0.001").collect()
     }
     # exact parity on counts and exact-decimal sums (n_users is approx in
     # the stream — excluded by construction)
