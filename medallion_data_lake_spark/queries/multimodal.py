@@ -125,14 +125,21 @@ def media_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # media payload -> fake decode: byte column round-trip keeps the
     # multimodal story honest (the hash consumes DECODED content)
     text = F.decode(F.encode("text", "utf-8"), "utf-8")
-    hashed = (
+    # TWO projections, deliberately: dhash_expr reads its pixel array
+    # 112 times (56 bits x 2 element_at); inlining the thumbnail
+    # transform into every read blows up the codegen tree and costs 2x
+    # (measured 2.0s -> 1.0s at sf0.1). CollapseProject keeps the
+    # boundary because the aliased transform is non-cheap and
+    # multiply-referenced.
+    px = (
         d.filter(F.trim(F.col("text")) != "")  # len(tokens) > 0
         .select(
             F.col("doc_id"),
-            multimodal.dhash_expr(
-                multimodal.fake_thumbnail_expr(text)
-            ).alias("phash"),
+            multimodal.fake_thumbnail_expr(text).alias("px"),
         )
+    )
+    hashed = px.select(
+        "doc_id", multimodal.dhash_expr(F.col("px")).alias("phash")
     )
     return multimodal.phash_band_pairs(
         hashed, id_col="doc_id", hash_col="phash", max_dist=8
