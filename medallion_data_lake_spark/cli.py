@@ -76,7 +76,8 @@ def main(argv: list[str] | None = None) -> int:
                  "tail", "sweep-orphans", "restore", "staged",
                  "publish-staged", "abandon-staged", "expire-staged",
                  "clone", "txn-commit", "txn-list", "txn-recover",
-                 "txn-compensate", "txn-resolve-broken", "txn-expire"],
+                 "txn-compensate", "txn-resolve-broken", "txn-expire",
+                 "bm25-build", "bm25-search", "bm25-compact"],
     )
     ap.add_argument(
         "arg",
@@ -152,6 +153,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--retry-stuck", action="store_true",
                     help="txn-recover: also retry stuck transactions "
                          "(after resolving the recorded conflict)")
+    ap.add_argument("--terms", default=None,
+                    help="bm25-search: comma-separated query terms")
+    ap.add_argument("--docs", default=None,
+                    help="bm25-build: versioned documents table to index "
+                         "(default: the mounted fixtures' documents)")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve: listen as a JSON HTTP API on this port "
                          "instead of the stdin REPL (GET / serves the "
@@ -604,6 +610,41 @@ def main(argv: list[str] | None = None) -> int:
                             version=args.at_version)
         print(json.dumps({"version": entry["version"],
                           "operation": entry["operation"]}))
+    elif args.verb == "bm25-build":
+        # build or incrementally append the BM25 inverted index
+        # (operators/inverted_index.py): arg is the index root
+        if not args.arg:
+            print("bm25-build requires an index root path", file=sys.stderr)
+            return 2
+        from .operators.inverted_index import append_bm25_index
+        from .operators.versioned import read_table as _rt
+
+        if args.docs:
+            docs = _rt(spark, args.docs)
+        else:
+            docs = spark.table("documents")
+        m = append_bm25_index(spark, docs, args.arg)
+        print(json.dumps({"status": m["status"],
+                          "legs": len(m.get("legs", []))}))
+    elif args.verb == "bm25-search":
+        if not args.arg or not args.terms:
+            print("bm25-search requires an index root and --terms",
+                  file=sys.stderr)
+            return 2
+        from .operators.inverted_index import bm25_search
+
+        terms = [t for t in args.terms.split(",") if t]
+        for r in bm25_search(spark, args.arg, terms, k=args.limit).collect():
+            print(json.dumps({"doc_id": r["doc_id"],
+                              "n_terms_matched": r["n_terms_matched"],
+                              "score": round(r["score"], 6)}))
+    elif args.verb == "bm25-compact":
+        if not args.arg:
+            print("bm25-compact requires an index root path", file=sys.stderr)
+            return 2
+        from .operators.inverted_index import compact_bm25_stats
+
+        print(json.dumps(compact_bm25_stats(spark, args.arg)))
     elif args.verb == "txn-commit":
         # multi-table atomic commit of staged legs (operators/txn.py):
         # arg is the coordinator dir, each --leg a stage_commit result
