@@ -155,6 +155,12 @@ def main(argv: list[str] | None = None) -> int:
                          "(after resolving the recorded conflict)")
     ap.add_argument("--terms", default=None,
                     help="bm25-search: comma-separated query terms")
+    ap.add_argument("--txn-app", default=None,
+                    help="bm25-build: idempotence app id — with "
+                         "--txn-version, a crashed build re-run is "
+                         "exactly-once (watermark skip + txn-recover)")
+    ap.add_argument("--txn-version", type=int, default=None,
+                    help="bm25-build: monotonic batch id for --txn-app")
     ap.add_argument("--docs", default=None,
                     help="bm25-build: versioned documents table to index "
                          "(default: the mounted fixtures' documents)")
@@ -623,7 +629,9 @@ def main(argv: list[str] | None = None) -> int:
             docs = _rt(spark, args.docs)
         else:
             docs = spark.table("documents")
-        m = append_bm25_index(spark, docs, args.arg)
+        m = append_bm25_index(spark, docs, args.arg,
+                              txn_app_id=args.txn_app,
+                              txn_version=args.txn_version)
         print(json.dumps({"status": m["status"],
                           "legs": len(m.get("legs", []))}))
     elif args.verb == "bm25-search":

@@ -51,13 +51,14 @@ Scale shape at 100 TB:
 from __future__ import annotations
 
 import math
+import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.text import tokens  # THE tokenizer — shared with the oracle-checked text queries
-from .versioned import commit, latest_version, read_table, read_table_pruned
+from .versioned import latest_version, read_table, read_table_pruned
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -69,8 +70,6 @@ _CORPUS = "corpus_stats"
 
 
 def _t(index_root: str, name: str) -> str:
-    import os
-
     return os.path.join(index_root, name)
 
 
@@ -226,10 +225,46 @@ def create_bm25_index(
     )
 
 
-def corpus_stats(spark: SparkSession, index_root: str) -> tuple[int, float]:
+def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
+    """Per-table version pins from the NEWEST committed append txn —
+    the transaction-consistent cut across the four index tables.
+    Reading the tables independently at their tips can mix states (a
+    search racing an in-flight append could see new postings with stale
+    corpus stats, a ranking corresponding to no committed index); every
+    append lands through ONE txn manifest whose committed form records
+    each leg's published version, so the newest manifest covering all
+    four tables IS the consistent snapshot. Returns None for an index
+    with no committed txn (nothing readable anyway).
+
+    Stats folds (:func:`compact_bm25_stats`) publish outside the txn
+    stream, so pins can point one fold behind the tip — harmless (folds
+    are reader-invisible by construction) as long as log expiry keeps
+    at least the last append's versions (``expire_log`` keep_last >
+    folds per append interval)."""
+    from .txn import list_txns
+
+    names = (_POSTINGS, _DOCLENS, _TERMSTATS, _CORPUS)
+    want = {os.path.abspath(_t(index_root, n)): n for n in names}
+    best: dict[str, int] | None = None
+    for m in list_txns(_t(index_root, "_txn")):  # oldest first
+        if m.get("status") != "committed":
+            continue
+        legs = {
+            leg["table"]: leg.get("version")
+            for leg in m.get("legs", [])
+            if leg["table"] in want and leg.get("version") is not None
+        }
+        if len(legs) == len(want):
+            best = {want[t]: v for t, v in legs.items()}
+    return best
+
+
+def corpus_stats(
+    spark: SparkSession, index_root: str, version: int | None = None
+) -> tuple[int, float]:
     """(N, avgdl) folded from the per-batch delta rows — one tiny agg."""
     row = (
-        read_table(spark, _t(index_root, _CORPUS))
+        read_table(spark, _t(index_root, _CORPUS), version=version)
         .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
         .first()
     )
@@ -238,23 +273,33 @@ def corpus_stats(spark: SparkSession, index_root: str) -> tuple[int, float]:
 
 
 def term_stats(
-    spark: SparkSession, index_root: str, terms: list[str] | None = None
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str] | None = None,
+    n_docs: int | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """(term, df, cf, idf) folded from the delta rows. ``terms`` bounds
     the fold to the query's terms (pushed-down IN filter); None returns
-    the whole (vocabulary-bounded) table — the terms-with-df audit."""
-    n, _ = corpus_stats(spark, index_root)
-    ts = read_table(spark, _t(index_root, _TERMSTATS))
+    the whole (vocabulary-bounded) table — the terms-with-df audit.
+    ``n_docs`` skips the corpus_stats fold when the caller already
+    holds it (bm25_search computes it once per search)."""
+    if n_docs is None:
+        n_docs, _ = corpus_stats(spark, index_root)
+    ts = read_table(spark, _t(index_root, _TERMSTATS), version=version)
     if terms is not None:
         ts = ts.filter(F.col("term").isin(list(terms)))
     return ts.groupBy("term").agg(
         F.sum("df_delta").cast("long").alias("df"),
         F.sum("cf_delta").cast("long").alias("cf"),
-    ).withColumn("idf", bm25_idf(F.lit(n), F.col("df")))
+    ).withColumn("idf", bm25_idf(F.lit(n_docs), F.col("df")))
 
 
 def bm25_candidates(
-    spark: SparkSession, index_root: str, terms: list[str]
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str],
+    version: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Posting rows for ``terms`` via per-term pruned point-reads —
     min/max stats (sorted layout) + term blooms skip every file that
@@ -262,7 +307,7 @@ def bm25_candidates(
     parts, report = [], {"files_read": 0, "files_skipped": 0}
     for t in sorted(set(terms)):
         df, r = read_table_pruned(
-            spark, _t(index_root, _POSTINGS), eq={"term": t}
+            spark, _t(index_root, _POSTINGS), eq={"term": t}, version=version
         )
         parts.append(df)
         report["files_read"] += r["files_read"]
@@ -282,14 +327,26 @@ def bm25_search(
     entirely from the persisted index: K pruned posting reads, a
     broadcast idf map (≤K rows), a broadcast join of the candidate set
     against doclens, one top-k. Returns (doc_id, n_terms_matched,
-    score) ordered by score desc with doc_id tiebreak."""
+    score) ordered by score desc with doc_id tiebreak.
+
+    All four tables are read at the versions recorded by the newest
+    COMMITTED append transaction (:func:`committed_index_snapshot`), so
+    a search racing an in-flight append scores against one consistent
+    index state — never new postings with stale df/avgdl."""
     terms = sorted(set(terms))
     if not terms:
         raise ValueError("bm25_search needs at least one query term")
-    n, avgdl = corpus_stats(spark, index_root)
-    cand, _ = bm25_candidates(spark, index_root, terms)
-    idf = term_stats(spark, index_root, terms).select("term", "idf")
-    doclens = read_table(spark, _t(index_root, _DOCLENS))
+    pins = committed_index_snapshot(index_root) or {}
+    n, avgdl = corpus_stats(spark, index_root, version=pins.get(_CORPUS))
+    cand, _ = bm25_candidates(
+        spark, index_root, terms, version=pins.get(_POSTINGS)
+    )
+    idf = term_stats(
+        spark, index_root, terms, n_docs=n, version=pins.get(_TERMSTATS)
+    ).select("term", "idf")
+    doclens = read_table(
+        spark, _t(index_root, _DOCLENS), version=pins.get(_DOCLENS)
+    )
     scored = (
         cand.join(F.broadcast(idf), "term")
         # candidate side is bounded by the query's posting lists —
@@ -323,28 +380,46 @@ def bm25_search(
 
 def compact_bm25_stats(spark: SparkSession, index_root: str) -> dict:
     """Fold the per-batch delta tails physically: rewrite ``termstats``
-    as one row per term and ``corpus_stats`` as one total row (atomic
-    snapshot overwrites through the normal commit claim loop — a racing
-    append either lands before the fold's snapshot and is included, or
-    conflicts in the claim loop and retries). Readers are oblivious:
-    the fold is a no-op under the same delta-summing reads."""
-    ts_path, cs_path = _t(index_root, _TERMSTATS), _t(index_root, _CORPUS)
-    folded_ts = (
-        read_table(spark, ts_path)
-        .groupBy("term")
-        .agg(
+    as one row per term and ``corpus_stats`` as one total row. Readers
+    are oblivious: the fold is a no-op under the same delta-summing
+    reads.
+
+    FILE-GRANULAR, not a logical overwrite: ``optimize_table`` with a
+    fold ``transform`` removes exactly the delta files that were read
+    and folded, so a RACING APPEND's new delta files stay live beside
+    the folded output instead of being silently dropped (a plain
+    ``commit(mode="overwrite")`` computes 'removed' from the fresh tip
+    inside the claim loop while its data came from the pre-race
+    snapshot — the r10 review's found failure mode). A concurrent fold
+    of the same files refuses with ``CommitConflict``."""
+
+    def fold_ts(df: DataFrame) -> DataFrame:
+        return df.groupBy("term").agg(
             F.sum("df_delta").cast("long").alias("df_delta"),
             F.sum("cf_delta").cast("long").alias("cf_delta"),
         )
+
+    def fold_cs(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+
+    from .versioned import optimize_table
+
+    ts_entry = optimize_table(
+        spark, _t(index_root, _TERMSTATS), transform=fold_ts
     )
-    n_terms = folded_ts.count()
-    commit(folded_ts, ts_path, mode="overwrite")
-    folded_cs = read_table(spark, cs_path).agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    cs_entry = optimize_table(
+        spark, _t(index_root, _CORPUS), transform=fold_cs
     )
-    commit(folded_cs, cs_path, mode="overwrite")
-    return {"terms": int(n_terms), "corpus_rows": 1}
+    n_terms = read_table(spark, _t(index_root, _TERMSTATS)).count()
+    return {
+        "terms": int(n_terms),
+        "corpus_rows": 1,
+        "termstats_files": ts_entry.get("files_after"),
+        "corpus_files": cs_entry.get("files_after"),
+    }
 
 
 def run_postings_append_stream(

@@ -435,8 +435,11 @@ def phash_band_pairs(
             .cast("long")
             .alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the dedup: hamming is functionally determined by
+        # the pair, so the result is identical, but far pairs (the bulk
+        # of band collisions) never enter the distinct's shuffle
         .filter(F.col("hamming") <= max_dist)
+        .distinct()
     )
 
 

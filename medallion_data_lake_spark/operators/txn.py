@@ -136,21 +136,36 @@ def _write_manifest_unless_terminal(txn_root: str, manifest: dict) -> dict | Non
     on-disk 'committed' manifest (dropping its savepoint) until its own
     finalize rewrote it — making a concurrent ``txn_snapshot`` of a
     just-committed txn spuriously raise. Re-read the on-disk manifest
-    first: if another runner already drove the txn to a terminal
-    status, ADOPT that manifest (return it, write nothing) — both
-    runners replay the same idempotent publishes, so the terminal copy
-    already contains every leg version this runner would record. For
-    non-terminal on-disk states the write proceeds (same-content
-    last-writer-wins, benign as before). The read-then-write window is
-    not zero, but a regression now requires the OTHER runner to
-    finalize inside this runner's read→write gap of the SAME update —
-    down from 'any time since this runner loaded the manifest'."""
+    first: if another runner already COMMITTED the txn, ADOPT that
+    manifest (return it, write nothing) — both runners replay the same
+    idempotent publishes, so the committed copy already contains every
+    leg version this runner would record. An on-disk ``aborted`` /
+    ``broken`` manifest is NOT adoptable mid-roll-forward: those mean a
+    compensation/resolution ran concurrently with this roll-forward
+    (violating the documented not-concurrently-with-compensate rule) —
+    adopting would silently discard any leg this runner just published,
+    so refuse loudly instead (the raise surfaces the violation; the
+    terminal manifest stays unregressed either way). For non-terminal
+    on-disk states the write proceeds (same-content last-writer-wins,
+    benign as before). The read-then-write window is not zero, but a
+    regression now requires the OTHER runner to finalize inside this
+    runner's read→write gap of the SAME update — down from 'any time
+    since this runner loaded the manifest'."""
     try:
         on_disk = read_txn(txn_root, manifest["txn_id"])
     except (FileNotFoundError, ValueError):
         on_disk = None  # not written yet, or torn mid-replace: proceed
     if on_disk is not None and on_disk.get("status") in _TERMINAL_STATUSES:
-        return on_disk
+        if on_disk["status"] == "committed":
+            return on_disk
+        raise RuntimeError(
+            f"txn {manifest['txn_id']} was resolved to "
+            f"{on_disk['status']!r} CONCURRENTLY with a roll-forward — "
+            "recover_txns/commit_txn must not race compensate_stuck_txn/"
+            "resolve_broken_txn (see recover_txns docstring); inspect the "
+            "terminal manifest for legs this runner may have published "
+            "after the resolution pass"
+        )
     _write_manifest(txn_root, manifest)
     return None
 

@@ -1885,6 +1885,7 @@ def optimize_table(
     stats_cols: tuple[str, ...] = (),
     analyze_stats: bool | tuple[str, ...] = False,
     files: list[str] | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> dict:
     """Delta-OPTIMIZE semantics: rewrite the CURRENT live set into
     target-sized files and publish the compacted layout as one atomic
@@ -1915,6 +1916,16 @@ def optimize_table(
     files stay live beside the compacted output, so a table with a few
     large well-sized files and a tail of per-batch fragments pays only
     for the fragments.
+
+    ``transform`` rewrites the files' CONTENT, not just their layout:
+    the callable maps the rewritten rows to their replacement (e.g.
+    folding per-batch delta rows into one row per key for tables whose
+    readers aggregate deltas). The concurrency contract is what makes
+    this safe where a logical overwrite is not: the commit removes
+    exactly the files that were read and folded, so a racing append's
+    NEW delta files stay live beside the folded output instead of being
+    silently dropped (operators/inverted_index.compact_bm25_stats is
+    the motivating caller).
 
     Returns the commit entry plus before/after file counts. Sizing uses
     on-disk bytes-per-row like ``maintenance.compact_table``.
@@ -1956,6 +1967,8 @@ def optimize_table(
         # the deleted positions and the vectors die with the replaced
         # files (delete_rows_dv's documented materialization step)
         df = _apply_dvs(spark, df, path, live, dvs)
+    if transform is not None:
+        df = transform(df)
     rows = df.count()
     bytes_per_row = max(total_bytes / max(rows, 1), 1e-6)
     records_per_file = max(int(target_file_bytes / bytes_per_row), 1)

@@ -243,3 +243,85 @@ def test_streaming_maintenance_exactly_once(spark, tmp_path):
     run()
     assert read_table(spark, os.path.join(root, "postings")).count() == pre_postings
     assert corpus_stats(spark, root)[0] == len(DOCS)
+
+
+def test_stats_fold_survives_racing_append(spark, tmp_path):
+    """r10 review finding: a logical overwrite computed 'removed' from
+    the fresh tip while its data came from the pre-race snapshot,
+    silently dropping a concurrent append's delta rows. The
+    file-granular fold (optimize_table + transform) removes exactly the
+    files it read — the racing append's files stay live. Emulated by
+    landing the racing append from INSIDE the fold's transform window
+    (after the snapshot, before the claim)."""
+    from medallion_data_lake_spark.operators.versioned import (
+        commit,
+        optimize_table,
+    )
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2)
+    append_bm25_index(spark, _docs(spark, DOCS[4:6]), root, n_files=2)
+    cs_path = os.path.join(root, "corpus_stats")
+
+    racing = {"landed": False}
+
+    def fold_with_race(df):
+        if not racing["landed"]:
+            racing["landed"] = True
+            commit(  # the racing append: 100 docs, 1000 tokens
+                spark.createDataFrame([(100, 1000)], "n_docs long, sum_dl long"),
+                cs_path, mode="append",
+            )
+        return df.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+
+    optimize_table(spark, cs_path, transform=fold_with_race)
+    n, _ = corpus_stats(spark, root)
+    assert n == 6 + 100, "the racing append's delta row must survive the fold"
+
+
+def test_search_pins_a_transaction_consistent_snapshot(spark, tmp_path):
+    """r10 review finding: independently-pinned table reads could mix a
+    half-landed append into a ranking. bm25_search now reads every
+    table at the newest COMMITTED txn's recorded versions, so postings
+    published outside a completed txn (mid-roll-forward state) are
+    invisible until their txn commits."""
+    from medallion_data_lake_spark.operators.inverted_index import (
+        committed_index_snapshot,
+    )
+    from medallion_data_lake_spark.operators.versioned import commit
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2)
+    pre = [tuple(r) for r in bm25_search(spark, root, ["cat"], k=8).collect()]
+    pins = committed_index_snapshot(root)
+    assert set(pins) == {"postings", "doclens", "termstats", "corpus_stats"}
+
+    # a half-landed append: postings rows visible at the table tip but
+    # no committed txn covering them (no doclens/stats legs yet)
+    commit(
+        spark.createDataFrame([("cat", 99, 50)], "term string, doc_id long, tf long"),
+        os.path.join(root, "postings"), mode="append",
+    )
+    post = [tuple(r) for r in bm25_search(spark, root, ["cat"], k=8).collect()]
+    assert post == pre, "uncommitted-txn postings must not affect ranking"
+    assert committed_index_snapshot(root) == pins
+
+
+def test_cli_build_watermark_round_trip(spark, tmp_path, capsys):
+    """The CLI exposes the exactly-once watermark: a re-run of the same
+    (app, version) build is a duplicate-skip, not a double-count."""
+    from medallion_data_lake_spark import cli
+
+    root = str(tmp_path / "idx")
+    args = ["bm25-build", root, "--sf", "/root/testdata/sf0.001",
+            "--txn-app", "cli-app", "--txn-version", "0"]
+    assert cli.main(args) == 0
+    first = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(first)["status"] == "committed"
+    assert cli.main(args) == 0
+    second = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(second)["status"] == "duplicate_skip"
+    assert corpus_stats(spark, root)[0] == 500  # sf0.001 documents, once

@@ -1226,3 +1226,28 @@ def test_tip_fallback_duplicate_skip_is_marked_unverified(spark, tmp_path):
                         {"app_id": "app-q", "version": 7}, None)
     assert leg2["version"] == latest_version(a)
     assert "version_unverified" not in leg2
+
+
+def test_roll_forward_refuses_concurrently_aborted_manifest(spark, tmp_path):
+    """r10 review finding: adopting an 'aborted'/'broken' manifest
+    mid-roll-forward would silently discard a leg this runner just
+    published. The guard adopts only 'committed'; other terminals raise
+    (the documented no-concurrent-compensate rule was violated) and the
+    terminal manifest is left unregressed."""
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+    committed = commit_txn(spark, root, [(a, sa), (b, sb)])
+
+    on_disk = read_txn(root, committed["txn_id"])
+    on_disk["status"] = "aborted"
+    T._write_manifest(root, on_disk)
+
+    stale = json.loads(json.dumps(committed))
+    stale["status"] = "prepared"
+    stale.pop("savepoint", None)
+    for leg in stale["legs"]:
+        leg.pop("version", None)
+
+    with pytest.raises(RuntimeError, match="resolved to 'aborted'"):
+        T._roll_forward(spark, root, stale)
+    assert read_txn(root, committed["txn_id"])["status"] == "aborted"
