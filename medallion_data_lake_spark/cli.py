@@ -641,7 +641,7 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         from .operators.inverted_index import bm25_search
 
-        terms = [t for t in args.terms.split(",") if t]
+        terms = [t.strip() for t in args.terms.split(",") if t.strip()]
         for r in bm25_search(spark, args.arg, terms, k=args.limit).collect():
             print(json.dumps({"doc_id": r["doc_id"],
                               "n_terms_matched": r["n_terms_matched"],

@@ -240,13 +240,35 @@ def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
     stream, so pins can point one fold behind the tip — harmless (folds
     are reader-invisible by construction) as long as log expiry keeps
     at least the last append's versions (``expire_log`` keep_last >
-    folds per append interval)."""
-    from .txn import list_txns
+    folds per append interval). Coordinator retention
+    (``txn.expire_txns``) keeps the newest committed manifest by
+    default, so the pin survives quiet periods.
+
+    Cost: manifests are scanned NEWEST-FIRST with an early exit, so a
+    streaming-maintained index (one txn per micro-batch) pays O(1)
+    manifest reads per search, not O(#appends). Txn ids carry a
+    chronological time_ns prefix; legacy random-uuid ids can make the
+    name order diverge from creation order, in which case the early
+    exit may return an OLDER committed manifest — still a consistent
+    cut (any committed 4-leg manifest is), just possibly staler."""
+    import json as _json
+
+    from .logstore import get_log_store
+    from .txn import _txn_file
 
     names = (_POSTINGS, _DOCLENS, _TERMSTATS, _CORPUS)
     want = {os.path.abspath(_t(index_root, n)): n for n in names}
-    best: dict[str, int] | None = None
-    for m in list_txns(_t(index_root, "_txn")):  # oldest first
+    txn_root = _t(index_root, "_txn")
+    store = get_log_store()
+    try:
+        files = [f for f in store.list(txn_root) if f.endswith(".json")]
+    except FileNotFoundError:
+        return None
+    for f in sorted(files, reverse=True):  # newest first (time_ns ids)
+        try:
+            m = _json.loads(store.read(_txn_file(txn_root, f[: -len(".json")])))
+        except (FileNotFoundError, ValueError):
+            continue  # reaped or torn mid-replace: try the next
         if m.get("status") != "committed":
             continue
         legs = {
@@ -255,8 +277,8 @@ def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
             if leg["table"] in want and leg.get("version") is not None
         }
         if len(legs) == len(want):
-            best = {want[t]: v for t, v in legs.items()}
-    return best
+            return {want[t]: v for t, v in legs.items()}
+    return None
 
 
 def corpus_stats(
@@ -446,12 +468,40 @@ def run_postings_append_stream(
 
     txn_app = f"bm25::{os.path.abspath(checkpoint)}"
 
+    # run_txn_stream calls every leg's transform with the SAME batch
+    # frame; without sharing, each leg would re-tokenize the batch (4
+    # explode passes, 2 postings aggregations). Compute the four frames
+    # ONCE per batch, persist the two they derive from, and hand each
+    # leg its slice. The previous batch's persisted frames unpersist
+    # when the next batch arrives (one micro-batch of bounded cache
+    # held at stream end — Spark evicts it with the session).
+    cache: dict = {"batch": None, "tables": None, "persisted": []}
+
+    def _tables_for(batch: DataFrame) -> dict:
+        if cache["batch"] is not batch:
+            for old in cache["persisted"]:
+                old.unpersist()
+            postings = build_postings(batch, id_col, text_col).persist()
+            doclens = build_doclens(batch, id_col, text_col).persist()
+            cache["batch"] = batch
+            cache["persisted"] = [postings, doclens]
+            cache["tables"] = {
+                _POSTINGS: _sorted_postings(postings, n_files),
+                _DOCLENS: doclens,
+                _TERMSTATS: postings.groupBy("term").agg(
+                    F.count(F.lit(1)).cast("long").alias("df_delta"),
+                    F.sum("tf").cast("long").alias("cf_delta"),
+                ),
+                _CORPUS: doclens.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("dl").cast("long").alias("sum_dl"),
+                ),
+            }
+        return cache["tables"]
+
     def _leg(name: str):
         def transform(batch: DataFrame) -> DataFrame:
-            out = _batch_tables(batch, id_col, text_col)[name]
-            if name == _POSTINGS:
-                out = _sorted_postings(out, n_files)
-            return out
+            return _tables_for(batch)[name]
 
         return transform
 

@@ -782,17 +782,35 @@ def audit_and_commit_txn(
     return {"committed": True, "reports": reports, "manifest": m}
 
 
-def expire_txns(txn_root: str, older_than_sec: float) -> list[str]:
+def expire_txns(
+    txn_root: str, older_than_sec: float, keep_latest_committed: bool = True
+) -> list[str]:
     """Drop terminal (committed/aborted/broken) manifests older than
     the horizon — the retention sweep for the coordinator directory.
     Never touches prepared/stuck manifests: those are redo records, and
     deleting one would un-decide a transaction. (A ``broken`` manifest
     is the record of a torn batch — size the horizon so it is read
-    before it is reaped, like any incident log.)"""
+    before it is reaped, like any incident log.)
+
+    ``keep_latest_committed`` (default) always retains the NEWEST
+    committed manifest even past the horizon: a committed manifest is
+    the coordinator's freshest cross-table savepoint, and consumers
+    that pin reads to it (``inverted_index.committed_index_snapshot``)
+    would silently fall back to unpinned tip reads if a quiet period
+    let the sweep reap every manifest. One KB-sized file buys a durable
+    consistent cut."""
     store = get_log_store()
     now = time.time()
     dropped = []
-    for m in list_txns(txn_root):
+    manifests = list_txns(txn_root)
+    keep_id = None
+    if keep_latest_committed:
+        committed = [m for m in manifests if m["status"] == "committed"]
+        if committed:
+            keep_id = committed[-1]["txn_id"]  # list_txns is oldest-first
+    for m in manifests:
+        if m["txn_id"] == keep_id:
+            continue
         if m["status"] in ("committed", "aborted", "broken") and (
             now - m.get("completed", m.get("created", now))
         ) > older_than_sec:

@@ -456,10 +456,10 @@ def _txn_protection(m: dict) -> str | None:
         # protect, then free (an undecided txn never commits). A torn
         # read heals on the next sweep; it must never crash maintenance.
         if time.time() - marker.get("marked_at", 0) < TXN_MARKER_GRACE_SEC:
-            return f"txn {marker['id']} deciding"
+            return f"txn {marker.get('id', '?')} deciding"
         return None
     if status in ("prepared", "stuck", "aborting"):
-        return f"txn {marker['id']} is {status}"
+        return f"txn {marker.get('id', '?')} is {status}"
     return None
 
 

@@ -325,3 +325,44 @@ def test_cli_build_watermark_round_trip(spark, tmp_path, capsys):
     second = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(second)["status"] == "duplicate_skip"
     assert corpus_stats(spark, root)[0] == 500  # sf0.001 documents, once
+
+
+def test_snapshot_survives_txn_expiry_and_torn_manifests(spark, tmp_path):
+    """r10 review findings: the consistent-cut pins must survive a
+    retention sweep (expire_txns keeps the newest committed manifest)
+    and skip torn manifest files instead of erroring."""
+    from medallion_data_lake_spark.operators.inverted_index import (
+        committed_index_snapshot,
+    )
+    from medallion_data_lake_spark.operators.txn import expire_txns
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2)
+    append_bm25_index(spark, _docs(spark, DOCS[4:]), root, n_files=2)
+    pins = committed_index_snapshot(root)
+    pre = [tuple(r) for r in bm25_search(spark, root, ["cat"], k=8).collect()]
+
+    # aggressive sweep: everything past-horizon, newest committed kept
+    txn_root = os.path.join(root, "_txn")
+    assert len(expire_txns(txn_root, older_than_sec=0.0)) == 1
+    assert committed_index_snapshot(root) == pins
+
+    # a torn manifest (newest by name) is skipped, not fatal
+    with open(os.path.join(txn_root, "txn-ffffffffffffffff-dead.json"), "w") as f:
+        f.write("{this is not json")
+    assert committed_index_snapshot(root) == pins
+    assert [tuple(r) for r in bm25_search(spark, root, ["cat"], k=8).collect()] == pre
+
+
+def test_cli_search_strips_term_whitespace(spark, tmp_path, capsys):
+    """r10 review finding: '--terms \"cat, dog\"' silently contributed
+    nothing for ' dog' — terms are stripped now."""
+    from medallion_data_lake_spark import cli
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2)
+    assert cli.main(["bm25-search", root, "--terms", "dog, quantum",
+                     "--limit", "8", "--sf", "/root/testdata/sf0.001"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert any(r["doc_id"] == 5 and r["n_terms_matched"] == 2 for r in rows), rows

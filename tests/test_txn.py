@@ -283,7 +283,10 @@ def test_expire_drops_only_terminal_manifests(spark, tmp_path, monkeypatch):
         commit_txn(spark, root, [(a, sa2)])
     monkeypatch.setattr(T, "publish_staged", real)
 
-    dropped = expire_txns(root, older_than_sec=0.0)
+    # opt out of newest-committed retention: this test targets the
+    # terminal-vs-redo distinction (retention has its own test below)
+    dropped = expire_txns(root, older_than_sec=0.0,
+                          keep_latest_committed=False)
     assert dropped == [m1["txn_id"]]
     (left,) = list_txns(root)
     assert left["status"] == "prepared", "redo records must survive expiry"
@@ -1251,3 +1254,33 @@ def test_roll_forward_refuses_concurrently_aborted_manifest(spark, tmp_path):
     with pytest.raises(RuntimeError, match="resolved to 'aborted'"):
         T._roll_forward(spark, root, stale)
     assert read_txn(root, committed["txn_id"])["status"] == "aborted"
+
+
+def test_expire_keeps_the_newest_committed_manifest(spark, tmp_path):
+    """r10 review finding: reaping every committed manifest would make
+    savepoint consumers (inverted_index.committed_index_snapshot) fall
+    back to unpinned tip reads. The sweep retains the newest committed
+    manifest past the horizon by default."""
+    a, b, root = _mk(spark, tmp_path)
+    ids = []
+    for off in (100, 200):
+        sa, sb = _stage_pair(spark, a, b, offset=off)
+        ids.append(commit_txn(spark, root, [(a, sa), (b, sb)])["txn_id"])
+
+    dropped = expire_txns(root, older_than_sec=0.0)
+    assert dropped == [ids[0]], "only the older committed manifest is reaped"
+    assert [m["txn_id"] for m in list_txns(root)] == [ids[1]]
+    # opt out restores the old behavior
+    assert expire_txns(root, 0.0, keep_latest_committed=False) == [ids[1]]
+    assert list_txns(root) == []
+
+
+def test_marker_without_id_heals_not_crashes():
+    """r10 review finding: a marker lacking 'id' crashed the protection
+    strings with a KeyError outside the handler."""
+    import time as _time
+
+    from medallion_data_lake_spark.operators.wap import _txn_protection
+
+    fresh = {"txn": {"marked_at": _time.time()}}  # no id, no file, no root
+    assert "deciding" in _txn_protection(fresh)
