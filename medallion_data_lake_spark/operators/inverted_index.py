@@ -50,7 +50,6 @@ Scale shape at 100 TB:
 
 from __future__ import annotations
 
-import math
 import os
 from functools import reduce
 
@@ -133,24 +132,29 @@ def bm25_term_score(
     )
 
 
-def _batch_tables(docs: DataFrame, id_col: str, text_col: str) -> dict[str, DataFrame]:
-    """The four per-batch delta frames an append lands."""
-    postings = build_postings(docs, id_col, text_col)
-    doclens = build_doclens(docs, id_col, text_col)
-    termstats = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df_delta"),
-        F.sum("tf").cast("long").alias("cf_delta"),
-    )
-    corpus = doclens.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-    )
+def _delta_tables(postings: DataFrame, doclens: DataFrame) -> dict[str, DataFrame]:
+    """The four per-batch delta frames an append lands, derived from
+    one postings/doclens pair (shared by the batch path and the
+    streaming path, which persists the pair across legs)."""
     return {
         _POSTINGS: postings,
         _DOCLENS: doclens,
-        _TERMSTATS: termstats,
-        _CORPUS: corpus,
+        _TERMSTATS: postings.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df_delta"),
+            F.sum("tf").cast("long").alias("cf_delta"),
+        ),
+        _CORPUS: doclens.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        ),
     }
+
+
+def _batch_tables(docs: DataFrame, id_col: str, text_col: str) -> dict[str, DataFrame]:
+    return _delta_tables(
+        build_postings(docs, id_col, text_col),
+        build_doclens(docs, id_col, text_col),
+    )
 
 
 def _sorted_postings(postings: DataFrame, n_files: int | None) -> DataFrame:
@@ -161,6 +165,15 @@ def _sorted_postings(postings: DataFrame, n_files: int | None) -> DataFrame:
     return postings.repartitionByRange(n, "term").sortWithinPartitions(
         "term", "doc_id"
     )
+
+
+# per-table stage_commit kwargs: postings get the sorted-layout stats +
+# term blooms the pruned point-reads depend on (shared by the batch and
+# streaming append paths)
+_STAGE_OPTS = {
+    _POSTINGS: {"stats_cols": ("term",), "bloom_cols": ("term",)},
+    _DOCLENS: {"stats_cols": ("doc_id",)},
+}
 
 
 def append_bm25_index(
@@ -184,27 +197,21 @@ def append_bm25_index(
 
     batch = _batch_tables(docs, id_col, text_col)
     batch[_POSTINGS] = _sorted_postings(batch[_POSTINGS], n_files)
-    stage_opts = {
-        _POSTINGS: {"stats_cols": ("term",), "bloom_cols": ("term",)},
-        _DOCLENS: {"stats_cols": ("doc_id",)},
-        _TERMSTATS: {},
-        _CORPUS: {},
-    }
     legs = []
     for name, df in batch.items():
         sid = stage_commit(
             df, _t(index_root, name),
             txn_app_id=txn_app_id, txn_version=txn_version,
-            **stage_opts[name],
+            **_STAGE_OPTS.get(name, {}),
         )
         if sid is not None:  # None = replayed batch, already covered
             legs.append((_t(index_root, name), sid))
     if not legs:
         return {"status": "duplicate_skip", "legs": []}
-    return commit_txn(
-        spark, _t(index_root, "_txn"), legs,
-        note=f"bm25 append {txn_app_id or ''}:{txn_version if txn_version is not None else ''}",
-    )
+    note = "bm25 append"
+    if txn_app_id is not None:
+        note += f" {txn_app_id}:{txn_version}"
+    return commit_txn(spark, _t(index_root, "_txn"), legs, note=note)
 
 
 def create_bm25_index(
@@ -251,10 +258,8 @@ def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
     name order diverge from creation order, in which case the early
     exit may return an OLDER committed manifest — still a consistent
     cut (any committed 4-leg manifest is), just possibly staler."""
-    import json as _json
-
     from .logstore import get_log_store
-    from .txn import _txn_file
+    from .txn import read_txn
 
     names = (_POSTINGS, _DOCLENS, _TERMSTATS, _CORPUS)
     want = {os.path.abspath(_t(index_root, n)): n for n in names}
@@ -266,7 +271,7 @@ def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
         return None
     for f in sorted(files, reverse=True):  # newest first (time_ns ids)
         try:
-            m = _json.loads(store.read(_txn_file(txn_root, f[: -len(".json")])))
+            m = read_txn(txn_root, f[: -len(".json")])
         except (FileNotFoundError, ValueError):
             continue  # reaped or torn mid-replace: try the next
         if m.get("status") != "committed":
@@ -462,8 +467,6 @@ def run_postings_append_stream(
     visible as postings-without-stats. Rides ``run_txn_stream``'s
     contract (streaming/versioned_sink.py) with the per-table
     transforms supplied here."""
-    import os
-
     from ..streaming.versioned_sink import run_txn_stream
 
     txn_app = f"bm25::{os.path.abspath(checkpoint)}"
@@ -483,20 +486,10 @@ def run_postings_append_stream(
                 old.unpersist()
             postings = build_postings(batch, id_col, text_col).persist()
             doclens = build_doclens(batch, id_col, text_col).persist()
-            cache["batch"] = batch
-            cache["persisted"] = [postings, doclens]
-            cache["tables"] = {
-                _POSTINGS: _sorted_postings(postings, n_files),
-                _DOCLENS: doclens,
-                _TERMSTATS: postings.groupBy("term").agg(
-                    F.count(F.lit(1)).cast("long").alias("df_delta"),
-                    F.sum("tf").cast("long").alias("cf_delta"),
-                ),
-                _CORPUS: doclens.agg(
-                    F.count(F.lit(1)).cast("long").alias("n_docs"),
-                    F.sum("dl").cast("long").alias("sum_dl"),
-                ),
-            }
+            tables = _delta_tables(postings, doclens)
+            tables[_POSTINGS] = _sorted_postings(postings, n_files)
+            cache.update(batch=batch, persisted=[postings, doclens],
+                         tables=tables)
         return cache["tables"]
 
     def _leg(name: str):
@@ -510,10 +503,7 @@ def run_postings_append_stream(
         for name in (_POSTINGS, _DOCLENS, _TERMSTATS, _CORPUS)
     }
     stage_opts = {
-        _t(index_root, _POSTINGS): {
-            "stats_cols": ("term",), "bloom_cols": ("term",),
-        },
-        _t(index_root, _DOCLENS): {"stats_cols": ("doc_id",)},
+        _t(index_root, name): opts for name, opts in _STAGE_OPTS.items()
     }
     return run_txn_stream(
         spark, stream, outputs, _t(index_root, "_txn"), checkpoint,

@@ -40,6 +40,7 @@ from ..operators.inverted_index import (
 )
 from . import query
 from ._parity import sql_stable_round, stable_round
+from .text import _SQL_TOKS as _SQL_RAW_TOKS
 
 # Query terms spanning the fixture's idf range: 'dup' is rare (df~25 of
 # 500 at sf0.01 — the near-duplicate marker), 'vector' and 'scan' are
@@ -48,7 +49,9 @@ from ._parity import sql_stable_round, stable_round
 _Q_TERMS = ("dup", "vector", "scan")
 _TOP_K = 15
 
-_SQL_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+# the shared raw tokenizer (queries/text._SQL_TOKS) with empties dropped
+# — mirrors operators/inverted_index.clean_tokens
+_SQL_TOKS = rf"list_filter({_SQL_RAW_TOKS}, t -> t <> '')"
 _SQL_TERMS = "('dup', 'vector', 'scan')"
 
 # BM25 constants as LITERAL ARITHMETIC mirrored in both engines; the
