@@ -103,14 +103,17 @@ _SQL_BM25_SCORE = """
     LIMIT {_TOP_K}
     """,
     doc="North-star keyword retrieval: Okapi BM25 top-k over the corpus "
-        "for a fixed term set. Plan: ONE two-stage (doc, term) count "
-        "aggregation with the IN filter pushed below the explode "
-        "(postings for 3 terms, not the vocabulary), df as a broadcast "
-        "side-rollup, doclens joined once, per-term scores decimal-cast "
-        "before the per-doc sum (exact, order-independent ranking), "
-        "top-k via TakeOrderedAndProject. The persisted-index variant "
-        "(operators/inverted_index.py) serves the same arithmetic from "
-        "bloom-pruned posting point-reads without scanning the corpus.",
+        "for a fixed term set. Plan (audited via explain-formatted): the "
+        "IN filter lands directly on the exploded terms, so every "
+        "aggregation sees postings for 3 terms, not the vocabulary; df "
+        "is a broadcast side-rollup; per-term scores are decimal-cast "
+        "before the per-doc sum (exact, order-independent ranking); "
+        "top-k is TakeOrderedAndProject, never a global sort. Both "
+        "joins broadcast at this scale; at cluster scale AQE flips the "
+        "doclens join to build the (bounded) filtered-postings side. "
+        "The persisted-index variant (operators/inverted_index.py) "
+        "serves the same arithmetic from bloom-pruned posting "
+        "point-reads without scanning the corpus at all.",
     tags=("text", "retrieval"),
 )  # first gated r10 (new operator this round)
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
