@@ -361,7 +361,12 @@ def fake_thumbnail_expr(text_col) -> "F.Column":
     CONTENT-CORRELATED: near-duplicate payloads produce mostly-equal
     grids, so dHash distances are small exactly when the payloads are
     near-identical — which is what makes the fake honest for exercising
-    the banding/pair plan. Pure codegen expressions, no Python."""
+    the banding/pair plan. Pure codegen expressions, no Python.
+
+    PRECONDITION: the text must have >= 1 token (filter rows on token
+    count first — ``i % size(tokens)`` divides by zero on a
+    whitespace-only payload; ANSI mode aborts the query on it). The
+    kernel path (:func:`thumbnail_pixels_batch`) drops such rows."""
     toks = F.filter(
         F.split(F.trim(text_col), r"\s+"), lambda t: t != F.lit("")
     )

@@ -69,7 +69,7 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """,
     doc="A1 multi-metric hash agg + P8 range predicate (pushed to parquet). "
         "Reference shape: silver_to_gold.py:56-68 group-agg.",
-extra=True, # r10 rotation (gated r1-r9, green): A1 multi-metric agg stays
+    extra=True,  # r10 rotation (gated r1-r9, green): A1 multi-metric agg stays
     # gated via product_profit_by_nation_year; P8 range pushdown via
     # brand_small_qty_revenue + discount_revenue_delta (first gated r10)
 )
@@ -209,7 +209,7 @@ def top_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "broadcast; the orders filter prunes before the big join (Catalyst "
         "pushdown). At 100 TB the only shuffle is lineitem⨝orders on "
         "orderkey; AQE handles skew.",
-extra=True, # r10 rotation (gated r1-r9, green): inner join chains stay gated
+    extra=True,  # r10 rotation (gated r1-r9, green): inner join chains stay gated
     # via two_nation_trade_volume; count-distinct via weekly_retention_cohorts
     # + part_supplier_counts (first gated r10)
 )
@@ -678,7 +678,7 @@ def above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "upper/trim bronze_to_silver.py:76, negative clamp :103, casts "
         ":89-93). FLOOR before the int cast because Spark truncates "
         "double→int while DuckDB rounds — floor is identical in both.",
-extra=True, # r10 rotation (gated r1-r9, green): envelope flatten/derive/cast
+    extra=True,  # r10 rotation (gated r1-r9, green): envelope flatten/derive/cast
     # stays gated via events_json_props (same parse path) +
     # layer_reconciliation
 )

@@ -120,7 +120,7 @@ def priority_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bench tail). At 100 TB swap for the approx variant below "
         "(price_distribution_approx): exact percentiles buffer each "
         "group; t-digest sketches are single-pass mergeable state.",
-extra=True, # r10 rotation (gated r1-r9, green): percentile family stays gated
+    extra=True,  # r10 rotation (gated r1-r9, green): percentile family stays gated
     # via segment_spend_quartiles + price_distribution_approx (first gated
     # r10)
 )

@@ -94,7 +94,7 @@ CHUNK_STRIDE = 48
         "+ broadcast; corpus side explode + hash-join + per-doc count — "
         "no all-pairs stage anywhere, so cost is O(corpus n-grams).",
     tags=("text", "curation"),
-extra=True, # r10 rotation (gated r2-r9, green): decontamination stays gated
+    extra=True,  # r10 rotation (gated r2-r9, green): decontamination stays gated
     # via decontaminate_fuzzy_lsh + doc_ngram_novelty
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,7 +422,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation",),
     # driver-gated since r4: carries the running-sum frame window's driver
     # row (user_running_totals rotated to extra) plus packing semantics
-extra=True, # r10 rotation (gated r4-r9, green): chunk/pack family stays gated
+    extra=True,  # r10 rotation (gated r4-r9, green): chunk/pack family stays gated
     # via doc_chunking_windows
 )
 def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -284,7 +284,7 @@ _LSH_ORACLE = (
         "one pass, materialize signature_df as a table first — the "
         "standard production layout (SCALE.md).",
     tags=("dedup",),
-extra=True, # r10 rotation (gated r1-r9, green): banded-LSH candidate join
+    extra=True,  # r10 rotation (gated r1-r9, green): banded-LSH candidate join
     # stays gated via decontaminate_fuzzy_lsh + dedup_groups_connected (which
     # consumes these candidates)
 )
@@ -666,7 +666,7 @@ def ordered_shingle_hashes(col: Column) -> Column:
     # driver-gated since r4: winnowing is its own fingerprinting op
     # (dedup_events_exact rotated to extra; P7 stays gated via
     # doc_fingerprint_groups)
-extra=True, # r10 rotation (gated r4-r9, green): rolling-shingle fingerprints
+    extra=True,  # r10 rotation (gated r4-r9, green): rolling-shingle fingerprints
     # stay gated via doc_ngram_novelty + dedup_groups_connected
 )
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,7 +34,7 @@ from . import query
         "Column pruning keeps metadata queries off the payload "
         "(test_multimodal::test_metadata_query_prunes_blob_column).",
     tags=("multimodal",),
-extra=True, # r10 rotation (gated r1-r9, green): multimodal metadata/hash
+    extra=True,  # r10 rotation (gated r1-r9, green): multimodal metadata/hash
     # family stays gated via media_near_dup_bucketed (first gated r10)
 )
 def doc_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,8 +131,16 @@ def media_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 2.0s -> 1.0s at sf0.1). CollapseProject keeps the
     # boundary because the aliased transform is non-cheap and
     # multiply-referenced.
+    # the guard must be TOKEN-count-based like the oracle's len(t) > 0:
+    # trim() strips only 0x20, so a tab/newline-only text would pass a
+    # trim()-based filter with ZERO tokens and hit i % 0 inside the
+    # thumbnail grid (DIVIDE_BY_ZERO under Spark 4's default ANSI mode;
+    # spurious phash-0 pairs without it) — r10 review finding
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+    )
     px = (
-        d.filter(F.trim(F.col("text")) != "")  # len(tokens) > 0
+        d.filter(n_tokens > 0)
         .select(
             F.col("doc_id"),
             multimodal.fake_thumbnail_expr(text).alias("px"),

@@ -52,7 +52,8 @@ _TOP_K = 15
 # the shared raw tokenizer (queries/text._SQL_TOKS) with empties dropped
 # — mirrors operators/inverted_index.clean_tokens
 _SQL_TOKS = rf"list_filter({_SQL_RAW_TOKS}, t -> t <> '')"
-_SQL_TERMS = "('dup', 'vector', 'scan')"
+# derived from _Q_TERMS so the two engines can never score different sets
+_SQL_TERMS = "(" + ", ".join(f"'{t}'" for t in _Q_TERMS) + ")"
 
 # BM25 constants as LITERAL ARITHMETIC mirrored in both engines; the
 # Spark side passes the same Python floats into the shared expressions.
@@ -119,12 +120,15 @@ _SQL_BM25_SCORE = """
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     dl = build_doclens(d)
-    row = dl.agg(
+    # corpus totals as a broadcast 1-row aggregate (the oracle's CROSS
+    # JOIN c shape), NOT a driver-side .first(): build stays lazy (no
+    # scan just to construct the plan), an empty corpus yields an empty
+    # result instead of a TypeError, and sum_dl/n is the same exact-int
+    # IEEE division either way — r10 review finding
+    corpus = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("s"),
-    ).first()
-    n = int(row["n"])
-    avgdl = float(row["s"]) / n  # exact ints < 2^53 -> same IEEE division
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
     postings = build_postings(d).filter(F.col("term").isin(*_Q_TERMS))
     df_tbl = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
@@ -132,11 +136,13 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         postings.join(F.broadcast(df_tbl), "term")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))  # 1-row scalar combine
         .withColumn(
             "_s",
             bm25_term_score(
-                F.col("tf"), F.col("dl"), F.lit(avgdl),
-                bm25_idf(F.lit(n), F.col("df")), BM25_K1, BM25_B,
+                F.col("tf"), F.col("dl"),
+                F.col("sum_dl") / F.col("n"),
+                bm25_idf(F.col("n"), F.col("df")), BM25_K1, BM25_B,
             ).cast("decimal(28,12)"),
         )
     )
@@ -185,7 +191,8 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )  # first gated r10 (new operator this round)
 def bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
-    n = d.count()
+    # lazy 1-row corpus count (the oracle's CROSS JOIN c), not d.count()
+    corpus = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
     per_doc = build_postings(d)
     return (
         per_doc.groupBy("term")
@@ -193,9 +200,10 @@ def bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("df"),
             F.sum("tf").cast("long").alias("cf"),
         )
+        .crossJoin(F.broadcast(corpus))
         .select(
             "term", "df", "cf",
-            stable_round(bm25_idf(F.lit(n), F.col("df")), 6).alias("idf"),
+            stable_round(bm25_idf(F.col("n"), F.col("df")), 6).alias("idf"),
         )
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(25)

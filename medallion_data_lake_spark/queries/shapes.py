@@ -118,7 +118,7 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(part, supplier) broadcast.",
     tags=("argmin",),
     # driver-gated since r5 (rotated in from extras)
-extra=True, # r10 rotation (gated r5-r9, green): per-group ranking windows
+    extra=True,  # r10 rotation (gated r5-r9, green): per-group ranking windows
     # stay gated via quarter_top_revenue_supplier + segment_order_window_stats
 )
 def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,7 +47,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streaming/events.py::hourly_rollup — epoch-aligned 1h buckets, "
         "identical to F.window(ts, '1 hour').",
     tags=("streaming",),
-extra=True, # r10 rotation (gated r1-r9, green): calendar buckets stay gated
+    extra=True,  # r10 rotation (gated r1-r9, green): calendar buckets stay gated
     # via customer_order_histogram; streaming batch-twin evidence via
     # purchases_within_hour_of_signup + signup_view_purchase_funnel
 )

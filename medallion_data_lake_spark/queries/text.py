@@ -188,7 +188,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metrics (what a training-data pipeline monitors per shard). "
         "Integer token counts sum exactly; ratios derived post-aggregation.",
     tags=("text",),
-extra=True, # r10 rotation (gated r2-r9, green): quality-rule rollups stay
+    extra=True,  # r10 rotation (gated r2-r9, green): quality-rule rollups stay
     # gated via doc_gopher_quality_flags + doc_token_stats
 )
 def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +306,7 @@ _LM_ADD_K = 0.5
     # driver-gated since r4: the LM scoring tier gets its own driver row
     # (doc_quality_score rotated to extra; its expression stays gated via
     # corpus_quality_by_lang)
-extra=True, # r10 rotation (gated r4-r9, green): vocab/count plumbing stays
+    extra=True,  # r10 rotation (gated r4-r9, green): vocab/count plumbing stays
     # gated via corpus_vocab_topk + bm25_term_stats (first gated r10); LM
     # scoring oracled locally
 )

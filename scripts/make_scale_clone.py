@@ -54,9 +54,9 @@ def main(out: str) -> None:
     }
     for t, keys in plain.items():
         selects = []
+        desc = con.sql(f"describe select * from '{SRC}/{t}.parquet'").fetchall()
         for i in range(COPIES):
             cols = []
-            desc = con.sql(f"describe select * from '{SRC}/{t}.parquet'").fetchall()
             for name, typ, *_ in desc:
                 if name in keys:
                     cols.append(f"({name} + {i * OFF})::BIGINT AS {name}")
@@ -91,14 +91,21 @@ def main(out: str) -> None:
         pairs = ", ".join(
             f"'{t}': '{vocab[(j + 7 * i) % v]}'" for j, t in enumerate(vocab)
         )
+        # n_chars is recomputed from the REWRITTEN text (rotated tokens
+        # change lengths; string_agg single-spaces runs) so the fixture
+        # invariant n_chars == length(text) holds in every copy
         selects.append(f"""
-            SELECT (doc_id + {i * OFF})::BIGINT AS doc_id,
-                   list_aggregate(list_transform(
-                       string_split_regex(trim(text), '\\s+'),
-                       t -> coalesce(map_extract(MAP {{{pairs}}}, t)[1], t)
-                   ), 'string_agg', ' ') AS text,
-                   lang, source, n_chars
-            FROM '{SRC}/documents.parquet'
+            SELECT doc_id, text, lang, source,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM (
+              SELECT (doc_id + {i * OFF})::BIGINT AS doc_id,
+                     list_aggregate(list_transform(
+                         string_split_regex(trim(text), '\\s+'),
+                         t -> coalesce(map_extract(MAP {{{pairs}}}, t)[1], t)
+                     ), 'string_agg', ' ') AS text,
+                     lang, source
+              FROM '{SRC}/documents.parquet'
+            )
         """)
     con.sql(
         f"COPY ({' UNION ALL '.join(selects)}) TO '{out}/documents.parquet' (FORMAT PARQUET)"

@@ -220,3 +220,36 @@ def test_thumbnail_kernel_real_decoder_parity(spark):
     )
     rows = {r["media_id"]: r["phash"] for r in hashed.collect()}
     assert rows[1] == rows[2]
+
+
+def test_whitespace_only_payload_is_guarded(spark):
+    """r10 review finding: a tab/newline-only text has ZERO tokens —
+    trim() strips only spaces, so a trim-based guard passed it into the
+    thumbnail grid's i % n_tokens (DIVIDE_BY_ZERO under Spark 4's
+    default ANSI mode; spurious phash-0 pairs without it). The gated
+    query's guard is token-count-based, matching the oracle and the
+    kernel (which drops such rows)."""
+    from medallion_data_lake_spark.queries import load_all_extra
+
+    spec = load_all_extra()["media_near_dup_bucketed"]
+    # the query builder only takes sf_dir; drive the same expressions
+    # directly over a frame containing the hostile rows
+    text = F.col("text")
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+    )
+    d = spark.createDataFrame(
+        [(1, "\t"), (2, "\n \n"), (3, "a bb ccc " * 20), (4, "a bb ccc " * 20)],
+        "doc_id long, text string",
+    )
+    hashed = d.filter(n_tokens > 0).select(
+        "doc_id",
+        multimodal.dhash_expr(
+            multimodal.fake_thumbnail_expr(text)
+        ).alias("phash"),
+    )
+    pairs = multimodal.phash_band_pairs(hashed, id_col="doc_id").collect()
+    # no crash, the whitespace-only docs never hash, the real dup pairs
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(3, 4, 0)]
+    # and the registry query itself still builds + runs on the fixtures
+    assert spec.build(spark, "/root/testdata/sf0.001").count() >= 0
