@@ -650,9 +650,14 @@ def main(argv: list[str] | None = None) -> int:
         if not args.arg:
             print("bm25-compact requires an index root path", file=sys.stderr)
             return 2
-        from .operators.inverted_index import compact_bm25_stats
+        from .operators.inverted_index import (
+            bm25_index_stats,
+            compact_bm25_stats,
+        )
 
-        print(json.dumps(compact_bm25_stats(spark, args.arg)))
+        out = compact_bm25_stats(spark, args.arg)
+        out["stats"] = bm25_index_stats(spark, args.arg)
+        print(json.dumps(out))
     elif args.verb == "txn-commit":
         # multi-table atomic commit of staged legs (operators/txn.py):
         # arg is the coordinator dir, each --leg a stage_commit result

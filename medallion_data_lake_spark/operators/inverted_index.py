@@ -510,3 +510,33 @@ def run_postings_append_stream(
         app_id=txn_app, available_now=available_now,
         stage_opts=stage_opts,
     )
+
+
+def bm25_index_stats(spark: SparkSession, index_root: str) -> dict:
+    """Index observability (the ann.check_index_health analog): sizes,
+    vocabulary, delta-tail lengths, and whether a stats fold is worth
+    running. All metadata-scale reads (termstats is vocabulary-bounded,
+    corpus_stats is one row per batch since the last fold)."""
+    pins = committed_index_snapshot(index_root)
+    n_docs, avgdl = corpus_stats(spark, index_root)
+    postings_rows = read_table(spark, _t(index_root, _POSTINGS)).count()
+    ts = read_table(spark, _t(index_root, _TERMSTATS))
+    delta_rows = ts.count()
+    vocab = ts.select("term").distinct().count()
+    batch_rows = read_table(spark, _t(index_root, _CORPUS)).count()
+    return {
+        "n_docs": n_docs,
+        "avgdl": round(avgdl, 3),
+        "postings_rows": int(postings_rows),
+        "vocabulary": int(vocab),
+        "termstats_delta_rows": int(delta_rows),
+        "delta_batches": int(batch_rows),
+        "pinned_snapshot": pins,
+        # fold when the delta tail has accumulated enough batches (each
+        # batch = one more file per stats table) or enough rows per
+        # term — the autoCompact shape: enough fragments to be worth
+        # one rewrite
+        "fold_recommended": bool(
+            batch_rows >= 4 or delta_rows >= 4 * max(vocab, 1)
+        ),
+    }

@@ -366,3 +366,27 @@ def test_cli_search_strips_term_whitespace(spark, tmp_path, capsys):
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
             if l.startswith("{")]
     assert any(r["doc_id"] == 5 and r["n_terms_matched"] == 2 for r in rows), rows
+
+
+def test_index_stats_reports_fold_pressure(spark, tmp_path):
+    from medallion_data_lake_spark.operators.inverted_index import (
+        bm25_index_stats,
+    )
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark, DOCS[:2]), root, n_files=2)
+    for lo in range(2, 8):  # six more single-doc batches -> delta tail
+        append_bm25_index(spark, _docs(spark, DOCS[lo:lo + 1]), root, n_files=1)
+    st = bm25_index_stats(spark, root)
+    assert st["n_docs"] == 8 and st["delta_batches"] == 7
+    assert st["termstats_delta_rows"] > st["vocabulary"]
+    assert set(st["pinned_snapshot"]) == {
+        "postings", "doclens", "termstats", "corpus_stats"}
+    assert st["fold_recommended"] is True
+
+    compact_bm25_stats(spark, root)
+    st2 = bm25_index_stats(spark, root)
+    assert st2["termstats_delta_rows"] == st2["vocabulary"]
+    assert st2["delta_batches"] == 1
+    assert st2["fold_recommended"] is False
+    assert st2["n_docs"] == 8
