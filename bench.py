@@ -91,6 +91,15 @@ def main() -> None:
     only = os.environ.get("BENCH_QUERIES")
     names = [n.strip() for n in only.split(",")] if only else sorted(load_all())
 
+    # resolve + validate the artifact path BEFORE the (expensive) query
+    # loop: a typo'd BENCH_DETAIL_PATH must fail in seconds, not after
+    # the whole run
+    detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    parent = os.path.dirname(os.path.abspath(detail_path))
+    os.makedirs(parent, exist_ok=True)
+
     spark = get_spark(
         app_name="mdls-bench",
         master=f"local[{cpus}]",
@@ -137,10 +146,8 @@ def main() -> None:
     ).hexdigest()[:12]
     # BENCH_DETAIL_PATH redirects the detail artifact (scale-curve runs
     # must not clobber the committed per-round BENCH_DETAIL.json — the
-    # r9 judge spot-check lost the driver's detail exactly that way)
-    detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # r9 judge spot-check lost the driver's detail exactly that way);
+    # resolved + validated before the query loop above
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")

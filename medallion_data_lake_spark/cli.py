@@ -622,6 +622,13 @@ def main(argv: list[str] | None = None) -> int:
         if not args.arg:
             print("bm25-build requires an index root path", file=sys.stderr)
             return 2
+        if (args.txn_app is None) != (args.txn_version is None):
+            # one flag without the other silently disarms the watermark
+            # (stage_commit arms it only when BOTH are set) — refuse
+            # instead of letting a crashed re-run double-count
+            print("bm25-build needs BOTH --txn-app and --txn-version "
+                  "(or neither)", file=sys.stderr)
+            return 2
         from .operators.inverted_index import append_bm25_index
         from .operators.versioned import read_table as _rt
 
@@ -642,6 +649,10 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.inverted_index import bm25_search
 
         terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+        if not terms:
+            print("bm25-search: --terms parsed to an empty list",
+                  file=sys.stderr)
+            return 2
         for r in bm25_search(spark, args.arg, terms, k=args.limit).collect():
             print(json.dumps({"doc_id": r["doc_id"],
                               "n_terms_matched": r["n_terms_matched"],

@@ -269,6 +269,17 @@ def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
         files = [f for f in store.list(txn_root) if f.endswith(".json")]
     except FileNotFoundError:
         return None
+    # Pins MERGE across committed manifests, newest-first per table: a
+    # crashed append whose re-run covered a subset of tables leaves the
+    # four legs split over TWO committed manifests (the duplicate-skip
+    # path), and no single manifest covers all four. The merged cut is
+    # still consistent: append txns apply whole batches per table in
+    # order, so for any pair of committed manifests the newer one's leg
+    # versions reflect a superset of applied batches — taking each
+    # table's version from the newest committed manifest that includes
+    # it yields the per-table state after the same (latest fully
+    # committed) batch set.
+    pins: dict[str, int] = {}
     for f in sorted(files, reverse=True):  # newest first (time_ns ids)
         try:
             m = read_txn(txn_root, f[: -len(".json")])
@@ -276,14 +287,13 @@ def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
             continue  # reaped or torn mid-replace: try the next
         if m.get("status") != "committed":
             continue
-        legs = {
-            leg["table"]: leg.get("version")
-            for leg in m.get("legs", [])
-            if leg["table"] in want and leg.get("version") is not None
-        }
-        if len(legs) == len(want):
-            return {want[t]: v for t, v in legs.items()}
-    return None
+        for leg in m.get("legs", []):
+            t = leg["table"]
+            if t in want and want[t] not in pins and leg.get("version") is not None:
+                pins[want[t]] = leg["version"]
+        if len(pins) == len(want):
+            return pins
+    return pins if len(pins) == len(want) else None
 
 
 def corpus_stats(

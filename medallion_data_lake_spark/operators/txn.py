@@ -155,15 +155,22 @@ def _write_manifest_unless_terminal(txn_root: str, manifest: dict) -> dict | Non
         on_disk = read_txn(txn_root, manifest["txn_id"])
     except (FileNotFoundError, ValueError):
         on_disk = None  # not written yet, or torn mid-replace: proceed
-    if on_disk is not None and on_disk.get("status") in _TERMINAL_STATUSES:
-        if on_disk["status"] == "committed":
-            return on_disk
+    status = (on_disk or {}).get("status")
+    if status == "committed":
+        return on_disk
+    if status in _TERMINAL_STATUSES or status == "aborting":
+        # 'aborting' is live compensation state, not terminal, but it
+        # must be refused for the same reason: writing through would
+        # erase the compensation's persisted intent and per-leg
+        # compensated_by progress (its restore jobs run for minutes
+        # while the manifest sits here) — wap._txn_protection already
+        # treats it as a protected live state
         raise RuntimeError(
             f"txn {manifest['txn_id']} was resolved to "
-            f"{on_disk['status']!r} CONCURRENTLY with a roll-forward — "
+            f"{status!r} CONCURRENTLY with a roll-forward — "
             "recover_txns/commit_txn must not race compensate_stuck_txn/"
             "resolve_broken_txn (see recover_txns docstring); inspect the "
-            "terminal manifest for legs this runner may have published "
+            "on-disk manifest for legs this runner may have published "
             "after the resolution pass"
         )
     _write_manifest(txn_root, manifest)
@@ -792,24 +799,33 @@ def expire_txns(
     is the record of a torn batch — size the horizon so it is read
     before it is reaped, like any incident log.)
 
-    ``keep_latest_committed`` (default) always retains the NEWEST
-    committed manifest even past the horizon: a committed manifest is
-    the coordinator's freshest cross-table savepoint, and consumers
-    that pin reads to it (``inverted_index.committed_index_snapshot``)
-    would silently fall back to unpinned tip reads if a quiet period
-    let the sweep reap every manifest. One KB-sized file buys a durable
-    consistent cut."""
+    ``keep_latest_committed`` (default) retains, for EVERY table that
+    appears in any committed manifest, the newest committed manifest
+    covering it (the minimal covering set — bounded by the number of
+    distinct tables, not by history): committed manifests are the
+    coordinator's cross-table savepoints, and consumers that pin reads
+    to them (``inverted_index.committed_index_snapshot``) would
+    silently fall back to unpinned tip reads if a quiet period let the
+    sweep reap them. Keeping only the single newest manifest is not
+    enough — a duplicate-skip re-run can commit a manifest covering a
+    SUBSET of the tables, newer than the full-coverage one (the r10
+    review's found failure mode)."""
     store = get_log_store()
     now = time.time()
     dropped = []
     manifests = list_txns(txn_root)
-    keep_id = None
+    keep_ids: set[str] = set()
     if keep_latest_committed:
-        committed = [m for m in manifests if m["status"] == "committed"]
-        if committed:
-            keep_id = committed[-1]["txn_id"]  # list_txns is oldest-first
+        covered: set[str] = set()
+        for m in reversed(manifests):  # newest committed first
+            if m["status"] != "committed":
+                continue
+            tables = {leg["table"] for leg in m.get("legs", [])}
+            if tables - covered:
+                keep_ids.add(m["txn_id"])
+                covered |= tables
     for m in manifests:
-        if m["txn_id"] == keep_id:
+        if m["txn_id"] in keep_ids:
             continue
         if m["status"] in ("committed", "aborted", "broken") and (
             now - m.get("completed", m.get("created", now))

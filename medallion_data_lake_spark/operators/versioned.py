@@ -1968,8 +1968,30 @@ def optimize_table(
         # files (delete_rows_dv's documented materialization step)
         df = _apply_dvs(spark, df, path, live, dvs)
     if transform is not None:
+        in_rows = df.count()
+        in_schema = [(f.name, f.dataType) for f in df.schema.fields]
         df = transform(df)
+        # the transform may only FOLD ROWS — the files it emits replace
+        # files of this table's current (possibly physical-named)
+        # schema, and a column change would publish a snapshot whose
+        # files diverge from the recorded table schema while build()
+        # stamps it single-schema. Compare against the INPUT frame
+        # (already in physical names under column mapping).
+        if [(f.name, f.dataType) for f in df.schema.fields] != in_schema:
+            raise ValueError(
+                "optimize_table transform must preserve the rewritten "
+                f"files' schema (rows may fold, columns may not): input "
+                f"was {in_schema}, transform returned "
+                f"{[(f.name, f.dataType) for f in df.schema.fields]}"
+            )
     rows = df.count()
+    if transform is not None:
+        # sizing must reflect the TRANSFORMED output: a row-folding
+        # transform shrinks cardinality, and input-bytes sizing would
+        # fragment the (small) folded result into n_out near-empty
+        # files — the opposite of OPTIMIZE's purpose
+        bytes_per_row = max(total_bytes / max(in_rows, 1), 1e-6)
+        total_bytes = rows * bytes_per_row
     bytes_per_row = max(total_bytes / max(rows, 1), 1e-6)
     records_per_file = max(int(target_file_bytes / bytes_per_row), 1)
     n_out = max(math.ceil(total_bytes / target_file_bytes), 1)

@@ -152,6 +152,15 @@ def run_txn_stream(
     from ..operators.txn import commit_txn
     from ..operators.wap import stage_commit
 
+    unknown = set(stage_opts or {}) - set(outputs)
+    if unknown:
+        raise ValueError(
+            "run_txn_stream stage_opts keys must match outputs keys "
+            f"exactly (same path string): no output for {sorted(unknown)} "
+            "— a normalization mismatch here would SILENTLY drop the "
+            "stats/bloom options the table's pruned reads depend on"
+        )
+
     txn_app = app_id or f"txn-stream::{os.path.abspath(checkpoint)}"
 
     def process(batch: DataFrame, batch_id: int) -> None:

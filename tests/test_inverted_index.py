@@ -390,3 +390,76 @@ def test_index_stats_reports_fold_pressure(spark, tmp_path):
     assert st2["delta_batches"] == 1
     assert st2["fold_recommended"] is False
     assert st2["n_docs"] == 8
+
+
+def test_snapshot_merges_pins_across_split_manifests(spark, tmp_path, monkeypatch):
+    """r10 review pass 4: a crashed append whose re-run covered a
+    subset of tables splits the four legs over TWO committed manifests;
+    the pins must merge newest-first per table instead of requiring a
+    single 4-leg manifest (which retention may not even keep)."""
+    from medallion_data_lake_spark.operators import txn as T
+    from medallion_data_lake_spark.operators.inverted_index import (
+        committed_index_snapshot,
+    )
+    from medallion_data_lake_spark.operators.txn import recover_txns
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2)
+
+    # append batch 1: crash after two legs publish
+    real = T.publish_staged
+    calls = {"n": 0}
+
+    def crash_after_two(spark_, table, sid):
+        if calls["n"] >= 2:
+            raise RuntimeError("crash")
+        calls["n"] += 1
+        return real(spark_, table, sid)
+
+    monkeypatch.setattr(T, "publish_staged", crash_after_two)
+    with pytest.raises(RuntimeError, match="crash"):
+        append_bm25_index(spark, _docs(spark, DOCS[4:]), root, n_files=2,
+                          txn_app_id="app", txn_version=1)
+    monkeypatch.undo()
+
+    # the re-run stages only the uncovered tables -> a PARTIAL manifest
+    m2 = append_bm25_index(spark, _docs(spark, DOCS[4:]), root, n_files=2,
+                           txn_app_id="app", txn_version=1)
+    assert m2["status"] == "committed" and 0 < len(m2["legs"]) < 4
+    # recovery completes the original manifest (duplicate-skips)
+    acted = recover_txns(spark, os.path.join(root, "_txn"))
+    assert [x["status"] for x in acted] == ["committed"]
+
+    pins = committed_index_snapshot(root)
+    assert pins is not None and set(pins) == {
+        "postings", "doclens", "termstats", "corpus_stats"}
+    # and the pinned search answers exactly like the from-scratch form
+    got = [tuple(r) for r in bm25_search(spark, root, ["quantum"], k=8).collect()]
+    want = [tuple(r)
+            for r in _bm25_scratch(spark, _docs(spark), ["quantum"], 8).collect()]
+    assert [(d, s) for d, _, s in got] == want
+
+
+def test_stats_fold_writes_one_file_not_fragments(spark, tmp_path):
+    """r10 review pass 4: sizing from INPUT bytes would fragment a
+    row-folding rewrite into near-empty files; the fold of many delta
+    files must come out as one."""
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark, DOCS[:2]), root, n_files=2)
+    for lo in range(2, 8):
+        append_bm25_index(spark, _docs(spark, DOCS[lo:lo + 1]), root, n_files=1)
+    out = compact_bm25_stats(spark, root)
+    assert out["termstats_files"] == 1
+    assert out["corpus_files"] == 1
+
+
+def test_fold_transform_must_preserve_schema(spark, tmp_path):
+    from medallion_data_lake_spark.operators.versioned import (
+        commit,
+        optimize_table,
+    )
+
+    t = str(tmp_path / "t")
+    commit(spark.createDataFrame([(1, 2)], "a long, b long"), t)
+    with pytest.raises(ValueError, match="preserve the rewritten"):
+        optimize_table(spark, t, transform=lambda df: df.select("a"))

@@ -1284,3 +1284,43 @@ def test_marker_without_id_heals_not_crashes():
 
     fresh = {"txn": {"marked_at": _time.time()}}  # no id, no file, no root
     assert "deciding" in _txn_protection(fresh)
+
+
+def test_roll_forward_refuses_concurrent_aborting_manifest(spark, tmp_path):
+    """r10 review pass 4: 'aborting' is live compensation state — a
+    roll-forward writing through it would erase the compensation's
+    persisted intent and per-leg progress. Refuse like aborted/broken."""
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b)
+    committed = commit_txn(spark, root, [(a, sa), (b, sb)])
+    on_disk = read_txn(root, committed["txn_id"])
+    on_disk["status"] = "aborting"
+    T._write_manifest(root, on_disk)
+
+    stale = json.loads(json.dumps(committed))
+    stale["status"] = "prepared"
+    stale.pop("savepoint", None)
+    for leg in stale["legs"]:
+        leg.pop("version", None)
+    with pytest.raises(RuntimeError, match="resolved to 'aborting'"):
+        T._roll_forward(spark, root, stale)
+    assert read_txn(root, committed["txn_id"])["status"] == "aborting"
+
+
+def test_expire_keeps_the_covering_set_of_committed_manifests(spark, tmp_path):
+    """r10 review pass 4: the newest committed manifest can cover a
+    SUBSET of tables (a duplicate-skip re-run); retention must keep the
+    minimal covering set so per-table savepoint pins survive."""
+    a, b, root = _mk(spark, tmp_path)
+    sa, sb = _stage_pair(spark, a, b, offset=100)
+    full = commit_txn(spark, root, [(a, sa), (b, sb)])  # covers a+b
+    sa2 = stage_commit(
+        spark.createDataFrame([(300, "z")], "id long, tag string"), a)
+    partial = commit_txn(spark, root, [(a, sa2)])       # covers a only
+
+    dropped = expire_txns(root, older_than_sec=0.0)
+    # the a-only manifest is newest, but the a+b one is the only cover
+    # for b — BOTH must survive; nothing else existed
+    assert dropped == []
+    kept = {m["txn_id"] for m in list_txns(root)}
+    assert kept == {full["txn_id"], partial["txn_id"]}
