@@ -99,6 +99,11 @@ def main() -> None:
     )
     parent = os.path.dirname(os.path.abspath(detail_path))
     os.makedirs(parent, exist_ok=True)
+    # probe writability explicitly (r10 ADVICE): makedirs alone lets a
+    # mistyped path be silently created — or point at a directory and
+    # only fail after the whole run
+    with open(detail_path, "a"):
+        pass
 
     spark = get_spark(
         app_name="mdls-bench",

@@ -273,27 +273,49 @@ def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
     # crashed append whose re-run covered a subset of tables leaves the
     # four legs split over TWO committed manifests (the duplicate-skip
     # path), and no single manifest covers all four. The merged cut is
-    # still consistent: append txns apply whole batches per table in
-    # order, so for any pair of committed manifests the newer one's leg
-    # versions reflect a superset of applied batches — taking each
-    # table's version from the newest committed manifest that includes
-    # it yields the per-table state after the same (latest fully
-    # committed) batch set.
+    # consistent ONLY while no LIVE (prepared/stuck/aborting) txn sits
+    # between the merged manifests: a torn append that published
+    # postings/doclens but crashed before its stats legs leaves its
+    # manifest 'prepared', and the re-run's subset manifest (stats
+    # only) is NEWER — merging the two committed sides of that torn txn
+    # pins new stats against stale postings (the r10 ADVICE finding).
+    # So the merge RESETS whenever the newest-first scan crosses a live
+    # manifest touching these tables: the returned cut is the newest
+    # merge that does not straddle any pending txn (equivalently,
+    # restricted to committed manifests older than the oldest live
+    # one). If no such merge completes, fall back to the newest single
+    # committed manifest covering every table — one manifest is one
+    # atomic batch-set cut regardless of age. Terminal aborted/broken
+    # manifests never reset: nothing will roll them forward, so they
+    # cannot later rewrite the tables' history the way a pending
+    # prepared txn does.
     pins: dict[str, int] = {}
+    single: dict[str, int] | None = None
     for f in sorted(files, reverse=True):  # newest first (time_ns ids)
         try:
             m = read_txn(txn_root, f[: -len(".json")])
         except (FileNotFoundError, ValueError):
             continue  # reaped or torn mid-replace: try the next
-        if m.get("status") != "committed":
+        legs = [leg for leg in m.get("legs", []) if leg["table"] in want]
+        if not legs:
             continue
-        for leg in m.get("legs", []):
-            t = leg["table"]
-            if t in want and want[t] not in pins and leg.get("version") is not None:
-                pins[want[t]] = leg["version"]
+        status = m.get("status")
+        if status != "committed":
+            if status not in ("aborted", "broken"):
+                pins.clear()  # live txn: merges must not straddle it
+            continue
+        covered = {
+            want[leg["table"]]: leg["version"]
+            for leg in legs
+            if leg.get("version") is not None
+        }
+        if single is None and len(covered) == len(want):
+            single = covered
+        for name, v in covered.items():
+            pins.setdefault(name, v)
         if len(pins) == len(want):
             return pins
-    return pins if len(pins) == len(want) else None
+    return single
 
 
 def corpus_stats(

@@ -147,7 +147,16 @@ def _write_manifest_unless_terminal(txn_root: str, manifest: dict) -> dict | Non
     so refuse loudly instead (the raise surfaces the violation; the
     terminal manifest stays unregressed either way). For non-terminal
     on-disk states the write proceeds (same-content last-writer-wins,
-    benign as before). The read-then-write window is not zero, but a
+    benign as before) — EXCEPT that per-leg ``error`` records and a
+    'stuck' status the other runner parked are MERGED into this
+    runner's copy first (r10 ADVICE): a stale 'prepared' copy
+    overwriting a 'stuck' manifest would otherwise silently erase the
+    recorded conflict until this runner's own finalize. A leg this
+    runner has RESOLVED (its copy records a version) drops the other
+    runner's now-obsolete error, and the stuck status clears with the
+    last unresolved erroring leg; the merge mutates the caller's live
+    manifest, so its own later progress writes carry the records
+    forward. The read-then-write window is not zero, but a
     regression now requires the OTHER runner to finalize inside this
     runner's read→write gap of the SAME update — down from 'any time
     since this runner loaded the manifest'."""
@@ -173,6 +182,23 @@ def _write_manifest_unless_terminal(txn_root: str, manifest: dict) -> dict | Non
             "on-disk manifest for legs this runner may have published "
             "after the resolution pass"
         )
+    if on_disk is not None:
+        ours = {leg["table"]: leg for leg in manifest["legs"]}
+        for other in on_disk.get("legs", []):
+            leg = ours.get(other["table"])
+            if leg is None or leg.get("version") is not None:
+                continue  # this runner resolved the leg: error obsolete
+            if other.get("error") and not leg.get("error"):
+                leg["error"] = other["error"]
+        if (
+            status == "stuck"
+            and manifest["status"] == "prepared"
+            and any(
+                leg.get("error") and leg.get("version") is None
+                for leg in manifest["legs"]
+            )
+        ):
+            manifest["status"] = "stuck"
     _write_manifest(txn_root, manifest)
     return None
 

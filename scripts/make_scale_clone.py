@@ -88,8 +88,12 @@ def main(out: str) -> None:
         if i == 0:
             selects.append(f"SELECT * FROM '{SRC}/documents.parquet'")
             continue
+        # quote-escape tokens (r10 ADVICE): a token containing a single
+        # quote would otherwise break (or corrupt) the generated SQL
+        esc = lambda s: s.replace("'", "''")  # noqa: E731
         pairs = ", ".join(
-            f"'{t}': '{vocab[(j + 7 * i) % v]}'" for j, t in enumerate(vocab)
+            f"'{esc(t)}': '{esc(vocab[(j + 7 * i) % v])}'"
+            for j, t in enumerate(vocab)
         )
         # n_chars is recomputed from the REWRITTEN text (rotated tokens
         # change lengths; string_agg single-spaces runs) so the fixture

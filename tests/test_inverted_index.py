@@ -392,6 +392,57 @@ def test_index_stats_reports_fold_pressure(spark, tmp_path):
     assert st2["n_docs"] == 8
 
 
+def test_snapshot_never_straddles_a_pending_txn(spark, tmp_path, monkeypatch):
+    """r10 ADVICE (medium): between the crash and the recover_txns
+    sweep, the subset re-run manifest is the NEWEST committed one — a
+    merge that takes termstats/corpus from it but postings/doclens from
+    the older full manifest pins new stats against stale postings (the
+    exact state the snapshot docstring guarantees against). Before
+    recovery runs, the pins must fall back to the last cut that does
+    not straddle the pending prepared manifest: batch-1 for ALL four
+    tables."""
+    from medallion_data_lake_spark.operators import txn as T
+    from medallion_data_lake_spark.operators.inverted_index import (
+        committed_index_snapshot,
+    )
+
+    root = str(tmp_path / "idx")
+    m0 = create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2)
+    batch1 = {
+        os.path.basename(leg["table"]): leg["version"] for leg in m0["legs"]
+    }
+
+    real = T.publish_staged
+    calls = {"n": 0}
+
+    def crash_after_two(spark_, table, sid):
+        if calls["n"] >= 2:
+            raise RuntimeError("crash")
+        calls["n"] += 1
+        return real(spark_, table, sid)
+
+    monkeypatch.setattr(T, "publish_staged", crash_after_two)
+    with pytest.raises(RuntimeError, match="crash"):
+        append_bm25_index(spark, _docs(spark, DOCS[4:]), root, n_files=2,
+                          txn_app_id="app", txn_version=1)
+    monkeypatch.undo()
+    m2 = append_bm25_index(spark, _docs(spark, DOCS[4:]), root, n_files=2,
+                           txn_app_id="app", txn_version=1)
+    assert m2["status"] == "committed" and 0 < len(m2["legs"]) < 4
+
+    # NO recover_txns yet: the crashed manifest is still 'prepared'
+    pins = committed_index_snapshot(root)
+    assert pins == batch1, (
+        f"pins straddle the pending prepared txn: {pins} != {batch1}"
+    )
+    # and the pinned search answers exactly like batch-1-only BM25
+    got = [(d, s) for d, _, s in
+           bm25_search(spark, root, ["cat"], k=8).collect()]
+    want = [tuple(r) for r in
+            _bm25_scratch(spark, _docs(spark, DOCS[:4]), ["cat"], 8).collect()]
+    assert got == want
+
+
 def test_snapshot_merges_pins_across_split_manifests(spark, tmp_path, monkeypatch):
     """r10 review pass 4: a crashed append whose re-run covered a
     subset of tables splits the four legs over TWO committed manifests;

@@ -1324,3 +1324,49 @@ def test_expire_keeps_the_covering_set_of_committed_manifests(spark, tmp_path):
     assert dropped == []
     kept = {m["txn_id"] for m in list_txns(root)}
     assert kept == {full["txn_id"], partial["txn_id"]}
+
+
+def test_guarded_write_preserves_stuck_leg_errors(spark, tmp_path):
+    """r10 ADVICE txn.py:330 — a runner holding a stale 'prepared' copy
+    must not last-writer-wins an on-disk 'stuck' manifest back to
+    'prepared' with the other runner's per-leg error erased: the
+    guarded write merges unresolved legs' error records and keeps the
+    stuck status until some runner actually resolves the erroring
+    leg."""
+    a, b, root = _mk(spark, tmp_path)
+    os.makedirs(root, exist_ok=True)
+    stuck = {
+        "txn_id": "t-stuck", "status": "stuck", "created": 1.0,
+        "legs": [
+            {"table": os.path.abspath(a), "staging_id": "sA"},
+            {"table": os.path.abspath(b), "staging_id": "sB",
+             "error": "CommitConflict: table moved past base"},
+        ],
+    }
+    T._write_manifest(root, stuck)
+
+    # the stale runner published leg A, knows nothing of B's conflict
+    stale = json.loads(json.dumps(stuck))
+    stale["status"] = "prepared"
+    stale["legs"][0]["version"] = 7
+    stale["legs"][1].pop("error")
+    assert T._write_manifest_unless_terminal(root, stale) is None
+
+    on_disk = read_txn(root, "t-stuck")
+    assert on_disk["status"] == "stuck", "stuck status silently erased"
+    assert on_disk["legs"][0]["version"] == 7  # progress still recorded
+    assert "CommitConflict" in on_disk["legs"][1]["error"]
+    # and the stale runner's live copy now carries the record too, so
+    # its own later finalize cannot re-erase it
+    assert "CommitConflict" in stale["legs"][1]["error"]
+
+    # once a runner RESOLVES the erroring leg, the stuck state clears
+    resolved = json.loads(json.dumps(stale))
+    resolved["status"] = "prepared"
+    resolved["legs"][1]["version"] = 9
+    resolved["legs"][1].pop("error", None)
+    assert T._write_manifest_unless_terminal(root, resolved) is None
+    on_disk = read_txn(root, "t-stuck")
+    assert on_disk["status"] == "prepared"
+    assert on_disk["legs"][1].get("error") is None
+    assert on_disk["legs"][1]["version"] == 9
