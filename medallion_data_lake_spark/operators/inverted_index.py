@@ -51,7 +51,6 @@ Scale shape at 100 TB:
 from __future__ import annotations
 
 import os
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -360,18 +359,20 @@ def bm25_candidates(
     terms: list[str],
     version: int | None = None,
 ) -> tuple[DataFrame, dict]:
-    """Posting rows for ``terms`` via per-term pruned point-reads —
-    min/max stats (sorted layout) + term blooms skip every file that
-    cannot contain the term. Returns (df, merged pruning report)."""
-    parts, report = [], {"files_read": 0, "files_skipped": 0}
-    for t in sorted(set(terms)):
-        df, r = read_table_pruned(
-            spark, _t(index_root, _POSTINGS), eq={"term": t}, version=version
-        )
-        parts.append(df)
-        report["files_read"] += r["files_read"]
-        report["files_skipped"] += r["files_skipped"]
-    return reduce(DataFrame.unionByName, parts), report
+    """Posting rows for ``terms`` via ONE batched pruned read — min/max
+    stats (sorted layout) + term blooms skip every file that no query
+    term can live in (``read_table_pruned(isin=...)``: per-value range
+    overlap AND bloom admit, disjunctive over the terms). One call
+    replaces the K per-term point-reads of r10 (r10 verdict #3): the
+    bloom probe hashes for all K terms compute in ONE tiny job instead
+    of K, and a survivor file shared by several terms is opened once,
+    not K times. Returns (df, pruning report)."""
+    return read_table_pruned(
+        spark,
+        _t(index_root, _POSTINGS),
+        isin={"term": sorted(set(terms))},
+        version=version,
+    )
 
 
 def bm25_search(
@@ -383,10 +384,20 @@ def bm25_search(
     b: float = BM25_B,
 ) -> DataFrame:
     """Top-``k`` documents for ``terms`` under Okapi BM25, computed
-    entirely from the persisted index: K pruned posting reads, a
-    broadcast idf map (≤K rows), a broadcast join of the candidate set
-    against doclens, one top-k. Returns (doc_id, n_terms_matched,
-    score) ordered by score desc with doc_id tiebreak.
+    entirely from the persisted index, in ONE lazy plan: a single
+    batched pruned posting read (bloom-surviving files only), a
+    broadcast df rollup (≤K rows, vocabulary-bounded fold), a broadcast
+    join of the candidate set against doclens, the corpus N/avgdl
+    folded in as a broadcast 1-row aggregate (the same lazy scalar-
+    combine shape the gated ``bm25_topk_docs`` uses — no driver-side
+    ``.first()``), one top-k. Returns (doc_id, n_terms_matched, score)
+    ordered by score desc with doc_id tiebreak.
+
+    Fixed per-search overhead (r10 verdict #3): r10 paid one Spark job
+    per query term for bloom probes, one for corpus stats, and a
+    K-branch union read; this form pays ONE bloom-probe job and defers
+    everything else to the caller's first action. SCALE.md records the
+    measured before/after.
 
     All four tables are read at the versions recorded by the newest
     COMMITTED append transaction (:func:`committed_index_snapshot`), so
@@ -396,26 +407,43 @@ def bm25_search(
     if not terms:
         raise ValueError("bm25_search needs at least one query term")
     pins = committed_index_snapshot(index_root) or {}
-    n, avgdl = corpus_stats(spark, index_root, version=pins.get(_CORPUS))
+    corpus = (
+        read_table(spark, _t(index_root, _CORPUS), version=pins.get(_CORPUS))
+        .agg(
+            F.sum("n_docs").cast("long").alias("_n"),
+            F.sum("sum_dl").cast("long").alias("_sum_dl"),
+        )
+    )
     cand, _ = bm25_candidates(
         spark, index_root, terms, version=pins.get(_POSTINGS)
     )
-    idf = term_stats(
-        spark, index_root, terms, n_docs=n, version=pins.get(_TERMSTATS)
-    ).select("term", "idf")
+    dfs = (
+        read_table(
+            spark, _t(index_root, _TERMSTATS), version=pins.get(_TERMSTATS)
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df_delta").cast("long").alias("_df"))
+    )
     doclens = read_table(
         spark, _t(index_root, _DOCLENS), version=pins.get(_DOCLENS)
     )
     scored = (
-        cand.join(F.broadcast(idf), "term")
+        cand.join(F.broadcast(dfs), "term")
         # candidate side is bounded by the query's posting lists —
         # broadcast it against the (corpus-sized) doclens table
         .hint("broadcast")
         .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(corpus))  # 1-row scalar combine
         .withColumn(
             "_s",
             bm25_term_score(
-                F.col("tf"), F.col("dl"), F.lit(avgdl), F.col("idf"), k1, b
+                F.col("tf"),
+                F.col("dl"),
+                F.col("_sum_dl") / F.col("_n"),
+                bm25_idf(F.col("_n"), F.col("_df")),
+                k1,
+                b,
             ),
         )
     )

@@ -1039,6 +1039,7 @@ def read_table_pruned(
     version: int | None = None,
     predicates: dict[str, tuple] | None = None,
     eq: dict[str, object] | None = None,
+    isin: dict[str, list] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Snapshot read with FILE SKIPPING: live files whose recorded
     [min, max] range excludes the requested range(s) are never opened —
@@ -1066,6 +1067,16 @@ def read_table_pruned(
     an extra file read (the residual equality filter keeps results
     exact — Delta's bloom-index contract).
 
+    ``isin={col: [v1, v2, ...], ...}`` is the SET form of ``eq``: a
+    file is read iff SOME value admits (per-value range overlap AND
+    bloom maybe-contains — the same disjunctive key_admits the DML
+    paths use). One call replaces K separate point-reads: the bloom
+    probe hashes for every value compute in ONE tiny job, the survivor
+    files are opened ONCE (a file admitting several values is read
+    once, where K point-reads re-read it K times), and the residual is
+    a single pushed-down IN. ``eq`` and ``isin`` may not name the same
+    column.
+
     Returns ``(df, report)`` where report carries files_read /
     files_skipped so callers and tests can audit the pruning.
     """
@@ -1082,8 +1093,17 @@ def read_table_pruned(
     if col is not None:
         preds[col] = (lo, hi)
     eq = dict(eq or {})
-    if not preds and not eq:
-        raise ValueError("read_table_pruned needs col/lo/hi, predicates, or eq")
+    isin = {c: list(vs) for c, vs in (isin or {}).items()}
+    if set(eq) & set(isin):
+        raise ValueError(
+            f"columns named in both eq and isin: {sorted(set(eq) & set(isin))}"
+        )
+    if any(not vs for vs in isin.values()):
+        raise ValueError("isin value lists must be non-empty")
+    if not preds and not eq and not isin:
+        raise ValueError(
+            "read_table_pruned needs col/lo/hi, predicates, eq, or isin"
+        )
     live, _ = _state_at(path, version)
     stats = _file_stats_at(path, version)
     dtypes = _column_dtypes(spark, path, version)
@@ -1097,29 +1117,32 @@ def read_table_pruned(
         c: (_stat_probe(plo, dtypes.get(c)), _stat_probe(phi, dtypes.get(c)))
         for c, (plo, phi) in preds.items()
     }
-    seq = {c: _stat_probe(v, dtypes.get(c)) for c, v in eq.items()}
+    # point probes: eq is the 1-value case of isin — unify so the bloom
+    # hash values for EVERY (column, value) pair compute in one tiny job
+    points = {c: [v] for c, v in eq.items()} | isin
+    spoint = {
+        c: [_stat_probe(v, dtypes.get(c)) for v in vs]
+        for c, vs in points.items()
+    }
 
-    # equality probes: raw hash values once per column (one tiny job),
-    # positions derive per file from its own recorded bits/k
-    eq_hashes: dict[str, list[int]] = {}
-    if eq:
+    point_hashes: dict[str, list[list[int]]] = {}
+    if points:
         probe = spark.range(1).select(
             *[
-                _bloom_hash(_probe_lit(v, dtypes.get(c)), i).alias(f"{c}__{i}")
-                for c, v in eq.items()
+                _bloom_hash(_probe_lit(v, dtypes.get(c)), i)
+                .alias(f"{c}__{j}__{i}")
+                for c, vs in points.items()
+                for j, v in enumerate(vs)
                 for i in range(BLOOM_HASHES)
             ]
         ).first()
-        eq_hashes = {
-            c: [probe[f"{c}__{i}"] for i in range(BLOOM_HASHES)]
-            for c in eq
+        point_hashes = {
+            c: [
+                [probe[f"{c}__{j}__{i}"] for i in range(BLOOM_HASHES)]
+                for j in range(len(vs))
+            ]
+            for c, vs in points.items()
         }
-
-    def bloom_admits(fstats: dict, c: str) -> bool:
-        encoded = fstats.get(f"{pc(c)}__bloom")
-        if encoded is None:
-            return True  # no bloom recorded: conservatively read
-        return _bloom_may_contain(encoded, eq_hashes[c])
 
     def overlaps(rng, plo, phi) -> bool:
         if rng is None or rng[0] is None:
@@ -1131,18 +1154,27 @@ def read_table_pruned(
             return False
         return True
 
+    def point_admits(fstats: dict, c: str) -> bool:
+        """Some probe value of ``c`` can live in the file — per-value
+        range overlap AND bloom maybe-contains, disjunctive over the
+        values (conjunctive across columns, below)."""
+        rng = fstats.get(pc(c))
+        encoded = fstats.get(f"{pc(c)}__bloom")
+        for sv, hs in zip(spoint[c], point_hashes[c]):
+            if not overlaps(rng, sv, sv):
+                continue
+            if encoded is not None and not _bloom_may_contain(encoded, hs):
+                continue
+            return True
+        return False
+
     chosen = [
         f for f in live
         if all(
             overlaps(stats.get(f, {}).get(pc(c)), plo, phi)
             for c, (plo, phi) in sp.items()
         )
-        and all(
-            bloom_admits(stats.get(f, {}), c)
-            # ranges prune eq probes too when recorded for the column
-            and overlaps(stats.get(f, {}).get(pc(c)), seq[c], seq[c])
-            for c in eq
-        )
+        and all(point_admits(stats.get(f, {}), c) for c in points)
     ]
     report = {
         "files_total": len(live),
@@ -1171,6 +1203,8 @@ def read_table_pruned(
             df = df.filter(F.col(c) <= phi)
     for c, v in eq.items():
         df = df.filter(F.col(c) == v)
+    for c, vs in isin.items():
+        df = df.filter(F.col(c).isin(vs))
     return df, report
 
 

@@ -224,3 +224,52 @@ def test_bloom_probe_type_matrix(spark, tmp_path):
     # int probe against the double column (cross-typed rendering)
     df, report = read_table_pruned(spark, path, eq={"d": 3})
     assert df.filter(F.col("i") == 2).count() == 1, report
+
+
+def test_isin_batched_point_lookup(spark, table):
+    """r10 verdict #3: the SET form of eq — one call, K keys. A file is
+    read iff SOME key admits; results equal the union of the per-key
+    eq reads; a file holding several keys is opened once."""
+    keys = [1337, 2338, 3339]  # mod 4 = 1, 2, 3 -> three distinct files
+    df, report = read_table_pruned(spark, table, isin={"id": keys})
+    assert sorted((r["id"], r["payload"]) for r in df.collect()) == [
+        (k, f"v{k}") for k in keys
+    ]
+    # still prunes: 3 keys live in <= 3 files (+ rare bloom FPs)
+    assert report["files_read"] <= 6 < report["files_total"] * 0.5, report
+
+    # union-of-eq equivalence on rows AND on the files touched
+    per_key = [read_table_pruned(spark, table, eq={"id": k}) for k in keys]
+    union_rows = sorted(
+        (r["id"], r["payload"]) for d, _ in per_key for r in d.collect()
+    )
+    assert sorted((r["id"], r["payload"]) for r in df.collect()) == union_rows
+    # shared-file dedup: batched files_read <= sum of per-key files_read
+    assert report["files_read"] <= sum(r["files_read"] for _, r in per_key)
+
+
+def test_isin_absent_keys_read_nothing(spark, table):
+    df, report = read_table_pruned(spark, table, isin={"id": [987654, 887654]})
+    assert df.count() == 0
+    assert report["files_read"] <= 2  # bloom FPs only
+
+
+def test_isin_validation(spark, table):
+    with pytest.raises(ValueError, match="both eq and isin"):
+        read_table_pruned(spark, table, eq={"id": 1}, isin={"id": [2]})
+    with pytest.raises(ValueError, match="non-empty"):
+        read_table_pruned(spark, table, isin={"id": []})
+
+
+def test_isin_residual_keeps_results_exact(spark, tmp_path):
+    """Files without blooms are conservatively read; the residual IN
+    keeps the answer exact anyway."""
+    path = str(tmp_path / "nb")
+    commit(
+        spark.createDataFrame([(i, i * 10) for i in range(100)],
+                              "id long, v long"),
+        path,  # no bloom_cols, no stats_cols
+    )
+    df, report = read_table_pruned(spark, path, isin={"id": [3, 7]})
+    assert sorted(tuple(r) for r in df.collect()) == [(3, 30), (7, 70)]
+    assert report["files_read"] == report["files_total"]

@@ -514,3 +514,52 @@ def test_fold_transform_must_preserve_schema(spark, tmp_path):
     commit(spark.createDataFrame([(1, 2)], "a long, b long"), t)
     with pytest.raises(ValueError, match="preserve the rewritten"):
         optimize_table(spark, t, transform=lambda df: df.select("a"))
+
+
+def test_search_plan_construction_jobs_flat_in_terms(spark, tmp_path):
+    """r10 verdict #3: r10 paid one bloom-probe job PER TERM plus a
+    driver-side corpus .first() to even construct the search plan;
+    the batched form pays a constant number of jobs (one probe) no
+    matter how many query terms, and defers everything else to the
+    caller's first action."""
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=4)
+    sc = spark.sparkContext
+
+    def jobs_to_build(terms):
+        group = f"probe-{len(terms)}"
+        sc.setJobGroup(group, "plan construction only")
+        try:
+            bm25_search(spark, root, terms, k=5)  # NOT collected
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    one = jobs_to_build(["cat"])
+    three = jobs_to_build(["cat", "dog", "flux"])
+    assert three == one, (one, three)
+    # residual constant: one parquet footer/schema job per index table
+    # (4) + ONE bloom-probe job; r10 paid 2 + K*2 and a corpus scan
+    assert one <= 5, f"plan construction ran {one} jobs; expected <=5"
+
+
+def test_batched_candidates_match_per_term_union(spark, tmp_path):
+    """The ONE isin read returns exactly the union of the r10 per-term
+    point reads (same rows, still pruned)."""
+    from medallion_data_lake_spark.operators.versioned import (
+        read_table_pruned,
+    )
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=4)
+    terms = ["cat", "quantum", "mat"]
+    got, report = bm25_candidates(spark, root, terms)
+    want = sorted(
+        tuple(r)
+        for t in terms
+        for r in read_table_pruned(
+            spark, os.path.join(root, "postings"), eq={"term": t}
+        )[0].collect()
+    )
+    assert sorted(tuple(r) for r in got.collect()) == want
+    assert report["files_skipped"] > 0
