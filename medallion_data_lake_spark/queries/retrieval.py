@@ -40,6 +40,8 @@ from ..operators.inverted_index import (
 )
 from . import query
 from ._parity import sql_stable_round, stable_round
+from .similarity import _SQL_COS, _SQL_NRM  # single source of truth for
+# the cosine/norm SQL shapes shared with the gated similarity queries
 from .text import _SQL_TOKS as _SQL_RAW_TOKS
 
 # Query terms spanning the fixture's idf range: 'dup' is rare (df~25 of
@@ -207,4 +209,202 @@ def bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: RRF fusion of the BM25 keyword ranking and a cosine
+# vector ranking (operators/hybrid.py is the persisted-index face).
+# The fixture's embeddings share the documents' id space (vec_id ==
+# doc_id), so the fusion key is the document id itself.
+_RRF_K = 60          # standard smoothing constant (Cormack et al.)
+_N_BRANCH = 20       # per-branch candidate depth
+_HYBRID_K = 15
+_Q_VEC_ID = 0        # "like this example": query = stored vector 0
+
+# raw (unrounded) RRF sum: integer rank in, fixed-shape double out —
+# identical primitives left-to-right in both engines, so ordering by
+# the RAW value is exact (rounding to any display scale could merge
+# sums whose true gap is ~1/(k+n)^4; the tiebreak must not kick in on
+# engine-dependent values, so no rounding before the ORDER BY)
+_SQL_RRF = f"""
+    COALESCE(1.0 / ({_RRF_K} + kw.kw_rank), 0.0)
+  + COALESCE(1.0 / ({_RRF_K} + vec.vec_rank), 0.0)
+"""
+
+
+@query(
+    "hybrid_rrf_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS dl FROM documents
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN {_SQL_TERMS}
+      GROUP BY doc_id, term
+    ),
+    f AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST({_SQL_BM25_SCORE} AS DECIMAL(28,12)) AS s
+      FROM tf t
+      JOIN f USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN c
+    ),
+    kw AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY SUM(s) DESC, doc_id ASC)
+                  AS INT) AS kw_rank
+      FROM scored GROUP BY doc_id
+      QUALIFY kw_rank <= {_N_BRANCH}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_SQL_NRM} AS nrm
+          FROM embeddings),
+    q AS (SELECT v, nrm FROM e WHERE vec_id = {_Q_VEC_ID}),
+    vec AS (
+      SELECT e.vec_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY {sql_stable_round(_SQL_COS, 6)} DESC, e.vec_id ASC)
+                  AS INT) AS vec_rank
+      FROM e CROSS JOIN q WHERE e.vec_id <> {_Q_VEC_ID}
+      QUALIFY vec_rank <= {_N_BRANCH}
+    ),
+    fused AS (
+      SELECT COALESCE(kw.doc_id, vec.vec_id) AS doc_id,
+             kw.kw_rank, vec.vec_rank,
+             {_SQL_RRF} AS s
+      FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.vec_id
+    )
+    SELECT doc_id, kw_rank, vec_rank,
+           {sql_stable_round('s', 9)} AS rrf_score
+    FROM fused
+    ORDER BY s DESC, doc_id ASC
+    LIMIT {_HYBRID_K}
+    """,
+    doc="North-star hybrid retrieval (r10 verdict #1): reciprocal-rank "
+        f"fusion of the BM25 keyword top-{_N_BRANCH} (terms {_Q_TERMS}) "
+        f"and the cosine top-{_N_BRANCH} against stored vector "
+        f"{_Q_VEC_ID} — 'docs like this example that also mention X'. "
+        "Pure integer-rank arithmetic (1/(60+rank), absent branch "
+        "contributes 0) so the fusion is exactly oracleable; ordering "
+        "uses the RAW double sum (fixed expression shape = identical "
+        "doubles both engines) with doc_id tiebreak. Plan: each branch "
+        "bounds itself via TakeOrderedAndProject before the rank "
+        "window touches it (never a corpus-wide window), the vector "
+        "query side is a broadcast 1-row cross join, and the fusion is "
+        "a full-outer join of two 20-row frames — metadata-scale at "
+        "any corpus size. operators/hybrid.py serves the same "
+        "arithmetic from the persisted inverted index + embeddings "
+        "(tests/test_hybrid.py proves path agreement).",
+    tags=("text", "retrieval", "similarity"),
+)  # first gated r11 (new operator this round)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import dot, l2_norm
+
+    # --- keyword branch: the bm25_topk_docs plan, ranked not scored
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    dl = build_doclens(d)
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    postings = build_postings(d).filter(F.col("term").isin(*_Q_TERMS))
+    df_tbl = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_tbl), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))  # 1-row scalar combine
+        .withColumn(
+            "_s",
+            bm25_term_score(
+                F.col("tf"), F.col("dl"),
+                F.col("sum_dl") / F.col("n"),
+                bm25_idf(F.col("n"), F.col("df")), BM25_K1, BM25_B,
+            ).cast("decimal(28,12)"),
+        )
+    )
+    kw = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("_s").alias("_score"))
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(_N_BRANCH)  # TakeOrderedAndProject bounds the branch
+        .withColumn(
+            "kw_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("_score"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "kw_rank")
+    )
+
+    # --- vector branch: cosine against stored vector _Q_VEC_ID
+    e = load_star_table_spread(
+        spark, sf_dir, "embeddings", "vec_id"
+    ).withColumn("nrm", l2_norm(F.col("embedding")))
+    q = e.filter(F.col("vec_id") == _Q_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    vec = (
+        e.filter(F.col("vec_id") != _Q_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            stable_round(
+                dot(F.col("qv"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("_cs"),
+        )
+        .orderBy(F.desc("_cs"), F.asc("vec_id"))
+        .limit(_N_BRANCH)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("_cs"), F.asc("vec_id"))),
+        )
+        .select("vec_id", "vec_rank")
+    )
+
+    # --- fusion: full-outer on the shared id space, RRF sum
+    fused = (
+        kw.join(vec, kw["doc_id"] == vec["vec_id"], "full_outer")
+        .select(
+            F.coalesce(kw["doc_id"], vec["vec_id"]).alias("doc_id"),
+            "kw_rank",
+            "vec_rank",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("kw_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")),
+                    F.lit(0.0),
+                )
+            ).alias("_s"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("_s"), F.asc("doc_id"))
+        .limit(_HYBRID_K)
+        .select(
+            "doc_id", "kw_rank", "vec_rank",
+            stable_round("_s", 9).alias("rrf_score"),
+        )
     )

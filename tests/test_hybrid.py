@@ -1,0 +1,107 @@
+"""Hybrid retrieval (operators/hybrid.py): RRF fusion semantics and
+path agreement — the persisted-index hybrid_search must compute exactly
+what the oracle-gated ``hybrid_rrf_topk`` query computes from the raw
+corpus (same arithmetic, different substrate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.catalog import load_star_table
+from medallion_data_lake_spark.operators.hybrid import (
+    RRF_K,
+    cosine_topn,
+    hybrid_search,
+    rrf_fuse,
+)
+from medallion_data_lake_spark.operators.inverted_index import (
+    create_bm25_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, rank int")
+
+
+def test_rrf_fuse_arithmetic(spark):
+    """Fusion over hand-checkable ranks: overlap sums both branches,
+    absent branch contributes 0, order by score then id."""
+    kw = _rank_df(spark, [(1, 1), (2, 2), (3, 3)])
+    vec = _rank_df(spark, [(3, 1), (4, 2)])
+    out = rrf_fuse({"kw": kw, "vec": vec}, k=10).collect()
+    scores = {r["doc_id"]: r["rrf_score"] for r in out}
+    assert scores[3] == 1.0 / (RRF_K + 3) + 1.0 / (RRF_K + 1)
+    assert scores[1] == 1.0 / (RRF_K + 1)
+    assert scores[4] == 1.0 / (RRF_K + 2)
+    # doc 3 hits both branches: fusion puts it first despite rank 3/1;
+    # docs 2 and 4 tie at 1/62 -> doc_id tiebreak
+    assert [r["doc_id"] for r in out] == [3, 1, 2, 4]
+    # per-branch ranks survive as nullable columns
+    row3 = next(r for r in out if r["doc_id"] == 3)
+    assert (row3["kw_rank"], row3["vec_rank"]) == (3, 1)
+    row1 = next(r for r in out if r["doc_id"] == 1)
+    assert row1["vec_rank"] is None
+
+
+def test_rrf_fuse_validation(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse({})
+
+
+def test_rrf_fuse_three_branches(spark):
+    """Producer-agnostic: any number of named rankings fuse."""
+    a = _rank_df(spark, [(1, 1)])
+    b = _rank_df(spark, [(1, 2)])
+    c = _rank_df(spark, [(2, 1)])
+    out = {r["doc_id"]: r for r in rrf_fuse({"a": a, "b": b, "c": c}).collect()}
+    assert out[1]["rrf_score"] == 1.0 / 61 + 1.0 / 62
+    assert out[2]["rrf_score"] == 1.0 / 61
+    assert out[2]["a_rank"] is None and out[2]["c_rank"] == 1
+
+
+def test_cosine_topn_matches_query_branch(spark):
+    """The operator's vector branch reproduces the gated query's
+    ranking (round-6 cosine desc, id tiebreak, query vector excluded)."""
+    from medallion_data_lake_spark.queries.retrieval import (
+        _N_BRANCH,
+        _Q_VEC_ID,
+    )
+
+    e = load_star_table(spark, SF, "embeddings")
+    got = cosine_topn(e, _Q_VEC_ID, _N_BRANCH).collect()
+    assert len(got) == _N_BRANCH
+    assert [r["rank"] for r in got] == list(range(1, _N_BRANCH + 1))
+    assert all(r["vec_id"] != _Q_VEC_ID for r in got)
+
+
+def test_hybrid_search_matches_gated_query_path(spark, tmp_path):
+    """r10 verdict #1 'done' condition: the persisted-path variant
+    (inverted index + embeddings) returns row-for-row what the
+    oracle-gated hybrid_rrf_topk computes from the raw corpus."""
+    from medallion_data_lake_spark.queries.retrieval import (
+        _HYBRID_K,
+        _N_BRANCH,
+        _Q_TERMS,
+        _Q_VEC_ID,
+        hybrid_rrf_topk,
+    )
+
+    docs = load_star_table(spark, SF, "documents").select("doc_id", "text")
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, docs, root, n_files=4)
+    e = load_star_table(spark, SF, "embeddings")
+
+    got = hybrid_search(
+        spark, root, e, list(_Q_TERMS), _Q_VEC_ID,
+        k=_HYBRID_K, n_per_branch=_N_BRANCH,
+    ).select(
+        "doc_id", "kw_rank", "vec_rank",
+        # the gated query rounds for display; mirror it for comparison
+        (F.floor(F.col("rrf_score") * 10**9 + F.lit(0.5)) / 10**9)
+        .alias("rrf_score"),
+    ).collect()
+    want = hybrid_rrf_topk(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
