@@ -77,7 +77,8 @@ def main(argv: list[str] | None = None) -> int:
                  "publish-staged", "abandon-staged", "expire-staged",
                  "clone", "txn-commit", "txn-list", "txn-recover",
                  "txn-compensate", "txn-resolve-broken", "txn-expire",
-                 "bm25-build", "bm25-search", "bm25-compact"],
+                 "bm25-build", "bm25-search", "bm25-compact",
+                 "phrase-search"],
     )
     ap.add_argument(
         "arg",
@@ -162,8 +163,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--txn-version", type=int, default=None,
                     help="bm25-build: monotonic batch id for --txn-app")
     ap.add_argument("--docs", default=None,
-                    help="bm25-build: versioned documents table to index "
-                         "(default: the mounted fixtures' documents)")
+                    help="bm25-build/phrase-search: versioned documents "
+                         "table (default: the mounted fixtures' documents)")
+    ap.add_argument("--bigrams", action="store_true",
+                    help="bm25-build: also maintain the bigram posting "
+                         "table (enables phrase-search; all-or-nothing "
+                         "for the index's life)")
+    ap.add_argument("--phrase", default=None,
+                    help="phrase-search: the exact phrase, space-"
+                         "separated tokens")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve: listen as a JSON HTTP API on this port "
                          "instead of the stdin REPL (GET / serves the "
@@ -638,9 +646,32 @@ def main(argv: list[str] | None = None) -> int:
             docs = spark.table("documents")
         m = append_bm25_index(spark, docs, args.arg,
                               txn_app_id=args.txn_app,
-                              txn_version=args.txn_version)
+                              txn_version=args.txn_version,
+                              bigrams=args.bigrams or None)
         print(json.dumps({"status": m["status"],
                           "legs": len(m.get("legs", []))}))
+    elif args.verb == "phrase-search":
+        # exact-phrase retrieval from the bigram posting table:
+        # bloom-pruned candidate intersection + exact residual over the
+        # candidate docs only (operators/inverted_index.phrase_search)
+        if not args.arg or not args.phrase:
+            print("phrase-search requires an index root and --phrase",
+                  file=sys.stderr)
+            return 2
+        from .operators.inverted_index import phrase_search
+        from .operators.versioned import read_table as _rt
+
+        phrase = args.phrase.split()
+        if len(phrase) < 2:
+            print("phrase-search: --phrase needs at least two tokens",
+                  file=sys.stderr)
+            return 2
+        docs = _rt(spark, args.docs) if args.docs else spark.table("documents")
+        out, report = phrase_search(spark, args.arg, docs, phrase)
+        for r in out.orderBy("doc_id").collect():
+            print(json.dumps({"doc_id": r["doc_id"],
+                              "n_matches": r["n_matches"]}))
+        print(json.dumps({"pruning": report}), file=sys.stderr)
     elif args.verb == "bm25-search":
         if not args.arg or not args.terms:
             print("bm25-search requires an index root and --terms",

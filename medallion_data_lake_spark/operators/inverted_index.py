@@ -27,6 +27,13 @@ snapshot and maintenance composes with the rest of the lakehouse:
   grows.
 - ``corpus_stats`` (n_docs, sum_dl): one delta row per batch, folded the
   same way.
+- ``bigrams``     (bigram, doc_id, tf) — OPTIONAL (``bigrams=True`` at
+  create, then every append): adjacent-token-pair postings enabling
+  indexed exact-phrase retrieval (contamination audits ask "which docs
+  contain this exact string" constantly). Same sorted+bloomed layout
+  and pruned reads as ``postings``; phrase search intersects the
+  phrase's bigram posting reads (necessary condition) and verifies the
+  contiguous run only on the candidates (:func:`phrase_search`).
 
 Incremental contract: appended ``doc_id``s must be NEW documents (the
 corpus is append-only — re-adding an id would double-count df/tf; dedup
@@ -65,6 +72,7 @@ _POSTINGS = "postings"
 _DOCLENS = "doclens"
 _TERMSTATS = "termstats"
 _CORPUS = "corpus_stats"
+_BIGRAMS = "bigrams"  # optional fifth table: phrase retrieval (r10 #2)
 
 
 def _t(index_root: str, name: str) -> str:
@@ -104,6 +112,68 @@ def build_doclens(
     )
 
 
+def bigram_tokens(text_col: Column) -> Column:
+    """Adjacent-token bigrams as ``"t1 t2"`` strings — zip the token
+    array with itself shifted by one (pure map-side array ops, no
+    explode until the caller wants one). Shorter-than-2 docs yield an
+    empty array (the guard matters: slice lengths must be >= 0)."""
+    toks = clean_tokens(text_col)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def build_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(bigram, doc_id, tf) — the postings shape over adjacent token
+    pairs. Same explode + two-stage count aggregation as
+    :func:`build_postings`; the bigram vocabulary is larger than the
+    term vocabulary but the row count is identical to the token count,
+    so the build cost is the same plan family."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(bigram_tokens(F.col(text_col))).alias("bigram"),
+        )
+        .groupBy("bigram", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def phrase_matches(text_col: Column, phrase: list[str]) -> Column:
+    """TRUE iff the token sequence ``phrase`` occurs consecutively in
+    the text — the exact-phrase residual shared by the gated
+    ``phrase_match_docs`` query and :func:`phrase_search`, so the
+    indexed path and the oracle-checked semantics cannot drift."""
+    return phrase_match_count(text_col, phrase) > 0
+
+
+def phrase_match_count(text_col: Column, phrase: list[str]) -> Column:
+    """Number of positions where ``phrase`` occurs consecutively
+    (long; 0 when the doc is shorter than the phrase)."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least two tokens")
+    toks = clean_tokens(text_col)
+    m = len(phrase)
+    pat = F.array(*[F.lit(t) for t in phrase])
+    return F.when(
+        F.size(toks) >= m,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(toks) - m + 1),
+                lambda i: F.slice(toks, i, m) == pat,
+            )
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+
+
 def bm25_idf(n_docs: Column, df: Column) -> Column:
     """Okapi BM25 idf: ``ln(1 + (N - df + 0.5) / (df + 0.5))`` — always
     positive (the +1 form), standard Robertson/Sparck-Jones. One shared
@@ -131,11 +201,16 @@ def bm25_term_score(
     )
 
 
-def _delta_tables(postings: DataFrame, doclens: DataFrame) -> dict[str, DataFrame]:
-    """The four per-batch delta frames an append lands, derived from
-    one postings/doclens pair (shared by the batch path and the
-    streaming path, which persists the pair across legs)."""
-    return {
+def _delta_tables(
+    postings: DataFrame,
+    doclens: DataFrame,
+    bigrams: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """The per-batch delta frames an append lands (4, or 5 with the
+    optional bigram table), derived from one postings/doclens pair
+    (shared by the batch path and the streaming path, which persists
+    the pair across legs)."""
+    out = {
         _POSTINGS: postings,
         _DOCLENS: doclens,
         _TERMSTATS: postings.groupBy("term").agg(
@@ -147,32 +222,65 @@ def _delta_tables(postings: DataFrame, doclens: DataFrame) -> dict[str, DataFram
             F.sum("dl").cast("long").alias("sum_dl"),
         ),
     }
+    if bigrams is not None:
+        out[_BIGRAMS] = bigrams
+    return out
 
 
-def _batch_tables(docs: DataFrame, id_col: str, text_col: str) -> dict[str, DataFrame]:
+def _batch_tables(
+    docs: DataFrame, id_col: str, text_col: str, bigrams: bool
+) -> dict[str, DataFrame]:
     return _delta_tables(
         build_postings(docs, id_col, text_col),
         build_doclens(docs, id_col, text_col),
+        build_bigrams(docs, id_col, text_col) if bigrams else None,
     )
 
 
-def _sorted_postings(postings: DataFrame, n_files: int | None) -> DataFrame:
+def _sorted_postings(
+    postings: DataFrame, n_files: int | None, key: str = "term"
+) -> DataFrame:
     """Range-partition + sort by term so every output file covers a
     compact term range: min/max stats prune range-adjacent lookups, the
     bloom prunes the rest."""
     n = n_files or postings.sparkSession.sparkContext.defaultParallelism
-    return postings.repartitionByRange(n, "term").sortWithinPartitions(
-        "term", "doc_id"
+    return postings.repartitionByRange(n, key).sortWithinPartitions(
+        key, "doc_id"
     )
 
 
-# per-table stage_commit kwargs: postings get the sorted-layout stats +
-# term blooms the pruned point-reads depend on (shared by the batch and
-# streaming append paths)
+# per-table stage_commit kwargs: postings/bigrams get the sorted-layout
+# stats + blooms the pruned point-reads depend on (shared by the batch
+# and streaming append paths)
 _STAGE_OPTS = {
     _POSTINGS: {"stats_cols": ("term",), "bloom_cols": ("term",)},
     _DOCLENS: {"stats_cols": ("doc_id",)},
+    _BIGRAMS: {"stats_cols": ("bigram",), "bloom_cols": ("bigram",)},
 }
+
+
+def index_has_bigrams(index_root: str) -> bool:
+    return latest_version(_t(index_root, _BIGRAMS)) is not None
+
+
+def _resolve_bigrams(index_root: str, bigrams: bool | None) -> bool:
+    """All-or-nothing per index: once an index carries the bigram
+    table, EVERY append must feed it (a gap would make phrase searches
+    silently miss the gap's documents), and retrofitting bigrams onto
+    an index mid-life is refused for the same reason (earlier batches
+    would be unindexed). ``None`` auto-detects from the index."""
+    has = index_has_bigrams(index_root)
+    exists = latest_version(_t(index_root, _POSTINGS)) is not None
+    if bigrams is None:
+        return has
+    if exists and bigrams != has:
+        raise ValueError(
+            f"index at {index_root} was built "
+            f"{'with' if has else 'without'} bigrams; appending "
+            f"{'without' if has else 'with'} them would leave phrase "
+            "searches silently incomplete — rebuild the index instead"
+        )
+    return bigrams
 
 
 def append_bm25_index(
@@ -184,18 +292,25 @@ def append_bm25_index(
     n_files: int | None = None,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    bigrams: bool | None = None,
 ) -> dict:
     """Append a batch of NEW documents to the index (creates it on
-    first call) — all four tables land through ONE transaction
-    manifest, so readers never observe postings without their stats.
-    With ``txn_app_id``/``txn_version`` the append is exactly-once
-    under replay (the stage-side watermark skip). Returns the committed
-    txn manifest."""
+    first call) — all tables (4, or 5 with bigrams) land through ONE
+    transaction manifest, so readers never observe postings without
+    their stats. With ``txn_app_id``/``txn_version`` the append is
+    exactly-once under replay (the stage-side watermark skip). Returns
+    the committed txn manifest."""
     from .txn import commit_txn
     from .wap import stage_commit
 
-    batch = _batch_tables(docs, id_col, text_col)
+    batch = _batch_tables(
+        docs, id_col, text_col, _resolve_bigrams(index_root, bigrams)
+    )
     batch[_POSTINGS] = _sorted_postings(batch[_POSTINGS], n_files)
+    if _BIGRAMS in batch:
+        batch[_BIGRAMS] = _sorted_postings(
+            batch[_BIGRAMS], n_files, key="bigram"
+        )
     legs = []
     for name, df in batch.items():
         sid = stage_commit(
@@ -220,14 +335,19 @@ def create_bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_files: int | None = None,
+    bigrams: bool = False,
 ) -> dict:
-    """Initial build — just the first append."""
+    """Initial build — just the first append. ``bigrams=True`` adds the
+    fifth (bigram, doc_id, tf) table enabling indexed phrase retrieval
+    (:func:`phrase_candidates`); the choice is for the index's life
+    (see :func:`_resolve_bigrams`)."""
     if latest_version(_t(index_root, _POSTINGS)) is not None:
         raise ValueError(
             f"index already exists at {index_root}; use append_bm25_index"
         )
     return append_bm25_index(
-        spark, docs, index_root, id_col, text_col, n_files
+        spark, docs, index_root, id_col, text_col, n_files,
+        bigrams=bigrams,
     )
 
 
@@ -261,6 +381,8 @@ def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
     from .txn import read_txn
 
     names = (_POSTINGS, _DOCLENS, _TERMSTATS, _CORPUS)
+    if index_has_bigrams(index_root):
+        names += (_BIGRAMS,)  # fifth leg: pinned with the same cut
     want = {os.path.abspath(_t(index_root, n)): n for n in names}
     txn_root = _t(index_root, "_txn")
     store = get_log_store()
@@ -465,6 +587,84 @@ def bm25_search(
     )
 
 
+def phrase_bigrams(phrase: list[str]) -> list[str]:
+    """The adjacent bigrams a phrase decomposes into (``"a b c"`` →
+    ``["a b", "b c"]``) — the keys a phrase search reads."""
+    return [f"{a} {b}" for a, b in zip(phrase, phrase[1:])]
+
+
+def phrase_candidates(
+    spark: SparkSession,
+    index_root: str,
+    phrase: list[str],
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Candidate doc_ids for an exact-phrase query: documents whose
+    bigram postings contain EVERY adjacent bigram of the phrase — a
+    NECESSARY condition, not sufficient (bigram intersection admits
+    ``a b … b c`` without the contiguous run; callers apply the exact
+    residual, see :func:`phrase_search`). ONE batched pruned read
+    (``isin`` over the phrase's bigrams against the sorted+bloomed
+    bigram table) + one small aggregation — I/O tracks the bigrams'
+    posting-list lengths, never the corpus. Returns
+    (doc_id frame, pruning report)."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least two tokens")
+    if not index_has_bigrams(index_root):
+        raise ValueError(
+            f"index at {index_root} has no bigram table; rebuild with "
+            "bigrams=True to enable phrase retrieval"
+        )
+    bgs = sorted(set(phrase_bigrams(phrase)))
+    df, report = read_table_pruned(
+        spark,
+        _t(index_root, _BIGRAMS),
+        isin={"bigram": bgs},
+        version=version,
+    )
+    cand = (
+        df.groupBy("doc_id")
+        .agg(F.count_distinct("bigram").alias("_nb"))
+        .filter(F.col("_nb") == len(bgs))
+        .select("doc_id")
+    )
+    return cand, report
+
+
+def phrase_search(
+    spark: SparkSession,
+    index_root: str,
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, dict]:
+    """Exact-phrase retrieval from the persisted index: bigram-
+    intersected candidates (:func:`phrase_candidates`, pinned at the
+    committed snapshot), then the exact residual
+    (:func:`phrase_match_count`) applied ONLY to the candidate rows of
+    ``docs`` — a scan-free necessary filter followed by a candidate-
+    bounded verification, the same two-stage shape as every banded
+    near-dup operator in this engine. Returns
+    ((doc_id, n_matches) with n_matches > 0, pruning report).
+    tests/test_phrase.py proves the doc set equals the full-scan
+    exact-phrase answer."""
+    pins = committed_index_snapshot(index_root) or {}
+    cand, report = phrase_candidates(
+        spark, index_root, phrase, version=pins.get(_BIGRAMS)
+    )
+    out = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+        )
+        .join(cand, "doc_id")  # cand ids are distinct: inner == semi
+        .withColumn("n_matches", phrase_match_count(F.col("_text"), phrase))
+        .filter(F.col("n_matches") > 0)
+        .select("doc_id", "n_matches")
+    )
+    return out, report
+
+
 def compact_bm25_stats(spark: SparkSession, index_root: str) -> dict:
     """Fold the per-batch delta tails physically: rewrite ``termstats``
     as one row per term and ``corpus_stats`` as one total row. Readers
@@ -518,9 +718,12 @@ def run_postings_append_stream(
     text_col: str = "text",
     n_files: int | None = None,
     available_now: bool = True,
+    bigrams: bool | None = None,
 ):
     """Keep the inverted index fresh FROM A STREAM of documents,
-    exactly-once: each micro-batch appends its four delta tables through
+    exactly-once: each micro-batch appends its delta tables (4, or 5
+    when the index carries bigrams — ``bigrams=None`` auto-detects,
+    the same all-or-nothing contract as the batch path) through
     one transaction manifest keyed by the durable batch id — a
     checkpoint replay re-stages nothing (watermark skip), and a crash
     between legs is repaired forward by ``txn.recover_txns``, never
@@ -529,6 +732,7 @@ def run_postings_append_stream(
     transforms supplied here."""
     from ..streaming.versioned_sink import run_txn_stream
 
+    with_bigrams = _resolve_bigrams(index_root, bigrams)
     txn_app = f"bm25::{os.path.abspath(checkpoint)}"
 
     # run_txn_stream calls every leg's transform with the SAME batch
@@ -546,8 +750,16 @@ def run_postings_append_stream(
                 old.unpersist()
             postings = build_postings(batch, id_col, text_col).persist()
             doclens = build_doclens(batch, id_col, text_col).persist()
-            tables = _delta_tables(postings, doclens)
+            bg = (
+                build_bigrams(batch, id_col, text_col)
+                if with_bigrams else None
+            )
+            tables = _delta_tables(postings, doclens, bg)
             tables[_POSTINGS] = _sorted_postings(postings, n_files)
+            if with_bigrams:
+                tables[_BIGRAMS] = _sorted_postings(
+                    tables[_BIGRAMS], n_files, key="bigram"
+                )
             cache.update(batch=batch, persisted=[postings, doclens],
                          tables=tables)
         return cache["tables"]
@@ -558,12 +770,14 @@ def run_postings_append_stream(
 
         return transform
 
-    outputs = {
-        _t(index_root, name): _leg(name)
-        for name in (_POSTINGS, _DOCLENS, _TERMSTATS, _CORPUS)
-    }
+    names = (_POSTINGS, _DOCLENS, _TERMSTATS, _CORPUS) + (
+        (_BIGRAMS,) if with_bigrams else ()
+    )
+    outputs = {_t(index_root, name): _leg(name) for name in names}
     stage_opts = {
-        _t(index_root, name): opts for name, opts in _STAGE_OPTS.items()
+        _t(index_root, name): opts
+        for name, opts in _STAGE_OPTS.items()
+        if name in names  # only the legs this index actually carries
     }
     return run_txn_stream(
         spark, stream, outputs, _t(index_root, "_txn"), checkpoint,

@@ -250,8 +250,8 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A2 group-agg with count distinct (reference silver_to_gold.py:101-106 "
         "unique_customers). At 100 TB swap to approx_count_distinct where "
         "exactness isn't contractual (SURVEY.md §2.4).",
-    extra=True,  # r7 rotation: A2 count-distinct driver-gated via
-    # regional_revenue (green r1-r6 here first)
+    # re-gated r11 (oldest-first veteran sweep, r10 verdict #5: gated
+    # r1-r6, out since the r7 rotation via the regional_revenue twin)
 )
 def order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -333,9 +333,9 @@ def daily_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A4 calendar-bucket agg (reference silver_to_gold.py:168-178). "
         "Spark dayofweek is 1=Sunday..7; DuckDB dow is 0=Sunday..6, hence "
         "the +1 in the oracle.",
-    extra=True,  # r4 rotation: calendar-bucket AGG stays driver-gated via
-                 # events_cascading_rollup (hour->day->week); the date
-                 # function family moves to order_date_math's driver row
+    # re-gated r11 (oldest-first veteran sweep, r10 verdict #5: gated
+    # r1-r3, out since the r4 rotation via events_cascading_rollup twin —
+    # the longest-out veteran in the registry)
 )
 def calendar_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -547,8 +547,8 @@ def customers_without_early_orders(spark: SparkSession, sf_dir: str) -> DataFram
     doc="P2 projection + P8 IN/BETWEEN predicates (reference "
         "fast_query.py:137-146). Filters and the 4-column projection push "
         "into the parquet scan (PushedFilters/ReadSchema).",
-    extra=True,  # r7 rotation: P8 predicates driver-gated via
-    # pricing_summary's pushed range filter (green r1-r6 here first)
+    # re-gated r11 (oldest-first veteran sweep, r10 verdict #5: gated
+    # r1-r6, out since the r7 rotation via pricing_summary's pushed filter)
 )
 def segment_balance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -612,8 +612,8 @@ def scalar_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arbitrary survivor (bronze_to_silver.py:80); ours is deterministic "
         "(earliest ts, tie-broken) so results are testable and stable under "
         "re-partitioning — required for CDC replay too (SURVEY.md §7.4.4).",
-    extra=True,  # r4 rotation: P7 exact dedup stays driver-gated via
-                 # doc_fingerprint_groups; slot freed for winnowing
+    # re-gated r11 (oldest-first veteran sweep, r10 verdict #5: gated
+    # r1-r3, out since the r4 rotation via doc_fingerprint_groups twin)
 )
 def dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_id").orderBy("ts", "value", "event_type")

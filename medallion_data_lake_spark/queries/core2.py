@@ -443,8 +443,8 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "joined TWICE under different roles (supplier vs customer side) "
         "plus an inequality predicate between the two — broadcast both "
         "nation sides; the only fact-fact shuffle is lineitem⨝orders.",
-    extra=True,  # r4 rotation: J3 inner chains stay driver-gated via
-                 # regional_revenue (5-way); slot freed for retention cohorts
+    # re-gated r11 (oldest-first veteran sweep, r10 verdict #5: gated
+    # r1-r3, out since the r4 rotation via the regional_revenue twin)
 )
 def supplier_customer_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -565,6 +565,9 @@ def customer_open_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_number-only W-family) on the per-customer spend rollup — "
         "partitioned by segment, ordered by the exact rounded spend with "
         "key tiebreak so bucket boundaries are cross-engine stable.",
+    extra=True,  # r11 rotation (gated r1-r10, green): window family stays
+    # gated via segment_order_window_stats + rolling_week_revenue
+    # (re-gated this round)
 )
 def segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -642,8 +645,8 @@ def order_priority_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "4 separate aggregations. Labels via COALESCE rather than "
         "grouping_id(): the two engines disagree on grouping-bit order, "
         "values never collide with 'ALL'.",
-    extra=True,  # r7 rotation: grouping-sets family driver-gated via
-    # priority_status_rollup (this cube was gated r5-r6, both green)
+    # re-gated r11 (oldest-first veteran sweep, r10 verdict #5: gated
+    # r5-r6, out since the r7 rotation via priority_status_rollup twin)
 )
 def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -690,9 +693,9 @@ def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order-independent parity. Spark expresses the range frame in "
         "epoch-day units (rangeBetween over a cast), DuckDB in INTERVAL — "
         "same semantics, hash-identical results.",
-    extra=True,  # r7 rotation: window family driver-gated via
-    # daily_revenue_growth (lag) + segment_top_customers (rank) +
-    # segment_spend_quartiles (ntile); this RANGE frame was gated r5-r6
+    # re-gated r11 (oldest-first veteran sweep, r10 verdict #5: gated
+    # r5-r6, out since the r7 rotation; takes the window-family slot from
+    # segment_spend_quartiles)
 )
 def rolling_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

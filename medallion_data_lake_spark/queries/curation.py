@@ -562,8 +562,9 @@ def _fuzzy_oracle() -> str:
         "shuffle. At 100 TB: persist both signature tables and reuse "
         "across benchmark versions.",
     tags=("text", "curation", "dedup"),
-    # r8 rotation: promoted to the driver gate (new in r7, never had a
-    # driver row)
+    extra=True,  # r11 rotation (gated r8-r10, green): LSH decontamination
+    # stays gated via doc_ngram_novelty + ngram_jaccard_consecutive
+    # (re-gated this round)
 )
 def decontaminate_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND, signatures

@@ -362,8 +362,9 @@ def lsh_pairs(sigs: DataFrame) -> DataFrame:
         "negligible at shingle-set sizes). In production this runs only "
         "on LSH candidates (lsh_candidate_pairs) — never all pairs.",
     tags=("dedup",),
-    extra=True,  # r7 rotation: near-dup family driver-gated via
-    # lsh_candidate_pairs + doc_winnowing_fingerprints
+    # re-gated r11 (oldest-first veteran sweep, r10 verdict #5: gated
+    # r1-r6, out since the r7 rotation; takes the curation/near-dup slot
+    # from decontaminate_fuzzy_lsh)
 )
 def ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
@@ -406,8 +407,8 @@ _SQL_SIMHASH = " + ".join(
         "Map-side only; near-dup = small Hamming distance, findable by "
         "grouping on bit-masked prefixes (same banding trick as LSH).",
     tags=("dedup",),
-    extra=True,  # r7 rotation: fingerprint family driver-gated via
-    # doc_fingerprint_groups + doc_winnowing_fingerprints
+    # re-gated r11 (oldest-first veteran sweep, r10 verdict #5: gated
+    # r1-r6, out since the r7 rotation via the fingerprint twins)
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")

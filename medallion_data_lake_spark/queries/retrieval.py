@@ -408,3 +408,77 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round("_s", 9).alias("rrf_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-phrase retrieval (r10 verdict #2): the query face of the bigram
+# posting table (operators/inverted_index.py `phrase_candidates` /
+# `phrase_search`). Contamination audits ask "which documents contain
+# this exact string" constantly; the phrase decomposes into adjacent
+# bigrams whose posting intersection is a NECESSARY condition, and the
+# exact contiguous-run residual is verified only on those candidates.
+_PHRASE = ("stream", "table", "hash")  # df 3/7/11 at sf0.001/0.01/0.1
+_SQL_PHRASE_CONDS = " AND ".join(
+    f"a[i+{j}] = '{t}'" for j, t in enumerate(_PHRASE)
+)
+
+
+@query(
+    "phrase_match_docs",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS a FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i
+      FROM toks, unnest(range(1, len(a) - {len(_PHRASE) - 2})) AS t(i)
+      WHERE {_SQL_PHRASE_CONDS}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM pos GROUP BY doc_id
+    ORDER BY doc_id ASC
+    """,
+    doc="North-star exact-phrase retrieval: documents containing the "
+        f"contiguous token run {' '.join(_PHRASE)!r}, with occurrence "
+        "counts. The Spark side computes it THE WAY THE INDEX SERVES "
+        "IT — bigram-intersection candidates first (every adjacent "
+        "bigram present: a necessary condition that, persisted, is a "
+        "bloom-pruned posting read instead of a corpus scan), then the "
+        "exact contiguous-run residual (shared phrase_match_count "
+        "expression) on the candidates only; the oracle states the "
+        "bare phrase semantics, so parity proves the two-stage form "
+        "exact. operators/inverted_index.phrase_search serves the same "
+        "answer from the persisted bigram table (tests/test_phrase.py "
+        "proves doc-set equality and reports the pruning).",
+    tags=("text", "retrieval"),
+)  # first gated r11 (new operator this round)
+def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.inverted_index import (
+        bigram_tokens,
+        phrase_bigrams,
+        phrase_match_count,
+    )
+
+    phrase = list(_PHRASE)
+    bgs = sorted(set(phrase_bigrams(phrase)))
+    d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    cand = (
+        d.select(
+            "doc_id",
+            F.explode(bigram_tokens(F.col("text"))).alias("bigram"),
+        )
+        .filter(F.col("bigram").isin(bgs))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("bigram").alias("_nb"))
+        .filter(F.col("_nb") == len(bgs))
+        .select("doc_id")
+    )
+    return (
+        d.join(cand, "doc_id")  # candidates only carry the residual
+        .select(
+            "doc_id",
+            phrase_match_count(F.col("text"), phrase).alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.asc("doc_id"))
+    )

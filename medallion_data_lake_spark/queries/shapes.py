@@ -58,7 +58,9 @@ _STATUSES = ["F", "O", "P"]  # orders.o_orderstatus domain (TPC-H fixed)
         "the schema). Plan is one shuffled aggregation with map-side "
         "partials, exactly a GROUP BY with conditional aggregates.",
     tags=("pivot",),
-    # driver-gated since r5 (rotated in from extras)
+    extra=True,  # r11 rotation (gated r5-r10, green): reshape family stays
+    # gated via priority_status_grouping_sets + priority_status_cube
+    # (re-gated this round)
 )
 def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -450,6 +452,8 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "No correlated re-execution anywhere — at 100 TB this is one "
         "fact-side distinct plus a broadcast filter on the dim.",
     tags=("antijoin",),
+    extra=True,  # r11 rotation (gated r1-r10, green): anti-join/null-test
+    # stays gated via daily_order_spine (P9) + suppliers' J7 twins below
 )
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -506,6 +510,8 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "plain inner join + distinct would pay never materializes). The "
         "year filter pushes to the orders scan.",
     tags=("subquery", "exists", "semi-join"),
+    extra=True,  # r11 rotation (gated r1-r10, green): EXISTS/semi-join
+    # stays gated via nation_value_concentration + dominant_volume_suppliers
 )
 def priority_late_ship_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -589,6 +595,9 @@ def nation_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order-independent and the 0.5× boundary compare is exact "
         "cross-engine; the money sum goes through decimal.",
     tags=("subquery", "correlated-avg"),
+    extra=True,  # r11 rotation (gated r1-r10, green): correlated-avg stays
+    # gated via nation_value_concentration; P8 via segment_balance_filter
+    # (re-gated this round)
 )
 def brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import dsum
@@ -696,6 +705,8 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "data; the supplier dim broadcasts; top-100 with the s_name "
         "tiebreak is TakeOrderedAndProject.",
     tags=("subquery", "exists", "not-exists", "anti-join"),
+    extra=True,  # r11 rotation (gated r1-r10, green): A5 ordered agg +
+    # NOT-EXISTS stays gated via large_volume_orders + nation_value_concentration
 )
 def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -765,8 +776,8 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "selection cannot flip on float summation order. Catalyst reuses "
         "the aggregation exchange for both consumers.",
     tags=("subquery", "scalar-agg", "view"),
-    # r8 rotation: promoted to the driver gate (Q15 shape, new in r7,
-    # never had a driver row)
+    extra=True,  # r11 rotation (gated r8-r10, green): W1 ranking window
+    # stays gated via segment_order_window_stats
 )
 def quarter_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import dsum
@@ -958,7 +969,9 @@ _Q7_NATIONS = ("NATION_1", "NATION_2")  # fixture nation-name domain
         "filter over the two broadcast-carried nation names — never a "
         "join condition that would defeat the equi-join planner.",
     tags=("join-family", "q7"),
-    # first gated r8 (new)
+    extra=True,  # r11 rotation (gated r8-r10, green): J3 inner chains stay
+    # gated via product_profit_by_nation_year +
+    # supplier_customer_nation_volume (re-gated this round)
 )
 def two_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -1041,7 +1054,9 @@ def two_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fact-fact shuffle (lineitem⨝orders). Decimal sums before the "
         "double division (queries/_parity.py discipline).",
     tags=("join-family", "q8", "ratio"),
-    # first gated r8 (new)
+    extra=True,  # r11 rotation (gated r8-r10, green): share-of-total join
+    # family stays gated via product_profit_by_nation_year +
+    # brand_revenue_share_monthly
 )
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import dsum

@@ -78,8 +78,8 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SURVEY.md §2.5). Partitioned by user; ordered summation is "
         "deterministic in both engines.",
     tags=("streaming",),
-    extra=True,  # r4 rotation: running-sum frame window now driver-gated
-                 # via sequence_packing_plan (same op + packing semantics)
+    # re-gated r11 (oldest-first veteran sweep, r10 verdict #5: gated
+    # r1-r3, out since the r4 rotation via sequence_packing_plan twin)
 )
 def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
@@ -238,6 +238,10 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         "product); at scale, bucketing both sides by the key plus "
         "time-partition pruning bounds each probe.",
     tags=("streaming",),
+    extra=True,  # r11 rotation (gated r1-r10, green): time-interval join
+    # family stays gated via signup_view_purchase_funnel +
+    # weekly_retention_cohorts; running-sum via user_running_totals
+    # (re-gated this round)
 )
 def purchases_within_hour_of_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)

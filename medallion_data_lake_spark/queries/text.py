@@ -389,8 +389,8 @@ FROM stats s LEFT JOIN rep r USING (doc_id)
         "metrics in both engines so boundary docs cannot flip across "
         "float formatting.",
     tags=("text", "curation"),
-    # r7 rotation: promoted from extras to the driver gate (never had a
-    # driver row; the Gopher battery is first-class curation surface)
+    extra=True,  # r11 rotation (gated r7-r10, green): quality/text family
+    # stays gated via doc_token_stats + doc_repetition_stats
 )
 def doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")

@@ -1,0 +1,202 @@
+"""Phrase retrieval via bigram postings (operators/inverted_index.py):
+the indexed path must return the scan path's exact doc set, with bloom
+pruning reported; the bigram table rides the same txn/snapshot/stream
+machinery as the other index legs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.operators.inverted_index import (
+    append_bm25_index,
+    bigram_tokens,
+    bm25_search,
+    committed_index_snapshot,
+    create_bm25_index,
+    index_has_bigrams,
+    phrase_bigrams,
+    phrase_candidates,
+    phrase_match_count,
+    phrase_search,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "cat sat by the dog"),
+    (3, "the cat sat on the cat sat on it"),
+    (4, "sat the cat"),
+    (5, "on cat sat zebra on"),  # has 'cat sat' and 'sat on'? no: sat->zebra
+    (6, "x"),
+    (7, "cat sat somewhere then sat on it"),  # both bigrams, NOT the phrase
+]
+
+
+def _docs(spark, rows=None):
+    return spark.createDataFrame(rows or DOCS, "doc_id long, text string")
+
+
+@pytest.fixture
+def idx(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2,
+                      bigrams=True)
+    append_bm25_index(spark, _docs(spark, DOCS[4:]), root, n_files=2)
+    return root
+
+
+def _scan_phrase(spark, docs, phrase):
+    """Ground truth: exact contiguous-run match over a full scan."""
+    return sorted(
+        (r["doc_id"], r["n"])
+        for r in docs.select(
+            "doc_id", phrase_match_count(F.col("text"), phrase).alias("n")
+        ).filter(F.col("n") > 0).collect()
+    )
+
+
+def test_indexed_phrase_equals_scan_path(spark, idx):
+    docs = _docs(spark)
+    for phrase in (["cat", "sat"], ["cat", "sat", "on"],
+                   ["the", "cat", "sat", "on"], ["no", "such", "run"]):
+        got, report = phrase_search(spark, idx, docs, phrase)
+        assert sorted(tuple(r) for r in got.collect()) == \
+            _scan_phrase(spark, docs, phrase), phrase
+        assert report["files_total"] > 0
+
+
+def test_candidates_necessary_not_sufficient(spark, idx):
+    """Doc 7 carries both bigrams of 'cat sat on' without the
+    contiguous run: it must appear in the candidates and be removed by
+    the exact residual — the two-stage semantics the gated
+    phrase_match_docs query mirrors."""
+    cand, _ = phrase_candidates(spark, idx, ["cat", "sat", "on"])
+    cand_ids = {r["doc_id"] for r in cand.collect()}
+    assert 7 in cand_ids
+    got, _ = phrase_search(spark, idx, _docs(spark), ["cat", "sat", "on"])
+    assert 7 not in {r["doc_id"] for r in got.collect()}
+    # multiple occurrences counted: doc 3 has the run twice
+    assert dict(
+        (r["doc_id"], r["n_matches"]) for r in got.collect()
+    )[3] == 2
+
+
+def test_phrase_reads_prune_files(spark, tmp_path):
+    """The sorted+bloomed bigram layout must skip files for a rare
+    phrase, exactly like term postings do."""
+    rows = [(i, f"filler{i} word{i % 7} pad{i}") for i in range(40)]
+    rows.append((99, "needle alpha beta"))
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark, rows), root, n_files=6,
+                      bigrams=True)
+    _, report = phrase_candidates(spark, root, ["needle", "alpha", "beta"])
+    assert report["files_skipped"] > report["files_read"] > 0, report
+
+
+def test_bigram_leg_is_transactional(spark, tmp_path, monkeypatch):
+    """All five tables land through one manifest; the snapshot pins the
+    bigram leg with the same consistent cut."""
+    root = str(tmp_path / "idx")
+    m = create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2,
+                          bigrams=True)
+    assert len(m["legs"]) == 5
+    pins = committed_index_snapshot(root)
+    assert set(pins) == {"postings", "doclens", "termstats",
+                         "corpus_stats", "bigrams"}
+
+
+def test_bigrams_all_or_nothing(spark, tmp_path):
+    root = str(tmp_path / "plain")
+    create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2)
+    assert not index_has_bigrams(root)
+    with pytest.raises(ValueError, match="without bigrams"):
+        append_bm25_index(spark, _docs(spark, DOCS[4:]), root, bigrams=True)
+    with pytest.raises(ValueError, match="no bigram table"):
+        phrase_candidates(spark, root, ["cat", "sat"])
+    # and a bigramless append on a bigram index refuses too
+    root2 = str(tmp_path / "bg")
+    create_bm25_index(spark, _docs(spark, DOCS[:4]), root2, n_files=2,
+                      bigrams=True)
+    with pytest.raises(ValueError, match="with bigrams"):
+        append_bm25_index(spark, _docs(spark, DOCS[4:]), root2,
+                          bigrams=False)
+
+
+def test_phrase_validation(spark, idx):
+    with pytest.raises(ValueError, match="two tokens"):
+        phrase_candidates(spark, idx, ["solo"])
+    assert phrase_bigrams(["a", "b", "c"]) == ["a b", "b c"]
+
+
+def test_bigram_tokens_edge_cases(spark):
+    rows = [(1, "only"), (2, ""), (3, "  two  tokens  "), (4, "a b c")]
+    out = {
+        r["doc_id"]: r["bg"]
+        for r in _docs(spark, rows)
+        .select("doc_id", bigram_tokens(F.col("text")).alias("bg"))
+        .collect()
+    }
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["two tokens"]
+    assert out[4] == ["a b", "b c"]
+
+
+def test_streaming_append_maintains_bigrams(spark, tmp_path):
+    """The streaming maintenance path lands the fifth leg in the same
+    per-batch txn; phrase search over the streamed index equals the
+    scan path."""
+    import json
+
+    from medallion_data_lake_spark.operators.inverted_index import (
+        run_postings_append_stream,
+    )
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark, DOCS[:2]), root, n_files=2,
+                      bigrams=True)
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    with open(os.path.join(inp, "b1.jsonl"), "w") as f:
+        f.write("\n".join(
+            json.dumps({"doc_id": i, "text": t}) for i, t in DOCS[2:]
+        ))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1").json(inp)
+    )
+    q = run_postings_append_stream(
+        spark, stream, root, str(tmp_path / "ck"),
+    )
+    q.awaitTermination(300)
+
+    docs = _docs(spark)
+    got, _ = phrase_search(spark, root, docs, ["cat", "sat", "on"])
+    assert sorted(tuple(r) for r in got.collect()) == \
+        _scan_phrase(spark, docs, ["cat", "sat", "on"])
+    # and keyword search still serves the full corpus
+    assert bm25_search(spark, root, ["cat"], k=10).count() > 0
+
+
+def test_cli_phrase_search_round_trip(spark, tmp_path, capsys):
+    """bm25-build --bigrams then phrase-search through the CLI: the
+    exact-phrase answers come back as JSON rows."""
+    import json
+
+    from medallion_data_lake_spark import cli
+
+    root = str(tmp_path / "idx")
+    assert cli.main(["bm25-build", root, "--bigrams",
+                     "--sf", "/root/testdata/sf0.001"]) == 0
+    capsys.readouterr()
+    assert cli.main(["phrase-search", root, "--phrase", "stream table hash",
+                     "--sf", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = [json.loads(ln) for ln in out if ln.startswith("{")]
+    assert len(rows) == 3  # measured fixture df at sf0.001
+    assert all(r["n_matches"] >= 1 for r in rows)
+    # too-short phrase refused
+    assert cli.main(["phrase-search", root, "--phrase", "solo",
+                     "--sf", "/root/testdata/sf0.001"]) == 2
