@@ -347,8 +347,15 @@ PHASH_ROWS = 7
 PHASH_COLS = 9
 PHASH_NPIX = PHASH_ROWS * PHASH_COLS          # 63 thumbnail pixels
 PHASH_BITS = PHASH_ROWS * (PHASH_COLS - 1)    # 56 dHash bits
-PHASH_BANDS = 4
-PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS   # 14
+# 8 x 7-bit bands: pigeonhole guarantees band collision for every pair
+# below Hamming 8 — aligned with the dedup threshold (<= 8), so only
+# the d == 8 boundary is probabilistic. Chosen by measurement (r11,
+# SCALE.md 'pHash band recall'): at the <=8 threshold the r10 scheme
+# (4 x 14) recalled 54% of ground-truth pairs at sf0.1 and 28% at the
+# 10x clone; 7 x 8 reached 88-90%; 8 x 7 measures 98.6-99.0% at ~10x
+# fewer band collisions than full-recall 14 x 4.
+PHASH_BANDS = 8
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS   # 7
 _PHASH_BAND_MASK = (1 << PHASH_BAND_BITS) - 1
 
 
@@ -400,16 +407,32 @@ def phash_band_pairs(
     id_col: str = "media_id",
     hash_col: str = "phash",
     max_dist: int = 8,
+    n_bands: int = PHASH_BANDS,
+    band_bits: int = PHASH_BAND_BITS,
 ) -> DataFrame:
     """Near-duplicate candidate pairs by banded Hamming bucketing:
-    split the 56-bit hash into 4 x 14-bit bands; items sharing ANY band
-    bucket become candidates (pigeonhole: any pair within Hamming
-    distance < 4 MUST collide on a band; larger radii are recalled
-    probabilistically, the standard LSH trade-off); exact
-    ``bit_count(xor)`` distance is scored WITHIN buckets only and
+    split the 56-bit hash into ``n_bands`` x ``band_bits`` bands; items
+    sharing ANY band bucket become candidates (pigeonhole: any pair
+    within Hamming distance < n_bands MUST collide on a band; larger
+    radii are recalled probabilistically, the standard LSH trade-off);
+    exact ``bit_count(xor)`` distance is scored WITHIN buckets only and
     filtered to ``max_dist``. The full hash rides the band rows (the
     lsh_pairs shape) so scoring needs no second scan. Returns
-    (id_a, id_b, hamming) with id_a < id_b, deduped across bands."""
+    (id_a, id_b, hamming) with id_a < id_b, deduped across bands.
+
+    Default banding 8 x 7 guarantees collision below Hamming 8 —
+    every pair under the threshold is found structurally, only the
+    d == 8 boundary is probabilistic. Measured against the all-pairs
+    ground truth (scripts/measure_phash_recall.py; SCALE.md r11
+    'pHash band recall'): recall at <=8 is 99.0% on sf0.1 and 98.6%
+    on the 10x clone, vs 54%/28% for the r10 4 x 14 scheme and 100%
+    for 14 x 4 at ~10x the band-collision cost — the measurement that
+    forced this default."""
+    if n_bands * band_bits != PHASH_BITS:
+        raise ValueError(
+            f"banding {n_bands} x {band_bits} must cover {PHASH_BITS} bits"
+        )
+    mask = (1 << band_bits) - 1
     bands = df.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_h"),
@@ -417,10 +440,10 @@ def phash_band_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftrightunsigned(F.col(hash_col), b * PHASH_BAND_BITS)
-                    .bitwiseAND(F.lit(_PHASH_BAND_MASK)).alias("bval"),
+                    F.shiftrightunsigned(F.col(hash_col), b * band_bits)
+                    .bitwiseAND(F.lit(mask)).alias("bval"),
                 )
-                for b in range(PHASH_BANDS)
+                for b in range(n_bands)
             ])
         ).alias("bb"),
     ).select("_id", "_h", "bb.band", "bb.bval")

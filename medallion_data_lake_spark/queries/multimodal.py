@@ -97,8 +97,8 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM px
     ),
     bands AS (
-      SELECT doc_id, phash, b, (phash >> (14 * b)) & 16383 AS bval
-      FROM h, unnest([0, 1, 2, 3]) AS u(b)
+      SELECT doc_id, phash, b, (phash >> (7 * b)) & 127 AS bval
+      FROM h, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(b)
     ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
@@ -112,12 +112,13 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deterministic fake decoder's 7x9 thumbnail (token-length grid — "
         "content-correlated like a real resample; PIL path env-gated, "
         "operators/multimodal.thumbnail_pixels_batch), then banded "
-        "Hamming bucketing (4 x 14-bit bands, the queries/dedup.lsh_pairs "
+        "Hamming bucketing (8 x 7-bit bands, the queries/dedup.lsh_pairs "
         "shape): pairs are scored by exact bit_count(xor) WITHIN band "
         "buckets only — no all-pairs (asserted registry-wide, "
-        "tests/test_plans.py). Finds the fixture's 12 strong near-dup "
-        "pairs with zero false positives (random-pair Hamming floor is "
-        "15; threshold 8).",
+        "tests/test_plans.py). Banding chosen by measurement (r11, "
+        "SCALE.md): pigeonhole over 8 bands guarantees every pair below "
+        "the Hamming-8 threshold collides; measured recall at <=8 is "
+        "99.0%/98.6% (sf0.1 / 10x clone) vs 54%/28% for r10's 4 x 14.",
     tags=("multimodal", "dedup"),
 )  # first gated r10 (new operator this round)
 def media_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
