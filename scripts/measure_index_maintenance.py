@@ -156,9 +156,10 @@ def main() -> None:
     t0 = time.time()
     build_ivf_index(emb, ipath)
     ann_build_sec = round(time.time() - t0, 1)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0)
-            .first()["embedding"]]
-    ann_search = lambda: search_ivf_index(spark, ipath, qvec, k=10).collect()  # noqa: E731
+    queries = emb.filter(F.col("vec_id") % 10_000 == 3)  # bounded batch
+    ann_search = lambda: search_ivf_index(  # noqa: E731
+        spark, ipath, queries, k=10
+    ).collect()
     s_pre, _ = timed(ann_search)
     doomed = [int(r["vec_id"]) for r in
               emb.filter(F.col("vec_id") % 100 == 7).select("vec_id").collect()]
