@@ -668,7 +668,9 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         docs = _rt(spark, args.docs) if args.docs else spark.table("documents")
         out, report = phrase_search(spark, args.arg, docs, phrase)
-        for r in out.orderBy("doc_id").collect():
+        # bounded like bm25-search: a phrase of common tokens can match
+        # a large corpus fraction — never collect it unbounded
+        for r in out.orderBy("doc_id").limit(args.limit).collect():
             print(json.dumps({"doc_id": r["doc_id"],
                               "n_matches": r["n_matches"]}))
         print(json.dumps({"pruning": report}), file=sys.stderr)

@@ -147,17 +147,12 @@ def build_bigrams(
     )
 
 
-def phrase_matches(text_col: Column, phrase: list[str]) -> Column:
-    """TRUE iff the token sequence ``phrase`` occurs consecutively in
-    the text — the exact-phrase residual shared by the gated
-    ``phrase_match_docs`` query and :func:`phrase_search`, so the
-    indexed path and the oracle-checked semantics cannot drift."""
-    return phrase_match_count(text_col, phrase) > 0
-
-
 def phrase_match_count(text_col: Column, phrase: list[str]) -> Column:
     """Number of positions where ``phrase`` occurs consecutively
-    (long; 0 when the doc is shorter than the phrase)."""
+    (long; 0 when the doc is shorter than the phrase) — the
+    exact-phrase residual shared by the gated ``phrase_match_docs``
+    query and :func:`phrase_search`, so the indexed path and the
+    oracle-checked semantics cannot drift."""
     if len(phrase) < 2:
         raise ValueError("phrase needs at least two tokens")
     toks = clean_tokens(text_col)
@@ -259,8 +254,27 @@ _STAGE_OPTS = {
 }
 
 
+_BIGRAM_MARKER = "_bigram_index.json"
+
+
 def index_has_bigrams(index_root: str) -> bool:
-    return latest_version(_t(index_root, _BIGRAMS)) is not None
+    """The index carries the bigram contract: the durable marker the
+    first bigram append writes BEFORE staging, falling back to
+    published state for pre-marker indexes. The marker (not published
+    state) is what makes the contract crash-safe: a create that
+    crashed mid roll-forward (postings published, bigram leg still
+    staged) has no published bigram version, and resolving from
+    published state alone would let the idempotent re-run either raise
+    or — worse, on the auto-detect path — silently commit 4-leg
+    appends whose documents the bigram table permanently lacks
+    (r11 review finding)."""
+    from .logstore import get_log_store
+
+    try:
+        get_log_store().read(_t(index_root, _BIGRAM_MARKER))
+        return True
+    except (FileNotFoundError, KeyError):  # KeyError: in-memory store
+        return latest_version(_t(index_root, _BIGRAMS)) is not None
 
 
 def _resolve_bigrams(index_root: str, bigrams: bool | None) -> bool:
@@ -268,19 +282,39 @@ def _resolve_bigrams(index_root: str, bigrams: bool | None) -> bool:
     table, EVERY append must feed it (a gap would make phrase searches
     silently miss the gap's documents), and retrofitting bigrams onto
     an index mid-life is refused for the same reason (earlier batches
-    would be unindexed). ``None`` auto-detects from the index."""
+    would be unindexed). ``None`` auto-detects from the durable marker
+    (see :func:`index_has_bigrams`). When bigrams resolve on, the
+    marker is (idempotently) written FIRST — before any leg stages —
+    so every crash point leaves a state a replay resolves
+    identically."""
+    import json as _json
+
+    from .logstore import get_log_store
+
     has = index_has_bigrams(index_root)
     exists = latest_version(_t(index_root, _POSTINGS)) is not None
     if bigrams is None:
-        return has
-    if exists and bigrams != has:
+        resolved = has
+    elif (exists or has) and bigrams != has:
         raise ValueError(
             f"index at {index_root} was built "
             f"{'with' if has else 'without'} bigrams; appending "
             f"{'without' if has else 'with'} them would leave phrase "
             "searches silently incomplete — rebuild the index instead"
         )
-    return bigrams
+    else:
+        resolved = bigrams
+    if resolved and not has:
+        store = get_log_store()
+        store.ensure_dir(index_root)
+        try:
+            store.put_exclusive(
+                _t(index_root, _BIGRAM_MARKER),
+                _json.dumps({"bigrams": True}),
+            )
+        except FileExistsError:
+            pass  # concurrent first append: same contract either way
+    return resolved
 
 
 def append_bm25_index(
@@ -370,13 +404,15 @@ def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
     (``txn.expire_txns``) keeps the newest committed manifest by
     default, so the pin survives quiet periods.
 
-    Cost: manifests are scanned NEWEST-FIRST with an early exit, so a
-    streaming-maintained index (one txn per micro-batch) pays O(1)
-    manifest reads per search, not O(#appends). Txn ids carry a
-    chronological time_ns prefix; legacy random-uuid ids can make the
-    name order diverge from creation order, in which case the early
-    exit may return an OLDER committed manifest — still a consistent
-    cut (any committed 4-leg manifest is), just possibly staler."""
+    Cost: ONE pass over the retained manifests (KB each; the count is
+    bounded by ``txn.expire_txns`` retention, which a streaming-
+    maintained index runs on maintenance cadence) — no early exit,
+    because recovery can publish an old txn's legs after a newer
+    append, so an older manifest may carry a table's newest version
+    (the per-table MAX merge below). Txn ids carry a chronological
+    time_ns prefix; legacy random-uuid ids can misplace the live-txn
+    straddle boundary, in which case the merge degrades to an older
+    — still consistent — cut."""
     from .logstore import get_log_store
     from .txn import read_txn
 
@@ -390,26 +426,36 @@ def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
         files = [f for f in store.list(txn_root) if f.endswith(".json")]
     except FileNotFoundError:
         return None
-    # Pins MERGE across committed manifests, newest-first per table: a
+    # Pins MERGE across committed manifests, per-table MAX version: a
     # crashed append whose re-run covered a subset of tables leaves the
-    # four legs split over TWO committed manifests (the duplicate-skip
-    # path), and no single manifest covers all four. The merged cut is
-    # consistent ONLY while no LIVE (prepared/stuck/aborting) txn sits
-    # between the merged manifests: a torn append that published
-    # postings/doclens but crashed before its stats legs leaves its
-    # manifest 'prepared', and the re-run's subset manifest (stats
-    # only) is NEWER — merging the two committed sides of that torn txn
-    # pins new stats against stale postings (the r10 ADVICE finding).
-    # So the merge RESETS whenever the newest-first scan crosses a live
-    # manifest touching these tables: the returned cut is the newest
-    # merge that does not straddle any pending txn (equivalently,
-    # restricted to committed manifests older than the oldest live
-    # one). If no such merge completes, fall back to the newest single
-    # committed manifest covering every table — one manifest is one
-    # atomic batch-set cut regardless of age. Terminal aborted/broken
+    # legs split over TWO committed manifests (the duplicate-skip
+    # path), and no single manifest covers them all. Two rules make the
+    # merge a consistent cut:
+    #
+    # 1. MAX, not newest-manifest-wins: recovery can publish an OLD
+    #    txn's remaining legs AFTER a newer append landed (torn create,
+    #    interleaved append, recover_txns) — the older-by-id manifest
+    #    then records the NEWER table version for the tables it was
+    #    torn on, so manifest id order and per-table version order
+    #    disagree. The max over committed manifests is exactly "every
+    #    fully-committed batch applied", whatever order they landed.
+    # 2. The merge RESETS whenever the newest-first scan crosses a LIVE
+    #    (prepared/stuck/aborting) manifest touching these tables: a
+    #    torn append that published postings/doclens but crashed before
+    #    its stats legs leaves its manifest 'prepared', and the
+    #    re-run's subset manifest (stats only) is NEWER — merging the
+    #    two committed sides of that torn txn pins new stats against
+    #    stale postings (the r10 ADVICE finding). The returned cut is
+    #    the newest merge that does not straddle any pending txn.
+    #
+    # If no merge completes, fall back to the newest single committed
+    # manifest covering every table — one manifest is one atomic
+    # batch-set cut regardless of age. Terminal aborted/broken
     # manifests never reset: nothing will roll them forward, so they
     # cannot later rewrite the tables' history the way a pending
-    # prepared txn does.
+    # prepared txn does. Cost: one pass over the retained manifests
+    # (KB each, bounded by txn.expire_txns retention) — no early exit,
+    # because rule 1 means an older manifest can still raise a pin.
     pins: dict[str, int] = {}
     single: dict[str, int] | None = None
     for f in sorted(files, reverse=True):  # newest first (time_ns ids)
@@ -433,10 +479,8 @@ def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
         if single is None and len(covered) == len(want):
             single = covered
         for name, v in covered.items():
-            pins.setdefault(name, v)
-        if len(pins) == len(want):
-            return pins
-    return single
+            pins[name] = max(pins.get(name, v), v)
+    return pins if len(pins) == len(want) else single
 
 
 def corpus_stats(

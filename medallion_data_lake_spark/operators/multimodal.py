@@ -356,7 +356,6 @@ PHASH_BITS = PHASH_ROWS * (PHASH_COLS - 1)    # 56 dHash bits
 # fewer band collisions than full-recall 14 x 4.
 PHASH_BANDS = 8
 PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS   # 7
-_PHASH_BAND_MASK = (1 << PHASH_BAND_BITS) - 1
 
 
 def fake_thumbnail_expr(text_col) -> "F.Column":

@@ -312,9 +312,11 @@ _SQL_RRF = f"""
     tags=("text", "retrieval", "similarity"),
 )  # first gated r11 (new operator this round)
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..functions import dot, l2_norm
+    # branch ranking + fusion come from operators/hybrid.py — the SAME
+    # code the persisted-path hybrid_search runs, so the gated
+    # arithmetic and the operator cannot drift (r11 review finding:
+    # this function originally re-implemented them line-for-line)
+    from ..operators.hybrid import cosine_topn, ranked, rrf_fuse
 
     # --- keyword branch: the bm25_topk_docs plan, ranked not scored
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
@@ -340,73 +342,27 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(28,12)"),
         )
     )
-    kw = (
+    kw_topn = (
         scored.groupBy("doc_id")
         .agg(F.sum("_s").alias("_score"))
         .orderBy(F.desc("_score"), F.asc("doc_id"))
         .limit(_N_BRANCH)  # TakeOrderedAndProject bounds the branch
-        .withColumn(
-            "kw_rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("_score"), F.asc("doc_id"))
-            ),
-        )
-        .select("doc_id", "kw_rank")
     )
+    kw = ranked(kw_topn, [F.desc("_score")]).select("doc_id", "rank")
 
     # --- vector branch: cosine against stored vector _Q_VEC_ID
-    e = load_star_table_spread(
-        spark, sf_dir, "embeddings", "vec_id"
-    ).withColumn("nrm", l2_norm(F.col("embedding")))
-    q = e.filter(F.col("vec_id") == _Q_VEC_ID).select(
-        F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
-    )
-    vec = (
-        e.filter(F.col("vec_id") != _Q_VEC_ID)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            stable_round(
-                dot(F.col("qv"), F.col("embedding"))
-                / (F.col("qnrm") * F.col("nrm")),
-                6,
-            ).alias("_cs"),
-        )
-        .orderBy(F.desc("_cs"), F.asc("vec_id"))
-        .limit(_N_BRANCH)
-        .withColumn(
-            "vec_rank",
-            F.row_number().over(Window.orderBy(F.desc("_cs"), F.asc("vec_id"))),
-        )
-        .select("vec_id", "vec_rank")
-    )
+    e = load_star_table_spread(spark, sf_dir, "embeddings", "vec_id")
+    vec = cosine_topn(e, _Q_VEC_ID, _N_BRANCH)
 
     # --- fusion: full-outer on the shared id space, RRF sum
-    fused = (
-        kw.join(vec, kw["doc_id"] == vec["vec_id"], "full_outer")
-        .select(
-            F.coalesce(kw["doc_id"], vec["vec_id"]).alias("doc_id"),
-            "kw_rank",
-            "vec_rank",
-            (
-                F.coalesce(
-                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("kw_rank")),
-                    F.lit(0.0),
-                )
-                + F.coalesce(
-                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")),
-                    F.lit(0.0),
-                )
-            ).alias("_s"),
-        )
+    fused = rrf_fuse(
+        {"kw": kw, "vec": vec.withColumnRenamed("vec_id", "doc_id")},
+        k=_HYBRID_K,
+        rrf_k=_RRF_K,
     )
-    return (
-        fused.orderBy(F.desc("_s"), F.asc("doc_id"))
-        .limit(_HYBRID_K)
-        .select(
-            "doc_id", "kw_rank", "vec_rank",
-            stable_round("_s", 9).alias("rrf_score"),
-        )
+    return fused.select(
+        "doc_id", "kw_rank", "vec_rank",
+        stable_round("rrf_score", 9).alias("rrf_score"),
     )
 
 

@@ -200,3 +200,57 @@ def test_cli_phrase_search_round_trip(spark, tmp_path, capsys):
     # too-short phrase refused
     assert cli.main(["phrase-search", root, "--phrase", "solo",
                      "--sf", "/root/testdata/sf0.001"]) == 2
+
+
+def test_torn_bigram_create_replays_exactly_once(spark, tmp_path, monkeypatch):
+    """r11 review (high): the bigram contract must be resolved from a
+    DURABLE marker, not from published state — a create(bigrams=True)
+    that crashes mid roll-forward (postings published, bigram leg still
+    staged) must let the documented idempotent re-run proceed as a
+    5-leg index instead of raising 'built without bigrams', and an
+    auto-detect caller (a restarted stream) must resolve True instead
+    of silently committing 4-leg appends that leave permanent phrase
+    gaps."""
+    from medallion_data_lake_spark.operators import txn as T
+    from medallion_data_lake_spark.operators.inverted_index import (
+        _resolve_bigrams,
+    )
+    from medallion_data_lake_spark.operators.txn import recover_txns
+
+    root = str(tmp_path / "idx")
+    real = T.publish_staged
+    calls = {"n": 0}
+
+    def crash_after_two(spark_, table, sid):
+        if calls["n"] >= 2:
+            raise RuntimeError("crash")
+        calls["n"] += 1
+        return real(spark_, table, sid)
+
+    monkeypatch.setattr(T, "publish_staged", crash_after_two)
+    with pytest.raises(RuntimeError, match="crash"):
+        create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2,
+                          bigrams=True)
+    monkeypatch.undo()
+
+    # torn state: postings published, bigram leg staged-not-published —
+    # published state alone would mis-resolve; the durable marker wins
+    from medallion_data_lake_spark.operators.versioned import (
+        latest_version,
+    )
+
+    assert latest_version(os.path.join(root, "bigrams")) is None
+    assert index_has_bigrams(root)                   # marker remembers
+    assert _resolve_bigrams(root, None) is True
+    assert _resolve_bigrams(root, True) is True      # replay proceeds
+    with pytest.raises(ValueError, match="with bigrams"):
+        _resolve_bigrams(root, False)                # contract change refused
+
+    # the replayed append lands the remaining legs; recovery completes
+    # the torn txn; the phrase index then covers the FULL corpus
+    append_bm25_index(spark, _docs(spark, DOCS[4:]), root, n_files=2)
+    recover_txns(spark, os.path.join(root, "_txn"))
+    docs = _docs(spark)
+    got, _ = phrase_search(spark, root, docs, ["cat", "sat", "on"])
+    assert sorted(tuple(r) for r in got.collect()) == \
+        _scan_phrase(spark, docs, ["cat", "sat", "on"])
