@@ -58,6 +58,7 @@ Scale shape at 100 TB:
 from __future__ import annotations
 
 import os
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -112,18 +113,19 @@ def build_doclens(
     )
 
 
-def bigram_tokens(text_col: Column) -> Column:
-    """Adjacent-token bigrams as ``"t1 t2"`` strings — zip the token
-    array with itself shifted by one (pure map-side array ops, no
-    explode until the caller wants one). Shorter-than-2 docs yield an
-    empty array (the guard matters: slice lengths must be >= 0)."""
-    toks = clean_tokens(text_col)
-    n = F.size(toks)
+def bigram_tokens(tokens: Column) -> Column:
+    """Adjacent-token bigrams as ``"t1 t2"`` strings from a TOKEN ARRAY
+    column (:func:`clean_tokens`, pre-projected behind an alias — see
+    :func:`phrase_position_hits` for why) — zip the array with itself
+    shifted by one (pure map-side array ops, no explode until the
+    caller wants one). Shorter-than-2 docs yield an empty array (the
+    guard matters: slice lengths must be >= 0)."""
+    n = F.size(tokens)
     return F.when(
         n >= 2,
         F.zip_with(
-            F.slice(toks, F.lit(1), n - 1),
-            F.slice(toks, F.lit(2), n - 1),
+            F.slice(tokens, F.lit(1), n - 1),
+            F.slice(tokens, F.lit(2), n - 1),
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -136,37 +138,73 @@ def build_bigrams(
     pairs. Same explode + two-stage count aggregation as
     :func:`build_postings`; the bigram vocabulary is larger than the
     term vocabulary but the row count is identical to the token count,
-    so the build cost is the same plan family."""
+    so the build cost is the same plan family. The tokenization sits
+    behind a projection boundary so the three references inside
+    :func:`bigram_tokens` (size + two slices) share one evaluation."""
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(bigram_tokens(F.col(text_col))).alias("bigram"),
+            clean_tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(bigram_tokens(F.col("_toks"))).alias("bigram"),
         )
         .groupBy("bigram", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
 
 
-def phrase_match_count(text_col: Column, phrase: list[str]) -> Column:
-    """Number of positions where ``phrase`` occurs consecutively
-    (long; 0 when the doc is shorter than the phrase) — the
-    exact-phrase residual shared by the gated ``phrase_match_docs``
-    query and :func:`phrase_search`, so the indexed path and the
-    oracle-checked semantics cannot drift."""
+def phrase_position_hits(
+    toks_df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    tokens_col: str = "_toks",
+) -> DataFrame:
+    """(doc_id, n_matches) for every doc where ``phrase`` occurs
+    consecutively in the token-array column — the exact-phrase residual
+    shared by the gated ``phrase_match_docs`` query and
+    :func:`phrase_search`, so the indexed path and the oracle-checked
+    semantics cannot drift. Overlapping occurrences count (position
+    semantics, matching the oracle's position CTE).
+
+    Shape matters here (r11 bench finding): the obvious per-row form —
+    a higher-order ``filter(sequence(...), i -> slice(toks,i,m)=pat)``
+    scalar followed by ``WHERE n > 0`` — ran 3.4s at sf0.1 because (a)
+    HOF lambdas evaluate interpreted, outside whole-stage codegen, and
+    (b) Catalyst pushed the ``n > 0`` predicate below the spreading
+    repartition, inlining the tokenization into an O(len^2)
+    re-tokenizing filter on the single input split. This form instead
+    EXPLODES the candidate positions and applies a plain per-row
+    conjunction of ``element_at`` equalities — fully codegen,
+    parallel after the spread, and the aggregation blocks any filter
+    pushdown (docs with zero matches simply produce no row). Measured
+    3.4s -> ~0.3s on the gated query."""
     if len(phrase) < 2:
         raise ValueError("phrase needs at least two tokens")
-    toks = clean_tokens(text_col)
     m = len(phrase)
-    pat = F.array(*[F.lit(t) for t in phrase])
-    return F.when(
+    toks = F.col(tokens_col)
+    positions = F.when(
         F.size(toks) >= m,
-        F.size(
-            F.filter(
-                F.sequence(F.lit(1), F.size(toks) - m + 1),
-                lambda i: F.slice(toks, i, m) == pat,
-            )
-        ),
-    ).otherwise(F.lit(0)).cast("long")
+        F.sequence(F.lit(1), F.size(toks) - m + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    hit = reduce(
+        lambda a, b: a & b,
+        [
+            F.element_at(toks, F.col("_pos") + j) == F.lit(t)
+            for j, t in enumerate(phrase)
+        ],
+    )
+    return (
+        toks_df.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias(tokens_col),
+            F.explode(positions).alias("_pos"),
+        )
+        .filter(hit)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
 
 
 def bm25_idf(n_docs: Column, df: Column) -> Column:
@@ -686,7 +724,7 @@ def phrase_search(
     """Exact-phrase retrieval from the persisted index: bigram-
     intersected candidates (:func:`phrase_candidates`, pinned at the
     committed snapshot), then the exact residual
-    (:func:`phrase_match_count`) applied ONLY to the candidate rows of
+    (:func:`phrase_position_hits`) applied ONLY to the candidate rows of
     ``docs`` — a scan-free necessary filter followed by a candidate-
     bounded verification, the same two-stage shape as every banded
     near-dup operator in this engine. Returns
@@ -697,16 +735,11 @@ def phrase_search(
     cand, report = phrase_candidates(
         spark, index_root, phrase, version=pins.get(_BIGRAMS)
     )
-    out = (
-        docs.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
-        )
-        .join(cand, "doc_id")  # cand ids are distinct: inner == semi
-        .withColumn("n_matches", phrase_match_count(F.col("_text"), phrase))
-        .filter(F.col("n_matches") > 0)
-        .select("doc_id", "n_matches")
-    )
-    return out, report
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        clean_tokens(F.col(text_col)).alias("_toks"),
+    ).join(cand, "doc_id")  # cand ids are distinct: inner == semi
+    return phrase_position_hits(toks, phrase), report
 
 
 def compact_bm25_stats(spark: SparkSession, index_root: str) -> dict:

@@ -400,7 +400,7 @@ _SQL_PHRASE_CONDS = " AND ".join(
         "IT — bigram-intersection candidates first (every adjacent "
         "bigram present: a necessary condition that, persisted, is a "
         "bloom-pruned posting read instead of a corpus scan), then the "
-        "exact contiguous-run residual (shared phrase_match_count "
+        "exact contiguous-run residual (shared phrase_position_hits "
         "expression) on the candidates only; the oracle states the "
         "bare phrase semantics, so parity proves the two-stage form "
         "exact. operators/inverted_index.phrase_search serves the same "
@@ -411,17 +411,23 @@ _SQL_PHRASE_CONDS = " AND ".join(
 def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.inverted_index import (
         bigram_tokens,
+        clean_tokens,
         phrase_bigrams,
-        phrase_match_count,
+        phrase_position_hits,
     )
 
     phrase = list(_PHRASE)
     bgs = sorted(set(phrase_bigrams(phrase)))
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
+    # tokenize ONCE behind a projection boundary and share the array
+    # between the bigram-candidate branch and the exact residual; the
+    # residual is the explode+count shape of phrase_position_hits (the
+    # per-row HOF form ran 3.4s at sf0.1 — see its docstring)
+    toks = d.select("doc_id", clean_tokens(F.col("text")).alias("_toks"))
     cand = (
-        d.select(
+        toks.select(
             "doc_id",
-            F.explode(bigram_tokens(F.col("text"))).alias("bigram"),
+            F.explode(bigram_tokens(F.col("_toks"))).alias("bigram"),
         )
         .filter(F.col("bigram").isin(bgs))
         .groupBy("doc_id")
@@ -429,12 +435,7 @@ def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_nb") == len(bgs))
         .select("doc_id")
     )
-    return (
-        d.join(cand, "doc_id")  # candidates only carry the residual
-        .select(
-            "doc_id",
-            phrase_match_count(F.col("text"), phrase).alias("n_matches"),
-        )
-        .filter(F.col("n_matches") > 0)
-        .orderBy(F.asc("doc_id"))
+    # candidates only carry the residual
+    return phrase_position_hits(toks.join(cand, "doc_id"), phrase).orderBy(
+        F.asc("doc_id")
     )

@@ -19,7 +19,6 @@ from medallion_data_lake_spark.operators.inverted_index import (
     index_has_bigrams,
     phrase_bigrams,
     phrase_candidates,
-    phrase_match_count,
     phrase_search,
 )
 
@@ -48,13 +47,19 @@ def idx(spark, tmp_path):
 
 
 def _scan_phrase(spark, docs, phrase):
-    """Ground truth: exact contiguous-run match over a full scan."""
-    return sorted(
-        (r["doc_id"], r["n"])
-        for r in docs.select(
-            "doc_id", phrase_match_count(F.col("text"), phrase).alias("n")
-        ).filter(F.col("n") > 0).collect()
-    )
+    """Ground truth computed in PLAIN PYTHON (independent of every
+    Spark expression the implementation uses): overlapping position
+    count of the contiguous token run."""
+    m = len(phrase)
+    out = []
+    for r in docs.select("doc_id", "text").collect():
+        t = r["text"].split()
+        n = sum(
+            1 for i in range(len(t) - m + 1) if t[i:i + m] == list(phrase)
+        )
+        if n:
+            out.append((r["doc_id"], n))
+    return sorted(out)
 
 
 def test_indexed_phrase_equals_scan_path(spark, idx):
@@ -132,10 +137,15 @@ def test_phrase_validation(spark, idx):
 
 def test_bigram_tokens_edge_cases(spark):
     rows = [(1, "only"), (2, ""), (3, "  two  tokens  "), (4, "a b c")]
+    from medallion_data_lake_spark.operators.inverted_index import (
+        clean_tokens,
+    )
+
     out = {
         r["doc_id"]: r["bg"]
         for r in _docs(spark, rows)
-        .select("doc_id", bigram_tokens(F.col("text")).alias("bg"))
+        .select("doc_id", clean_tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", bigram_tokens(F.col("_toks")).alias("bg"))
         .collect()
     }
     assert out[1] == [] and out[2] == []
