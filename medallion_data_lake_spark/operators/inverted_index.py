@@ -331,6 +331,19 @@ def _resolve_bigrams(index_root: str, bigrams: bool | None) -> bool:
 
     has = index_has_bigrams(index_root)
     exists = latest_version(_t(index_root, _POSTINGS)) is not None
+    if (
+        bigrams is False
+        and has
+        and not exists
+        and not _live_txns(index_root)
+        and latest_version(_t(index_root, _BIGRAMS)) is None
+    ):
+        # a create(bigrams=True) that failed before anything durable
+        # started (no published table, no txn manifest) leaves ONLY the
+        # marker — honor the explicit fresh choice instead of
+        # poisoning the root forever (r11 review finding)
+        get_log_store().delete(_t(index_root, _BIGRAM_MARKER))
+        has = False
     if bigrams is None:
         resolved = has
     elif (exists or has) and bigrams != has:
@@ -355,6 +368,46 @@ def _resolve_bigrams(index_root: str, bigrams: bool | None) -> bool:
     return resolved
 
 
+def _live_txns(index_root: str) -> list[dict]:
+    from .txn import list_txns
+
+    try:
+        return [
+            m for m in list_txns(_t(index_root, "_txn"))
+            if m.get("status") not in ("committed", "aborted", "broken")
+        ]
+    except FileNotFoundError:
+        return []
+
+
+def _repair_live_txns(spark: SparkSession, index_root: str) -> None:
+    """Roll any live (prepared/stuck) txn forward BEFORE an append
+    stages: an append landing past a torn txn makes a later
+    ``recover_txns`` publish the OLD batch's remaining legs AFTER this
+    one's, breaking the manifest-order == version-order invariant the
+    snapshot pins rely on — a committed manifest would then mix
+    versions from different batch sets (r11 review finding, the
+    mixed-cut repro). Recovery is the idempotent roll-forward; a txn
+    still live after it refuses the append (appending past it would
+    bake the disorder in). The STREAMING path needs no such repair:
+    its batches are watermarked, so a late recovery's publishes all
+    resolve to duplicate-skips — no new data lands out of order."""
+    from .txn import recover_txns
+
+    if not _live_txns(index_root):
+        return
+    recover_txns(spark, _t(index_root, "_txn"), retry_stuck=True)
+    still = _live_txns(index_root)
+    if still:
+        raise RuntimeError(
+            f"index at {index_root} has unresolved transaction(s) "
+            f"{[m['txn_id'] for m in still]} that recovery could not "
+            "roll forward; appending past them would publish their "
+            "legs out of order later — resolve via "
+            "txn.compensate_stuck_txn / txn.resolve_broken_txn first"
+        )
+
+
 def append_bm25_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -370,11 +423,14 @@ def append_bm25_index(
     first call) — all tables (4, or 5 with bigrams) land through ONE
     transaction manifest, so readers never observe postings without
     their stats. With ``txn_app_id``/``txn_version`` the append is
-    exactly-once under replay (the stage-side watermark skip). Returns
-    the committed txn manifest."""
+    exactly-once under replay (the stage-side watermark skip). Any
+    torn earlier txn is rolled forward FIRST
+    (:func:`_repair_live_txns`) so publishes stay in manifest order.
+    Returns the committed txn manifest."""
     from .txn import commit_txn
     from .wap import stage_commit
 
+    _repair_live_txns(spark, index_root)
     batch = _batch_tables(
         docs, id_col, text_col, _resolve_bigrams(index_root, bigrams)
     )
@@ -696,6 +752,13 @@ def phrase_candidates(
         raise ValueError(
             f"index at {index_root} has no bigram table; rebuild with "
             "bigrams=True to enable phrase retrieval"
+        )
+    if latest_version(_t(index_root, _BIGRAMS)) is None:
+        raise ValueError(
+            f"bigram table at {index_root} is contracted (marker "
+            "present) but has no published version yet — the creating "
+            "transaction is still in flight; run txn.recover_txns on "
+            f"{_t(index_root, '_txn')} first"
         )
     bgs = sorted(set(phrase_bigrams(phrase)))
     df, report = read_table_pruned(

@@ -426,8 +426,13 @@ def test_snapshot_never_straddles_a_pending_txn(spark, tmp_path, monkeypatch):
         append_bm25_index(spark, _docs(spark, DOCS[4:]), root, n_files=2,
                           txn_app_id="app", txn_version=1)
     monkeypatch.undo()
+    # simulate a RACING writer whose pre-append repair check ran before
+    # the crashed txn prepared its manifest (a serial writer's append
+    # now rolls the torn txn forward first — _repair_live_txns)
+    monkeypatch.setattr(II, "_repair_live_txns", lambda *a, **k: None)
     m2 = append_bm25_index(spark, _docs(spark, DOCS[4:]), root, n_files=2,
                            txn_app_id="app", txn_version=1)
+    monkeypatch.undo()
     assert m2["status"] == "committed" and 0 < len(m2["legs"]) < 4
 
     # NO recover_txns yet: the crashed manifest is still 'prepared'
@@ -474,8 +479,12 @@ def test_snapshot_merges_pins_across_split_manifests(spark, tmp_path, monkeypatc
     monkeypatch.undo()
 
     # the re-run stages only the uncovered tables -> a PARTIAL manifest
+    # (racing-writer simulation: skip the serial writer's pre-append
+    # repair so the split-manifest history actually forms)
+    monkeypatch.setattr(II, "_repair_live_txns", lambda *a, **k: None)
     m2 = append_bm25_index(spark, _docs(spark, DOCS[4:]), root, n_files=2,
                            txn_app_id="app", txn_version=1)
+    monkeypatch.undo()
     assert m2["status"] == "committed" and 0 < len(m2["legs"]) < 4
     # recovery completes the original manifest (duplicate-skips)
     acted = recover_txns(spark, os.path.join(root, "_txn"))
@@ -563,3 +572,47 @@ def test_batched_candidates_match_per_term_union(spark, tmp_path):
     )
     assert sorted(tuple(r) for r in got.collect()) == want
     assert report["files_skipped"] > 0
+
+
+def test_append_repairs_torn_txn_before_staging(spark, tmp_path, monkeypatch):
+    """r11 review (second pass): an append landing past a torn txn lets
+    a LATER recovery publish the old batch's legs after this one's —
+    manifest order and version order then disagree and the snapshot
+    pins can mix batch sets. The serial writer's append must roll the
+    torn txn forward FIRST, so publishes stay in manifest order."""
+    from medallion_data_lake_spark.operators import txn as T
+    from medallion_data_lake_spark.operators.inverted_index import (
+        committed_index_snapshot,
+    )
+    from medallion_data_lake_spark.operators.txn import list_txns
+
+    root = str(tmp_path / "idx")
+    real = T.publish_staged
+    calls = {"n": 0}
+
+    def crash_after_two(spark_, table, sid):
+        if calls["n"] >= 2:
+            raise RuntimeError("crash")
+        calls["n"] += 1
+        return real(spark_, table, sid)
+
+    monkeypatch.setattr(T, "publish_staged", crash_after_two)
+    with pytest.raises(RuntimeError, match="crash"):
+        create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2)
+    monkeypatch.undo()
+    troot = os.path.join(root, "_txn")
+    assert [m["status"] for m in list_txns(troot)] == ["prepared"]
+
+    # the next append repairs first: NO prepared manifest remains, both
+    # batches are fully published IN ORDER, and the snapshot pins the
+    # complete two-batch state
+    append_bm25_index(spark, _docs(spark, DOCS[4:]), root, n_files=2)
+    assert all(m["status"] == "committed" for m in list_txns(troot))
+    assert corpus_stats(spark, root)[0] == len(DOCS)
+    pins = committed_index_snapshot(root)
+    assert set(pins) == {"postings", "doclens", "termstats", "corpus_stats"}
+    got = [(d, s) for d, _, s in
+           bm25_search(spark, root, ["cat"], k=8).collect()]
+    want = [tuple(r) for r in
+            _bm25_scratch(spark, _docs(spark), ["cat"], 8).collect()]
+    assert got == want

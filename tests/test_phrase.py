@@ -264,3 +264,29 @@ def test_torn_bigram_create_replays_exactly_once(spark, tmp_path, monkeypatch):
     got, _ = phrase_search(spark, root, docs, ["cat", "sat", "on"])
     assert sorted(tuple(r) for r in got.collect()) == \
         _scan_phrase(spark, docs, ["cat", "sat", "on"])
+
+
+def test_failed_create_marker_does_not_poison_root(spark, tmp_path):
+    """r11 review (second pass): the bigram marker is written before
+    any leg stages, so a create(bigrams=True) that fails before
+    anything durable starts leaves ONLY the marker. A fresh
+    create(bigrams=False) must clean it and proceed instead of raising
+    'rebuild the index' about an index that was never built."""
+    from medallion_data_lake_spark.operators.inverted_index import (
+        _resolve_bigrams,
+    )
+
+    root = str(tmp_path / "idx")
+    # simulate the failed create: marker written, nothing else durable
+    assert _resolve_bigrams(root, True) is True
+    assert index_has_bigrams(root)
+
+    # a contracted-but-unbuilt bigram table gives the actionable error
+    with pytest.raises(ValueError, match="no published version"):
+        phrase_candidates(spark, root, ["a", "b"])
+
+    m = create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2,
+                          bigrams=False)
+    assert m["status"] == "committed" and len(m["legs"]) == 4
+    assert not index_has_bigrams(root)
+    assert bm25_search(spark, root, ["cat"], k=3).count() > 0
