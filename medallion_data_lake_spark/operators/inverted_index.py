@@ -331,18 +331,21 @@ def _resolve_bigrams(index_root: str, bigrams: bool | None) -> bool:
 
     has = index_has_bigrams(index_root)
     exists = latest_version(_t(index_root, _POSTINGS)) is not None
-    if (
-        bigrams is False
-        and has
-        and not exists
-        and not _live_txns(index_root)
-        and latest_version(_t(index_root, _BIGRAMS)) is None
+    if bigrams is False and has and not exists and _nothing_durable(
+        index_root
     ):
         # a create(bigrams=True) that failed before anything durable
-        # started (no published table, no txn manifest) leaves ONLY the
-        # marker — honor the explicit fresh choice instead of
-        # poisoning the root forever (r11 review finding)
-        get_log_store().delete(_t(index_root, _BIGRAM_MARKER))
+        # started (NO table published — all five checked, a broken txn
+        # can publish the middle legs only — and NO txn manifest in any
+        # state) leaves ONLY the marker: honor the explicit fresh
+        # choice instead of poisoning the root forever (r11 review).
+        # The delete is tolerant of already-gone (a retried cleanup);
+        # a concurrent create racing this window is outside the
+        # index's single-writer contract, like every concurrent create.
+        try:
+            get_log_store().delete(_t(index_root, _BIGRAM_MARKER))
+        except (FileNotFoundError, KeyError):
+            pass
         has = False
     if bigrams is None:
         resolved = has
@@ -368,16 +371,53 @@ def _resolve_bigrams(index_root: str, bigrams: bool | None) -> bool:
     return resolved
 
 
-def _live_txns(index_root: str) -> list[dict]:
-    from .txn import list_txns
+def _nothing_durable(index_root: str) -> bool:
+    """True iff the index root holds no durable state beyond metadata
+    markers: NO published version on any of the five tables (a broken
+    create txn can publish a strict subset — e.g. doclens/stats with
+    postings lost — so checking postings alone is not enough) and NO
+    txn manifest in ANY state (a broken/aborted manifest means legs
+    may have published and been resolved; the marker must then stand
+    so the mismatch raises for an operator)."""
+    from .logstore import get_log_store
 
+    names = (_POSTINGS, _DOCLENS, _TERMSTATS, _CORPUS, _BIGRAMS)
+    if any(latest_version(_t(index_root, n)) is not None for n in names):
+        return False
     try:
-        return [
-            m for m in list_txns(_t(index_root, "_txn"))
-            if m.get("status") not in ("committed", "aborted", "broken")
-        ]
+        files = get_log_store().list(_t(index_root, "_txn"))
+    except FileNotFoundError:
+        return True
+    return not any(f.endswith(".json") for f in files)
+
+
+def _live_txns(index_root: str) -> list[dict]:
+    """Manifests not yet in a terminal state — the single liveness
+    definition comes from txn._TERMINAL_STATUSES so the three readers
+    here cannot drift from the coordinator. Per-file failures skip
+    that file only (a torn mid-replace or just-expired manifest must
+    not blank the listing — returning [] past a genuinely live txn
+    would silently disable the append-side repair)."""
+    import json as _json
+
+    from .logstore import get_log_store
+    from .txn import _TERMINAL_STATUSES
+
+    txn_root = _t(index_root, "_txn")
+    store = get_log_store()
+    try:
+        files = [f for f in store.list(txn_root) if f.endswith(".json")]
     except FileNotFoundError:
         return []
+    out = []
+    for f in files:
+        try:
+            m = _json.loads(store.read(os.path.join(txn_root, f)))
+        except (FileNotFoundError, KeyError, ValueError):
+            continue  # reaped or torn mid-replace: skip the file only
+        if m.get("status") not in _TERMINAL_STATUSES:
+            out.append(m)
+    return out
 
 
 def _repair_live_txns(spark: SparkSession, index_root: str) -> None:
@@ -387,24 +427,33 @@ def _repair_live_txns(spark: SparkSession, index_root: str) -> None:
     one's, breaking the manifest-order == version-order invariant the
     snapshot pins rely on — a committed manifest would then mix
     versions from different batch sets (r11 review finding, the
-    mixed-cut repro). Recovery is the idempotent roll-forward; a txn
-    still live after it refuses the append (appending past it would
-    bake the disorder in). The STREAMING path needs no such repair:
-    its batches are watermarked, so a late recovery's publishes all
-    resolve to duplicate-skips — no new data lands out of order."""
+    mixed-cut repro). Recovery is the idempotent roll-forward of
+    PREPARED txns only — never ``retry_stuck``: a stuck txn is parked
+    for operator action, and auto-retrying it here would race a
+    concurrently-running ``compensate_stuck_txn`` (the concurrency
+    recover_txns' docstring forbids). Any txn still live after the
+    sweep — stuck, aborting, or a poisoned prepared one — refuses the
+    append (appending past it would bake the disorder in).
+
+    The STREAMING path repairs once at stream START
+    (``run_postings_append_stream``); its per-micro-batch appends need
+    no repair because they are watermarked — a late recovery's
+    publishes for a replayed batch all resolve to duplicate-skips, so
+    no new data lands out of order mid-stream."""
     from .txn import recover_txns
 
     if not _live_txns(index_root):
         return
-    recover_txns(spark, _t(index_root, "_txn"), retry_stuck=True)
+    recover_txns(spark, _t(index_root, "_txn"))
     still = _live_txns(index_root)
     if still:
         raise RuntimeError(
             f"index at {index_root} has unresolved transaction(s) "
             f"{[m['txn_id'] for m in still]} that recovery could not "
             "roll forward; appending past them would publish their "
-            "legs out of order later — resolve via "
-            "txn.compensate_stuck_txn / txn.resolve_broken_txn first"
+            "legs out of order later — resolve via txn.recover_txns"
+            "(retry_stuck=True) once any conflict is cleared, or "
+            "txn.compensate_stuck_txn / txn.resolve_broken_txn"
         )
 
 
@@ -508,7 +557,7 @@ def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
     straddle boundary, in which case the merge degrades to an older
     — still consistent — cut."""
     from .logstore import get_log_store
-    from .txn import read_txn
+    from .txn import _TERMINAL_STATUSES, read_txn
 
     names = (_POSTINGS, _DOCLENS, _TERMSTATS, _CORPUS)
     if index_has_bigrams(index_root):
@@ -562,7 +611,7 @@ def committed_index_snapshot(index_root: str) -> dict[str, int] | None:
             continue
         status = m.get("status")
         if status != "committed":
-            if status not in ("aborted", "broken"):
+            if status not in _TERMINAL_STATUSES:
                 pins.clear()  # live txn: merges must not straddle it
             continue
         covered = {
@@ -869,9 +918,18 @@ def run_postings_append_stream(
     between legs is repaired forward by ``txn.recover_txns``, never
     visible as postings-without-stats. Rides ``run_txn_stream``'s
     contract (streaming/versioned_sink.py) with the per-table
-    transforms supplied here."""
+    transforms supplied here.
+
+    Any txn torn BEFORE the stream starts (e.g. a crashed
+    unwatermarked batch create) is rolled forward first
+    (:func:`_repair_live_txns`) — micro-batches landing past it would
+    otherwise let a later recovery publish its legs out of order (the
+    batch path's mixed-cut hazard). MID-stream the per-batch appends
+    need no repair: they are watermarked, so a replayed batch's late
+    recovery publishes all resolve to duplicate-skips."""
     from ..streaming.versioned_sink import run_txn_stream
 
+    _repair_live_txns(spark, index_root)
     with_bigrams = _resolve_bigrams(index_root, bigrams)
     txn_app = f"bm25::{os.path.abspath(checkpoint)}"
 

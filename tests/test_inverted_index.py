@@ -616,3 +616,92 @@ def test_append_repairs_torn_txn_before_staging(spark, tmp_path, monkeypatch):
     want = [tuple(r) for r in
             _bm25_scratch(spark, _docs(spark), ["cat"], 8).collect()]
     assert got == want
+
+
+def test_append_refuses_stuck_txn_instead_of_retrying(spark, tmp_path):
+    """r11 review (third pass): the pre-append repair must NOT
+    auto-retry a STUCK txn — that would race a concurrently running
+    compensate_stuck_txn (the concurrency recover_txns' docstring
+    forbids). A stuck manifest refuses the append with the operator
+    remedies named."""
+    from medallion_data_lake_spark.operators.txn import _write_manifest
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2)
+    troot = os.path.join(root, "_txn")
+    _write_manifest(troot, {
+        "txn_id": "txn-00000000000000000001-stuck", "status": "stuck",
+        "created": 1.0,
+        "legs": [{"table": os.path.abspath(os.path.join(root, "postings")),
+                  "staging_id": "sX",
+                  "error": "CommitConflict: parked"}],
+    })
+    with pytest.raises(RuntimeError, match="unresolved transaction"):
+        append_bm25_index(spark, _docs(spark, DOCS[4:]), root, n_files=2)
+
+
+def test_live_txn_listing_skips_torn_manifests(spark, tmp_path):
+    """r11 review (third pass): a torn manifest file must not blank the
+    liveness listing (that would silently disable the repair past a
+    genuinely live txn) nor crash it."""
+    from medallion_data_lake_spark.operators.inverted_index import (
+        _live_txns,
+    )
+    from medallion_data_lake_spark.operators.txn import _write_manifest
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2)
+    troot = os.path.join(root, "_txn")
+    _write_manifest(troot, {
+        "txn_id": "txn-00000000000000000001-live", "status": "prepared",
+        "created": 1.0, "legs": [],
+    })
+    with open(os.path.join(troot, "txn-fffffffffffffff-torn.json"), "w") as f:
+        f.write("{not json")
+    live = _live_txns(root)
+    assert [m["txn_id"] for m in live] == ["txn-00000000000000000001-live"]
+
+
+def test_stream_start_repairs_torn_batch_txn(spark, tmp_path, monkeypatch):
+    """r11 review (third pass): the streaming exemption only covers
+    WATERMARKED torn txns; a torn unwatermarked batch create must be
+    rolled forward at stream start, not appended past."""
+    from medallion_data_lake_spark.operators import txn as T
+    from medallion_data_lake_spark.operators.txn import list_txns
+
+    root = str(tmp_path / "idx")
+    real = T.publish_staged
+    calls = {"n": 0}
+
+    def crash_after_two(spark_, table, sid):
+        if calls["n"] >= 2:
+            raise RuntimeError("crash")
+        calls["n"] += 1
+        return real(spark_, table, sid)
+
+    monkeypatch.setattr(T, "publish_staged", crash_after_two)
+    with pytest.raises(RuntimeError, match="crash"):
+        create_bm25_index(spark, _docs(spark, DOCS[:4]), root, n_files=2)
+    monkeypatch.undo()
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    _write_jsonl(inp, "b1.jsonl",
+                 [{"doc_id": i, "text": t} for i, t in DOCS[4:]])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1").json(inp)
+    )
+    q = run_postings_append_stream(
+        spark, stream, root, str(tmp_path / "ck"),
+    )
+    q.awaitTermination(300)
+
+    troot = os.path.join(root, "_txn")
+    assert all(m["status"] == "committed" for m in list_txns(troot))
+    assert corpus_stats(spark, root)[0] == len(DOCS)
+    got = [(d, s) for d, _, s in
+           bm25_search(spark, root, ["cat"], k=8).collect()]
+    want = [tuple(r) for r in
+            _bm25_scratch(spark, _docs(spark), ["cat"], 8).collect()]
+    assert got == want

@@ -290,3 +290,36 @@ def test_failed_create_marker_does_not_poison_root(spark, tmp_path):
     assert m["status"] == "committed" and len(m["legs"]) == 4
     assert not index_has_bigrams(root)
     assert bm25_search(spark, root, ["cat"], k=3).count() > 0
+
+
+def test_marker_cleanup_refuses_when_anything_durable_exists(spark, tmp_path):
+    """r11 review (third pass): 'nothing durable' must mean NO txn
+    manifest in any state and NO published version on ANY of the five
+    tables — a broken create can publish the middle legs only, and
+    cleaning the marker over them would land a fresh 4-leg index on
+    top of orphaned stats rows."""
+    from medallion_data_lake_spark.operators.inverted_index import (
+        _resolve_bigrams,
+    )
+    from medallion_data_lake_spark.operators.txn import _write_manifest
+    from medallion_data_lake_spark.operators.versioned import commit
+
+    root = str(tmp_path / "idx")
+    assert _resolve_bigrams(root, True) is True  # marker only
+
+    # a broken txn's surviving publish: doclens landed, postings lost
+    commit(spark.createDataFrame([(1, 4)], "doc_id long, dl long"),
+           os.path.join(root, "doclens"))
+    with pytest.raises(ValueError, match="with bigrams"):
+        _resolve_bigrams(root, False)
+
+    # manifests alone (even terminal ones) also block the cleanup
+    root2 = str(tmp_path / "idx2")
+    assert _resolve_bigrams(root2, True) is True
+    os.makedirs(os.path.join(root2, "_txn"), exist_ok=True)
+    _write_manifest(os.path.join(root2, "_txn"), {
+        "txn_id": "txn-0-broken", "status": "broken", "created": 1.0,
+        "legs": [],
+    })
+    with pytest.raises(ValueError, match="with bigrams"):
+        _resolve_bigrams(root2, False)
