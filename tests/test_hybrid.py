@@ -105,3 +105,60 @@ def test_hybrid_search_matches_gated_query_path(spark, tmp_path):
     ).collect()
     want = hybrid_rrf_topk(spark, SF).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_rrf_fuses_persisted_ivf_branch(spark, tmp_path):
+    """Producer-agnostic fusion with the REAL persisted producers: the
+    BM25 inverted index on one side and the persisted IVF ANN index on
+    the other (not the brute-force branch) — the fused scores must
+    equal RRF computed in plain Python from the two rankings."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_lake_spark.operators.ann import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from medallion_data_lake_spark.operators.hybrid import ranked
+    from medallion_data_lake_spark.operators.inverted_index import (
+        bm25_search,
+    )
+
+    docs = load_star_table(spark, SF, "documents").select("doc_id", "text")
+    root = str(tmp_path / "bm25")
+    create_bm25_index(spark, docs, root, n_files=4)
+    kw = ranked(
+        bm25_search(spark, root, ["dup", "vector", "scan"], k=10),
+        [F.desc("score")],
+    ).select("doc_id", "rank")
+
+    emb = load_star_table(spark, SF, "embeddings")
+    ipath = str(tmp_path / "ivf")
+    build_ivf_index(emb, ipath)
+    queries = emb.filter(F.col("vec_id") == 0)
+    vec = (
+        search_ivf_index(spark, ipath, queries, k=10)
+        .select(F.col("cand_id").alias("doc_id"), "rank")
+    )
+
+    fused = rrf_fuse({"kw": kw, "vec": vec}, k=15).collect()
+    assert 0 < len(fused) <= 15
+
+    kw_ranks = {r["doc_id"]: r["rank"] for r in kw.collect()}
+    vec_ranks = {r["doc_id"]: r["rank"] for r in vec.collect()}
+    for r in fused:
+        want = 0.0
+        if r["doc_id"] in kw_ranks:
+            want += 1.0 / (RRF_K + kw_ranks[r["doc_id"]])
+        if r["doc_id"] in vec_ranks:
+            want += 1.0 / (RRF_K + vec_ranks[r["doc_id"]])
+        assert r["rrf_score"] == want, r
+        assert r["kw_rank"] == kw_ranks.get(r["doc_id"])
+        assert r["vec_rank"] == vec_ranks.get(r["doc_id"])
+    # the fused head is the best-scored id overall
+    all_ids = set(kw_ranks) | set(vec_ranks)
+    best = max(all_ids, key=lambda d: (
+        (1.0 / (RRF_K + kw_ranks[d]) if d in kw_ranks else 0.0)
+        + (1.0 / (RRF_K + vec_ranks[d]) if d in vec_ranks else 0.0),
+        -d,
+    ))
+    assert fused[0]["doc_id"] == best
