@@ -512,6 +512,9 @@ def _stat_probe(v, dtype=None):
 
 BLOOM_BITS = 4096   # 512 B/file/col in the log — KB-scale at any layout
 BLOOM_HASHES = 4    # k=4 at m/n >= 8 keeps FP rate ~2.4%
+_ISIN_BLOOM_MAX = 128  # isin lists above this skip bloom probing (see
+# read_table_pruned: probe cost grows with the list, skipping yield
+# vanishes — range admission + the residual IN keep results exact)
 
 
 def _bloom_hash(col, seed: int):
@@ -1118,20 +1121,30 @@ def read_table_pruned(
         for c, (plo, phi) in preds.items()
     }
     # point probes: eq is the 1-value case of isin — unify so the bloom
-    # hash values for EVERY (column, value) pair compute in one tiny job
+    # hash values for EVERY (column, value) pair compute in one tiny
+    # job. Columns with MORE than _ISIN_BLOOM_MAX values skip bloom
+    # probing (range admission + residual only): the probe is a
+    # width-(values*k) projection whose codegen cost grows with the
+    # list (measured: a 2,410-id point-read spent ~60s in the probe),
+    # while a 4096-bit bloom almost surely admits SOME key out of
+    # thousands — the skipping yield vanishes exactly as the probe
+    # cost explodes.
     points = {c: [v] for c, v in eq.items()} | isin
     spoint = {
         c: [_stat_probe(v, dtypes.get(c)) for v in vs]
         for c, vs in points.items()
     }
 
+    bloomable = {
+        c: vs for c, vs in points.items() if len(vs) <= _ISIN_BLOOM_MAX
+    }
     point_hashes: dict[str, list[list[int]]] = {}
-    if points:
+    if bloomable:
         probe = spark.range(1).select(
             *[
                 _bloom_hash(_probe_lit(v, dtypes.get(c)), i)
                 .alias(f"{c}__{j}__{i}")
-                for c, vs in points.items()
+                for c, vs in bloomable.items()
                 for j, v in enumerate(vs)
                 for i in range(BLOOM_HASHES)
             ]
@@ -1141,7 +1154,7 @@ def read_table_pruned(
                 [probe[f"{c}__{j}__{i}"] for i in range(BLOOM_HASHES)]
                 for j in range(len(vs))
             ]
-            for c, vs in points.items()
+            for c, vs in bloomable.items()
         }
 
     def overlaps(rng, plo, phi) -> bool:
@@ -1156,14 +1169,20 @@ def read_table_pruned(
 
     def point_admits(fstats: dict, c: str) -> bool:
         """Some probe value of ``c`` can live in the file — per-value
-        range overlap AND bloom maybe-contains, disjunctive over the
-        values (conjunctive across columns, below)."""
+        range overlap AND (when probed) bloom maybe-contains,
+        disjunctive over the values (conjunctive across columns,
+        below)."""
         rng = fstats.get(pc(c))
         encoded = fstats.get(f"{pc(c)}__bloom")
-        for sv, hs in zip(spoint[c], point_hashes[c]):
+        hashes = point_hashes.get(c)
+        for j, sv in enumerate(spoint[c]):
             if not overlaps(rng, sv, sv):
                 continue
-            if encoded is not None and not _bloom_may_contain(encoded, hs):
+            if (
+                hashes is not None
+                and encoded is not None
+                and not _bloom_may_contain(encoded, hashes[j])
+            ):
                 continue
             return True
         return False

@@ -323,3 +323,38 @@ def test_marker_cleanup_refuses_when_anything_durable_exists(spark, tmp_path):
     })
     with pytest.raises(ValueError, match="with bigrams"):
         _resolve_bigrams(root2, False)
+
+
+def test_pointread_phrase_equals_scan_path(spark, tmp_path):
+    """The scan-free serving path (bigram candidates + bloom-pruned
+    doc-store point reads) returns exactly the scan path's answer,
+    prunes the doc store's files, and handles the no-match and
+    too-many-candidates edges."""
+    from medallion_data_lake_spark.operators.inverted_index import (
+        phrase_search_pointread,
+    )
+    from medallion_data_lake_spark.operators.versioned import commit
+
+    idx = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), idx, n_files=2, bigrams=True)
+    store = str(tmp_path / "docstore")
+    # several commits so there are multiple files to prune
+    for lo in range(0, len(DOCS), 2):
+        commit(_docs(spark, DOCS[lo:lo + 2]), store,
+               stats_cols=("doc_id",), bloom_cols=("doc_id",),
+               mode="append" if lo else "overwrite")
+
+    for phrase in (["cat", "sat", "on"], ["cat", "sat"]):
+        got, report = phrase_search_pointread(spark, idx, store, phrase)
+        assert sorted(tuple(r) for r in got.collect()) == \
+            _scan_phrase(spark, _docs(spark), phrase), phrase
+        assert report["candidates"] > 0
+        assert report["doc_files_skipped"] > 0  # the store was pruned
+
+    got, report = phrase_search_pointread(spark, idx, store,
+                                          ["no", "such", "run"])
+    assert got.count() == 0 and report["candidates"] == 0
+
+    with pytest.raises(ValueError, match="max_candidates"):
+        phrase_search_pointread(spark, idx, store, ["cat", "sat"],
+                                max_candidates=1)
