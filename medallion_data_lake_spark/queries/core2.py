@@ -788,8 +788,11 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wanted. Labels via COALESCE (engines disagree on "
         "grouping_id bit order).",
     tags=("grouping-sets",),
-    # r8 rotation: promoted to the driver gate, taking the grouping-sets
-    # family's row from priority_status_rollup (its special case)
+    extra=True,
+    # gated r8-r10 green (promoted r8, taking the grouping-sets family's
+    # row from priority_status_rollup); rotated to extra r11 to free the
+    # slot for hard_negatives_topk — the grouping family stays gated via
+    # priority_status_cube (re-gated r11, same GROUPING-expansion shape)
 )
 def priority_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)

@@ -108,6 +108,69 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_NEG = 5
+
+
+@query(
+    "hard_negatives_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, {_SQL_NRM} AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id, label, v, nrm FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neg_id, {_SQL_COS} AS cs
+      FROM q JOIN e ON e.label <> q.label
+    )
+    SELECT query_id, neg_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY {sql_stable_round('cs', 6)} DESC, neg_id) AS INT)
+             AS rank,
+           {sql_stable_round('cs', 4)} AS cos_sim
+    FROM scored
+    QUALIFY rank <= {K_NEG}
+    """,
+    doc=f"Hard-negative mining (contrastive-training data prep): for each "
+        f"query vector, the top-{K_NEG} most-similar corpus vectors whose "
+        "label DIFFERS — the negatives that actually move a contrastive "
+        "loss. Labels stand in as the positive relation (same label = "
+        "labeled positive), so the anti-join is a null-safe-free label "
+        "inequality. The query side broadcasts and candidates stream "
+        "past it (per-partition partial top-k); the PERSISTED-INDEX "
+        "form of the same semantics is operators/ann.py "
+        "mine_hard_negatives (one multi-probe index search + anti-join, "
+        "corpus never scanned) — tests/test_hard_negatives.py proves "
+        "the two paths return the same negatives when the probe covers "
+        "all buckets. Ranking orders by round(cos,6) with a neg_id "
+        "tiebreak so float last-bit differences can't reorder ranks "
+        "across engines.",
+    tags=("similarity",),
+)  # first gated r11 — gates the hard-negative kNN-join shape
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            (dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(stable_round(F.col("cs"), 6)), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_NEG)
+        .select("query_id", "neg_id", "rank", stable_round("cs", 4).alias("cos_sim"))
+    )
+
+
 @query(
     "ann_ivf_bucketed",
     oracle=f"""

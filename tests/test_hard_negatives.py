@@ -1,0 +1,69 @@
+"""hard_negatives_topk (gated brute-force query path) vs the persisted-
+index operator ``mine_hard_negatives``: same negatives per query when
+the probe covers every cell.
+
+The gated query defines "positive" as SAME LABEL (the labels column is
+the positive relation), so the operator path feeds the expanded
+(query_id, pos_id) same-label pairs as its labeled positives. The index
+is a 4-cell learned codebook probed with n_probes=4 — exhaustive, so
+the only legitimate divergence would be a bug in either path.
+
+mine_hard_negatives' depth guarantee makes the equality exact, not
+approximate: it searches k + max(positives per query) deep, so even if
+every positive out-ranked every negative the true top-k negatives
+still sit inside the searched prefix (operators/ann.py:653).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.catalog import load_star_table
+from medallion_data_lake_spark.operators.ann import (
+    build_kmeans_ivf_index,
+    mine_hard_negatives,
+)
+from medallion_data_lake_spark.queries import load_all
+from medallion_data_lake_spark.queries.similarity import K_NEG, QUERY_STRIDE
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_gated_query_matches_persisted_mining(spark, tmp_path):
+    emb = load_star_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "hn_idx")
+    build_kmeans_ivf_index(emb, path, k=4)
+
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    positives = (
+        queries.select(F.col("vec_id").alias("query_id"), "label")
+        .join(
+            emb.select(F.col("vec_id").alias("pos_id"),
+                       F.col("label").alias("_pl")),
+            F.col("label") == F.col("_pl"),
+        )
+        .select("query_id", "pos_id")  # includes (q, q): self is a positive
+    )
+    mined = mine_hard_negatives(
+        spark, positives, path, queries, k=K_NEG, n_probes=4
+    )
+    got: dict[int, set[int]] = defaultdict(set)
+    for r in mined.collect():
+        got[r["query_id"]].add(r["neg_id"])
+
+    want: dict[int, set[int]] = defaultdict(set)
+    rows = load_all()["hard_negatives_topk"].build(spark, SF_DIR).collect()
+    for r in rows:
+        want[r["query_id"]].add(r["neg_id"])
+
+    assert want and dict(got) == dict(want)
+    assert all(len(v) == K_NEG for v in want.values())
+
+    # negatives really are negatives: no mined id shares its query's label
+    label_of = {r["vec_id"]: r["label"] for r in emb.collect()}
+    qlabel = {r["vec_id"]: r["label"]
+              for r in queries.select("vec_id", "label").collect()}
+    for qid, negs in got.items():
+        assert all(label_of[n] != qlabel[qid] for n in negs)
