@@ -832,6 +832,7 @@ def phrase_search(
     phrase: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_candidates: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Exact-phrase retrieval from the persisted index: bigram-
     intersected candidates (:func:`phrase_candidates`, pinned at the
@@ -842,7 +843,18 @@ def phrase_search(
     near-dup operator in this engine. Returns
     ((doc_id, n_matches) with n_matches > 0, pruning report).
     tests/test_phrase.py proves the doc set equals the full-scan
-    exact-phrase answer."""
+    exact-phrase answer.
+
+    The candidate side is bounded by the RAREST bigram's posting list,
+    not by construction: a phrase built entirely from high-frequency
+    tokens can intersect to a corpus-scale id set, and force-
+    broadcasting that would pin it whole on the driver and every
+    executor. Pass ``broadcast_candidates=False`` for such phrases to
+    take a shuffled semi-join instead (both sides hash-exchange on
+    doc_id; no driver materialization at any selectivity). The default
+    stays broadcast because a phrase with at least one discriminative
+    bigram — the overwhelmingly common case — has a KB-to-MB candidate
+    side, and the broadcast join keeps the corpus scan shuffle-free."""
     pins = committed_index_snapshot(index_root) or {}
     cand, report = phrase_candidates(
         spark, index_root, phrase, version=pins.get(_BIGRAMS)
@@ -855,9 +867,10 @@ def phrase_search(
     # broadcast-joined candidates). At warehouse scale, point-read the
     # doc store on the candidate ids instead of scanning it
     # (read_table_pruned(isin={'doc_id': ...}) for a versioned store).
+    cand_side = F.broadcast(cand) if broadcast_candidates else cand
     toks = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-        .join(F.broadcast(cand), "doc_id")  # cand distinct: inner==semi
+        .join(cand_side, "doc_id")  # cand distinct: inner==semi
         .select("doc_id", clean_tokens(F.col(text_col)).alias("_toks"))
     )
     return phrase_position_hits(toks, phrase), report

@@ -358,3 +358,17 @@ def test_pointread_phrase_equals_scan_path(spark, tmp_path):
     with pytest.raises(ValueError, match="max_candidates"):
         phrase_search_pointread(spark, idx, store, ["cat", "sat"],
                                 max_candidates=1)
+
+
+def test_shuffled_candidate_join_equals_broadcast(spark, idx):
+    """broadcast_candidates=False (the corpus-scale escape hatch for
+    phrases with no discriminative bigram) must return the identical
+    answer through a shuffled semi-join, with no broadcast of the
+    candidate side in the plan."""
+    docs = _docs(spark)
+    phrase = ["cat", "sat", "on"]
+    bc, _ = phrase_search(spark, idx, docs, phrase)
+    sh, _ = phrase_search(spark, idx, docs, phrase,
+                          broadcast_candidates=False)
+    assert sorted(tuple(r) for r in bc.collect()) == \
+        sorted(tuple(r) for r in sh.collect())
