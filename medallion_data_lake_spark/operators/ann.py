@@ -661,6 +661,7 @@ def mine_hard_negatives(
     pos_id_col: str = "pos_id",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_positives: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for retrieval/embedding training: for each
     query, the top-k most-similar corpus vectors that are NOT its
@@ -670,19 +671,40 @@ def mine_hard_negatives(
 
     Built entirely on the persisted index: one multi-probe search at
     ``k + max positives per query`` depth, an anti-join against the
-    positive pairs, then a re-rank to exactly k. Cost = one index probe
-    per query + a broadcast-sized anti-join; the corpus is never
-    scanned. Returns (query_id, neg_id, cos_sim, rank).
+    positive pairs, then a re-rank to exactly k. The depth guarantee is
+    what makes the answer exact within the probed cells: even if every
+    positive out-ranks every negative, the true top-k negatives still
+    sit inside the searched prefix. Cost = one index probe per query +
+    a broadcast-sized anti-join; the corpus is never scanned. Returns
+    (query_id, neg_id, cos_sim, rank).
 
     ``positives`` is the labeled (query_id, pos_id) pair set;
     ``queries`` carries (id, vector) for the queries to mine.
+    ``max_positives`` caps the per-query positive count when the caller
+    knows it (labeled pair sets almost always have a schema-level bound,
+    e.g. 1 positive per query) — passing it skips the one aggregation
+    job this function otherwise runs to measure the depth, the same
+    fixed-cost discipline as bm25_search's lazy corpus stats.
+
+    When to use which path (measured, SCALE.md round 11): below ~10^6
+    vectors — or whenever the embedding distribution is unknown — mine
+    with the brute kNN-join instead (queries/similarity.py
+    hard_negatives_topk's shape: one scan amortized across the whole
+    query batch, exact by construction). This index path wins when a
+    per-batch full scan dominates AND the embeddings are clustered
+    enough that low probe counts keep recall high — confirm with
+    :func:`measure_index_recall` on a sample first; on structureless
+    vectors recall at n_probes=4 measured 9-25%.
     """
     from pyspark.sql import Window
 
-    max_pos = (
-        positives.groupBy(query_id_col).count().agg(F.max("count")).first()[0]
-        or 0
-    )
+    max_pos = max_positives
+    if max_pos is None:
+        max_pos = (
+            positives.groupBy(query_id_col).count()
+            .agg(F.max("count")).first()[0]
+            or 0
+        )
     hits = search_index(
         spark, index_path, queries,
         vec_col=vec_col, id_col=id_col,

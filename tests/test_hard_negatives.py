@@ -67,3 +67,24 @@ def test_gated_query_matches_persisted_mining(spark, tmp_path):
               for r in queries.select("vec_id", "label").collect()}
     for qid, negs in got.items():
         assert all(label_of[n] != qlabel[qid] for n in negs)
+
+
+def test_caller_supplied_positive_bound_matches_measured(spark, tmp_path):
+    """max_positives skips the depth-measuring aggregation job; the
+    result must be identical to the measured form when the bound is
+    honest (here: exact)."""
+    emb = load_star_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "hn_idx2")
+    build_kmeans_ivf_index(emb, path, k=4)
+    queries = emb.filter(F.col("vec_id") < 3)
+    positives = queries.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + 1).alias("pos_id"),
+    )
+    measured = mine_hard_negatives(
+        spark, positives, path, queries, k=3, n_probes=4).collect()
+    bounded = mine_hard_negatives(
+        spark, positives, path, queries, k=3, n_probes=4,
+        max_positives=1).collect()
+    assert sorted(map(tuple, measured), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, bounded), key=lambda t: (t[0], t[3]))
