@@ -273,3 +273,23 @@ def test_isin_residual_keeps_results_exact(spark, tmp_path):
     df, report = read_table_pruned(spark, path, isin={"id": [3, 7]})
     assert sorted(tuple(r) for r in df.collect()) == [(3, 30), (7, 70)]
     assert report["files_read"] == report["files_total"]
+
+
+def test_isin_above_bloom_cap_skips_probe_but_stays_exact(spark, table):
+    """Lists longer than _ISIN_BLOOM_MAX skip bloom probing entirely
+    (the probe is a width-(values*k) projection whose cost grows with
+    the list while its skipping yield vanishes — a 2,410-id read spent
+    ~60s in it pre-fix); range admission + the residual IN must keep
+    the answer exact, including absent keys."""
+    from medallion_data_lake_spark.operators.versioned import (
+        _ISIN_BLOOM_MAX,
+    )
+
+    n = _ISIN_BLOOM_MAX + 50
+    keys = list(range(100, 100 + n)) + [987654, 887654]  # tail: absent
+    df, report = read_table_pruned(spark, table, isin={"id": keys})
+    got = sorted((r["id"], r["payload"]) for r in df.collect())
+    assert got == [(k, f"v{k}") for k in range(100, 100 + n)]
+    # bloom probing skipped, but RANGE admission still prunes: the
+    # contiguous key run only overlaps the low-range files
+    assert 0 < report["files_read"] < report["files_total"], report
