@@ -1087,6 +1087,7 @@ def search_kmeans_ivf_index(
     id_col: str = "vec_id",
     n_probes: int = 4,
     k: int = 5,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k over a persisted learned-codebook index with multi-probe:
     each query probes its ``n_probes`` NEAREST CENTROIDS (the KMeans
@@ -1095,6 +1096,10 @@ def search_kmeans_ivf_index(
     candidates to the broadcast query side. The centroid ranking runs
     as one Spark job over (queries × centroids) — both bounded: the
     query batch is small by contract and centroids are the codebook.
+
+    ``allowed`` restricts candidates BEFORE ranking (filtered vector
+    search) — see :func:`search_ivf_index` for the semantics and the
+    probe-depth caveat.
     """
     import json as _json
     import os as _os
@@ -1138,6 +1143,7 @@ def search_kmeans_ivf_index(
         F.col("bucket").isin(probe_codes)  # partition pruning
     )
     cand = _mask_tombstones(cand, read_tombstones(spark, index_path))
+    cand = _apply_allowed(cand, allowed)
     cs = dot(F.col("qv"), F.col("vec")) / (F.col("qnrm") * F.col("nrm"))
     scored = (
         cand.join(
@@ -1720,6 +1726,7 @@ def search_ivf_index(
     id_col: str = "vec_id",
     n_probes: int = 4,
     k: int = 5,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k over a persisted IVF index with multi-probe.
 
@@ -1729,6 +1736,17 @@ def search_ivf_index(
     pruning payoff the persisted layout exists for (plan-asserted in
     tests). Scoring then joins the pruned candidates to the broadcast
     query side exactly like :func:`multiprobe_ann_search`.
+
+    ``allowed`` (optional, a frame whose FIRST column is candidate ids)
+    restricts candidates BEFORE ranking — filtered vector search
+    ("neighbors among docs where lang='en'"). Filtering the top-k
+    after an unfiltered search is NOT the same operation: it returns
+    fewer than k rows whenever disallowed ids out-rank allowed ones;
+    the pre-rank semi-join keeps the result k-deep within the probed
+    cells. The join is unhinted (AQE broadcasts a small allow-list at
+    runtime; a corpus-scale one shuffles against the already
+    bucket-pruned candidates). A selective filter thins each probed
+    cell — raise n_probes accordingly.
     """
     import json as _json
     import os as _os
@@ -1763,6 +1781,7 @@ def search_ivf_index(
     # deleted docs must never surface: broadcast anti-join against the
     # tombstone ledger, applied after pruning (no scan or shuffle cost)
     cand = _mask_tombstones(cand, read_tombstones(spark, index_path))
+    cand = _apply_allowed(cand, allowed)
     cs = dot(F.col("qv"), F.col("vec")) / (F.col("qnrm") * F.col("nrm"))
     scored = (
         cand.join(
@@ -1778,6 +1797,18 @@ def search_ivf_index(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _apply_allowed(cand: DataFrame, allowed: DataFrame | None) -> DataFrame:
+    """Pre-rank candidate restriction for filtered vector search: a
+    left-semi join on the allow-list's first column. Unhinted by
+    design — AQE broadcasts a small allow-list at runtime, while a
+    corpus-scale one shuffles against the already bucket-pruned
+    candidate side instead of being pinned whole on the driver."""
+    if allowed is None:
+        return cand
+    ids = allowed.select(F.col(allowed.columns[0]).alias("vec_id")).distinct()
+    return cand.join(ids, "vec_id", "left_semi")
 
 
 def search_pq_ivf_index(
@@ -1845,6 +1876,7 @@ def search_index(
     k: int = 5,
     use_pq: bool = False,
     shortlist: int = 50,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Kind-agnostic probe of a persisted IVF index: reads the layout
     kind from ``_ivf_meta.json`` and dispatches to the sign-bucket or
@@ -1858,13 +1890,26 @@ def search_index(
     shortlist re-rank) — opt-in, not automatic, because the shortlist
     stage changes the result's approximation profile and recall
     baselines recorded against the full-vector probe must stay
-    comparable across calls."""
+    comparable across calls.
+
+    ``allowed`` (full-vector paths only) restricts candidates before
+    ranking — filtered vector search; see :func:`search_ivf_index`.
+    Unsupported with ``use_pq`` because the bounded ADC shortlist is
+    computed before any filter could apply — a selective filter would
+    silently drain it."""
     import json as _json
     import os as _os
 
     with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
         meta = _json.load(fh)
     if use_pq:
+        if allowed is not None:
+            raise ValueError(
+                "allowed= is not supported with use_pq=True: the ADC "
+                "shortlist is fixed-size and computed before the filter "
+                "could apply; use the full-vector path for filtered "
+                "search"
+            )
         return search_pq_ivf_index(
             spark, index_path, queries,
             vec_col=vec_col, id_col=id_col, n_probes=n_probes, k=k,
@@ -1875,6 +1920,7 @@ def search_index(
     return fn(
         spark, index_path, queries,
         vec_col=vec_col, id_col=id_col, n_probes=n_probes, k=k,
+        allowed=allowed,
     )
 
 

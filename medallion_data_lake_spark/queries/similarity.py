@@ -109,6 +109,63 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 K_NEG = 5
+FILTER_LABEL_MAX = 5  # filtered-search predicate: label < 5 (~half the corpus)
+
+
+@query(
+    "knn_filtered_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, {_SQL_NRM} AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cs
+      FROM q JOIN e ON e.vec_id <> q.vec_id AND e.label < {FILTER_LABEL_MAX}
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY {sql_stable_round('cs', 6)} DESC, neighbor_id) AS INT)
+             AS rank,
+           {sql_stable_round('cs', 4)} AS cos_sim
+    FROM scored
+    QUALIFY rank <= {K_BRUTE}
+    """,
+    doc=f"FILTERED vector search: top-{K_BRUTE} cosine neighbors among "
+        f"candidates satisfying a metadata predicate (label < "
+        f"{FILTER_LABEL_MAX}), filter applied BEFORE ranking so the "
+        "result stays k-deep — the semantics `search_index(allowed=...)` "
+        "serves from the persisted index (operators/ann.py; "
+        "tests/test_filtered_search.py proves path equality under "
+        "exhaustive probing). Post-filtering an unfiltered top-k is a "
+        "different, weaker operation.",
+    tags=("similarity",),
+    extra=True,  # family's driver rows: ann_ivf_bucketed + hard_negatives_topk
+)
+def knn_filtered_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        e.filter(F.col("label") < FILTER_LABEL_MAX)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(stable_round(F.col("cs"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_BRUTE)
+        .select("query_id", "neighbor_id", "rank", stable_round("cs", 4).alias("cos_sim"))
+    )
 
 
 @query(
