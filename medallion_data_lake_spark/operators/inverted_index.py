@@ -691,6 +691,7 @@ def bm25_search(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents for ``terms`` under Okapi BM25, computed
     entirely from the persisted index, in ONE lazy plan: a single
@@ -711,7 +712,17 @@ def bm25_search(
     All four tables are read at the versions recorded by the newest
     COMMITTED append transaction (:func:`committed_index_snapshot`), so
     a search racing an in-flight append scores against one consistent
-    index state — never new postings with stale df/avgdl."""
+    index state — never new postings with stale df/avgdl.
+
+    ``allowed`` (optional, a frame whose first column is doc ids)
+    restricts candidates BEFORE the top-k — "search within this
+    collection", the keyword twin of ``ann.search_index(allowed=...)``.
+    The semi-join lands on the posting-bounded candidate side and stays
+    unhinted (AQE broadcasts a small allow-list at runtime; a
+    corpus-scale one shuffles against candidates that the posting
+    lists already bounded). Scoring is unchanged: df/N/avgdl remain
+    CORPUS statistics — a filter narrows the eligible documents, not
+    the collection the relevance model is defined over."""
     terms = sorted(set(terms))
     if not terms:
         raise ValueError("bm25_search needs at least one query term")
@@ -726,6 +737,11 @@ def bm25_search(
     cand, _ = bm25_candidates(
         spark, index_root, terms, version=pins.get(_POSTINGS)
     )
+    if allowed is not None:
+        ids = allowed.select(
+            F.col(allowed.columns[0]).alias("doc_id")
+        ).distinct()
+        cand = cand.join(ids, "doc_id", "left_semi")
     dfs = (
         read_table(
             spark, _t(index_root, _TERMSTATS), version=pins.get(_TERMSTATS)

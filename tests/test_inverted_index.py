@@ -705,3 +705,35 @@ def test_stream_start_repairs_torn_batch_txn(spark, tmp_path, monkeypatch):
     want = [tuple(r) for r in
             _bm25_scratch(spark, _docs(spark), ["cat"], 8).collect()]
     assert got == want
+
+
+def test_filtered_search_restricts_before_topk(spark, tmp_path):
+    """bm25_search(allowed=...) — "search within this collection": the
+    filter lands before the top-k, so the result is the top-k of the
+    ALLOWED docs' scores (per-doc BM25 is independent of other
+    candidates, so it must equal post-filtering an unbounded search);
+    scoring stats stay corpus-level."""
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2)
+    terms = ["cat", "quantum"]
+
+    unfiltered = bm25_search(spark, root, terms, k=len(DOCS)).collect()
+    allowed_ids = {1, 2, 5, 8}
+    want = [
+        (r["doc_id"], r["n_terms_matched"], r["score"])
+        for r in sorted(unfiltered, key=lambda r: (-r["score"], r["doc_id"]))
+        if r["doc_id"] in allowed_ids
+    ][:3]
+
+    allowed = spark.createDataFrame(
+        [(i,) for i in sorted(allowed_ids)], "doc_id long")
+    got = [
+        (r["doc_id"], r["n_terms_matched"], r["score"])
+        for r in bm25_search(spark, root, terms, k=3,
+                             allowed=allowed).collect()
+    ]
+    assert got == want
+    assert {d for d, _, _ in got} <= allowed_ids
+    # the unfiltered top-1 (doc 4, pure cat spam) is disallowed -> the
+    # filtered result must differ from a naive truncation
+    assert unfiltered[0]["doc_id"] not in allowed_ids
