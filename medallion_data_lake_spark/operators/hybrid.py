@@ -106,6 +106,7 @@ def cosine_topn(
     n: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Vector branch: brute-force cosine top-``n`` against the stored
     vector of ``query_vec_id`` (excluded from results), ranked by
@@ -114,9 +115,13 @@ def cosine_topn(
     operator path and the oracle-checked arithmetic cannot drift.
 
     One scan + TakeOrderedAndProject; the 1-row query side broadcasts.
-    For a persisted IVF index, rank ``ann.search_index`` output with
-    :func:`ranked` instead and feed it to :func:`rrf_fuse` — the fusion
-    is producer-agnostic."""
+    ``allowed`` (frame whose first column is candidate ids) restricts
+    candidates BEFORE the top-n — the filtered-search semantics of
+    ``ann.search_index(allowed=...)``; the QUERY vector is looked up in
+    the unfiltered frame, so a query outside the collection can still
+    search within it. For a persisted IVF index, rank
+    ``ann.search_index`` output with :func:`ranked` instead and feed it
+    to :func:`rrf_fuse` — the fusion is producer-agnostic."""
     from ..queries._parity import stable_round
 
     e = embeddings.select(
@@ -126,8 +131,14 @@ def cosine_topn(
         e.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
     )
+    cands = e
+    if allowed is not None:
+        ids = allowed.select(
+            F.col(allowed.columns[0]).alias("vec_id")
+        ).distinct()
+        cands = cands.join(ids, "vec_id", "left_semi")
     scored = (
-        e.filter(F.col("vec_id") != query_vec_id)
+        cands.filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))  # 1-row query side
         .select(
             "vec_id",
@@ -155,6 +166,7 @@ def hybrid_search(
     rrf_k: int = RRF_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Persisted-path hybrid retrieval: BM25 top-``n_per_branch`` from
     the inverted index at ``index_root`` (bloom-pruned posting reads,
@@ -163,14 +175,21 @@ def hybrid_search(
     The embedding ids must share the document id space. Returns
     ``(doc_id, kw_rank, vec_rank, rrf_score)`` — the same arithmetic
     the gated ``hybrid_rrf_topk`` query computes from the raw corpus
-    (tests/test_hybrid.py proves the two paths agree row-for-row)."""
+    (tests/test_hybrid.py proves the two paths agree row-for-row).
+
+    ``allowed`` scopes BOTH branches to a collection before their
+    top-n (filtered hybrid: "docs like this example that also mention
+    X, within collection Y") — each branch must filter pre-rank, or a
+    collection doc out-ranked by disallowed ones would vanish from the
+    fusion instead of rising into the branch's top-n."""
     kw = ranked(
-        bm25_search(spark, index_root, query_terms, k=n_per_branch),
+        bm25_search(spark, index_root, query_terms, k=n_per_branch,
+                    allowed=allowed),
         [F.desc("score")],
     ).select("doc_id", "rank")
     vec = cosine_topn(
         embeddings, query_vec_id, n_per_branch, id_col=id_col,
-        vec_col=vec_col,
+        vec_col=vec_col, allowed=allowed,
     )
     return rrf_fuse(
         {"kw": kw, "vec": vec.withColumnRenamed("vec_id", "doc_id")},

@@ -162,3 +162,51 @@ def test_rrf_fuses_persisted_ivf_branch(spark, tmp_path):
         -d,
     ))
     assert fused[0]["doc_id"] == best
+
+
+def test_filtered_hybrid_scopes_both_branches(spark, tmp_path):
+    """hybrid_search(allowed=...) — filtered hybrid: both branches
+    filter BEFORE their top-n, so every fused doc is in the collection
+    and a collection doc out-ranked globally still rises into the
+    branch tops (equals fusing the independently-filtered branches)."""
+    from medallion_data_lake_spark.operators.hybrid import ranked
+    from medallion_data_lake_spark.operators.inverted_index import (
+        bm25_search,
+    )
+    from medallion_data_lake_spark.queries.retrieval import (
+        _Q_TERMS,
+        _Q_VEC_ID,
+    )
+
+    docs = load_star_table(spark, SF, "documents").select("doc_id", "text")
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, docs, root, n_files=4)
+    e = load_star_table(spark, SF, "embeddings")
+    allowed = e.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    allowed_ids = {r["vec_id"] for r in allowed.collect()}
+
+    got = hybrid_search(
+        spark, root, e, list(_Q_TERMS), _Q_VEC_ID,
+        k=8, n_per_branch=10, allowed=allowed,
+    ).collect()
+    assert got and all(r["doc_id"] in allowed_ids for r in got)
+
+    kw = ranked(
+        bm25_search(spark, root, list(_Q_TERMS), k=10, allowed=allowed),
+        [F.desc("score")],
+    ).select("doc_id", "rank")
+    vec = cosine_topn(e, _Q_VEC_ID, 10, allowed=allowed).withColumnRenamed(
+        "vec_id", "doc_id")
+    want = rrf_fuse({"kw": kw, "vec": vec}, k=8).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # the filter really reshapes the branch: an allowed doc absent from
+    # the unfiltered keyword top-10 appears once disallowed docs are out
+    unfiltered_kw = {
+        r["doc_id"]
+        for r in bm25_search(spark, root, list(_Q_TERMS), k=10).collect()
+    }
+    filtered_kw = {r["doc_id"] for r in kw.collect()}
+    assert filtered_kw - unfiltered_kw, (
+        "fixture regression: filtered top-10 adds no new collection doc"
+    )
