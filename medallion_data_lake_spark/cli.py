@@ -78,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
                  "clone", "txn-commit", "txn-list", "txn-recover",
                  "txn-compensate", "txn-resolve-broken", "txn-expire",
                  "bm25-build", "bm25-search", "bm25-compact",
-                 "phrase-search"],
+                 "phrase-search", "hybrid-search"],
     )
     ap.add_argument(
         "arg",
@@ -155,7 +155,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="txn-recover: also retry stuck transactions "
                          "(after resolving the recorded conflict)")
     ap.add_argument("--terms", default=None,
-                    help="bm25-search: comma-separated query terms")
+                    help="bm25-search/hybrid-search: comma-separated "
+                         "query terms")
+    ap.add_argument("--vec-id", type=int, default=None,
+                    help="hybrid-search: 'like this example' — the "
+                         "stored embedding id anchoring the vector "
+                         "branch")
+    ap.add_argument("--embeddings", default=None,
+                    help="hybrid-search: versioned embeddings table "
+                         "(default: the mounted fixtures' embeddings)")
     ap.add_argument("--txn-app", default=None,
                     help="bm25-build: idempotence app id — with "
                          "--txn-version, a crashed build re-run is "
@@ -690,6 +698,32 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"doc_id": r["doc_id"],
                               "n_terms_matched": r["n_terms_matched"],
                               "score": round(r["score"], 6)}))
+    elif args.verb == "hybrid-search":
+        # fused keyword+vector retrieval (operators/hybrid.py): BM25
+        # over the persisted index RRF-fused with cosine against a
+        # stored example vector — "docs like --vec-id that also
+        # mention --terms"
+        if not args.arg or not args.terms or args.vec_id is None:
+            print("hybrid-search requires an index root, --terms and "
+                  "--vec-id", file=sys.stderr)
+            return 2
+        from .operators.hybrid import hybrid_search
+        from .operators.versioned import read_table as _rt
+
+        terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+        if not terms:
+            print("hybrid-search: --terms parsed to an empty list",
+                  file=sys.stderr)
+            return 2
+        emb = (_rt(spark, args.embeddings) if args.embeddings
+               else spark.table("embeddings"))
+        out = hybrid_search(spark, args.arg, emb, terms, args.vec_id,
+                            k=args.limit)
+        for r in out.collect():
+            print(json.dumps({"doc_id": r["doc_id"],
+                              "kw_rank": r["kw_rank"],
+                              "vec_rank": r["vec_rank"],
+                              "rrf_score": round(r["rrf_score"], 9)}))
     elif args.verb == "bm25-compact":
         if not args.arg:
             print("bm25-compact requires an index root path", file=sys.stderr)

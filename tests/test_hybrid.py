@@ -210,3 +210,35 @@ def test_filtered_hybrid_scopes_both_branches(spark, tmp_path):
     assert filtered_kw - unfiltered_kw, (
         "fixture regression: filtered top-10 adds no new collection doc"
     )
+
+
+def test_cli_hybrid_search_round_trip(spark, tmp_path, capsys):
+    """bm25-build then hybrid-search through the CLI: fused rows come
+    back as JSON with per-branch ranks; missing args refused."""
+    import json as _json
+
+    from medallion_data_lake_spark import cli
+    from medallion_data_lake_spark.queries.retrieval import (
+        _Q_TERMS,
+        _Q_VEC_ID,
+    )
+
+    root = str(tmp_path / "idx")
+    assert cli.main(["bm25-build", root,
+                     "--sf", "/root/testdata/sf0.001"]) == 0
+    capsys.readouterr()
+    assert cli.main(["hybrid-search", root,
+                     "--terms", ",".join(_Q_TERMS),
+                     "--vec-id", str(_Q_VEC_ID),
+                     "--limit", "8",
+                     "--sf", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = [_json.loads(ln) for ln in out if ln.startswith("{")]
+    assert len(rows) == 8
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert any(r["kw_rank"] is not None for r in rows)
+    assert any(r["vec_rank"] is not None for r in rows)
+    # both anchors required
+    assert cli.main(["hybrid-search", root, "--terms", "x",
+                     "--sf", "/root/testdata/sf0.001"]) == 2
