@@ -164,6 +164,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--embeddings", default=None,
                     help="hybrid-search: versioned embeddings table "
                          "(default: the mounted fixtures' embeddings)")
+    ap.add_argument("--vec-index", default=None,
+                    help="hybrid-search: persisted IVF index path — "
+                         "the vector branch probes it (partition-"
+                         "pruned) instead of scanning embeddings")
+    ap.add_argument("--probes", type=int, default=4,
+                    help="hybrid-search: IVF cells probed per query "
+                         "when --vec-index is set")
     ap.add_argument("--txn-app", default=None,
                     help="bm25-build: idempotence app id — with "
                          "--txn-version, a crashed build re-run is "
@@ -718,7 +725,8 @@ def main(argv: list[str] | None = None) -> int:
         emb = (_rt(spark, args.embeddings) if args.embeddings
                else spark.table("embeddings"))
         out = hybrid_search(spark, args.arg, emb, terms, args.vec_id,
-                            k=args.limit)
+                            k=args.limit, vec_index=args.vec_index,
+                            n_probes=args.probes)
         for r in out.collect():
             print(json.dumps({"doc_id": r["doc_id"],
                               "kw_rank": r["kw_rank"],

@@ -167,6 +167,8 @@ def hybrid_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed: DataFrame | None = None,
+    vec_index: str | None = None,
+    n_probes: int = 4,
 ) -> DataFrame:
     """Persisted-path hybrid retrieval: BM25 top-``n_per_branch`` from
     the inverted index at ``index_root`` (bloom-pruned posting reads,
@@ -181,16 +183,35 @@ def hybrid_search(
     top-n (filtered hybrid: "docs like this example that also mention
     X, within collection Y") — each branch must filter pre-rank, or a
     collection doc out-ranked by disallowed ones would vanish from the
-    fusion instead of rising into the branch's top-n."""
+    fusion instead of rising into the branch's top-n.
+
+    ``vec_index`` (path to a persisted IVF index over the same id
+    space) swaps the vector branch's corpus scan for a partition-pruned
+    index probe (``ann.search_index`` at ``n_probes``) — the serving
+    form at corpus scale, where a per-query embedding scan is the
+    bottleneck. The trade is the index's recall profile (multi-probe
+    ANN is approximate; measure with ``ann.measure_index_recall``);
+    ``embeddings`` is then only the query-vector lookup."""
     kw = ranked(
         bm25_search(spark, index_root, query_terms, k=n_per_branch,
                     allowed=allowed),
         [F.desc("score")],
     ).select("doc_id", "rank")
-    vec = cosine_topn(
-        embeddings, query_vec_id, n_per_branch, id_col=id_col,
-        vec_col=vec_col, allowed=allowed,
-    )
+    if vec_index is not None:
+        from .ann import search_index
+
+        qvec = embeddings.filter(
+            F.col(id_col) == query_vec_id
+        ).select(id_col, vec_col)
+        vec = search_index(
+            spark, vec_index, qvec, vec_col=vec_col, id_col=id_col,
+            n_probes=n_probes, k=n_per_branch, allowed=allowed,
+        ).select(F.col("cand_id").alias("vec_id"), "rank")
+    else:
+        vec = cosine_topn(
+            embeddings, query_vec_id, n_per_branch, id_col=id_col,
+            vec_col=vec_col, allowed=allowed,
+        )
     return rrf_fuse(
         {"kw": kw, "vec": vec.withColumnRenamed("vec_id", "doc_id")},
         k=k,

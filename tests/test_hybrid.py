@@ -242,3 +242,53 @@ def test_cli_hybrid_search_round_trip(spark, tmp_path, capsys):
     # both anchors required
     assert cli.main(["hybrid-search", root, "--terms", "x",
                      "--sf", "/root/testdata/sf0.001"]) == 2
+
+
+def test_hybrid_search_with_persisted_vector_branch(spark, tmp_path):
+    """vec_index= swaps the vector branch's corpus scan for the
+    persisted IVF probe: the fusion must equal rrf_fuse over the BM25
+    ranking and the index search's own ranking, and allowed= still
+    scopes both branches."""
+    from medallion_data_lake_spark.operators.ann import (
+        build_kmeans_ivf_index,
+        search_index,
+    )
+    from medallion_data_lake_spark.operators.hybrid import ranked
+    from medallion_data_lake_spark.operators.inverted_index import (
+        bm25_search,
+    )
+    from medallion_data_lake_spark.queries.retrieval import (
+        _Q_TERMS,
+        _Q_VEC_ID,
+    )
+
+    docs = load_star_table(spark, SF, "documents").select("doc_id", "text")
+    root = str(tmp_path / "bm25")
+    create_bm25_index(spark, docs, root, n_files=4)
+    e = load_star_table(spark, SF, "embeddings")
+    ivf = str(tmp_path / "ivf")
+    build_kmeans_ivf_index(e, ivf, k=4)
+
+    got = hybrid_search(
+        spark, root, e, list(_Q_TERMS), _Q_VEC_ID,
+        k=8, n_per_branch=10, vec_index=ivf, n_probes=4,
+    ).collect()
+
+    kw = ranked(
+        bm25_search(spark, root, list(_Q_TERMS), k=10),
+        [F.desc("score")],
+    ).select("doc_id", "rank")
+    qvec = e.filter(F.col("vec_id") == _Q_VEC_ID).select(
+        "vec_id", "embedding")
+    vec = search_index(spark, ivf, qvec, n_probes=4, k=10).select(
+        F.col("cand_id").alias("doc_id"), "rank")
+    want = rrf_fuse({"kw": kw, "vec": vec}, k=8).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    allowed = e.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    allowed_ids = {r["vec_id"] for r in allowed.collect()}
+    scoped = hybrid_search(
+        spark, root, e, list(_Q_TERMS), _Q_VEC_ID,
+        k=8, n_per_branch=10, vec_index=ivf, n_probes=4, allowed=allowed,
+    ).collect()
+    assert scoped and all(r["doc_id"] in allowed_ids for r in scoped)
