@@ -292,6 +292,7 @@ def order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "so the single-task window hazard of the reference "
         "(silver_to_gold.py:150, SURVEY.md §4.3.1) is structurally avoided. "
         "Growth is derived from the exact rounded revenue in both engines.",
+    extra=True,  # r12 rotation (gated r1-r11, green): A3 twin calendar_trends + W2 lag/frame twin rolling_week_revenue stay gated
 )
 def daily_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
@@ -444,6 +445,7 @@ def nation_customer_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="U1 UNION ALL of scalar aggregates — the reference's cross-layer "
         "QA reconciliation (query_datalake.py:199-214, A9/A7).",
+    extra=True,  # r12 rotation (gated r1-r11, green): U1/set-ops twin status_set_ops re-gated r12
 )
 def layer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)

@@ -46,9 +46,7 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     doc="left_semi join: customers with at least one >450k order. "
         "Catalyst plans a broadcast/shuffled semi join — no fan-out, no "
         "distinct needed (the rewards_report shape, sakila-schema.sql:519).",
-    extra=True,  # semi-join plan shape also exercised by the driver-gated
-                 # dedup/curation anti/semi joins; EXISTS twin
-                 # parts_held_by_customer is extra-local since r5
+    # re-gated r12 (out since r1 — oldest-first rotation)
 )
 def customers_with_jumbo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -285,7 +283,8 @@ def customer_name_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the fact table once per arm per side (4x) and shuffles each "
         "distinct separately; this plan is one scan + one shuffle and "
         "returns exactly the INTERSECT ∪ EXCEPT rows.",
-    extra=True,  # rotated to extras in r5 (U1 driver row: layer_reconciliation)
+    # re-gated r12 (out since r4 — oldest-first rotation); becomes the
+    # U1/set-ops driver row while layer_reconciliation rotates out
 )
 def status_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir)["orders"]
@@ -396,8 +395,7 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Shipping-priority shape (segment filter + ordered-but-unshipped "
         "date window + 3-way join + per-order revenue + top-K). Filters "
         "push into all three scans; top-K is TakeOrderedAndProject.",
-    extra=True,  # O2 top-K driver evidence remains via top_revenue_parts;
-                 # slot freed for stratified_sample_audit
+    # re-gated r12 (out since r1 — oldest-first rotation)
 )
 def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -509,6 +507,7 @@ def supplier_customer_nation_volume(spark: SparkSession, sf_dir: str) -> DataFra
         "expressed as one declarative plan (each rollup aggregates at its "
         "own cardinality before the dim-sized join; exact decimal "
         "arithmetic end-to-end).",
+    extra=True,  # r12 rotation (gated r1-r11, green): SS2.10 routines twin parts_held_by_customer re-gated r12; A7 IFNULL twin discount_revenue_delta stays gated
 )
 def customer_open_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import dsum

@@ -652,6 +652,7 @@ def decontaminate_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "curation"),
     # r8 rotation: promoted to the driver gate (new in r7, never had a
     # driver row)
+    extra=True,  # r12 rotation (gated r8-r11, green): shingle-hash twin ngram_jaccard_consecutive + text family rows stay gated
 )
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")

@@ -227,8 +227,7 @@ def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stable). Pure map-side; the signature is the only thing the LSH "
         "join ever shuffles, never the text.",
     tags=("dedup",),
-    extra=True,  # folded: lsh_candidate_pairs builds and driver-verifies
-                 # these same signatures (signature_df) end-to-end
+    # re-gated r12 (out since r1 — oldest-first rotation)
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signature_df(spark, sf_dir)
@@ -450,8 +449,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "buckets (queries/similarity.py). Cosine via zip_with+aggregate in "
         "double — built-in HOFs, no UDF.",
     tags=("dedup",),
-    extra=True,  # baseline twin of the driver-verified
-                 # embedding_near_dup_bucketed (production pair source)
+    # re-gated r12 (out since r1 — oldest-first rotation)
 )
 def embedding_near_dup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_star_table_spread(spark, sf_dir, "embeddings", "vec_id")
@@ -502,6 +500,7 @@ _CC_ORACLE = (
         "the step that turns pairwise near-dup evidence into 'keep one "
         "canonical doc per group' at 100 TB.",
     tags=("dedup",),
+    extra=True,  # r12 rotation (gated r1-r11, green): P7 twin dedup_events_exact stays gated; near-dup family twins minhash_signatures + embedding_near_dup_consecutive re-gated r12
 )
 def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup_graph import connected_components

@@ -83,9 +83,8 @@ def part_stock_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contract). Expressed as a null-keyed left join — open units "
         "resolve their holder, returned units join nothing — instead of "
         "one correlated lookup per inventory row.",
-    # rotated to extras in r5: §2.10 routines keep driver rows via
-    # customer_open_balance, big_spenders_having, part_stock_status
-    extra=True,
+    # re-gated r12 (out since r4 — oldest-first rotation); becomes the
+    # §2.10 routines driver row while customer_open_balance rotates out
 )
 def parts_held_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_star_tables(spark, sf_dir, register=False)

@@ -548,6 +548,7 @@ def priority_late_ship_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         "plans as two small aggs). Decimal sums ×25 (=1/0.04) keep the "
         "boundary compare EXACT in both engines — no float literal.",
     tags=("subquery", "having", "scalar-agg"),
+    extra=True,  # r12 rotation (gated r7-r11, green): J7 subquery twins returned_item_customers + large_volume_orders stay gated
 )
 def nation_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import dsum
@@ -834,6 +835,7 @@ def quarter_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subquery", "grouped-in", "window"),
     # r8 rotation: promoted to the driver gate (Q20 shape, new in r7,
     # never had a driver row)
+    extra=True,  # r12 rotation (gated r8-r11, green): J7 subquery twins returned_item_customers + large_volume_orders stay gated
 )
 def dominant_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1138,6 +1140,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation×year grid last; the final ORDER BY sorts ~25×7 rows.",
     tags=("join-family", "q9"),
     # first gated r8 (new)
+    extra=True,  # r12 rotation (gated r8-r11, green): J3 join-chain twins supplier_customer_nation_volume + shipping_priority_topk (re-gated r12) stay gated
 )
 def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)

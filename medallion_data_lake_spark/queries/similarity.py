@@ -139,7 +139,8 @@ FILTER_LABEL_MAX = 5  # filtered-search predicate: label < 5 (~half the corpus)
         "exhaustive probing). Post-filtering an unfiltered top-k is a "
         "different, weaker operation.",
     tags=("similarity",),
-    extra=True,  # family's driver rows: ann_ivf_bucketed + hard_negatives_topk
+    # first gated r12 (closes the every-oracleable-query-gated invariant —
+    # this was the only oracleable query never driver-gated)
 )
 def knn_filtered_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -260,6 +261,7 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "with k ∝ sqrt(n) — so per-bucket work is bounded at any n "
         "(tests/test_ann_scale.py asserts the max-bucket bound).",
     tags=("similarity",),
+    extra=True,  # r12 rotation (gated r1-r11, green): vector-search twins knn_filtered_cosine (first gated r12) + hard_negatives_topk stay gated
 )
 def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("embedding")))

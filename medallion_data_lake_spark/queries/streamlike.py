@@ -302,8 +302,7 @@ def purchases_within_hour_of_signup(spark: SparkSession, sf_dir: str) -> DataFra
         "time hierarchies at 100 TB (hour partials persist; day/month "
         "reaggregate from them incrementally).",
     tags=("streaming",),
-    extra=True,  # r7 rotation: calendar-bucket agg driver-gated via
-    # order_date_math + events_hourly_windows (this was green r1-r6)
+    # re-gated r12 (out since r6 — oldest-first rotation)
 )
 def events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import DEC
@@ -421,6 +420,7 @@ def signup_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table persists and only the activity pass reruns per refresh.",
     tags=("streaming",),
     # driver-gated since r4 (supplier_customer_nation_volume rotated out)
+    extra=True,  # r12 rotation (gated r4-r11, green): A2 count-distinct twin part_supplier_counts stays gated; calendar-bucket twin events_cascading_rollup re-gated r12
 )
 def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -121,9 +121,7 @@ def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "punctuation count uses literal replaces so the Java and RE2 regex "
         "dialects can't diverge.",
     tags=("text",),
-    extra=True,  # r4 rotation: the quality_score expression stays
-                 # driver-gated via corpus_quality_by_lang; slot freed for
-                 # the LM tier (doc_unigram_logprob)
+    # re-gated r12 (out since r3 — oldest-first rotation)
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
@@ -156,8 +154,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "real model would run as an Arrow-batched pandas UDF with the same "
         "shape (operators/text.py).",
     tags=("text",),
-    extra=True,  # r7 rotation: lang-ID driver-gated via
-    # corpus_quality_by_lang, which derives from this prediction
+    # re-gated r12 (out since r6 — oldest-first rotation)
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
