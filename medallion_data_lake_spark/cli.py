@@ -722,8 +722,19 @@ def main(argv: list[str] | None = None) -> int:
             print("hybrid-search: --terms parsed to an empty list",
                   file=sys.stderr)
             return 2
-        emb = (_rt(spark, args.embeddings) if args.embeddings
-               else spark.table("embeddings"))
+        if args.embeddings:
+            emb = _rt(spark, args.embeddings)
+        else:
+            from pyspark.errors import AnalysisException
+
+            try:
+                emb = spark.table("embeddings")
+            except AnalysisException:
+                print("hybrid-search: no 'embeddings' view is registered "
+                      "and --embeddings was not given (pass --embeddings "
+                      "PATH to a versioned table, or --sf DIR to register "
+                      "the fixture views)", file=sys.stderr)
+                return 2
         out = hybrid_search(spark, args.arg, emb, terms, args.vec_id,
                             k=args.limit, vec_index=args.vec_index,
                             n_probes=args.probes)

@@ -684,7 +684,13 @@ def mine_hard_negatives(
     knows it (labeled pair sets almost always have a schema-level bound,
     e.g. 1 positive per query) — passing it skips the one aggregation
     job this function otherwise runs to measure the depth, the same
-    fixed-cost discipline as bm25_search's lazy corpus stats.
+    fixed-cost discipline as bm25_search's lazy corpus stats. The bound
+    is VERIFIED, not trusted: an understated value would silently
+    shrink the searched prefix below k + true-max-positives and let
+    positives crowd true top-k negatives out of it, so the guarded path
+    counts the positives actually observed in each query's prefix and
+    raises at evaluation time if any query exceeds the declared bound
+    (a data-plane when/raise_error check — no extra job).
 
     When to use which path (measured, SCALE.md round 11): below ~10^6
     vectors — or whenever the embedding distribution is unknown — mine
@@ -714,7 +720,46 @@ def mine_hard_negatives(
         F.col(query_id_col).alias("query_id"),
         F.col(pos_id_col).alias("cand_id"),
     )
-    negs = hits.join(pos, ["query_id", "cand_id"], "left_anti")
+    if max_positives is None:
+        negs = hits.join(pos, ["query_id", "cand_id"], "left_anti")
+    else:
+        # Caller-declared bound: verify it against the prefix instead of
+        # trusting it. distinct() so duplicate labeled pairs can neither
+        # fan out the join nor double-count; the positive side is
+        # broadcast-sized by contract so the dedup is map-side cheap.
+        marked = hits.join(
+            pos.distinct().withColumn("_is_pos", F.lit(True)),
+            ["query_id", "cand_id"],
+            "left",
+        )
+        marked = marked.withColumn(
+            "_n_pos",
+            F.sum(F.when(F.col("_is_pos"), 1).otherwise(0)).over(
+                Window.partitionBy("query_id")
+            ),
+        )
+        guard = F.when(
+            F.col("_n_pos") > int(max_pos),
+            F.raise_error(F.concat(
+                F.lit(
+                    f"mine_hard_negatives: max_positives={int(max_pos)} "
+                    "understates the true per-query positive count for "
+                    "query_id="
+                ),
+                F.col("query_id").cast("string"),
+                F.lit(
+                    " — the searched prefix cannot guarantee k exact "
+                    "negatives; pass the true bound or omit max_positives "
+                    "to have it measured"
+                ),
+            )),
+        ).otherwise(F.lit(True))
+        negs = (
+            marked.withColumn("_ok", guard)
+            .filter("_ok")
+            .filter(F.col("_is_pos").isNull())
+            .drop("_is_pos", "_n_pos", "_ok")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
         negs.withColumn("rank", F.row_number().over(w))

@@ -88,12 +88,25 @@ def main() -> None:
                              allowed=large.withColumnRenamed(
                                  "doc_id", "vec_id")).collect())
 
-    # AQE-broadcast check: the executed plan of a small-allow search
-    # must contain a broadcast join on the allow side (no hint given)
-    df = bm25_search(spark, kw_root, TERMS, k=10, allowed=small)
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    out["small_allow_broadcast_in_plan"] = "Broadcast" in plan
+    # AQE-broadcast check: the allow-list semi-join SPECIFICALLY must be
+    # broadcast, not merely "some broadcast exists" — the unfiltered
+    # bm25_search plan already carries broadcasts (corpus-stats / query
+    # joins), so compare LeftSemi-broadcast node counts against it.
+    def _semi_broadcasts(frame) -> int:
+        frame.collect()
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        return sum(
+            1
+            for line in plan.splitlines()
+            if "BroadcastHashJoin" in line and "LeftSemi" in line
+        )
+
+    base = _semi_broadcasts(bm25_search(spark, kw_root, TERMS, k=10))
+    filt = _semi_broadcasts(
+        bm25_search(spark, kw_root, TERMS, k=10, allowed=small))
+    out["semi_broadcast_joins_unfiltered"] = base
+    out["semi_broadcast_joins_small_allow"] = filt
+    out["small_allow_broadcast_in_plan"] = filt > base
 
     print(json.dumps({"filtered_search_cost": out}))
 

@@ -88,3 +88,43 @@ def test_caller_supplied_positive_bound_matches_measured(spark, tmp_path):
         max_positives=1).collect()
     assert sorted(map(tuple, measured), key=lambda t: (t[0], t[3])) == \
         sorted(map(tuple, bounded), key=lambda t: (t[0], t[3]))
+
+
+def test_understated_positive_bound_raises(spark, tmp_path):
+    """An understated max_positives must fail LOUDLY (r11 ADVICE): the
+    guarded path counts the positives observed in each query's searched
+    prefix and raises when any query exceeds the declared bound —
+    otherwise positives silently crowd true top-k negatives out of the
+    too-shallow prefix and the exactness guarantee fails with no signal.
+    """
+    import pytest
+
+    emb = load_star_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "hn_idx3")
+    build_kmeans_ivf_index(emb, path, k=4)
+    queries = emb.filter(F.col("vec_id") < 3)
+    # three positives per query — each query's ACTUAL top-3 neighbors,
+    # so they provably occupy the searched prefix; declare a bound of one
+    from medallion_data_lake_spark.operators.ann import search_index
+
+    positives = search_index(
+        spark, path, queries, n_probes=4, k=3
+    ).select("query_id", F.col("cand_id").alias("pos_id"))
+    with pytest.raises(Exception, match="understates"):
+        mine_hard_negatives(
+            spark, positives, path, queries, k=3, n_probes=4,
+            max_positives=1,
+        ).collect()
+    # the honest bound still works and returns full-k negatives
+    ok = mine_hard_negatives(
+        spark, positives, path, queries, k=3, n_probes=4,
+        max_positives=3,
+    ).collect()
+    per_q = defaultdict(set)
+    for r in ok:
+        per_q[r["query_id"]].add(r["neg_id"])
+    assert len(per_q) == 3 and all(len(v) == 3 for v in per_q.values())
+    pos_of = defaultdict(set)
+    for r in positives.collect():
+        pos_of[r["query_id"]].add(r["pos_id"])
+    assert all(not (pos_of[q] & v) for q, v in per_q.items())

@@ -242,6 +242,15 @@ def test_cli_hybrid_search_round_trip(spark, tmp_path, capsys):
     # both anchors required
     assert cli.main(["hybrid-search", root, "--terms", "x",
                      "--sf", "/root/testdata/sf0.001"]) == 2
+    # lake mode without --embeddings and no registered view: a one-line
+    # usage error (rc=2), not a raw AnalysisException (r11 ADVICE)
+    spark.catalog.dropTempView("embeddings")
+    capsys.readouterr()
+    assert cli.main(["hybrid-search", root,
+                     "--terms", ",".join(_Q_TERMS),
+                     "--vec-id", str(_Q_VEC_ID)]) == 2
+    err = capsys.readouterr().err
+    assert "no 'embeddings' view" in err
 
 
 def test_hybrid_search_with_persisted_vector_branch(spark, tmp_path):
