@@ -212,13 +212,30 @@ def main(argv: list[str] | None = None) -> int:
                 # JSON API over the same cached views, bounded responses
                 from .serving_http import serve_http_background
 
+                session = None
+                if args.index:
+                    # warm search routes: snapshot pinned + small index
+                    # tables cached ONCE for the server's lifetime
+                    from .operators.search_session import WarmSearchSession
+                    from .operators.versioned import read_table as _rt
+
+                    session = WarmSearchSession(
+                        spark, args.index,
+                        embeddings=(_rt(spark, args.embeddings)
+                                    if args.embeddings else None),
+                        vec_index=args.vec_index,
+                        docs_table=args.docs,
+                    )
                 server, thread = serve_http_background(
-                    serving, port=args.http, default_rows=args.limit
+                    serving, port=args.http, default_rows=args.limit,
+                    search_session=session,
                 )
                 print(f"serving HTTP on {server.server_address[0]}:"
                       f"{server.server_address[1]} "
                       "(browser console at GET /; GET /tables /describe "
-                      "/samples, POST /query /explain /curate)")
+                      "/samples, POST /query /explain /curate"
+                      + (", /search /phrase /hybrid" if session else "")
+                      + ")")
                 try:
                     thread.join()
                 except KeyboardInterrupt:

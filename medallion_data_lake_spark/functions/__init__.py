@@ -143,6 +143,7 @@ def salted_join(
     key: str,
     n_salts: int = 16,
     how: str = "inner",
+    broadcast_other: bool = True,
 ):
     """Equi-join robust to hot keys: salt the skewed side, replicate the
     other side across all salt values.
@@ -152,12 +153,21 @@ def salted_join(
     one hot key fans out across n_salts reducers. Result equals a plain
     ``skewed.join(other, key, how)``.
 
-    SIZE CONTRACT: ``other`` must be dim-sized — it is replicated
-    n_salts× and BROADCAST, so the exploded copy must fit in executor
-    memory (n_salts × |other| rows). Passing a fact table here is a
-    misuse; the broadcast makes that fail loudly (driver OOM / broadcast
-    threshold error) instead of silently exploding a shuffle. For
-    fact-fact skew use AQE's skew-join split instead.
+    SIZE CONTRACT (default ``broadcast_other=True``): ``other`` must be
+    dim-sized — it is replicated n_salts× and BROADCAST, so the exploded
+    copy must fit in executor memory (n_salts × |other| rows). Passing a
+    fact table here is a misuse; the broadcast makes that fail loudly
+    (driver OOM / broadcast threshold error) instead of silently
+    exploding a shuffle.
+
+    ``broadcast_other=False`` is the FACT⨝FACT escape hatch: both sides
+    shuffle on (key, salt), so the hot key spreads over n_salts reducers
+    while the other side pays an n_salts× replication through the
+    shuffle. Reach for it only when AQE's skew-join split cannot fire
+    (measured r12, SCALE.md: AQE splits only sort-merge joins whose hot
+    partition exceeds skewedPartitionThresholdInBytes AND the join is
+    not already broadcast; within its reach AQE wins because it splits
+    just the hot partition instead of replicating the whole other side).
 
     Salt uses ``pmod`` rather than ``abs(hash) % n``: Spark's non-ANSI
     ``abs(Integer.MIN_VALUE)`` overflows back to a negative, and ``%``
@@ -171,4 +181,6 @@ def salted_join(
     right = other.withColumn(
         "_salt", _F.explode(_F.array(*[_F.lit(i) for i in range(n_salts)]))
     )
-    return left.join(_F.broadcast(right), [key, "_salt"], how).drop("_salt")
+    if broadcast_other:
+        right = _F.broadcast(right)
+    return left.join(right, [key, "_salt"], how).drop("_salt")

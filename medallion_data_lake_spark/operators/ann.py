@@ -1032,6 +1032,9 @@ def build_kmeans_ivf_index(
     seed: int = 42,
     max_fit_rows: int = 1_000_000,
     measure_recall: int | None = None,
+    pq_m: int | None = None,
+    pq_k: int = 16,
+    pq_sample_fraction: float | None = None,
 ) -> dict:
     """Persist the LEARNED-codebook IVF layout: seeded KMeans centroids
     (fit on a bounded sample — :func:`kmeans_codebook_bucket`'s training
@@ -1042,7 +1045,18 @@ def build_kmeans_ivf_index(
     cells where fixed sign planes would collapse), at the cost of a
     bounded training pass. k defaults to ~sqrt(n); centroids are
     k·d doubles — MBs at k=10^5, fine to carry in metadata and
-    broadcast at query time."""
+    broadcast at query time.
+
+    ``pq_m`` adds the persisted PQ tier (same contract as
+    :func:`build_ivf_index`): codes stored in the bucketed parquet,
+    codebook in the meta sidecar. With it,
+    ``search_index(use_pq=True)`` runs the WIDE-PROBE RECALL-RECOVERY
+    path (:func:`search_kmeans_pq_ivf_index`): probe more cells than
+    the full-vector search would afford, ADC-pre-rank the pooled
+    candidates from stored codes (m byte-table lookups per candidate
+    instead of a d-dim dot), and exactly re-rank only the top-W
+    shortlist — recall bought with cheap probes, exactness restored on
+    a bounded set."""
     import json as _json
     import os as _os
 
@@ -1064,17 +1078,11 @@ def build_kmeans_ivf_index(
     model = KMeans(
         k=k, seed=seed, featuresCol="_features", predictionCol="bucket"
     ).fit(fit_src)
-    (
-        model.transform(feat)
-        .select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("vec"),
-            l2_norm(F.col(vec_col)).alias("nrm"),
-            F.col("bucket").cast("long").alias("bucket"),
-        )
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(index_path)
+    indexed = model.transform(feat).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        F.col("bucket").cast("long").alias("bucket"),
     )
     meta = {
         "kind": "kmeans",
@@ -1084,6 +1092,22 @@ def build_kmeans_ivf_index(
         "vec_col": vec_col,
         "centroids": [list(map(float, c)) for c in model.clusterCenters()],
     }
+    if pq_m:
+        first = data.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "build_kmeans_ivf_index(pq_m=...): input has no rows (or "
+                f"a null {vec_col!r}) — cannot derive the vector dimension"
+            )
+        dim = len(first[0])
+        pq_centroids = pq_train(
+            data, vec_col=vec_col, m=pq_m, k=pq_k, dim=dim, seed=seed,
+            sample_fraction=pq_sample_fraction,
+        )
+        indexed = pq_encode(indexed, pq_centroids, vec_col="vec")
+        meta["pq"] = {"m": pq_m, "k": pq_k, "dim": dim, "seed": seed,
+                      "centroids": pq_centroids}
+    indexed.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
     _write_meta(index_path, meta)
     if measure_recall:
         meta = _record_build_recall(data, index_path, meta, measure_recall)
@@ -1202,6 +1226,141 @@ def search_kmeans_ivf_index(
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def search_kmeans_pq_ivf_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probes: int = 4,
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Wide-probe recall recovery on a learned-codebook index with a
+    persisted PQ tier: probe the ``n_probes`` nearest cells, ADC-score
+    ALL pooled candidates from their STORED codes (m table lookups per
+    candidate — bytes, not vectors), keep the top-``shortlist`` per
+    query, and exactly cosine-re-rank only that shortlist against the
+    stored full vectors.
+
+    Why this buys recall cheaply (the r11 verdict's recovery step): the
+    full-vector probe pays a d-dim dot per candidate, so widening
+    probes scales its dominant cost linearly; here widening only adds
+    code lookups, and the exact stage stays bounded at
+    queries x shortlist rows regardless of how wide the pool is. On
+    clustered corpora a handful of cells already hold the true
+    neighbors; on structureless ones this path turns "recall must be
+    bought with probes" into "probes are cheap" (measured:
+    scripts/measure_ann_recall.py, SCALE.md round 12).
+
+    Requires ``build_kmeans_ivf_index(pq_m=...)``; refuses a code-less
+    layout. ``allowed`` is intentionally unsupported for the same
+    reason as the sign-PQ path: the fixed-size shortlist precedes any
+    filter."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import Window
+
+    with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
+        meta = _json.load(fh)
+    if meta.get("kind") != "kmeans" or not meta.get("pq"):
+        raise ValueError(
+            f"index at {index_path} is not a kmeans layout with a "
+            "persisted PQ tier; rebuild with "
+            "build_kmeans_ivf_index(pq_m=...)"
+        )
+    pq_cent = meta["pq"]["centroids"]
+    m = len(pq_cent)
+    sub = len(pq_cent[0][0])
+
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(meta["centroids"])],
+        "cid long, centroid array<double>",
+    )
+    qvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _table_j(j: int) -> Column:
+        return F.transform(
+            _centroid_literal(pq_cent[j]),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(qvec, j * sub + 1, sub), c, lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qnrm"),
+        F.array(*[_table_j(j) for j in range(m)]).alias("_tbl"),
+    )
+    d2 = (
+        F.col("qnrm") * F.col("qnrm")
+        + dot(F.col("centroid"), F.col("centroid"))
+        - 2 * dot(F.col("qv"), F.col("centroid"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_d2", d2)
+        .withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probes)
+        .select("query_id", "qv", "qnrm", "_tbl", F.col("cid").alias("probe"))
+    )
+    probe_codes = sorted(
+        {r["probe"] for r in probes.select("probe").distinct().collect()}
+    )
+    cand = spark.read.parquet(index_path).filter(
+        F.col("bucket").isin(probe_codes)  # partition pruning
+    )
+    cand = _mask_tombstones(cand, read_tombstones(spark, index_path))
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("pq_code"), F.col("_tbl"),
+            lambda c, t: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    shortlisted = (
+        cand.select(F.col("vec_id").alias("cand_id"), "bucket", "pq_code")
+        .join(
+            F.broadcast(probes.select("query_id", "_tbl", "probe")),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select("query_id", "cand_id", adc.alias("adc_score"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("cand_id")
+    )
+    short = (
+        shortlisted.withColumn("rank", F.row_number().over(w_adc))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "cand_id")
+    )
+    vecs = cand.select(
+        F.col("vec_id").alias("cand_id"), F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    qv = q.select("query_id", "qv", "qnrm")
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        short.join(vecs, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "cand_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -1955,7 +2114,12 @@ def search_index(
                 "could apply; use the full-vector path for filtered "
                 "search"
             )
-        return search_pq_ivf_index(
+        pq_fn = (
+            search_kmeans_pq_ivf_index
+            if meta.get("kind") == "kmeans"
+            else search_pq_ivf_index
+        )
+        return pq_fn(
             spark, index_path, queries,
             vec_col=vec_col, id_col=id_col, n_probes=n_probes, k=k,
             shortlist=shortlist,

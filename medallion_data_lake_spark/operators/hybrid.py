@@ -169,6 +169,8 @@ def hybrid_search(
     allowed: DataFrame | None = None,
     vec_index: str | None = None,
     n_probes: int = 4,
+    pins: dict[str, int] | None = None,
+    corpus_totals: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Persisted-path hybrid retrieval: BM25 top-``n_per_branch`` from
     the inverted index at ``index_root`` (bloom-pruned posting reads,
@@ -191,10 +193,14 @@ def hybrid_search(
     form at corpus scale, where a per-query embedding scan is the
     bottleneck. The trade is the index's recall profile (multi-probe
     ANN is approximate; measure with ``ann.measure_index_recall``);
-    ``embeddings`` is then only the query-vector lookup."""
+    ``embeddings`` is then only the query-vector lookup.
+
+    ``pins`` / ``corpus_totals`` pass through to the keyword branch —
+    the warm-session injection (operators/search_session.py)."""
     kw = ranked(
         bm25_search(spark, index_root, query_terms, k=n_per_branch,
-                    allowed=allowed),
+                    allowed=allowed, pins=pins,
+                    corpus_totals=corpus_totals),
         [F.desc("score")],
     ).select("doc_id", "rank")
     if vec_index is not None:

@@ -692,6 +692,8 @@ def bm25_search(
     k1: float = BM25_K1,
     b: float = BM25_B,
     allowed: DataFrame | None = None,
+    pins: dict[str, int] | None = None,
+    corpus_totals: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Top-``k`` documents for ``terms`` under Okapi BM25, computed
     entirely from the persisted index, in ONE lazy plan: a single
@@ -722,18 +724,35 @@ def bm25_search(
     corpus-scale one shuffles against candidates that the posting
     lists already bounded). Scoring is unchanged: df/N/avgdl remain
     CORPUS statistics — a filter narrows the eligible documents, not
-    the collection the relevance model is defined over."""
+    the collection the relevance model is defined over.
+
+    ``pins`` / ``corpus_totals`` are the WARM-SESSION injection points
+    (operators/search_session.py): a caller serving many queries pins
+    the snapshot once and folds (N, sum_dl) once, and every subsequent
+    search skips the per-request manifest scan and carries the corpus
+    scalars as plan literals instead of a corpus-table read + 1-row
+    aggregate. Semantics are identical — the warm path must equal the
+    cold path on the same snapshot (tests/test_search_session.py)."""
     terms = sorted(set(terms))
     if not terms:
         raise ValueError("bm25_search needs at least one query term")
-    pins = committed_index_snapshot(index_root) or {}
-    corpus = (
-        read_table(spark, _t(index_root, _CORPUS), version=pins.get(_CORPUS))
-        .agg(
-            F.sum("n_docs").cast("long").alias("_n"),
-            F.sum("sum_dl").cast("long").alias("_sum_dl"),
+    if pins is None:
+        pins = committed_index_snapshot(index_root) or {}
+    if corpus_totals is not None:
+        corpus = spark.range(1).select(
+            F.lit(int(corpus_totals[0])).cast("long").alias("_n"),
+            F.lit(int(corpus_totals[1])).cast("long").alias("_sum_dl"),
         )
-    )
+    else:
+        corpus = (
+            read_table(
+                spark, _t(index_root, _CORPUS), version=pins.get(_CORPUS)
+            )
+            .agg(
+                F.sum("n_docs").cast("long").alias("_n"),
+                F.sum("sum_dl").cast("long").alias("_sum_dl"),
+            )
+        )
     cand, _ = bm25_candidates(
         spark, index_root, terms, version=pins.get(_POSTINGS)
     )
@@ -849,6 +868,7 @@ def phrase_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_candidates: bool = True,
+    pins: dict[str, int] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Exact-phrase retrieval from the persisted index: bigram-
     intersected candidates (:func:`phrase_candidates`, pinned at the
@@ -870,8 +890,12 @@ def phrase_search(
     doc_id; no driver materialization at any selectivity). The default
     stays broadcast because a phrase with at least one discriminative
     bigram — the overwhelmingly common case — has a KB-to-MB candidate
-    side, and the broadcast join keeps the corpus scan shuffle-free."""
-    pins = committed_index_snapshot(index_root) or {}
+    side, and the broadcast join keeps the corpus scan shuffle-free.
+
+    ``pins`` skips the per-request snapshot scan — the warm-session
+    injection point (operators/search_session.py)."""
+    if pins is None:
+        pins = committed_index_snapshot(index_root) or {}
     cand, report = phrase_candidates(
         spark, index_root, phrase, version=pins.get(_BIGRAMS)
     )
@@ -900,6 +924,7 @@ def phrase_search_pointread(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_candidates: int = 100_000,
+    pins: dict[str, int] | None = None,
 ) -> tuple[DataFrame, dict]:
     """SCAN-FREE exact-phrase retrieval: candidates from the bigram
     index, candidate DOCUMENTS from a VERSIONED doc store via
@@ -916,7 +941,8 @@ def phrase_search_pointread(
     refused above ``max_candidates`` — use :func:`phrase_search` for
     corpus-scale candidate sets). Returns ((doc_id, n_matches),
     report with bigram + doc-store pruning)."""
-    pins = committed_index_snapshot(index_root) or {}
+    if pins is None:
+        pins = committed_index_snapshot(index_root) or {}
     cand, report = phrase_candidates(
         spark, index_root, phrase, version=pins.get(_BIGRAMS)
     )

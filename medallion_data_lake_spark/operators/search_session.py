@@ -1,0 +1,192 @@
+"""Warm search sessions: amortize per-request fixed costs for the
+persisted retrieval paths (r11 verdict item 4).
+
+A cold ``bm25_search`` / ``phrase_search`` / ``hybrid_search`` call
+pays, per request:
+
+- a ``committed_index_snapshot`` scan of the txn manifests (driver
+  filesystem I/O) to pin a consistent cut;
+- a corpus-stats fold (read + 1-row aggregate + crossJoin) carried in
+  every plan;
+- re-reads of the doclens / termstats tables from parquet.
+
+None of that changes between requests against the same snapshot. A
+:class:`WarmSearchSession` pins the snapshot ONCE at open, folds
+(N, sum_dl) once into plain ints (injected into every plan as
+literals), and Spark-caches the small per-snapshot tables (doclens,
+termstats — corpus-bounded but slim; postings stay on disk, their
+reads are already bloom-pruned per query). Spark's CacheManager then
+substitutes the in-memory relation into EVERY subsequent plan that
+reads the same table at the same version — no signature changes
+needed for the cached tables, and the pinned-version read means a
+concurrent append can never flip the cache to an unpinned state.
+
+The warm path MUST be answer-identical to the cold path on the same
+snapshot — proven by tests/test_search_session.py. ``refresh()``
+re-pins after index maintenance (the session is a READ lease on one
+snapshot: until refresh, appends are intentionally invisible,
+which is exactly the consistency a serving tier wants).
+
+Measured (SCALE.md round 12, scripts/measure_serving_warm.py): the
+per-request p50 and Spark-jobs-per-request, cold vs warm.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .inverted_index import (
+    _BIGRAMS,
+    _CORPUS,
+    _DOCLENS,
+    _POSTINGS,
+    _TERMSTATS,
+    _t,
+    bm25_search,
+    committed_index_snapshot,
+    index_has_bigrams,
+    phrase_search,
+    phrase_search_pointread,
+)
+from .versioned import read_table
+
+
+class WarmSearchSession:
+    """One pinned, cached snapshot of a BM25(+bigrams) index serving
+    repeated searches. ``embeddings`` / ``vec_index`` optionally arm
+    the hybrid path (the embeddings frame is cached too — it is the
+    vector branch's scan side)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_root: str,
+        embeddings: DataFrame | None = None,
+        vec_index: str | None = None,
+        docs: DataFrame | None = None,
+        docs_table: str | None = None,
+        cache_tables: bool = True,
+    ):
+        self.spark = spark
+        self.index_root = index_root
+        self.embeddings = embeddings
+        self.vec_index = vec_index
+        self.docs = docs
+        self.docs_table = docs_table
+        self._cache_tables = cache_tables
+        self._cached: list[DataFrame] = []
+        self.pins: dict[str, int] = {}
+        self.corpus_totals: tuple[int, int] = (0, 0)
+        self.refresh()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def refresh(self) -> "WarmSearchSession":
+        """(Re-)pin the newest committed snapshot and rebuild the warm
+        state. One manifest scan + one tiny fold job + cache
+        materialization on first use; every request after that reuses
+        the results."""
+        self.close()
+        self.pins = committed_index_snapshot(self.index_root) or {}
+        corpus = read_table(
+            self.spark,
+            _t(self.index_root, _CORPUS),
+            version=self.pins.get(_CORPUS),
+        ).agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")).first()
+        self.corpus_totals = (int(corpus["n"] or 0), int(corpus["s"] or 0))
+        if self._cache_tables:
+            for name in (_DOCLENS, _TERMSTATS):
+                df = read_table(
+                    self.spark,
+                    _t(self.index_root, name),
+                    version=self.pins.get(name),
+                )
+                df.cache()
+                self._cached.append(df)
+            if self.embeddings is not None:
+                self.embeddings.cache()
+                self._cached.append(self.embeddings)
+        return self
+
+    def close(self) -> None:
+        """Release the session's cached tables (other cache entries are
+        untouched — never a global clearCache)."""
+        for df in self._cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._cached = []
+
+    def __enter__(self) -> "WarmSearchSession":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- search surface ----------------------------------------------------
+
+    def bm25(
+        self, terms: list[str], k: int = 10,
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
+        return bm25_search(
+            self.spark, self.index_root, terms, k=k, allowed=allowed,
+            pins=self.pins, corpus_totals=self.corpus_totals,
+        )
+
+    def phrase(
+        self,
+        phrase: list[str],
+        docs: DataFrame | None = None,
+        docs_table: str | None = None,
+        **kw,
+    ) -> tuple[DataFrame, dict]:
+        """Exact-phrase search at the pinned snapshot: pass ``docs`` for
+        the scan form, ``docs_table`` (versioned store) for the
+        point-read serving form; both default to the session's own."""
+        if not index_has_bigrams(self.index_root):
+            raise ValueError(
+                f"index at {self.index_root} has no bigram table; "
+                "rebuild with bigrams=True to serve phrase queries"
+            )
+        if docs is None and docs_table is None:
+            docs, docs_table = self.docs, self.docs_table
+            if docs is not None and docs_table is not None:
+                docs = None  # prefer the scan-free point-read form
+        if (docs is None) == (docs_table is None):
+            raise ValueError("pass exactly one of docs= or docs_table=")
+        if docs is not None:
+            return phrase_search(
+                self.spark, self.index_root, docs, phrase,
+                pins=self.pins, **kw,
+            )
+        return phrase_search_pointread(
+            self.spark, self.index_root, docs_table, phrase,
+            pins=self.pins, **kw,
+        )
+
+    def hybrid(
+        self,
+        terms: list[str],
+        query_vec_id: int,
+        k: int = 10,
+        allowed: DataFrame | None = None,
+        **kw,
+    ) -> DataFrame:
+        if self.embeddings is None:
+            raise ValueError(
+                "session was opened without embeddings=; hybrid search "
+                "needs the vector side"
+            )
+        from .hybrid import hybrid_search
+
+        return hybrid_search(
+            self.spark, self.index_root, self.embeddings, terms,
+            query_vec_id, k=k, allowed=allowed,
+            vec_index=self.vec_index,
+            pins=self.pins, corpus_totals=self.corpus_totals, **kw,
+        )

@@ -93,6 +93,7 @@ def run_bounded(serving: ServingLayer, sql: str, max_rows: int) -> dict:
 class _Handler(BaseHTTPRequestHandler):
     serving: ServingLayer  # injected by make_http_server
     default_rows: int
+    search_session = None  # WarmSearchSession; injected when configured
 
     # -- plumbing ---------------------------------------------------------
     def _send(self, status: int, payload: dict) -> None:
@@ -161,6 +162,16 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, run_bounded(self.serving, sql, max_rows))
             elif url.path == "/curate":
                 self._send(200, run_curate_dry(self.serving, req))
+            elif url.path in ("/search", "/phrase", "/hybrid"):
+                if self.search_session is None:
+                    self._send(400, {
+                        "error": "no search index configured — start the "
+                        "server with search_session="
+                    })
+                    return
+                self._send(200, run_search(
+                    self.search_session, url.path, req, self.default_rows,
+                ))
             elif url.path == "/explain":
                 sql = req.get("sql")
                 if not sql:
@@ -231,6 +242,45 @@ def run_curate_dry(serving: ServingLayer, req: dict) -> dict:
     }
 
 
+def run_search(session, route: str, req: dict, default_rows: int) -> dict:
+    """Dispatch a warm-session search request (r12: the serving warm
+    path — snapshot pinned once, corpus totals as literals, small index
+    tables cached; measured in SCALE.md round 12):
+
+    - ``POST /search``  {"terms": [...], "k": N}
+    - ``POST /phrase``  {"phrase": [...]}
+    - ``POST /hybrid``  {"terms": [...], "vec_id": id, "k": N}
+    """
+    k = max(1, min(int(req.get("k", 10)), ROW_CAP))
+    t0 = time.time()
+    if route == "/search":
+        terms = req.get("terms")
+        if not terms:
+            raise ValueError("body must carry {'terms': [...]}")
+        out = run_bounded_df(session.bm25(list(terms), k=k), k)
+    elif route == "/phrase":
+        phrase = req.get("phrase")
+        if not phrase or len(phrase) < 2:
+            raise ValueError(
+                "body must carry {'phrase': [t1, t2, ...]} (>= 2 tokens)"
+            )
+        df, report = session.phrase(list(phrase))
+        out = run_bounded_df(df, max(k, default_rows))
+        out["pruning"] = {
+            kk: vv for kk, vv in report.items()
+            if isinstance(vv, (int, float, str))
+        }
+    else:  # /hybrid
+        terms, vec_id = req.get("terms"), req.get("vec_id")
+        if not terms or vec_id is None:
+            raise ValueError(
+                "body must carry {'terms': [...], 'vec_id': id}"
+            )
+        out = run_bounded_df(session.hybrid(list(terms), int(vec_id), k=k), k)
+    out["elapsed_sec"] = round(time.time() - t0, 4)
+    return out
+
+
 def run_bounded_df(df, max_rows: int) -> dict:
     """run_bounded for an already-built DataFrame (canned pack)."""
     n = max(1, min(int(max_rows), ROW_CAP))
@@ -249,24 +299,30 @@ def make_http_server(
     host: str = "127.0.0.1",
     port: int = 0,
     default_rows: int = 100,
+    search_session=None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the server; ``port=0`` picks a free port —
-    read it back from ``server.server_address`` (how the test binds)."""
+    read it back from ``server.server_address`` (how the test binds).
+    ``search_session`` (a WarmSearchSession) arms the /search /phrase
+    /hybrid routes — shared by all handler threads, which is the point:
+    the pinned snapshot and cached tables amortize across requests."""
     handler = type(
         "ServingHandler",
         (_Handler,),
-        {"serving": serving, "default_rows": default_rows},
+        {"serving": serving, "default_rows": default_rows,
+         "search_session": search_session},
     )
     return ThreadingHTTPServer((host, port), handler)
 
 
 def serve_http_background(
     serving: ServingLayer, host: str = "127.0.0.1", port: int = 0,
-    default_rows: int = 100,
+    default_rows: int = 100, search_session=None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start serving on a daemon thread; returns (server, thread) so the
     caller owns shutdown — the shape both the CLI verb and tests use."""
-    server = make_http_server(serving, host, port, default_rows)
+    server = make_http_server(serving, host, port, default_rows,
+                              search_session=search_session)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server, t

@@ -289,3 +289,118 @@ def test_search_index_dispatches_to_pq(spark, tmp_path):
     assert search_index(spark, plain, q, k=5).count() == 5  # flagless ok
     with _pytest.raises(ValueError):
         search_index(spark, plain, q, k=5, use_pq=True)
+
+
+# ---------------------------------------------------------------------------
+# Kmeans-layout PQ tier (r12: the recall-recovery path) — wide-probe ADC
+# pre-rank from stored codes + exact re-rank of a bounded shortlist.
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_pq_recovery_matches_exact_under_exhaustive_probes(
+    spark, tmp_path
+):
+    """With every cell probed and a corpus-sized shortlist, the PQ
+    recovery path must return EXACTLY the full-vector search's top-k:
+    the ADC pre-rank can then only reorder candidates that the exact
+    re-rank re-sorts, so any divergence is a bug in one path."""
+    from medallion_data_lake_spark.operators.ann import (
+        build_kmeans_ivf_index,
+        search_index,
+    )
+
+    df = _clustered(spark)
+    path = str(tmp_path / "kmpq")
+    meta = build_kmeans_ivf_index(df, path, k=6, pq_m=M, pq_k=K)
+    assert meta["pq"]["m"] == M and meta["kind"] == "kmeans"
+
+    queries = df.filter(F.col("vec_id").isin(0, 77, 200))
+    exact = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in search_index(
+            spark, path, queries, n_probes=6, k=5
+        ).collect()
+    }
+    recovered = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in search_index(
+            spark, path, queries, n_probes=6, k=5,
+            use_pq=True, shortlist=240,
+        ).collect()
+    }
+    assert exact == recovered and len(exact) == 15
+
+
+def test_kmeans_pq_recovery_recall_on_clustered(spark, tmp_path):
+    """The verdict's target, pinned at fixture scale: on clustered
+    vectors the recovery path reaches recall@5 >= 0.9 at <= 8 probes
+    (here 4 of 6 cells) with a bounded 50-row shortlist."""
+    from medallion_data_lake_spark.operators.ann import (
+        build_kmeans_ivf_index,
+        measure_index_recall,
+        search_index,
+    )
+    from pyspark.sql import Window
+
+    df = _clustered(spark)
+    path = str(tmp_path / "kmpq2")
+    build_kmeans_ivf_index(df, path, k=6, pq_m=M, pq_k=K)
+    queries = df.filter(F.col("vec_id") % 40 == 0)  # one per cluster
+
+    approx = search_index(
+        spark, path, queries, n_probes=4, k=5, use_pq=True, shortlist=50
+    ).select("query_id", "cand_id")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    cs = dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * l2_norm(F.col("embedding")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    exact = (
+        df.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cs.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id")
+    )
+    matched = exact.join(approx, ["query_id", "cand_id"], "left_semi").count()
+    total = exact.count()
+    assert total == 30 and matched / total >= 0.9
+
+
+def test_kmeans_pq_refuses_codeless_layout(spark, tmp_path):
+    import pytest
+
+    from medallion_data_lake_spark.operators.ann import (
+        build_kmeans_ivf_index,
+        search_index,
+    )
+
+    df = _clustered(spark)
+    path = str(tmp_path / "km_nopq")
+    build_kmeans_ivf_index(df, path, k=6)
+    with pytest.raises(ValueError, match="PQ tier"):
+        search_index(spark, path, df.limit(1), use_pq=True).collect()
+
+
+def test_kmeans_pq_recovery_prunes_partitions(spark, tmp_path):
+    import re
+
+    from medallion_data_lake_spark.operators.ann import (
+        build_kmeans_ivf_index,
+        search_index,
+    )
+
+    df = _clustered(spark)
+    path = str(tmp_path / "kmpq3")
+    build_kmeans_ivf_index(df, path, k=6, pq_m=M, pq_k=K)
+    out = search_index(
+        spark, path, df.filter(F.col("vec_id") == 7), n_probes=2, k=3,
+        use_pq=True,
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "bucket" in m.group(1), plan[:2000]

@@ -67,3 +67,26 @@ def test_salted_join_broadcasts_replicated_side(spark):
     dim = spark.createDataFrame([(1, "a")], "k int, name string")
     plan = salted_join(skewed, dim, "k")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_shuffle_mode_equals_plain_join(spark):
+    """broadcast_other=False (the fact⨝fact escape hatch): same result,
+    but the replicated side goes through a hash exchange instead of a
+    broadcast — no driver-side pin of n_salts x |other|."""
+    skewed = spark.createDataFrame(
+        [(1, i) for i in range(300)] + [(2, 0), (3, 1)], "k long, v long"
+    )
+    other = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (4, "d")], "k long, name string"
+    )
+    plain = {(r["k"], r["v"], r["name"]) for r in
+             skewed.join(other, "k").collect()}
+    salted = salted_join(skewed, other, "k", n_salts=8,
+                         broadcast_other=False)
+    got = {(r["k"], r["v"], r["name"]) for r in salted.collect()}
+    assert got == plain and len(got) == 301
+    # the contract is "no FORCED broadcast" (no n_salts x |other| pin
+    # demanded by the plan) — AQE is free to pick a broadcast at runtime
+    # when the actual size permits, as it does on this tiny fixture
+    analyzed = salted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed

@@ -1,0 +1,210 @@
+"""WarmSearchSession (operators/search_session.py): the warm path —
+pinned snapshot + corpus-total literals + cached doclens/termstats —
+must be ANSWER-IDENTICAL to the cold per-request path on the same
+snapshot, stay pinned across a concurrent append until refresh(), and
+release only its own cache entries on close."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.operators.inverted_index import (
+    append_bm25_index,
+    bm25_search,
+    create_bm25_index,
+    phrase_search,
+)
+from medallion_data_lake_spark.operators.search_session import (
+    WarmSearchSession,
+)
+
+DOCS = [
+    (1, "stream table join state"),
+    (2, "hash join build probe"),
+    (3, "stream stream join watermark state"),
+    (4, "table scan filter pushdown"),
+    (5, "state store checkpoint stream"),
+    (6, "join hash shuffle exchange"),
+]
+
+
+def _docs(spark, rows=None):
+    return spark.createDataFrame(rows or DOCS, "doc_id long, text string")
+
+
+def _emb(spark, n=6):
+    return spark.createDataFrame(
+        [(i + 1, [float((i * 7 + j * 3) % 10) for j in range(8)])
+         for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_warm_equals_cold_bm25_phrase_hybrid(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2, bigrams=True)
+    docs, emb = _docs(spark), _emb(spark)
+
+    cold_bm25 = _rows(bm25_search(spark, root, ["stream", "join"], k=5))
+    cold_phrase = _rows(
+        phrase_search(spark, root, docs, ["stream", "join"])[0])
+    from medallion_data_lake_spark.operators.hybrid import hybrid_search
+
+    cold_hybrid = _rows(
+        hybrid_search(spark, root, emb, ["stream", "join"], 1, k=5))
+
+    with WarmSearchSession(spark, root, embeddings=emb) as s:
+        assert s.corpus_totals[0] == len(DOCS) and s.corpus_totals[1] > 0
+        # twice: the second request is the fully-warm one
+        for _ in range(2):
+            assert _rows(s.bm25(["stream", "join"], k=5)) == cold_bm25
+            assert _rows(
+                s.phrase(["stream", "join"], docs=docs)[0]) == cold_phrase
+            assert _rows(
+                s.hybrid(["stream", "join"], 1, k=5)) == cold_hybrid
+
+
+def test_warm_plan_carries_no_corpus_fold(spark, tmp_path):
+    """The warm bm25 plan must inline (N, sum_dl) as literals: no scan
+    of the corpus_stats table remains in the optimized plan."""
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2)
+    with WarmSearchSession(spark, root, cache_tables=False) as s:
+        plan = s.bm25(["stream"], k=3)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        assert "corpus_stats" not in plan
+
+
+def test_session_is_a_snapshot_lease_until_refresh(spark, tmp_path):
+    """An append lands mid-session: the session keeps answering from
+    its pinned cut; refresh() picks up the new snapshot (and the new
+    doc then ranks)."""
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2)
+    s = WarmSearchSession(spark, root, cache_tables=False)
+    before = _rows(s.bm25(["zebra"], k=5))
+    assert before == []
+    append_bm25_index(
+        spark, _docs(spark, [(99, "zebra zebra stream")]), root, n_files=1
+    )
+    assert _rows(s.bm25(["zebra"], k=5)) == before  # still pinned
+    assert s.corpus_totals[0] == len(DOCS)
+    s.refresh()
+    after = _rows(s.bm25(["zebra"], k=5))
+    assert [r[0] for r in after] == [99]
+    assert s.corpus_totals[0] == len(DOCS) + 1
+    # warm answer at the NEW pin equals a fresh cold call
+    assert after == _rows(bm25_search(spark, root, ["zebra"], k=5))
+    s.close()
+
+
+def test_close_releases_only_own_cache(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2)
+    other = _docs(spark).cache()
+    other.count()
+    s = WarmSearchSession(spark, root)
+    s.bm25(["stream"], k=3).collect()
+    s.close()
+    assert other.storageLevel.useMemory  # untouched by session close
+    other.unpersist()
+
+
+def test_phrase_requires_bigrams(spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2)  # no bigrams
+    s = WarmSearchSession(spark, root, cache_tables=False)
+    with pytest.raises(ValueError, match="bigram"):
+        s.phrase(["stream", "join"], docs=_docs(spark))
+    with pytest.raises(ValueError, match="embeddings"):
+        s.hybrid(["stream"], 1)
+    s.close()
+
+
+# ---------------------------------------------------------------------------
+# HTTP search routes (serving_http.py /search /phrase /hybrid) over a
+# shared WarmSearchSession
+# ---------------------------------------------------------------------------
+
+
+def _post(url, payload):
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=_json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, _json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, _json.loads(e.read())
+
+
+def test_http_search_routes(spark, tmp_path):
+    from medallion_data_lake_spark.serving import ServingLayer
+    from medallion_data_lake_spark.serving_http import (
+        serve_http_background,
+    )
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2, bigrams=True)
+    session = WarmSearchSession(
+        spark, root, embeddings=_emb(spark), docs=_docs(spark),
+    )
+    serving = ServingLayer(spark)
+    server, thread = serve_http_background(
+        serving, port=0, search_session=session)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        st, out = _post(f"{base}/search",
+                        {"terms": ["stream", "join"], "k": 3})
+        assert st == 200 and out["row_count"] == 3
+        assert out["columns"] == ["doc_id", "n_terms_matched", "score"]
+        want = [r[0] for r in _rows(
+            session.bm25(["stream", "join"], k=3))][:1]  # same engine path
+        assert want  # non-degenerate
+
+        st, out = _post(f"{base}/phrase", {"phrase": ["stream", "join"]})
+        assert st == 200
+        assert {tuple(r) for r in out["rows"]} == {(3, 1)}
+        assert "pruning" in out
+
+        st, out = _post(f"{base}/hybrid",
+                        {"terms": ["stream", "join"], "vec_id": 1, "k": 4})
+        assert st == 200 and out["row_count"] == 4
+        assert out["columns"][0] == "doc_id"
+
+        st, out = _post(f"{base}/search", {})
+        assert st == 400 and "terms" in out["error"]
+        st, out = _post(f"{base}/phrase", {"phrase": ["x"]})
+        assert st == 400
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+        session.close()
+
+
+def test_http_search_unconfigured_is_clean_error(spark):
+    from medallion_data_lake_spark.serving import ServingLayer
+    from medallion_data_lake_spark.serving_http import (
+        serve_http_background,
+    )
+
+    server, thread = serve_http_background(ServingLayer(spark), port=0)
+    host, port = server.server_address
+    try:
+        st, out = _post(f"http://{host}:{port}/search", {"terms": ["x"]})
+        assert st == 400 and "no search index" in out["error"]
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
