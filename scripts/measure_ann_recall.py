@@ -136,7 +136,60 @@ def sweep(spark, emb, queries, index_path: str, label: str) -> dict:
     return out
 
 
+def shortlist_sweep(spark, work: str) -> None:
+    """Second pass over indexes a prior full run left in ``work``: the
+    W knob. The main sweep showed ADC@shortlist-50 losing recall INSIDE
+    tight clusters (the codebook resolves between-cluster structure;
+    within a cluster its 16-cell subspaces can't order candidates) —
+    this measures how much shortlist buys it back at fixed probes.
+
+    Usage: python scripts/measure_ann_recall.py --shortlist [work_dir]
+    """
+    out = {}
+    for label, probes in (("clustered_20k", 2), ("random_20k", 8)):
+        idx = os.path.join(work, label)
+        if not os.path.isdir(idx):
+            print(f"skip {label}: no index at {idx}", file=sys.stderr)
+            continue
+        emb = spark.read.parquet(idx).select(
+            F.col("vec_id"), F.col("vec").alias("embedding")
+        ).localCheckpoint(eager=True)
+        n = emb.count()
+        stride = max(1, n // N_QUERIES)
+        queries = emb.filter(F.col("vec_id") % stride == 0).limit(N_QUERIES)
+        truth = {
+            (r["query_id"], r["cand_id"])
+            for r in brute_topk(emb, queries).collect()
+        }
+        cell = {}
+        for w_ in (50, 200, 800):
+            wall, rows = timed(
+                lambda w_=w_: search_index(
+                    spark, idx, queries, n_probes=probes, k=K,
+                    use_pq=True, shortlist=w_,
+                ).select("query_id", "cand_id").collect()
+            )
+            rec = round(
+                len(truth & {(r["query_id"], r["cand_id"]) for r in rows})
+                / max(len(truth), 1), 3)
+            cell[w_] = {"recall": rec, "wall_s": wall}
+            print(f"  [{label}] probes={probes} shortlist={w_}: "
+                  f"{rec}@{wall}s", file=sys.stderr)
+        out[label] = {"probes": probes, "shortlist": cell}
+    print(json.dumps({"ann_shortlist": out}))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--shortlist":
+        work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/mdls_scale/annrecall"
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = get_spark(
+            app_name="ann-shortlist", master=f"local[{cpus}]",
+            extra_conf={"spark.sql.shuffle.partitions": cpus},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        shortlist_sweep(spark, work)
+        return
     clone = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mdls_scale/sf1.0"
     work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/mdls_scale/annrecall"
     shutil.rmtree(work, ignore_errors=True)
