@@ -1247,15 +1247,23 @@ def search_kmeans_pq_ivf_index(
     query, and exactly cosine-re-rank only that shortlist against the
     stored full vectors.
 
-    Why this buys recall cheaply (the r11 verdict's recovery step): the
-    full-vector probe pays a d-dim dot per candidate, so widening
-    probes scales its dominant cost linearly; here widening only adds
-    code lookups, and the exact stage stays bounded at
-    queries x shortlist rows regardless of how wide the pool is. On
-    clustered corpora a handful of cells already hold the true
-    neighbors; on structureless ones this path turns "recall must be
-    bought with probes" into "probes are cheap" (measured:
-    scripts/measure_ann_recall.py, SCALE.md round 12).
+    The cost shape (the r11 verdict's recovery step): the full-vector
+    probe pays a d-dim dot per candidate, so widening probes scales its
+    dominant cost linearly; here widening only adds code lookups, and
+    the exact stage stays bounded at queries x shortlist rows however
+    wide the pool is.
+
+    WHEN TO USE — measured honestly (scripts/measure_ann_recall.py,
+    SCALE.md round 12): at 20k-200k vectors the full-vector probe beats
+    this path on BOTH wall and recall — on clustered data it hits
+    recall@5 = 1.0 at two probes, and ADC with a small shortlist
+    actively loses recall inside tight clusters (the codebook's 16-cell
+    subspaces resolve between-cluster structure; within one cluster the
+    codes collapse — W=50 recalled 0.26 where W=200/800 recalled
+    0.988/1.0 at flat wall). This path's regime is corpora where
+    reading full vectors for every probed candidate dominates I/O
+    (>=10^7 vectors, wide d): probe wide, set ``shortlist`` >= ~40x k,
+    and only queries x shortlist vectors are ever read exactly.
 
     Requires ``build_kmeans_ivf_index(pq_m=...)``; refuses a code-less
     layout. ``allowed`` is intentionally unsupported for the same
