@@ -84,7 +84,10 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="warm-serve", master=f"local[{cpus}]",
-        extra_conf={"spark.sql.shuffle.partitions": cpus},
+        extra_conf={"spark.sql.shuffle.partitions": cpus,
+                    # the max-task / jobs-per-request telemetry reads
+                    # the UI REST API (off by default in get_spark)
+                    "spark.ui.enabled": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
