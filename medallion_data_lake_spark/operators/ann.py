@@ -169,6 +169,7 @@ def kmeans_codebook_bucket(
     n: int | None = None,
     sample_fraction: float | None = None,
     max_fit_rows: int | None = None,
+    model=None,
 ) -> DataFrame:
     """Learned IVF codebook: seeded KMeans over the vectors, bucket =
     cluster id. k defaults to ~sqrt(n) (classic IVF cell sizing: both
@@ -182,10 +183,32 @@ def kmeans_codebook_bucket(
     still over the FULL input: one broadcast of k centroids + a map-side
     argmin — no shuffle on the data path, same plan shape as the sign
     quantizer downstream.
-    """
+
+    ``model`` (a fitted ``pyspark.ml.clustering.KMeansModel``, e.g. from
+    :func:`fit_semantic_codebook` / :func:`load_semantic_codebook`)
+    SKIPS the fit entirely and assigns with the given codebook — the
+    amortization lever the r12 curation measurement identified (the
+    eager fit was 8x the whole pipeline's one-pass execute; re-curations
+    of a growing corpus should reuse the persisted model, the same
+    never-refit contract as the index builders' stored centroids)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
+    if model is not None:
+        feat = df.withColumn(
+            "_features",
+            array_to_vector(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ),
+        )
+        m = model.copy()
+        m.setFeaturesCol("_features").setPredictionCol("bucket_code")
+        return (
+            m.transform(feat)
+            .drop("_features")
+            .withColumn("bucket_code", F.col("bucket_code").cast("long"))
+            .withColumn("bucket_depth", F.lit(-1))
+        )
     if n is None:
         n = df.count()
     if k is None:
@@ -198,9 +221,14 @@ def kmeans_codebook_bucket(
     )
     fit_src = feat
     if sample_fraction is not None and sample_fraction < 1.0:
-        # truncate the sampled fit input's lineage so the iterative KMeans
-        # passes re-read a materialized sample, not the upstream plan
-        fit_src = feat.sample(sample_fraction, seed=seed).localCheckpoint(eager=True)
+        fit_src = feat.sample(sample_fraction, seed=seed)
+    # repartition + checkpoint before the fit — ALWAYS, and with the
+    # exact shape :func:`fit_semantic_codebook` uses so the two paths
+    # train byte-identical codebooks on the same input: the checkpoint
+    # keeps KMeans's iterative passes off the upstream plan, and the
+    # repartition keeps iteration cost from inheriting a
+    # many-tiny-files upstream layout (r12, measured on the clone)
+    fit_src = fit_src.repartition(64).localCheckpoint(eager=True)
     model = KMeans(
         k=k, seed=seed, featuresCol="_features", predictionCol="bucket_code"
     ).fit(fit_src)
@@ -787,6 +815,64 @@ def semantic_dedup_fit_params(
     return k, fit_rows
 
 
+def fit_semantic_codebook(
+    df: DataFrame,
+    path: str | None = None,
+    vec_col: str = "embedding",
+    cluster_size: int = 64,
+    seed: int = 42,
+    k_cap: int = SEMANTIC_K_CAP,
+    max_fit_rows: int = SEMANTIC_MAX_FIT_ROWS,
+):
+    """Train the semantic-dedup KMeans codebook ONCE and optionally
+    persist it (Spark ML model directory) for reuse across curation
+    runs via ``semantic_dedup(model=...)`` /
+    ``CurationConfig.semantic_codebook_path``.
+
+    Why this exists (measured, SCALE.md round 12): the eager fit inside
+    ``semantic_dedup`` cost 42.6s at the 50k-doc clone — 8x the whole
+    curation funnel's one-pass execute — and the codebook is seeded and
+    sample-bounded, so re-fitting per run buys nothing. Same never-
+    refit contract as the index builders' stored centroids: a new
+    codebook would re-cluster the space and make dedup decisions
+    incomparable across runs."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # persist BEFORE the count so an expensive upstream (e.g. the
+    # in-pipeline hashing embedder) executes once, not once for the
+    # count + once for the checkpoint + per KMeans iteration (measured
+    # 130s -> ~30s on the 50k-doc clone); the bounded fit input is
+    # additionally repartitioned so iteration cost doesn't inherit a
+    # many-tiny-files upstream layout
+    persisted = df.persist()
+    n = persisted.count()
+    k, fit_rows = semantic_dedup_fit_params(n, cluster_size, k_cap,
+                                            max_fit_rows)
+    feat = persisted.withColumn(
+        "_features",
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    )
+    fit_src = feat
+    if n > fit_rows:
+        fit_src = feat.sample(fit_rows / n, seed=seed)
+    fit_src = fit_src.repartition(64).localCheckpoint(eager=True)
+    persisted.unpersist()
+    model = KMeans(
+        k=k, seed=seed, featuresCol="_features", predictionCol="bucket_code"
+    ).fit(fit_src)
+    if path is not None:
+        model.write().overwrite().save(path)
+    return model
+
+
+def load_semantic_codebook(path: str):
+    """Load a codebook persisted by :func:`fit_semantic_codebook`."""
+    from pyspark.ml.clustering import KMeansModel
+
+    return KMeansModel.load(path)
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -798,6 +884,7 @@ def semantic_dedup(
     k_cap: int = SEMANTIC_K_CAP,
     max_fit_rows: int = SEMANTIC_MAX_FIT_ROWS,
     dim: int = 64,
+    model=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -849,14 +936,27 @@ def semantic_dedup(
     annotate), so neither the fit nor the upstream plan re-runs.
     """
     persisted = None
-    if n is None:
+    if model is not None:
+        # reuse a fitted codebook (fit_semantic_codebook): no count and
+        # no fit — but STILL persist the input: the oversized-bucket
+        # split below re-reads the assignment, and without the cache
+        # each round replays the upstream plan (measured: 46.5s -> 12s
+        # build on the clone once persisted)
         persisted = df.persist()
-        n = persisted.count()
-        df = persisted
-    k, fit_rows = semantic_dedup_fit_params(n, cluster_size, k_cap, max_fit_rows)
-    bucketed = kmeans_codebook_bucket(
-        df, vec_col=vec_col, k=k, seed=seed, n=n, max_fit_rows=fit_rows
-    )
+        bucketed = kmeans_codebook_bucket(
+            persisted, vec_col=vec_col, model=model
+        )
+    else:
+        if n is None:
+            persisted = df.persist()
+            n = persisted.count()
+            df = persisted
+        k, fit_rows = semantic_dedup_fit_params(
+            n, cluster_size, k_cap, max_fit_rows
+        )
+        bucketed = kmeans_codebook_bucket(
+            df, vec_col=vec_col, k=k, seed=seed, n=n, max_fit_rows=fit_rows
+        )
     # once k is capped, expected cluster size n/k grows with n again —
     # re-bound per-cluster pair work by deterministic sign splitting
     bucketed = split_oversized_learned_buckets(

@@ -523,6 +523,12 @@ class CurationConfig:
     # precomputed embeddings table is passed, enabling semantic dedup on
     # a text-only corpus
     semantic_from_text: bool = False
+    # reuse a persisted codebook (ann.fit_semantic_codebook) instead of
+    # the eager per-run KMeans fit — measured 8x the funnel's one-pass
+    # execute at clone scale (SCALE.md round 12); re-curations of a
+    # growing corpus should pin one codebook, same never-refit contract
+    # as the index builders' stored centroids
+    semantic_codebook_path: str | None = None
 
 
 def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
@@ -531,16 +537,18 @@ def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
     rows (inner-joined on id — docs without an embedding pass through
     untouched; at scale the embedding table is the same corpus keyed
     identically, so the join is co-partitioned)."""
-    from .ann import semantic_dedup
+    from .ann import load_semantic_codebook, semantic_dedup
 
     emb = embeddings.select(
         F.col(cfg.embedding_id_col).alias(cfg.id_col), cfg.embedding_col
     ).join(docs.select(cfg.id_col), cfg.id_col, "inner")
+    model = (load_semantic_codebook(cfg.semantic_codebook_path)
+             if cfg.semantic_codebook_path else None)
     verdict = semantic_dedup(
         emb, id_col=cfg.id_col, vec_col=cfg.embedding_col,
         threshold=cfg.semantic_threshold, cluster_size=cfg.semantic_cluster_size,
         k_cap=cfg.semantic_k_cap, max_fit_rows=cfg.semantic_max_fit_rows,
-        dim=cfg.embedding_dim,
+        dim=cfg.embedding_dim, model=model,
     )
     drop = verdict.filter(~F.col("is_kept")).select(cfg.id_col)
     return docs.join(drop, cfg.id_col, "left_anti")

@@ -159,3 +159,72 @@ def test_sampled_fit_still_collapses_dups(spark):
         assert by_id[dup_id].group_id == orig_id, (dup_id, orig_id)
         assert not by_id[dup_id].is_kept
         assert by_id[orig_id].is_kept
+
+
+def test_persisted_codebook_reuse_matches_fit(spark, tmp_path):
+    """fit_semantic_codebook + semantic_dedup(model=...) must equal the
+    per-run-fit path: same seed/params -> the SAME codebook -> identical
+    (cluster_id, group_id, is_kept) rows. The reuse path skips the
+    count job and the KMeans fit entirely (the r12 amortization lever,
+    SCALE.md round 12), and the model round-trips through disk."""
+    from medallion_data_lake_spark.operators.ann import (
+        fit_semantic_codebook,
+        load_semantic_codebook,
+    )
+
+    df, _, _ = _corpus(spark)
+    fitted = {
+        tuple(r)
+        for r in semantic_dedup(df, dim=DIM, cluster_size=16).collect()
+    }
+    path = str(tmp_path / "codebook")
+    fit_semantic_codebook(df, path, cluster_size=16)
+    model = load_semantic_codebook(path)
+    reused = {
+        tuple(r)
+        for r in semantic_dedup(
+            df, dim=DIM, cluster_size=16, model=model
+        ).collect()
+    }
+    assert reused == fitted and len(reused) > 0
+
+
+def test_codebook_reuse_through_curation_config(spark, tmp_path):
+    """CurationConfig.semantic_codebook_path routes curate_corpus's
+    semantic stage through the persisted codebook; the curated output
+    must equal the per-run-fit config's."""
+    from medallion_data_lake_spark.operators.ann import (
+        fit_semantic_codebook,
+    )
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+    from medallion_data_lake_spark.operators.embeddings import (
+        embed_documents,
+    )
+
+    df, _, _ = _corpus(spark)
+    # per-doc DISTINCT token sets: the hashing embedder then yields
+    # well-separated vectors, so the dedup outcome is codebook-
+    # independent (no near-dup pairs to split differently) and the
+    # assertion isolates the CONFIG PLUMBING. Codebook-dependent
+    # behavior itself is pinned by
+    # test_persisted_codebook_reuse_matches_fit, where fit input and
+    # reuse input are identical.
+    docs = df.selectExpr(
+        "vec_id as doc_id",
+        "concat('alpha', vec_id, ' beta', vec_id, ' gamma', vec_id) as text",
+        "'en' as lang", "'web' as source",
+    )
+    base = dict(semantic_from_text=True, embedding_dim=16)
+    emb = embed_documents(docs, "doc_id", "text", 16, "vec_id", "embedding")
+    path = str(tmp_path / "cb")
+    fit_semantic_codebook(emb, path)
+
+    cold = {r["doc_id"] for r in curate_corpus(
+        docs, config=CurationConfig(**base))["curated"].collect()}
+    warm = {r["doc_id"] for r in curate_corpus(
+        docs, config=CurationConfig(**base, semantic_codebook_path=path)
+    )["curated"].collect()}
+    assert warm == cold and len(warm) > 0
