@@ -113,6 +113,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="curate: temperature (1=natural, 0=uniform)")
     ap.add_argument("--release-name", default="release",
                     help="curate: name recorded in the manifest")
+    ap.add_argument("--semantic-codebook", default=None,
+                    help="curate: enable semantic dedup with a codebook "
+                         "persisted by ann.fit_semantic_codebook — reused, "
+                         "never refit (SCALE.md round 12)")
     ap.add_argument("--keys", default=None, metavar="COL:V1,V2,...",
                     help="update/delete: point form — bounded key list, "
                          "pruned through the per-file Bloom filters")
@@ -425,6 +429,8 @@ def main(argv: list[str] | None = None) -> int:
             production_hash=True,
             mix_alpha=args.mix_alpha,
             mix_token_budget=args.mix_budget,
+            semantic_from_text=args.semantic_codebook is not None,
+            semantic_codebook_path=args.semantic_codebook,
         )
         observations: dict = {}
         stages = curate_corpus(docs, config=cfg, observations=observations)

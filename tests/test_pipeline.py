@@ -134,6 +134,35 @@ def test_cli_curate_writes_corpus_and_manifest(tmp_path, capsys):
     assert got.count() == funnel["curated"] > 0
 
 
+def test_cli_curate_with_semantic_codebook(tmp_path, capsys):
+    """--semantic-codebook routes the pipeline's semantic stage through
+    a persisted codebook (fit once via ann.fit_semantic_codebook); the
+    funnel gains the semantic_deduped stage."""
+    import json
+
+    import pyspark.sql
+
+    from medallion_data_lake_spark import cli
+    from medallion_data_lake_spark.operators.ann import (
+        fit_semantic_codebook,
+    )
+    from medallion_data_lake_spark.operators.embeddings import (
+        embed_documents,
+    )
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = embed_documents(docs, "doc_id", "text", 64, "vec_id", "embedding")
+    cb = str(tmp_path / "cb")
+    fit_semantic_codebook(emb, cb)
+    out = str(tmp_path / "rel")
+    assert cli.main(["curate", out, "--sf", "/root/testdata/sf0.001",
+                     "--semantic-codebook", cb]) == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "semantic_deduped" in printed["funnel"]
+    assert printed["funnel"]["curated"] > 0
+
+
 def test_cli_verify_release_detects_drift(tmp_path, capsys):
     import json
     import os
