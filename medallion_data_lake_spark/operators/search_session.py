@@ -169,6 +169,40 @@ class WarmSearchSession:
             pins=self.pins, **kw,
         )
 
+    def similar(
+        self,
+        query_vec_id: int,
+        k: int = 10,
+        allowed: DataFrame | None = None,
+        n_probes: int = 4,
+    ) -> DataFrame:
+        """Pure vector retrieval: top-``k`` ids most similar to the
+        STORED vector of ``query_vec_id`` ("more like this one") —
+        a partition-pruned index probe when the session holds a
+        ``vec_index``, else brute cosine over the cached embeddings.
+        Returns (vec_id, rank) in both modes (the producer-agnostic
+        shape ``hybrid.rrf_fuse`` consumes)."""
+        if self.embeddings is None:
+            raise ValueError(
+                "session was opened without embeddings=; vector search "
+                "needs the vector side"
+            )
+        if self.vec_index is not None:
+            from .ann import search_index
+
+            qvec = self.embeddings.filter(
+                F.col("vec_id") == query_vec_id
+            ).select("vec_id", "embedding")
+            return search_index(
+                self.spark, self.vec_index, qvec,
+                n_probes=n_probes, k=k, allowed=allowed,
+            ).select(F.col("cand_id").alias("vec_id"), "rank")
+        from .hybrid import cosine_topn
+
+        return cosine_topn(
+            self.embeddings, query_vec_id, k, allowed=allowed
+        )
+
     def hybrid(
         self,
         terms: list[str],

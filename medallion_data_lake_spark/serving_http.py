@@ -162,7 +162,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, run_bounded(self.serving, sql, max_rows))
             elif url.path == "/curate":
                 self._send(200, run_curate_dry(self.serving, req))
-            elif url.path in ("/search", "/phrase", "/hybrid"):
+            elif url.path in ("/search", "/phrase", "/hybrid", "/similar"):
                 if self.search_session is None:
                     self._send(400, {
                         "error": "no search index configured — start the "
@@ -250,6 +250,7 @@ def run_search(session, route: str, req: dict, default_rows: int) -> dict:
     - ``POST /search``  {"terms": [...], "k": N}
     - ``POST /phrase``  {"phrase": [...]}
     - ``POST /hybrid``  {"terms": [...], "vec_id": id, "k": N}
+    - ``POST /similar`` {"vec_id": id, "k": N}  (pure vector branch)
     """
     k = max(1, min(int(req.get("k", 10)), ROW_CAP))
     t0 = time.time()
@@ -270,6 +271,11 @@ def run_search(session, route: str, req: dict, default_rows: int) -> dict:
             kk: vv for kk, vv in report.items()
             if isinstance(vv, (int, float, str))
         }
+    elif route == "/similar":
+        vec_id = req.get("vec_id")
+        if vec_id is None:
+            raise ValueError("body must carry {'vec_id': id}")
+        out = run_bounded_df(session.similar(int(vec_id), k=k), k)
     else:  # /hybrid
         terms, vec_id = req.get("terms"), req.get("vec_id")
         if not terms or vec_id is None:

@@ -184,8 +184,19 @@ def test_http_search_routes(spark, tmp_path):
         assert st == 200 and out["row_count"] == 4
         assert out["columns"][0] == "doc_id"
 
+        st, out = _post(f"{base}/similar", {"vec_id": 1, "k": 3})
+        assert st == 200 and out["row_count"] == 3
+        assert out["columns"] == ["vec_id", "rank"]
+        # equals the brute cosine branch (no vec_index on this session)
+        from medallion_data_lake_spark.operators.hybrid import cosine_topn
+
+        want = _rows(cosine_topn(_emb(spark), 1, 3))
+        assert _rows(session.similar(1, k=3)) == want
+
         st, out = _post(f"{base}/search", {})
         assert st == 400 and "terms" in out["error"]
+        st, out = _post(f"{base}/similar", {})
+        assert st == 400 and "vec_id" in out["error"]
         st, out = _post(f"{base}/phrase", {"phrase": ["x"]})
         assert st == 400
     finally:
@@ -208,3 +219,25 @@ def test_http_search_unconfigured_is_clean_error(spark):
     finally:
         server.shutdown()
         thread.join(timeout=5)
+
+
+def test_similar_with_persisted_vec_index(spark, tmp_path):
+    """With vec_index= the session's similar() probes the persisted
+    index; under exhaustive probing it must equal the brute branch's
+    id set."""
+    from medallion_data_lake_spark.operators.ann import (
+        build_kmeans_ivf_index,
+    )
+    from medallion_data_lake_spark.operators.hybrid import cosine_topn
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2)
+    emb = _emb(spark)
+    vec = str(tmp_path / "vec")
+    build_kmeans_ivf_index(emb, vec, k=2)
+    s = WarmSearchSession(spark, root, embeddings=emb, vec_index=vec,
+                          cache_tables=False)
+    got = {r["vec_id"] for r in s.similar(1, k=3, n_probes=2).collect()}
+    want = {r["vec_id"] for r in cosine_topn(emb, 1, 3).collect()}
+    assert got == want and len(got) == 3
+    s.close()
