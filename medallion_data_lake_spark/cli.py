@@ -223,13 +223,18 @@ def main(argv: list[str] | None = None) -> int:
                     from .operators.search_session import WarmSearchSession
                     from .operators.versioned import read_table as _rt
 
-                    session = WarmSearchSession(
-                        spark, args.index,
-                        embeddings=(_rt(spark, args.embeddings)
-                                    if args.embeddings else None),
-                        vec_index=args.vec_index,
-                        docs_table=args.docs,
-                    )
+                    try:
+                        session = WarmSearchSession(
+                            spark, args.index,
+                            embeddings=(_rt(spark, args.embeddings)
+                                        if args.embeddings else None),
+                            vec_index=args.vec_index,
+                            docs_table=args.docs,
+                        )
+                    except (FileNotFoundError, ValueError) as exc:
+                        print(f"serve --index: cannot open search index "
+                              f"at {args.index}: {exc}", file=sys.stderr)
+                        return 2
                 server, thread = serve_http_background(
                     serving, port=args.http, default_rows=args.limit,
                     search_session=session,

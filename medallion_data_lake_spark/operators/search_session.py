@@ -113,7 +113,11 @@ class WarmSearchSession:
 
     def close(self) -> None:
         """Release the session's cached tables (other cache entries are
-        untouched — never a global clearCache)."""
+        untouched — never a global clearCache). Note: if the CALLER had
+        independently cached the ``embeddings`` frame it passed in,
+        close() drops that single shared cache entry too (Spark keeps
+        one entry per plan) — hand the session an uncached frame if you
+        need yours to outlive it."""
         for df in self._cached:
             try:
                 df.unpersist()
