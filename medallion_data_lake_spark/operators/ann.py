@@ -940,8 +940,9 @@ def semantic_dedup(
         # reuse a fitted codebook (fit_semantic_codebook): no count and
         # no fit — but STILL persist the input: the oversized-bucket
         # split below re-reads the assignment, and without the cache
-        # each round replays the upstream plan (measured: 46.5s -> 12s
-        # build on the clone once persisted)
+        # each round replays the upstream plan (measured on the clone
+        # pipeline: 46.5s -> 31.5s build once persisted; the remainder
+        # is the one eager assignment checkpoint)
         persisted = df.persist()
         bucketed = kmeans_codebook_bucket(
             persisted, vec_col=vec_col, model=model

@@ -33,16 +33,12 @@ per-request p50 and Spark-jobs-per-request, cold vs warm.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .inverted_index import (
-    _BIGRAMS,
     _CORPUS,
     _DOCLENS,
-    _POSTINGS,
     _TERMSTATS,
     _t,
     bm25_search,
