@@ -596,6 +596,14 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
         stages[name] = df
         return df
 
+    if (cfg.semantic_codebook_path and embeddings is None
+            and not cfg.semantic_from_text):
+        raise ValueError(
+            "semantic_codebook_path is set but the semantic stage is "
+            "disabled — pass embeddings= or set semantic_from_text=True "
+            "(a configured codebook that silently never runs would look "
+            "like dedup happened when it didn't)"
+        )
     if embeddings is None and cfg.semantic_from_text:
         from .embeddings import embed_documents
 

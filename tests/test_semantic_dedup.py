@@ -228,3 +228,22 @@ def test_codebook_reuse_through_curation_config(spark, tmp_path):
         docs, config=CurationConfig(**base, semantic_codebook_path=path)
     )["curated"].collect()}
     assert warm == cold and len(warm) > 0
+
+
+def test_codebook_path_without_semantic_stage_is_refused(spark, tmp_path):
+    """A configured codebook that silently never runs would read as
+    'dedup happened' when it didn't — curate_corpus refuses the
+    combination loudly."""
+    import pytest
+
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "web")], "doc_id long, text string, "
+        "lang string, source string")
+    with pytest.raises(ValueError, match="semantic stage is disabled"):
+        curate_corpus(docs, config=CurationConfig(
+            semantic_codebook_path=str(tmp_path / "cb")))
