@@ -241,3 +241,53 @@ def test_similar_with_persisted_vec_index(spark, tmp_path):
     want = {r["vec_id"] for r in cosine_topn(emb, 1, 3).collect()}
     assert got == want and len(got) == 3
     s.close()
+
+
+def test_session_over_streaming_maintained_index(spark, tmp_path):
+    """The serving story end-to-end against a STREAMING-maintained
+    index: the warm session opens on the stream's committed snapshot,
+    keeps serving that pinned cut while the stream lands another
+    micro-batch (per-batch txn manifests — the same snapshot source as
+    batch appends), and refresh() advances to the new committed cut."""
+    import json as _json
+    import os
+
+    from medallion_data_lake_spark.operators.inverted_index import (
+        run_postings_append_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    root = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).json(inp)
+        run_postings_append_stream(spark, stream, root, ck, n_files=2)
+
+    def drop(name, rows):
+        with open(os.path.join(inp, name), "w") as fh:
+            for d, t in rows:
+                fh.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    drop("b0.json", DOCS[:4])
+    run()
+    s = WarmSearchSession(spark, root, cache_tables=False)
+    assert s.corpus_totals[0] == 4
+    first = _rows(s.bm25(["stream"], k=5))
+    assert first and all(r[0] <= 4 for r in first)
+
+    drop("b1.json", DOCS[4:])
+    run()
+    # still the pinned cut
+    assert _rows(s.bm25(["stream"], k=5)) == first
+    s.refresh()
+    assert s.corpus_totals[0] == len(DOCS)
+    after = _rows(s.bm25(["stream"], k=5))
+    assert {r[0] for r in after} > {r[0] for r in first}
+    # the refreshed warm answer equals a cold call at the tip
+    assert after == _rows(bm25_search(spark, root, ["stream"], k=5))
+    s.close()
