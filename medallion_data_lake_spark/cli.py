@@ -78,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
                  "clone", "txn-commit", "txn-list", "txn-recover",
                  "txn-compensate", "txn-resolve-broken", "txn-expire",
                  "bm25-build", "bm25-search", "bm25-compact",
-                 "phrase-search", "hybrid-search"],
+                 "phrase-search", "hybrid-search", "fit-codebook"],
     )
     ap.add_argument(
         "arg",
@@ -243,7 +243,8 @@ def main(argv: list[str] | None = None) -> int:
                       f"{server.server_address[1]} "
                       "(browser console at GET /; GET /tables /describe "
                       "/samples, POST /query /explain /curate"
-                      + (", /search /phrase /hybrid" if session else "")
+                      + (", /search /phrase /hybrid /similar"
+                       if session else "")
                       + ")")
                 try:
                     thread.join()
@@ -448,6 +449,39 @@ def main(argv: list[str] | None = None) -> int:
             manifest, os.path.join(out_dir, "manifest.json"))
         print(json.dumps({"funnel": manifest["funnel"],
                           "strata": len(manifest["strata"])}))
+    elif args.verb == "fit-codebook":
+        # train + persist the semantic-dedup codebook ONCE for reuse by
+        # `curate --semantic-codebook` — stamped with the in-pipeline
+        # hashing embedder's fingerprint so a codebook from a different
+        # embedding space is refused at load time, not silently applied
+        if not args.arg or not args.sf:
+            print("fit-codebook requires an output dir and --sf DIR",
+                  file=sys.stderr)
+            return 2
+        from .catalog import star_path
+        from .operators.ann import fit_semantic_codebook
+        from .operators.curation_pipeline import CurationConfig
+        from .operators.embeddings import (
+            HASHING_EMBEDDER_FINGERPRINT,
+            embed_documents,
+        )
+
+        cfg = CurationConfig()
+        docs = spark.read.parquet(star_path(args.sf, "documents"))
+        emb = embed_documents(
+            docs, cfg.id_col, cfg.text_col, cfg.embedding_dim,
+            cfg.embedding_id_col, cfg.embedding_col,
+        )
+        model = fit_semantic_codebook(
+            emb, args.arg, vec_col=cfg.embedding_col,
+            cluster_size=cfg.semantic_cluster_size,
+            k_cap=cfg.semantic_k_cap,
+            max_fit_rows=cfg.semantic_max_fit_rows,
+            embedder=HASHING_EMBEDDER_FINGERPRINT,
+        )
+        print(json.dumps({"path": args.arg, "k": int(model.getK()),
+                          "dim": cfg.embedding_dim,
+                          "embedder": HASHING_EMBEDDER_FINGERPRINT}))
     elif args.verb == "index-health":
         # recall-drift telemetry for a persisted ANN index (the rebuild
         # audit closing the append-forever lifecycle loop)

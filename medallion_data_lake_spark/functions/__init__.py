@@ -151,7 +151,11 @@ def salted_join(
     The skewed side gets a deterministic salt in [0, n_salts) derived
     from a high-cardinality spread of its rows (hash of all columns), so
     one hot key fans out across n_salts reducers. Result equals a plain
-    ``skewed.join(other, key, how)``.
+    ``skewed.join(other, key, how)`` for the SUPPORTED join types only:
+    inner / left / left_semi / left_anti (and cross, which ignores the
+    key). Right and full joins are rejected: ``other`` is exploded
+    n_salts×, so every unmatched ``other`` row would survive once per
+    salt copy and the result would NOT equal the plain join.
 
     SIZE CONTRACT (default ``broadcast_other=True``): ``other`` must be
     dim-sized — it is replicated n_salts× and BROADCAST, so the exploded
@@ -176,6 +180,20 @@ def salted_join(
     """
     from pyspark.sql import functions as _F
 
+    _ALLOWED_HOW = {
+        "inner", "cross",
+        "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    }
+    norm = how.lower().replace(" ", "")
+    if norm not in _ALLOWED_HOW:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the non-skewed "
+            "side is replicated n_salts times, so right/full joins would "
+            "emit each unmatched right row once per salt copy. Supported: "
+            "inner, left, left_semi, left_anti."
+        )
     salt = _F.pmod(_F.hash(*[_F.col(c) for c in skewed.columns]), _F.lit(n_salts))
     left = skewed.withColumn("_salt", salt)
     right = other.withColumn(

@@ -823,11 +823,20 @@ def fit_semantic_codebook(
     seed: int = 42,
     k_cap: int = SEMANTIC_K_CAP,
     max_fit_rows: int = SEMANTIC_MAX_FIT_ROWS,
+    embedder: str | None = None,
 ):
     """Train the semantic-dedup KMeans codebook ONCE and optionally
     persist it (Spark ML model directory) for reuse across curation
     runs via ``semantic_dedup(model=...)`` /
     ``CurationConfig.semantic_codebook_path``.
+
+    ``embedder`` names the embedding space the codebook belongs to
+    (e.g. ``embeddings.HASHING_EMBEDDER_FINGERPRINT`` or a real
+    encoder's model+revision). It is persisted, along with the vector
+    dim / seed / k, in a ``provenance.json`` sidecar inside the model
+    directory, and :func:`load_semantic_codebook` validates it: a
+    codebook fit on a DIFFERENT same-dimension space would otherwise
+    load and assign without error, silently degrading dedup decisions.
 
     Why this exists (measured, SCALE.md round 12): the eager fit inside
     ``semantic_dedup`` cost 42.6s at the 50k-doc clone — 8x the whole
@@ -863,14 +872,66 @@ def fit_semantic_codebook(
     ).fit(fit_src)
     if path is not None:
         model.write().overwrite().save(path)
+        _write_codebook_provenance(path, model, seed=seed, embedder=embedder)
     return model
 
 
-def load_semantic_codebook(path: str):
-    """Load a codebook persisted by :func:`fit_semantic_codebook`."""
+_PROVENANCE_FILE = "provenance.json"
+
+
+def _write_codebook_provenance(path: str, model, seed: int,
+                               embedder: str | None) -> None:
+    import json
+    import os
+
+    dim = int(len(model.clusterCenters()[0]))
+    meta = {
+        "dim": dim,
+        "k": int(model.getK()),
+        "seed": int(seed),
+        "embedder": embedder,
+    }
+    with open(os.path.join(path, _PROVENANCE_FILE), "w") as fh:
+        json.dump(meta, fh, indent=2)
+
+
+def load_semantic_codebook(
+    path: str,
+    expect_dim: int | None = None,
+    expect_embedder: str | None = None,
+):
+    """Load a codebook persisted by :func:`fit_semantic_codebook`,
+    validating provenance: ``expect_dim`` is checked against the
+    centroids themselves (works even for pre-provenance codebooks);
+    ``expect_embedder`` against the sidecar's recorded fingerprint.
+    Mismatch raises ValueError — a codebook from a different embedding
+    space partitions this one arbitrarily, so assignments would be
+    noise while looking like successful dedup."""
+    import json
+    import os
+
     from pyspark.ml.clustering import KMeansModel
 
-    return KMeansModel.load(path)
+    model = KMeansModel.load(path)
+    actual_dim = int(len(model.clusterCenters()[0]))
+    if expect_dim is not None and actual_dim != int(expect_dim):
+        raise ValueError(
+            f"semantic codebook at {path} was fit on dim={actual_dim} "
+            f"vectors but the pipeline embeds at dim={expect_dim}"
+        )
+    prov_path = os.path.join(path, _PROVENANCE_FILE)
+    if expect_embedder is not None and os.path.exists(prov_path):
+        with open(prov_path) as fh:
+            meta = json.load(fh)
+        recorded = meta.get("embedder")
+        if recorded is not None and recorded != expect_embedder:
+            raise ValueError(
+                f"semantic codebook at {path} was fit on embedding space "
+                f"{recorded!r} but the pipeline produces "
+                f"{expect_embedder!r} — refit the codebook "
+                "(fit_semantic_codebook) on the current embedder"
+            )
+    return model
 
 
 def semantic_dedup(

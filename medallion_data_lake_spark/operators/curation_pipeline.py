@@ -542,8 +542,22 @@ def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
     emb = embeddings.select(
         F.col(cfg.embedding_id_col).alias(cfg.id_col), cfg.embedding_col
     ).join(docs.select(cfg.id_col), cfg.id_col, "inner")
-    model = (load_semantic_codebook(cfg.semantic_codebook_path)
-             if cfg.semantic_codebook_path else None)
+    model = None
+    if cfg.semantic_codebook_path:
+        # provenance check: the in-pipeline hashing embedder's space is
+        # known exactly, so enforce its fingerprint; precomputed
+        # embedding tables carry no embedder identity, so only the dim
+        # (validated against the centroids) can be enforced there
+        expect_embedder = None
+        if cfg.semantic_from_text:
+            from .embeddings import HASHING_EMBEDDER_FINGERPRINT
+
+            expect_embedder = HASHING_EMBEDDER_FINGERPRINT
+        model = load_semantic_codebook(
+            cfg.semantic_codebook_path,
+            expect_dim=cfg.embedding_dim,
+            expect_embedder=expect_embedder,
+        )
     verdict = semantic_dedup(
         emb, id_col=cfg.id_col, vec_col=cfg.embedding_col,
         threshold=cfg.semantic_threshold, cluster_size=cfg.semantic_cluster_size,

@@ -33,6 +33,14 @@ from pyspark.sql.functions import pandas_udf
 
 DEFAULT_DIM = 64  # matches the fixture embeddings table
 
+# Identity of the embedding kernel, recorded as codebook provenance
+# (ann.fit_semantic_codebook): a KMeans codebook is only meaningful in
+# the embedding space it was fit on, and two spaces with the same dim
+# load interchangeably without a fingerprint. Bump the version suffix
+# if _hash_embed's math ever changes; a swapped-in real encoder should
+# supply its own fingerprint (model name + revision).
+HASHING_EMBEDDER_FINGERPRINT = "hashing-md5-unibigram-l2-v1"
+
 
 def _hash_embed(text: str, dim: int) -> np.ndarray:
     """Signed feature-hashing of word uni+bigrams into R^dim, L2-normed.

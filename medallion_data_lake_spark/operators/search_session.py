@@ -86,7 +86,19 @@ class WarmSearchSession:
         materialization on first use; every request after that reuses
         the results."""
         self.close()
-        self.pins = committed_index_snapshot(self.index_root) or {}
+        pins = committed_index_snapshot(self.index_root)
+        if pins is None:
+            # No committed txn: pins={} would freeze corpus_totals here
+            # while per-request reads float at "latest" — a silent break
+            # of the snapshot-lease guarantee. Such an index has nothing
+            # consistently readable, so refuse loudly.
+            raise ValueError(
+                f"index at {self.index_root} has no committed append txn; "
+                "a warm session needs a committed snapshot to pin — build "
+                "or append to the index first (cold bm25_search on an "
+                "uncommitted index is equally unreadable)"
+            )
+        self.pins = pins
         corpus = read_table(
             self.spark,
             _t(self.index_root, _CORPUS),

@@ -253,6 +253,9 @@ def run_search(session, route: str, req: dict, default_rows: int) -> dict:
     - ``POST /similar`` {"vec_id": id, "k": N}  (pure vector branch)
     """
     k = max(1, min(int(req.get("k", 10)), ROW_CAP))
+    # /phrase is unranked (every match qualifies), so an absent k falls
+    # back to default_rows; an explicit k is honored like every route.
+    phrase_bound = k if "k" in req else max(1, min(default_rows, ROW_CAP))
     t0 = time.time()
     if route == "/search":
         terms = req.get("terms")
@@ -266,7 +269,7 @@ def run_search(session, route: str, req: dict, default_rows: int) -> dict:
                 "body must carry {'phrase': [t1, t2, ...]} (>= 2 tokens)"
             )
         df, report = session.phrase(list(phrase))
-        out = run_bounded_df(df, max(k, default_rows))
+        out = run_bounded_df(df, phrase_bound)
         out["pruning"] = {
             kk: vv for kk, vv in report.items()
             if isinstance(vv, (int, float, str))
@@ -310,8 +313,9 @@ def make_http_server(
     """Build (not start) the server; ``port=0`` picks a free port —
     read it back from ``server.server_address`` (how the test binds).
     ``search_session`` (a WarmSearchSession) arms the /search /phrase
-    /hybrid routes — shared by all handler threads, which is the point:
-    the pinned snapshot and cached tables amortize across requests."""
+    /hybrid /similar routes — shared by all handler threads, which is
+    the point: the pinned snapshot and cached tables amortize across
+    requests."""
     handler = type(
         "ServingHandler",
         (_Handler,),

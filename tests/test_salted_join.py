@@ -60,6 +60,23 @@ def test_salt_always_in_range_for_non_pow2(spark):
     assert 0 <= rng["lo"] and rng["hi"] <= 9
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    """Right/full joins would emit each unmatched right row once per
+    salt copy (the other side is exploded n_salts x), so the result
+    could NOT equal the plain join — refused loudly instead of
+    silently duplicating (r12 ADVICE item)."""
+    import pytest
+
+    skewed = spark.createDataFrame([(1, 10)], "k int, v int")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
+    for how in ("right", "right_outer", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="does not support"):
+            salted_join(skewed, dim, "k", how=how)
+    # the semi/anti family (skewed-side-only outputs) stays supported
+    assert salted_join(skewed, dim, "k", how="left_semi").count() == 1
+    assert salted_join(skewed, dim, "k", how="left_anti").count() == 0
+
+
 def test_salted_join_broadcasts_replicated_side(spark):
     # the exploded dim side must be broadcast — its n_salts-times copy
     # never becomes a shuffle (the size-contract guard)

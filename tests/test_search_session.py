@@ -114,6 +114,17 @@ def test_close_releases_only_own_cache(spark, tmp_path):
     other.unpersist()
 
 
+def test_session_refuses_uncommitted_index(spark, tmp_path):
+    """An index with no committed append txn has no consistent cut to
+    pin; pins={} would silently float per-request reads at 'latest'
+    while corpus_totals stay frozen — the session must refuse instead
+    (r12 ADVICE item)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="no committed append txn"):
+        WarmSearchSession(spark, str(tmp_path / "never_built"))
+
+
 def test_phrase_requires_bigrams(spark, tmp_path):
     import pytest
 
@@ -178,6 +189,12 @@ def test_http_search_routes(spark, tmp_path):
         assert st == 200
         assert {tuple(r) for r in out["rows"]} == {(3, 1)}
         assert "pruning" in out
+        # absent k -> default_rows bound; an explicit k (even below the
+        # default) is honored like every other route (r12 ADVICE item)
+        assert out["truncated_at"] == 100
+        st, out = _post(f"{base}/phrase",
+                        {"phrase": ["stream", "join"], "k": 1})
+        assert st == 200 and out["truncated_at"] == 1
 
         st, out = _post(f"{base}/hybrid",
                         {"terms": ["stream", "join"], "vec_id": 1, "k": 4})

@@ -247,3 +247,70 @@ def test_codebook_path_without_semantic_stage_is_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="semantic stage is disabled"):
         curate_corpus(docs, config=CurationConfig(
             semantic_codebook_path=str(tmp_path / "cb")))
+
+
+def test_codebook_provenance_validated_on_load(spark, tmp_path):
+    """fit_semantic_codebook persists (dim, k, seed, embedder) as a
+    provenance sidecar; load_semantic_codebook refuses a dim or
+    embedder mismatch — a codebook from a different embedding space
+    partitions this one arbitrarily while looking like successful
+    dedup (r12 ADVICE item)."""
+    import json
+    import os
+
+    import pytest
+
+    from medallion_data_lake_spark.operators.ann import (
+        fit_semantic_codebook,
+        load_semantic_codebook,
+    )
+
+    df, _, _ = _corpus(spark)
+    path = str(tmp_path / "cb")
+    fit_semantic_codebook(df, path, cluster_size=16, embedder="enc-v1")
+
+    meta = json.load(open(os.path.join(path, "provenance.json")))
+    assert meta["dim"] == DIM and meta["embedder"] == "enc-v1"
+    assert meta["seed"] == 42 and meta["k"] >= 2
+
+    # matching expectations load fine
+    m = load_semantic_codebook(path, expect_dim=DIM,
+                               expect_embedder="enc-v1")
+    assert len(m.clusterCenters()[0]) == DIM
+    # dim mismatch is caught from the centroids themselves (works even
+    # for pre-provenance codebooks)
+    with pytest.raises(ValueError, match="dim"):
+        load_semantic_codebook(path, expect_dim=DIM * 2)
+    # embedder-space mismatch is caught from the sidecar
+    with pytest.raises(ValueError, match="embedding space"):
+        load_semantic_codebook(path, expect_embedder="other-enc-v9")
+    # a legacy codebook without a sidecar still loads (dim-only check)
+    os.remove(os.path.join(path, "provenance.json"))
+    load_semantic_codebook(path, expect_dim=DIM,
+                           expect_embedder="other-enc-v9")
+
+
+def test_curation_config_rejects_wrong_dim_codebook(spark, tmp_path):
+    """CurationConfig.semantic_codebook_path + embedding_dim mismatch
+    must refuse before any assignment runs."""
+    import pytest
+
+    from medallion_data_lake_spark.operators.ann import (
+        fit_semantic_codebook,
+    )
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    df, _, _ = _corpus(spark)  # DIM-wide vectors
+    path = str(tmp_path / "cb")
+    fit_semantic_codebook(df, path, cluster_size=16)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en", "web"), (2, "gamma delta", "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    cfg = CurationConfig(semantic_from_text=True, embedding_dim=16,
+                         semantic_codebook_path=path)
+    with pytest.raises(ValueError, match="dim"):
+        curate_corpus(docs, config=cfg)["curated"].collect()
