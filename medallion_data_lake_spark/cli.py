@@ -78,7 +78,8 @@ def main(argv: list[str] | None = None) -> int:
                  "clone", "txn-commit", "txn-list", "txn-recover",
                  "txn-compensate", "txn-resolve-broken", "txn-expire",
                  "bm25-build", "bm25-search", "bm25-compact",
-                 "phrase-search", "hybrid-search", "fit-codebook"],
+                 "phrase-search", "hybrid-search", "fit-codebook",
+                 "export-store"],
     )
     ap.add_argument(
         "arg",
@@ -191,6 +192,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--phrase", default=None,
                     help="phrase-search: the exact phrase, space-"
                          "separated tokens")
+    ap.add_argument("--store", default=None, metavar="JDBC_URL",
+                    help="serve: answer /search from this exported "
+                         "serving store (no Spark job per request); "
+                         "export-store: destination URL")
+    ap.add_argument("--store-driver", default=None,
+                    help="JDBC driver class for --store (default: "
+                         "embedded Derby)")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve: listen as a JSON HTTP API on this port "
                          "instead of the stdin REPL (GET / serves the "
@@ -235,9 +243,22 @@ def main(argv: list[str] | None = None) -> int:
                         print(f"serve --index: cannot open search index "
                               f"at {args.index}: {exc}", file=sys.stderr)
                         return 2
+                store = None
+                if args.store:
+                    from .serving_store import DERBY_DRIVER, ServingStore
+
+                    try:
+                        store = ServingStore(
+                            spark, args.store,
+                            driver=args.store_driver or DERBY_DRIVER,
+                        )
+                    except Exception as exc:
+                        print(f"serve --store: cannot open serving store "
+                              f"at {args.store}: {exc}", file=sys.stderr)
+                        return 2
                 server, thread = serve_http_background(
                     serving, port=args.http, default_rows=args.limit,
-                    search_session=session,
+                    search_session=session, serving_store=store,
                 )
                 print(f"serving HTTP on {server.server_address[0]}:"
                       f"{server.server_address[1]} "
@@ -245,6 +266,8 @@ def main(argv: list[str] | None = None) -> int:
                       "/samples, POST /query /explain /curate"
                       + (", /search /phrase /hybrid /similar"
                        if session else "")
+                      + (", /search from the exported store (no Spark "
+                         "job per request)" if store else "")
                       + ")")
                 try:
                     thread.join()
@@ -449,6 +472,27 @@ def main(argv: list[str] | None = None) -> int:
             manifest, os.path.join(out_dir, "manifest.json"))
         print(json.dumps({"funnel": manifest["funnel"],
                           "strata": len(manifest["strata"])}))
+    elif args.verb == "export-store":
+        # the serving-tier export (reference gold_to_postgres.py:33-58,
+        # Spark-first: distributed JDBC write, one committed snapshot,
+        # idf/avgdl precomputed so the store's per-request SQL is pure
+        # indexed double arithmetic — measured sub-second in SCALE.md
+        # round 13). ARG is the BM25 index root; --store the JDBC URL.
+        if not args.arg or not args.store:
+            print("export-store requires an index root and --store "
+                  "JDBC_URL", file=sys.stderr)
+            return 2
+        from .serving_store import DERBY_DRIVER, export_search_store
+
+        try:
+            pins = export_search_store(
+                spark, args.arg, args.store,
+                driver=args.store_driver or DERBY_DRIVER,
+            )
+        except ValueError as exc:
+            print(f"export-store: {exc}", file=sys.stderr)
+            return 2
+        print(json.dumps({"store": args.store, "pins": pins}))
     elif args.verb == "fit-codebook":
         # train + persist the semantic-dedup codebook ONCE for reuse by
         # `curate --semantic-codebook` — stamped with the in-pipeline

@@ -94,6 +94,8 @@ class _Handler(BaseHTTPRequestHandler):
     serving: ServingLayer  # injected by make_http_server
     default_rows: int
     search_session = None  # WarmSearchSession; injected when configured
+    serving_store = None   # ServingStore; /search answers from it when set
+    store_lock = None      # serializes the (non-thread-safe) JDBC conn
 
     # -- plumbing ---------------------------------------------------------
     def _send(self, status: int, payload: dict) -> None:
@@ -163,6 +165,14 @@ class _Handler(BaseHTTPRequestHandler):
             elif url.path == "/curate":
                 self._send(200, run_curate_dry(self.serving, req))
             elif url.path in ("/search", "/phrase", "/hybrid", "/similar"):
+                if url.path == "/search" and self.serving_store is not None:
+                    # serving-tier fast path: one prepared statement on
+                    # the exported store, no Spark job (r12 verdict #1)
+                    from .serving_store import run_store_search
+
+                    self._send(200, run_store_search(
+                        self.serving_store, self.store_lock, req))
+                    return
                 if self.search_session is None:
                     self._send(400, {
                         "error": "no search index configured — start the "
@@ -309,30 +319,36 @@ def make_http_server(
     port: int = 0,
     default_rows: int = 100,
     search_session=None,
+    serving_store=None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the server; ``port=0`` picks a free port —
     read it back from ``server.server_address`` (how the test binds).
     ``search_session`` (a WarmSearchSession) arms the /search /phrase
     /hybrid /similar routes — shared by all handler threads, which is
     the point: the pinned snapshot and cached tables amortize across
-    requests."""
+    requests. ``serving_store`` (a serving_store.ServingStore) answers
+    /search from the exported SQL store instead — the no-Spark-job
+    serving tier; its JDBC connection is serialized by a lock."""
     handler = type(
         "ServingHandler",
         (_Handler,),
         {"serving": serving, "default_rows": default_rows,
-         "search_session": search_session},
+         "search_session": search_session,
+         "serving_store": serving_store,
+         "store_lock": threading.Lock()},
     )
     return ThreadingHTTPServer((host, port), handler)
 
 
 def serve_http_background(
     serving: ServingLayer, host: str = "127.0.0.1", port: int = 0,
-    default_rows: int = 100, search_session=None,
+    default_rows: int = 100, search_session=None, serving_store=None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start serving on a daemon thread; returns (server, thread) so the
     caller owns shutdown — the shape both the CLI verb and tests use."""
     server = make_http_server(serving, host, port, default_rows,
-                              search_session=search_session)
+                              search_session=search_session,
+                              serving_store=serving_store)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server, t
