@@ -292,7 +292,8 @@ def order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "so the single-task window hazard of the reference "
         "(silver_to_gold.py:150, SURVEY.md §4.3.1) is structurally avoided. "
         "Growth is derived from the exact rounded revenue in both engines.",
-    extra=True,  # r12 rotation (gated r1-r11, green): A3 twin calendar_trends + W2 lag/frame twin rolling_week_revenue stay gated
+    # re-gated r13 (gated r1-r11, out since the r12 rotation — oldest-first
+    # sweep); becomes the A3/date-family gate while calendar_trends rotates out
 )
 def daily_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
@@ -334,9 +335,7 @@ def daily_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A4 calendar-bucket agg (reference silver_to_gold.py:168-178). "
         "Spark dayofweek is 1=Sunday..7; DuckDB dow is 0=Sunday..6, hence "
         "the +1 in the oracle.",
-    # re-gated r11 (oldest-first veteran sweep, r10 verdict #5: gated
-    # r1-r3, out since the r4 rotation via events_cascading_rollup twin —
-    # the longest-out veteran in the registry)
+    extra=True,  # r13 rotation (gated r1-r3 + r11-r12, green): A3/date-family twin daily_revenue_growth re-gated r13; A4 twin events_cascading_rollup stays gated
 )
 def calendar_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -445,7 +444,7 @@ def nation_customer_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="U1 UNION ALL of scalar aggregates — the reference's cross-layer "
         "QA reconciliation (query_datalake.py:199-214, A9/A7).",
-    extra=True,  # r12 rotation (gated r1-r11, green): U1/set-ops twin status_set_ops re-gated r12
+    # re-gated r13 (gated r1-r11, out since the r12 rotation — oldest-first sweep)
 )
 def layer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)

@@ -507,7 +507,7 @@ def supplier_customer_nation_volume(spark: SparkSession, sf_dir: str) -> DataFra
         "expressed as one declarative plan (each rollup aggregates at its "
         "own cardinality before the dim-sized join; exact decimal "
         "arithmetic end-to-end).",
-    extra=True,  # r12 rotation (gated r1-r11, green): SS2.10 routines twin parts_held_by_customer re-gated r12; A7 IFNULL twin discount_revenue_delta stays gated
+    # re-gated r13 (gated r1-r11, out since the r12 rotation — oldest-first sweep)
 )
 def customer_open_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import dsum
@@ -742,7 +742,8 @@ def rolling_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition — bounded by design (25 rows), which is the only regime "
         "a partition-less window is legitimate in. Decimal sums both "
         "levels for order independence.",
-)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
+    extra=True,  # r13 rotation (gated r10-r12, green): share-family twin brand_revenue_share_monthly stays gated; scalar-vs-total twin nation_value_concentration re-gated r13
+)
 def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 

@@ -215,7 +215,8 @@ _SQL_BLOCK = "('" + "', '".join(BLOCKLIST) + "')"
         "(filter/size/array_join HOFs over the token array — no UDF, no "
         "shuffle; scales linearly with corpus size).",
     tags=("text", "curation"),
-)  # first gated r9
+    extra=True,  # r13 rotation (gated r9-r12, green): scrub-family twin pii_redaction_stats stays gated
+)
 def blocklist_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokens(F.col("text"))
@@ -364,7 +365,8 @@ _SQL_BIGRAMS = (
         "Explode + two-level aggregation keyed by doc — fully "
         "map-reducible, no per-doc state beyond the hash groups.",
     tags=("text", "curation"),
-)  # first gated r9
+    extra=True,  # r13 rotation (gated r9-r12, green): text-family twins doc_token_stats + doc_quality_score (re-gated r12) stay gated
+)
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     t = tokens(F.col("text"))
@@ -481,7 +483,8 @@ def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scales with corpus size like the scan itself. chunk_hash is the "
         "content address a downstream shard writer dedups/ships by.",
     tags=("curation",),
-)  # first gated r9
+    extra=True,  # r13 rotation (gated r9-r12, green): chunk/pack/sample-family twin corpus_shuffle_assignment stays gated
+)
 def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
@@ -652,7 +655,7 @@ def decontaminate_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "curation"),
     # r8 rotation: promoted to the driver gate (new in r7, never had a
     # driver row)
-    extra=True,  # r12 rotation (gated r8-r11, green): shingle-hash twin ngram_jaccard_consecutive + text family rows stay gated
+    # re-gated r13 (gated r8-r11, out since the r12 rotation — oldest-first sweep)
 )
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")

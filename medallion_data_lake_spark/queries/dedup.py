@@ -500,7 +500,7 @@ _CC_ORACLE = (
         "the step that turns pairwise near-dup evidence into 'keep one "
         "canonical doc per group' at 100 TB.",
     tags=("dedup",),
-    extra=True,  # r12 rotation (gated r1-r11, green): P7 twin dedup_events_exact stays gated; near-dup family twins minhash_signatures + embedding_near_dup_consecutive re-gated r12
+    # re-gated r13 (gated r1-r11, out since the r12 rotation — oldest-first sweep)
 )
 def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup_graph import connected_components

@@ -404,6 +404,7 @@ def signup_purchase_attribution_pairs(
         "the first agg pre-aggregates orders BEFORE the join so the "
         "customer side joins a #customers-sized rollup, not the fact.",
     tags=("histogram",),
+    extra=True,  # r13 rotation (gated r9-r12, green): A4 calendar-bucket twin events_cascading_rollup (re-gated r12) stays gated
 )
 def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -548,7 +549,8 @@ def priority_late_ship_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         "plans as two small aggs). Decimal sums ×25 (=1/0.04) keep the "
         "boundary compare EXACT in both engines — no float literal.",
     tags=("subquery", "having", "scalar-agg"),
-    extra=True,  # r12 rotation (gated r7-r11, green): J7 subquery twins returned_item_customers + large_volume_orders stay gated
+    # re-gated r13 (gated r7-r11, out since the r12 rotation — oldest-first
+    # sweep); becomes the A6/HAVING gate while large_volume_orders rotates out
 )
 def nation_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import dsum
@@ -650,6 +652,7 @@ def brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Quantities are integer-valued doubles — SUM is exact, no "
         "decimal detour needed for the 300 boundary.",
     tags=("subquery", "in-having", "topk"),
+    extra=True,  # r13 rotation (gated r7-r12, green): A6/HAVING twin nation_value_concentration + A5 twin product_profit_by_nation_year re-gated r13; J7 twin returned_item_customers stays gated
 )
 def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -835,7 +838,7 @@ def quarter_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subquery", "grouped-in", "window"),
     # r8 rotation: promoted to the driver gate (Q20 shape, new in r7,
     # never had a driver row)
-    extra=True,  # r12 rotation (gated r8-r11, green): J7 subquery twins returned_item_customers + large_volume_orders stay gated
+    # re-gated r13 (gated r8-r11, out since the r12 rotation — oldest-first sweep)
 )
 def dominant_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1140,7 +1143,8 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation×year grid last; the final ORDER BY sorts ~25×7 rows.",
     tags=("join-family", "q9"),
     # first gated r8 (new)
-    extra=True,  # r12 rotation (gated r8-r11, green): J3 join-chain twins supplier_customer_nation_volume + shipping_priority_topk (re-gated r12) stay gated
+    # re-gated r13 (gated r8-r11, out since the r12 rotation — oldest-first
+    # sweep); becomes the A5 group-order gate while large_volume_orders rotates out
 )
 def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)

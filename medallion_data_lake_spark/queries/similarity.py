@@ -261,7 +261,7 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "with k ∝ sqrt(n) — so per-bucket work is bounded at any n "
         "(tests/test_ann_scale.py asserts the max-bucket bound).",
     tags=("similarity",),
-    extra=True,  # r12 rotation (gated r1-r11, green): vector-search twins knn_filtered_cosine (first gated r12) + hard_negatives_topk stay gated
+    # re-gated r13 (gated r1-r11, out since the r12 rotation — oldest-first sweep)
 )
 def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("embedding")))

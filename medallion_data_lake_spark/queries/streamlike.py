@@ -361,7 +361,8 @@ def events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "every stage's frontier table is |converted users| rows, "
         "shrinking monotonically down the funnel.",
     tags=("streaming",),
-)  # first gated r9
+    extra=True,  # r13 rotation (gated r9-r12, green): streaming-twin signup_purchase_attribution_pairs stays gated; cohort twin weekly_retention_cohorts re-gated r13
+)
 def signup_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     s = (
@@ -420,7 +421,7 @@ def signup_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table persists and only the activity pass reruns per refresh.",
     tags=("streaming",),
     # driver-gated since r4 (supplier_customer_nation_volume rotated out)
-    extra=True,  # r12 rotation (gated r4-r11, green): A2 count-distinct twin part_supplier_counts stays gated; calendar-bucket twin events_cascading_rollup re-gated r12
+    # re-gated r13 (gated r4-r11, out since the r12 rotation — oldest-first sweep)
 )
 def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -233,7 +233,8 @@ def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(term, doc) table; top-k via TakeOrderedAndProject, never a global "
         "sort.",
     tags=("text",),
-)  # first gated r9
+    extra=True,  # r13 rotation (gated r9-r12, green): text-family twin doc_token_stats stays gated; ngram twin doc_ngram_novelty re-gated r13
+)
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     per_doc = (
