@@ -1508,7 +1508,7 @@ def search_kmeans_pq_ivf_index(
             (F.col("bucket") == F.col("probe"))
             & (F.col("cand_id") != F.col("query_id")),
         )
-        .select("query_id", "cand_id", adc.alias("adc_score"))
+        .select("query_id", "cand_id", "bucket", adc.alias("adc_score"))
         .dropDuplicates(["query_id", "cand_id"])
     )
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -1517,9 +1517,28 @@ def search_kmeans_pq_ivf_index(
     short = (
         shortlisted.withColumn("rank", F.row_number().over(w_adc))
         .filter(F.col("rank") <= shortlist)
-        .select("query_id", "cand_id")
+        .select("query_id", "cand_id", "bucket")
+        .localCheckpoint(eager=True)  # bounded: queries × shortlist rows
     )
-    vecs = cand.select(
+    # The exact re-rank reads FULL vectors — the expensive column. Read
+    # them only from the cells that actually hold shortlisted
+    # candidates (partition pruning): ADC shortlists concentrate in the
+    # few nearest cells, so this scan is far narrower than the wide
+    # probe that fed the codes. This is what makes the PQ tier an I/O
+    # win and not just a CPU one (measured, SCALE.md round 13: bytes
+    # scanned per path on a d=256 fixture). The checkpoint above both
+    # bounds the collect and stops the ADC stage from re-running for
+    # the re-rank branch.
+    short_buckets = sorted(
+        {r["bucket"] for r in short.select("bucket").distinct().collect()}
+    )
+    rerank_src = spark.read.parquet(index_path).filter(
+        F.col("bucket").isin(short_buckets)  # partition pruning
+    )
+    rerank_src = _mask_tombstones(
+        rerank_src, read_tombstones(spark, index_path)
+    )
+    vecs = rerank_src.select(
         F.col("vec_id").alias("cand_id"), F.col("vec").alias("cv"),
         F.col("nrm").alias("cn"),
     )
@@ -1527,7 +1546,7 @@ def search_kmeans_pq_ivf_index(
     cos = dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
-        short.join(vecs, "cand_id")
+        short.select("query_id", "cand_id").join(vecs, "cand_id")
         .join(F.broadcast(qv), "query_id")
         .select("query_id", "cand_id", cos.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w))
