@@ -79,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
                  "txn-compensate", "txn-resolve-broken", "txn-expire",
                  "bm25-build", "bm25-search", "bm25-compact",
                  "phrase-search", "hybrid-search", "fit-codebook",
-                 "export-store"],
+                 "export-store", "materialize-embeddings"],
     )
     ap.add_argument(
         "arg",
@@ -192,6 +192,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--phrase", default=None,
                     help="phrase-search: the exact phrase, space-"
                          "separated tokens")
+    ap.add_argument("--embeddings-table", default=None,
+                    help="curate: read the corpus's persisted embedding "
+                         "column (materialize-embeddings) instead of "
+                         "re-embedding per run")
     ap.add_argument("--store", default=None, metavar="JDBC_URL",
                     help="serve: answer /search from this exported "
                          "serving store (no Spark job per request); "
@@ -458,8 +462,10 @@ def main(argv: list[str] | None = None) -> int:
             production_hash=True,
             mix_alpha=args.mix_alpha,
             mix_token_budget=args.mix_budget,
-            semantic_from_text=args.semantic_codebook is not None,
+            semantic_from_text=(args.semantic_codebook is not None
+                                and args.embeddings_table is None),
             semantic_codebook_path=args.semantic_codebook,
+            embeddings_table=args.embeddings_table,
         )
         observations: dict = {}
         stages = curate_corpus(docs, config=cfg, observations=observations)
@@ -472,6 +478,20 @@ def main(argv: list[str] | None = None) -> int:
             manifest, os.path.join(out_dir, "manifest.json"))
         print(json.dumps({"funnel": manifest["funnel"],
                           "strata": len(manifest["strata"])}))
+    elif args.verb == "materialize-embeddings":
+        # maintain the corpus's persisted embedding column — embeds
+        # ONLY ids not yet in the table (the amortization lever for
+        # curate --embeddings-table and every other embedding consumer)
+        if not args.arg or not args.sf:
+            print("materialize-embeddings requires a table path and "
+                  "--sf DIR", file=sys.stderr)
+            return 2
+        from .catalog import star_path
+        from .operators.embeddings import materialize_corpus_embeddings
+
+        docs = spark.read.parquet(star_path(args.sf, "documents"))
+        report = materialize_corpus_embeddings(spark, docs, args.arg)
+        print(json.dumps(report))
     elif args.verb == "export-store":
         # the serving-tier export (reference gold_to_postgres.py:33-58,
         # Spark-first: distributed JDBC write, one committed snapshot,

@@ -529,6 +529,13 @@ class CurationConfig:
     # growing corpus should pin one codebook, same never-refit contract
     # as the index builders' stored centroids
     semantic_codebook_path: str | None = None
+    # read the corpus's PERSISTED embedding column (a versioned table
+    # maintained by embeddings.materialize_corpus_embeddings) instead
+    # of re-embedding per run — the r13 build-floor lever: the r12
+    # codebook-reuse build still paid the in-pipeline embed every run
+    # (SCALE.md round 13 has the before/after). Sidecar provenance
+    # (embedder fingerprint, dim) is validated on read.
+    embeddings_table: str | None = None
 
 
 def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
@@ -549,7 +556,13 @@ def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
         # embedding tables carry no embedder identity, so only the dim
         # (validated against the centroids) can be enforced there
         expect_embedder = None
-        if cfg.semantic_from_text:
+        if cfg.embeddings_table:
+            from .embeddings import read_embedder_sidecar
+
+            meta = read_embedder_sidecar(cfg.embeddings_table)
+            if meta is not None:
+                expect_embedder = meta.get("embedder")
+        elif cfg.semantic_from_text:
             from .embeddings import HASHING_EMBEDDER_FINGERPRINT
 
             expect_embedder = HASHING_EMBEDDER_FINGERPRINT
@@ -611,14 +624,29 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
         return df
 
     if (cfg.semantic_codebook_path and embeddings is None
-            and not cfg.semantic_from_text):
+            and not cfg.semantic_from_text and not cfg.embeddings_table):
         raise ValueError(
             "semantic_codebook_path is set but the semantic stage is "
-            "disabled — pass embeddings= or set semantic_from_text=True "
-            "(a configured codebook that silently never runs would look "
-            "like dedup happened when it didn't)"
+            "disabled — pass embeddings=, set semantic_from_text=True, "
+            "or set embeddings_table (a configured codebook that "
+            "silently never runs would look like dedup happened when "
+            "it didn't)"
         )
-    if embeddings is None and cfg.semantic_from_text:
+    if embeddings is None and cfg.embeddings_table:
+        # the persisted corpus embedding column (r13 build-floor lever)
+        # — validate its provenance before trusting the vectors
+        from .embeddings import read_embedder_sidecar
+        from .versioned import read_table
+
+        meta = read_embedder_sidecar(cfg.embeddings_table)
+        if meta is not None and meta.get("dim") != cfg.embedding_dim:
+            raise ValueError(
+                f"embeddings table {cfg.embeddings_table} holds "
+                f"dim={meta.get('dim')} vectors but the pipeline is "
+                f"configured for embedding_dim={cfg.embedding_dim}"
+            )
+        embeddings = read_table(docs.sparkSession, cfg.embeddings_table)
+    elif embeddings is None and cfg.semantic_from_text:
         from .embeddings import embed_documents
 
         # text-only corpus: derive the vectors in-pipeline (one Arrow

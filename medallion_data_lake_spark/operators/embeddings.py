@@ -82,3 +82,91 @@ def embed_documents(
         F.col(id_col).alias(out_id_col),
         text_embedder(dim)(F.col(text_col)).alias(out_vec_col),
     )
+
+
+EMBEDDER_SIDECAR = "_embedder.json"
+
+
+def materialize_corpus_embeddings(
+    spark,
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    embedder: str | None = None,
+) -> dict:
+    """Maintain the corpus's embedding COLUMN as a versioned table —
+    the amortization lever for everything embedding-derived (semantic
+    dedup, ANN builds, knn): embedding is the most expensive map stage
+    a corpus pipeline runs, and it is a pure function of (text,
+    embedder), so re-running it per curation was pure waste (measured:
+    the r12 codebook-reuse build still paid ~31.5s at the 50k clone,
+    dominated by the re-embed; SCALE.md round 13 has the
+    embeddings-from-column number).
+
+    INCREMENTAL: only documents whose ids are not yet in the table are
+    embedded and appended (left_anti against the existing ids — one
+    slim-column read, no vectors). First call creates the table. The
+    table is committed with stats+bloom on ``vec_id`` so downstream
+    point-reads prune, and an ``_embedder.json`` sidecar records
+    (embedder fingerprint, dim) — the same provenance contract as the
+    semantic codebook, enforced by the curation pipeline when it reads
+    the column back (a table of vectors from a different embedder
+    would silently poison every consumer).
+
+    Returns {"n_embedded", "n_total", "version", "embedder", "dim"}.
+    """
+    import json
+    import os
+
+    from .versioned import commit, latest_version, read_table
+
+    fp = embedder or HASHING_EMBEDDER_FINGERPRINT
+    sidecar = os.path.join(table, EMBEDDER_SIDECAR)
+    existing_version = latest_version(table)
+    todo = docs
+    if existing_version is not None:
+        if os.path.exists(sidecar):
+            with open(sidecar) as fh:
+                meta = json.load(fh)
+            if meta.get("embedder") != fp or meta.get("dim") != dim:
+                raise ValueError(
+                    f"embeddings table at {table} was materialized with "
+                    f"({meta.get('embedder')!r}, dim={meta.get('dim')}) "
+                    f"but this call embeds with ({fp!r}, dim={dim}) — "
+                    "mixed embedding spaces in one table would poison "
+                    "every consumer; use a new table or re-materialize"
+                )
+        have = read_table(spark, table).select(
+            F.col("vec_id").alias(id_col)
+        )
+        todo = docs.join(have, id_col, "left_anti")
+    new = embed_documents(todo, id_col, text_col, dim)
+    n_new = new.count()
+    version = existing_version
+    if n_new > 0 or existing_version is None:
+        res = commit(
+            new, table, mode="append",
+            stats_cols=("vec_id",), bloom_cols=("vec_id",),
+        )
+        version = res["version"] if isinstance(res, dict) else res
+    if not os.path.exists(sidecar):
+        with open(sidecar, "w") as fh:
+            json.dump({"embedder": fp, "dim": dim}, fh)
+    n_total = read_table(spark, table).count()
+    return {"n_embedded": int(n_new), "n_total": int(n_total),
+            "version": version, "embedder": fp, "dim": dim}
+
+
+def read_embedder_sidecar(table: str) -> dict | None:
+    """The (embedder, dim) provenance a materialized table carries, or
+    None for tables created outside materialize_corpus_embeddings."""
+    import json
+    import os
+
+    sidecar = os.path.join(table, EMBEDDER_SIDECAR)
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar) as fh:
+        return json.load(fh)

@@ -37,17 +37,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .inverted_index import (
+    _BIGRAMS,
     _CORPUS,
     _DOCLENS,
     _TERMSTATS,
     _t,
     bm25_search,
+    clean_tokens,
     committed_index_snapshot,
     index_has_bigrams,
+    phrase_candidates,
+    phrase_position_hits,
     phrase_search,
     phrase_search_pointread,
 )
-from .versioned import read_table
+from .versioned import latest_version, read_table
 
 
 class WarmSearchSession:
@@ -65,6 +69,8 @@ class WarmSearchSession:
         docs: DataFrame | None = None,
         docs_table: str | None = None,
         cache_tables: bool = True,
+        doc_id_col: str = "doc_id",
+        doc_text_col: str = "text",
     ):
         self.spark = spark
         self.index_root = index_root
@@ -74,6 +80,10 @@ class WarmSearchSession:
         self.docs_table = docs_table
         self._cache_tables = cache_tables
         self._cached: list[DataFrame] = []
+        self.doc_id_col = doc_id_col
+        self.doc_text_col = doc_text_col
+        self._doc_toks: DataFrame | None = None
+        self.docs_version: int | None = None
         self.pins: dict[str, int] = {}
         self.corpus_totals: tuple[int, int] = (0, 0)
         self.refresh()
@@ -117,6 +127,33 @@ class WarmSearchSession:
             if self.embeddings is not None:
                 self.embeddings.cache()
                 self._cached.append(self.embeddings)
+            # phrase warm path (r12 verdict #4): the cold point-read's
+            # dominant cost is the per-request doc-store pruned read —
+            # metadata resolution + footer touches + a 32-file read
+            # that scattered candidate ids can never prune (measured
+            # ~2s of ~2.9s at the 50k clone, SCALE.md round 13). The
+            # TOKENIZED slim projection (doc_id, tokens) is snapshot-
+            # stable, so cache it once; phrase() then semi-joins the
+            # bigram candidates against memory — no store read, no
+            # driver id hop. Corpus-bounded like the embeddings cache:
+            # the session tier serves corpora whose slim columns fit
+            # executor memory; beyond that, serve from the store tier.
+            src = None
+            if self.docs_table is not None:
+                self.docs_version = latest_version(self.docs_table)
+                src = read_table(
+                    self.spark, self.docs_table, version=self.docs_version
+                )
+            elif self.docs is not None:
+                src = self.docs
+            if src is not None:
+                toks = src.select(
+                    F.col(self.doc_id_col).alias("doc_id"),
+                    clean_tokens(F.col(self.doc_text_col)).alias("_toks"),
+                )
+                toks.cache()
+                self._cached.append(toks)
+                self._doc_toks = toks
         return self
 
     def close(self) -> None:
@@ -132,6 +169,8 @@ class WarmSearchSession:
             except Exception:
                 pass
         self._cached = []
+        self._doc_toks = None
+        self.docs_version = None
 
     def __enter__(self) -> "WarmSearchSession":
         return self
@@ -159,13 +198,27 @@ class WarmSearchSession:
     ) -> tuple[DataFrame, dict]:
         """Exact-phrase search at the pinned snapshot: pass ``docs`` for
         the scan form, ``docs_table`` (versioned store) for the
-        point-read serving form; both default to the session's own."""
+        point-read serving form; both default to the session's own —
+        and when the session cached its tokenized doc projection
+        (``cache_tables=True`` with a docs source), the default route
+        is the WARM path: bigram candidates semi-joined against the
+        in-memory tokens, no per-request store read (answer-identical;
+        tests/test_search_session.py)."""
         if not index_has_bigrams(self.index_root):
             raise ValueError(
                 f"index at {self.index_root} has no bigram table; "
                 "rebuild with bigrams=True to serve phrase queries"
             )
         if docs is None and docs_table is None:
+            if self._doc_toks is not None and not kw:
+                if len(phrase) < 2:
+                    raise ValueError("phrase needs at least two tokens")
+                cand, report = phrase_candidates(
+                    self.spark, self.index_root, phrase,
+                    version=self.pins.get(_BIGRAMS),
+                )
+                toks = self._doc_toks.join(cand, "doc_id", "left_semi")
+                return phrase_position_hits(toks, phrase), report
             docs, docs_table = self.docs, self.docs_table
             if docs is not None and docs_table is not None:
                 docs = None  # prefer the scan-free point-read form

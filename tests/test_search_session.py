@@ -114,6 +114,45 @@ def test_close_releases_only_own_cache(spark, tmp_path):
     other.unpersist()
 
 
+def test_warm_phrase_path_skips_the_store_read(spark, tmp_path):
+    """The r13 phrase warm path: with a cached tokenized doc
+    projection, phrase() semi-joins bigram candidates against memory —
+    answer-identical to the cold point-read, and the plan carries NO
+    scan of the doc-store files (the cold path's dominant cost)."""
+    from medallion_data_lake_spark.operators.versioned import commit
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2, bigrams=True)
+    store = str(tmp_path / "docstore")
+    commit(_docs(spark), store, stats_cols=("doc_id",),
+           bloom_cols=("doc_id",))
+
+    from medallion_data_lake_spark.operators.inverted_index import (
+        committed_index_snapshot,
+        phrase_search_pointread,
+    )
+
+    pins = committed_index_snapshot(root)
+    cold = _rows(phrase_search_pointread(
+        spark, root, store, ["stream", "join"], pins=pins)[0])
+
+    with WarmSearchSession(spark, root, docs_table=store) as s:
+        warm_df, report = s.phrase(["stream", "join"])
+        assert _rows(warm_df) == cold and len(cold) > 0
+        assert "files_read" in report  # bigram pruning still reported
+        # no doc-store file scan in the warm plan — the tokens come
+        # from the cached projection
+        plan = warm_df._jdf.queryExecution().optimizedPlan().toString()
+        assert "docstore" not in plan or "InMemoryRelation" in plan
+        # doc-store appends are invisible until refresh (lease)
+        commit(_docs(spark, [(9, "stream join stream join")]), store,
+               mode="append", stats_cols=("doc_id",),
+               bloom_cols=("doc_id",))
+        again, _ = s.phrase(["stream", "join"])
+        assert _rows(again) == cold
+        assert 9 not in {r[0] for r in _rows(again)}
+
+
 def test_session_refuses_uncommitted_index(spark, tmp_path):
     """An index with no committed append txn has no consistent cut to
     pin; pins={} would silently float per-request reads at 'latest'
