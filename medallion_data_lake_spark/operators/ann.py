@@ -1319,6 +1319,7 @@ def search_kmeans_ivf_index(
     n_probes: int = 4,
     k: int = 5,
     allowed: DataFrame | None = None,
+    report: dict | None = None,
 ) -> DataFrame:
     """Top-k over a persisted learned-codebook index with multi-probe:
     each query probes its ``n_probes`` NEAREST CENTROIDS (the KMeans
@@ -1331,6 +1332,12 @@ def search_kmeans_ivf_index(
     ``allowed`` restricts candidates BEFORE ranking (filtered vector
     search) — see :func:`search_ivf_index` for the semantics and the
     probe-depth caveat.
+
+    ``report`` (an empty dict, filled in place) receives
+    ``probe_buckets`` — the pruned partition set, already collected on
+    the driver to build the pushdown filter, exposed for observability
+    and I/O accounting (scripts/measure_pq_io.py sums the touched
+    partitions' actual parquet column-chunk bytes from it).
     """
     import json as _json
     import os as _os
@@ -1370,6 +1377,8 @@ def search_kmeans_ivf_index(
     probe_codes = sorted(
         {r["probe"] for r in probes.select("probe").distinct().collect()}
     )
+    if report is not None:
+        report["probe_buckets"] = probe_codes
     cand = spark.read.parquet(index_path).filter(
         F.col("bucket").isin(probe_codes)  # partition pruning
     )
@@ -1401,6 +1410,7 @@ def search_kmeans_pq_ivf_index(
     n_probes: int = 4,
     k: int = 5,
     shortlist: int = 50,
+    report: dict | None = None,
 ) -> DataFrame:
     """Wide-probe recall recovery on a learned-codebook index with a
     persisted PQ tier: probe the ``n_probes`` nearest cells, ADC-score
@@ -1415,22 +1425,34 @@ def search_kmeans_pq_ivf_index(
     the exact stage stays bounded at queries x shortlist rows however
     wide the pool is.
 
-    WHEN TO USE — measured honestly (scripts/measure_ann_recall.py,
-    SCALE.md round 12): at 20k-200k vectors the full-vector probe beats
-    this path on BOTH wall and recall — on clustered data it hits
-    recall@5 = 1.0 at two probes, and ADC with a small shortlist
-    actively loses recall inside tight clusters (the codebook's 16-cell
-    subspaces resolve between-cluster structure; within one cluster the
-    codes collapse — W=50 recalled 0.26 where W=200/800 recalled
-    0.988/1.0 at flat wall). This path's regime is corpora where
-    reading full vectors for every probed candidate dominates I/O
-    (>=10^7 vectors, wide d): probe wide, set ``shortlist`` >= ~40x k,
-    and only queries x shortlist vectors are ever read exactly.
+    WHEN TO USE — measured honestly (scripts/measure_ann_recall.py
+    round 12; scripts/measure_pq_io.py round 13, d=256 x 200k with
+    exact column-chunk byte accounting): on clustered (expected-case)
+    data the full-vector probe at ONE probe already hits recall@5 =
+    1.0 at 3x less wall and 3x fewer bytes than any wide-probe config
+    — use it and stop. The PQ tier's measured cost SHAPE: the ADC
+    code read is ~free (the code column is ~137x smaller than the vec
+    column: 1.5 MB vs 205 MB at d=256/m=32) and its wall stays FLAT as
+    probes widen (~10-14 s where full grows 5.2 -> 15.1 s), but the
+    exact re-rank reads whole CELLS' vec columns (partition pruning,
+    not row pruning — a >10-element isin cannot push down to parquet
+    row groups), so end-to-end bytes undercut the full path only by
+    (1 - rerank_cells/probed_cells): 0% at p=1 (every probed cell
+    holds shortlist rows), ~24% at p=16 (42/59 cells). The tier
+    therefore pays ONLY when recall genuinely requires wide probes
+    (recall-hard geometry — the r12 adversarial random-vector bound)
+    and cells are large enough that the shortlist concentrates in few
+    of them; with cheap single-probe recall (clustered corpora) it is
+    strictly worse on wall, bytes, and recall (0.975 vs 1.0, ADC
+    in-cluster collapse — W=50 recalled 0.26 where W=200/800 recalled
+    0.988/1.0; keep ``shortlist`` >= ~40x k).
 
     Requires ``build_kmeans_ivf_index(pq_m=...)``; refuses a code-less
     layout. ``allowed`` is intentionally unsupported for the same
     reason as the sign-PQ path: the fixed-size shortlist precedes any
-    filter."""
+    filter. ``report`` (an empty dict, filled in place) receives
+    ``probe_buckets`` and ``rerank_buckets`` — the two stages' pruned
+    partition sets, exposed for I/O accounting."""
     import json as _json
     import os as _os
 
@@ -1488,6 +1510,8 @@ def search_kmeans_pq_ivf_index(
     probe_codes = sorted(
         {r["probe"] for r in probes.select("probe").distinct().collect()}
     )
+    if report is not None:
+        report["probe_buckets"] = probe_codes
     cand = spark.read.parquet(index_path).filter(
         F.col("bucket").isin(probe_codes)  # partition pruning
     )
@@ -1523,15 +1547,18 @@ def search_kmeans_pq_ivf_index(
     # The exact re-rank reads FULL vectors — the expensive column. Read
     # them only from the cells that actually hold shortlisted
     # candidates (partition pruning): ADC shortlists concentrate in the
-    # few nearest cells, so this scan is far narrower than the wide
-    # probe that fed the codes. This is what makes the PQ tier an I/O
-    # win and not just a CPU one (measured, SCALE.md round 13: bytes
-    # scanned per path on a d=256 fixture). The checkpoint above both
-    # bounds the collect and stops the ADC stage from re-running for
-    # the re-rank branch.
+    # few nearest cells, so this scan narrows as probes widen (measured
+    # d=256: rerank touches 42 of 59 probed cells at p=16, all 30 of 30
+    # at p=1 — SCALE.md round 13). Row-level pruning is NOT available:
+    # the shortlist is thousands of ids, past parquet's isin-pushdown
+    # threshold, so whole-cell vec reads are the floor of this stage.
+    # The checkpoint above both bounds the collect and stops the ADC
+    # stage from re-running for the re-rank branch.
     short_buckets = sorted(
         {r["bucket"] for r in short.select("bucket").distinct().collect()}
     )
+    if report is not None:
+        report["rerank_buckets"] = short_buckets
     rerank_src = spark.read.parquet(index_path).filter(
         F.col("bucket").isin(short_buckets)  # partition pruning
     )
@@ -2270,6 +2297,7 @@ def search_index(
     use_pq: bool = False,
     shortlist: int = 50,
     allowed: DataFrame | None = None,
+    report: dict | None = None,
 ) -> DataFrame:
     """Kind-agnostic probe of a persisted IVF index: reads the layout
     kind from ``_ivf_meta.json`` and dispatches to the sign-bucket or
@@ -2308,17 +2336,19 @@ def search_index(
             if meta.get("kind") == "kmeans"
             else search_pq_ivf_index
         )
+        kw = {"report": report} if pq_fn is search_kmeans_pq_ivf_index else {}
         return pq_fn(
             spark, index_path, queries,
             vec_col=vec_col, id_col=id_col, n_probes=n_probes, k=k,
-            shortlist=shortlist,
+            shortlist=shortlist, **kw,
         )
     kind = meta.get("kind", "sign")
     fn = search_kmeans_ivf_index if kind == "kmeans" else search_ivf_index
+    kw = {"report": report} if fn is search_kmeans_ivf_index else {}
     return fn(
         spark, index_path, queries,
         vec_col=vec_col, id_col=id_col, n_probes=n_probes, k=k,
-        allowed=allowed,
+        allowed=allowed, **kw,
     )
 
 

@@ -5,33 +5,41 @@ clusters at small W; W >= ~40x k buys it back) but its raison d'etre —
 "full-vector probe I/O dominates at high d, codes are m bytes/row" —
 stayed a posture claim. This script measures BYTES SCANNED per search
 path on a d=256 clustered fixture (the claimed regime's dimension, at
-a scaled-down count), via the Spark UI REST API's per-stage
-inputBytes:
+a scaled-down count).
 
-- FULL-VECTOR probe at n_probes = 1..16: every probed cell's vec
-  column (d x 4B/row) is read;
-- PQ wide probe at the same n_probes with shortlist = 40 x k: the
-  probed cells contribute only (vec_id, bucket, pq_code) — m+16
-  bytes/row, parquet column pruning never touches vec — and the exact
-  re-rank reads the vec column ONLY from the cells holding
-  shortlisted candidates (partition pruning; r13 change in
-  search_kmeans_pq_ivf_index).
+BYTE ACCOUNTING IS ANALYTIC, NOT REST-SAMPLED: the Spark UI REST
+`inputBytes` metric under-reports parquet scans on the local
+filesystem by >40x (validated: a 199 MB vec-column read reported
+4.5 MB; the flat-file read reported 0) — so instead each search path
+reports, via `search_index(report=)`, exactly which bucket partitions
+its stages touched, and this script sums those partitions' ACTUAL
+parquet column-chunk compressed sizes for the columns each stage
+reads (pyarrow footer metadata). That is the bytes an object store
+would serve a 1000-executor cluster for the same plan:
 
-Reports bytes + wall + recall@5 per (path, probes) so the crossover —
-where the code read + narrow re-rank undercuts the full-vector read at
-EQUAL recall — is a table, not a claim.
+- FULL-VECTOR probe: (vec_id, vec, nrm) column chunks of every probed
+  cell (column pruning drops pq_code; partition pruning drops every
+  other cell);
+- PQ path: (vec_id, pq_code) chunks of the probed cells (the wide ADC
+  stage never touches vec) + (vec_id, vec, nrm) chunks of only the
+  cells holding shortlisted candidates (the r13 narrowed re-rank).
+
+Reports bytes + wall (min of 3) + recall@5 per (path, probes) so the
+crossover — where the code read + narrow re-rank undercuts the
+full-vector read at EQUAL recall — is a table, not a claim.
 
 Usage: python scripts/measure_pq_io.py [work_dir] [n] [dim]
+(an existing work_dir with vectors.parquet + idx/ is REUSED — the
+533 s index build is paid once per fixture)
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
-import shutil
 import sys
 import time
-import urllib.request
 
 import numpy as np
 import pyarrow as pa
@@ -54,6 +62,9 @@ N_QUERIES = 32
 PROBES = (1, 2, 4, 8, 16)
 PQ_M = 32  # 256 dims / 8-dim subspaces -> 32 bytes of code per vector
 
+FULL_COLS = ("vec_id", "vec", "nrm")
+CODE_COLS = ("vec_id", "pq_code")
+
 
 def write_clustered(path: str, n: int, dim: int, seed: int = 11) -> None:
     """Seeded mixture of Gaussians at d=dim (same shape as
@@ -74,26 +85,36 @@ def write_clustered(path: str, n: int, dim: int, seed: int = 11) -> None:
     pq.write_table(tbl, path, row_group_size=50_000)
 
 
-def stage_bytes(spark) -> int:
-    base = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    with urllib.request.urlopen(
-        f"{base}/api/v1/applications/{app}/stages?status=complete"
-    ) as r:
-        return sum(s.get("inputBytes", 0) for s in json.loads(r.read()))
+def column_bytes_index(index_path: str) -> dict[int, dict[str, int]]:
+    """bucket -> {top-level column -> compressed parquet bytes}, from
+    every file's footer metadata. Leaf paths (vec.list.element) roll up
+    to their top-level column."""
+    out: dict[int, dict[str, int]] = {}
+    for f in glob.glob(os.path.join(index_path, "bucket=*", "*.parquet")):
+        bucket = int(f.split("bucket=")[1].split(os.sep)[0])
+        per = out.setdefault(bucket, {})
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                top = c.path_in_schema.split(".")[0]
+                per[top] = per.get(top, 0) + c.total_compressed_size
+    return out
 
 
-def measured(spark, fn):
-    """(bytes_scanned, min-of-3 wall, result) for one search path."""
-    b0 = stage_bytes(spark)
-    out = fn()
-    byts = stage_bytes(spark) - b0
-    walls = []
+def scanned_mb(colbytes: dict, buckets, cols) -> float:
+    s = sum(colbytes.get(b, {}).get(c, 0) for b in buckets for c in cols)
+    return round(s / 1e6, 2)
+
+
+def timed3(fn):
+    walls, out = [], None
     for _ in range(3):
         t0 = time.time()
         out = fn()
         walls.append(time.time() - t0)
-    return byts, round(min(walls), 2), out
+    return round(min(walls), 2), out
 
 
 def brute_topk(emb, queries, k=K):
@@ -121,26 +142,33 @@ def main() -> None:
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mdls_scale/pqio"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     dim = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work)
+    os.makedirs(work, exist_ok=True)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="pq-io", master=f"local[{cpus}]",
-        extra_conf={"spark.sql.shuffle.partitions": cpus,
-                    "spark.ui.enabled": "true",
-                    # per-stage metrics must survive the whole sweep
-                    "spark.ui.retainedStages": "20000"},
+        extra_conf={"spark.sql.shuffle.partitions": cpus},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     data_path = os.path.join(work, "vectors.parquet")
-    write_clustered(data_path, n, dim)
+    if not os.path.exists(data_path):
+        write_clustered(data_path, n, dim)
     emb = spark.read.parquet(data_path)
 
     index_path = os.path.join(work, "idx")
-    t0 = time.time()
-    meta = build_kmeans_ivf_index(emb, index_path, pq_m=PQ_M, pq_k=16)
-    build_s = round(time.time() - t0, 1)
+    build_s = None
+    if not os.path.exists(os.path.join(index_path, "_ivf_meta.json")):
+        t0 = time.time()
+        build_kmeans_ivf_index(emb, index_path, pq_m=PQ_M, pq_k=16)
+        build_s = round(time.time() - t0, 1)
+    with open(os.path.join(index_path, "_ivf_meta.json")) as fh:
+        meta = json.load(fh)
+
+    colbytes = column_bytes_index(index_path)
+    total_vec_mb = round(
+        sum(per.get("vec", 0) for per in colbytes.values()) / 1e6, 1)
+    total_code_mb = round(
+        sum(per.get("pq_code", 0) for per in colbytes.values()) / 1e6, 1)
 
     stride = max(1, n // N_QUERIES)
     queries = emb.filter(
@@ -150,33 +178,39 @@ def main() -> None:
              for r in brute_topk(emb, queries).collect()}
 
     out = {"n": n, "dim": dim, "cells": meta["k"], "pq_m": PQ_M,
-           "build_s": build_s, "shortlist": 40 * K, "paths": {}}
+           "build_s": build_s, "shortlist": 40 * K,
+           "index_vec_col_mb": total_vec_mb,
+           "index_code_col_mb": total_code_mb, "paths": {}}
     for p in PROBES:
-        byts, wall, rows = measured(
-            spark,
-            lambda p=p: search_index(
-                spark, index_path, queries, n_probes=p, k=K
-            ).select("query_id", "cand_id").collect(),
-        )
+        rep: dict = {}
+        wall, rows = timed3(lambda p=p, rep=rep: search_index(
+            spark, index_path, queries, n_probes=p, k=K, report=rep,
+        ).select("query_id", "cand_id").collect())
         rec = round(len(truth & {(r["query_id"], r["cand_id"])
                                  for r in rows}) / max(len(truth), 1), 3)
         out["paths"][f"full_p{p}"] = {
-            "bytes_mb": round(byts / 1e6, 1), "wall_s": wall,
-            "recall_at5": rec,
+            "bytes_mb": scanned_mb(colbytes, rep["probe_buckets"],
+                                   FULL_COLS),
+            "probed_cells": len(rep["probe_buckets"]),
+            "wall_s": wall, "recall_at5": rec,
         }
-        byts, wall, rows = measured(
-            spark,
-            lambda p=p: search_index(
-                spark, index_path, queries, n_probes=p, k=K,
-                use_pq=True, shortlist=40 * K,
-            ).select("query_id", "cand_id").collect(),
-        )
+        rep = {}
+        wall, rows = timed3(lambda p=p, rep=rep: search_index(
+            spark, index_path, queries, n_probes=p, k=K,
+            use_pq=True, shortlist=40 * K, report=rep,
+        ).select("query_id", "cand_id").collect())
         rec = round(len(truth & {(r["query_id"], r["cand_id"])
                                  for r in rows}) / max(len(truth), 1), 3)
         out["paths"][f"pq_p{p}"] = {
-            "bytes_mb": round(byts / 1e6, 1), "wall_s": wall,
-            "recall_at5": rec,
+            "bytes_mb": round(
+                scanned_mb(colbytes, rep["probe_buckets"], CODE_COLS)
+                + scanned_mb(colbytes, rep["rerank_buckets"], FULL_COLS),
+                2),
+            "probed_cells": len(rep["probe_buckets"]),
+            "rerank_cells": len(rep["rerank_buckets"]),
+            "wall_s": wall, "recall_at5": rec,
         }
+        print(f"  p={p} done", file=sys.stderr)
     print(json.dumps({"pq_io": out}))
 
 

@@ -128,8 +128,11 @@ def main() -> None:
     t0 = time.time()
     session = WarmSearchSession(
         spark, root, embeddings=emb, docs_table=store)
-    # materialize the caches once (first request pays it otherwise)
+    # materialize the caches once (first request pays it otherwise) —
+    # including the r13 tokenized-doc projection the phrase warm path
+    # semi-joins against
     session.bm25(TERM_SETS[0], k=10).collect()
+    session.phrase(PHRASES[0])[0].collect()
     out["warm_open_s"] = round(time.time() - t0, 2)
 
     wfns = [
