@@ -23,8 +23,11 @@ holding 20% / 50% of the clone lineitem's rows), plain vs salted:
 
 Each cell: wall (min of 3) + max single-task executorRunTime (the skew
 signal; wall hides skew while other partitions fill the cores).
-Results asserted equal across strategies (collect_list compared as
-multisets).
+Every family folds to a ONE-ROW digest in Spark (sum + xor-style hash
+over the per-group results; collect_list via hash of the sorted array)
+so the timed action carries no driver-transfer term — 1.5M groups
+collected per run would otherwise dominate the wall — and digests are
+asserted equal across strategies.
 
 Usage: python scripts/measure_skew_agg.py [clone_dir] [work_dir]
 """
@@ -128,66 +131,88 @@ def main() -> None:
             .write.mode("overwrite").parquet(skew_path)
         )
         sk = spark.read.parquet(skew_path)
-        rev = F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
-        ).alias("rev")
+        # decimal accumulator: a 1.2M-term double sum at ~4e10 magnitude
+        # drifts by whole units between summation orders, so plain vs
+        # salted digests can never match on doubles (queries/_parity.py
+        # is the same convention)
+        prod = (F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+        # both strategies land on the same decimal type — xxhash64 is
+        # type-sensitive, so a (38,6) vs (28,6) pair would hash apart
+        rev = F.sum(prod).cast("decimal(28,6)").alias("rev")
         salt_row = F.pmod(F.hash("l_partkey", "l_linenumber"),
                           F.lit(N_SALTS))
         salt_val = F.pmod(F.hash("l_partkey"), F.lit(N_SALTS))
 
+        def digest(grouped, *cols):
+            # one-row fold: order-insensitive checksum over all groups
+            # (bit_xor, not sum — a 1.5M-term hash sum overflows long
+            # under ANSI mode)
+            return tuple(
+                grouped.select(
+                    F.xxhash64("l_orderkey", *cols).alias("h")
+                ).agg(
+                    F.expr("bit_xor(h)").alias("x"),
+                    F.count("*").alias("g"),
+                ).collect()[0]
+            )
+
         def algebraic_plain():
-            return sorted(map(tuple, (
-                sk.groupBy("l_orderkey")
-                .agg(rev, F.count("*").alias("n")).collect()
-            )))
+            return digest(
+                sk.groupBy("l_orderkey").agg(rev, F.count("*").alias("n")),
+                "rev", "n",
+            )
 
         def algebraic_salted():
-            return sorted(map(tuple, (
+            return digest(
                 sk.withColumn("_salt", salt_row)
                 .groupBy("l_orderkey", "_salt")
-                .agg(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))).alias("pr"),
+                .agg(F.sum(prod).alias("pr"),
                      F.count("*").alias("pn"))
                 .groupBy("l_orderkey")
-                .agg(F.round(F.sum("pr"), 0).alias("rev"),
-                     F.sum("pn").alias("n")).collect()
-            )))
+                .agg(F.sum("pr").cast("decimal(28,6)").alias("rev"),
+                     F.sum("pn").alias("n")),
+                "rev", "n",
+            )
 
         def distinct_plain():
-            return sorted(map(tuple, (
+            return digest(
                 sk.groupBy("l_orderkey")
-                .agg(F.countDistinct("l_partkey").alias("nd")).collect()
-            )))
+                .agg(F.countDistinct("l_partkey").alias("nd")),
+                "nd",
+            )
 
         def distinct_salted():
             # salt = hash(value): buckets hold DISJOINT value sets
-            return sorted(map(tuple, (
+            return digest(
                 sk.withColumn("_salt", salt_val)
                 .groupBy("l_orderkey", "_salt")
                 .agg(F.countDistinct("l_partkey").alias("pd"))
                 .groupBy("l_orderkey")
-                .agg(F.sum("pd").alias("nd")).collect()
-            )))
+                .agg(F.sum("pd").alias("nd")),
+                "nd",
+            )
 
         def holistic_plain():
-            rows = (
+            return digest(
                 sk.groupBy("l_orderkey")
-                .agg(F.collect_list("l_partkey").alias("parts")).collect()
+                .agg(F.collect_list("l_partkey").alias("parts"))
+                .select("l_orderkey",
+                        F.sort_array("parts").alias("parts")),
+                "parts",
             )
-            return sorted((r["l_orderkey"], tuple(sorted(r["parts"])))
-                          for r in rows)
 
         def holistic_salted():
-            rows = (
+            return digest(
                 sk.withColumn("_salt", salt_row)
                 .groupBy("l_orderkey", "_salt")
                 .agg(F.collect_list("l_partkey").alias("pp"))
                 .groupBy("l_orderkey")
                 .agg(F.flatten(F.collect_list("pp")).alias("parts"))
-                .collect()
+                .select("l_orderkey",
+                        F.sort_array("parts").alias("parts")),
+                "parts",
             )
-            return sorted((r["l_orderkey"], tuple(sorted(r["parts"])))
-                          for r in rows)
 
         cell = {
             "algebraic": {"plain": run(spark, algebraic_plain),
