@@ -331,3 +331,43 @@ def test_cli_txn_verbs(capsys, spark, tmp_path):
     assert main(["txn-expire", root, "--older-than", "0"]) == 0
     expired = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert expired["expired"] == []
+
+
+def test_cli_materialize_embeddings_and_curate_from_table(tmp_path, capsys,
+                                                          spark):
+    """materialize-embeddings maintains the corpus embedding column
+    (incremental: a second call embeds nothing) and curate
+    --embeddings-table routes the semantic stage through it — same
+    funnel stages as the re-embed path, no per-run embedding."""
+    import json
+
+    from medallion_data_lake_spark import cli
+    from medallion_data_lake_spark.operators.ann import (
+        fit_semantic_codebook,
+    )
+    from medallion_data_lake_spark.operators.embeddings import (
+        HASHING_EMBEDDER_FINGERPRINT,
+        embed_documents,
+    )
+    table = str(tmp_path / "emb")
+    assert cli.main(["materialize-embeddings", table,
+                     "--sf", "/root/testdata/sf0.001"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_embedded"] == rep["n_total"] > 0
+    # incremental: same corpus again -> zero embedded
+    assert cli.main(["materialize-embeddings", table,
+                     "--sf", "/root/testdata/sf0.001"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["n_embedded"] == 0 and rep2["n_total"] == rep["n_total"]
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = embed_documents(docs, "doc_id", "text", 64, "vec_id", "embedding")
+    cb = str(tmp_path / "cb")
+    fit_semantic_codebook(emb, cb, embedder=HASHING_EMBEDDER_FINGERPRINT)
+    out = str(tmp_path / "rel")
+    assert cli.main(["curate", out, "--sf", "/root/testdata/sf0.001",
+                     "--semantic-codebook", cb,
+                     "--embeddings-table", table]) == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "semantic_deduped" in printed["funnel"]
+    assert printed["funnel"]["curated"] > 0
