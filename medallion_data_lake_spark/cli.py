@@ -221,6 +221,12 @@ def main(argv: list[str] | None = None) -> int:
         if not os.path.isdir(gold):
             print(f"serve requires a gold directory (got {gold})", file=sys.stderr)
             return 2
+        if args.store and args.http is None:
+            # the store route exists only on the HTTP server; silently
+            # running a REPL without it would look store-backed
+            print("serve --store requires --http PORT (the store "
+                  "answers the HTTP /search route)", file=sys.stderr)
+            return 2
         serving = ServingLayer(spark, gold, cache_tables=True)
         try:
             if args.http is not None:

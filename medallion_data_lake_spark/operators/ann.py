@@ -1559,11 +1559,14 @@ def search_kmeans_pq_ivf_index(
     )
     if report is not None:
         report["rerank_buckets"] = short_buckets
-    rerank_src = spark.read.parquet(index_path).filter(
+    # narrow WITHIN the probe's relation (stacked partition filters
+    # prune the scan to short_buckets) rather than a fresh
+    # spark.read.parquet: one file listing and one tombstone frame for
+    # both stages, so a tombstone or append landing between the ADC
+    # action and the re-rank action cannot give the two stages
+    # different views of the index
+    rerank_src = cand.filter(
         F.col("bucket").isin(short_buckets)  # partition pruning
-    )
-    rerank_src = _mask_tombstones(
-        rerank_src, read_tombstones(spark, index_path)
     )
     vecs = rerank_src.select(
         F.col("vec_id").alias("cand_id"), F.col("vec").alias("cv"),
@@ -2147,6 +2150,7 @@ def search_ivf_index(
     n_probes: int = 4,
     k: int = 5,
     allowed: DataFrame | None = None,
+    report: dict | None = None,
 ) -> DataFrame:
     """Top-k over a persisted IVF index with multi-probe.
 
@@ -2194,6 +2198,8 @@ def search_ivf_index(
         )
     )
     probe_codes = sorted({r["probe"] for r in q.select("probe").distinct().collect()})
+    if report is not None:
+        report["probe_buckets"] = probe_codes
     cand = (
         spark.read.parquet(index_path)
         .filter(F.col("bucket").isin(probe_codes))  # partition pruning
@@ -2240,6 +2246,7 @@ def search_pq_ivf_index(
     n_probes: int = 4,
     k: int = 5,
     shortlist: int = 50,
+    report: dict | None = None,
 ) -> DataFrame:
     """IVF-PQ search over the PERSISTED tier: probe codes prune the
     bucket partitions (same pushed ``isin`` as :func:`search_ivf_index`),
@@ -2274,6 +2281,10 @@ def search_pq_ivf_index(
             ).alias("probe")
         ).distinct().collect()
     })
+    if report is not None:
+        # no separate rerank set: ivf_pq_search re-ranks within the
+        # probed candidates, so one partition set covers both stages
+        report["probe_buckets"] = probe_codes
     cand = (
         spark.read.parquet(index_path)
         .filter(F.col("bucket").isin(probe_codes))  # partition pruning
@@ -2336,19 +2347,17 @@ def search_index(
             if meta.get("kind") == "kmeans"
             else search_pq_ivf_index
         )
-        kw = {"report": report} if pq_fn is search_kmeans_pq_ivf_index else {}
         return pq_fn(
             spark, index_path, queries,
             vec_col=vec_col, id_col=id_col, n_probes=n_probes, k=k,
-            shortlist=shortlist, **kw,
+            shortlist=shortlist, report=report,
         )
     kind = meta.get("kind", "sign")
     fn = search_kmeans_ivf_index if kind == "kmeans" else search_ivf_index
-    kw = {"report": report} if fn is search_kmeans_ivf_index else {}
     return fn(
         spark, index_path, queries,
         vec_col=vec_col, id_col=id_col, n_probes=n_probes, k=k,
-        allowed=allowed, **kw,
+        allowed=allowed, report=report,
     )
 
 

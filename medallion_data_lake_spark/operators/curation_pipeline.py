@@ -646,6 +646,26 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                 f"configured for embedding_dim={cfg.embedding_dim}"
             )
         embeddings = read_table(docs.sparkSession, cfg.embeddings_table)
+        # coverage guard: the semantic stage inner-joins docs to their
+        # vectors, so any doc MISSING from the table would silently
+        # skip semantic dedup while the funnel still reports the stage
+        # — the same "looks like dedup happened when it didn't" failure
+        # the codebook guard above refuses. One slim anti-join count
+        # (ids only, no vectors, no text); the fix is re-running
+        # materialize_corpus_embeddings, which embeds only the gap.
+        uncovered = docs.select(cfg.id_col).join(
+            embeddings.select(
+                F.col(cfg.embedding_id_col).alias(cfg.id_col)),
+            cfg.id_col, "left_anti",
+        ).count()
+        if uncovered > 0:
+            raise ValueError(
+                f"embeddings table {cfg.embeddings_table} is missing "
+                f"vectors for {uncovered} input document(s) — those "
+                "docs would silently bypass semantic dedup. Re-run "
+                "materialize_corpus_embeddings (CLI: "
+                "materialize-embeddings) to embed the gap first."
+            )
     elif embeddings is None and cfg.semantic_from_text:
         from .embeddings import embed_documents
 

@@ -126,23 +126,49 @@ def materialize_corpus_embeddings(
     sidecar = os.path.join(table, EMBEDDER_SIDECAR)
     existing_version = latest_version(table)
     todo = docs
+    n_existing = 0
     if existing_version is not None:
-        if os.path.exists(sidecar):
-            with open(sidecar) as fh:
-                meta = json.load(fh)
-            if meta.get("embedder") != fp or meta.get("dim") != dim:
-                raise ValueError(
-                    f"embeddings table at {table} was materialized with "
-                    f"({meta.get('embedder')!r}, dim={meta.get('dim')}) "
-                    f"but this call embeds with ({fp!r}, dim={dim}) — "
-                    "mixed embedding spaces in one table would poison "
-                    "every consumer; use a new table or re-materialize"
-                )
+        if not os.path.exists(sidecar):
+            # a version-bearing table with no provenance cannot prove
+            # which space its vectors live in — appending would let a
+            # mismatched call stamp the WHOLE table with its own
+            # (embedder, dim) and launder mixed spaces past every
+            # downstream check
+            raise ValueError(
+                f"table at {table} has committed versions but no "
+                f"{EMBEDDER_SIDECAR} sidecar — it was not created by "
+                "materialize_corpus_embeddings (or the sidecar was "
+                "lost); refusing to append into an unverifiable "
+                "embedding space. Re-materialize into a new table."
+            )
+        with open(sidecar) as fh:
+            meta = json.load(fh)
+        if meta.get("embedder") != fp or meta.get("dim") != dim:
+            raise ValueError(
+                f"embeddings table at {table} was materialized with "
+                f"({meta.get('embedder')!r}, dim={meta.get('dim')}) "
+                f"but this call embeds with ({fp!r}, dim={dim}) — "
+                "mixed embedding spaces in one table would poison "
+                "every consumer; use a new table or re-materialize"
+            )
         have = read_table(spark, table).select(
             F.col("vec_id").alias(id_col)
         )
+        n_existing = have.count()  # slim single-column read
         todo = docs.join(have, id_col, "left_anti")
-    new = embed_documents(todo, id_col, text_col, dim)
+    else:
+        # sidecar BEFORE the first commit: a crash between commit and a
+        # trailing sidecar write would leave exactly the unverifiable
+        # table the guard above refuses
+        os.makedirs(table, exist_ok=True)
+        with open(sidecar, "w") as fh:
+            json.dump({"embedder": fp, "dim": dim}, fh)
+    # one embed pass total: checkpoint the embedded rows so the count
+    # and the commit don't each replay the corpus scan + anti-join +
+    # Arrow embed stage
+    new = embed_documents(todo, id_col, text_col, dim).localCheckpoint(
+        eager=True
+    )
     n_new = new.count()
     version = existing_version
     if n_new > 0 or existing_version is None:
@@ -151,11 +177,7 @@ def materialize_corpus_embeddings(
             stats_cols=("vec_id",), bloom_cols=("vec_id",),
         )
         version = res["version"] if isinstance(res, dict) else res
-    if not os.path.exists(sidecar):
-        with open(sidecar, "w") as fh:
-            json.dump({"embedder": fp, "dim": dim}, fh)
-    n_total = read_table(spark, table).count()
-    return {"n_embedded": int(n_new), "n_total": int(n_total),
+    return {"n_embedded": int(n_new), "n_total": int(n_existing + n_new),
             "version": version, "embedder": fp, "dim": dim}
 
 

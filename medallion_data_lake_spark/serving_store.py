@@ -335,11 +335,15 @@ def export_search_store(
             f'{T_POSTINGS}("term", "doc_id", "impact")')
         store.execute(
             f'CREATE INDEX idx_termstats_term ON {T_TERMSTATS}("term")')
-        # give the optimizer real cardinalities for the fresh tables
-        for t in (T_POSTINGS, T_TERMSTATS):
-            store.execute(
-                "CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS"
-                f"('APP', '{t.upper()}', NULL)")
+        # give the optimizer real cardinalities for the fresh tables —
+        # Derby has no auto-analyze, so call its system procedure; any
+        # other engine (Postgres/MySQL behind the same URL) autovacuums
+        # or ANALYZEs on its own and has no SYSCS_UTIL schema
+        if driver == DERBY_DRIVER:
+            for t in (T_POSTINGS, T_TERMSTATS):
+                store.execute(
+                    "CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS"
+                    f"('APP', '{t.upper()}', NULL)")
     return pins
 
 

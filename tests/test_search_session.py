@@ -117,8 +117,15 @@ def test_close_releases_only_own_cache(spark, tmp_path):
 def test_warm_phrase_path_skips_the_store_read(spark, tmp_path):
     """The r13 phrase warm path: with a cached tokenized doc
     projection, phrase() semi-joins bigram candidates against memory —
-    answer-identical to the cold point-read, and the plan carries NO
-    scan of the doc-store files (the cold path's dominant cost)."""
+    answer-identical to the cold point-read, and the doc-store files
+    are NEVER read per request (the cold path's dominant cost). Plan
+    strings can't prove the latter (the cached relation's printed
+    definition legitimately mentions the store), so the test proves it
+    behaviorally: after the cache is materialized, the store's data
+    files are DELETED from disk and the warm path must still answer."""
+    import glob
+    import os
+
     from medallion_data_lake_spark.operators.versioned import commit
 
     root = str(tmp_path / "idx")
@@ -140,10 +147,6 @@ def test_warm_phrase_path_skips_the_store_read(spark, tmp_path):
         warm_df, report = s.phrase(["stream", "join"])
         assert _rows(warm_df) == cold and len(cold) > 0
         assert "files_read" in report  # bigram pruning still reported
-        # no doc-store file scan in the warm plan — the tokens come
-        # from the cached projection
-        plan = warm_df._jdf.queryExecution().optimizedPlan().toString()
-        assert "docstore" not in plan or "InMemoryRelation" in plan
         # doc-store appends are invisible until refresh (lease)
         commit(_docs(spark, [(9, "stream join stream join")]), store,
                mode="append", stats_cols=("doc_id",),
@@ -151,6 +154,19 @@ def test_warm_phrase_path_skips_the_store_read(spark, tmp_path):
         again, _ = s.phrase(["stream", "join"])
         assert _rows(again) == cold
         assert 9 not in {r[0] for r in _rows(again)}
+        # the no-store-read proof: force the cached projection fully
+        # into memory, remove the store's parquet data files, and the
+        # warm path still answers (a per-request store scan would fail)
+        assert s._doc_toks is not None
+        s._doc_toks.count()
+        removed = 0
+        for f in glob.glob(os.path.join(store, "**", "*.parquet"),
+                           recursive=True):
+            os.remove(f)
+            removed += 1
+        assert removed > 0
+        gone, _ = s.phrase(["stream", "join"])
+        assert _rows(gone) == cold
 
 
 def test_session_refuses_uncommitted_index(spark, tmp_path):

@@ -385,3 +385,42 @@ def test_curation_embeddings_from_persisted_table(spark, tmp_path):
     with pytest.raises(ValueError, match="embedding space|materialized"):
         materialize_corpus_embeddings(spark, docs, table, dim=16,
                                       embedder="other-enc")
+
+
+def test_embeddings_table_guards(spark, tmp_path):
+    """The two r13 review guards: curation refuses an embeddings table
+    that does not cover every input doc (uncovered docs would silently
+    bypass semantic dedup), and materialization refuses to append into
+    a version-bearing table that carries no provenance sidecar."""
+    import os
+
+    import pytest
+
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+    from medallion_data_lake_spark.operators.embeddings import (
+        EMBEDDER_SIDECAR,
+        materialize_corpus_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i}", "en", "web") for i in range(20)],
+        "doc_id long, text string, lang string, source string")
+    table = str(tmp_path / "emb")
+    materialize_corpus_embeddings(spark, docs, table, dim=16)
+
+    # coverage: 5 extra docs missing from the table -> refuse loudly
+    more = docs.unionByName(spark.createDataFrame(
+        [(i, f"alpha{i} beta{i}", "en", "web") for i in range(20, 25)],
+        "doc_id long, text string, lang string, source string"))
+    with pytest.raises(ValueError, match="missing vectors for 5"):
+        curate_corpus(more, config=CurationConfig(
+            embedding_dim=16, embeddings_table=table))
+
+    # provenance: a committed table whose sidecar is gone is
+    # unverifiable -> refuse the append
+    os.remove(os.path.join(table, EMBEDDER_SIDECAR))
+    with pytest.raises(ValueError, match="no _embedder.json"):
+        materialize_corpus_embeddings(spark, more, table, dim=16)
