@@ -566,16 +566,32 @@ def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
             from .embeddings import HASHING_EMBEDDER_FINGERPRINT
 
             expect_embedder = HASHING_EMBEDDER_FINGERPRINT
+        # validate the codebook against the ACTUAL vector width, not
+        # the config default: a caller-injected embeddings frame may be
+        # any dim, and checking cfg.embedding_dim both rejected valid
+        # (embeddings, codebook) pairs and passed mismatched ones (r13
+        # advice). One limit(1) probe — the cheapest true answer.
+        probe = emb.select(
+            F.size(F.col(cfg.embedding_col)).alias("_d")
+        ).limit(1).first()
+        actual_dim = (
+            int(probe["_d"])
+            if probe is not None and probe["_d"] is not None
+            else cfg.embedding_dim
+        )
         model = load_semantic_codebook(
             cfg.semantic_codebook_path,
-            expect_dim=cfg.embedding_dim,
+            expect_dim=actual_dim,
             expect_embedder=expect_embedder,
         )
+        dim = actual_dim  # sign-bit splitting must not index past the vector
+    else:
+        dim = cfg.embedding_dim
     verdict = semantic_dedup(
         emb, id_col=cfg.id_col, vec_col=cfg.embedding_col,
         threshold=cfg.semantic_threshold, cluster_size=cfg.semantic_cluster_size,
         k_cap=cfg.semantic_k_cap, max_fit_rows=cfg.semantic_max_fit_rows,
-        dim=cfg.embedding_dim, model=model,
+        dim=dim, model=model,
     )
     drop = verdict.filter(~F.col("is_kept")).select(cfg.id_col)
     return docs.join(drop, cfg.id_col, "left_anti")
@@ -650,21 +666,40 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
         # vectors, so any doc MISSING from the table would silently
         # skip semantic dedup while the funnel still reports the stage
         # — the same "looks like dedup happened when it didn't" failure
-        # the codebook guard above refuses. One slim anti-join count
-        # (ids only, no vectors, no text); the fix is re-running
-        # materialize_corpus_embeddings, which embeds only the gap.
-        uncovered = docs.select(cfg.id_col).join(
-            embeddings.select(
-                F.col(cfg.embedding_id_col).alias(cfg.id_col)),
-            cfg.id_col, "left_anti",
-        ).count()
+        # the codebook guard above refuses. When the table carries the
+        # text fingerprint column, the guard also catches STALE rows
+        # (same id, changed text → vector from the old text), closing
+        # the r13 advice hole; either way it is one slim anti-join
+        # count (ids+fp only, no vectors, no text payload); the fix is
+        # re-running materialize_corpus_embeddings, which embeds only
+        # the gap / the changed rows.
+        if "text_fp" in embeddings.columns:
+            from .embeddings import text_fingerprint
+
+            uncovered = docs.select(
+                F.col(cfg.id_col),
+                text_fingerprint(cfg.text_col).alias("text_fp"),
+            ).join(
+                embeddings.select(
+                    F.col(cfg.embedding_id_col).alias(cfg.id_col),
+                    "text_fp"),
+                [cfg.id_col, "text_fp"], "left_anti",
+            ).count()
+            what = "is missing or holds STALE vectors for"
+        else:
+            uncovered = docs.select(cfg.id_col).join(
+                embeddings.select(
+                    F.col(cfg.embedding_id_col).alias(cfg.id_col)),
+                cfg.id_col, "left_anti",
+            ).count()
+            what = "is missing vectors for"
         if uncovered > 0:
             raise ValueError(
-                f"embeddings table {cfg.embeddings_table} is missing "
-                f"vectors for {uncovered} input document(s) — those "
-                "docs would silently bypass semantic dedup. Re-run "
-                "materialize_corpus_embeddings (CLI: "
-                "materialize-embeddings) to embed the gap first."
+                f"embeddings table {cfg.embeddings_table} {what} "
+                f"{uncovered} input document(s) — those docs would "
+                "silently bypass semantic dedup (or be deduped on an "
+                "outdated text). Re-run materialize_corpus_embeddings "
+                "(CLI: materialize-embeddings) to embed the gap first."
             )
     elif embeddings is None and cfg.semantic_from_text:
         from .embeddings import embed_documents

@@ -87,6 +87,15 @@ def embed_documents(
 EMBEDDER_SIDECAR = "_embedder.json"
 
 
+def text_fingerprint(text_col) -> F.Column:
+    """The text identity an embedding row was computed from: md5 of the
+    raw text (JVM-side, no UDF). Stored beside each vector so
+    incrementality can detect a CHANGED text under a stable id — an
+    embedding is a pure function of (text, embedder), and an id-only
+    anti-join would silently keep serving the old vector forever."""
+    return F.md5(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
 def materialize_corpus_embeddings(
     spark,
     docs: DataFrame,
@@ -105,28 +114,49 @@ def materialize_corpus_embeddings(
     dominated by the re-embed; SCALE.md round 13 has the
     embeddings-from-column number).
 
-    INCREMENTAL: only documents whose ids are not yet in the table are
-    embedded and appended (left_anti against the existing ids — one
-    slim-column read, no vectors). First call creates the table. The
-    table is committed with stats+bloom on ``vec_id`` so downstream
-    point-reads prune, and an ``_embedder.json`` sidecar records
-    (embedder fingerprint, dim) — the same provenance contract as the
-    semantic codebook, enforced by the curation pipeline when it reads
-    the column back (a table of vectors from a different embedder
-    would silently poison every consumer).
+    INCREMENTAL by (id, text fingerprint): each row carries
+    ``text_fp = md5(text)`` (:func:`text_fingerprint`), and the
+    anti-join that decides what to embed runs on BOTH columns — a new
+    id is embedded and inserted, and a document whose TEXT changed
+    under a stable id is re-embedded and upserted
+    (:func:`operators.versioned.merge_into` on ``vec_id`` — file-
+    granular, only key-overlapping files rewrite), so the table never
+    silently serves a stale vector (r13 advice, medium). The slim read
+    that feeds the anti-join is (vec_id, text_fp) only — no vectors.
 
-    Returns {"n_embedded", "n_total", "version", "embedder", "dim"}.
+    First call creates the table. Data files carry stats+bloom on
+    ``vec_id`` so downstream point-reads prune, and an
+    ``_embedder.json`` sidecar records (embedder fingerprint, dim) —
+    the same provenance contract as the semantic codebook, enforced by
+    the curation pipeline when it reads the column back (a table of
+    vectors from a different embedder would silently poison every
+    consumer).
+
+    Legacy tables materialized before the fingerprint column exist
+    without ``text_fp``; for those the increment falls back to id-only
+    (stale texts are NOT detected) and the result flags it with
+    ``stale_checked=False`` — re-materialize into a fresh table to get
+    the full contract.
+
+    Returns {"n_embedded", "n_total", "version", "embedder", "dim",
+    "stale_checked"}.
     """
     import json
     import os
 
-    from .versioned import commit, latest_version, read_table
+    from .versioned import commit, latest_version, merge_into, read_table
 
     fp = embedder or HASHING_EMBEDDER_FINGERPRINT
     sidecar = os.path.join(table, EMBEDDER_SIDECAR)
     existing_version = latest_version(table)
-    todo = docs
-    n_existing = 0
+    docs_fp = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        text_fingerprint(text_col).alias("text_fp"),
+    )
+    todo = docs_fp
+    stale_checked = True
+    use_merge = False
     if existing_version is not None:
         if not os.path.exists(sidecar):
             # a version-bearing table with no provenance cannot prove
@@ -151,11 +181,17 @@ def materialize_corpus_embeddings(
                 "mixed embedding spaces in one table would poison "
                 "every consumer; use a new table or re-materialize"
             )
-        have = read_table(spark, table).select(
-            F.col("vec_id").alias(id_col)
-        )
-        n_existing = have.count()  # slim single-column read
-        todo = docs.join(have, id_col, "left_anti")
+        existing = read_table(spark, table)
+        if "text_fp" in existing.columns:
+            have = existing.select(
+                F.col("vec_id").alias(id_col), "text_fp"
+            )
+            todo = docs_fp.join(have, [id_col, "text_fp"], "left_anti")
+            use_merge = True  # changed ids must REPLACE their old row
+        else:
+            have = existing.select(F.col("vec_id").alias(id_col))
+            todo = docs_fp.join(have, id_col, "left_anti")
+            stale_checked = False
     else:
         # sidecar BEFORE the first commit: a crash between commit and a
         # trailing sidecar write would leave exactly the unverifiable
@@ -166,19 +202,38 @@ def materialize_corpus_embeddings(
     # one embed pass total: checkpoint the embedded rows so the count
     # and the commit don't each replay the corpus scan + anti-join +
     # Arrow embed stage
-    new = embed_documents(todo, id_col, text_col, dim).localCheckpoint(
-        eager=True
+    new = todo.select(
+        F.col(id_col).alias("vec_id"),
+        text_embedder(dim)(F.col(text_col)).alias("embedding"),
+        "text_fp",
     )
+    if not stale_checked:
+        # legacy table: keep its (vec_id, embedding) schema — a mixed
+        # table where only some rows carry text_fp would make the
+        # staleness anti-join half-blind while looking armed
+        new = new.drop("text_fp")
+    new = new.localCheckpoint(eager=True)
     n_new = new.count()
     version = existing_version
-    if n_new > 0 or existing_version is None:
+    if existing_version is None:
         res = commit(
             new, table, mode="append",
             stats_cols=("vec_id",), bloom_cols=("vec_id",),
         )
         version = res["version"] if isinstance(res, dict) else res
-    return {"n_embedded": int(n_new), "n_total": int(n_existing + n_new),
-            "version": version, "embedder": fp, "dim": dim}
+    elif n_new > 0:
+        if use_merge:
+            res = merge_into(spark, table, new, key="vec_id")
+        else:
+            res = commit(
+                new, table, mode="append",
+                stats_cols=("vec_id",), bloom_cols=("vec_id",),
+            )
+        version = res["version"] if isinstance(res, dict) else res
+    n_total = read_table(spark, table).count()  # slim id-column read
+    return {"n_embedded": int(n_new), "n_total": int(n_total),
+            "version": version, "embedder": fp, "dim": dim,
+            "stale_checked": stale_checked}
 
 
 def read_embedder_sidecar(table: str) -> dict | None:

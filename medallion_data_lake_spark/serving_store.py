@@ -189,6 +189,11 @@ class ServingStore:
         # Spark's JDBC writer creates QUOTED lower-case columns; Derby
         # folds unquoted identifiers to upper case, so every column
         # reference here must stay quoted.
+        # ORDER BY the DECIMAL sum itself, casting to double only in
+        # the projection: the lake plan orders by the decimal(28,12)
+        # sum before casting, so ordering the double here could rank
+        # two docs differently at the k boundary when their decimal
+        # scores differ below double precision (r13 advice).
         sql = (
             'SELECT p."doc_id", COUNT(*) AS n_terms_matched, '
             'CAST(SUM(CAST(p."impact" AS DECIMAL(28,12))) AS DOUBLE) '
@@ -196,7 +201,8 @@ class ServingStore:
             f"FROM {T_POSTINGS} p "
             f'WHERE p."term" IN ({marks}) '
             'GROUP BY p."doc_id" '
-            f"ORDER BY 3 DESC, 1 ASC FETCH FIRST {k} ROWS ONLY"
+            'ORDER BY SUM(CAST(p."impact" AS DECIMAL(28,12))) DESC, '
+            f'p."doc_id" ASC FETCH FIRST {k} ROWS ONLY'
         )
         return self.query(sql, list(terms), max_rows=k)
 
@@ -291,6 +297,13 @@ def export_search_store(
         (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
     )
     totals = corpus_row.first()
+    if totals is None or not totals["n_docs"]:
+        # an empty-but-committed index folds to NULL totals; int(None)
+        # would crash opaquely rows deep instead of stating the problem
+        raise ValueError(
+            f"index at {index_root} has no documents at the committed "
+            "snapshot; nothing to export"
+        )
     n_docs, avgdl = int(totals["n_docs"]), float(totals["avgdl"])
     termstats = (
         read_table(

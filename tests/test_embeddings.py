@@ -111,3 +111,68 @@ def test_semantic_dedup_from_text_only_corpus(spark):
     kept = {r["doc_id"] for r in stages["curated"].collect()}
     assert len(kept & {1, 2}) == 1        # one of the pair dropped
     assert {3, 4} <= kept                  # unrelated docs survive
+
+
+def test_materialize_reembeds_changed_text(spark, tmp_path):
+    """A document whose TEXT changed under a stable id must be
+    re-embedded and its old vector replaced (r13 advice: id-only
+    incrementality silently served stale vectors forever)."""
+    from medallion_data_lake_spark.operators.embeddings import (
+        materialize_corpus_embeddings,
+    )
+    from medallion_data_lake_spark.operators.versioned import read_table
+
+    docs = spark.createDataFrame(
+        [(i, f"original text number {i}") for i in range(10)],
+        "doc_id long, text string")
+    table = str(tmp_path / "emb")
+    first = materialize_corpus_embeddings(spark, docs, table, dim=16)
+    assert first["n_embedded"] == 10 and first["stale_checked"] is True
+
+    # steady state: nothing to do
+    again = materialize_corpus_embeddings(spark, docs, table, dim=16)
+    assert again["n_embedded"] == 0 and again["n_total"] == 10
+
+    # change ONE text in place; the increment must be exactly that row
+    changed = spark.createDataFrame(
+        [(i, "a completely different sentence" if i == 3
+          else f"original text number {i}") for i in range(10)],
+        "doc_id long, text string")
+    res = materialize_corpus_embeddings(spark, changed, table, dim=16)
+    assert res["n_embedded"] == 1
+    assert res["n_total"] == 10            # upsert, not append-duplicate
+
+    out = read_table(spark, table)
+    assert out.count() == 10               # vec_id stays unique
+    got = out.filter(F.col("vec_id") == 3).first()["embedding"]
+    want = embed_documents(
+        changed.filter(F.col("doc_id") == 3), dim=16
+    ).first()["embedding"]
+    assert got == want                     # the NEW text's vector
+
+
+def test_materialize_new_and_changed_in_one_pass(spark, tmp_path):
+    """Mixed increment: new ids insert, changed ids replace — one
+    merge, table stays unique by vec_id."""
+    from medallion_data_lake_spark.operators.embeddings import (
+        materialize_corpus_embeddings,
+    )
+    from medallion_data_lake_spark.operators.versioned import read_table
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body") for i in range(5)],
+        "doc_id long, text string")
+    table = str(tmp_path / "emb2")
+    materialize_corpus_embeddings(spark, docs, table, dim=16)
+
+    nxt = spark.createDataFrame(
+        [(0, "doc 0 rewritten")] +
+        [(i, f"doc {i} body") for i in range(1, 5)] +
+        [(5, "doc 5 body"), (6, "doc 6 body")],
+        "doc_id long, text string")
+    res = materialize_corpus_embeddings(spark, nxt, table, dim=16)
+    assert res["n_embedded"] == 3          # 1 changed + 2 new
+    assert res["n_total"] == 7
+    out = read_table(spark, table)
+    assert out.count() == 7
+    assert out.select("vec_id").distinct().count() == 7

@@ -415,7 +415,7 @@ def test_embeddings_table_guards(spark, tmp_path):
     more = docs.unionByName(spark.createDataFrame(
         [(i, f"alpha{i} beta{i}", "en", "web") for i in range(20, 25)],
         "doc_id long, text string, lang string, source string"))
-    with pytest.raises(ValueError, match="missing vectors for 5"):
+    with pytest.raises(ValueError, match="STALE vectors for 5"):
         curate_corpus(more, config=CurationConfig(
             embedding_dim=16, embeddings_table=table))
 
@@ -424,3 +424,66 @@ def test_embeddings_table_guards(spark, tmp_path):
     os.remove(os.path.join(table, EMBEDDER_SIDECAR))
     with pytest.raises(ValueError, match="no _embedder.json"):
         materialize_corpus_embeddings(spark, more, table, dim=16)
+
+
+def test_coverage_guard_catches_stale_text(spark, tmp_path):
+    """Same ids, one text edited AFTER materialize: the coverage guard
+    must refuse (the vector no longer matches the text it claims to
+    represent), and a re-materialize clears it (r13 advice)."""
+    import pytest
+
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+    from medallion_data_lake_spark.operators.embeddings import (
+        materialize_corpus_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i}", "en", "web") for i in range(10)],
+        "doc_id long, text string, lang string, source string")
+    table = str(tmp_path / "emb")
+    materialize_corpus_embeddings(spark, docs, table, dim=16)
+
+    edited = spark.createDataFrame(
+        [(i, "edited body" if i == 4 else f"alpha{i} beta{i}",
+          "en", "web") for i in range(10)],
+        "doc_id long, text string, lang string, source string")
+    cfg = CurationConfig(embedding_dim=16, embeddings_table=table)
+    with pytest.raises(ValueError, match="STALE vectors for 1"):
+        curate_corpus(edited, config=cfg)
+
+    materialize_corpus_embeddings(spark, edited, table, dim=16)
+    curate_corpus(edited, config=cfg)["curated"].collect()  # now clean
+
+
+def test_external_embeddings_codebook_dim_from_frame(spark, tmp_path):
+    """A caller-injected embeddings frame whose dim differs from the
+    config default must validate the codebook against the FRAME's
+    actual width (r13 advice: a valid dim-16 pair was spuriously
+    rejected while cfg stayed at the 64 default)."""
+    from medallion_data_lake_spark.operators.ann import (
+        fit_semantic_codebook,
+    )
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((30, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    path = str(tmp_path / "cb16")
+    fit_semantic_codebook(emb, path, cluster_size=8)
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}", "en", "web") for i in range(30)],
+        "doc_id long, text string, lang string, source string")
+    # embedding_dim stays the 64 default — the frame is dim 16; with
+    # the fix this pair is accepted (dim derived from the frame)
+    cfg = CurationConfig(semantic_codebook_path=path)
+    out = curate_corpus(docs, embeddings=emb, config=cfg)
+    assert out["curated"].count() == 30    # well-separated: none drop
