@@ -335,7 +335,8 @@ def daily_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A4 calendar-bucket agg (reference silver_to_gold.py:168-178). "
         "Spark dayofweek is 1=Sunday..7; DuckDB dow is 0=Sunday..6, hence "
         "the +1 in the oracle.",
-    extra=True,  # r13 rotation (gated r1-r3 + r11-r12, green): A3/date-family twin daily_revenue_growth re-gated r13; A4 twin events_cascading_rollup stays gated
+    # re-gated r14 (gated r1-r3 + r11-r12, out since the r13 rotation —
+    # oldest-first sweep)
 )
 def calendar_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (

@@ -742,7 +742,7 @@ def rolling_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition — bounded by design (25 rows), which is the only regime "
         "a partition-less window is legitimate in. Decimal sums both "
         "levels for order independence.",
-    extra=True,  # r13 rotation (gated r10-r12, green): share-family twin brand_revenue_share_monthly stays gated; scalar-vs-total twin nation_value_concentration re-gated r13
+    # re-gated r14 (gated r10-r12, out since the r13 rotation — oldest-first sweep)
 )
 def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -215,7 +215,7 @@ _SQL_BLOCK = "('" + "', '".join(BLOCKLIST) + "')"
         "(filter/size/array_join HOFs over the token array — no UDF, no "
         "shuffle; scales linearly with corpus size).",
     tags=("text", "curation"),
-    extra=True,  # r13 rotation (gated r9-r12, green): scrub-family twin pii_redaction_stats stays gated
+    # re-gated r14 (gated r9-r12, out since the r13 rotation — oldest-first sweep)
 )
 def blocklist_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
@@ -270,7 +270,8 @@ PII_PATTERNS = {
         "verified at zero here; behavioral coverage with planted PII "
         "lives in test_curation_pipeline.)",
     tags=("text", "curation"),
-)  # first gated r9
+    extra=True,  # r14 rotation (gated r9-r13, green): scrub-family twin blocklist_scrub_stats re-gated r14
+)
 def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     cols = [
@@ -316,7 +317,8 @@ SHUFFLE_SEED = 7
         "a single global ORDER BY would funnel the corpus through one "
         "range partitioner.",
     tags=("curation",),
-)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
+    extra=True,  # r14 rotation (gated r10-r13, green): chunk/pack/sample-family twin doc_chunking_windows re-gated r14
+)
 def corpus_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -365,7 +367,7 @@ _SQL_BIGRAMS = (
         "Explode + two-level aggregation keyed by doc — fully "
         "map-reducible, no per-doc state beyond the hash groups.",
     tags=("text", "curation"),
-    extra=True,  # r13 rotation (gated r9-r12, green): text-family twins doc_token_stats + doc_quality_score (re-gated r12) stay gated
+    # re-gated r14 (gated r9-r12, out since the r13 rotation — oldest-first sweep)
 )
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
@@ -483,7 +485,7 @@ def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scales with corpus size like the scan itself. chunk_hash is the "
         "content address a downstream shard writer dedups/ships by.",
     tags=("curation",),
-    extra=True,  # r13 rotation (gated r9-r12, green): chunk/pack/sample-family twin corpus_shuffle_assignment stays gated
+    # re-gated r14 (gated r9-r12, out since the r13 rotation — oldest-first sweep)
 )
 def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")

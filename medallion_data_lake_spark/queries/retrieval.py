@@ -190,7 +190,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_vocab_topk; idf is pure arithmetic on the integer "
         "counts, so the audit is exactly oracle-checkable.",
     tags=("text", "retrieval"),
-    extra=True,  # r13 rotation (gated r10-r12, green): retrieval twin bm25_topk_docs stays gated (same index tables, same idf expression)
+    # re-gated r14 (gated r10-r12, out since the r13 rotation — oldest-first sweep)
 )
 def bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")

@@ -178,7 +178,8 @@ def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Part join broadcasts; sums are decimal-exact before the double "
         "division (queries/_parity.py discipline).",
     tags=("ratio",),
-)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
+    extra=True,  # r14 rotation (gated r10-r13, green): share-family twin nation_revenue_share re-gated r14
+)
 def brand_revenue_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._parity import dsum
 
@@ -344,7 +345,8 @@ def daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "semantics to SQL. Equi key keeps it a hash join with a "
         "residual range filter.",
     tags=("streaming",),
-)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
+    extra=True,  # r14 rotation (gated r10-r13, green): streaming-family twins signup_view_purchase_funnel (re-gated r14) + user_running_totals stay gated
+)
 def signup_purchase_attribution_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -404,7 +406,7 @@ def signup_purchase_attribution_pairs(
         "the first agg pre-aggregates orders BEFORE the join so the "
         "customer side joins a #customers-sized rollup, not the fact.",
     tags=("histogram",),
-    extra=True,  # r13 rotation (gated r9-r12, green): A4 calendar-bucket twin events_cascading_rollup (re-gated r12) stays gated
+    # re-gated r14 (gated r9-r12, out since the r13 rotation — oldest-first sweep)
 )
 def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -652,7 +654,7 @@ def brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Quantities are integer-valued doubles — SUM is exact, no "
         "decimal detour needed for the 300 boundary.",
     tags=("subquery", "in-having", "topk"),
-    extra=True,  # r13 rotation (gated r7-r12, green): A6/HAVING twin nation_value_concentration + A5 twin product_profit_by_nation_year re-gated r13; J7 twin returned_item_customers stays gated
+    # re-gated r14 (gated r7-r12, out since the r13 rotation — oldest-first sweep)
 )
 def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
@@ -1200,7 +1202,8 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
         "scan as PushedFilters (row groups outside any range are never "
         "decoded); no join, no shuffle beyond the 1-row aggregate.",
     tags=("q6", "scan"),
-)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
+    extra=True,  # r14 rotation (gated r10-r13, green): A7/IFNULL twin customer_open_balance stays gated; range pushdown stays plan-asserted (test_plans)
+)
 def discount_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
@@ -1245,7 +1248,8 @@ def discount_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and the top-20 (c_custkey tiebreak) is TakeOrderedAndProject — "
         "never a global sort of the aggregate.",
     tags=("q10", "topk"),
-)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
+    extra=True,  # r14 rotation (gated r10-r13, green): J7 subquery-family twins customers_with_jumbo_orders + nation_value_concentration stay gated
+)
 def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     o = t["orders"].filter(
@@ -1297,7 +1301,8 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stresses, is intact.) One shuffle joins the two pruned scans; "
         "both counts come from ONE aggregation pass.",
     tags=("q12",),
-)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
+    extra=True,  # r14 rotation (gated r10-r13, green): A1 multi-metric twin order_priority_stats stays gated
+)
 def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     l = t["lineitem"].filter(
@@ -1342,7 +1347,8 @@ def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size/brand filters prune part BEFORE it broadcasts into the "
         "lineitem scan; one shuffle for the count-distinct aggregation.",
     tags=("q16", "anti-join"),
-)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
+    extra=True,  # r14 rotation (gated r10-r13, green): count-distinct twin calendar_trends (unique_customers) re-gated r14; weekly_retention_cohorts stays gated
+)
 def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     parts = t["part"].filter(
@@ -1386,7 +1392,8 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the full disjunction remains as the residual join predicate. "
         "One broadcast join, one scalar aggregate, no shuffle.",
     tags=("q19", "disjunction"),
-)  # first gated r10 — closes the never-gated backlog (r9 verdict #1)
+    extra=True,  # r14 rotation (gated r10-r13, green): P8 predicate twin segment_balance_filter stays gated
+)
 def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     part_box = (

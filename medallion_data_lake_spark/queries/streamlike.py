@@ -361,7 +361,7 @@ def events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "every stage's frontier table is |converted users| rows, "
         "shrinking monotonically down the funnel.",
     tags=("streaming",),
-    extra=True,  # r13 rotation (gated r9-r12, green): streaming-twin signup_purchase_attribution_pairs stays gated; cohort twin weekly_retention_cohorts re-gated r13
+    # re-gated r14 (gated r9-r12, out since the r13 rotation — oldest-first sweep)
 )
 def signup_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)

@@ -64,7 +64,8 @@ _SQL_STOPS = (
     doc="North-star token counting: whitespace tokenization via split + "
         "size, pure map-side (no shuffle).",
     tags=("text",),
-)  # first gated r9
+    extra=True,  # r14 rotation (gated r9-r13, green): text-family twins doc_repetition_stats (re-gated r14) + doc_lang_id + doc_quality_score stay gated
+)
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokens(F.col("text"))
@@ -233,7 +234,7 @@ def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(term, doc) table; top-k via TakeOrderedAndProject, never a global "
         "sort.",
     tags=("text",),
-    extra=True,  # r13 rotation (gated r9-r12, green): text-family twin doc_token_stats stays gated; ngram twin doc_ngram_novelty re-gated r13
+    # re-gated r14 (gated r9-r12, out since the r13 rotation — oldest-first sweep)
 )
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
