@@ -197,9 +197,11 @@ def main(argv: list[str] | None = None) -> int:
                          "column (materialize-embeddings) instead of "
                          "re-embedding per run")
     ap.add_argument("--store", default=None, metavar="JDBC_URL",
-                    help="serve: answer /search from this exported "
-                         "serving store (no Spark job per request); "
-                         "export-store: destination URL")
+                    help="serve: answer /search /phrase /similar "
+                         "/hybrid from this exported serving store "
+                         "(no Spark job per request; routes whose "
+                         "export artifact is missing fall back to the "
+                         "warm session); export-store: destination URL")
     ap.add_argument("--store-driver", default=None,
                     help="JDBC driver class for --store (default: "
                          "embedded Derby)")
@@ -276,8 +278,9 @@ def main(argv: list[str] | None = None) -> int:
                       "/samples, POST /query /explain /curate"
                       + (", /search /phrase /hybrid /similar"
                        if session else "")
-                      + (", /search from the exported store (no Spark "
-                         "job per request)" if store else "")
+                      + ((", " + " ".join(sorted(store.routes()))
+                          + " from the exported store (no Spark job "
+                          "per request)") if store else "")
                       + ")")
                 try:
                     thread.join()
@@ -504,21 +507,40 @@ def main(argv: list[str] | None = None) -> int:
         # idf/avgdl precomputed so the store's per-request SQL is pure
         # indexed double arithmetic — measured sub-second in SCALE.md
         # round 13). ARG is the BM25 index root; --store the JDBC URL.
+        # r14: --docs TABLE adds the positional-bigram export (store
+        # /phrase); --embeddings TABLE or --vec-index PATH adds the kNN
+        # graph (store /similar and the hybrid vector branch) — after
+        # which every hot search route answers with no Spark job.
         if not args.arg or not args.store:
             print("export-store requires an index root and --store "
                   "JDBC_URL", file=sys.stderr)
             return 2
-        from .serving_store import DERBY_DRIVER, export_search_store
+        from .operators.versioned import read_table as _rt
+        from .serving_store import (
+            DERBY_DRIVER,
+            export_search_store,
+            export_vector_store,
+        )
 
+        drv = args.store_driver or DERBY_DRIVER
         try:
             pins = export_search_store(
-                spark, args.arg, args.store,
-                driver=args.store_driver or DERBY_DRIVER,
+                spark, args.arg, args.store, driver=drv,
+                docs=_rt(spark, args.docs) if args.docs else None,
             )
+            vec_meta = None
+            if args.embeddings or args.vec_index:
+                vec_meta = export_vector_store(
+                    spark, args.store,
+                    embeddings=(_rt(spark, args.embeddings)
+                                if args.embeddings else None),
+                    vec_index=args.vec_index, driver=drv,
+                )
         except ValueError as exc:
             print(f"export-store: {exc}", file=sys.stderr)
             return 2
-        print(json.dumps({"store": args.store, "pins": pins}))
+        print(json.dumps({"store": args.store, "pins": pins,
+                          "vector": vec_meta}))
     elif args.verb == "fit-codebook":
         # train + persist the semantic-dedup codebook ONCE for reuse by
         # `curate --semantic-codebook` — stamped with the in-pipeline

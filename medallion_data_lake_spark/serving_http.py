@@ -165,13 +165,18 @@ class _Handler(BaseHTTPRequestHandler):
             elif url.path == "/curate":
                 self._send(200, run_curate_dry(self.serving, req))
             elif url.path in ("/search", "/phrase", "/hybrid", "/similar"):
-                if url.path == "/search" and self.serving_store is not None:
-                    # serving-tier fast path: one prepared statement on
-                    # the exported store, no Spark job (r12 verdict #1)
+                if (self.serving_store is not None
+                        and url.path in self.serving_store.routes()):
+                    # serving-tier fast path: prepared statements on the
+                    # exported store, no Spark job (r12 verdict #1;
+                    # phrase/similar/hybrid extended r14) — any route
+                    # whose export artifact is missing falls through to
+                    # the warm Spark session below
                     from .serving_store import run_store_search
 
                     self._send(200, run_store_search(
-                        self.serving_store, self.store_lock, req))
+                        self.serving_store, self.store_lock, req,
+                        route=url.path, default_rows=self.default_rows))
                     return
                 if self.search_session is None:
                     self._send(400, {

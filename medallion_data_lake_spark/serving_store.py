@@ -60,8 +60,10 @@ from .operators.inverted_index import (
     _t,
     BM25_B,
     BM25_K1,
+    bigram_tokens,
     bm25_idf,
     bm25_term_score,
+    clean_tokens,
     committed_index_snapshot,
 )
 from .operators.versioned import read_table
@@ -75,6 +77,9 @@ T_POSTINGS = "mdls_postings"
 T_TERMSTATS = "mdls_termstats"
 T_CORPUS = "mdls_corpus"
 T_MANIFEST = "mdls_store_manifest"
+T_BIGRAM_POS = "mdls_bigram_pos"    # positional bigrams: phrase serving
+T_NEIGHBORS = "mdls_neighbors"      # precomputed kNN graph: /similar
+T_VEC_MANIFEST = "mdls_vec_manifest"
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -206,6 +211,146 @@ class ServingStore:
         )
         return self.query(sql, list(terms), max_rows=k)
 
+    def phrase(self, phrase: list[str], k: int = ROW_CAP) -> dict:
+        """Exact-phrase retrieval from the exported POSITIONAL bigram
+        table — zero Spark jobs, and unlike the lake's two-stage path
+        (bigram-intersected candidates + re-tokenized residual) the
+        store needs NO residual: ``mdls_bigram_pos`` keeps each
+        bigram's 1-based start position, so a start position matching
+        ALL the phrase's bigrams at consecutive offsets IS an exact
+        occurrence. The m-2 self-joins below each constrain one offset;
+        COUNT(*) per doc = number of start positions = the lake's
+        ``n_matches`` (overlaps counted), so (doc_id, n_matches)
+        equals ``phrase_search`` row-for-row at the exported snapshot.
+
+        Cost tracks the phrase bigrams' posting lengths through the
+        covering (bigram, doc_id, pos) index — corpus-size-independent
+        like every store shape. Results order by doc_id (the lake's
+        groupBy emits an unordered set; callers compare as sets)."""
+        phrase = [str(t) for t in phrase]
+        if len(phrase) < 2:
+            raise ValueError("phrase needs at least two tokens")
+        k = max(1, min(int(k), ROW_CAP))
+        bgs = [f"{a} {b}" for a, b in zip(phrase, phrase[1:])]
+        joins, params = [], []
+        for i, g in enumerate(bgs[1:], start=1):
+            joins.append(
+                f"JOIN {T_BIGRAM_POS} b{i} ON "
+                f'b{i}."doc_id" = b0."doc_id" AND '
+                f'b{i}."pos" = b0."pos" + {i} AND b{i}."bigram" = ?'
+            )
+            params.append(g)
+        params.append(bgs[0])
+        sql = (
+            'SELECT b0."doc_id", COUNT(*) AS n_matches '
+            f"FROM {T_BIGRAM_POS} b0 " + " ".join(joins) +
+            f' WHERE b0."bigram" = ? GROUP BY b0."doc_id" '
+            f"ORDER BY 1 ASC FETCH FIRST {k} ROWS ONLY"
+        )
+        return self.query(sql, params, max_rows=k)
+
+    def vec_manifest(self) -> dict:
+        """The vector export's recorded (mode, k_max, n_probes)."""
+        if getattr(self, "_vec_meta", None) is None:
+            out = self.query(f'SELECT "meta" FROM {T_VEC_MANIFEST}')
+            self._vec_meta = (
+                json.loads(out["rows"][0][0]) if out["rows"] else {}
+            )
+        return self._vec_meta
+
+    def similar(self, vec_id: int, k: int = 10) -> dict:
+        """Top-``k`` stored-vector neighbors of ``vec_id`` — ONE
+        indexed point read on the precomputed kNN graph
+        (operators/knn_graph.py), no scoring at request time. Columns
+        (vec_id, rank) match the warm session's ``similar()``; equality
+        with the online path is the graph builder's contract (exact
+        ``cosine_topn`` for the brute graph, ``search_index``-identical
+        probes for the IVF graph). ``k`` beyond the exported ``k_max``
+        refuses loudly — the store cannot invent neighbors it never
+        computed; re-export with a larger k_max."""
+        meta = self.vec_manifest()
+        k = max(1, min(int(k), ROW_CAP))
+        k_max = int(meta.get("k_max", 0))
+        if k > k_max:
+            raise ValueError(
+                f"store neighbor lists were exported at k_max={k_max}; "
+                f"k={k} exceeds them — re-export the vector store with "
+                "a larger k_max (the store serves only what was "
+                "precomputed)"
+            )
+        sql = (
+            'SELECT "cand_id" AS "vec_id", "rank" '
+            f'FROM {T_NEIGHBORS} WHERE "vec_id" = ? AND "rank" <= ? '
+            'ORDER BY "rank" ASC'
+        )
+        return self.query(sql, [int(vec_id), k], max_rows=k)
+
+    def hybrid(self, terms: list[str], vec_id: int, k: int = 10,
+               n_per_branch: int = 20, rrf_k: int = 60) -> dict:
+        """RRF fusion of the two STORE branches — both zero-Spark-job —
+        with the exact arithmetic of ``operators.hybrid.hybrid_search``
+        (tests prove row-equality at the exported snapshot):
+
+        - keyword branch: :meth:`bm25` top-``n_per_branch`` (selection
+          by the decimal-sum order, exactly the lake's ``limit``), then
+          ranks assigned by (double score desc, doc_id asc) — the
+          lake's ``ranked()`` window verbatim;
+        - vector branch: :meth:`similar` top-``n_per_branch`` (ranks
+          precomputed in the graph);
+        - fusion: ``(0.0 + 1/(rrf_k+kw_rank)) + 1/(rrf_k+vec_rank)``
+          per doc (absent branch contributes 0.0), IEEE doubles in the
+          lake plan's association order, sorted score desc / id asc.
+
+        The fuse itself is a ≤2·n_per_branch-row list merge — driver
+        arithmetic on request-bounded data, the same "metadata scale"
+        argument as the lake's full-outer join of two tiny frames."""
+        n = max(1, min(int(n_per_branch), ROW_CAP))
+        k = max(1, min(int(k), ROW_CAP))
+        kw_out = self.bm25(list(terms), k=n)
+        kw_rows = sorted(kw_out["rows"], key=lambda r: (-r[2], r[0]))
+        kw_rank = {r[0]: i + 1 for i, r in enumerate(kw_rows)}
+        vec_out = self.similar(int(vec_id), k=n)
+        vec_rank = {r[0]: r[1] for r in vec_out["rows"]}
+        fused = []
+        for d in set(kw_rank) | set(vec_rank):
+            t_kw = 1.0 / (rrf_k + kw_rank[d]) if d in kw_rank else 0.0
+            t_vec = 1.0 / (rrf_k + vec_rank[d]) if d in vec_rank else 0.0
+            fused.append(
+                [d, kw_rank.get(d), vec_rank.get(d), (0.0 + t_kw) + t_vec]
+            )
+        fused.sort(key=lambda r: (-r[3], r[0]))
+        rows = fused[:k]
+        return {"columns": ["doc_id", "kw_rank", "vec_rank", "rrf_score"],
+                "rows": rows, "row_count": len(rows)}
+
+    def table_names(self) -> set[str]:
+        """Lower-cased table names present in the store database."""
+        md = self._conn.getMetaData()
+        rs = md.getTables(None, None, "%", None)
+        out: set[str] = set()
+        while rs.next():
+            out.add(rs.getString("TABLE_NAME").lower())
+        rs.close()
+        return out
+
+    def routes(self) -> set[str]:
+        """Which HTTP search routes this store can answer, from which
+        export artifacts are present (memoized — exports after open
+        need a new ServingStore or ``self._routes = None``)."""
+        if getattr(self, "_routes", None) is None:
+            t = self.table_names()
+            r: set[str] = set()
+            if T_POSTINGS in t:
+                r.add("/search")
+            if T_BIGRAM_POS in t:
+                r.add("/phrase")
+            if T_NEIGHBORS in t:
+                r.add("/similar")
+            if T_POSTINGS in t and T_NEIGHBORS in t:
+                r.add("/hybrid")
+            self._routes = r
+        return self._routes
+
     def gold_topk(self, table: str, order_col: str, k: int = 10,
                   desc: bool = True) -> dict:
         """Ordered top-k over an exported gold table (the canonical
@@ -254,6 +399,9 @@ def export_search_store(
     term_width: int = 256,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    docs: DataFrame | None = None,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
 ) -> dict[str, int]:
     """Export a BM25 index's serving projection to the SQL store, all
     tables read at ONE committed snapshot:
@@ -267,7 +415,16 @@ def export_search_store(
     - ``mdls_termstats (term, df, idf)`` — the per-term audit view
       (:func:`bm25_idf`, same expression as the lake);
     - ``mdls_corpus (n_docs, avgdl)`` — 1 row, the folded totals;
-    - ``mdls_store_manifest (pins)`` — the exported versions, JSON.
+    - ``mdls_store_manifest (pins)`` — the exported versions, JSON;
+    - ``mdls_bigram_pos (bigram, doc_id, pos)`` — POSITIONAL adjacent
+      bigrams (1-based start position, aligned with the lake residual's
+      ``sequence(1, …)``), exported only when ``docs`` is passed: the
+      zero-Spark-job ``/phrase`` tier (r13 verdict #1). Positions are
+      what let the store answer EXACTLY without re-reading any text —
+      the standard positional-postings trade: row count ≈ token count,
+      the same order as the postings table itself. ``docs`` must be the
+      corpus AT THE PINNED SNAPSHOT (the caller pins, exactly like
+      ``WarmSearchSession(docs=…)``) or store and lake answers diverge.
 
     The impact join runs IN SPARK at export time (distributed), which
     is the whole design: per-request work in the store is an indexed
@@ -340,6 +497,25 @@ def export_search_store(
     manifest = spark.createDataFrame([(json.dumps(pins),)], "pins string")
     write_jdbc(manifest, url, T_MANIFEST, driver=driver,
                createTableColumnTypes="pins VARCHAR(4096)")
+    stat_tables = [T_POSTINGS, T_TERMSTATS]
+    if docs is not None:
+        # positional bigrams: posexplode is 0-based; +1 aligns with the
+        # lake residual's 1-based sequence() start positions, so store
+        # n_matches ≡ phrase_position_hits n_matches
+        toks = docs.select(
+            F.col(doc_id_col).alias("doc_id"),
+            clean_tokens(F.col(doc_text_col)).alias("_toks"),
+        )
+        bpos = toks.select(
+            "doc_id",
+            F.posexplode(bigram_tokens(F.col("_toks"))).alias(
+                "pos", "bigram"),
+        ).select("bigram", "doc_id", (F.col("pos") + 1).alias("pos"))
+        # bigram width: two terms + the joining space
+        write_jdbc(bpos, url, T_BIGRAM_POS, driver=driver,
+                   createTableColumnTypes=(
+                       f"bigram VARCHAR({2 * int(term_width) + 1})"))
+        stat_tables.append(T_BIGRAM_POS)
     with ServingStore(spark, url, driver=driver) as store:
         # covering index: the bm25 statement reads (term, doc_id,
         # impact) and nothing else — Derby answers it index-only
@@ -348,16 +524,81 @@ def export_search_store(
             f'{T_POSTINGS}("term", "doc_id", "impact")')
         store.execute(
             f'CREATE INDEX idx_termstats_term ON {T_TERMSTATS}("term")')
+        if docs is not None:
+            # covering for the phrase self-join: every join leg reads
+            # (bigram, doc_id, pos) and nothing else
+            store.execute(
+                f"CREATE INDEX idx_bigram_pos ON "
+                f'{T_BIGRAM_POS}("bigram", "doc_id", "pos")')
         # give the optimizer real cardinalities for the fresh tables —
         # Derby has no auto-analyze, so call its system procedure; any
         # other engine (Postgres/MySQL behind the same URL) autovacuums
         # or ANALYZEs on its own and has no SYSCS_UTIL schema
         if driver == DERBY_DRIVER:
-            for t in (T_POSTINGS, T_TERMSTATS):
+            for t in stat_tables:
                 store.execute(
                     "CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS"
                     f"('APP', '{t.upper()}', NULL)")
     return pins
+
+
+def export_vector_store(
+    spark: SparkSession,
+    url: str,
+    embeddings: DataFrame | None = None,
+    vec_index: str | None = None,
+    k_max: int = 20,
+    n_probes: int = 4,
+    driver: str | None = DERBY_DRIVER,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Export the precomputed kNN graph that arms the store's
+    ``/similar`` (and the hybrid vector branch) — r13 verdict #1, the
+    vector leg. Pass exactly one source:
+
+    - ``embeddings=`` → :func:`operators.knn_graph.knn_graph_bruteforce`
+      (EXACT; ``store.similar(q, k)`` ≡ ``cosine_topn(emb, q, k)`` ≡ a
+      warm session opened without a vector index);
+    - ``vec_index=`` → :func:`operators.knn_graph.knn_graph_ivf` at
+      ``n_probes`` (``store.similar(q, k)`` ≡
+      ``ann.search_index(q, n_probes=n_probes, k=k)`` ≡ a warm session
+      opened WITH that index — the store inherits the index's measured
+      recall profile, trading it for corpus-size-independent requests).
+
+    The graph build is the export's distributed cost (linear output:
+    n·k_max rows); requests are indexed point reads on
+    ``mdls_neighbors (vec_id, rank, cand_id)``. ``mdls_vec_manifest``
+    records (mode, k_max, n_probes) so :meth:`ServingStore.similar`
+    can refuse k beyond what was precomputed instead of silently
+    truncating. Returns that manifest dict."""
+    from .operators.knn_graph import knn_graph_bruteforce, knn_graph_ivf
+
+    if (embeddings is None) == (vec_index is None):
+        raise ValueError("pass exactly one of embeddings= or vec_index=")
+    if vec_index is not None:
+        graph = knn_graph_ivf(spark, vec_index, k_max=k_max,
+                              n_probes=n_probes)
+        meta = {"mode": "ivf", "k_max": int(k_max),
+                "n_probes": int(n_probes), "vec_index": vec_index}
+    else:
+        graph = knn_graph_bruteforce(embeddings, k_max=k_max,
+                                     id_col=id_col, vec_col=vec_col)
+        meta = {"mode": "bruteforce", "k_max": int(k_max)}
+    write_jdbc(graph, url, T_NEIGHBORS, driver=driver)
+    mf = spark.createDataFrame([(json.dumps(meta),)], "meta string")
+    write_jdbc(mf, url, T_VEC_MANIFEST, driver=driver,
+               createTableColumnTypes="meta VARCHAR(1024)")
+    with ServingStore(spark, url, driver=driver) as store:
+        # covering: similar() reads (vec_id, rank, cand_id) only
+        store.execute(
+            f"CREATE INDEX idx_neighbors ON "
+            f'{T_NEIGHBORS}("vec_id", "rank", "cand_id")')
+        if driver == DERBY_DRIVER:
+            store.execute(
+                "CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS"
+                f"('APP', '{T_NEIGHBORS.upper()}', NULL)")
+    return meta
 
 
 def export_gold_store(
@@ -389,17 +630,52 @@ def export_gold_store(
                     f'CREATE INDEX idx_{t}_{c} ON {t}("{c}")')
 
 
-def run_store_search(store, lock, req: dict) -> dict:
-    """HTTP dispatch for the store-backed /search route: same request
-    and response shape as the warm-session path, plus
-    ``"engine": "store"`` so callers can tell which tier answered."""
-    terms = req.get("terms")
-    if not terms:
-        raise ValueError("body must carry {'terms': [...]}")
+def run_store_search(store, lock, req: dict, route: str = "/search",
+                     default_rows: int = 100) -> dict:
+    """HTTP dispatch for the store-backed search routes — same request
+    and response shapes as the warm-session ``run_search``, plus
+    ``"engine": "store"`` so callers can tell which tier answered.
+    Every route is one (or for /hybrid, two) prepared statements on the
+    exported store — zero Spark jobs."""
     k = max(1, min(int(req.get("k", 10)), ROW_CAP))
     t0 = time.time()
     with lock:
-        out = store.bm25(list(terms), k=k)
+        if route == "/search":
+            terms = req.get("terms")
+            if not terms:
+                raise ValueError("body must carry {'terms': [...]}")
+            out = store.bm25(list(terms), k=k)
+        elif route == "/phrase":
+            phrase = req.get("phrase")
+            if not phrase or len(phrase) < 2:
+                raise ValueError(
+                    "body must carry {'phrase': [t1, t2, ...]} "
+                    "(>= 2 tokens)"
+                )
+            # /phrase is unranked; absent k falls back to default_rows
+            # (the warm-session route's contract)
+            bound = k if "k" in req else max(1, min(default_rows, ROW_CAP))
+            out = store.phrase(list(phrase), k=bound)
+            k = bound
+        elif route == "/similar":
+            vec_id = req.get("vec_id")
+            if vec_id is None:
+                raise ValueError("body must carry {'vec_id': id}")
+            out = store.similar(int(vec_id), k=k)
+        elif route == "/hybrid":
+            terms, vec_id = req.get("terms"), req.get("vec_id")
+            if not terms or vec_id is None:
+                raise ValueError(
+                    "body must carry {'terms': [...], 'vec_id': id}"
+                )
+            # n_per_branch defaults to the lake hybrid_search's 20; a
+            # store exported shallower than the requested depth refuses
+            # in similar() rather than silently fusing a thinner branch
+            out = store.hybrid(
+                list(terms), int(vec_id), k=k,
+                n_per_branch=int(req.get("n_per_branch", 20)))
+        else:
+            raise ValueError(f"store cannot serve {route}")
     out["engine"] = "store"
     out["truncated_at"] = k
     out["elapsed_sec"] = round(time.time() - t0, 4)

@@ -179,3 +179,274 @@ def test_export_refuses_uncommitted_index(spark, tmp_path, derby_url):
     with pytest.raises(ValueError, match="no committed append txn"):
         export_search_store(spark, str(tmp_path / "ghost"),
                             derby_url.format("ghost"))
+
+
+# ---- r14: phrase / vector / hybrid store tiers -------------------------
+
+PHRASE_DOCS = DOCS + [
+    (7, "a b a b a b"),                       # overlapping occurrences
+    (8, "join stream join stream table"),
+]
+
+
+def _phrase_set(df):
+    return {(r["doc_id"], r["n_matches"]) for r in df.collect()}
+
+
+def test_store_phrase_equals_lake(spark, tmp_path, derby_url):
+    """Store /phrase (positional bigram self-join) ≡ lake phrase_search
+    (bigram candidates + exact residual) — doc sets AND match counts,
+    including overlapping occurrences."""
+    from medallion_data_lake_spark.operators.inverted_index import (
+        phrase_search,
+    )
+
+    root = str(tmp_path / "idx")
+    docs = _docs(spark, PHRASE_DOCS)
+    create_bm25_index(spark, docs, root, n_files=2, bigrams=True)
+    url = derby_url.format("ph")
+    export_search_store(spark, root, url, docs=docs)
+
+    with ServingStore(spark, url) as store:
+        for phrase in (["stream", "join"], ["a", "b", "a"],
+                       ["join", "stream", "join"], ["state", "store"],
+                       ["no", "such", "phrase"]):
+            lake, _ = phrase_search(spark, root, docs, phrase)
+            got = {tuple(r) for r in store.phrase(phrase)["rows"]}
+            assert got == _phrase_set(lake), phrase
+        # overlap check is real: "a b a" occurs twice in doc 7
+        assert (7, 2) in {tuple(r)
+                          for r in store.phrase(["a", "b", "a"])["rows"]}
+
+
+def _emb(spark, n=30, dim=8, seed=11):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+            for i in range(1, n + 1)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_store_similar_equals_brute_lake(spark, tmp_path, derby_url):
+    """Brute-graph store ≡ cosine_topn (the warm session's no-index
+    vector path) for every query id, ranks and ids exactly."""
+    from medallion_data_lake_spark.operators.hybrid import cosine_topn
+    from medallion_data_lake_spark.serving_store import export_vector_store
+
+    emb = _emb(spark)
+    url = derby_url.format("vec")
+    meta = export_vector_store(spark, url, embeddings=emb, k_max=7)
+    assert meta["mode"] == "bruteforce"
+
+    with ServingStore(spark, url) as store:
+        for q in (1, 7, 30):
+            for k in (1, 5, 7):
+                lake = [(r["vec_id"], r["rank"])
+                        for r in cosine_topn(emb, q, k).collect()]
+                got = [tuple(r) for r in store.similar(q, k=k)["rows"]]
+                assert got == sorted(lake, key=lambda t: t[1]), (q, k)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="k_max=7"):
+            store.similar(1, k=8)
+
+
+def test_store_similar_ivf_equals_index_probe(spark, tmp_path, derby_url):
+    """IVF-graph store ≡ per-query ann.search_index at the same
+    n_probes — the store serves exactly what a warm session with that
+    vector index serves."""
+    from medallion_data_lake_spark.operators.ann import (
+        build_ivf_index,
+        search_index,
+    )
+    from medallion_data_lake_spark.serving_store import export_vector_store
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, n=40)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx)
+    url = derby_url.format("vecivf")
+    meta = export_vector_store(spark, url, vec_index=idx, k_max=6,
+                               n_probes=3)
+    assert meta["mode"] == "ivf"
+
+    with ServingStore(spark, url) as store:
+        for q in (2, 19, 40):
+            qvec = emb.filter(F.col("vec_id") == q)
+            probe = [(r["cand_id"], r["rank"])
+                     for r in search_index(spark, idx, qvec, n_probes=3,
+                                           k=6).collect()]
+            got = [tuple(r) for r in store.similar(q, k=6)["rows"]]
+            assert got == sorted(probe, key=lambda t: t[1]), q
+
+
+def test_store_hybrid_equals_lake(spark, tmp_path, derby_url):
+    """Store hybrid (store bm25 branch + store neighbor branch + Python
+    RRF) ≡ operators.hybrid.hybrid_search row-for-row: same docs, same
+    per-branch ranks, same IEEE rrf_score."""
+    from medallion_data_lake_spark.operators.hybrid import hybrid_search
+    from medallion_data_lake_spark.serving_store import export_vector_store
+
+    root = str(tmp_path / "idx")
+    docs = _docs(spark)
+    create_bm25_index(spark, docs, root, n_files=2)
+    # vectors share the doc id space (ids 1..6)
+    emb = _emb(spark, n=6)
+    url = derby_url.format("hy")
+    export_search_store(spark, root, url)
+    export_vector_store(spark, url, embeddings=emb, k_max=6)
+
+    with ServingStore(spark, url) as store:
+        for terms, q in ([["stream", "join"], 3], [["hash"], 1]):
+            lake = [(r["doc_id"], r["kw_rank"], r["vec_rank"],
+                     r["rrf_score"])
+                    for r in hybrid_search(spark, root, emb, terms, q,
+                                           k=5, n_per_branch=6).collect()]
+            got = [tuple(r) for r in store.hybrid(terms, q, k=5,
+                                                  n_per_branch=6)["rows"]]
+            assert [g[:3] for g in got] == [l[:3] for l in lake], (terms, q)
+            for g, l in zip(got, lake):
+                assert abs(g[3] - l[3]) < 1e-15, (g, l)
+
+
+def test_store_new_routes_run_no_spark_job(spark, tmp_path, derby_url):
+    """Phrase, similar, and hybrid must answer with ZERO Spark jobs —
+    the tier's defining property, extended to every hot shape."""
+    from medallion_data_lake_spark.serving_store import export_vector_store
+
+    root = str(tmp_path / "idx")
+    docs = _docs(spark, PHRASE_DOCS)
+    create_bm25_index(spark, docs, root, n_files=2, bigrams=True)
+    url = derby_url.format("nojob2")
+    export_search_store(spark, root, url, docs=docs)
+    export_vector_store(spark, url, embeddings=_emb(spark, n=8), k_max=5)
+
+    tracker = spark.sparkContext.statusTracker()
+    with ServingStore(spark, url) as store:
+        before = tracker.getJobIdsForGroup(None)
+        assert store.phrase(["stream", "join"])["row_count"] > 0
+        assert store.similar(3, k=5)["row_count"] > 0
+        assert store.hybrid(["stream"], 3, k=5, n_per_branch=5)[
+            "row_count"] > 0
+        assert tracker.getJobIdsForGroup(None) == before
+
+
+def test_http_all_routes_served_from_store(spark, tmp_path, derby_url):
+    """With every export artifact present, all four search routes
+    answer from the store (engine=store); a route whose artifact is
+    missing falls through to the warm session."""
+    import json as _json
+    from urllib.request import Request, urlopen
+
+    from medallion_data_lake_spark.serving import ServingLayer
+    from medallion_data_lake_spark.serving_http import (
+        serve_http_background,
+    )
+    from medallion_data_lake_spark.serving_store import export_vector_store
+
+    root = str(tmp_path / "idx")
+    docs = _docs(spark, PHRASE_DOCS)
+    create_bm25_index(spark, docs, root, n_files=2, bigrams=True)
+    url = derby_url.format("httpall")
+    export_search_store(spark, root, url, docs=docs)
+    # k_max=20 matches the /hybrid default n_per_branch: the default
+    # request must be servable without a depth refusal
+    export_vector_store(spark, url, embeddings=_emb(spark, n=8), k_max=20)
+
+    serving = ServingLayer(spark)
+    store = ServingStore(spark, url)
+    assert store.routes() == {"/search", "/phrase", "/similar", "/hybrid"}
+    server, _ = serve_http_background(serving, serving_store=store)
+    host, port = server.server_address
+
+    def post(path, body):
+        r = Request(f"http://{host}:{port}{path}",
+                    data=_json.dumps(body).encode(),
+                    headers={"Content-Type": "application/json"})
+        return _json.loads(urlopen(r).read())
+
+    try:
+        for path, body in (
+            ("/search", {"terms": ["stream", "join"], "k": 5}),
+            ("/phrase", {"phrase": ["stream", "join"]}),
+            ("/similar", {"vec_id": 3, "k": 5}),
+            ("/hybrid", {"terms": ["stream"], "vec_id": 3, "k": 5}),
+        ):
+            out = post(path, body)
+            assert out.get("engine") == "store", (path, out)
+            assert out["row_count"] > 0, path
+    finally:
+        server.shutdown()
+        store.close()
+
+
+def test_http_missing_artifact_falls_back(spark, tmp_path, derby_url):
+    """A store exported WITHOUT the vector artifact must not claim
+    /similar: the route falls through (here: 400, no session armed)
+    while /search still answers from the store."""
+    import json as _json
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+
+    from medallion_data_lake_spark.serving import ServingLayer
+    from medallion_data_lake_spark.serving_http import (
+        serve_http_background,
+    )
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2)
+    url = derby_url.format("fallback")
+    export_search_store(spark, root, url)
+
+    serving = ServingLayer(spark)
+    store = ServingStore(spark, url)
+    assert store.routes() == {"/search"}
+    server, _ = serve_http_background(serving, serving_store=store)
+    host, port = server.server_address
+
+    def post(path, body):
+        r = Request(f"http://{host}:{port}{path}",
+                    data=_json.dumps(body).encode(),
+                    headers={"Content-Type": "application/json"})
+        return _json.loads(urlopen(r).read())
+
+    try:
+        out = post("/search", {"terms": ["stream"], "k": 3})
+        assert out.get("engine") == "store"
+        try:
+            post("/similar", {"vec_id": 1, "k": 3})
+            raise AssertionError("expected 400 for unarmed /similar")
+        except HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        store.close()
+
+
+def test_cli_export_store_full(spark, tmp_path, derby_url, capsys):
+    """`cli export-store IDX --store URL --docs T --embeddings T`
+    exports all three serving artifacts in one verb; the opened store
+    then arms every search route."""
+    from medallion_data_lake_spark import cli
+    from medallion_data_lake_spark.operators.versioned import commit
+
+    docs = _docs(spark, PHRASE_DOCS)
+    docs_table = str(tmp_path / "docs_t")
+    commit(docs, docs_table, stats_cols=("doc_id",))
+    emb_table = str(tmp_path / "emb_t")
+    commit(_emb(spark, n=8), emb_table, stats_cols=("vec_id",))
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, docs, root, n_files=2, bigrams=True)
+
+    url = derby_url.format("cliexp")
+    rc = cli.main(["export-store", root, "--store", url,
+                   "--docs", docs_table, "--embeddings", emb_table])
+    assert rc == 0
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["vector"]["mode"] == "bruteforce"
+    with ServingStore(spark, url) as store:
+        assert store.routes() == {"/search", "/phrase", "/similar",
+                                  "/hybrid"}
+        assert store.phrase(["stream", "join"])["row_count"] > 0
