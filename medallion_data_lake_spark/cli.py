@@ -79,7 +79,8 @@ def main(argv: list[str] | None = None) -> int:
                  "txn-compensate", "txn-resolve-broken", "txn-expire",
                  "bm25-build", "bm25-search", "bm25-compact",
                  "phrase-search", "hybrid-search", "fit-codebook",
-                 "export-store", "materialize-embeddings"],
+                 "export-store", "materialize-embeddings",
+                 "materialize-verdict"],
     )
     ap.add_argument(
         "arg",
@@ -195,13 +196,28 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--embeddings-table", default=None,
                     help="curate: read the corpus's persisted embedding "
                          "column (materialize-embeddings) instead of "
-                         "re-embedding per run")
+                         "re-embedding per run; materialize-verdict: the "
+                         "vector source")
+    ap.add_argument("--semantic-verdict-table", default=None,
+                    help="curate: consume the materialized semantic "
+                         "verdict (materialize-verdict) — the semantic "
+                         "stage becomes one slim anti-join instead of a "
+                         "per-run recompute")
     ap.add_argument("--store", default=None, metavar="JDBC_URL",
                     help="serve: answer /search /phrase /similar "
                          "/hybrid from this exported serving store "
                          "(no Spark job per request; routes whose "
                          "export artifact is missing fall back to the "
                          "warm session); export-store: destination URL")
+    ap.add_argument("--incremental", action="store_true",
+                    help="export-store: advance the existing store to "
+                         "the newest committed snapshot by upserting "
+                         "only the changed vocabulary (ε-bounded; falls "
+                         "back to a full refresh when corpus totals "
+                         "drift past --eps)")
+    ap.add_argument("--eps", type=float, default=0.02,
+                    help="export-store --incremental: max relative "
+                         "corpus-total drift served from stale impacts")
     ap.add_argument("--store-driver", default=None,
                     help="JDBC driver class for --store (default: "
                          "embedded Derby)")
@@ -472,9 +488,11 @@ def main(argv: list[str] | None = None) -> int:
             mix_alpha=args.mix_alpha,
             mix_token_budget=args.mix_budget,
             semantic_from_text=(args.semantic_codebook is not None
-                                and args.embeddings_table is None),
+                                and args.embeddings_table is None
+                                and args.semantic_verdict_table is None),
             semantic_codebook_path=args.semantic_codebook,
             embeddings_table=args.embeddings_table,
+            semantic_verdict_table=args.semantic_verdict_table,
         )
         observations: dict = {}
         stages = curate_corpus(docs, config=cfg, observations=observations)
@@ -501,6 +519,29 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(star_path(args.sf, "documents"))
         report = materialize_corpus_embeddings(spark, docs, args.arg)
         print(json.dumps(report))
+    elif args.verb == "materialize-verdict":
+        # maintain the materialized semantic-dedup verdict (r14): ARG is
+        # the verdict table dir; vectors come from --embeddings-table
+        # (the persisted column) and the codebook from
+        # --semantic-codebook — both provenance-enforced on read.
+        if not args.arg or not args.sf or not args.semantic_codebook \
+                or not args.embeddings_table:
+            print("materialize-verdict requires an output dir, --sf DIR, "
+                  "--semantic-codebook PATH and --embeddings-table TABLE",
+                  file=sys.stderr)
+            return 2
+        from .catalog import star_path
+        from .operators.semantic_verdict import (
+            materialize_semantic_verdict,
+        )
+        from .operators.versioned import read_table as _rt
+
+        docs = spark.read.parquet(star_path(args.sf, "documents"))
+        report = materialize_semantic_verdict(
+            spark, docs, _rt(spark, args.embeddings_table), args.arg,
+            args.semantic_codebook,
+        )
+        print(json.dumps(report))
     elif args.verb == "export-store":
         # the serving-tier export (reference gold_to_postgres.py:33-58,
         # Spark-first: distributed JDBC write, one committed snapshot,
@@ -519,11 +560,20 @@ def main(argv: list[str] | None = None) -> int:
         from .serving_store import (
             DERBY_DRIVER,
             export_search_store,
+            export_search_store_incremental,
             export_vector_store,
         )
 
         drv = args.store_driver or DERBY_DRIVER
         try:
+            if args.incremental:
+                rep = export_search_store_incremental(
+                    spark, args.arg, args.store, driver=drv,
+                    eps=args.eps,
+                    docs=_rt(spark, args.docs) if args.docs else None,
+                )
+                print(json.dumps({"store": args.store, **rep}))
+                return 0
             pins = export_search_store(
                 spark, args.arg, args.store, driver=drv,
                 docs=_rt(spark, args.docs) if args.docs else None,

@@ -536,6 +536,14 @@ class CurationConfig:
     # (SCALE.md round 13 has the before/after). Sidecar provenance
     # (embedder fingerprint, dim) is validated on read.
     embeddings_table: str | None = None
+    # r14: consume the MATERIALIZED semantic verdict
+    # (operators/semantic_verdict.py) instead of recomputing the
+    # assignment + pair join + components per run — the semantic stage
+    # becomes one slim (doc_id, is_kept) anti-join. Mutually exclusive
+    # with the recompute routes (embeddings=/embeddings_table/
+    # semantic_from_text); the table's sidecar threshold must match
+    # semantic_threshold, and every input doc must have a verdict row.
+    semantic_verdict_table: str | None = None
 
 
 def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
@@ -711,12 +719,64 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
             cfg.embedding_id_col, cfg.embedding_col,
         )
 
+    verdict_drop = None
+    if cfg.semantic_verdict_table:
+        # the materialized-verdict route (r14): one slim anti-join
+        # replaces the whole semantic recompute. Population semantics:
+        # verdicts were materialized over the FULL corpus, so a doc
+        # whose semantic keeper happens to be dropped by an UPSTREAM
+        # stage still drops here (the canonical-representative reading
+        # of SemDeDup); the recompute routes instead re-elect a keeper
+        # among survivors. Equality between the two holds exactly when
+        # upstream stages drop nothing (tests pin that case).
+        if embeddings is not None:
+            raise ValueError(
+                "semantic_verdict_table and a recompute route "
+                "(embeddings=/embeddings_table/semantic_from_text) are "
+                "both configured — one of them would be silently "
+                "ignored; choose one semantic source"
+            )
+        from .semantic_verdict import read_verdict_sidecar
+        from .versioned import read_table
+
+        meta = read_verdict_sidecar(cfg.semantic_verdict_table)
+        if meta is None:
+            raise ValueError(
+                f"verdict table {cfg.semantic_verdict_table} has no "
+                "_verdict.json sidecar — it was not created by "
+                "materialize_semantic_verdict; refusing unverifiable "
+                "verdicts"
+            )
+        if meta.get("threshold") != cfg.semantic_threshold:
+            raise ValueError(
+                f"verdict table {cfg.semantic_verdict_table} was "
+                f"materialized at threshold={meta.get('threshold')} but "
+                f"the pipeline is configured for "
+                f"semantic_threshold={cfg.semantic_threshold} — a "
+                "different cutoff means different verdicts; "
+                "re-materialize or align the config"
+            )
+        vt = read_table(docs.sparkSession, cfg.semantic_verdict_table)
+        uncovered = docs.select(cfg.id_col).join(
+            vt.select(cfg.id_col), cfg.id_col, "left_anti").count()
+        if uncovered > 0:
+            raise ValueError(
+                f"verdict table {cfg.semantic_verdict_table} is missing "
+                f"verdicts for {uncovered} input document(s) — they "
+                "would silently bypass semantic dedup; re-run "
+                "materialize_semantic_verdict to extend it first"
+            )
+        verdict_drop = vt.filter(~F.col("is_kept")).select(cfg.id_col)
+
     cur = stage("exact_deduped", exact_dedup(docs, cfg.id_col, cfg.text_col))
     cur = stage("near_deduped", near_dup_dedup(
         cur, cfg.id_col, cfg.text_col, cfg.min_est_jaccard, cfg.production_hash
     ))
     if embeddings is not None:
         cur = stage("semantic_deduped", semantic_dedup_docs(cur, embeddings, cfg))
+    elif verdict_drop is not None:
+        cur = stage("semantic_deduped",
+                    cur.join(verdict_drop, cfg.id_col, "left_anti"))
     if quality_model is not None:
         cur = stage("quality_filtered", quality_filter(cur, quality_model, cfg))
     if lm is not None and cfg.max_perplexity is not None:

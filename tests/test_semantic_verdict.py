@@ -1,0 +1,191 @@
+"""Materialized semantic-dedup verdict table
+(operators/semantic_verdict.py): the r14 amortization of the
+per-curation semantic recompute.
+
+Contract under test:
+- initial materialization equals batch semantic_dedup under the same
+  pinned codebook, row for row;
+- the curation pipeline's verdict-table route equals the in-pipeline
+  semantic stage when upstream stages drop nothing (same population);
+- increments are append-monotone: existing rows never change, new
+  near-dups of existing docs join the existing group as non-keepers,
+  new-new duplicate batches collapse with min-id keepers;
+- provenance/coverage guards refuse a missing sidecar, mismatched
+  params, and uncovered docs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_lake_spark.operators.ann import (
+    fit_semantic_codebook,
+    semantic_dedup,
+)
+from medallion_data_lake_spark.operators.semantic_verdict import (
+    materialize_semantic_verdict,
+    read_verdict_sidecar,
+)
+from medallion_data_lake_spark.operators.versioned import read_table
+
+DIM = 16
+
+
+def _vecs(spark, n=60, dup_pairs=((0, 50), (1, 51)), seed=5):
+    """n well-separated vectors; listed (orig, dup) pairs share a
+    near-identical vector (cosine ~0.999)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, DIM))
+    for orig, dup in dup_pairs:
+        base[dup] = base[orig] + 0.01 * rng.standard_normal(DIM)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+
+def _docs_of(emb):
+    return emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("vec_id")).alias("text"),
+        F.lit("en").alias("lang"), F.lit("web").alias("source"))
+
+
+def test_initial_materialization_equals_batch(spark, tmp_path):
+    emb = _vecs(spark)
+    docs = _docs_of(emb)
+    cb = str(tmp_path / "cb")
+    fit_semantic_codebook(emb, cb, cluster_size=16)
+    table = str(tmp_path / "verdict")
+    rep = materialize_semantic_verdict(
+        spark, docs, emb, table, cb, threshold=0.9, cluster_size=16)
+    assert rep["mode"] == "initial" and rep["n_total"] == 60
+    assert read_verdict_sidecar(table)["threshold"] == 0.9
+
+    from medallion_data_lake_spark.operators.ann import (
+        load_semantic_codebook,
+    )
+
+    batch = semantic_dedup(
+        emb.withColumnRenamed("vec_id", "doc_id"), id_col="doc_id",
+        threshold=0.9, cluster_size=16, dim=DIM,
+        model=load_semantic_codebook(cb))
+    got = sorted(tuple(r) for r in read_table(spark, table).collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+
+
+def test_increment_append_monotone(spark, tmp_path):
+    emb = _vecs(spark)
+    docs = _docs_of(emb)
+    cb = str(tmp_path / "cb")
+    fit_semantic_codebook(emb, cb, cluster_size=16)
+    table = str(tmp_path / "verdict")
+    materialize_semantic_verdict(spark, docs, emb, table, cb,
+                                 threshold=0.9, cluster_size=16)
+    before = {r["doc_id"]: (r["group_id"], r["is_kept"])
+              for r in read_table(spark, table).collect()}
+
+    # append: 100 = near-dup of existing 0; 101/102 = near-dups of each
+    # other (new-new); 103 = unique
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, DIM))  # same seed → same base[0]
+    v0 = base[0]
+    fresh = np.random.default_rng(99).standard_normal((2, DIM))
+    new_emb = spark.createDataFrame(
+        [(100, [float(x) for x in v0 + 0.012 * fresh[0] * 0.1]),
+         (101, [float(x) for x in fresh[0]]),
+         (102, [float(x) for x in fresh[0] + 0.01 * fresh[1]]),
+         (103, [float(x) for x in fresh[1]])],
+        "vec_id long, embedding array<double>")
+    all_emb = emb.unionByName(new_emb)
+    all_docs = _docs_of(all_emb)
+    rep = materialize_semantic_verdict(spark, all_docs, all_emb, table, cb,
+                                       threshold=0.9, cluster_size=16)
+    assert rep["mode"] == "incremental" and rep["n_new"] == 4
+    assert rep["n_total"] == 64
+
+    after = {r["doc_id"]: (r["group_id"], r["is_kept"])
+             for r in read_table(spark, table).collect()}
+    # append-monotone: every pre-existing verdict is unchanged
+    assert all(after[d] == v for d, v in before.items())
+    # 100 joined 0's existing group as a non-keeper
+    assert after[100] == (before[0][0], False)
+    # 101/102 collapse with min-id keeper; 103 is its own keeper
+    assert after[101] == (101, True)
+    assert after[102] == (101, False)
+    assert after[103] == (103, True)
+
+    # idempotent re-run: nothing new
+    rep2 = materialize_semantic_verdict(spark, all_docs, all_emb, table, cb,
+                                        threshold=0.9, cluster_size=16)
+    assert rep2["mode"] == "noop"
+
+
+def test_curation_verdict_route_equals_inpipeline(spark, tmp_path):
+    """curate_corpus(semantic_verdict_table=...) == the in-pipeline
+    semantic stage on the same population (upstream stages neutral)."""
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    emb = _vecs(spark)
+    docs = _docs_of(emb)
+    cb = str(tmp_path / "cb")
+    fit_semantic_codebook(emb, cb, cluster_size=16)
+    table = str(tmp_path / "verdict")
+    materialize_semantic_verdict(spark, docs, emb, table, cb,
+                                 threshold=0.9, cluster_size=16)
+
+    neutral = dict(min_est_jaccard=1.01)  # MinHash stage drops nothing
+    inline = curate_corpus(
+        docs, embeddings=emb,
+        config=CurationConfig(semantic_codebook_path=cb,
+                              semantic_cluster_size=16, **neutral),
+    )["curated"]
+    via_table = curate_corpus(
+        docs,
+        config=CurationConfig(semantic_verdict_table=table, **neutral),
+    )["curated"]
+    assert sorted(r["doc_id"] for r in inline.collect()) == \
+        sorted(r["doc_id"] for r in via_table.collect())
+
+
+def test_verdict_guards(spark, tmp_path):
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    emb = _vecs(spark)
+    docs = _docs_of(emb)
+    cb = str(tmp_path / "cb")
+    fit_semantic_codebook(emb, cb, cluster_size=16)
+    table = str(tmp_path / "verdict")
+    materialize_semantic_verdict(spark, docs, emb, table, cb,
+                                 threshold=0.9, cluster_size=16)
+
+    # threshold mismatch between sidecar and config refuses
+    with pytest.raises(ValueError, match="threshold"):
+        curate_corpus(docs, config=CurationConfig(
+            semantic_verdict_table=table, semantic_threshold=0.8))
+
+    # uncovered docs refuse
+    extra = docs.sparkSession.createDataFrame(
+        [(999, "uncovered doc", "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    with pytest.raises(ValueError, match="missing verdicts for 1"):
+        curate_corpus(docs.unionByName(extra), config=CurationConfig(
+            semantic_verdict_table=table))
+
+    # ambiguous config refuses
+    with pytest.raises(ValueError, match="both configured"):
+        curate_corpus(docs, embeddings=emb, config=CurationConfig(
+            semantic_verdict_table=table))
+
+    # parameter drift on increment refuses
+    with pytest.raises(ValueError, match="must not mix"):
+        materialize_semantic_verdict(spark, docs, emb, table, cb,
+                                     threshold=0.8, cluster_size=16)
