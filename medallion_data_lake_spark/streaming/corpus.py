@@ -154,6 +154,8 @@ def admit_batch(
     chunk_tokens: int = 64,
     chunk_stride: int = 48,
     ledger_base_table: str | None = None,
+    embeddings_table: str | None = None,
+    embedding_dim: int | None = None,
 ) -> None:
     """Process one micro-batch: fingerprint, dedup within the batch,
     anti-join the historical ledger, write admitted docs + ledger rows
@@ -170,7 +172,17 @@ def admit_batch(
     bounded by compaction cadence, which is the operator's contract).
     Without it, the whole parquet ledger shuffles per batch — fine for
     modest histories, the thing the base exists to avoid at corpus
-    scale."""
+    scale.
+
+    ``embeddings_table`` (r14) maintains the corpus's persisted
+    embedding COLUMN per batch: after the admitted docs land, the
+    batch's own corpus partition is read back and pushed through
+    :func:`operators.embeddings.materialize_corpus_embeddings` — the
+    (id, text-fingerprint) increment means a replayed batch re-embeds
+    nothing, so the column stays exactly-once with the corpus and a
+    stream-built corpus curates (CurationConfig.embeddings_table)
+    without a separate materialize step. Provenance is the embeddings
+    module's own sidecar contract, enforced per batch."""
     spark = batch_df.sparkSession
     fp = (
         batch_df.withColumn("fingerprint", content_fingerprint())
@@ -210,6 +222,25 @@ def admit_batch(
         .partitionBy("_batch_id")
         .parquet(ledger_dir)
     )
+    if embeddings_table is not None:
+        from ..operators.embeddings import (
+            DEFAULT_DIM,
+            materialize_corpus_embeddings,
+        )
+
+        # read back exactly this batch's admitted partition (bounded by
+        # the batch): replaying the `admitted` plan would re-run the
+        # ledger anti-joins, and embedding the raw input would waste the
+        # Arrow pass on rejected duplicates
+        batch_docs = (
+            spark.read.parquet(corpus_dir)
+            .filter(F.col("_batch_id") == batch_id)
+            .select("doc_id", "text")
+        )
+        materialize_corpus_embeddings(
+            spark, batch_docs, embeddings_table,
+            dim=embedding_dim or DEFAULT_DIM,
+        )
     if chunks_dir is not None:
         from ..operators.curation_pipeline import chunk_documents
 
@@ -237,6 +268,8 @@ def run_incremental_corpus_ingest(
     chunks_dir: str | None = None,
     ledger_base_table: str | None = None,
     compact_base_every: int | None = None,
+    embeddings_table: str | None = None,
+    embedding_dim: int | None = None,
 ):
     """Stream JSON-lines document drops from ``input_dir`` into a
     deduplicated corpus. ``available_now`` bounds the run to the files
@@ -255,7 +288,9 @@ def run_incremental_corpus_ingest(
 
     def process(df: DataFrame, bid: int) -> None:
         admit_batch(df, bid, corpus_dir, ledger_dir, chunks_dir=chunks_dir,
-                    ledger_base_table=ledger_base_table)
+                    ledger_base_table=ledger_base_table,
+                    embeddings_table=embeddings_table,
+                    embedding_dim=embedding_dim)
         if (
             ledger_base_table
             and compact_base_every

@@ -403,3 +403,66 @@ def test_streaming_fuzzy_decon_screens_near_benchmark_docs(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.parquet(out).collect()
     assert {r.doc_id for r in rows} == {2, 4} and len(rows) == 2
+
+
+def test_streaming_maintained_embedding_column(spark, tmp_path):
+    """embeddings_table= on the ingester maintains the persisted
+    embedding column per batch (r14 verdict #6): column complete for
+    exactly the admitted docs after every drop, vectors equal to the
+    batch embedder's, provenance sidecar enforced, and a stream-built
+    corpus passes the curation coverage guard with no separate
+    materialize step."""
+    import pytest
+
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+    from medallion_data_lake_spark.operators.embeddings import (
+        embed_documents,
+        materialize_corpus_embeddings,
+        read_embedder_sidecar,
+    )
+    from medallion_data_lake_spark.operators.versioned import read_table
+
+    in_dir, corpus, ledger, ckpt = _dirs(tmp_path)
+    emb_table = str(tmp_path / "emb")
+    _write_drop(f"{in_dir}/drop1.json", [
+        {"doc_id": 1, "text": "alpha beta gamma", "lang": "en", "source": "a"},
+        {"doc_id": 2, "text": "delta epsilon", "lang": "en", "source": "a"},
+        {"doc_id": 3, "text": "ALPHA  BETA GAMMA", "lang": "en", "source": "a"},
+    ])
+    q = run_incremental_corpus_ingest(
+        spark, in_dir, corpus, ledger, ckpt, embeddings_table=emb_table)
+    q.awaitTermination(60)
+    col = read_table(spark, emb_table)
+    assert {r.vec_id for r in col.collect()} == {1, 2}  # admitted only
+
+    _write_drop(f"{in_dir}/drop2.json", [
+        {"doc_id": 10, "text": "alpha beta gamma", "lang": "en", "source": "b"},
+        {"doc_id": 11, "text": "zeta eta theta", "lang": "de", "source": "b"},
+    ])
+    q = run_incremental_corpus_ingest(
+        spark, in_dir, corpus, ledger, ckpt, embeddings_table=emb_table)
+    q.awaitTermination(60)
+    col = read_table(spark, emb_table)
+    assert {r.vec_id for r in col.collect()} == {1, 2, 11}
+
+    # vectors are the embedder's, not placeholders
+    doc11 = spark.read.parquet(corpus).filter(F.col("doc_id") == 11)
+    want = embed_documents(doc11.select("doc_id", "text")).first()["embedding"]
+    got = col.filter(F.col("vec_id") == 11).first()["embedding"]
+    assert got == want
+
+    # provenance: the sidecar exists and a mismatched dim refuses
+    assert read_embedder_sidecar(emb_table)["dim"] == 64
+    with pytest.raises(ValueError, match="mixed embedding spaces"):
+        materialize_corpus_embeddings(
+            spark, doc11.select("doc_id", "text"), emb_table, dim=16)
+
+    # the stream-built corpus curates straight off the maintained column
+    docs = spark.read.parquet(corpus).select("doc_id", "text", "lang",
+                                             "source")
+    out = curate_corpus(docs, config=CurationConfig(
+        embeddings_table=emb_table))["curated"]
+    assert out.count() == 3  # coverage guard passed; nothing semantic-dropped
