@@ -80,7 +80,7 @@ def main(argv: list[str] | None = None) -> int:
                  "bm25-build", "bm25-search", "bm25-compact",
                  "phrase-search", "hybrid-search", "fit-codebook",
                  "export-store", "materialize-embeddings",
-                 "materialize-verdict"],
+                 "materialize-verdict", "materialize-bench-decon"],
     )
     ap.add_argument(
         "arg",
@@ -198,6 +198,14 @@ def main(argv: list[str] | None = None) -> int:
                          "column (materialize-embeddings) instead of "
                          "re-embedding per run; materialize-verdict: the "
                          "vector source")
+    ap.add_argument("--benchmark-decon-table", default=None,
+                    help="curate: persisted benchmark decon artifacts "
+                         "(materialize-bench-decon) — enables both "
+                         "decon stages without re-hashing the suite; "
+                         "materialize-bench-decon: the output root")
+    ap.add_argument("--bench", default=None,
+                    help="materialize-bench-decon: parquet path/dir of "
+                         "the benchmark suite (a 'text' column)")
     ap.add_argument("--semantic-verdict-table", default=None,
                     help="curate: consume the materialized semantic "
                          "verdict (materialize-verdict) — the semantic "
@@ -493,6 +501,8 @@ def main(argv: list[str] | None = None) -> int:
             semantic_codebook_path=args.semantic_codebook,
             embeddings_table=args.embeddings_table,
             semantic_verdict_table=args.semantic_verdict_table,
+            benchmark_decon_table=args.benchmark_decon_table,
+            fuzzy_decontaminate=args.benchmark_decon_table is not None,
         )
         observations: dict = {}
         stages = curate_corpus(docs, config=cfg, observations=observations)
@@ -540,6 +550,22 @@ def main(argv: list[str] | None = None) -> int:
         report = materialize_semantic_verdict(
             spark, docs, _rt(spark, args.embeddings_table), args.arg,
             args.semantic_codebook,
+        )
+        print(json.dumps(report))
+    elif args.verb == "materialize-bench-decon":
+        # persist the benchmark suite's decon artifacts once (r14): ARG
+        # is the output root; --bench the suite parquet.
+        if not args.arg or not args.bench:
+            print("materialize-bench-decon requires an output dir and "
+                  "--bench PARQUET", file=sys.stderr)
+            return 2
+        from .operators.curation_pipeline import (
+            materialize_benchmark_decon,
+        )
+
+        bench = spark.read.parquet(args.bench)
+        report = materialize_benchmark_decon(
+            spark, bench, args.arg, production_hash=True,
         )
         print(json.dumps(report))
     elif args.verb == "export-store":

@@ -680,3 +680,300 @@ def run_store_search(store, lock, req: dict, route: str = "/search",
     out["truncated_at"] = k
     out["elapsed_sec"] = round(time.time() - t0, 4)
     return out
+
+
+def export_search_store_incremental(
+    spark: SparkSession,
+    index_root: str,
+    url: str,
+    driver: str | None = DERBY_DRIVER,
+    eps: float = 0.02,
+    term_width: int = 256,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    docs: DataFrame | None = None,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+) -> dict:
+    """Advance the exported store to the index's newest committed
+    snapshot by upserting ONLY what changed since the manifest pins —
+    the store's steady-state operating cost (r13 verdict #2: a full
+    re-export per small append is the tier's real cost at scale).
+
+    Mechanics (all deltas from the versioned substrate's change feed,
+    :func:`operators.versioned.table_changes` — cost tracks the CHANGED
+    files, never the table):
+
+    1. AFFECTED TERMS = every term named by a postings-row insert or
+       delete since the pinned version (an appended doc touches exactly
+       its own vocabulary; a deleted doc names all its terms through
+       its removed rows). Each affected term then takes the PER-TERM
+       ε-rule: a term whose document frequency drifted more than
+       ``eps`` (or appeared/emptied) gets its WHOLE list recomputed at
+       the new snapshot — by construction these are rare terms with
+       short lists — while a df-stable term (the stopword case: every
+       real append touches the commonest terms, whose lists are the
+       longest) gets only its DELTA rows applied, existing rows left at
+       their old idf within the ε bound. This is what makes the
+       increment O(append), not O(touched vocabulary's posting mass):
+       the first cut recomputed whole lists and measured SLOWER than a
+       full re-export (111.8s vs 70.6s at the 50k clone). Doc
+       membership, match counts, and tf are always EXACT.
+    2. THE GLOBAL ε-RULE: impacts denormalize the corpus totals (idf's
+       N, avgdl), so every stale row's impact drifts with the totals.
+       Incremental export is allowed only while
+       ``max(|N'/N − 1|, |avgdl'/avgdl − 1|) ≤ eps`` — that relative
+       drift bounds the score error of stale rows to the same order
+       (idf and the tf length-normalization are smooth in N and
+       avgdl). Beyond eps the function falls back to a FULL re-export
+       and says so. Both ε levels bound score VALUES only — never
+       which docs match.
+    3. Positional bigrams (when the store carries them): doc-level
+       deltas from the doclens feed — deleted docs' rows dropped,
+       inserted docs' rows appended from ``docs`` (required then: the
+       corpus at the NEW snapshot, same contract as the full export).
+    4. ``mdls_corpus`` and the manifest pins are replaced; Derby stats
+       refresh on the touched tables. Vector neighbor lists are a
+       separate artifact (:func:`export_vector_store`) with different
+       update math (a new vector can enter any list) — re-export them
+       or serve /similar from the warm session until then.
+
+    Returns {"mode": "incremental"|"full_refresh"|"full_initial"|
+    "noop", "drift", "affected_terms", "recomputed_terms", "pins"}.
+    """
+    from .operators.versioned import table_changes
+
+    new_pins = committed_index_snapshot(index_root)
+    if new_pins is None:
+        raise ValueError(
+            f"index at {index_root} has no committed append txn; "
+            "nothing consistent to export"
+        )
+
+    def _full(mode: str, drift: float | None) -> dict:
+        pins = export_search_store(
+            spark, index_root, url, driver=driver, pins=new_pins,
+            term_width=term_width, k1=k1, b=b,
+            docs=docs, doc_id_col=doc_id_col, doc_text_col=doc_text_col,
+        )
+        return {"mode": mode, "drift": drift, "affected_terms": None,
+                "recomputed_terms": None, "pins": pins}
+
+    with ServingStore(spark, url, driver=driver) as store:
+        tables = store.table_names()
+        if T_MANIFEST not in tables:
+            return _full("full_initial", None)
+        old_pins = store.manifest()
+        if old_pins == new_pins:
+            return {"mode": "noop", "drift": 0.0, "affected_terms": 0,
+                    "recomputed_terms": 0, "pins": new_pins}
+        core = (_POSTINGS, _DOCLENS, _TERMSTATS, _CORPUS)
+        if any(n not in old_pins for n in core):
+            return _full("full_refresh", None)
+        old_tot = store.query(f'SELECT "n_docs", "avgdl" FROM {T_CORPUS}')
+        n_old = int(old_tot["rows"][0][0])
+        avgdl_old = float(old_tot["rows"][0][1])
+        has_bigrams = T_BIGRAM_POS in tables
+
+    totals = (
+        read_table(spark, _t(index_root, _CORPUS),
+                   version=new_pins.get(_CORPUS))
+        .agg(F.sum("n_docs").cast("long").alias("n"),
+             F.sum("sum_dl").cast("long").alias("s"))
+        .first()
+    )
+    if totals is None or not totals["n"]:
+        raise ValueError(
+            f"index at {index_root} has no documents at the committed "
+            "snapshot; nothing to export"
+        )
+    n_new, avgdl_new = int(totals["n"]), float(totals["s"]) / int(totals["n"])
+    drift = max(abs(n_new / n_old - 1.0), abs(avgdl_new / avgdl_old - 1.0))
+    if drift > eps:
+        return _full("full_refresh", drift)
+
+    # -- affected terms, split by the PER-TERM ε-rule. The first cut of
+    # this function recomputed every affected term's WHOLE posting list
+    # — and measured SLOWER than a full re-export at the 50k clone
+    # (111.8s vs 70.6s), because real appends always touch the
+    # commonest terms (stopwords), whose lists are the longest, and the
+    # store pays per-row index maintenance the bulk load never paid.
+    # The per-term rule bounds the rewrite by the APPEND instead:
+    #
+    # - df drift > eps (or a brand-new/emptied term): the term's idf
+    #   moved materially, so its whole list rewrites — by construction
+    #   these are RARE terms with short lists;
+    # - df drift ≤ eps: only the DELTA rows (the CDF's inserted/deleted
+    #   (term, doc) pairs) are applied; the term's existing rows stay
+    #   at their old idf, stale within the same ε bound as the global
+    #   totals rule. Membership and tf are exact either way — only
+    #   impact VALUES of untouched rows drift.
+    changes = table_changes(
+        spark, _t(index_root, _POSTINGS),
+        from_version=old_pins[_POSTINGS] + 1,
+        to_version=new_pins[_POSTINGS],
+    ).select("term", "doc_id", "tf", "_change_type")
+    affected = changes.select("term").distinct()
+
+    def _df_at(version_key):
+        return (
+            read_table(spark, _t(index_root, _TERMSTATS),
+                       version=version_key)
+            .join(F.broadcast(affected), "term", "left_semi")
+            .groupBy("term")
+            .agg(F.sum("df_delta").cast("long").alias("df"))
+        )
+
+    df_new = _df_at(new_pins.get(_TERMSTATS))
+    df_old = _df_at(old_pins.get(_TERMSTATS)).withColumnRenamed("df", "df0")
+    term_split = (
+        df_new.join(df_old, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("df", F.lit(0)).alias("df"),
+            F.coalesce("df0", F.lit(0)).alias("df0"),
+        )
+        .withColumn(
+            "_recompute",
+            (F.col("df0") == 0) | (F.col("df") == 0)
+            | (F.abs(F.col("df") - F.col("df0"))
+               / F.greatest(F.col("df0"), F.lit(1)) > F.lit(float(eps))),
+        )
+        .localCheckpoint(eager=True)  # reused 4x below; plan is tiny
+    )
+    recompute = term_split.filter(F.col("_recompute")).select("term")
+    termstats_aff = term_split.select(
+        "term", "df", bm25_idf(F.lit(n_new), F.col("df")).alias("idf"))
+    doclens = read_table(
+        spark, _t(index_root, _DOCLENS), version=new_pins.get(_DOCLENS)
+    ).select("doc_id", "dl")
+
+    def _impacts(rows):
+        return (
+            rows.join(F.broadcast(termstats_aff.select("term", "idf")),
+                      "term")
+            .join(doclens, "doc_id")
+            .select(
+                "term", "doc_id", "tf",
+                bm25_term_score(
+                    F.col("tf"), F.col("dl"), F.lit(avgdl_new),
+                    F.col("idf"), k1, b,
+                ).alias("impact"),
+            )
+        )
+
+    # whole lists for the drifted (rare) terms
+    impacts_rec = _impacts(
+        read_table(spark, _t(index_root, _POSTINGS),
+                   version=new_pins.get(_POSTINGS))
+        .select("term", "doc_id", "tf")
+        .join(F.broadcast(recompute), "term", "left_semi")
+    )
+    # delta rows only for the stable (common) terms
+    stable_ins = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("term", "doc_id", "tf").join(
+        F.broadcast(recompute), "term", "left_anti")
+    impacts_ins = _impacts(stable_ins)
+    # pair-granular deletes for stable terms (erasure path; the BM25
+    # index is append-only today, so usually empty)
+    stable_del = changes.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("term", "doc_id").join(
+        F.broadcast(recompute), "term", "left_anti").distinct()
+
+    vc = f"VARCHAR({int(term_width)})"
+    stage = "mdls_stage_terms"
+    write_jdbc(recompute, url, stage, driver=driver,
+               createTableColumnTypes=f"term {vc}")
+    stage_del = "mdls_stage_del"
+    n_del = stable_del.count()
+    if n_del:
+        write_jdbc(stable_del, url, stage_del, driver=driver,
+                   createTableColumnTypes=f"term {vc}")
+    n_affected = affected.count()
+    n_recompute = None
+    with ServingStore(spark, url, driver=driver) as store:
+        n_recompute = int(store.query(
+            f"SELECT COUNT(*) AS n FROM {stage}")["rows"][0][0])
+        # all affected termstats rows are replaced (tiny, exact) —
+        # termstats_aff is already restricted to the affected terms
+        write_jdbc(termstats_aff, url, "mdls_stage_ts", driver=driver,
+                   createTableColumnTypes=f"term {vc}")
+        store.execute(
+            f'DELETE FROM {T_TERMSTATS} WHERE "term" IN '
+            f'(SELECT "term" FROM mdls_stage_ts)')
+        store.execute(
+            f'INSERT INTO {T_TERMSTATS} SELECT * FROM mdls_stage_ts')
+        store.execute("DROP TABLE mdls_stage_ts")
+        store.execute(
+            f'DELETE FROM {T_POSTINGS} WHERE "term" IN '
+            f'(SELECT "term" FROM {stage})')
+        if n_del:
+            store.execute(
+                f'DELETE FROM {T_POSTINGS} WHERE EXISTS (SELECT 1 FROM '
+                f'{stage_del} d WHERE d."term" = {T_POSTINGS}."term" '
+                f'AND d."doc_id" = {T_POSTINGS}."doc_id")')
+            store.execute(f"DROP TABLE {stage_del}")
+    write_jdbc(impacts_rec, url, T_POSTINGS, mode="append", driver=driver)
+    write_jdbc(impacts_ins, url, T_POSTINGS, mode="append", driver=driver)
+
+    # -- positional bigrams: doc-granular delta
+    if has_bigrams:
+        if docs is None:
+            raise ValueError(
+                "store carries the positional bigram table; incremental "
+                "export needs docs= (the corpus at the new snapshot) to "
+                "maintain it"
+            )
+        dl_changes = table_changes(
+            spark, _t(index_root, _DOCLENS),
+            from_version=old_pins[_DOCLENS] + 1,
+            to_version=new_pins[_DOCLENS],
+        )
+        changed_docs = dl_changes.select("doc_id").distinct()
+        stage_docs = "mdls_stage_docs"
+        write_jdbc(changed_docs, url, stage_docs, driver=driver)
+        with ServingStore(spark, url, driver=driver) as store:
+            store.execute(
+                f'DELETE FROM {T_BIGRAM_POS} WHERE "doc_id" IN '
+                f'(SELECT "doc_id" FROM {stage_docs})')
+        live_changed = docs.select(
+            F.col(doc_id_col).alias("doc_id"), F.col(doc_text_col)
+        ).join(F.broadcast(changed_docs), "doc_id", "left_semi")
+        toks = live_changed.select(
+            "doc_id", clean_tokens(F.col(doc_text_col)).alias("_toks"))
+        bpos = toks.select(
+            "doc_id",
+            F.posexplode(bigram_tokens(F.col("_toks"))).alias(
+                "pos", "bigram"),
+        ).select("bigram", "doc_id", (F.col("pos") + 1).alias("pos"))
+        write_jdbc(bpos, url, T_BIGRAM_POS, mode="append", driver=driver)
+
+    # -- totals + manifest replaced; stats refreshed
+    corpus_row = spark.createDataFrame(
+        [(n_new, avgdl_new)], "n_docs long, avgdl double")
+    manifest = spark.createDataFrame(
+        [(json.dumps(new_pins),)], "pins string")
+    with ServingStore(spark, url, driver=driver) as store:
+        store.execute(f"DELETE FROM {T_CORPUS}")
+        store.execute(f"DELETE FROM {T_MANIFEST}")
+    write_jdbc(corpus_row, url, T_CORPUS, mode="append", driver=driver)
+    write_jdbc(manifest, url, T_MANIFEST, mode="append", driver=driver)
+    with ServingStore(spark, url, driver=driver) as store:
+        for t in (stage, "mdls_stage_docs"):
+            try:
+                store.execute(f"DROP TABLE {t}")
+            except Exception:
+                pass  # stage_docs only exists on the bigram path
+        if driver == DERBY_DRIVER:
+            touched = [T_POSTINGS, T_TERMSTATS]
+            if has_bigrams:
+                touched.append(T_BIGRAM_POS)
+            for t in touched:
+                store.execute(
+                    "CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS"
+                    f"('APP', '{t.upper()}', NULL)")
+    return {"mode": "incremental", "drift": drift,
+            "affected_terms": int(n_affected),
+            "recomputed_terms": n_recompute, "pins": new_pins}

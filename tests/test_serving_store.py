@@ -450,3 +450,111 @@ def test_cli_export_store_full(spark, tmp_path, derby_url, capsys):
         assert store.routes() == {"/search", "/phrase", "/similar",
                                   "/hybrid"}
         assert store.phrase(["stream", "join"])["row_count"] > 0
+
+
+# ---- r14: incremental store export --------------------------------------
+
+WORDS = ["stream", "join", "table", "state", "hash", "scan", "filter",
+         "probe", "shuffle", "exchange", "watermark", "checkpoint"]
+
+
+def _big_docs(spark, n=60, extra=None):
+    rows = [(i, " ".join(WORDS[(i + j) % len(WORDS)] for j in range(6)))
+            for i in range(1, n + 1)]
+    return spark.createDataFrame(rows + (extra or []),
+                                 "doc_id long, text string")
+
+
+def test_incremental_export_small_append(spark, tmp_path, derby_url):
+    """Small append within the ε window: only the appended vocabulary's
+    posting lists rewrite; the store answers exactly for touched terms
+    (membership exact everywhere), the bigram table follows the doc
+    delta, and the manifest advances to the new pins."""
+    from medallion_data_lake_spark.operators.inverted_index import (
+        phrase_search,
+    )
+    from medallion_data_lake_spark.serving_store import (
+        export_search_store_incremental,
+    )
+
+    root = str(tmp_path / "idx")
+    docs = _big_docs(spark)
+    create_bm25_index(spark, docs, root, n_files=2, bigrams=True)
+    url = derby_url.format("incr")
+    pins0 = export_search_store(spark, root, url, docs=docs)
+
+    new_doc = [(61, "stream join quantile sketch stream join")]
+    append_bm25_index(spark, _docs(spark, new_doc), root)
+    docs2 = _big_docs(spark, extra=new_doc)
+
+    rep = export_search_store_incremental(spark, root, url, docs=docs2)
+    assert rep["mode"] == "incremental", rep
+    assert rep["pins"] != pins0
+    assert 0 < rep["drift"] <= 0.02
+    # affected vocabulary = the appended doc's distinct terms
+    assert rep["affected_terms"] == 4
+
+    with ServingStore(spark, url) as store:
+        assert store.manifest() == rep["pins"]
+        # touched terms: exact parity with the lake at the NEW pins
+        lake = _lake_rows(bm25_search(
+            spark, root, ["stream", "join"], k=10, pins=rep["pins"]))
+        _assert_store_equals_lake(
+            store.bm25(["stream", "join"], k=10), lake)
+        assert 61 in [r[0] for r in store.bm25(["quantile"], k=5)["rows"]]
+        # untouched terms: membership + counts exact; score drift ≤ ε-ish
+        lake_u = _lake_rows(bm25_search(
+            spark, root, ["checkpoint"], k=10, pins=rep["pins"]))
+        got_u = store.bm25(["checkpoint"], k=10)["rows"]
+        assert [(r[0], r[1]) for r in got_u] == [l[:2] for l in lake_u]
+        for g, l in zip(got_u, lake_u):
+            assert abs(g[2] - l[2]) / abs(l[2]) < 0.1, (g, l)
+        # phrase follows the doc delta
+        lake_ph, _ = phrase_search(spark, root, docs2, ["quantile", "sketch"])
+        got_ph = {tuple(r) for r in store.phrase(["quantile", "sketch"])["rows"]}
+        assert got_ph == _phrase_set(lake_ph) == {(61, 1)}
+
+    # second call with nothing new: noop
+    rep2 = export_search_store_incremental(spark, root, url, docs=docs2)
+    assert rep2["mode"] == "noop"
+
+
+def test_incremental_export_eps_forces_full(spark, tmp_path, derby_url):
+    """Corpus-total drift beyond ε must force a full refresh (impacts
+    denormalize N/avgdl) — and the refreshed store is exactly the lake."""
+    from medallion_data_lake_spark.serving_store import (
+        export_search_store_incremental,
+    )
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2)  # 6 docs
+    url = derby_url.format("eps")
+    export_search_store(spark, root, url)
+
+    append_bm25_index(spark, _docs(spark, [
+        (7, "stream join table"), (8, "hash probe scan")]), root)
+    rep = export_search_store_incremental(spark, root, url)
+    assert rep["mode"] == "full_refresh"
+    assert rep["drift"] > 0.02
+
+    with ServingStore(spark, url) as store:
+        lake = _lake_rows(bm25_search(
+            spark, root, ["stream", "join"], k=10, pins=rep["pins"]))
+        _assert_store_equals_lake(store.bm25(["stream", "join"], k=10),
+                                  lake)
+
+
+def test_incremental_export_initializes_empty_store(spark, tmp_path,
+                                                    derby_url):
+    """First call against an empty database is just the full export."""
+    from medallion_data_lake_spark.serving_store import (
+        export_search_store_incremental,
+    )
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2)
+    url = derby_url.format("init")
+    rep = export_search_store_incremental(spark, root, url)
+    assert rep["mode"] == "full_initial"
+    with ServingStore(spark, url) as store:
+        assert store.bm25(["stream"], k=3)["row_count"] > 0
