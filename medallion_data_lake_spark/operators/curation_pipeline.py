@@ -78,21 +78,32 @@ def near_dup_dedup(docs: DataFrame, id_col: str = "doc_id",
     return docs.join(losers, id_col, "left_anti")
 
 
-def decontaminate(docs: DataFrame, bench: DataFrame,
+def decontaminate(docs: DataFrame, bench: DataFrame | None,
                   id_col: str = "doc_id", text_col: str = "text",
                   bench_text_col: str = "text",
-                  max_contamination: float = 0.0) -> DataFrame:
+                  max_contamination: float = 0.0,
+                  bench_ngrams: DataFrame | None = None) -> DataFrame:
     """Remove documents sharing more than ``max_contamination`` of their
     n-grams with the benchmark set (0.0 = any shared n-gram rejects).
 
     The benchmark n-gram set is distinct-ed and broadcast (eval suites
     are MBs at any realistic size); the corpus side is one explode +
     broadcast-hash-join + per-doc count — never all-pairs.
+
+    ``bench_ngrams`` (a 1-column ``h`` frame, e.g. from
+    :func:`materialize_benchmark_decon`) skips the bench-side shingle
+    pass entirely — the benchmark suite is static across curation runs,
+    so recomputing its n-gram set per run was pure waste (r14 funnel-
+    floor lever).
     """
-    bench_ngrams = (
-        bench.select(F.explode(shingle_hashes(F.col(bench_text_col))).alias("h"))
-        .distinct()
-    )
+    if bench_ngrams is None:
+        if bench is None:
+            raise ValueError("pass bench= or bench_ngrams=")
+        bench_ngrams = (
+            bench.select(
+                F.explode(shingle_hashes(F.col(bench_text_col))).alias("h"))
+            .distinct()
+        )
     hashed = docs.select(
         F.col(id_col), F.array_distinct(shingle_hashes(F.col(text_col))).alias("hs")
     )
@@ -107,11 +118,12 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     return docs.join(contaminated, id_col, "left_anti")
 
 
-def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,
+def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame | None,
                         id_col: str = "doc_id", text_col: str = "text",
                         bench_text_col: str = "text",
                         min_est_jaccard: float = 0.5,
-                        production_hash: bool = False) -> DataFrame:
+                        production_hash: bool = False,
+                        bench_bands: DataFrame | None = None) -> DataFrame:
     """Remove documents whose MinHash signature LSH-collides with a
     benchmark document at estimated Jaccard >= ``min_est_jaccard`` —
     the paraphrased/partially-edited leakage the exact n-gram join
@@ -120,7 +132,14 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,
 
     Both sides band their signatures map-side; the only shuffle joins
     (band, key) tuples — O(colliding pairs), never corpus × benchmark.
-    Oracle-twin: the registry query ``decontaminate_fuzzy_lsh``."""
+    Oracle-twin: the registry query ``decontaminate_fuzzy_lsh``.
+
+    ``bench_bands`` (the banded-signature frame persisted by
+    :func:`materialize_benchmark_decon`) skips the bench-side shingle +
+    minhash pass — static per benchmark suite, the r14 funnel-floor
+    lever. It must have been materialized with the SAME
+    ``production_hash`` (the sidecar-enforced contract) or the band
+    keys would never collide."""
     from ..queries.dedup import (
         N_BANDS,
         N_MINHASH,
@@ -149,13 +168,19 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,
                  "_b.band", "_b.bkey")
 
     corpus = banded(docs, "_cid", text_col, id_col)
-    # bench may be text-only (the exact stage needs no id): synthesize
-    # one — it never surfaces, it only carries the signature rows
-    bench_prepared = bench.select(
-        F.monotonically_increasing_id().alias("_bench_row_id"),
-        F.col(bench_text_col).alias("_btext"),
-    )
-    bside = banded(bench_prepared, "_bid", "_btext", "_bench_row_id")
+    if bench_bands is not None:
+        bside = bench_bands
+    else:
+        if bench is None:
+            raise ValueError("pass bench= or bench_bands=")
+        # bench may be text-only (the exact stage needs no id):
+        # synthesize one — it never surfaces, it only carries the
+        # signature rows
+        bench_prepared = bench.select(
+            F.monotonically_increasing_id().alias("_bench_row_id"),
+            F.col(bench_text_col).alias("_btext"),
+        )
+        bside = banded(bench_prepared, "_bid", "_btext", "_bench_row_id")
     est = sum(
         F.when(F.col(f"_cid_mh{j}") == F.col(f"_bid_mh{j}"), 1).otherwise(0)
         for j in range(N_MINHASH)
@@ -167,6 +192,87 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,
         .distinct()
     )
     return docs.join(flagged, id_col, "left_anti")
+
+
+BENCH_DECON_SIDECAR = "_bench_decon.json"
+
+
+def materialize_benchmark_decon(spark, bench: DataFrame, root: str,
+                                bench_text_col: str = "text",
+                                production_hash: bool = False) -> dict:
+    """Persist the benchmark suite's decontamination artifacts ONCE —
+    the r14 funnel-floor lever: the bench side of both decon stages is
+    a pure function of the (static) benchmark set, yet every curation
+    run re-shingled and re-minhashed it. Two versioned tables under
+    ``root``:
+
+    - ``root/ngrams``: the distinct shingle-hash set (column ``h``) the
+      exact stage broadcasts;
+    - ``root/bands``: the banded MinHash signature rows
+      (``_bid, _bid_mh0..N-1, band, bkey``) the fuzzy stage joins.
+
+    A ``_bench_decon.json`` sidecar records ``production_hash`` and the
+    LSH geometry (N_MINHASH/N_BANDS/ROWS_PER_BAND) — consumed tables
+    are refused when they mismatch the pipeline config, because a
+    different hash family or banding would silently never collide.
+    Returns {"n_ngrams", "n_band_rows"}."""
+    import json as _json
+    import os as _os
+
+    from ..queries.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND
+    from .versioned import commit
+
+    ngrams = (
+        bench.select(
+            F.explode(shingle_hashes(F.col(bench_text_col))).alias("h"))
+        .distinct()
+    )
+    bench_prepared = bench.select(
+        F.monotonically_increasing_id().alias("_bench_row_id"),
+        F.col(bench_text_col).alias("_btext"),
+    )
+    sigs = signatures(bench_prepared, id_col="_bench_row_id",
+                      text_col="_btext", production=production_hash)
+    bands = sigs.select(
+        F.col("doc_id").alias("_bid"),
+        *[F.col(f"mh{j}").alias(f"_bid_mh{j}") for j in range(N_MINHASH)],
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(":", *[
+                    F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ]).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ])).alias("_b"),
+    ).select("_bid", *[f"_bid_mh{j}" for j in range(N_MINHASH)],
+             "_b.band", "_b.bkey")
+    _os.makedirs(root, exist_ok=True)
+    # sidecar BEFORE the commits (same crash-ordering contract as the
+    # embeddings/verdict sidecars)
+    with open(_os.path.join(root, BENCH_DECON_SIDECAR), "w") as fh:
+        _json.dump({"production_hash": bool(production_hash),
+                    "n_minhash": N_MINHASH, "n_bands": N_BANDS,
+                    "rows_per_band": ROWS_PER_BAND}, fh)
+    commit(ngrams, _os.path.join(root, "ngrams"), mode="overwrite")
+    commit(bands, _os.path.join(root, "bands"), mode="overwrite",
+           stats_cols=("bkey",))
+    from .versioned import read_table as _rt
+
+    return {"n_ngrams": _rt(spark, _os.path.join(root, "ngrams")).count(),
+            "n_band_rows": _rt(spark, _os.path.join(root, "bands")).count()}
+
+
+def read_bench_decon_sidecar(root: str) -> dict | None:
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(root, BENCH_DECON_SIDECAR)
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return _json.load(fh)
 
 
 def stratified_sample(docs: DataFrame,
@@ -544,6 +650,12 @@ class CurationConfig:
     # semantic_from_text); the table's sidecar threshold must match
     # semantic_threshold, and every input doc must have a verdict row.
     semantic_verdict_table: str | None = None
+    # r14: persisted benchmark decon artifacts
+    # (materialize_benchmark_decon) — the bench side of both decon
+    # stages is static per benchmark suite; this routes the stages
+    # through the persisted n-gram set + banded signatures instead of
+    # recomputing them per run. Mutually exclusive with passing bench=.
+    benchmark_decon_table: str | None = None
 
 
 def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
@@ -785,15 +897,50 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
         cur = stage("lm_filtered", perplexity_filter(
             cur, lm, cfg.max_perplexity, cfg.id_col, cfg.text_col
         ).drop("n_tokens", "avg_logp", "perplexity"))
-    if bench is not None:
+    bench_ngrams = bench_bands = None
+    if cfg.benchmark_decon_table:
+        if bench is not None:
+            raise ValueError(
+                "benchmark_decon_table and bench= are both configured — "
+                "one would be silently ignored; pass one decon source"
+            )
+        from .versioned import read_table as _rt_decon
+
+        meta = read_bench_decon_sidecar(cfg.benchmark_decon_table)
+        if meta is None:
+            raise ValueError(
+                f"benchmark decon table {cfg.benchmark_decon_table} has "
+                "no _bench_decon.json sidecar — it was not created by "
+                "materialize_benchmark_decon; refusing unverifiable "
+                "artifacts"
+            )
+        if meta.get("production_hash") != cfg.production_hash:
+            raise ValueError(
+                f"benchmark decon table {cfg.benchmark_decon_table} was "
+                f"materialized with production_hash="
+                f"{meta.get('production_hash')} but the pipeline uses "
+                f"{cfg.production_hash} — band keys from different hash "
+                "families never collide, so fuzzy decon would silently "
+                "pass everything; re-materialize or align the config"
+            )
+        import os as _os
+
+        bench_ngrams = _rt_decon(
+            docs.sparkSession,
+            _os.path.join(cfg.benchmark_decon_table, "ngrams"))
+        bench_bands = _rt_decon(
+            docs.sparkSession,
+            _os.path.join(cfg.benchmark_decon_table, "bands"))
+    if bench is not None or bench_ngrams is not None:
         cur = stage("decontaminated", decontaminate(
             cur, bench, cfg.id_col, cfg.text_col, cfg.text_col,
-            cfg.max_contamination,
+            cfg.max_contamination, bench_ngrams=bench_ngrams,
         ))
         if cfg.fuzzy_decontaminate:
             cur = stage("fuzzy_decontaminated", fuzzy_decontaminate(
                 cur, bench, cfg.id_col, cfg.text_col, cfg.text_col,
                 cfg.fuzzy_tau, cfg.production_hash,
+                bench_bands=bench_bands,
             ))
     if cfg.mix_token_budget is not None:
         # note: the totals aggregation inside executes the pipeline

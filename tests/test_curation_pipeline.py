@@ -585,3 +585,76 @@ def test_pipeline_fuzzy_stage_in_funnel(spark):
     n_exact = stages["decontaminated"].count()
     n_fuzzy = stages["fuzzy_decontaminated"].count()
     assert n_fuzzy <= n_exact  # the fuzzy stage only removes further
+
+
+def test_persisted_benchmark_decon_equals_raw_bench(spark, tmp_path):
+    """materialize_benchmark_decon + benchmark_decon_table must produce
+    the SAME curated output as passing the raw bench frame — for both
+    the exact n-gram stage and the fuzzy LSH stage (r14 funnel-floor
+    lever: the bench side is static per suite)."""
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+        materialize_benchmark_decon,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today", "en", "web"),
+         (2, "completely unrelated text about cooking pasta dishes", "en", "web"),
+         (3, "the quick brown fox jumps over the lazy dog tonight", "en", "web"),
+         (4, "another unique document describing mountain hiking trails", "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog today",)],
+        "text string")
+
+    root = str(tmp_path / "bench_decon")
+    rep = materialize_benchmark_decon(spark, bench, root)
+    assert rep["n_ngrams"] > 0 and rep["n_band_rows"] > 0
+
+    cfgs = dict(min_est_jaccard=1.01, fuzzy_decontaminate=True,
+                fuzzy_tau=0.4)
+    raw = curate_corpus(docs, bench=bench,
+                        config=CurationConfig(**cfgs))["curated"]
+    via = curate_corpus(docs, config=CurationConfig(
+        benchmark_decon_table=root, **cfgs))["curated"]
+    raw_ids = sorted(r["doc_id"] for r in raw.collect())
+    via_ids = sorted(r["doc_id"] for r in via.collect())
+    assert raw_ids == via_ids
+    assert 1 not in via_ids          # exact contamination dropped
+    assert {2, 4} <= set(via_ids)    # clean docs survive
+
+
+def test_benchmark_decon_table_guards(spark, tmp_path):
+    import pytest
+
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+        materialize_benchmark_decon,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    bench = spark.createDataFrame([("zeta eta theta",)], "text string")
+    root = str(tmp_path / "bd")
+    materialize_benchmark_decon(spark, bench, root, production_hash=False)
+
+    # hash-family mismatch refuses (band keys would never collide)
+    with pytest.raises(ValueError, match="production_hash"):
+        curate_corpus(docs, config=CurationConfig(
+            benchmark_decon_table=root, production_hash=True,
+            fuzzy_decontaminate=True))
+
+    # ambiguity refuses
+    with pytest.raises(ValueError, match="both configured"):
+        curate_corpus(docs, bench=bench, config=CurationConfig(
+            benchmark_decon_table=root))
+
+    # missing sidecar refuses
+    import os
+    os.remove(os.path.join(root, "_bench_decon.json"))
+    with pytest.raises(ValueError, match="_bench_decon.json"):
+        curate_corpus(docs, config=CurationConfig(
+            benchmark_decon_table=root))
