@@ -37,10 +37,19 @@ SNAPSHOT (pins recorded in the ``mdls_store_manifest`` table). Lake
 appends after export are invisible until the next export — the same
 read-lease semantics as ``WarmSearchSession.refresh()``.
 
-Proven by tests/test_serving_store.py (store bm25 ≡ lake bm25_search
-at the pinned snapshot, gold roundtrip, staleness lease); measured by
-scripts/measure_serving_store.py (store p50 vs warm-Spark p50,
-SCALE.md round 13).
+r14 extends the tier to EVERY hot search shape — positional-bigram
+phrase (zero residual re-read), precomputed-kNN-graph /similar, and a
+driver-side RRF /hybrid over the two store branches — plus an
+INCREMENTAL export that advances the store from the versioned change
+feed under a two-level ε-rule (global totals + per-term df) instead of
+a full re-export per append.
+
+Proven by tests/test_serving_store.py (store ≡ lake per shape at the
+pinned snapshot, gold roundtrip, staleness lease, zero-job assertions,
+incremental append/ε/noop cycle); measured by
+scripts/measure_serving_store.py and scripts/measure_store_routes.py
+(per-route store p50 vs warm-Spark p50; incremental vs full export —
+SCALE.md rounds 13–14).
 """
 
 from __future__ import annotations
