@@ -760,6 +760,18 @@ def export_search_store_incremental(
         )
 
     def _full(mode: str, drift: float | None) -> dict:
+        if docs is None:
+            # a full refresh only rewrites the tables it exports: with
+            # no docs, an existing bigram table would silently keep
+            # serving the OLD snapshot while the manifest advances
+            with ServingStore(spark, url, driver=driver) as s:
+                if T_BIGRAM_POS in s.table_names():
+                    raise ValueError(
+                        "store carries the positional bigram table and "
+                        f"this export must be a {mode}; pass docs= (the "
+                        "corpus at the new snapshot) or /phrase would "
+                        "silently serve the old one"
+                    )
         pins = export_search_store(
             spark, index_root, url, driver=driver, pins=new_pins,
             term_width=term_width, k1=k1, b=b,

@@ -558,3 +558,24 @@ def test_incremental_export_initializes_empty_store(spark, tmp_path,
     assert rep["mode"] == "full_initial"
     with ServingStore(spark, url) as store:
         assert store.bm25(["stream"], k=3)["row_count"] > 0
+
+
+def test_full_refresh_without_docs_refuses_on_bigram_store(spark, tmp_path,
+                                                           derby_url):
+    """ε-forced full refresh must not leave a stale bigram table behind:
+    a store carrying mdls_bigram_pos refuses a docless full re-export."""
+    from medallion_data_lake_spark.serving_store import (
+        export_search_store_incremental,
+    )
+
+    root = str(tmp_path / "idx")
+    docs = _docs(spark, PHRASE_DOCS)
+    create_bm25_index(spark, docs, root, n_files=2, bigrams=True)
+    url = derby_url.format("stalebg")
+    export_search_store(spark, root, url, docs=docs)
+    # 3 new docs on an 8-doc corpus: drift far beyond eps -> full path
+    append_bm25_index(spark, _docs(spark, [
+        (20, "stream join state"), (21, "hash probe scan"),
+        (22, "filter pushdown scan")]), root)
+    with pytest.raises(ValueError, match="bigram table"):
+        export_search_store_incremental(spark, root, url)
