@@ -167,20 +167,24 @@ def materialize_semantic_verdict(
                 "n_total": have.count(),
                 "version": existing_version}
     _coverage_guard(docs, embeddings, id_col, vec_id_col)
+    # the EXISTING side comes from the verdict table's own ids, not the
+    # caller's docs frame — a caller materializing just the new drop
+    # (docs ⊄ full corpus) must still see attachments to every existing
+    # group, and that requires every existing id's vector to be present
+    _coverage_guard(have.select(id_col), embeddings, id_col, vec_id_col)
 
-    # assign BASE codebook cells map-side for every covered vector —
-    # broadcast centroids, no shuffle; only cells holding a new doc
-    # take part in the pair join
-    assigned = kmeans_codebook_bucket(
-        emb.join(docs.select(id_col), id_col, "left_semi")
-           .withColumnRenamed("_vec", vec_col),
-        vec_col=vec_col, model=model,
-    ).select(id_col, vec_col, F.col("bucket_code").alias("_cell"))
-    new_side = assigned.join(F.broadcast(new_docs), id_col, "left_semi") \
-        .localCheckpoint(eager=True)
+    def _assign(side_ids) -> DataFrame:
+        # BASE codebook cells, map-side: broadcast centroids, no shuffle
+        return kmeans_codebook_bucket(
+            emb.join(side_ids, id_col, "left_semi")
+               .withColumnRenamed("_vec", vec_col),
+            vec_col=vec_col, model=model,
+        ).select(id_col, vec_col, F.col("bucket_code").alias("_cell"))
+
+    new_side = _assign(F.broadcast(new_docs)).localCheckpoint(eager=True)
     hot_cells = new_side.select("_cell").distinct()
     old_side = (
-        assigned.join(new_docs, id_col, "left_anti")
+        _assign(have.select(id_col))
         .join(F.broadcast(hot_cells), "_cell", "left_semi")
         .join(have.select(id_col, "group_id"), id_col)
     )

@@ -189,3 +189,42 @@ def test_verdict_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="must not mix"):
         materialize_semantic_verdict(spark, docs, emb, table, cb,
                                      threshold=0.8, cluster_size=16)
+
+
+def test_increment_with_only_the_new_drop(spark, tmp_path):
+    """Materializing just the new drop (docs = the drop, not the full
+    corpus) must still attach new near-dups to EXISTING groups — the
+    existing side comes from the verdict table, not the caller's docs
+    frame. Requires embeddings to cover the union (guarded)."""
+    import pytest
+
+    emb = _vecs(spark)
+    docs = _docs_of(emb)
+    cb = str(tmp_path / "cb")
+    fit_semantic_codebook(emb, cb, cluster_size=16)
+    table = str(tmp_path / "verdict")
+    materialize_semantic_verdict(spark, docs, emb, table, cb,
+                                 threshold=0.9, cluster_size=16)
+    before = {r["doc_id"]: (r["group_id"], r["is_kept"])
+              for r in read_table(spark, table).collect()}
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, DIM))
+    new_emb = spark.createDataFrame(
+        [(200, [float(x) for x in base[2] + 0.001 * base[3]])],
+        "vec_id long, embedding array<double>")
+    new_docs = _docs_of(new_emb)
+    all_emb = emb.unionByName(new_emb)
+
+    # embeddings must cover the EXISTING table too, or refuse
+    with pytest.raises(ValueError, match="no embedding row"):
+        materialize_semantic_verdict(spark, new_docs, new_emb, table, cb,
+                                     threshold=0.9, cluster_size=16)
+
+    rep = materialize_semantic_verdict(spark, new_docs, all_emb, table, cb,
+                                       threshold=0.9, cluster_size=16)
+    assert rep["mode"] == "incremental" and rep["n_new"] == 1
+    after = {r["doc_id"]: (r["group_id"], r["is_kept"])
+             for r in read_table(spark, table).collect()}
+    assert after[200] == (before[2][0], False)   # attached to 2's group
+    assert all(after[d] == v for d, v in before.items())
