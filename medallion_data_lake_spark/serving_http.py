@@ -166,7 +166,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, run_curate_dry(self.serving, req))
             elif url.path in ("/search", "/phrase", "/hybrid", "/similar"):
                 if (self.serving_store is not None
-                        and url.path in self.serving_store.routes()):
+                        and url.path in self.store_routes):
                     # serving-tier fast path: prepared statements on the
                     # exported store, no Spark job (r12 verdict #1;
                     # phrase/similar/hybrid extended r14) — any route
@@ -340,6 +340,11 @@ def make_http_server(
         {"serving": serving, "default_rows": default_rows,
          "search_session": search_session,
          "serving_store": serving_store,
+         # routes resolved ONCE here: the JDBC connection is not
+         # thread-safe, so per-request metadata calls would need the
+         # lock — and the armed set is fixed per exported store anyway
+         "store_routes": (serving_store.routes()
+                          if serving_store is not None else set()),
          "store_lock": threading.Lock()},
     )
     return ThreadingHTTPServer((host, port), handler)
