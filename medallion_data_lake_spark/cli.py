@@ -173,7 +173,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--vec-index", default=None,
                     help="hybrid-search: persisted IVF index path — "
                          "the vector branch probes it (partition-"
-                         "pruned) instead of scanning embeddings")
+                         "pruned) instead of scanning embeddings; "
+                         "export-store: build the store kNN graph from "
+                         "it (with --incremental: advance the graph to "
+                         "the index's live set, exactly)")
     ap.add_argument("--probes", type=int, default=4,
                     help="hybrid-search: IVF cells probed per query "
                          "when --vec-index is set")
@@ -598,7 +601,16 @@ def main(argv: list[str] | None = None) -> int:
                     eps=args.eps,
                     docs=_rt(spark, args.docs) if args.docs else None,
                 )
-                print(json.dumps({"store": args.store, **rep}))
+                vec_rep = None
+                if args.vec_index:
+                    from .serving_store import (
+                        export_vector_store_incremental,
+                    )
+
+                    vec_rep = export_vector_store_incremental(
+                        spark, args.store, args.vec_index, driver=drv)
+                print(json.dumps({"store": args.store, **rep,
+                                  "vector": vec_rep}))
                 return 0
             pins = export_search_store(
                 spark, args.arg, args.store, driver=drv,

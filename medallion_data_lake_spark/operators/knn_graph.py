@@ -98,6 +98,8 @@ def knn_graph_ivf(
     index_path: str,
     k_max: int = 20,
     n_probes: int = 4,
+    queries: DataFrame | None = None,
+    live_df: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, rank, cand_id) top-``k_max`` lists for every LIVE
     vector of a persisted sign-bucket IVF index, probing exactly the
@@ -112,7 +114,20 @@ def knn_graph_ivf(
     cross-cell duplicates dropped), so per-vector output equals the
     online probe's — the store≡session equality the parity test
     asserts. Tombstoned ids appear on NEITHER side, matching the
-    probe's ledger mask."""
+    probe's ledger mask.
+
+    ``queries`` (a frame whose first column is vec_ids) restricts the
+    QUERY side to that subset — the incremental-export hook
+    (``serving_store.export_vector_store_incremental`` recomputes only
+    the lists whose probe cells changed). The candidate side stays the
+    full live index, so each restricted list equals the full build's
+    row-for-row by construction.
+
+    ``live_df`` substitutes an already-materialized LIVE index frame
+    (tombstones applied) for the parquet read — the incremental
+    exporter's one-scan optimization: an appended bucket layout accretes
+    small files, and each extra scan of it costs more than all the
+    Derby work combined (profiled at the 200k fixture)."""
     import json
     import os
 
@@ -131,11 +146,29 @@ def knn_graph_ivf(
             "(build the store from knn_graph_bruteforce for others)"
         )
     n_bits = meta["n_bits"]
-    live = _mask_tombstones(
+    live = live_df if live_df is not None else _mask_tombstones(
         spark.read.parquet(index_path), read_tombstones(spark, index_path)
     )
+    q_src = live
+    cand = live.select("vec_id", "vec", "nrm", "bucket")
+    if queries is not None:
+        ids = queries.select(
+            F.col(queries.columns[0]).alias("vec_id")).distinct()
+        q_src = live.join(F.broadcast(ids), "vec_id", "left_semi")
+        # bounded query side -> prune the CANDIDATE read to the cells
+        # those queries actually probe (|queries|·n_probes codes,
+        # collected like the online probe does) — without this the
+        # restricted build still scanned the whole index and an
+        # incremental export measured no faster than a full rebuild
+        probe_codes = sorted({
+            r["p"] for r in q_src.select(
+                F.explode(multiprobe_sign_codes(
+                    F.col("vec"), n_bits, n_probes)).alias("p")
+            ).distinct().collect()
+        })
+        cand = cand.filter(F.col("bucket").isin(probe_codes))
     q = (
-        live.select("vec_id", "vec")
+        q_src.select("vec_id", "vec")
         .withColumn(
             "probe",
             F.explode(multiprobe_sign_codes(F.col("vec"), n_bits, n_probes)),
@@ -147,7 +180,6 @@ def knn_graph_ivf(
             "probe",
         )
     )
-    cand = live.select("vec_id", "vec", "nrm", "bucket")
     cs = dot(F.col("qv"), F.col("vec")) / (F.col("qnrm") * F.col("nrm"))
     scored = (
         cand.join(

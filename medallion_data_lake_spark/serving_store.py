@@ -42,7 +42,8 @@ phrase (zero residual re-read), precomputed-kNN-graph /similar, and a
 driver-side RRF /hybrid over the two store branches — plus an
 INCREMENTAL export that advances the store from the versioned change
 feed under a two-level ε-rule (global totals + per-term df) instead of
-a full re-export per append.
+a full re-export per append; the kNN graph advances EXACTLY via
+cell-localized recomputes (:func:`export_vector_store_incremental`).
 
 Proven by tests/test_serving_store.py (store ≡ lake per shape at the
 pinned snapshot, gold roundtrip, staleness lease, zero-job assertions,
@@ -89,6 +90,7 @@ T_MANIFEST = "mdls_store_manifest"
 T_BIGRAM_POS = "mdls_bigram_pos"    # positional bigrams: phrase serving
 T_NEIGHBORS = "mdls_neighbors"      # precomputed kNN graph: /similar
 T_VEC_MANIFEST = "mdls_vec_manifest"
+T_VEC_IDS = "mdls_vec_ids"          # exported query-id ledger (empty lists too)
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -595,6 +597,20 @@ def export_vector_store(
                                      id_col=id_col, vec_col=vec_col)
         meta = {"mode": "bruteforce", "k_max": int(k_max)}
     write_jdbc(graph, url, T_NEIGHBORS, driver=driver)
+    # the exported QUERY-ID ledger: a vector with an EMPTY list (no
+    # candidate in its probe cells) writes no neighbor rows, so the
+    # neighbors table alone cannot distinguish "exported empty" from
+    # "never exported" — the incremental update needs the exact set
+    if vec_index is not None:
+        from .operators.ann import _mask_tombstones, read_tombstones
+
+        qids = _mask_tombstones(
+            spark.read.parquet(vec_index),
+            read_tombstones(spark, vec_index),
+        ).select("vec_id")
+    else:
+        qids = embeddings.select(F.col(id_col).alias("vec_id"))
+    write_jdbc(qids.distinct(), url, T_VEC_IDS, driver=driver)
     mf = spark.createDataFrame([(json.dumps(meta),)], "meta string")
     write_jdbc(mf, url, T_VEC_MANIFEST, driver=driver,
                createTableColumnTypes="meta VARCHAR(1024)")
@@ -998,3 +1014,157 @@ def export_search_store_incremental(
     return {"mode": "incremental", "drift": drift,
             "affected_terms": int(n_affected),
             "recomputed_terms": n_recompute, "pins": new_pins}
+
+
+def export_vector_store_incremental(
+    spark: SparkSession,
+    url: str,
+    vec_index: str,
+    driver: str | None = DERBY_DRIVER,
+) -> dict:
+    """Advance the exported kNN graph to the IVF index's current live
+    set by recomputing ONLY the lists that could have changed — and
+    unlike the BM25 increment this is EXACT, no ε:
+
+    A stored list for query u is stale iff u's candidate SET changed,
+    and u's candidates are exactly the members of its ``n_probes``
+    probe cells. So the affected set is: (a) every NEW vector (needs a
+    list), plus (b) every existing vector whose probe-cell array
+    overlaps a cell that GAINED a new member or LOST a tombstoned one —
+    a map-side ``arrays_overlap`` against the (bounded) hot-cell list,
+    no shuffle. That test also subsumes deletions: a list containing a
+    tombstoned candidate d necessarily probes d's cell, so it lands in
+    (b) and recomputes without d. Every untouched list is bit-identical
+    to a full rebuild's by construction (same candidates, same
+    scoring) — asserted wholesale in the test.
+
+    Work is O(changed vectors' cell populations), not O(n·k): at real
+    cell counts the affected fraction ≈ n_probes·|hot cells|/|cells|.
+    (The 256-cell test fixture is the degenerate regime — a few dozen
+    changed vectors heat most cells; the math and the measurement note
+    say so rather than hiding it.) The brute-mode store has no cell
+    structure to localize with — it refuses and points at a full
+    re-export."""
+    from .operators.knn_graph import knn_graph_ivf
+
+    with ServingStore(spark, url, driver=driver) as store:
+        tables = store.table_names()
+        if T_NEIGHBORS not in tables:
+            raise ValueError(
+                f"store at {url} has no {T_NEIGHBORS} table; run "
+                "export_vector_store first"
+            )
+        if T_VEC_IDS not in tables:
+            raise ValueError(
+                f"store at {url} predates the exported-id ledger "
+                f"({T_VEC_IDS}); re-run export_vector_store once to "
+                "establish it"
+            )
+        meta = store.vec_manifest()
+    if meta.get("mode") != "ivf":
+        raise ValueError(
+            "incremental vector export needs the IVF-graph store "
+            f"(manifest mode={meta.get('mode')!r}); a brute graph has "
+            "no cell structure to localize the update — re-export"
+        )
+    k_max = int(meta["k_max"])
+    n_probes = int(meta.get("n_probes", 4))
+
+    import json as _json
+    import os as _os
+
+    from .operators.ann import (
+        _mask_tombstones,
+        multiprobe_sign_codes,
+        read_tombstones,
+    )
+
+    with open(_os.path.join(vec_index, "_ivf_meta.json")) as fh:
+        idx_meta = _json.load(fh)
+    n_bits = idx_meta["n_bits"]
+    raw = spark.read.parquet(vec_index)
+    # ONE materialized scan of the index serves every later step: an
+    # appended bucket layout accretes small files, and each extra scan
+    # costs more than all the store-side SQL combined (profiled: the
+    # multi-scan form ran SLOWER than a full rebuild at 200k vectors)
+    live = _mask_tombstones(
+        raw, read_tombstones(spark, vec_index)
+    ).localCheckpoint(eager=True)
+
+    # push the ledger set-difference INTO the store: a distributed
+    # write of the live ids + two EXCEPT queries that return only the
+    # (bounded) diff, instead of shipping the whole n-row ledger back
+    # through a single-partition JDBC read and shuffling it against the
+    # index (profiled as the largest non-scan cost at 200k vectors)
+    stage_live = "mdls_stage_live"
+    write_jdbc(live.select("vec_id"), url, stage_live, driver=driver)
+
+    def _diff(a: str, b: str) -> DataFrame:
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable",
+                    f'(SELECT "vec_id" FROM {a} EXCEPT '
+                    f'SELECT "vec_id" FROM {b}) t')
+            .option("driver", driver or DERBY_DRIVER)
+            .load()
+        ).select("vec_id").localCheckpoint(eager=True)
+
+    new_ids = _diff(stage_live, T_VEC_IDS)
+    deleted_ids = _diff(T_VEC_IDS, stage_live)
+    with ServingStore(spark, url, driver=driver) as store:
+        store.execute(f"DROP TABLE {stage_live}")
+    n_new = new_ids.count()
+    n_deleted = deleted_ids.count()
+    if n_new == 0 and n_deleted == 0:
+        return {"mode": "noop", "n_new": 0, "n_deleted": 0,
+                "n_recomputed": 0}
+
+    # hot cells: gained a member (new) or lost one (tombstoned — read
+    # the UNMASKED layout for the deleted ids' buckets)
+    hot_new = live.join(F.broadcast(new_ids), "vec_id", "left_semi") \
+        .select("bucket")
+    if n_deleted > 0:
+        # deleted ids are absent from live — their buckets need the
+        # UNMASKED layout (the only second index scan, delete-gated)
+        hot_del = raw.join(
+            F.broadcast(deleted_ids), "vec_id", "left_semi"
+        ).select("bucket")
+        hot_new = hot_new.unionByName(hot_del)
+    hot = [r["bucket"] for r in hot_new.distinct().collect()]
+
+    affected = (
+        live.join(new_ids, "vec_id", "left_anti")
+        .filter(F.arrays_overlap(
+            multiprobe_sign_codes(F.col("vec"), n_bits, n_probes),
+            F.array(*[F.lit(h) for h in hot]),
+        ))
+        .select("vec_id")
+    )
+    recompute = new_ids.unionByName(affected).distinct() \
+        .localCheckpoint(eager=True)
+    n_recomputed = recompute.count()
+    graph = knn_graph_ivf(spark, vec_index, k_max=k_max,
+                          n_probes=n_probes, queries=recompute,
+                          live_df=live)
+
+    stage = "mdls_stage_vec"
+    write_jdbc(recompute.unionByName(deleted_ids).distinct(),
+               url, stage, driver=driver)
+    with ServingStore(spark, url, driver=driver) as store:
+        store.execute(
+            f'DELETE FROM {T_NEIGHBORS} WHERE "vec_id" IN '
+            f'(SELECT "vec_id" FROM {stage})')
+        store.execute(
+            f'DELETE FROM {T_VEC_IDS} WHERE "vec_id" IN '
+            f'(SELECT "vec_id" FROM {stage})')
+    write_jdbc(graph, url, T_NEIGHBORS, mode="append", driver=driver)
+    write_jdbc(recompute, url, T_VEC_IDS, mode="append", driver=driver)
+    with ServingStore(spark, url, driver=driver) as store:
+        store.execute(f"DROP TABLE {stage}")
+        if driver == DERBY_DRIVER:
+            store.execute(
+                "CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS"
+                f"('APP', '{T_NEIGHBORS.upper()}', NULL)")
+    return {"mode": "incremental", "n_new": int(n_new),
+            "n_deleted": int(n_deleted), "n_recomputed": int(n_recomputed)}

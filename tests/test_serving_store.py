@@ -579,3 +579,70 @@ def test_full_refresh_without_docs_refuses_on_bigram_store(spark, tmp_path,
         (22, "filter pushdown scan")]), root)
     with pytest.raises(ValueError, match="bigram table"):
         export_search_store_incremental(spark, root, url)
+
+
+def test_incremental_vector_export_equals_full_rebuild(spark, tmp_path,
+                                                       derby_url):
+    """After appending vectors AND tombstoning one, the incremental
+    vector export must leave the neighbors table EXACTLY equal to a
+    fresh full export of the same index — no ε here: a list recomputes
+    iff its probe cells gained or lost a member, and that test subsumes
+    deletions (a list holding a tombstoned candidate probes its cell)."""
+    from medallion_data_lake_spark.operators.ann import (
+        append_to_ivf_index,
+        build_ivf_index,
+        delete_index_batch,
+    )
+    from pyspark.sql import functions as F
+
+    from medallion_data_lake_spark.serving_store import (
+        export_vector_store,
+        export_vector_store_incremental,
+    )
+
+    emb = _emb(spark, n=60)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx)
+    url = derby_url.format("vecinc")
+    export_vector_store(spark, url, vec_index=idx, k_max=6, n_probes=3)
+
+    # change the live set: +5 new vectors, -1 tombstoned
+    append_to_ivf_index(_emb(spark, n=5, seed=77).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"), idx)
+    delete_index_batch(
+        spark.createDataFrame([(7,)], "vec_id long"), idx, batch_id=0)
+
+    rep = export_vector_store_incremental(spark, url, idx)
+    assert rep["mode"] == "incremental"
+    assert rep["n_new"] == 5 and rep["n_deleted"] == 1
+    assert rep["n_recomputed"] >= 5
+
+    # fresh full export of the same index into a second database
+    url2 = derby_url.format("vecinc2")
+    export_vector_store(spark, url2, vec_index=idx, k_max=6, n_probes=3)
+    with ServingStore(spark, url) as a, ServingStore(spark, url2) as b:
+        qa = a.query('SELECT "vec_id","rank","cand_id" FROM mdls_neighbors '
+                     'ORDER BY 1,2')
+        qb = b.query('SELECT "vec_id","rank","cand_id" FROM mdls_neighbors '
+                     'ORDER BY 1,2')
+        assert qa["rows"] == qb["rows"]
+        assert 7 not in {r[0] for r in qa["rows"]}          # no list for deleted
+        assert all(r[2] != 7 for r in qa["rows"])           # never a candidate
+        assert {r[0] for r in qa["rows"]} >= {1001, 1005}   # new lists exist
+
+    # nothing changed since: noop
+    rep2 = export_vector_store_incremental(spark, url, idx)
+    assert rep2["mode"] == "noop"
+
+
+def test_incremental_vector_export_refuses_brute_store(spark, tmp_path,
+                                                       derby_url):
+    from medallion_data_lake_spark.serving_store import (
+        export_vector_store,
+        export_vector_store_incremental,
+    )
+
+    url = derby_url.format("vecbrute")
+    export_vector_store(spark, url, embeddings=_emb(spark, n=10), k_max=5)
+    with pytest.raises(ValueError, match="brute"):
+        export_vector_store_incremental(spark, url, str(tmp_path / "nope"))
