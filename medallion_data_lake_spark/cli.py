@@ -596,10 +596,23 @@ def main(argv: list[str] | None = None) -> int:
         drv = args.store_driver or DERBY_DRIVER
         try:
             if args.incremental:
+                if args.embeddings:
+                    # the brute-force graph has no cell structure to
+                    # localize an update — silently skipping it would
+                    # leave /similar stale under a fresh manifest
+                    print("export-store --incremental cannot advance a "
+                          "brute-force graph (--embeddings); re-export "
+                          "without --incremental, or build an IVF index "
+                          "and use --vec-index", file=sys.stderr)
+                    return 2
                 rep = export_search_store_incremental(
                     spark, args.arg, args.store, driver=drv,
                     eps=args.eps,
                     docs=_rt(spark, args.docs) if args.docs else None,
+                    # the vector advance runs right below when
+                    # --vec-index is given; otherwise the function's
+                    # own stale-vector refusal applies
+                    allow_stale_vectors=bool(args.vec_index),
                 )
                 vec_rep = None
                 if args.vec_index:

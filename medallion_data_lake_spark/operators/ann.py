@@ -1067,7 +1067,14 @@ def bucketed_near_dup_pairs(
         F.col("bucket_depth").alias("db"), F.col("bucket_code").alias("cb"),
         F.col("_nrm").alias("nb"),
     )
-    cs = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # zero-norm guard (same as functions.cosine): an empty/NULL text
+    # embeds to the zero vector, whose norm product divides by zero
+    # under ANSI mode — define its similarity to everything as 0.0
+    # (a zero vector is near-duplicate of nothing)
+    _den = F.col("na") * F.col("nb")
+    cs = F.when(
+        _den != 0, dot(F.col("va"), F.col("vb")) / _den
+    ).otherwise(F.lit(0.0))
     return (
         a.join(
             b,

@@ -118,6 +118,37 @@ def decontaminate(docs: DataFrame, bench: DataFrame | None,
     return docs.join(contaminated, id_col, "left_anti")
 
 
+def banded_signatures(side: DataFrame, sid: str, tcol: str,
+                      side_id: str,
+                      production_hash: bool = False) -> DataFrame:
+    """(sid, sid_mh0..N-1, band, bkey) — one row per LSH band per doc.
+    THE band-key construction for both fuzzy-decon sides and the
+    persisted benchmark artifact: a single definition, because persisted
+    and live band keys must collide or fuzzy decon silently passes
+    everything (the sidecar pins the geometry constants; this pins the
+    expression)."""
+    from ..queries.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND
+
+    sigs = signatures(side, id_col=side_id, text_col=tcol,
+                      production=production_hash)
+    return sigs.select(
+        F.col("doc_id").alias(sid),
+        *[F.col(f"mh{j}").alias(f"{sid}_mh{j}")
+          for j in range(N_MINHASH)],
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(":", *[
+                    F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ]).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ])).alias("_b"),
+    ).select(sid, *[f"{sid}_mh{j}" for j in range(N_MINHASH)],
+             "_b.band", "_b.bkey")
+
+
 def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame | None,
                         id_col: str = "doc_id", text_col: str = "text",
                         bench_text_col: str = "text",
@@ -140,34 +171,10 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame | None,
     lever. It must have been materialized with the SAME
     ``production_hash`` (the sidecar-enforced contract) or the band
     keys would never collide."""
-    from ..queries.dedup import (
-        N_BANDS,
-        N_MINHASH,
-        ROWS_PER_BAND,
-    )
+    from ..queries.dedup import N_MINHASH
 
-    def banded(side: DataFrame, sid: str, tcol: str,
-               side_id: str) -> DataFrame:
-        sigs = signatures(side, id_col=side_id, text_col=tcol,
-                          production=production_hash)
-        return sigs.select(
-            F.col("doc_id").alias(sid),
-            *[F.col(f"mh{j}").alias(f"{sid}_mh{j}")
-              for j in range(N_MINHASH)],
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(":", *[
-                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ]).alias("bkey"),
-                )
-                for b in range(N_BANDS)
-            ])).alias("_b"),
-        ).select(sid, *[f"{sid}_mh{j}" for j in range(N_MINHASH)],
-                 "_b.band", "_b.bkey")
-
-    corpus = banded(docs, "_cid", text_col, id_col)
+    corpus = banded_signatures(docs, "_cid", text_col, id_col,
+                               production_hash)
     if bench_bands is not None:
         bside = bench_bands
     else:
@@ -180,7 +187,8 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame | None,
             F.monotonically_increasing_id().alias("_bench_row_id"),
             F.col(bench_text_col).alias("_btext"),
         )
-        bside = banded(bench_prepared, "_bid", "_btext", "_bench_row_id")
+        bside = banded_signatures(bench_prepared, "_bid", "_btext",
+                                  "_bench_row_id", production_hash)
     est = sum(
         F.when(F.col(f"_cid_mh{j}") == F.col(f"_bid_mh{j}"), 1).otherwise(0)
         for j in range(N_MINHASH)
@@ -231,23 +239,10 @@ def materialize_benchmark_decon(spark, bench: DataFrame, root: str,
         F.monotonically_increasing_id().alias("_bench_row_id"),
         F.col(bench_text_col).alias("_btext"),
     )
-    sigs = signatures(bench_prepared, id_col="_bench_row_id",
-                      text_col="_btext", production=production_hash)
-    bands = sigs.select(
-        F.col("doc_id").alias("_bid"),
-        *[F.col(f"mh{j}").alias(f"_bid_mh{j}") for j in range(N_MINHASH)],
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(":", *[
-                    F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ]).alias("bkey"),
-            )
-            for b in range(N_BANDS)
-        ])).alias("_b"),
-    ).select("_bid", *[f"_bid_mh{j}" for j in range(N_MINHASH)],
-             "_b.band", "_b.bkey")
+    # THE shared band-key construction (banded_signatures): persisted
+    # and live band keys are the same expression by definition
+    bands = banded_signatures(bench_prepared, "_bid", "_btext",
+                              "_bench_row_id", production_hash)
     _os.makedirs(root, exist_ok=True)
     # sidecar BEFORE the commits (same crash-ordering contract as the
     # embeddings/verdict sidecars)
@@ -760,13 +755,14 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
         return df
 
     if (cfg.semantic_codebook_path and embeddings is None
-            and not cfg.semantic_from_text and not cfg.embeddings_table):
+            and not cfg.semantic_from_text and not cfg.embeddings_table
+            and not cfg.semantic_verdict_table):
         raise ValueError(
             "semantic_codebook_path is set but the semantic stage is "
             "disabled — pass embeddings=, set semantic_from_text=True, "
-            "or set embeddings_table (a configured codebook that "
-            "silently never runs would look like dedup happened when "
-            "it didn't)"
+            "set embeddings_table, or set semantic_verdict_table (a "
+            "configured codebook that silently never runs would look "
+            "like dedup happened when it didn't)"
         )
     if embeddings is None and cfg.embeddings_table:
         # the persisted corpus embedding column (r13 build-floor lever)
@@ -868,6 +864,34 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                 "different cutoff means different verdicts; "
                 "re-materialize or align the config"
             )
+        if meta.get("cluster_size") != cfg.semantic_cluster_size:
+            # clustering granularity decides which pairs were ever
+            # compared — as verdict-defining as the cutoff itself
+            raise ValueError(
+                f"verdict table {cfg.semantic_verdict_table} was "
+                f"materialized at cluster_size={meta.get('cluster_size')} "
+                f"but the pipeline is configured for "
+                f"semantic_cluster_size={cfg.semantic_cluster_size} — "
+                "different clustering means different verdicts; "
+                "re-materialize or align the config"
+            )
+        if cfg.semantic_codebook_path:
+            # a configured codebook alongside the verdict table is
+            # either the SAME codebook (fine — cross-check it) or a
+            # different one being silently ignored (refuse)
+            from .ann import load_semantic_codebook
+            from .semantic_verdict import codebook_fingerprint
+
+            cb_fp = codebook_fingerprint(
+                load_semantic_codebook(cfg.semantic_codebook_path))
+            if cb_fp != meta.get("codebook_fingerprint"):
+                raise ValueError(
+                    f"semantic_codebook_path={cfg.semantic_codebook_path} "
+                    "is configured but the verdict table was materialized "
+                    "under a DIFFERENT codebook — the configured one "
+                    "would be silently ignored; re-materialize the "
+                    "verdicts under it or drop the codebook config"
+                )
         vt = read_table(docs.sparkSession, cfg.semantic_verdict_table)
         uncovered = docs.select(cfg.id_col).join(
             vt.select(cfg.id_col), cfg.id_col, "left_anti").count()

@@ -92,8 +92,15 @@ def text_fingerprint(text_col) -> F.Column:
     raw text (JVM-side, no UDF). Stored beside each vector so
     incrementality can detect a CHANGED text under a stable id — an
     embedding is a pure function of (text, embedder), and an id-only
-    anti-join would silently keep serving the old vector forever."""
-    return F.md5(F.col(text_col) if isinstance(text_col, str) else text_col)
+    anti-join would silently keep serving the old vector forever.
+
+    NULL text coalesces to '' BEFORE hashing — the embedder itself
+    treats NULL as '' (``text_embedder``'s fillna), and md5(NULL)=NULL
+    would make the (id, fp) anti-join never match such a doc: it would
+    re-embed every run and permanently fail the curation coverage
+    guard (r14 review finding)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.coalesce(c, F.lit("")))
 
 
 def materialize_corpus_embeddings(
@@ -192,6 +199,7 @@ def materialize_corpus_embeddings(
             have = existing.select(F.col("vec_id").alias(id_col))
             todo = docs_fp.join(have, id_col, "left_anti")
             stale_checked = False
+        n_existing = have.count()  # pruned 1-2 column scan
     else:
         # sidecar BEFORE the first commit: a crash between commit and a
         # trailing sidecar write would leave exactly the unverifiable
@@ -216,6 +224,8 @@ def materialize_corpus_embeddings(
     n_new = new.count()
     version = existing_version
     if existing_version is None:
+        n_existing = 0
+        n_updates = 0
         res = commit(
             new, table, mode="append",
             stats_cols=("vec_id",), bloom_cols=("vec_id",),
@@ -223,15 +233,27 @@ def materialize_corpus_embeddings(
         version = res["version"] if isinstance(res, dict) else res
     elif n_new > 0:
         if use_merge:
+            # updates replace existing rows; only genuinely-new ids
+            # grow the table (one small job over the checkpointed
+            # batch — never a post-commit full-table count, which the
+            # r13 shape avoided and a per-micro-batch caller can't
+            # afford)
+            n_updates = new.join(
+                have.select(F.col(id_col).alias("_hid")),
+                new["vec_id"] == F.col("_hid"),
+            ).count()
             res = merge_into(spark, table, new, key="vec_id")
         else:
+            n_updates = 0
             res = commit(
                 new, table, mode="append",
                 stats_cols=("vec_id",), bloom_cols=("vec_id",),
             )
         version = res["version"] if isinstance(res, dict) else res
-    n_total = read_table(spark, table).count()  # slim id-column read
-    return {"n_embedded": int(n_new), "n_total": int(n_total),
+    else:
+        n_updates = 0
+    return {"n_embedded": int(n_new),
+            "n_total": int(n_existing + n_new - n_updates),
             "version": version, "embedder": fp, "dim": dim,
             "stale_checked": stale_checked}
 

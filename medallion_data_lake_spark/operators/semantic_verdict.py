@@ -202,7 +202,12 @@ def materialize_semantic_verdict(
         )
 
     a = _norms(new_side, id_col, "a")
-    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    # zero-norm guard (same as bucketed_near_dup_pairs): an empty-text
+    # doc's zero vector is a near-dup of nothing, not a crash
+    _den = F.col("n_a") * F.col("n_b")
+    cos = F.when(
+        _den != 0, dot(F.col("v_a"), F.col("v_b")) / _den
+    ).otherwise(F.lit(0.0))
 
     # new-new links (a < b halves the pair space, as in the batch path)
     b_new = _norms(new_side, id_col, "b")

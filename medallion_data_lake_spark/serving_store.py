@@ -401,6 +401,23 @@ def _plain(v):
             return s
 
 
+def _bigram_positions(docs: DataFrame, doc_id_col: str,
+                      doc_text_col: str) -> DataFrame:
+    """(bigram, doc_id, pos) — positional adjacent bigrams, 1-based to
+    align with the lake residual's ``sequence(1, ...)`` start
+    positions. THE single definition for the full and incremental
+    exports: store n_matches equals phrase_position_hits' only while
+    both write exactly this shape."""
+    toks = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        clean_tokens(F.col(doc_text_col)).alias("_toks"),
+    )
+    return toks.select(
+        "doc_id",
+        F.posexplode(bigram_tokens(F.col("_toks"))).alias("pos", "bigram"),
+    ).select("bigram", "doc_id", (F.col("pos") + 1).alias("pos"))
+
+
 def export_search_store(
     spark: SparkSession,
     index_root: str,
@@ -510,18 +527,7 @@ def export_search_store(
                createTableColumnTypes="pins VARCHAR(4096)")
     stat_tables = [T_POSTINGS, T_TERMSTATS]
     if docs is not None:
-        # positional bigrams: posexplode is 0-based; +1 aligns with the
-        # lake residual's 1-based sequence() start positions, so store
-        # n_matches ≡ phrase_position_hits n_matches
-        toks = docs.select(
-            F.col(doc_id_col).alias("doc_id"),
-            clean_tokens(F.col(doc_text_col)).alias("_toks"),
-        )
-        bpos = toks.select(
-            "doc_id",
-            F.posexplode(bigram_tokens(F.col("_toks"))).alias(
-                "pos", "bigram"),
-        ).select("bigram", "doc_id", (F.col("pos") + 1).alias("pos"))
+        bpos = _bigram_positions(docs, doc_id_col, doc_text_col)
         # bigram width: two terms + the joining space
         write_jdbc(bpos, url, T_BIGRAM_POS, driver=driver,
                    createTableColumnTypes=(
@@ -719,6 +725,7 @@ def export_search_store_incremental(
     docs: DataFrame | None = None,
     doc_id_col: str = "doc_id",
     doc_text_col: str = "text",
+    allow_stale_vectors: bool = False,
 ) -> dict:
     """Advance the exported store to the index's newest committed
     snapshot by upserting ONLY what changed since the manifest pins —
@@ -776,10 +783,9 @@ def export_search_store_incremental(
         )
 
     def _full(mode: str, drift: float | None) -> dict:
+        # belt-and-braces: the top-of-function guard refuses earlier on
+        # every incremental path; this covers direct full fallbacks
         if docs is None:
-            # a full refresh only rewrites the tables it exports: with
-            # no docs, an existing bigram table would silently keep
-            # serving the OLD snapshot while the manifest advances
             with ServingStore(spark, url, driver=driver) as s:
                 if T_BIGRAM_POS in s.table_names():
                     raise ValueError(
@@ -798,6 +804,26 @@ def export_search_store_incremental(
 
     with ServingStore(spark, url, driver=driver) as store:
         tables = store.table_names()
+        # refuse BEFORE any store mutation — these used to fire mid-way
+        # (or not at all), leaving a half-advanced store behind (r14
+        # review): a bigram table with no docs= would serve the OLD
+        # phrases under the NEW manifest, and an untouched kNN graph
+        # would serve the OLD vectors while /search answers the new cut
+        if T_BIGRAM_POS in tables and docs is None:
+            raise ValueError(
+                "store carries the positional bigram table; this export "
+                "needs docs= (the corpus at the new snapshot) or "
+                "/phrase would silently serve the old one"
+            )
+        if (T_NEIGHBORS in tables and not allow_stale_vectors):
+            raise ValueError(
+                "store carries the kNN-graph tables; advancing only the "
+                "BM25 side would leave /similar and /hybrid's vector "
+                "branch serving the OLD snapshot — run "
+                "export_vector_store_incremental alongside (CLI: "
+                "--incremental --vec-index), or pass "
+                "allow_stale_vectors=True to accept the skew knowingly"
+            )
         if T_MANIFEST not in tables:
             return _full("full_initial", None)
         old_pins = store.manifest()
@@ -912,10 +938,16 @@ def export_search_store_incremental(
     ).select("term", "doc_id", "tf").join(
         F.broadcast(recompute), "term", "left_anti")
     impacts_ins = _impacts(stable_ins)
-    # pair-granular deletes for stable terms (erasure path; the BM25
-    # index is append-only today, so usually empty)
+    # pair-granular deletes for stable terms: the CDF-deleted pairs
+    # (erasure path; the BM25 index is append-only today, so usually
+    # empty) PLUS the pairs about to be appended — deleting the latter
+    # first makes the delta append IDEMPOTENT, so a retry after a
+    # mid-run failure (or after the docs= refusal used to fire late)
+    # cannot leave a (term, doc) pair twice in the store and silently
+    # double its bm25 contribution (r14 review)
     stable_del = changes.filter(
-        F.col("_change_type").isin("delete", "update_preimage")
+        F.col("_change_type").isin(
+            "delete", "update_preimage", "insert", "update_postimage")
     ).select("term", "doc_id").join(
         F.broadcast(recompute), "term", "left_anti").distinct()
 
@@ -978,13 +1010,7 @@ def export_search_store_incremental(
         live_changed = docs.select(
             F.col(doc_id_col).alias("doc_id"), F.col(doc_text_col)
         ).join(F.broadcast(changed_docs), "doc_id", "left_semi")
-        toks = live_changed.select(
-            "doc_id", clean_tokens(F.col(doc_text_col)).alias("_toks"))
-        bpos = toks.select(
-            "doc_id",
-            F.posexplode(bigram_tokens(F.col("_toks"))).alias(
-                "pos", "bigram"),
-        ).select("bigram", "doc_id", (F.col("pos") + 1).alias("pos"))
+        bpos = _bigram_positions(live_changed, "doc_id", doc_text_col)
         write_jdbc(bpos, url, T_BIGRAM_POS, mode="append", driver=driver)
 
     # -- totals + manifest replaced; stats refreshed

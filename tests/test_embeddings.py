@@ -176,3 +176,28 @@ def test_materialize_new_and_changed_in_one_pass(spark, tmp_path):
     out = read_table(spark, table)
     assert out.count() == 7
     assert out.select("vec_id").distinct().count() == 7
+
+
+def test_null_text_doc_reaches_steady_state(spark, tmp_path):
+    """NULL text must fingerprint like '' (the embedder's own NULL
+    semantics): without the coalesce, a NULL-text doc re-embeds every
+    run and the curation coverage guard fails forever (r14 review)."""
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+    from medallion_data_lake_spark.operators.embeddings import (
+        materialize_corpus_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "normal text", "en", "web"), (2, None, "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    table = str(tmp_path / "emb")
+    first = materialize_corpus_embeddings(spark, docs, table, dim=16)
+    assert first["n_embedded"] == 2
+    again = materialize_corpus_embeddings(spark, docs, table, dim=16)
+    assert again["n_embedded"] == 0 and again["n_total"] == 2  # steady
+    # the coverage guard passes (no phantom STALE row)
+    curate_corpus(docs, config=CurationConfig(
+        embedding_dim=16, embeddings_table=table))["curated"].collect()

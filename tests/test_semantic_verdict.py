@@ -147,7 +147,8 @@ def test_curation_verdict_route_equals_inpipeline(spark, tmp_path):
     )["curated"]
     via_table = curate_corpus(
         docs,
-        config=CurationConfig(semantic_verdict_table=table, **neutral),
+        config=CurationConfig(semantic_verdict_table=table,
+                              semantic_cluster_size=16, **neutral),
     )["curated"]
     assert sorted(r["doc_id"] for r in inline.collect()) == \
         sorted(r["doc_id"] for r in via_table.collect())
@@ -172,18 +173,35 @@ def test_verdict_guards(spark, tmp_path):
         curate_corpus(docs, config=CurationConfig(
             semantic_verdict_table=table, semantic_threshold=0.8))
 
+    # cluster-size drift refuses (as verdict-defining as the cutoff)
+    with pytest.raises(ValueError, match="cluster_size"):
+        curate_corpus(docs, config=CurationConfig(
+            semantic_verdict_table=table))  # default 64 vs table's 16
+
     # uncovered docs refuse
     extra = docs.sparkSession.createDataFrame(
         [(999, "uncovered doc", "en", "web")],
         "doc_id long, text string, lang string, source string")
     with pytest.raises(ValueError, match="missing verdicts for 1"):
         curate_corpus(docs.unionByName(extra), config=CurationConfig(
-            semantic_verdict_table=table))
+            semantic_verdict_table=table, semantic_cluster_size=16))
+
+    # a configured codebook that is NOT the table's refuses
+    cb2 = str(tmp_path / "cb_other")
+    fit_semantic_codebook(_vecs(spark, seed=99), cb2, cluster_size=16)
+    with pytest.raises(ValueError, match="DIFFERENT codebook"):
+        curate_corpus(docs, config=CurationConfig(
+            semantic_verdict_table=table, semantic_cluster_size=16,
+            semantic_codebook_path=cb2))
+    # ...while the SAME codebook cross-checks clean
+    curate_corpus(docs, config=CurationConfig(
+        semantic_verdict_table=table, semantic_cluster_size=16,
+        semantic_codebook_path=cb))["curated"].collect()
 
     # ambiguous config refuses
     with pytest.raises(ValueError, match="both configured"):
         curate_corpus(docs, embeddings=emb, config=CurationConfig(
-            semantic_verdict_table=table))
+            semantic_verdict_table=table, semantic_cluster_size=16))
 
     # parameter drift on increment refuses
     with pytest.raises(ValueError, match="must not mix"):

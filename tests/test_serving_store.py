@@ -646,3 +646,75 @@ def test_incremental_vector_export_refuses_brute_store(spark, tmp_path,
     export_vector_store(spark, url, embeddings=_emb(spark, n=10), k_max=5)
     with pytest.raises(ValueError, match="brute"):
         export_vector_store_incremental(spark, url, str(tmp_path / "nope"))
+
+
+def test_incremental_retry_does_not_duplicate_pairs(spark, tmp_path,
+                                                    derby_url):
+    """A replayed increment (same old→new delta, e.g. after a mid-run
+    failure) must not double-append the df-stable delta rows — the
+    about-to-insert pairs are deleted first, so bm25 sums each (term,
+    doc) exactly once (r14 review finding #1)."""
+    import json as _json
+
+    from medallion_data_lake_spark.serving_store import (
+        T_MANIFEST,
+        export_search_store_incremental,
+    )
+
+    root = str(tmp_path / "idx")
+    docs = _big_docs(spark)
+    create_bm25_index(spark, docs, root, n_files=2)
+    url = derby_url.format("retry")
+    pins0 = export_search_store(spark, root, url)
+    append_bm25_index(spark, _docs(spark, [
+        (61, "stream join quantile sketch stream join")]), root)
+
+    rep1 = export_search_store_incremental(spark, root, url)
+    assert rep1["mode"] == "incremental"
+    # simulate the retry: reset the manifest to the OLD pins (as if the
+    # first run failed before its manifest replacement) and run again
+    with ServingStore(spark, url) as store:
+        store.execute(f"DELETE FROM {T_MANIFEST}")
+        store.execute(
+            f"INSERT INTO {T_MANIFEST} VALUES "
+            f"('{_json.dumps(pins0)}')")
+    rep2 = export_search_store_incremental(spark, root, url)
+    assert rep2["mode"] == "incremental"
+
+    with ServingStore(spark, url) as store:
+        # exact parity incl. n_terms_matched: duplicated pairs would
+        # inflate both the count and the score
+        lake = _lake_rows(bm25_search(
+            spark, root, ["stream", "join"], k=10, pins=rep2["pins"]))
+        _assert_store_equals_lake(
+            store.bm25(["stream", "join"], k=10), lake)
+        # and no (term, doc) pair appears twice anywhere
+        dup = store.query(
+            'SELECT "term", "doc_id", COUNT(*) AS n FROM mdls_postings '
+            'GROUP BY "term", "doc_id" HAVING COUNT(*) > 1')
+        assert dup["row_count"] == 0, dup["rows"]
+
+
+def test_incremental_refuses_stale_vector_store(spark, tmp_path,
+                                                derby_url):
+    """A store carrying the kNN graph refuses a BM25-only increment
+    (the manifest would advance while /similar serves the old
+    snapshot) unless the caller explicitly accepts the skew."""
+    from medallion_data_lake_spark.serving_store import (
+        export_search_store_incremental,
+        export_vector_store,
+    )
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _big_docs(spark), root, n_files=2)
+    url = derby_url.format("stalevec")
+    export_search_store(spark, root, url)
+    export_vector_store(spark, url, embeddings=_emb(spark, n=10), k_max=5)
+    append_bm25_index(spark, _docs(spark, [
+        (61, "stream join quantile sketch stream join")]), root)
+
+    with pytest.raises(ValueError, match="kNN-graph"):
+        export_search_store_incremental(spark, root, url)
+    rep = export_search_store_incremental(spark, root, url,
+                                          allow_stale_vectors=True)
+    assert rep["mode"] == "incremental"
