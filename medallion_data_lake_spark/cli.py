@@ -80,7 +80,8 @@ def main(argv: list[str] | None = None) -> int:
                  "bm25-build", "bm25-search", "bm25-compact",
                  "phrase-search", "hybrid-search", "fit-codebook",
                  "export-store", "materialize-embeddings",
-                 "materialize-verdict", "materialize-bench-decon"],
+                 "materialize-verdict", "materialize-bench-decon",
+                 "store-status"],
     )
     ap.add_argument(
         "arg",
@@ -570,6 +571,24 @@ def main(argv: list[str] | None = None) -> int:
         report = materialize_benchmark_decon(
             spark, bench, args.arg, production_hash=True,
         )
+        print(json.dumps(report))
+    elif args.verb == "store-status":
+        # operational staleness check for the serving tier: ARG is the
+        # (optional) BM25 index root to diff the manifest pins against.
+        if not args.store:
+            print("store-status requires --store JDBC_URL",
+                  file=sys.stderr)
+            return 2
+        from .serving_store import DERBY_DRIVER, store_status
+
+        try:
+            report = store_status(
+                spark, args.store, index_root=args.arg or None,
+                driver=args.store_driver or DERBY_DRIVER,
+            )
+        except Exception as exc:
+            print(f"store-status: {exc}", file=sys.stderr)
+            return 2
         print(json.dumps(report))
     elif args.verb == "export-store":
         # the serving-tier export (reference gold_to_postgres.py:33-58,

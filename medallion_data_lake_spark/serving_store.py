@@ -1194,3 +1194,43 @@ def export_vector_store_incremental(
                 f"('APP', '{T_NEIGHBORS.upper()}', NULL)")
     return {"mode": "incremental", "n_new": int(n_new),
             "n_deleted": int(n_deleted), "n_recomputed": int(n_recomputed)}
+
+
+def store_status(
+    spark: SparkSession,
+    url: str,
+    index_root: str | None = None,
+    driver: str | None = DERBY_DRIVER,
+) -> dict:
+    """Operational snapshot of an exported store: which routes are
+    armed, what snapshot the store serves (manifest pins), table row
+    counts, and — when ``index_root`` is given — whether the lake has
+    moved past the export (``stale``: the signal that it is time for
+    ``export-store --incremental``). All bounded store-side COUNTs and
+    one driver-side manifest scan; no Spark job.
+
+    The reference's serving tier has no staleness story at all (its
+    export is fire-and-forget, ``gold_to_postgres.py``); a lease-based
+    tier needs one, or "sub-second" quietly becomes "sub-second and
+    wrong"."""
+    with ServingStore(spark, url, driver=driver) as store:
+        tables = store.table_names()
+        out: dict = {
+            "routes": sorted(store.routes()),
+            "tables": {},
+            "pins": store.manifest() if T_MANIFEST in tables else None,
+            "vector": (store.vec_manifest()
+                       if T_VEC_MANIFEST in tables else None),
+        }
+        for t in (T_POSTINGS, T_TERMSTATS, T_BIGRAM_POS, T_NEIGHBORS,
+                  T_VEC_IDS):
+            if t in tables:
+                out["tables"][t] = int(store.query(
+                    f"SELECT COUNT(*) FROM {t}")["rows"][0][0])
+    if index_root is not None:
+        current = committed_index_snapshot(index_root)
+        out["index_snapshot"] = current
+        out["stale"] = (out["pins"] is not None
+                        and current is not None
+                        and current != out["pins"])
+    return out

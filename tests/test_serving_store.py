@@ -718,3 +718,38 @@ def test_incremental_refuses_stale_vector_store(spark, tmp_path,
     rep = export_search_store_incremental(spark, root, url,
                                           allow_stale_vectors=True)
     assert rep["mode"] == "incremental"
+
+
+def test_store_status_reports_staleness(spark, tmp_path, derby_url,
+                                        capsys):
+    """store-status reports armed routes, pins, table sizes, and
+    whether the lake moved past the export — the operate-the-lease
+    signal for `export-store --incremental`."""
+    from medallion_data_lake_spark import cli
+    from medallion_data_lake_spark.serving_store import store_status
+
+    root = str(tmp_path / "idx")
+    docs = _docs(spark, PHRASE_DOCS)
+    create_bm25_index(spark, docs, root, n_files=2, bigrams=True)
+    url = derby_url.format("status")
+    export_search_store(spark, root, url, docs=docs)
+
+    st = store_status(spark, url, index_root=root)
+    assert st["stale"] is False
+    assert set(st["routes"]) == {"/search", "/phrase"}
+    assert st["tables"]["mdls_postings"] > 0
+    assert st["tables"]["mdls_bigram_pos"] > 0
+    assert st["vector"] is None
+
+    append_bm25_index(spark, _docs(spark, [(30, "stream join now")]), root)
+    st2 = store_status(spark, url, index_root=root)
+    assert st2["stale"] is True          # lake moved past the export
+    assert st2["pins"] == st["pins"]     # store still at the old cut
+
+    # CLI verb round-trips the same report
+    rc = cli.main(["store-status", root, "--store", url])
+    assert rc == 0
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stale"] is True
