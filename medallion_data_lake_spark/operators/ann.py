@@ -1185,7 +1185,16 @@ def build_ivf_index(
         indexed = pq_encode(indexed, centroids, vec_col="vec")
         meta["pq"] = {"m": pq_m, "k": pq_k, "dim": dim, "seed": seed,
                       "centroids": centroids}
-    indexed.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
+    # cluster by bucket BEFORE the partitioned write: without it every
+    # upstream task writes a file into every bucket dir it holds
+    # (tasks × buckets files — measured 98.6k files for 200k vectors /
+    # 4096 buckets, making every later scan and incremental export pay
+    # file-listing, not I/O; SCALE.md r14 compaction footnote). One
+    # shuffle at build time buys one-file-per-bucket forever after.
+    (
+        indexed.repartition("bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(index_path)
+    )
     _write_meta(index_path, meta)
     if measure_recall:
         meta = _record_build_recall(data, index_path, meta, measure_recall)
@@ -1276,7 +1285,16 @@ def build_kmeans_ivf_index(
         indexed = pq_encode(indexed, pq_centroids, vec_col="vec")
         meta["pq"] = {"m": pq_m, "k": pq_k, "dim": dim, "seed": seed,
                       "centroids": pq_centroids}
-    indexed.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
+    # cluster by bucket BEFORE the partitioned write: without it every
+    # upstream task writes a file into every bucket dir it holds
+    # (tasks × buckets files — measured 98.6k files for 200k vectors /
+    # 4096 buckets, making every later scan and incremental export pay
+    # file-listing, not I/O; SCALE.md r14 compaction footnote). One
+    # shuffle at build time buys one-file-per-bucket forever after.
+    (
+        indexed.repartition("bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(index_path)
+    )
     _write_meta(index_path, meta)
     if measure_recall:
         meta = _record_build_recall(data, index_path, meta, measure_recall)
