@@ -446,7 +446,16 @@ def phash_band_pairs(
             ])
         ).alias("bb"),
     ).select("_id", "_h", "bb.band", "bb.bval")
-    left = bands.alias("a")
+    # shuffle-hash self-join (r15, measured): both sides of the band join
+    # are the SAME banded subtree, so a shuffle join makes the two
+    # Exchanges canonically identical and ReuseExchange evaluates the
+    # decode→thumbnail→dhash→band pipeline ONCE (the broadcast plan AQE
+    # picks at fixture scale evaluates it twice — plans/r15/
+    # media_near_dup_bucketed_{before,after}.txt show the dup subtree
+    # collapsing to a ReusedExchange). At corpus scale both sides are the
+    # full dataset, so a shuffle join is the only option anyway and the
+    # hash build avoids sort-merge's per-partition sorts.
+    left = bands.alias("a").hint("shuffle_hash")
     right = bands.alias("b")
     return (
         left.join(

@@ -649,10 +649,17 @@ def decontaminate_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "late near-copies score near 0, genuinely new content near 1 — "
         "what a curation pass ranks by when trimming to a token budget "
         "without a quality model. Cost is exactly the exact-dedup "
-        "class: explode hashed shingles, ONE shuffle on the int64 "
-        "shingle hash for the min-owner aggregate, re-join on the same "
-        "key (co-partitioned — no second shuffle of the exploded side), "
-        "one doc-grain rollup. No all-pairs anywhere; first-ownership "
+        "class (r15 restructure): explode hashed shingles, ONE shuffle "
+        "on the int64 shingle hash for the min-owner aggregate, then "
+        "count OWNERS per doc (a rollup of the already-aggregated "
+        "owner table — n_novel(doc) = |{h : min owner = doc}| because "
+        "the per-doc shingle sets are distinct) and broadcast-join that "
+        "small count table to the map-side (doc_id, n_shingles) "
+        "projection. The r14 shape joined the owner table BACK onto the "
+        "full exploded set and re-aggregated it at doc grain — two "
+        "extra passes over O(corpus shingles) rows that the owner-count "
+        "identity makes unnecessary (plans/r15/doc_ngram_novelty_"
+        "{before,after}.txt). No all-pairs anywhere; first-ownership "
         "by doc_id is deterministic cross-engine.",
     tags=("text", "curation"),
     # r8 rotation: promoted to the driver gate (new in r7, never had a
@@ -661,21 +668,25 @@ def decontaminate_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
-    exploded = d.select(
+    hs = d.select(
         "doc_id",
         F.array_distinct(shingle_hashes(F.col("text"))).alias("hs"),
-    ).select(
-        "doc_id", F.size("hs").cast("long").alias("n_shingles"),
-        F.explode("hs").alias("h"),
     )
-    owner = exploded.groupBy("h").agg(F.min("doc_id").alias("first_owner"))
+    per_doc = hs.select("doc_id", F.size("hs").cast("long").alias("n_shingles"))
+    owner_counts = (
+        hs.select("doc_id", F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("first_owner"))
+        .groupBy(F.col("first_owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
     return (
-        exploded.join(owner, "h")
-        .groupBy("doc_id", "n_shingles")
-        .agg(
-            F.sum(
-                F.when(F.col("first_owner") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("n_novel")
+        per_doc.join(owner_counts, "doc_id", "left")
+        .select(
+            "doc_id", "n_shingles",
+            # a doc owning no shingle has NO owner row: novelty 0, like
+            # the oracle's SUM(CASE...) over its exploded rows
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
         )
         .select(
             "doc_id", "n_shingles", "n_novel",

@@ -315,7 +315,13 @@ def lsh_pairs(sigs: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", *[f"mh{j}" for j in range(N_MINHASH)], "bk.band", "bk.bkey")
-    a, b = bands.alias("a"), bands.alias("b")
+    # shuffle-hash self-join (r15): identical banded subtrees on both
+    # sides — forcing the shuffle join makes the two Exchanges
+    # canonically equal, so ReuseExchange computes the signature fold
+    # once instead of twice (the broadcast plan duplicates it; at corpus
+    # scale the join must shuffle anyway). Same rationale as
+    # operators/multimodal.phash_band_pairs.
+    a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b")
     matches = reduce(
         lambda acc, j: acc
         + F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0),

@@ -26,6 +26,8 @@ per-document sum so ranking order is exact and order-independent.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,8 +37,8 @@ from ..operators.inverted_index import (
     BM25_K1,
     bm25_idf,
     bm25_term_score,
-    build_doclens,
     build_postings,
+    clean_tokens,
 )
 from . import query
 from ._parity import sql_stable_round, stable_round
@@ -106,60 +108,116 @@ _SQL_BM25_SCORE = """
     LIMIT {_TOP_K}
     """,
     doc="North-star keyword retrieval: Okapi BM25 top-k over the corpus "
-        "for a fixed term set. Plan (audited via explain-formatted): the "
-        "IN filter lands directly on the exploded terms, so every "
-        "aggregation sees postings for 3 terms, not the vocabulary; df "
-        "is a broadcast side-rollup; per-term scores are decimal-cast "
-        "before the per-doc sum (exact, order-independent ranking); "
-        "top-k is TakeOrderedAndProject, never a global sort. Both "
-        "joins broadcast at this scale; at cluster scale AQE flips the "
-        "doclens join to build the (bounded) filtered-postings side. "
-        "The persisted-index variant (operators/inverted_index.py) "
-        "serves the same arithmetic from bloom-pruned posting "
-        "point-reads without scanning the corpus at all.",
+        "for a fixed term set. Plan (r15 restructure, audited via "
+        "explain-formatted): per-doc term frequencies for the FIXED "
+        "query-term set are array expressions over one tokenize pass — "
+        "no explode, no (term, doc) shuffle, no doclens join; corpus "
+        "stats (N, Σdl, per-term df) are ONE broadcast 1-row aggregate; "
+        "per-term scores are decimal-cast before the per-doc sum "
+        "(exact, order-independent ranking — decimal addition is "
+        "associative, so the fixed-order 3-term sum equals the oracle's "
+        "row sum); top-k is TakeOrderedAndProject, never a global sort. "
+        "At cluster scale this is one map pass over the corpus + a "
+        "scalar broadcast — the explode/groupBy/join pipeline it "
+        "replaces shuffled matched postings AND the full doclens table "
+        "(plans/r15/bm25_topk_docs_{before,after}.txt: 9 Exchanges -> "
+        "3, 4 document scans -> 2). The persisted-index variant "
+        "(operators/inverted_index.py) serves the same arithmetic from "
+        "bloom-pruned posting point-reads without scanning the corpus "
+        "at all.",
     tags=("text", "retrieval"),
 )  # first gated r10 (new operator this round)
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
-    dl = build_doclens(d)
-    # corpus totals as a broadcast 1-row aggregate (the oracle's CROSS
-    # JOIN c shape), NOT a driver-side .first(): build stays lazy (no
-    # scan just to construct the plan), an empty corpus yields an empty
-    # result instead of a TypeError, and sum_dl/n is the same exact-int
-    # IEEE division either way — r10 review finding
-    corpus = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-    )
-    postings = build_postings(d).filter(F.col("term").isin(*_Q_TERMS))
-    df_tbl = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    scored = (
-        postings.join(F.broadcast(df_tbl), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))  # 1-row scalar combine
-        .withColumn(
-            "_s",
-            bm25_term_score(
-                F.col("tf"), F.col("dl"),
-                F.col("sum_dl") / F.col("n"),
-                bm25_idf(F.col("n"), F.col("df")), BM25_K1, BM25_B,
-            ).cast("decimal(28,12)"),
-        )
-    )
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
-            F.sum("_s").alias("_score"),
-        )
+        _bm25_doc_scores(d)
         .orderBy(F.desc("_score"), F.asc("doc_id"))
         .limit(_TOP_K)
         .select(
             "doc_id",
             "n_terms_matched",
             stable_round(F.col("_score").cast("double"), 6).alias("score"),
+        )
+    )
+
+
+def _bm25_doc_scores(d: DataFrame) -> DataFrame:
+    """(doc_id, n_terms_matched, _score decimal) for the fixed ``_Q_TERMS``.
+
+    One tokenize pass computes dl and per-term tf as array expressions
+    (``size(filter(toks, t == term))``) — the fixed, tiny term set is
+    what makes the no-explode form possible; the vocabulary-wide audits
+    (bm25_term_stats, corpus_vocab_topk) still explode. Corpus stats
+    (n, sum_dl, df per term) come from ONE 1-row aggregate broadcast to
+    the scoring pass. Arithmetic is the shared bm25_idf/bm25_term_score
+    expressions on the same integers the postings pipeline produced, so
+    the doubles are bit-identical to the oracle's; only-zero-tf docs are
+    filtered exactly like the oracle's absent posting rows (NULL-text
+    docs have NULL tf and drop out the same way).
+
+    The token array is projected behind an alias in its own projection:
+    it is multiply-referenced and non-cheap, so CollapseProject keeps
+    the boundary and the tokenizer runs once per doc, not once per
+    reference (same discipline as queries/multimodal.py).
+    """
+    toked = d.select(
+        "doc_id", clean_tokens(F.col("text")).alias("_toks")
+    )
+    def _eq(term: str):
+        # a two-arg lambda would be taken as pyspark's (element, index)
+        # form — bind the term via a closure instead
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("_toks"), _eq(t)))
+        .cast("long")
+        .alias(f"_tf{i}")
+        for i, t in enumerate(_Q_TERMS)
+    ]
+    narrow = toked.select(
+        "doc_id",
+        F.size(F.col("_toks")).cast("long").alias("dl"),
+        *tf_cols,
+    )
+    stats = narrow.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_df{i}")
+            for i in range(len(_Q_TERMS))
+        ],
+    )
+    matched_any = None
+    for i in range(len(_Q_TERMS)):
+        cond = F.col(f"_tf{i}") > 0
+        matched_any = cond if matched_any is None else (matched_any | cond)
+    zero = F.lit(0).cast("decimal(28,12)")
+    term_scores = [
+        F.when(
+            F.col(f"_tf{i}") > 0,
+            bm25_term_score(
+                F.col(f"_tf{i}"), F.col("dl"),
+                F.col("sum_dl") / F.col("n"),
+                bm25_idf(F.col("n"), F.col(f"_df{i}")), BM25_K1, BM25_B,
+            ).cast("decimal(28,12)"),
+        ).otherwise(zero)
+        for i in range(len(_Q_TERMS))
+    ]
+    n_matched = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0).cast("long"),
+        range(1, len(_Q_TERMS)),
+        F.when(F.col("_tf0") > 0, 1).otherwise(0).cast("long"),
+    )
+    return (
+        narrow.filter(matched_any)
+        .crossJoin(F.broadcast(stats))  # 1-row scalar combine
+        .select(
+            "doc_id",
+            n_matched.alias("n_terms_matched"),
+            reduce(lambda a, b: a + b, term_scores).alias("_score"),
         )
     )
 
@@ -320,32 +378,11 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.hybrid import cosine_topn, ranked, rrf_fuse
 
     # --- keyword branch: the bm25_topk_docs plan, ranked not scored
+    # (r15: same single-map-pass restructure — see _bm25_doc_scores)
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
-    dl = build_doclens(d)
-    corpus = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-    )
-    postings = build_postings(d).filter(F.col("term").isin(*_Q_TERMS))
-    df_tbl = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    scored = (
-        postings.join(F.broadcast(df_tbl), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))  # 1-row scalar combine
-        .withColumn(
-            "_s",
-            bm25_term_score(
-                F.col("tf"), F.col("dl"),
-                F.col("sum_dl") / F.col("n"),
-                bm25_idf(F.col("n"), F.col("df")), BM25_K1, BM25_B,
-            ).cast("decimal(28,12)"),
-        )
-    )
     kw_topn = (
-        scored.groupBy("doc_id")
-        .agg(F.sum("_s").alias("_score"))
+        _bm25_doc_scores(d)
+        .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
         .limit(_N_BRANCH)  # TakeOrderedAndProject bounds the branch
     )

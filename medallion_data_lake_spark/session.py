@@ -37,6 +37,22 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     # --- Scan sizing ------------------------------------------------------
     "spark.sql.files.maxPartitionBytes": "128m",
+    # --- Optimizer rule exclusions (r15, measured) -------------------------
+    # InferFiltersFromGenerate adds `size(arr) > 0 AND isnotnull(arr)`
+    # above every explode; filter pushdown then drags that predicate —
+    # with the FULL generator expression inlined (tokenize/shingle/md5
+    # passes here) — below the spread repartition into the single-split
+    # scan, so the heaviest map work of every explode-bearing query runs
+    # TWICE, once of those on one core. Plans audited before/after in
+    # plans/r15/ (doc_ngram_novelty, bm25_*, corpus_vocab_topk: the
+    # duplicated DataFilters disappear; results are byte-identical — the
+    # rule is a pure physical optimization that only pays off when the
+    # generator input is a stored attribute, which ours never are).
+    # At cluster scale the effect is the same: the inferred filter
+    # doubles the tokenize/hash CPU of the map stage. Guide §4.4 is the
+    # UDF face of the same duplicate-the-expensive-expression failure.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     # --- Python interchange: Arrow everywhere -----------------------------
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
