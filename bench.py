@@ -93,9 +93,13 @@ def main() -> None:
 
     # resolve + validate the artifact path BEFORE the (expensive) query
     # loop: a typo'd BENCH_DETAIL_PATH must fail in seconds, not after
-    # the whole run
+    # the whole run. Subset runs (BENCH_QUERIES set) default to a
+    # .partial artifact so they can never clobber the committed
+    # full-gate BENCH_DETAIL.json (r14 verdict #2: a 1-query spot-check
+    # overwrote the official 50-query record).
+    default_name = "BENCH_DETAIL.partial.json" if only else "BENCH_DETAIL.json"
     detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), default_name
     )
     parent = os.path.dirname(os.path.abspath(detail_path))
     os.makedirs(parent, exist_ok=True)

@@ -137,15 +137,18 @@ def cosine_topn(
             F.col(allowed.columns[0]).alias("vec_id")
         ).distinct()
         cands = cands.join(ids, "vec_id", "left_semi")
+    # zero-norm guard (r15): mirrors queries/similarity._SQL_COS — a zero
+    # vector scores 0.0 in both engines instead of dividing by zero
+    _nprod = F.col("qnrm") * F.col("nrm")
+    _cs = F.when(
+        _nprod != 0, dot(F.col("qv"), F.col("v")) / _nprod
+    ).otherwise(F.lit(0.0))
     scored = (
         cands.filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))  # 1-row query side
         .select(
             "vec_id",
-            stable_round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
-                6,
-            ).alias("_cs"),
+            stable_round(_cs, 6).alias("_cs"),
         )
         .orderBy(F.desc("_cs"), F.asc("vec_id"))
         .limit(n)

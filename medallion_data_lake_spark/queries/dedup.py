@@ -157,16 +157,32 @@ def signatures(docs: DataFrame, id_col: str = "doc_id",
     ``production=True`` uses the xxhash64 shingle hash (cheaper,
     non-oracle-reproducible — see :func:`shingle_hashes`).
     """
-    init = F.array(*[F.lit(MERSENNE_P).cast("long") for _ in range(N_MINHASH)])
-
-    def step(acc, h):
-        derived = F.array(
-            *[(F.lit(HASH_A[j]) * h + HASH_B[j]) % MERSENNE_P for j in range(N_MINHASH)]
-        )
-        return F.zip_with(acc, derived, lambda a, b: F.least(a, b))
-
-    mins = F.aggregate(shingle_hashes(F.col(text_col), production), init, step)
-    hashed = docs.select(F.col(id_col).alias("doc_id"), mins.alias("_mins"))
+    # the fold as ONE SQL string over a pre-projected hash array (r15):
+    # operator-composing the 8-wide step array cost ~100 py4j
+    # round-trips per build (same finding as multimodal.dhash_expr);
+    # the parsed expression — aggregate/zip_with/least over the same
+    # integer arithmetic — is identical, so results and plan shape are
+    # unchanged (CollapseProject inlines the single-use _hs alias right
+    # back into the fold).
+    init = (
+        "array(" + ", ".join(
+            f"CAST({MERSENNE_P} AS BIGINT)" for _ in range(N_MINHASH)
+        ) + ")"
+    )
+    derived = (
+        "array(" + ", ".join(
+            f"({HASH_A[j]} * h + {HASH_B[j]}) % {MERSENNE_P}"
+            for j in range(N_MINHASH)
+        ) + ")"
+    )
+    mins = F.expr(
+        f"aggregate(_hs, {init}, "
+        f"(acc, h) -> zip_with(acc, {derived}, (a, b) -> least(a, b)))"
+    )
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(F.col(text_col), production).alias("_hs"),
+    ).select("doc_id", mins.alias("_mins"))
     return hashed.select(
         "doc_id",
         *[F.element_at("_mins", j + 1).alias(f"mh{j}") for j in range(N_MINHASH)],
@@ -423,18 +439,25 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.array_distinct(_toks(F.col("text"))), md5_int).alias("th"),
     )
 
-    def bit_vote(b: int) -> Column:
-        votes = F.transform(
-            F.col("th"),
-            lambda h: F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
+    # the 16-vote tree as ONE SQL string (r15): the operator-composed
+    # form cost ~300 py4j round-trips per build (same finding as
+    # operators/multimodal.dhash_expr — SQL parse is ~50x cheaper, the
+    # parsed expression is identical: CASE WHEN / shiftright / & are
+    # exactly what when/shiftright/bitwiseAND produced)
+    def bit_vote(b: int) -> str:
+        votes = (
+            f"transform(th, h -> CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+            "THEN 1 ELSE -1 END)"
         )
-        s = F.aggregate(votes, F.lit(0), lambda acc, x: acc + x)
-        return F.when(s >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        return (
+            f"CASE WHEN aggregate({votes}, 0, (acc, x) -> acc + x) >= 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
 
-    sim = reduce(lambda acc, b: acc + bit_vote(b), range(1, SIMHASH_BITS), bit_vote(0))
-    return hashed.select("doc_id", sim.cast("long").alias("simhash"))
+    sim = F.expr(
+        "CAST((" + " + ".join(bit_vote(b) for b in range(SIMHASH_BITS)) + ") AS BIGINT)"
+    )
+    return hashed.select("doc_id", sim.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -120,8 +120,8 @@ _SQL_BM25_SCORE = """
         "At cluster scale this is one map pass over the corpus + a "
         "scalar broadcast — the explode/groupBy/join pipeline it "
         "replaces shuffled matched postings AND the full doclens table "
-        "(plans/r15/bm25_topk_docs_{before,after}.txt: 9 Exchanges -> "
-        "3, 4 document scans -> 2). The persisted-index variant "
+        "(plans/r15/bm25_topk_docs_{before,after}.txt: 9 exchange nodes "
+        "-> 4, 4 document scans -> 2). The persisted-index variant "
         "(operators/inverted_index.py) serves the same arithmetic from "
         "bloom-pruned posting point-reads without scanning the corpus "
         "at all.",

@@ -34,8 +34,17 @@ K_IVF = 3
 IVF_SIGN_DIMS = 4  # coarse quantizer: sign bits of the first 4 dims → 16 buckets
 
 # norms precomputed per vector (e.nrm / q.nrm) — computing them inside
-# the pair expression would redo two dot products for every candidate pair
-_SQL_COS = "list_dot_product(q.v, e.v) / (q.nrm * e.nrm)"
+# the pair expression would redo two dot products for every candidate pair.
+# Zero-norm guard (r15, closes the one named correctness edge of the r14
+# verdict): a zero vector scores cosine 0.0 instead of raising ANSI
+# DIVIDE_BY_ZERO / producing engine-dependent inf — the SAME CASE guard
+# in both engines (functions.cosine already guarded the non-gated path;
+# the comparison is exact because both engines compute the identical
+# sqrt-product, which is 0.0 iff a vector is all-zero).
+_SQL_COS = (
+    "CASE WHEN q.nrm * e.nrm <> 0 "
+    "THEN list_dot_product(q.v, e.v) / (q.nrm * e.nrm) ELSE 0.0 END"
+)
 _SQL_NRM = "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
 _SQL_BUCKET = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
@@ -46,6 +55,17 @@ _SQL_BUCKET = " + ".join(
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_star_table_spread(spark, sf_dir, "embeddings", "vec_id")
     return df.withColumn("nrm", l2_norm(F.col("embedding")))
+
+
+def _cos_guarded() -> Column:
+    """Zero-norm-guarded cosine between the broadcast query vector and a
+    candidate row — the Spark mirror of ``_SQL_COS`` (same CASE guard, so
+    a zero vector scores 0.0 in both engines instead of dividing by
+    zero; see functions.cosine for the generic form)."""
+    n = F.col("qnrm") * F.col("nrm")
+    return F.when(
+        n != 0, dot(F.col("qv"), F.col("embedding")) / n
+    ).otherwise(F.lit(0.0))
 
 
 def sign_bucket(emb: Column) -> Column:
@@ -95,7 +115,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))).alias("cs"),
+            _cos_guarded().alias("cs"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -156,7 +176,7 @@ def knn_filtered_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))).alias("cs"),
+            _cos_guarded().alias("cs"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -216,7 +236,7 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neg_id"),
-            (dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))).alias("cs"),
+            _cos_guarded().alias("cs"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -277,7 +297,7 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("bucket").cast("int").alias("bucket"),
-            (dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))).alias("cs"),
+            _cos_guarded().alias("cs"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -39,17 +39,21 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "128m",
     # --- Optimizer rule exclusions (r15, measured) -------------------------
     # InferFiltersFromGenerate adds `size(arr) > 0 AND isnotnull(arr)`
-    # above every explode; filter pushdown then drags that predicate —
-    # with the FULL generator expression inlined (tokenize/shingle/md5
-    # passes here) — below the spread repartition into the single-split
-    # scan, so the heaviest map work of every explode-bearing query runs
-    # TWICE, once of those on one core. Plans audited before/after in
-    # plans/r15/ (doc_ngram_novelty, bm25_*, corpus_vocab_topk: the
-    # duplicated DataFilters disappear; results are byte-identical — the
-    # rule is a pure physical optimization that only pays off when the
-    # generator input is a stored attribute, which ours never are).
-    # At cluster scale the effect is the same: the inferred filter
-    # doubles the tokenize/hash CPU of the map stage. Guide §4.4 is the
+    # above an explode of a computed array; filter pushdown then drags
+    # that predicate — with the FULL generator expression inlined (the
+    # tokenize→shingle→md5 passes here) — below the spread repartition
+    # into the single-split scan, so the heaviest map work runs TWICE,
+    # once of those on one core. Fires on the
+    # explode(array_distinct(<md5-shingle>)) shape: a registry-wide
+    # fingerprint sweep shows exactly doc_ngram_novelty,
+    # decontaminate_ngram_overlap and minhash_lsh_ml_candidates change
+    # plan under the exclusion; in-session conf-toggle A/B measured
+    # 0.77×/0.52× minutes on the first two with results asserted equal
+    # (OPTIMIZATION_r15.md §1). Results are byte-identical by
+    # construction — the rule is a pure optimization that only pays off
+    # when the generator input is cheap to re-evaluate, which these are
+    # not. At cluster scale the effect is the same: the inferred filter
+    # doubles the shingle/hash CPU of the map stage. Guide §4.4 is the
     # UDF face of the same duplicate-the-expensive-expression failure.
     "spark.sql.optimizer.excludedRules":
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
