@@ -647,6 +647,10 @@ def main(argv: list[str] | None = None) -> int:
             pins = export_search_store(
                 spark, args.arg, args.store, driver=drv,
                 docs=_rt(spark, args.docs) if args.docs else None,
+                # vectors are refreshed by export_vector_store right
+                # below when requested in the SAME invocation — the
+                # intermediate staleness is not observable
+                allow_stale_vectors=bool(args.embeddings or args.vec_index),
             )
             vec_meta = None
             if args.embeddings or args.vec_index:

@@ -947,6 +947,23 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                 "families never collide, so fuzzy decon would silently "
                 "pass everything; re-materialize or align the config"
             )
+        # LSH-geometry pins (r15, r14 ADVICE): the sidecar records the
+        # minhash/banding constants the table was built with; if the
+        # code's constants ever drift, a persisted bands table with a
+        # different geometry silently produces FEWER collisions (fuzzy
+        # decon under-flags) — refuse like the hash-family check above.
+        from ..queries.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND
+
+        _want = {"n_minhash": N_MINHASH, "n_bands": N_BANDS,
+                 "rows_per_band": ROWS_PER_BAND}
+        _got = {k: meta.get(k) for k in _want}
+        if _got != _want:
+            raise ValueError(
+                f"benchmark decon table {cfg.benchmark_decon_table} was "
+                f"materialized with LSH geometry {_got} but the code "
+                f"uses {_want} — band keys from different geometries "
+                "do not collide correctly; re-materialize the table"
+            )
         import os as _os
 
         bench_ngrams = _rt_decon(

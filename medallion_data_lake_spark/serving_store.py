@@ -430,6 +430,7 @@ def export_search_store(
     docs: DataFrame | None = None,
     doc_id_col: str = "doc_id",
     doc_text_col: str = "text",
+    allow_stale_vectors: bool = False,
 ) -> dict[str, int]:
     """Export a BM25 index's serving projection to the SQL store, all
     tables read at ONE committed snapshot:
@@ -465,6 +466,32 @@ def export_search_store(
         raise ValueError(
             f"index at {index_root} has no committed append txn; "
             "nothing consistent to export"
+        )
+    # full-export staleness guard (r15, closes the r14 ADVICE medium):
+    # this export refreshes postings/termstats/corpus AND the manifest,
+    # but a store that already carries the phrase or kNN-graph tables
+    # would keep serving THOSE at the old snapshot under the new
+    # manifest — /phrase, /similar and /hybrid's vector branch silently
+    # stale. Mirror the incremental path's guard: refuse unless the
+    # matching source is supplied (docs= re-exports the phrase tier) or
+    # the caller explicitly accepts the skew / refreshes vectors next.
+    with ServingStore(spark, url, driver=driver) as _probe:
+        _existing = _probe.table_names()
+    if T_BIGRAM_POS in _existing and docs is None:
+        raise ValueError(
+            "store already carries the positional bigram table; a full "
+            "export without docs= would leave /phrase serving the OLD "
+            "snapshot under the new manifest — pass docs= (the corpus "
+            "at the pinned snapshot) or drop the table first"
+        )
+    if T_NEIGHBORS in _existing and not allow_stale_vectors:
+        raise ValueError(
+            "store already carries the kNN-graph tables; a full BM25 "
+            "export would leave /similar and /hybrid's vector branch "
+            "serving the OLD snapshot — re-run export_vector_store "
+            "afterwards (CLI: --embeddings/--vec-index in the same "
+            "export-store call), or pass allow_stale_vectors=True to "
+            "accept the skew knowingly"
         )
     postings = read_table(
         spark, _t(index_root, _POSTINGS), version=pins.get(_POSTINGS)
@@ -1098,6 +1125,21 @@ def export_vector_store_incremental(
 
     import json as _json
     import os as _os
+
+    # index-identity pin (r15, r14 ADVICE): the manifest records which
+    # IVF index the graph was exported from; pointing the increment at a
+    # DIFFERENT index would merge neighbor lists computed from two
+    # index geometries into one table with no error. Refuse on mismatch.
+    recorded = meta.get("vec_index")
+    if recorded is not None and (
+        _os.path.abspath(recorded) != _os.path.abspath(vec_index)
+    ):
+        raise ValueError(
+            f"store's kNN graph was exported from vec_index={recorded} "
+            f"but this increment points at {vec_index} — neighbor lists "
+            "from different indexes must not merge; re-run "
+            "export_vector_store against the new index instead"
+        )
 
     from .operators.ann import (
         _mask_tombstones,

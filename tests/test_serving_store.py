@@ -753,3 +753,88 @@ def test_store_status_reports_staleness(spark, tmp_path, derby_url,
 
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["stale"] is True
+
+
+# --- r15 full-export / increment identity guards (r14 ADVICE) -------------
+
+def test_full_export_refuses_docless_over_bigram_store(spark, tmp_path,
+                                                       derby_url):
+    """A FULL export over a store that already carries mdls_bigram_pos
+    must refuse without docs=: it would swap postings + manifest while
+    /phrase keeps serving the OLD snapshot (r14 ADVICE, medium)."""
+    root = str(tmp_path / "idx")
+    docs = _docs(spark)
+    create_bm25_index(spark, docs, root, n_files=2)
+    url = derby_url.format("fullbgguard")
+    export_search_store(spark, root, url, docs=docs)  # store has bigrams
+    with pytest.raises(ValueError, match="bigram table"):
+        export_search_store(spark, root, url)  # docless full re-export
+    # supplying docs= refreshes the phrase tier and proceeds
+    export_search_store(spark, root, url, docs=docs)
+
+
+def test_full_export_refuses_over_vector_store_unless_allowed(
+        spark, tmp_path, derby_url):
+    """A FULL BM25 export over a store that carries the kNN-graph tables
+    must refuse unless the caller explicitly accepts stale vectors (the
+    CLI passes the flag when it refreshes vectors in the same call)."""
+    from medallion_data_lake_spark.serving_store import export_vector_store
+
+    root = str(tmp_path / "idx")
+    docs = _docs(spark)
+    create_bm25_index(spark, docs, root, n_files=2)
+    url = derby_url.format("fullvecguard")
+    export_search_store(spark, root, url)
+    export_vector_store(spark, url, embeddings=_emb(spark, n=8), k_max=5)
+    with pytest.raises(ValueError, match="kNN-graph"):
+        export_search_store(spark, root, url)
+    # explicit opt-in proceeds (caller refreshes vectors next)
+    export_search_store(spark, root, url, allow_stale_vectors=True)
+
+
+def test_incremental_vector_export_refuses_foreign_index(spark, tmp_path,
+                                                         derby_url):
+    """The vector increment must refuse a vec_index other than the one
+    recorded at full export — merging neighbor lists computed from two
+    different indexes is silent corruption (r14 ADVICE, low)."""
+    from medallion_data_lake_spark.operators.ann import build_ivf_index
+    from medallion_data_lake_spark.serving_store import (
+        export_vector_store,
+        export_vector_store_incremental,
+    )
+
+    emb = _emb(spark, n=24, dim=8, seed=3)
+    idx_a = str(tmp_path / "ivf_a")
+    idx_b = str(tmp_path / "ivf_b")
+    build_ivf_index(emb, idx_a)
+    build_ivf_index(emb, idx_b)
+    url = derby_url.format("vecpin")
+    export_vector_store(spark, url, vec_index=idx_a, k_max=4)
+    with pytest.raises(ValueError, match="vec_index"):
+        export_vector_store_incremental(spark, url, vec_index=idx_b)
+
+
+def test_curate_refuses_bench_decon_geometry_drift(spark, tmp_path):
+    """curate_corpus must refuse a persisted bench-decon table whose
+    recorded LSH geometry differs from the code's constants — a geometry
+    mismatch silently under-flags contamination (r14 ADVICE, low)."""
+    import json
+    import os
+
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+        materialize_benchmark_decon,
+    )
+
+    bench = _docs(spark, [(900, "stream table join state")])
+    table = str(tmp_path / "benchdecon")
+    materialize_benchmark_decon(spark, bench, table)
+    sidecar = os.path.join(table, "_bench_decon.json")
+    meta = json.load(open(sidecar))
+    meta["n_bands"] = meta["n_bands"] + 1  # simulate constant drift
+    json.dump(meta, open(sidecar, "w"))
+    cfg = CurationConfig(benchmark_decon_table=table,
+                         fuzzy_decontaminate=True)
+    with pytest.raises(ValueError, match="LSH geometry"):
+        curate_corpus(_docs(spark), config=cfg)
