@@ -1,23 +1,26 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at the bench scale factor.
 
-Prints TWO JSON lines — the full per-query detail first, then a COMPACT
-headline line LAST:
-  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+Prints ONE JSON line (the headline, LAST on stdout):
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
    "n_queries": N, "fp_digest": hex12, "detail": "BENCH_DETAIL.json"}
 
-Why two lines: the driver retains only the TAIL of bench output, and
-the full line (3 maps x 50 queries) outgrew that window in r5-r7 —
-BENCH_r05/6/7.json all recorded "parsed": null because the retained
-tail started mid-line. The compact headline is short enough to always
-survive the tail window, so the official artifact carries the total.
-The full detail line additionally lands in BENCH_DETAIL.json next to
-this script (committed per round), keyed so a judge can diff per-query
-timings and plan fingerprints without re-running. ``fp_digest`` is a
-digest over the sorted (name, plan_fp) pairs — one value that moves iff
-ANY query's optimized plan changed since the last recorded run.
+Output-size history (why the line carries per-query SECONDS but not
+plan fingerprints or medians): the driver retains only the TAIL of
+bench stdout. The r5-r7 full-detail line (3 maps x 50 queries)
+outgrew that window ("parsed": null); the r15 fix printed a compact
+headline WITHOUT "queries" — which survived the window but starved
+the driver's per-query PERF comparison (PERF_r15 per_query: {},
+r15 verdict #2). The resolution: the headline itself carries
+"queries" (50 entries ≈ 1.6 KB — comfortably inside the window the
+r15 tail demonstrated at ~3.5 KB), and the heavyweight maps
+(queries_median, plan_fp) go ONLY to BENCH_DETAIL.json next to this
+script (committed per round) — never to stdout. ``fp_digest`` is a
+digest over the sorted (name, plan_fp) pairs — one value that moves
+iff ANY query's optimized plan changed since the last recorded run.
 
-Full-detail line shape (also the BENCH_DETAIL.json content):
+BENCH_DETAIL.json content:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "queries_median": {name: sec, ...},
    "plan_fp": {name: hex12, ...}, "sf": <sf>}
@@ -160,15 +163,16 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(json.dumps(detail))
-    # compact headline LAST — the only line guaranteed to survive the
-    # driver's tail window (see module docstring)
+    # ONE headline line, LAST — carries per-query seconds (the driver's
+    # PERF axis reads them from here) but NOT the fingerprint/median
+    # maps, which only live in BENCH_DETAIL.json (see module docstring)
     print(
         json.dumps(
             {
                 "metric": "total_wall_sec_all_queries",
                 "value": total,
                 "unit": "sec",
+                "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
                 "fp_digest": fp_digest,

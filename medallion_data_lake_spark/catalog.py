@@ -57,8 +57,27 @@ def load_star_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         path = star_path(sf_dir, table)
         try:  # mtime+size in the key: a rewritten fixture re-probes
             st = os.stat(path)
-            key = (path, st.st_mtime_ns, st.st_size)
-        except OSError:  # directory-backed or remote path: probe fresh
+            if os.path.isdir(path):
+                # directory-backed fixture (a Spark-written table):
+                # os.stat on the DIRECTORY succeeds but its entry can
+                # stay unchanged when a data file is rewritten in place
+                # (r15 ADVICE) — key on the data files themselves
+                # (count + max mtime + total size), so any file
+                # rewrite/add/remove re-probes
+                files = [
+                    os.stat(os.path.join(path, f))
+                    for f in os.listdir(path)
+                    if not f.startswith(("_", "."))
+                ]
+                key = (
+                    path,
+                    len(files),
+                    max((f.st_mtime_ns for f in files), default=0),
+                    sum(f.st_size for f in files),
+                )
+            else:
+                key = (path, st.st_mtime_ns, st.st_size)
+        except OSError:  # remote/racing path: probe fresh
             key = None
         ts_type = _EVENTS_TS_TYPE.get(key) if key else None
         if ts_type is None:
@@ -120,6 +139,22 @@ class _LazyStarTables(dict):
         df = load_star_table(self._spark, self._sf_dir, table)
         self[table] = df
         return df
+
+    # the FULL dict contract must see through laziness (r15 ADVICE):
+    # dict.get / `in` / copy() bypass __missing__, so without these a
+    # valid-but-unloaded table read as absent and copies snapshotted
+    # only the loaded subset
+    def get(self, table, default=None):
+        try:
+            return self[table]
+        except KeyError:
+            return default
+
+    def __contains__(self, table) -> bool:
+        return table in STAR_TABLES or dict.__contains__(self, table)
+
+    def copy(self) -> dict:
+        return {t: self[t] for t in STAR_TABLES}
 
     # iteration/len reflect the full fixture set, not just what loaded
     def __iter__(self):

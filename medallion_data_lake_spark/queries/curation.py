@@ -672,7 +672,15 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(shingle_hashes(F.col("text"))).alias("hs"),
     )
-    per_doc = hs.select("doc_id", F.size("hs").cast("long").alias("n_shingles"))
+    per_doc = (
+        hs.select("doc_id", F.size("hs").cast("long").alias("n_shingles"))
+        # docs with an empty (or NULL-text) shingle set have NO exploded
+        # rows, so the oracle's inner join drops them entirely — the r15
+        # left-join shape kept them (0/0 novelty), a latent parity
+        # divergence on any corpus with empty docs (r15 ADVICE; none at
+        # the gated SFs, results unchanged there)
+        .filter(F.col("n_shingles") > 0)
+    )
     owner_counts = (
         hs.select("doc_id", F.explode("hs").alias("h"))
         .groupBy("h")

@@ -148,7 +148,10 @@ def media_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hashed = px.select(
-        "doc_id", multimodal.dhash_expr(F.col("px")).alias("phash")
+        # the NAME, not F.col("px"): dhash_expr's fast single-SQL-string
+        # build path keys on receiving a str (r16 — no more column
+        # introspection inside the operator)
+        "doc_id", multimodal.dhash_expr("px").alias("phash")
     )
     return multimodal.phash_band_pairs(
         hashed, id_col="doc_id", hash_col="phash", max_dist=8

@@ -825,6 +825,12 @@ def export_search_store_incremental(
             spark, index_root, url, driver=driver, pins=new_pins,
             term_width=term_width, k1=k1, b=b,
             docs=docs, doc_id_col=doc_id_col, doc_text_col=doc_text_col,
+            # forward the caller's staleness waiver: without it every
+            # full-fallback (full_initial/full_refresh/drift>eps) over a
+            # store carrying mdls_neighbors re-raised the kNN-graph
+            # guard even when the caller explicitly accepted the skew
+            # (r15 ADVICE, medium — confirmed by live repro)
+            allow_stale_vectors=allow_stale_vectors,
         )
         return {"mode": mode, "drift": drift, "affected_terms": None,
                 "recomputed_terms": None, "pins": pins}

@@ -36,7 +36,7 @@ def build_new(spark):
     px = d.filter(n_tokens > 0).select(
         F.col("doc_id"), multimodal.fake_thumbnail_expr(text).alias("px")
     )
-    hashed = px.select("doc_id", multimodal.dhash_expr(F.col("px")).alias("phash"))
+    hashed = px.select("doc_id", multimodal.dhash_expr("px").alias("phash"))
     # inline phash_band_pairs with shuffle_hash hint
     n_bands, band_bits = multimodal.PHASH_BANDS, multimodal.PHASH_BAND_BITS
     mask = (1 << band_bits) - 1

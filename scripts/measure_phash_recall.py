@@ -50,7 +50,7 @@ def hashed_frame(spark, sf_dir: str, sample_n: int):
         "doc_id", multimodal.fake_thumbnail_expr(text).alias("px")
     )
     return px.select(
-        "doc_id", multimodal.dhash_expr(F.col("px")).alias("phash")
+        "doc_id", multimodal.dhash_expr("px").alias("phash")
     )
 
 

@@ -14,6 +14,51 @@ from medallion_data_lake_spark.session import get_spark  # noqa: E402
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
+# ---------------------------------------------------------------------------
+# Two-tier suite (r16, closes the r15 verdict #1 verify-contract gap):
+# the full suite is 808 tests / ~57 min — over the driver's pytest budget
+# (VERIFY_r15 was cut at ~62% with zero failures). The DEFAULT tier skips
+# the tests listed in tests/slow_tests.txt (call time >= 2s in the
+# committed full-suite durations run; every test file keeps at least its
+# fastest case, so each operator/query family stays covered) and finishes
+# in ~10 min. The CERTIFYING run — recorded per round in COVERAGE.md — is
+#   MDLS_RUN_SLOW=1 python -m pytest tests/ -q
+# (env-gated like the live-broker tests, per the r15 verdict's ask).
+# ---------------------------------------------------------------------------
+_SLOW_LIST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "slow_tests.txt")
+
+
+def _slow_ids() -> set[str]:
+    try:
+        with open(_SLOW_LIST) as fh:
+            return {
+                ln.strip() for ln in fh
+                if ln.strip() and not ln.startswith("#")
+            }
+    except OSError:
+        return set()
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = _slow_ids()
+    if not slow:
+        return
+    run_slow = os.environ.get("MDLS_RUN_SLOW") == "1"
+    skip = pytest.mark.skip(
+        reason="slow tier (tests/slow_tests.txt); set MDLS_RUN_SLOW=1"
+    )
+    for item in items:
+        # nodeid is "tests/file.py::test[param]" relative to rootdir;
+        # normalize for invocations from inside tests/
+        nid = item.nodeid
+        if not nid.startswith("tests/"):
+            nid = "tests/" + nid
+        if nid in slow:
+            item.add_marker(pytest.mark.slow)
+            if not run_slow:
+                item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():
