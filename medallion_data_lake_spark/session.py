@@ -55,6 +55,12 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     # not. At cluster scale the effect is the same: the inferred filter
     # doubles the shingle/hash CPU of the map stage. Guide §4.4 is the
     # UDF face of the same duplicate-the-expensive-expression failure.
+    # GUARD (r16): the exclusion is SESSION-WIDE, so a future query that
+    # explodes a STORED array column would silently lose a genuinely
+    # useful inferred pruning filter. tests/test_plans.py::
+    # test_no_registry_query_explodes_a_stored_array fails on any such
+    # query — re-scope the exclusion (per-query conf) or allowlist there
+    # with a written justification before shipping one.
     "spark.sql.optimizer.excludedRules":
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     # --- Python interchange: Arrow everywhere -----------------------------

@@ -8,6 +8,8 @@ slowdown at scale that no row-comparison would ever catch.
 
 from __future__ import annotations
 
+import re
+
 from medallion_data_lake_spark.plans import (
     explain_str,
     has_broadcast_join,
@@ -283,3 +285,49 @@ def test_fuzzy_decontamination_no_all_pairs(spark):
     plan = explain_str(REG["decontaminate_fuzzy_lsh"].build(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_registry_query_explodes_a_stored_array(spark):
+    """Guard on session.py's InferFiltersFromGenerate exclusion (r15
+    verdict #8): the rule is excluded SESSION-WIDE because every
+    current explode generates from a COMPUTED array (tokenize→shingle→
+    md5 chains), where the inferred `size(arr)>0` filter duplicates the
+    heaviest map expression into the scan. If a future query ever
+    explodes a STORED array column (a scan-output attribute, e.g.
+    embeddings.embedding), the exclusion would silently suppress a
+    genuinely useful pruning filter — this test makes that a reviewed
+    event: either re-scope the exclusion (per-query conf) or allowlist
+    the query here with a written justification.
+
+    Detection is on the optimized-plan STRING (one py4j call per
+    query): a generator whose argument renders as a bare attribute
+    `name#id` that also appears in a Relation's output list is a
+    stored-array explode; computed arrays reference a Project alias
+    with a fresh expression id instead."""
+    allowed: set[str] = set()  # no stored-array explodes today
+    gen_arg = re.compile(
+        r"Generate (?:pos)?explode(?:_outer)?\((?:outer\()?(\w+#\d+)\)"
+    )
+    rel_line = re.compile(r"Relation \[([^\]]*)\]")
+    offenders = []
+    for name, spec in sorted(REG.items()):
+        if name == "events_hourly_stream":
+            continue  # streaming query; no batch optimizedPlan
+        if name in allowed:
+            continue
+        s = str(
+            spec.build(spark, SF)._jdf.queryExecution().optimizedPlan()
+        )
+        if "Generate " not in s:
+            continue
+        stored = set()
+        for m in rel_line.finditer(s):
+            stored.update(re.findall(r"\w+#\d+", m.group(1)))
+        for m in gen_arg.finditer(s):
+            if m.group(1) in stored:
+                offenders.append((name, m.group(1)))
+    assert not offenders, (
+        "queries exploding STORED array attributes under the "
+        f"InferFiltersFromGenerate exclusion: {offenders} — re-scope "
+        "session.py's excludedRules or justify an allowlist entry"
+    )

@@ -838,3 +838,38 @@ def test_curate_refuses_bench_decon_geometry_drift(spark, tmp_path):
                          fuzzy_decontaminate=True)
     with pytest.raises(ValueError, match="LSH geometry"):
         curate_corpus(_docs(spark), config=cfg)
+
+
+def test_full_fallback_forwards_stale_vector_waiver(spark, tmp_path,
+                                                    derby_url):
+    """The increment's FULL fallback (drift > ε here; same path as
+    full_initial/full_refresh) must forward allow_stale_vectors to
+    export_search_store — before r16 the fallback re-raised the
+    kNN-graph guard the caller had explicitly waived, so
+    `export-store --incremental --vec-index` style flows crashed
+    instead of completing and refreshing vectors after (r15 ADVICE,
+    medium)."""
+    from medallion_data_lake_spark.serving_store import (
+        export_search_store_incremental,
+        export_vector_store,
+    )
+
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark), root, n_files=2)  # 6 docs
+    url = derby_url.format("fullfwd")
+    export_search_store(spark, root, url)
+    export_vector_store(spark, url, embeddings=_emb(spark, n=8), k_max=5)
+
+    # 2 appended docs on 6 -> drift > default eps -> _full("full_refresh")
+    append_bm25_index(spark, _docs(spark, [
+        (7, "stream join table"), (8, "hash probe scan")]), root)
+    with pytest.raises(ValueError, match="kNN-graph"):
+        export_search_store_incremental(spark, root, url)
+    rep = export_search_store_incremental(spark, root, url,
+                                          allow_stale_vectors=True)
+    assert rep["mode"] == "full_refresh"
+    with ServingStore(spark, url) as store:
+        lake = _lake_rows(bm25_search(
+            spark, root, ["stream", "join"], k=10, pins=rep["pins"]))
+        _assert_store_equals_lake(store.bm25(["stream", "join"], k=10),
+                                  lake)
