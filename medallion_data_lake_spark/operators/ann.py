@@ -946,6 +946,7 @@ def semantic_dedup(
     max_fit_rows: int = SEMANTIC_MAX_FIT_ROWS,
     dim: int = 64,
     model=None,
+    keep_base_cell: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1019,6 +1020,13 @@ def semantic_dedup(
         bucketed = kmeans_codebook_bucket(
             df, vec_col=vec_col, k=k, seed=seed, n=n, max_fit_rows=fit_rows
         )
+    if keep_base_cell:
+        # preserve the PRE-split codebook cell (r16): the verdict
+        # increment pairs on BASE cells, so persisting this per row is
+        # what lets later increments prune the existing side by a
+        # stored column instead of re-assigning the full corpus
+        # (k_cap·dim flops per existing vector per increment)
+        bucketed = bucketed.withColumn("_base_cell", F.col("bucket_code"))
     # once k is capped, expected cluster size n/k grows with n again —
     # re-bound per-cluster pair work by deterministic sign splitting
     bucketed = split_oversized_learned_buckets(
@@ -1034,8 +1042,11 @@ def semantic_dedup(
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
+    annotate_cols = [F.col(id_col), F.col("bucket_code").alias("cluster_id")]
+    if keep_base_cell:
+        annotate_cols.append(F.col("_base_cell").alias("base_cell"))
     return (
-        bucketed.select(F.col(id_col), F.col("bucket_code").alias("cluster_id"))
+        bucketed.select(*annotate_cols)
         .join(
             comp.select(F.col("node").alias(id_col), "component"),
             id_col,

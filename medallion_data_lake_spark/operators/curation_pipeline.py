@@ -270,6 +270,178 @@ def read_bench_decon_sidecar(root: str) -> dict | None:
         return _json.load(fh)
 
 
+DECON_VERDICT_SIDECAR = "_decon_verdict.json"
+
+
+def _decon_verdict_rows(docs: DataFrame, bench_ngrams: DataFrame,
+                        bench_bands: DataFrame, id_col: str,
+                        text_col: str,
+                        production_hash: bool) -> DataFrame:
+    """Per-doc decon MEASURES for ``docs`` vs the persisted bench side:
+    ``(id, text_fp, contamination_ratio, max_est_jaccard)``. Thresholds
+    are NOT baked in — flags are derived at read time (ratio >
+    max_contamination, est >= fuzzy_tau), so one verdict table serves
+    any threshold config. NULL measure = "no shared n-gram" / "no band
+    collision", exactly the rows the recompute route's joins never
+    produce — so NULL-propagating threshold filters reproduce the
+    recompute flag sets bit-for-bit."""
+    from ..queries.dedup import N_MINHASH
+    from .embeddings import text_fingerprint
+
+    base = docs.select(
+        F.col(id_col), F.col(text_col),
+        text_fingerprint(text_col).alias("text_fp"),
+    )
+    hashed = base.select(
+        id_col, "text_fp",
+        F.array_distinct(shingle_hashes(F.col(text_col))).alias("hs"),
+    )
+    exact = (
+        hashed.select(id_col, F.size("hs").alias("_n"),
+                      F.explode("hs").alias("h"))
+        .join(F.broadcast(bench_ngrams), "h")
+        .groupBy(id_col, "_n")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .select(F.col(id_col),
+                (F.col("_shared") / F.col("_n"))
+                .alias("contamination_ratio"))
+    )
+    corpus_bands = banded_signatures(base, "_cid", text_col, id_col,
+                                     production_hash)
+    est = sum(
+        F.when(F.col(f"_cid_mh{j}") == F.col(f"_bid_mh{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    ) / float(N_MINHASH)
+    fuzzy = (
+        corpus_bands.join(bench_bands, ["band", "bkey"])
+        .select(F.col("_cid").alias(id_col), est.alias("_est"))
+        .groupBy(id_col)
+        .agg(F.max("_est").alias("max_est_jaccard"))
+    )
+    return (
+        hashed.select(id_col, "text_fp")
+        .join(exact, id_col, "left")
+        .join(fuzzy, id_col, "left")
+    )
+
+
+def materialize_decon_verdict(spark, docs: DataFrame,
+                              bench_decon_root: str, table: str,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> dict:
+    """Maintain the CORPUS side of decontamination as a versioned
+    per-doc verdict table (r16, r15 verdict #3) — the last per-run
+    full-corpus pass in the decon funnel: both decon stages are pure
+    per-doc functions of (text, bench artifacts), yet every curation
+    run re-shingled and re-minhashed the whole corpus against the
+    static bench side. Rows are
+    ``(id, text_fp, contamination_ratio, max_est_jaccard)``.
+
+    INCREMENTAL by (id, text fingerprint), the embedding-column
+    contract: new ids insert, changed texts upsert via
+    :func:`operators.versioned.merge_into`, unchanged docs are never
+    re-shingled. The sidecar pins the bench-decon root's OWN sidecar
+    (hash family + LSH geometry) plus the ngrams/bands table VERSIONS —
+    verdicts computed against a superseded bench set are refused, both
+    here and when the pipeline consumes the table.
+
+    Thresholds are not pinned: the stored values are raw measures, so
+    ``max_contamination`` / ``fuzzy_tau`` stay run-time config.
+
+    Returns {"n_new", "n_total", "version"}."""
+    import json as _json
+    import os as _os
+
+    from ..queries.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND
+    from .embeddings import text_fingerprint
+    from .versioned import commit, latest_version, merge_into, read_table
+
+    bench_meta = read_bench_decon_sidecar(bench_decon_root)
+    if bench_meta is None:
+        raise ValueError(
+            f"bench decon root {bench_decon_root} has no "
+            f"{BENCH_DECON_SIDECAR} sidecar — materialize it with "
+            "materialize_benchmark_decon first"
+        )
+    _geom = {"n_minhash": N_MINHASH, "n_bands": N_BANDS,
+             "rows_per_band": ROWS_PER_BAND}
+    _got = {k: bench_meta.get(k) for k in _geom}
+    if _got != _geom:
+        raise ValueError(
+            f"bench decon root {bench_decon_root} has LSH geometry "
+            f"{_got} but the code uses {_geom} — re-materialize it"
+        )
+    ngrams_path = _os.path.join(bench_decon_root, "ngrams")
+    bands_path = _os.path.join(bench_decon_root, "bands")
+    params = {
+        "bench_root": _os.path.abspath(bench_decon_root),
+        "bench_sidecar": bench_meta,
+        "bench_ngrams_version": latest_version(ngrams_path),
+        "bench_bands_version": latest_version(bands_path),
+    }
+    production_hash = bool(bench_meta["production_hash"])
+    bench_ngrams = read_table(spark, ngrams_path)
+    bench_bands = read_table(spark, bands_path)
+    sidecar = _os.path.join(table, DECON_VERDICT_SIDECAR)
+
+    existing_version = latest_version(table)
+    if existing_version is None:
+        _os.makedirs(table, exist_ok=True)
+        with open(sidecar, "w") as fh:  # sidecar BEFORE the first commit
+            _json.dump(params, fh)
+        rows = _decon_verdict_rows(docs, bench_ngrams, bench_bands,
+                                   id_col, text_col, production_hash)
+        res = commit(rows, table, mode="append",
+                     stats_cols=(id_col,), bloom_cols=(id_col,))
+        version = res["version"] if isinstance(res, dict) else res
+        n = read_table(spark, table).count()
+        return {"n_new": n, "n_total": n, "version": version}
+
+    meta = read_decon_verdict_sidecar(table)
+    if meta is None:
+        raise ValueError(
+            f"decon verdict table {table} has committed versions but "
+            f"no {DECON_VERDICT_SIDECAR} sidecar — refusing to append "
+            "into an unverifiable verdict space"
+        )
+    if meta != params:
+        raise ValueError(
+            f"decon verdict table {table} was materialized under "
+            f"{meta} but the bench artifacts now pin {params} — "
+            "verdicts vs a superseded benchmark set must not mix; "
+            "re-materialize into a new table"
+        )
+    have = read_table(spark, table).select(id_col, "text_fp")
+    docs_fp = docs.select(
+        id_col, text_col, text_fingerprint(text_col).alias("text_fp"))
+    todo = docs_fp.join(have, [id_col, "text_fp"], "left_anti")
+    if todo.isEmpty():
+        return {"n_new": 0,
+                "n_total": read_table(spark, table).count(),
+                "version": existing_version}
+    rows = _decon_verdict_rows(todo, bench_ngrams, bench_bands,
+                               id_col, text_col, production_hash)
+    # changed ids REPLACE their stale row (file-granular MERGE) — same
+    # contract as the embedding column
+    merge_into(spark, table, rows, key=id_col,
+               analyze_stats=(id_col,))
+    n_new = rows.count()
+    return {"n_new": int(n_new),
+            "n_total": read_table(spark, table).count(),
+            "version": latest_version(table)}
+
+
+def read_decon_verdict_sidecar(table: str) -> dict | None:
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(table, DECON_VERDICT_SIDECAR)
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return _json.load(fh)
+
+
 def stratified_sample(docs: DataFrame,
                       rates_per_mille: Mapping[str, int],
                       default_rate_per_mille: int = 500,
@@ -651,6 +823,14 @@ class CurationConfig:
     # through the persisted n-gram set + banded signatures instead of
     # recomputing them per run. Mutually exclusive with passing bench=.
     benchmark_decon_table: str | None = None
+    # r16 (r15 verdict #3): persisted CORPUS-side decon verdicts
+    # (materialize_decon_verdict) — per-doc contamination measures keyed
+    # on (id, text_fp), incrementally maintained, pinned to the bench
+    # artifacts they were computed against. Routes BOTH decon stages
+    # through two slim anti-joins (thresholds from this config applied
+    # at read time) instead of re-shingling + re-minhashing the corpus
+    # per run. Mutually exclusive with bench= and benchmark_decon_table.
+    decon_verdict_table: str | None = None
 
 
 def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame,
@@ -921,6 +1101,78 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
         cur = stage("lm_filtered", perplexity_filter(
             cur, lm, cfg.max_perplexity, cfg.id_col, cfg.text_col
         ).drop("n_tokens", "avg_logp", "perplexity"))
+    decon_vt = None
+    if cfg.decon_verdict_table:
+        if bench is not None or cfg.benchmark_decon_table:
+            raise ValueError(
+                "decon_verdict_table and a decon recompute route "
+                "(bench= / benchmark_decon_table) are both configured — "
+                "one would be silently ignored; pass one decon source"
+            )
+        from ..queries.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND
+        from .versioned import latest_version as _lv
+        from .versioned import read_table as _rt_vt
+
+        meta = read_decon_verdict_sidecar(cfg.decon_verdict_table)
+        if meta is None:
+            raise ValueError(
+                f"decon verdict table {cfg.decon_verdict_table} has no "
+                f"{DECON_VERDICT_SIDECAR} sidecar — it was not created "
+                "by materialize_decon_verdict; refusing unverifiable "
+                "verdicts"
+            )
+        bm = meta.get("bench_sidecar") or {}
+        if bm.get("production_hash") != cfg.production_hash:
+            raise ValueError(
+                f"decon verdict table {cfg.decon_verdict_table} was "
+                f"computed under production_hash="
+                f"{bm.get('production_hash')} but the pipeline uses "
+                f"{cfg.production_hash} — its fuzzy measures come from "
+                "a different hash family; re-materialize or align"
+            )
+        _want = {"n_minhash": N_MINHASH, "n_bands": N_BANDS,
+                 "rows_per_band": ROWS_PER_BAND}
+        _got = {k: bm.get(k) for k in _want}
+        if _got != _want:
+            raise ValueError(
+                f"decon verdict table {cfg.decon_verdict_table} was "
+                f"computed under LSH geometry {_got} but the code uses "
+                f"{_want}; re-materialize the verdicts"
+            )
+        import os as _os_vt
+
+        broot = meta.get("bench_root")
+        if broot and _os_vt.path.exists(broot):
+            # bench artifacts still present: refuse STALE verdicts —
+            # ones computed before the bench tables' current versions
+            now = {"bench_ngrams_version":
+                   _lv(_os_vt.path.join(broot, "ngrams")),
+                   "bench_bands_version":
+                   _lv(_os_vt.path.join(broot, "bands"))}
+            pinned = {k: meta.get(k) for k in now}
+            if now != pinned:
+                raise ValueError(
+                    f"decon verdict table {cfg.decon_verdict_table} "
+                    f"pins bench versions {pinned} but {broot} is now "
+                    f"at {now} — the verdicts predate the current "
+                    "benchmark set; re-materialize them"
+                )
+        from .embeddings import text_fingerprint
+
+        decon_vt = _rt_vt(docs.sparkSession, cfg.decon_verdict_table)
+        uncovered = docs.select(
+            cfg.id_col,
+            text_fingerprint(cfg.text_col).alias("text_fp"),
+        ).join(decon_vt.select(cfg.id_col, "text_fp"),
+               [cfg.id_col, "text_fp"], "left_anti").count()
+        if uncovered > 0:
+            raise ValueError(
+                f"decon verdict table {cfg.decon_verdict_table} is "
+                f"missing verdicts for {uncovered} input document(s) "
+                "(new id or changed text) — they would silently bypass "
+                "decontamination; run materialize_decon_verdict to "
+                "extend it first"
+            )
     bench_ngrams = bench_bands = None
     if cfg.benchmark_decon_table:
         if bench is not None:
@@ -972,7 +1224,25 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
         bench_bands = _rt_decon(
             docs.sparkSession,
             _os.path.join(cfg.benchmark_decon_table, "bands"))
-    if bench is not None or bench_ngrams is not None:
+    if decon_vt is not None:
+        # verdict route: both decon stages are two slim anti-joins over
+        # the persisted per-doc measures — thresholds applied HERE, so
+        # the same verdict table serves any threshold config. NULL
+        # measures (no shared n-gram / no band collision) drop out of
+        # the threshold filters exactly like the recompute route's
+        # absent join rows.
+        exact_flagged = decon_vt.filter(
+            F.col("contamination_ratio") > cfg.max_contamination
+        ).select(cfg.id_col)
+        cur = stage("decontaminated",
+                    cur.join(exact_flagged, cfg.id_col, "left_anti"))
+        if cfg.fuzzy_decontaminate:
+            fuzzy_flagged = decon_vt.filter(
+                F.col("max_est_jaccard") >= cfg.fuzzy_tau
+            ).select(cfg.id_col)
+            cur = stage("fuzzy_decontaminated",
+                        cur.join(fuzzy_flagged, cfg.id_col, "left_anti"))
+    elif bench is not None or bench_ngrams is not None:
         cur = stage("decontaminated", decontaminate(
             cur, bench, cfg.id_col, cfg.text_col, cfg.text_col,
             cfg.max_contamination, bench_ngrams=bench_ngrams,

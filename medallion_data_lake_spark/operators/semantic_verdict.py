@@ -137,6 +137,12 @@ def materialize_semantic_verdict(
             emb_docs, id_col=id_col, vec_col=vec_col,
             threshold=threshold, cluster_size=cluster_size,
             dim=dim, model=model,
+            # persist each row's PRE-split codebook cell: increments
+            # pair on base cells, so a stored base_cell lets them prune
+            # the existing side with a semi-join on this slim column
+            # instead of re-running the centroid assignment over the
+            # full corpus every increment (r16, r15 verdict #4)
+            keep_base_cell=True,
         )
         res = commit(verdict, table, mode="append",
                      stats_cols=(id_col,), bloom_cols=(id_col,))
@@ -183,11 +189,29 @@ def materialize_semantic_verdict(
 
     new_side = _assign(F.broadcast(new_docs)).localCheckpoint(eager=True)
     hot_cells = new_side.select("_cell").distinct()
-    old_side = (
-        _assign(have.select(id_col))
-        .join(F.broadcast(hot_cells), "_cell", "left_semi")
-        .join(have.select(id_col, "group_id"), id_col)
-    )
+    if "base_cell" in have.columns:
+        # O(delta) existing side (r16, r15 verdict #4): the verdict
+        # table already stores each existing row's BASE codebook cell,
+        # so prune existing ids to the hot cells with a semi-join on
+        # that slim stored column and fetch vectors only for the
+        # survivors — no centroid re-assignment over the full corpus.
+        # (Rows in hot cells get their vectors via one id-keyed join;
+        # everything outside a hot cell never touches the embeddings.)
+        old_ids = (
+            have.select(id_col, "group_id",
+                        F.col("base_cell").alias("_cell"))
+            .join(F.broadcast(hot_cells), "_cell", "left_semi")
+        )
+        old_side = emb.withColumnRenamed("_vec", vec_col).join(
+            old_ids, id_col)
+    else:
+        # legacy table (pre-base_cell schema): full re-assignment —
+        # correctness identical, cost O(corpus) per increment
+        old_side = (
+            _assign(have.select(id_col))
+            .join(F.broadcast(hot_cells), "_cell", "left_semi")
+            .join(have.select(id_col, "group_id"), id_col)
+        )
 
     from ..functions import dot, l2_norm
 
@@ -235,8 +259,19 @@ def materialize_semantic_verdict(
         .groupBy("component")
         .agg(F.min("node").alias("_g_exist"))
     )
+    # appended rows match the table's schema: base_cell (== the base
+    # cell the increment assigned, which is also cluster_id here) only
+    # when the table was materialized with it
+    out_cols = [id_col, "cluster_id"]
+    if "base_cell" in have.columns:
+        out_cols.append("base_cell")
+    out_cols += ["group_id", "is_kept"]
     new_comp = (
-        new_side.select(id_col, F.col("_cell").alias("cluster_id"))
+        new_side.select(
+            id_col,
+            F.col("_cell").alias("cluster_id"),
+            F.col("_cell").alias("base_cell"),
+        )
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
         .join(comp_attach, "component", "left")
         .withColumn(
@@ -249,7 +284,7 @@ def materialize_semantic_verdict(
             F.col("_g_exist").isNull()
             & (F.col("group_id") == F.col(id_col)),
         )
-        .select(id_col, "cluster_id", "group_id", "is_kept")
+        .select(*out_cols)
     )
     res = commit(new_comp, table, mode="append",
                  stats_cols=(id_col,), bloom_cols=(id_col,))

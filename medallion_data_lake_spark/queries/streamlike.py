@@ -354,37 +354,59 @@ def events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Ordered-stage funnel: users who signed up, then viewed AFTER "
         "the signup, then purchased AFTER that view — the product-"
-        "analytics conversion query. Each stage is a keyed min-timestamp "
-        "aggregation joined to the previous stage's frontier (strictly "
-        "ordered, not mere co-occurrence). Three aggs + two joins, all "
-        "keyed on user_id — one partitioning reused throughout; at scale "
-        "every stage's frontier table is |converted users| rows, "
-        "shrinking monotonically down the funnel.",
+        "analytics conversion query. One scan of events (filtered to the "
+        "three stage types) + three chained whole-partition window mins "
+        "on user_id: t1 = min signup ts, t2 = min view ts > t1, "
+        "t3 = min purchase ts > t2 — each stage frontier constrains the "
+        "next inside the SAME user partitioning, so the whole funnel is "
+        "one exchange + one sort; the per-user reduce reuses that "
+        "partitioning and only three counts cross the final single-"
+        "partition exchange. (r16, guide §2.4: the previous form built "
+        "each stage as agg-join-agg and re-built the s/v subtrees under "
+        "every count branch — 6 scans of events, 8 exchanges.)",
     tags=("streaming",),
     # re-gated r14 (gated r9-r12, out since the r13 rotation — oldest-first sweep)
 )
 def signup_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        _events(spark, sf_dir)
+        # only the three stage types participate anywhere in the funnel
+        .filter(F.col("event_type").isin("signup", "view", "purchase"))
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t1").alias("t1"),
+        F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id").agg(F.min("ts").alias("t3"))
-    )
-    return (
-        s.agg(F.count(F.lit(1)).alias("n_signup"))
-        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_signup_then_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_signup_then_view"),
+        F.count("t3").alias("n_full_funnel"),
     )
 
 

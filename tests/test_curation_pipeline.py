@@ -658,3 +658,153 @@ def test_benchmark_decon_table_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="_bench_decon.json"):
         curate_corpus(docs, config=CurationConfig(
             benchmark_decon_table=root))
+
+
+def test_decon_verdict_route_equals_recompute(spark, tmp_path):
+    """r16 (r15 verdict #3): materialize_decon_verdict +
+    decon_verdict_table must produce the SAME curated output as the
+    recompute route (raw bench= / benchmark_decon_table) for both decon
+    stages, including after an INCREMENT (appended docs + a changed
+    text under a stable id), with the verdicts computed only for the
+    delta."""
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+        materialize_benchmark_decon,
+        materialize_decon_verdict,
+    )
+    from medallion_data_lake_spark.operators.versioned import read_table
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today", "en", "web"),
+         (2, "completely unrelated text about cooking pasta dishes", "en", "web"),
+         (3, "the quick brown fox jumps over the lazy dog tonight", "en", "web"),
+         (4, "another unique document describing mountain hiking trails", "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog today",)],
+        "text string")
+
+    root = str(tmp_path / "bench_decon")
+    materialize_benchmark_decon(spark, bench, root)
+    vt = str(tmp_path / "decon_verdict")
+    rep = materialize_decon_verdict(spark, docs, root, vt)
+    assert rep["n_new"] == 4 and rep["n_total"] == 4
+
+    cfgs = dict(min_est_jaccard=1.01, fuzzy_decontaminate=True,
+                fuzzy_tau=0.4)
+    raw = curate_corpus(docs, bench=bench,
+                        config=CurationConfig(**cfgs))["curated"]
+    via = curate_corpus(docs, config=CurationConfig(
+        decon_verdict_table=vt, **cfgs))["curated"]
+    raw_ids = sorted(r["doc_id"] for r in raw.collect())
+    via_ids = sorted(r["doc_id"] for r in via.collect())
+    assert raw_ids == via_ids
+    assert 1 not in via_ids
+
+    # same verdicts serve a DIFFERENT threshold config (thresholds are
+    # read-time, not baked into the table)
+    loose = dict(min_est_jaccard=1.01, fuzzy_decontaminate=True,
+                 fuzzy_tau=0.99, max_contamination=0.9)
+    raw2 = curate_corpus(docs, bench=bench,
+                         config=CurationConfig(**loose))["curated"]
+    via2 = curate_corpus(docs, config=CurationConfig(
+        decon_verdict_table=vt, **loose))["curated"]
+    assert sorted(r["doc_id"] for r in raw2.collect()) == \
+        sorted(r["doc_id"] for r in via2.collect())
+
+    # increment: one appended near-paraphrase + one changed text
+    docs2 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today", "en", "web"),
+         (2, "completely unrelated text about cooking pasta dishes", "en", "web"),
+         # doc 3's text CHANGED under its stable id — now clean
+         (3, "rewritten clean text mentioning neither fox nor dog", "en", "web"),
+         (4, "another unique document describing mountain hiking trails", "en", "web"),
+         (5, "the quick brown fox jumps over the lazy dog yesterday", "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    rep2 = materialize_decon_verdict(spark, docs2, root, vt)
+    assert rep2["n_new"] == 2          # only the delta was re-shingled
+    assert rep2["n_total"] == 5        # doc 3 upserted, not duplicated
+
+    raw3 = curate_corpus(docs2, bench=bench,
+                         config=CurationConfig(**cfgs))["curated"]
+    via3 = curate_corpus(docs2, config=CurationConfig(
+        decon_verdict_table=vt, **cfgs))["curated"]
+    assert sorted(r["doc_id"] for r in raw3.collect()) == \
+        sorted(r["doc_id"] for r in via3.collect())
+    # the changed doc 3 now survives; the appended paraphrase 5 is
+    # caught by the fuzzy stage
+    ids3 = sorted(r["doc_id"] for r in via3.collect())
+    assert 3 in ids3 and 5 not in ids3
+
+    # idempotent re-run: nothing new
+    rep3 = materialize_decon_verdict(spark, docs2, root, vt)
+    assert rep3["n_new"] == 0
+    assert read_table(spark, vt).count() == 5
+
+
+def test_decon_verdict_guards(spark, tmp_path):
+    import pytest
+
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+        materialize_benchmark_decon,
+        materialize_decon_verdict,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    bench = spark.createDataFrame([("zeta eta theta iota kappa",)],
+                                  "text string")
+    root = str(tmp_path / "bd")
+    materialize_benchmark_decon(spark, bench, root, production_hash=False)
+    vt = str(tmp_path / "dv")
+    materialize_decon_verdict(spark, docs, root, vt)
+
+    # hash-family mismatch refuses (fuzzy measures from another family)
+    with pytest.raises(ValueError, match="production_hash"):
+        curate_corpus(docs, config=CurationConfig(
+            decon_verdict_table=vt, production_hash=True))
+
+    # ambiguity refuses (verdicts + a recompute route)
+    with pytest.raises(ValueError, match="both configured"):
+        curate_corpus(docs, bench=bench, config=CurationConfig(
+            decon_verdict_table=vt))
+    with pytest.raises(ValueError, match="both configured"):
+        curate_corpus(docs, config=CurationConfig(
+            decon_verdict_table=vt, benchmark_decon_table=root))
+
+    # uncovered docs refuse — a NEW id and a CHANGED text both count
+    extra = spark.createDataFrame(
+        [(9, "never seen before", "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    with pytest.raises(ValueError, match="missing verdicts for 1"):
+        curate_corpus(docs.unionByName(extra), config=CurationConfig(
+            decon_verdict_table=vt))
+    changed = spark.createDataFrame(
+        [(1, "same id but edited text now", "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    with pytest.raises(ValueError, match="missing verdicts for 1"):
+        curate_corpus(changed, config=CurationConfig(
+            decon_verdict_table=vt))
+
+    # stale verdicts refuse after the bench set advances
+    bench2 = spark.createDataFrame([("lambda mu nu xi omicron",)],
+                                   "text string")
+    materialize_benchmark_decon(spark, bench2, root,
+                                production_hash=False)
+    with pytest.raises(ValueError, match="predate the current"):
+        curate_corpus(docs, config=CurationConfig(
+            decon_verdict_table=vt))
+    # ... and the materializer refuses to extend them too
+    with pytest.raises(ValueError, match="superseded"):
+        materialize_decon_verdict(spark, docs, root, vt)
+
+    # missing sidecar refuses
+    import os
+    os.remove(os.path.join(vt, "_decon_verdict.json"))
+    with pytest.raises(ValueError, match="_decon_verdict.json"):
+        curate_corpus(docs, config=CurationConfig(
+            decon_verdict_table=vt))

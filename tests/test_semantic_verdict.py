@@ -70,7 +70,8 @@ def test_initial_materialization_equals_batch(spark, tmp_path):
     batch = semantic_dedup(
         emb.withColumnRenamed("vec_id", "doc_id"), id_col="doc_id",
         threshold=0.9, cluster_size=16, dim=DIM,
-        model=load_semantic_codebook(cb))
+        model=load_semantic_codebook(cb),
+        keep_base_cell=True)  # r16: the table persists the base cell
     got = sorted(tuple(r) for r in read_table(spark, table).collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
@@ -246,3 +247,86 @@ def test_increment_with_only_the_new_drop(spark, tmp_path):
              for r in read_table(spark, table).collect()}
     assert after[200] == (before[2][0], False)   # attached to 2's group
     assert all(after[d] == v for d, v in before.items())
+
+
+def test_increment_fast_path_equals_legacy_reassignment(spark, tmp_path):
+    """r16 (r15 verdict #4): the increment's O(delta) existing side —
+    hot-cell pruning via the STORED base_cell column — must produce
+    byte-identical verdicts to the legacy path that re-assigns the full
+    corpus per increment. A legacy-schema table (no base_cell, built
+    the way pre-r16 initials were: batch semantic_dedup without the
+    column) exercises the fallback; the r16 table exercises the fast
+    path; same inputs, same appended verdicts."""
+    import json
+    import os
+
+    from medallion_data_lake_spark.operators.ann import (
+        load_semantic_codebook,
+    )
+    from medallion_data_lake_spark.operators.semantic_verdict import (
+        VERDICT_SIDECAR,
+        codebook_fingerprint,
+    )
+    from medallion_data_lake_spark.operators.versioned import commit
+
+    emb = _vecs(spark)
+    docs = _docs_of(emb)
+    cb = str(tmp_path / "cb")
+    fit_semantic_codebook(emb, cb, cluster_size=16)
+    model = load_semantic_codebook(cb, expect_dim=DIM)
+
+    # table A: current initial path (stores base_cell)
+    t_fast = str(tmp_path / "v_fast")
+    materialize_semantic_verdict(spark, docs, emb, t_fast, cb,
+                                 threshold=0.9, cluster_size=16)
+    assert "base_cell" in read_table(spark, t_fast).columns
+
+    # table B: legacy schema — initial rows WITHOUT base_cell, exactly
+    # what a pre-r16 materialization committed
+    t_legacy = str(tmp_path / "v_legacy")
+    os.makedirs(t_legacy, exist_ok=True)
+    params = {"codebook_fingerprint": codebook_fingerprint(model),
+              "dim": DIM, "threshold": 0.9, "cluster_size": 16}
+    with open(os.path.join(t_legacy, VERDICT_SIDECAR), "w") as fh:
+        json.dump(params, fh)
+    legacy_initial = semantic_dedup(
+        emb.withColumnRenamed("vec_id", "doc_id"), id_col="doc_id",
+        threshold=0.9, cluster_size=16, dim=DIM, model=model)
+    commit(legacy_initial, t_legacy, mode="append",
+           stats_cols=("doc_id",), bloom_cols=("doc_id",))
+    assert "base_cell" not in read_table(spark, t_legacy).columns
+
+    # same append against both tables: one near-dup of existing doc 0,
+    # one new-new pair, one unique
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, DIM))
+    fresh = np.random.default_rng(99).standard_normal((2, DIM))
+    new_emb = spark.createDataFrame(
+        [(100, [float(x) for x in base[0] + 0.0012 * fresh[0]]),
+         (101, [float(x) for x in fresh[0]]),
+         (102, [float(x) for x in fresh[0] + 0.01 * fresh[1]]),
+         (103, [float(x) for x in fresh[1]])],
+        "vec_id long, embedding array<double>")
+    all_emb = emb.unionByName(new_emb)
+    all_docs = _docs_of(all_emb)
+
+    rep_f = materialize_semantic_verdict(spark, all_docs, all_emb, t_fast,
+                                         cb, threshold=0.9, cluster_size=16)
+    rep_l = materialize_semantic_verdict(spark, all_docs, all_emb, t_legacy,
+                                         cb, threshold=0.9, cluster_size=16)
+    assert rep_f["mode"] == rep_l["mode"] == "incremental"
+    assert rep_f["n_new"] == rep_l["n_new"] == 4
+
+    fast = {r["doc_id"]: (r["cluster_id"], r["group_id"], r["is_kept"])
+            for r in read_table(spark, t_fast).collect()}
+    legacy = {r["doc_id"]: (r["cluster_id"], r["group_id"], r["is_kept"])
+              for r in read_table(spark, t_legacy).collect()}
+    assert fast == legacy
+    # fast-path appended rows carry their base cell (== increment cell)
+    got = {r["doc_id"]: r["base_cell"]
+           for r in read_table(spark, t_fast)
+           .filter(F.col("doc_id") >= 100).collect()}
+    want = {r["doc_id"]: r["cluster_id"]
+            for r in read_table(spark, t_fast)
+            .filter(F.col("doc_id") >= 100).collect()}
+    assert got == want
