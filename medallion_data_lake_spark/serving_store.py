@@ -123,10 +123,30 @@ class ServingStore:
             # Embedded drivers may not be DriverManager-registered yet.
             jvm.java.lang.Class.forName(driver)
         self._conn = jvm.java.sql.DriverManager.getConnection(url)
+        # prepared-statement cache (r16): statement COMPILE is the
+        # store's per-request fixed cost (~10-25 ms measured on the 50k
+        # clone — larger than executing a bounded probe); the request
+        # SQL is a small fixed family of shapes parameterized by `?`,
+        # so caching by SQL text amortizes the compile across requests.
+        # Bounded FIFO: id-list statements (pruned bm25 phase 2) vary
+        # by text and would otherwise grow the cache without limit.
+        self._ps_cache: dict[str, object] = {}
+        self._ps_cache_max = 64
+        # which path answered the last bm25 request ("pruned" | "full")
+        # and cumulative counts — measurement/test introspection only;
+        # response shapes are unchanged
+        self.last_bm25_mode: str | None = None
+        self.bm25_stats = {"pruned": 0, "full": 0}
 
     # -- plumbing -----------------------------------------------------------
 
     def close(self) -> None:
+        for ps in self._ps_cache.values():
+            try:
+                ps.close()
+            except Exception:
+                pass
+        self._ps_cache.clear()
         try:
             self._conn.close()
         except Exception:
@@ -152,7 +172,9 @@ class ServingStore:
         result as {"columns", "rows", "row_count"} — the same shape the
         HTTP layer's run_bounded_df emits."""
         n = max(1, min(int(max_rows), ROW_CAP))
-        ps = self._conn.prepareStatement(sql)
+        ps = self._ps_cache.pop(sql, None)
+        if ps is None:
+            ps = self._conn.prepareStatement(sql)
         try:
             ps.setMaxRows(n)
             for i, p in enumerate(params or [], start=1):
@@ -172,11 +194,25 @@ class ServingStore:
             while rs.next() and len(rows) < n:
                 rows.append([rs.getObject(c + 1) for c in range(ncols)])
             rs.close()
-            return {"columns": cols,
-                    "rows": [[_plain(v) for v in r] for r in rows],
-                    "row_count": len(rows)}
-        finally:
-            ps.close()
+            out = {"columns": cols,
+                   "rows": [[_plain(v) for v in r] for r in rows],
+                   "row_count": len(rows)}
+        except Exception:
+            try:
+                ps.close()
+            except Exception:
+                pass
+            raise
+        # return the statement to the cache (re-insert = FIFO refresh)
+        self._ps_cache[sql] = ps
+        if len(self._ps_cache) > self._ps_cache_max:
+            old_sql, old_ps = next(iter(self._ps_cache.items()))
+            del self._ps_cache[old_sql]
+            try:
+                old_ps.close()
+            except Exception:
+                pass
+        return out
 
     # -- search surface -------------------------------------------------
 
@@ -196,11 +232,31 @@ class ServingStore:
         (doc_id, n_terms_matched, score).
 
         k1/b live in the exported impacts; a different (k1, b) needs a
-        re-export, the same way it needs a re-scan in the lake."""
+        re-export, the same way it needs a re-scan in the lake.
+
+        r16: requests first try the PRUNED probe-and-cut path
+        (:meth:`_bm25_pruned` — impact-ordered early termination, the
+        Lucene-impacts trick the docstring above alludes to), which is
+        provably exact whenever it returns; every other case falls back
+        to this full covering-index group-by. ``last_bm25_mode`` /
+        ``bm25_stats`` record which path answered."""
         terms = sorted(set(terms))
         if not terms:
             raise ValueError("bm25 needs at least one query term")
         k = max(1, min(int(k), ROW_CAP))
+        out = self._bm25_pruned(terms, k)
+        if out is not None:
+            self.last_bm25_mode = "pruned"
+            self.bm25_stats["pruned"] += 1
+            return out
+        self.last_bm25_mode = "full"
+        self.bm25_stats["full"] += 1
+        return self._bm25_full(terms, k)
+
+    def _bm25_full(self, terms: list[str], k: int) -> dict:
+        """The original exhaustive form: ONE covering-index scan of
+        every query term's full posting list + group-by. Always exact;
+        cost tracks the terms' total posting mass."""
         marks = ", ".join("?" for _ in terms)
         # Spark's JDBC writer creates QUOTED lower-case columns; Derby
         # folds unquoted identifiers to upper case, so every column
@@ -221,6 +277,108 @@ class ServingStore:
             f'p."doc_id" ASC FETCH FIRST {k} ROWS ONLY'
         )
         return self.query(sql, list(terms), max_rows=k)
+
+    # pruned-path tuning. PRUNE_CAND_CAP bounds phase-2's candidate set
+    # (and thereby the IN-list re-score); PRUNE_K_MAX skips the pruned
+    # path for deep result pages where the probes alone would approach
+    # the full scan. Both are conservatism knobs, never correctness.
+    PRUNE_CAND_CAP = 512
+    PRUNE_K_MAX = 256
+
+    def _bm25_pruned(self, terms: list[str], k: int) -> dict | None:
+        """Impact-ordered early termination (r16, the serving-store
+        analogue of Lucene's impact/WAND pruning), EXACT by
+        construction — returns None whenever exactness cannot be
+        proven, and :meth:`bm25` falls back to the full scan.
+
+        Three bounded phases, all prepared statements on the covering
+        ``(term, impact DESC, doc_id)`` index:
+
+        1. PROBE: top-``k`` postings per term by impact. The k-th
+           largest partial sum over probed docs is the threshold θ —
+           a heuristic only; no correctness rests on it.
+        2. CUT: per term, fetch every posting with ``impact >= c``
+           where ``c = θ/m`` (m = #terms). A doc outside the candidate
+           union has ALL its matching impacts < c, hence score < m·c.
+           Any term whose cut overflows PRUNE_CAND_CAP aborts to the
+           full scan.
+        3. RE-SCORE: the exact full-scan SQL (same decimal(28,12) sum,
+           same ORDER BY, same tie-break) restricted to the candidate
+           ids — Derby evaluates the identical arithmetic, so rows that
+           come back are bit-identical to the full scan's for those
+           docs. The IN-list is padded to a power-of-two bucket with a
+           repeated id so the statement TEXT is cacheable.
+
+        Post-hoc proof obligation: with s_k = the k-th returned score,
+        ``m·c < s_k`` (minus a 1e-9 guard for the double→decimal→double
+        rounding) implies every excluded doc scores strictly below the
+        k-th result — top-k over candidates IS the global top-k,
+        including the doc_id tie-break (excluded docs cannot tie).
+        Fewer than k rows back, or the margin failing, returns None."""
+        m = len(terms)
+        if k > self.PRUNE_K_MAX:
+            return None
+        # phase 1: per-term impact-ordered probes
+        probe_sql = (
+            'SELECT p."doc_id", p."impact" '
+            f"FROM {T_POSTINGS} p "
+            'WHERE p."term" = ? '
+            'ORDER BY p."impact" DESC '
+            f"FETCH FIRST {k} ROWS ONLY"
+        )
+        partial: dict[int, float] = {}
+        for t in terms:
+            for doc_id, imp in self.query(
+                    probe_sql, [t], max_rows=k)["rows"]:
+                partial[doc_id] = partial.get(doc_id, 0.0) + float(imp)
+        if len(partial) < k:
+            return None  # probes cannot establish a k-th threshold
+        theta = sorted(partial.values(), reverse=True)[k - 1]
+        if theta <= 0.0:
+            return None
+        c = theta / m
+        # phase 2: per-term impact cuts -> bounded candidate union
+        cap = self.PRUNE_CAND_CAP
+        cut_sql = (
+            f'SELECT p."doc_id" FROM {T_POSTINGS} p '
+            'WHERE p."term" = ? AND p."impact" >= ? '
+            f"FETCH FIRST {cap + 1} ROWS ONLY"
+        )
+        cand: set[int] = set(partial)  # probe docs ride along free
+        for t in terms:
+            rows = self.query(cut_sql, [t, c], max_rows=cap + 1)["rows"]
+            if len(rows) > cap:
+                return None  # a hot term defeats the cut; full scan
+            cand.update(r[0] for r in rows)
+            if len(cand) > cap:
+                return None
+        # phase 3: exact re-score restricted to the candidates
+        ids = sorted(cand)
+        bucket = 1
+        while bucket < len(ids):
+            bucket *= 2
+        ids = ids + [ids[0]] * (bucket - len(ids))  # IN dups are no-ops
+        tmarks = ", ".join("?" for _ in terms)
+        dmarks = ", ".join("?" for _ in ids)
+        sql = (
+            'SELECT p."doc_id", COUNT(*) AS n_terms_matched, '
+            'CAST(SUM(CAST(p."impact" AS DECIMAL(28,12))) AS DOUBLE) '
+            "AS score "
+            f"FROM {T_POSTINGS} p "
+            f'WHERE p."term" IN ({tmarks}) AND p."doc_id" IN ({dmarks}) '
+            'GROUP BY p."doc_id" '
+            'ORDER BY SUM(CAST(p."impact" AS DECIMAL(28,12))) DESC, '
+            f'p."doc_id" ASC FETCH FIRST {k} ROWS ONLY'
+        )
+        out = self.query(sql, list(terms) + ids, max_rows=k)
+        if len(out["rows"]) < k:
+            # matching docs may exist outside the candidate set; only
+            # the full scan can distinguish "corpus has < k matches"
+            return None
+        s_k = float(out["rows"][-1][2])
+        if not (m * c < s_k - 1e-9 * (1.0 + abs(s_k))):
+            return None  # cannot prove excluded docs score below s_k
+        return out
 
     def phrase(self, phrase: list[str], k: int = ROW_CAP) -> dict:
         """Exact-phrase retrieval from the exported POSITIONAL bigram
@@ -566,6 +724,14 @@ def export_search_store(
         store.execute(
             f"CREATE INDEX idx_postings_term ON "
             f'{T_POSTINGS}("term", "doc_id", "impact")')
+        # impact-ordered covering index (r16): the pruned bm25 path's
+        # probes (top-k impacts per term) and cuts (impact >= c range
+        # scans) walk this index instead of sorting the term's whole
+        # posting list; Derby maintains it through the incremental
+        # export's DML like any other index
+        store.execute(
+            f"CREATE INDEX idx_postings_impact ON "
+            f'{T_POSTINGS}("term", "impact" DESC, "doc_id")')
         store.execute(
             f'CREATE INDEX idx_termstats_term ON {T_TERMSTATS}("term")')
         if docs is not None:

@@ -873,3 +873,51 @@ def test_full_fallback_forwards_stale_vector_waiver(spark, tmp_path,
             spark, root, ["stream", "join"], k=10, pins=rep["pins"]))
         _assert_store_equals_lake(store.bm25(["stream", "join"], k=10),
                                   lake)
+
+
+def test_store_bm25_pruned_equals_full(spark, tmp_path, derby_url):
+    """The r16 pruned probe-and-cut path is EXACT: for every (terms, k)
+    the public bm25() answer equals the exhaustive full-scan form
+    bit-for-bit (both evaluate the same Derby decimal arithmetic; the
+    pruned path only restricts WHICH docs are re-scored, and its
+    post-hoc m*c < s_k check proves the restriction lossless). Skewed
+    vocabulary: rare selective terms (pruning wins), one stopword on
+    every doc (cut overflow -> provable-exact fallback)."""
+    rows = []
+    for i in range(1, 81):
+        words = ["common"] * (1 + i % 3)       # on every doc, df=80
+        if i % 11 == 0:
+            words += ["rare"] * 3              # df=7, high impact
+        if i % 5 == 0:
+            words += ["medium"] * (1 + i % 2)  # df=16
+        if i % 7 == 0:
+            words += ["seven"]                 # df=11
+        words += [f"filler{i}", f"pad{i % 13}"] * (1 + i % 4)
+        rows.append((i, " ".join(words)))
+    root = str(tmp_path / "idx")
+    create_bm25_index(spark, _docs(spark, rows), root, n_files=2)
+    url = derby_url.format("pruned")
+    export_search_store(spark, root, url)
+
+    with ServingStore(spark, url) as store:
+        cases = [
+            (["rare"], 3), (["rare", "medium"], 5),
+            (["medium", "seven"], 10), (["rare", "common"], 5),
+            (["common"], 10),            # stopword-only: cut overflows
+            (["rare", "medium", "seven", "common"], 8),
+            (["medium"], 16),            # k == full df: < k-proof edge
+            (["nosuchterm", "rare"], 3), (["nosuchterm"], 5),
+        ]
+        for terms, k in cases:
+            if terms == [["nosuchterm"]]:
+                continue
+            try:
+                got = store.bm25(terms, k=k)
+            except ValueError:
+                continue
+            full = store._bm25_full(sorted(set(terms)), k)
+            assert got["columns"] == full["columns"], terms
+            assert got["rows"] == full["rows"], (terms, k)
+        # both paths must have actually run
+        assert store.bm25_stats["pruned"] > 0, store.bm25_stats
+        assert store.bm25_stats["full"] > 0, store.bm25_stats
