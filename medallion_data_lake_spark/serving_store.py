@@ -278,105 +278,189 @@ class ServingStore:
         )
         return self.query(sql, list(terms), max_rows=k)
 
-    # pruned-path tuning. PRUNE_CAND_CAP bounds phase-2's candidate set
-    # (and thereby the IN-list re-score); PRUNE_K_MAX skips the pruned
-    # path for deep result pages where the probes alone would approach
-    # the full scan. Both are conservatism knobs, never correctness.
-    PRUNE_CAND_CAP = 512
+    # pruned-path tuning — conservatism knobs, never correctness:
+    # PRUNE_CAND_CAP bounds the server-side candidate set the final
+    # statement re-scores; PRUNE_K_MAX skips pruning for deep result
+    # pages (probes fetch k rows/term); PRUNE_MIN_DF skips it when the
+    # query terms' total posting mass is already small enough that the
+    # exhaustive covering-index scan is the cheaper plan.
+    PRUNE_CAND_CAP = 2048
     PRUNE_K_MAX = 256
+    PRUNE_MIN_DF = 3000
+
+    def _derby_hints(self) -> bool:
+        """Pruning needs the r16 impact-ordered index and (on Derby)
+        optimizer overrides naming it; a store exported before r16 has
+        neither — memoized metadata probe, no per-request cost."""
+        if getattr(self, "_prune_ready", None) is None:
+            ready = False
+            if self.url.startswith("jdbc:derby"):
+                rs = self._conn.getMetaData().getIndexInfo(
+                    None, None, T_POSTINGS.upper(), False, False)
+                while rs.next():
+                    if (rs.getString("INDEX_NAME") or "").upper() \
+                            == "IDX_POSTINGS_IMPACT":
+                        ready = True
+                rs.close()
+            self._prune_ready = ready
+        return self._prune_ready
 
     def _bm25_pruned(self, terms: list[str], k: int) -> dict | None:
-        """Impact-ordered early termination (r16, the serving-store
-        analogue of Lucene's impact/WAND pruning), EXACT by
-        construction — returns None whenever exactness cannot be
-        proven, and :meth:`bm25` falls back to the full scan.
+        """Impact-ordered early termination (r16 — the MaxScore/WAND
+        family every serving-grade index uses, e.g. Lucene impacts),
+        EXACT by construction: returns None whenever exactness cannot
+        be proven and :meth:`bm25` falls back to the full scan.
 
-        Three bounded phases, all prepared statements on the covering
-        ``(term, impact DESC, doc_id)`` index:
+        Bounded phases, every statement prepared-and-cached, and —
+        crucial on a py4j bridge where each fetched cell is a round
+        trip — NO candidate row ever crosses into Python; candidates
+        live only inside the store's engine:
 
-        1. PROBE: top-``k`` postings per term by impact. The k-th
-           largest partial sum over probed docs is the threshold θ —
-           a heuristic only; no correctness rests on it.
-        2. CUT: per term, fetch every posting with ``impact >= c``
-           where ``c = θ/m`` (m = #terms). A doc outside the candidate
-           union has ALL its matching impacts < c, hence score < m·c.
-           Any term whose cut overflows PRUNE_CAND_CAP aborts to the
-           full scan.
-        3. RE-SCORE: the exact full-scan SQL (same decimal(28,12) sum,
-           same ORDER BY, same tie-break) restricted to the candidate
-           ids — Derby evaluates the identical arithmetic, so rows that
-           come back are bit-identical to the full scan's for those
-           docs. The IN-list is padded to a power-of-two bucket with a
-           repeated id so the statement TEXT is cacheable.
+        0. DISPATCH: one termstats lookup; if the query terms' total df
+           is small the exhaustive scan is already index-bounded and
+           cheaper — skip pruning.
+        1. PROBE: top-``k`` postings per term in impact order (walks
+           the (term, impact DESC, doc_id) index). Yields per-term max
+           impacts M_t and partial sums; θ₀ = k-th best partial.
+        2. REFINE (multi-term only): exact re-score of the probed docs
+           (VALUES join, identical decimal arithmetic) lifts θ to the
+           k-th best EXACT score among probed docs — still a lower
+           bound of the true s_k, but no longer hostage to probe
+           overlap. θ only steers pruning power; never correctness.
+        3. SPLIT (MaxScore): ascending by M_t, terms whose M_t sum
+           stays ≤ θ'/2 are SKIPPED — a doc matching only those cannot
+           reach θ' — and the remaining budget spreads uniformly over
+           the essential terms: c = (θ' − ΣM_skipped)/n_ess. A doc
+           outside the candidate union then scores < ΣM_skipped +
+           n_ess·c = θ' ≤ s_k.
+        4. COUNT GUARD: server-side COUNT of the candidate union
+           (per-essential-term impact ≥ c index ranges); over
+           PRUNE_CAND_CAP → full scan.
+        5. FINAL: one statement — candidate union as the FORCED outer
+           side, postings probed per (term, doc_id) through the
+           covering index, the exact full-scan aggregation/ordering on
+           top. Rows returned are bit-identical to the full scan's for
+           those docs (same decimal(28,12) sum, same tie-break).
 
         Post-hoc proof obligation: with s_k = the k-th returned score,
-        ``m·c < s_k`` (minus a 1e-9 guard for the double→decimal→double
-        rounding) implies every excluded doc scores strictly below the
-        k-th result — top-k over candidates IS the global top-k,
-        including the doc_id tie-break (excluded docs cannot tie).
-        Fewer than k rows back, or the margin failing, returns None."""
+        ΣM_skipped + n_ess·c < s_k (minus a 1e-9 rounding guard)
+        implies every excluded doc scores strictly below the k-th
+        result — the candidate top-k IS the global top-k, including
+        the doc_id tie-break. Fewer than k rows back, or the margin
+        failing, returns None."""
         m = len(terms)
-        if k > self.PRUNE_K_MAX:
+        if k > self.PRUNE_K_MAX or not self._derby_hints():
+            return None
+        ovi = '--DERBY-PROPERTIES index=IDX_POSTINGS_IMPACT\n'
+        ovt = '--DERBY-PROPERTIES index=IDX_POSTINGS_TERM\n'
+        ovj = '--DERBY-PROPERTIES joinOrder=FIXED\n'
+        # phase 0: dispatch on total posting mass
+        tmarks = ", ".join("?" for _ in terms)
+        df_sql = (f'SELECT SUM("df") FROM {T_TERMSTATS} '
+                  f'WHERE "term" IN ({tmarks})')
+        tot = self.query(df_sql, list(terms), max_rows=1)["rows"]
+        if not tot or tot[0][0] is None or int(tot[0][0]) < self.PRUNE_MIN_DF:
             return None
         # phase 1: per-term impact-ordered probes
         probe_sql = (
-            'SELECT p."doc_id", p."impact" '
-            f"FROM {T_POSTINGS} p "
-            'WHERE p."term" = ? '
-            'ORDER BY p."impact" DESC '
+            f'SELECT p."doc_id", p."impact" FROM {T_POSTINGS} p {ovi}'
+            'WHERE p."term" = ? ORDER BY p."impact" DESC '
             f"FETCH FIRST {k} ROWS ONLY"
         )
-        partial: dict[int, float] = {}
+        partial: dict = {}
+        mx: dict[str, float] = {}
         for t in terms:
-            for doc_id, imp in self.query(
-                    probe_sql, [t], max_rows=k)["rows"]:
+            rows = self.query(probe_sql, [t], max_rows=k)["rows"]
+            if rows:
+                mx[t] = float(rows[0][1])
+            for doc_id, imp in rows:
                 partial[doc_id] = partial.get(doc_id, 0.0) + float(imp)
         if len(partial) < k:
             return None  # probes cannot establish a k-th threshold
         theta = sorted(partial.values(), reverse=True)[k - 1]
+        # phase 2: θ refinement — exact scores of the probed docs. For
+        # m == 1 a partial IS the exact score; skip the statement.
+        # the -1 sentinel types the VALUES column as integer; skip the
+        # refinement (θ₀ stands) for non-integer doc ids
+        if m > 1 and all(isinstance(d, int) for d in partial):
+            ids = [d for d, _ in sorted(partial.items(),
+                                        key=lambda kv: -kv[1])]
+            ids = ids[:max(2 * k, 64)]
+            bucket = 1
+            while bucket < len(ids):
+                bucket *= 2
+            ids = ids + [ids[0]] * (bucket - len(ids))
+            vmarks = ", ".join("(?)" for _ in ids)
+            ref_sql = (
+                'SELECT CAST(SUM(CAST(p."impact" AS DECIMAL(28,12))) '
+                "AS DOUBLE) AS score "
+                f'FROM {ovj}'
+                f'(SELECT DISTINCT "c1" AS "doc_id" FROM '
+                # Derby refuses an all-parameter VALUES column; the -1
+                # sentinel row satisfies it and matches no doc
+                f'(VALUES {vmarks}, (-1)) AS v("c1")) cand, '
+                f"{T_POSTINGS} p {ovt}"
+                'WHERE p."doc_id" = cand."doc_id" '
+                f'AND p."term" IN ({tmarks}) '
+                'GROUP BY p."doc_id" '
+                'ORDER BY SUM(CAST(p."impact" AS DECIMAL(28,12))) DESC '
+                f"FETCH FIRST {k} ROWS ONLY"
+            )
+            ref = self.query(ref_sql, ids + list(terms),
+                             max_rows=k)["rows"]
+            if len(ref) >= k:
+                theta = max(theta, float(ref[k - 1][0]))
         if theta <= 0.0:
             return None
-        c = theta / m
-        # phase 2: per-term impact cuts -> bounded candidate union
-        cap = self.PRUNE_CAND_CAP
-        cut_sql = (
-            f'SELECT p."doc_id" FROM {T_POSTINGS} p '
-            'WHERE p."term" = ? AND p."impact" >= ? '
-            f"FETCH FIRST {cap + 1} ROWS ONLY"
-        )
-        cand: set[int] = set(partial)  # probe docs ride along free
-        for t in terms:
-            rows = self.query(cut_sql, [t, c], max_rows=cap + 1)["rows"]
-            if len(rows) > cap:
-                return None  # a hot term defeats the cut; full scan
-            cand.update(r[0] for r in rows)
-            if len(cand) > cap:
-                return None
-        # phase 3: exact re-score restricted to the candidates
-        ids = sorted(cand)
-        bucket = 1
-        while bucket < len(ids):
-            bucket *= 2
-        ids = ids + [ids[0]] * (bucket - len(ids))  # IN dups are no-ops
-        tmarks = ", ".join("?" for _ in terms)
-        dmarks = ", ".join("?" for _ in ids)
-        sql = (
+        # shave the exclusion budget BELOW θ: θ routinely EQUALS s_k
+        # (any probed doc seen under all its terms), and the post-hoc
+        # margin below must stay provable then. The shave only widens
+        # the candidate set — exactness never rests on it.
+        theta_s = theta - 1e-6 * (1.0 + theta)
+        # phase 3: MaxScore split
+        asc = sorted(terms, key=lambda t: mx.get(t, 0.0))
+        skipped_sum, n_skipped = 0.0, 0
+        for t in asc[:-1]:  # at least one essential term always
+            nxt = skipped_sum + mx.get(t, 0.0)
+            if nxt <= theta_s / 2.0:
+                skipped_sum, n_skipped = nxt, n_skipped + 1
+            else:
+                break
+        ess = asc[n_skipped:]
+        c = (theta_s - skipped_sum) / len(ess)
+        if c <= 0.0:
+            return None
+        # phase 4: server-side candidate count guard
+        leg = (f'SELECT c."doc_id" FROM {T_POSTINGS} c {ovi}'
+               'WHERE c."term" = ? AND c."impact" >= ?')
+        legs = " UNION ".join([leg] * len(ess))
+        cnt_sql = f"SELECT COUNT(*) FROM ({legs}) u"
+        cparams: list = []
+        for t in ess:
+            cparams += [t, c]
+        ncand = int(self.query(cnt_sql, cparams, max_rows=1)["rows"][0][0])
+        if ncand > self.PRUNE_CAND_CAP or ncand < k:
+            return None
+        # phase 5: exact re-score over the candidate union, which
+        # never leaves the store engine
+        fin_sql = (
             'SELECT p."doc_id", COUNT(*) AS n_terms_matched, '
             'CAST(SUM(CAST(p."impact" AS DECIMAL(28,12))) AS DOUBLE) '
             "AS score "
-            f"FROM {T_POSTINGS} p "
-            f'WHERE p."term" IN ({tmarks}) AND p."doc_id" IN ({dmarks}) '
+            f"FROM {ovj}({legs}) cand, {T_POSTINGS} p {ovt}"
+            'WHERE p."doc_id" = cand."doc_id" '
+            f'AND p."term" IN ({tmarks}) '
             'GROUP BY p."doc_id" '
             'ORDER BY SUM(CAST(p."impact" AS DECIMAL(28,12))) DESC, '
             f'p."doc_id" ASC FETCH FIRST {k} ROWS ONLY'
         )
-        out = self.query(sql, list(terms) + ids, max_rows=k)
+        out = self.query(fin_sql, cparams + list(terms), max_rows=k)
         if len(out["rows"]) < k:
             # matching docs may exist outside the candidate set; only
             # the full scan can distinguish "corpus has < k matches"
             return None
         s_k = float(out["rows"][-1][2])
-        if not (m * c < s_k - 1e-9 * (1.0 + abs(s_k))):
+        if not (theta_s < s_k - 1e-9 * (1.0 + abs(s_k))):
             return None  # cannot prove excluded docs score below s_k
         return out
 

@@ -900,24 +900,30 @@ def test_store_bm25_pruned_equals_full(spark, tmp_path, derby_url):
     export_search_store(spark, root, url)
 
     with ServingStore(spark, url) as store:
+        # the fixture is far below the production df dispatch threshold
+        # (pruning exists for terms with LONG posting lists); drop it so
+        # the pruned machinery actually runs here
+        store.PRUNE_MIN_DF = 0
         cases = [
             (["rare"], 3), (["rare", "medium"], 5),
             (["medium", "seven"], 10), (["rare", "common"], 5),
-            (["common"], 10),            # stopword-only: cut overflows
+            (["common"], 10),
             (["rare", "medium", "seven", "common"], 8),
             (["medium"], 16),            # k == full df: < k-proof edge
             (["nosuchterm", "rare"], 3), (["nosuchterm"], 5),
         ]
         for terms, k in cases:
-            if terms == [["nosuchterm"]]:
-                continue
-            try:
-                got = store.bm25(terms, k=k)
-            except ValueError:
-                continue
+            got = store.bm25(terms, k=k)
             full = store._bm25_full(sorted(set(terms)), k)
             assert got["columns"] == full["columns"], terms
             assert got["rows"] == full["rows"], (terms, k)
-        # both paths must have actually run
         assert store.bm25_stats["pruned"] > 0, store.bm25_stats
         assert store.bm25_stats["full"] > 0, store.bm25_stats
+        # force the candidate-cap overflow fallback and re-check
+        store.PRUNE_CAND_CAP = 4
+        for terms, k in cases:
+            got = store.bm25(terms, k=k)
+            full = store._bm25_full(sorted(set(terms)), k)
+            assert got["rows"] == full["rows"], ("cap4", terms, k)
+        # with cap 4 every cut overflows -> all answered by the full scan
+        assert store.last_bm25_mode == "full"
