@@ -846,8 +846,18 @@ def dominant_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = _t(spark, sf_dir)
+    # ONE exchange serves both keyed operators (r16, guide §2.4): hash-
+    # partitioning on l_partkey alone satisfies the (l_partkey,
+    # l_suppkey) aggregate's clustering (partition keys ⊆ grouping
+    # keys) AND the l_partkey window, so the grain→window re-exchange
+    # disappears. Partial aggregation is no loss here: lineitem has ~7
+    # rows per (partkey, suppkey) spread across all map partitions, so
+    # map-side combining reduced almost nothing while the plan paid two
+    # full shuffles of near-raw rows instead of one.
     grain = (
         t["lineitem"]
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .repartition(F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("q"))
     )
