@@ -174,9 +174,20 @@ def _bm25_doc_scores(d: DataFrame) -> DataFrame:
         .alias(f"_tf{i}")
         for i, t in enumerate(_Q_TERMS)
     ]
+    # _hit = "matches ANY query term" as ONE arrays_overlap — this is
+    # the column the scoring branch filters on. The optimizer pushes
+    # that filter to the scan BY SUBSTITUTION, so whatever expression
+    # sits here is what every input row evaluates pre-shuffle: the
+    # former OR-of-per-term-tf form re-ran the whole tokenize chain
+    # once PER TERM below the exchange (r16, guide §2.3/§7.2 — watch
+    # what flows into the scan filter). Pushdown itself stays: docs
+    # matching no term must not cross the exchange at corpus scale.
     narrow = toked.select(
         "doc_id",
         F.size(F.col("_toks")).cast("long").alias("dl"),
+        F.arrays_overlap(
+            F.col("_toks"), F.array(*[F.lit(t) for t in _Q_TERMS])
+        ).alias("_hit"),
         *tf_cols,
     )
     stats = narrow.agg(
@@ -189,10 +200,6 @@ def _bm25_doc_scores(d: DataFrame) -> DataFrame:
             for i in range(len(_Q_TERMS))
         ],
     )
-    matched_any = None
-    for i in range(len(_Q_TERMS)):
-        cond = F.col(f"_tf{i}") > 0
-        matched_any = cond if matched_any is None else (matched_any | cond)
     zero = F.lit(0).cast("decimal(28,12)")
     term_scores = [
         F.when(
@@ -212,7 +219,7 @@ def _bm25_doc_scores(d: DataFrame) -> DataFrame:
         F.when(F.col("_tf0") > 0, 1).otherwise(0).cast("long"),
     )
     return (
-        narrow.filter(matched_any)
+        narrow.filter(F.col("_hit"))
         .crossJoin(F.broadcast(stats))  # 1-row scalar combine
         .select(
             "doc_id",

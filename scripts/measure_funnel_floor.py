@@ -113,6 +113,17 @@ def main() -> None:
     materialize_benchmark_decon(spark, bench, decon, production_hash=True)
     out["artifact_bench_decon_s"] = round(time.time() - t0, 1)
 
+    # r16: the corpus-side decon verdict (per-doc contamination
+    # measures keyed on (id, text_fp), pinned to the bench artifacts)
+    from medallion_data_lake_spark.operators.curation_pipeline import (
+        materialize_decon_verdict,
+    )
+
+    decon_vt = os.path.join(work, "decon_verdict")
+    t0 = time.time()
+    materialize_decon_verdict(spark, docs, decon, decon_vt)
+    out["artifact_decon_verdict_initial_s"] = round(time.time() - t0, 1)
+
     # steady-state increment: 0.1% append -> column + verdict catch up
     new_docs = docs.limit(50).select(
         (F.col("doc_id") + 20_000_000_000).alias("doc_id"),
@@ -127,6 +138,10 @@ def main() -> None:
         spark, docs2, read_table(spark, emb_table), verdict, codebook)
     out["artifact_verdict_increment_s"] = round(time.time() - t0, 1)
     assert rep["mode"] == "incremental" and rep["n_new"] == 50, rep
+    t0 = time.time()
+    drep = materialize_decon_verdict(spark, docs2, decon, decon_vt)
+    out["artifact_decon_verdict_increment_s"] = round(time.time() - t0, 1)
+    assert drep["n_new"] == 50, drep
 
     # ---- paired builds -------------------------------------------------
     base = dict(
@@ -145,14 +160,19 @@ def main() -> None:
     cfg_b = CurationConfig(**base, semantic_verdict_table=verdict)
     cfg_c = CurationConfig(**base, semantic_verdict_table=verdict,
                            benchmark_decon_table=decon)
+    # r16 config D: C with the corpus-side decon recompute replaced by
+    # the persisted per-doc verdict table (both decon stages become
+    # slim anti-joins; thresholds still applied at read time)
+    cfg_d = CurationConfig(**base, semantic_verdict_table=verdict,
+                           decon_verdict_table=decon_vt)
     cfg_s0 = CurationConfig(**{k: v for k, v in base.items()
                                if k != "fuzzy_decontaminate"})
 
-    walls: dict[str, list[float]] = {"A": [], "B": [], "C": []}
+    walls: dict[str, list[float]] = {"A": [], "B": [], "C": [], "D": []}
     counts: dict[str, int] = {}
     for _ in range(2):  # interleaved rounds: weather hits all configs
         for name, cfg, b in (("A", cfg_a, bench), ("B", cfg_b, bench),
-                             ("C", cfg_c, None)):
+                             ("C", cfg_c, None), ("D", cfg_d, None)):
             w, n = build_wall(docs2, b, cfg)
             walls[name].append(w)
             counts[name] = n
@@ -165,11 +185,14 @@ def main() -> None:
     out["curated_rows_S0"] = n0
 
     assert counts["B"] == counts["C"], (counts["B"], counts["C"])
+    assert counts["C"] == counts["D"], (counts["C"], counts["D"])
     out["curated_rows_delta_A_vs_B"] = counts["A"] - counts["B"]
     out["verdict_lever_saving_s"] = round(
         out["build_A_s"] - out["build_B_s"], 2)
     out["bench_lever_saving_s"] = round(
         out["build_B_s"] - out["build_C_s"], 2)
+    out["decon_verdict_lever_saving_s"] = round(
+        out["build_C_s"] - out["build_D_s"], 2)
     print(json.dumps({"funnel_floor": out}))
 
 
