@@ -322,20 +322,24 @@ class ServingStore:
         1. PROBE: top-``k`` postings per term in impact order (walks
            the (term, impact DESC, doc_id) index). Yields per-term max
            impacts M_t and partial sums; θ₀ = k-th best partial.
-        2. REFINE (multi-term only): exact re-score of the probed docs
-           (VALUES join, identical decimal arithmetic) lifts θ to the
-           k-th best EXACT score among probed docs — still a lower
-           bound of the true s_k, but no longer hostage to probe
-           overlap. θ only steers pruning power; never correctness.
-        3. SPLIT (MaxScore): ascending by M_t, terms whose M_t sum
-           stays ≤ θ'/2 are SKIPPED — a doc matching only those cannot
-           reach θ' — and the remaining budget spreads uniformly over
-           the essential terms: c = (θ' − ΣM_skipped)/n_ess. A doc
+        2. SPLIT (MaxScore): ascending by M_t, terms whose M_t sum
+           stays ≤ θ/2 are SKIPPED — a doc matching only those cannot
+           reach θ — and the remaining budget spreads uniformly over
+           the essential terms: c = (θ − ΣM_skipped)/n_ess. A doc
            outside the candidate union then scores < ΣM_skipped +
-           n_ess·c = θ' ≤ s_k.
-        4. COUNT GUARD: server-side COUNT of the candidate union
-           (per-essential-term impact ≥ c index ranges); over
-           PRUNE_CAND_CAP → full scan.
+           n_ess·c = θ ≤ s_k.
+        3. COUNT GUARD, per leg and CAPPED: each essential term's
+           impact ≥ c range is counted through a FETCH-capped derived
+           table, so a hopeless (flat-impact stopword) cut costs a
+           ≤cap-entry index walk, never a full range scan. Overflow →
+           one REFINE attempt (below), then full scan.
+        4. REFINE (only when the θ₀ cut overflowed; multi-term only):
+           exact re-score of the probed docs (VALUES join, identical
+           decimal arithmetic) lifts θ to the k-th best EXACT score
+           among probed docs — still a lower bound of the true s_k,
+           but no longer hostage to probe overlap. θ only steers
+           pruning power, never correctness; the split+count runs once
+           more under the lifted θ.
         5. FINAL: one statement — candidate union as the FORCED outer
            side, postings probed per (term, doc_id) through the
            covering index, the exact full-scan aggregation/ordering on
@@ -378,11 +382,56 @@ class ServingStore:
         if len(partial) < k:
             return None  # probes cannot establish a k-th threshold
         theta = sorted(partial.values(), reverse=True)[k - 1]
-        # phase 2: θ refinement — exact scores of the probed docs. For
-        # m == 1 a partial IS the exact score; skip the statement.
-        # the -1 sentinel types the VALUES column as integer; skip the
-        # refinement (θ₀ stands) for non-integer doc ids
-        if m > 1 and all(isinstance(d, int) for d in partial):
+
+        cap = self.PRUNE_CAND_CAP
+        leg = (f'SELECT c."doc_id" FROM {T_POSTINGS} c {ovi}'
+               'WHERE c."term" = ? AND c."impact" >= ?')
+        # per-leg CAPPED count: the FETCH inside the derived table
+        # bounds the index walk, so detecting a hopeless cut (flat
+        # impact distribution: half the term's postings above c) costs
+        # ≤ cap+1 entries instead of a full range scan per request
+        leg_cnt_sql = (
+            f"SELECT COUNT(*) FROM ({leg} "
+            f"FETCH FIRST {cap + 1} ROWS ONLY) u")
+
+        def _split_and_count(th: float):
+            """MaxScore split + capped per-leg counts at threshold th.
+            Returns (cparams, n_legs, skipped_sum, c) or None when the
+            cut overflows the candidate cap."""
+            th_s = th - 1e-6 * (1.0 + th)
+            asc = sorted(terms, key=lambda t: mx.get(t, 0.0))
+            skipped_sum, n_skipped = 0.0, 0
+            for t in asc[:-1]:  # at least one essential term always
+                nxt = skipped_sum + mx.get(t, 0.0)
+                if nxt <= th_s / 2.0:
+                    skipped_sum, n_skipped = nxt, n_skipped + 1
+                else:
+                    break
+            ess = asc[n_skipped:]
+            c = (th_s - skipped_sum) / len(ess)
+            if c <= 0.0:
+                return None
+            total = 0
+            cparams: list = []
+            for t in ess:
+                n = int(self.query(leg_cnt_sql, [t, c],
+                                   max_rows=1)["rows"][0][0])
+                total += n
+                if n > cap or total > cap:
+                    return None  # cut overflows; θ may be refinable
+                cparams += [t, c]
+            return cparams, len(ess), skipped_sum, c
+
+        # shave rationale: θ routinely EQUALS s_k (any probed doc seen
+        # under all its terms — every single-term query), and the
+        # post-hoc margin below must stay provable then. The shave only
+        # widens the candidate set — exactness never rests on it.
+        split = _split_and_count(theta) if theta > 0.0 else None
+        if split is None and m > 1 \
+                and all(isinstance(d, int) for d in partial):
+            # θ refinement, only now that the θ₀ cut overflowed: exact
+            # scores of the probed docs. For m == 1 a partial IS the
+            # exact score, so refinement can never help there.
             ids = [d for d, _ in sorted(partial.items(),
                                         key=lambda kv: -kv[1])]
             ids = ids[:max(2 * k, 64)]
@@ -408,41 +457,16 @@ class ServingStore:
             )
             ref = self.query(ref_sql, ids + list(terms),
                              max_rows=k)["rows"]
-            if len(ref) >= k:
-                theta = max(theta, float(ref[k - 1][0]))
-        if theta <= 0.0:
+            if len(ref) >= k and float(ref[k - 1][0]) > theta:
+                theta = float(ref[k - 1][0])
+                split = _split_and_count(theta)
+        if split is None:
             return None
-        # shave the exclusion budget BELOW θ: θ routinely EQUALS s_k
-        # (any probed doc seen under all its terms), and the post-hoc
-        # margin below must stay provable then. The shave only widens
-        # the candidate set — exactness never rests on it.
-        theta_s = theta - 1e-6 * (1.0 + theta)
-        # phase 3: MaxScore split
-        asc = sorted(terms, key=lambda t: mx.get(t, 0.0))
-        skipped_sum, n_skipped = 0.0, 0
-        for t in asc[:-1]:  # at least one essential term always
-            nxt = skipped_sum + mx.get(t, 0.0)
-            if nxt <= theta_s / 2.0:
-                skipped_sum, n_skipped = nxt, n_skipped + 1
-            else:
-                break
-        ess = asc[n_skipped:]
-        c = (theta_s - skipped_sum) / len(ess)
-        if c <= 0.0:
-            return None
-        # phase 4: server-side candidate count guard
-        leg = (f'SELECT c."doc_id" FROM {T_POSTINGS} c {ovi}'
-               'WHERE c."term" = ? AND c."impact" >= ?')
-        legs = " UNION ".join([leg] * len(ess))
-        cnt_sql = f"SELECT COUNT(*) FROM ({legs}) u"
-        cparams: list = []
-        for t in ess:
-            cparams += [t, c]
-        ncand = int(self.query(cnt_sql, cparams, max_rows=1)["rows"][0][0])
-        if ncand > self.PRUNE_CAND_CAP or ncand < k:
-            return None
-        # phase 5: exact re-score over the candidate union, which
-        # never leaves the store engine
+        cparams, n_legs, skipped_sum, c = split
+        theta_s = skipped_sum + n_legs * c  # the exclusion budget
+        legs = " UNION ".join([leg] * n_legs)
+        # final: exact re-score over the candidate union, which never
+        # leaves the store engine
         fin_sql = (
             'SELECT p."doc_id", COUNT(*) AS n_terms_matched, '
             'CAST(SUM(CAST(p."impact" AS DECIMAL(28,12))) AS DOUBLE) '
