@@ -121,15 +121,36 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
+    # Aggregate the fact FIRST on the int key (o_custkey is the grouping
+    # key — c_name/c_mktsegment are functionally dependent on the
+    # customer PK), then left-join the dim (r16, guide §2.3: aggregate
+    # before you shuffle). The join-then-group form aggregated the WIDE
+    # joined stream — every order row carried c_name + c_mktsegment
+    # strings through the partial aggregate and the exchange. Here the
+    # exchange ships one narrow partial-agg row per customer and the
+    # strings never enter an aggregate. Orderless customers: the left
+    # join yields NULL aggregates exactly like count/sum/avg/max over
+    # the old form's single unmatched row — count coalesces to 0, the
+    # rest stay NULL (tier: NULL >= bound is NULL ⇒ Bronze, unchanged).
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("total_orders"),
+        money_sum("o_totalprice").alias("total_spent"),
+        money_avg("o_totalprice").alias("avg_order_value"),
+        F.max("o_orderdate").alias("last_order_date"),
+    )
     agg = (
         t["customer"]
-        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left")
-        .groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(
-            F.count("o_orderkey").alias("total_orders"),
-            money_sum("o_totalprice").alias("total_spent"),
-            money_avg("o_totalprice").alias("avg_order_value"),
-            F.max("o_orderdate").alias("last_order_date"),
+        .join(per_cust, t["customer"].c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.coalesce(F.col("total_orders"), F.lit(0).cast("long")).alias(
+                "total_orders"
+            ),
+            "total_spent",
+            "avg_order_value",
+            "last_order_date",
         )
     )
     return agg.withColumn(

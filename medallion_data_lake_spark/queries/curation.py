@@ -649,18 +649,20 @@ def decontaminate_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "late near-copies score near 0, genuinely new content near 1 — "
         "what a curation pass ranks by when trimming to a token budget "
         "without a quality model. Cost is exactly the exact-dedup "
-        "class (r15 restructure): explode hashed shingles, ONE shuffle "
-        "on the int64 shingle hash for the min-owner aggregate, then "
-        "count OWNERS per doc (a rollup of the already-aggregated "
-        "owner table — n_novel(doc) = |{h : min owner = doc}| because "
-        "the per-doc shingle sets are distinct) and broadcast-join that "
-        "small count table to the map-side (doc_id, n_shingles) "
-        "projection. The r14 shape joined the owner table BACK onto the "
-        "full exploded set and re-aggregated it at doc grain — two "
-        "extra passes over O(corpus shingles) rows that the owner-count "
-        "identity makes unnecessary (plans/r15/doc_ngram_novelty_"
-        "{before,after}.txt). No all-pairs anywhere; first-ownership "
-        "by doc_id is deterministic cross-engine.",
+        "class (r15 owner-count identity, r16 single-pass): ONE "
+        "tokenize→shingle→md5 pass, ONE explode, ONE shuffle of the "
+        "int64 shingle hashes that BOTH rollups read (ReuseExchange): "
+        "min-owner → owner counts (n_novel(doc) = |{h : min owner = "
+        "doc}| because per-doc shingle sets are distinct) and per-doc "
+        "exploded-row counts (= n_shingles, same distinctness; docs "
+        "with no shingles drop out of both, matching the oracle's "
+        "inner join with no pushable filter). The r14 shape joined the "
+        "owner table back onto the full exploded set; the r15 shape "
+        "re-derived n_shingles from a second shingle pass whose parity "
+        "filter substituted a third chain evaluation into the scan "
+        "(plans/r16/doc_ngram_novelty_{before,after}.txt). No "
+        "all-pairs anywhere; first-ownership by doc_id is "
+        "deterministic cross-engine.",
     tags=("text", "curation"),
     # r8 rotation: promoted to the driver gate (new in r7, never had a
     # driver row)
@@ -672,18 +674,29 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(shingle_hashes(F.col("text"))).alias("hs"),
     )
-    per_doc = (
-        hs.select("doc_id", F.size("hs").cast("long").alias("n_shingles"))
-        # docs with an empty (or NULL-text) shingle set have NO exploded
-        # rows, so the oracle's inner join drops them entirely — the r15
-        # left-join shape kept them (0/0 novelty), a latent parity
-        # divergence on any corpus with empty docs (r15 ADVICE; none at
-        # the gated SFs, results unchanged there)
-        .filter(F.col("n_shingles") > 0)
+    # ONE explode feeds BOTH rollups through a shared h-keyed exchange
+    # (r16). The prior shape derived n_shingles from a second
+    # size(shingle_hashes(text)) branch, and its r15-ADVICE parity
+    # filter (n_shingles > 0) was pushed below that branch's exchange BY
+    # SUBSTITUTION — the full tokenize→shingle→md5 chain ran 3× per doc
+    # (filter + two projections) across 2 scans, and the differing scan
+    # subtrees kept AQE from reusing the text exchange (live-plan
+    # audit; the 0.83 → 1.17 s r15→r16 artifact move was this, not
+    # weather). Here the chain runs ONCE: both aggregates read the same
+    # repartition(h) exchange (identical subtrees ⇒ ReuseExchange), the
+    # owner rollup is exchange-free on top of it, and n_shingles =
+    # per-doc exploded-row count (hs is array_distinct'ed). Docs with an
+    # empty/NULL shingle set have no exploded rows, so BOTH rollups drop
+    # them — exactly the oracle's inner-join row set, with no filterable
+    # (hence pushable) predicate anywhere.
+    exploded = hs.select("doc_id", F.explode("hs").alias("h")).repartition(
+        F.col("h")
+    )
+    per_doc = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
     )
     owner_counts = (
-        hs.select("doc_id", F.explode("hs").alias("h"))
-        .groupBy("h")
+        exploded.groupBy("h")
         .agg(F.min("doc_id").alias("first_owner"))
         .groupBy(F.col("first_owner").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
