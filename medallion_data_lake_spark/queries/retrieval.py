@@ -31,7 +31,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_star_table_spread
+from ..catalog import load_star_table, load_star_table_spread
 from ..operators.inverted_index import (
     BM25_B,
     BM25_K1,
@@ -259,8 +259,14 @@ def _bm25_doc_scores(d: DataFrame) -> DataFrame:
 )
 def bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_star_table_spread(spark, sf_dir, "documents", "doc_id")
-    # lazy 1-row corpus count (the oracle's CROSS JOIN c), not d.count()
-    corpus = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # lazy 1-row corpus count (the oracle's CROSS JOIN c), not d.count().
+    # Counted from the UNSPREAD table (r16): a count needs no per-row
+    # compute, so the spread repartition only shuffled every (pruned)
+    # row to then throw it away — the unspread branch counts at the scan
+    # and ships 1 partial row per split (§2.4: remove the exchange).
+    corpus = load_star_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
     per_doc = build_postings(d)
     return (
         per_doc.groupBy("term")
