@@ -35,6 +35,34 @@ def star_path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _events_cache_key(path: str) -> tuple:
+    """Freshness key for the events ts-type footer cache. File-backed:
+    (path, mtime, size). Directory-backed (a Spark-written table):
+    os.stat on the DIRECTORY succeeds but its entry can stay unchanged
+    when a data file is rewritten in place (r15 ADVICE) — key on the
+    data files themselves (count + max mtime + total size), RECURSIVELY
+    (r16 review: partitioned layouts nest data files one level down,
+    where a rewrite leaves the top-level entries unchanged). Raises
+    OSError for unreachable paths (caller probes fresh)."""
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (path, st.st_mtime_ns, st.st_size)
+    files = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        files.extend(
+            os.stat(os.path.join(root, f))
+            for f in names
+            if not f.startswith(("_", "."))
+        )
+    return (
+        path,
+        len(files),
+        max((f.st_mtime_ns for f in files), default=0),
+        sum(f.st_size for f in files),
+    )
+
+
 def load_star_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one fixture table with its declared schema (no inference).
 
@@ -56,27 +84,7 @@ def load_star_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # results are cached (the DataFrame itself is rebuilt per call).
         path = star_path(sf_dir, table)
         try:  # mtime+size in the key: a rewritten fixture re-probes
-            st = os.stat(path)
-            if os.path.isdir(path):
-                # directory-backed fixture (a Spark-written table):
-                # os.stat on the DIRECTORY succeeds but its entry can
-                # stay unchanged when a data file is rewritten in place
-                # (r15 ADVICE) — key on the data files themselves
-                # (count + max mtime + total size), so any file
-                # rewrite/add/remove re-probes
-                files = [
-                    os.stat(os.path.join(path, f))
-                    for f in os.listdir(path)
-                    if not f.startswith(("_", "."))
-                ]
-                key = (
-                    path,
-                    len(files),
-                    max((f.st_mtime_ns for f in files), default=0),
-                    sum(f.st_size for f in files),
-                )
-            else:
-                key = (path, st.st_mtime_ns, st.st_size)
+            key = _events_cache_key(path)
         except OSError:  # remote/racing path: probe fresh
             key = None
         ts_type = _EVENTS_TS_TYPE.get(key) if key else None

@@ -108,14 +108,44 @@ def decontaminate(docs: DataFrame, bench: DataFrame | None,
         F.col(id_col), F.array_distinct(shingle_hashes(F.col(text_col))).alias("hs")
     )
     contaminated = (
+        contamination_ratios(hashed, bench_ngrams, id_col)
+        .filter(F.col("contamination_ratio") > max_contamination)
+        .select(id_col)
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
+def contamination_ratios(hashed: DataFrame, bench_ngrams: DataFrame,
+                         id_col: str) -> DataFrame:
+    """(id, contamination_ratio) — shared-n-gram fraction per doc vs the
+    bench n-gram set, from a pre-hashed ``(id, hs)`` frame. Docs sharing
+    NO n-gram produce no row (the inner join drops them). ONE definition
+    for the live decon stage (:func:`decontaminate`) and the persisted
+    verdict route (:func:`_decon_verdict_rows`) — the two must compute
+    the identical measure or stored verdicts silently stop reproducing
+    the recompute route's flag set (r16 review; the equality test pins
+    it, this pins the expression)."""
+    return (
         hashed.select(id_col, F.size("hs").alias("_n"), F.explode("hs").alias("h"))
         .join(F.broadcast(bench_ngrams), "h")
         .groupBy(id_col, "_n")
         .agg(F.count(F.lit(1)).alias("_shared"))
-        .filter(F.col("_shared") / F.col("_n") > max_contamination)
-        .select(id_col)
+        .select(F.col(id_col),
+                (F.col("_shared") / F.col("_n")).alias("contamination_ratio"))
     )
-    return docs.join(contaminated, id_col, "left_anti")
+
+
+def minhash_est_jaccard() -> "F.Column":
+    """The banded-join MinHash agreement estimate over ``_cid_mh*`` vs
+    ``_bid_mh*`` columns (the :func:`banded_signatures` layouts). ONE
+    definition for the live fuzzy stage and the persisted verdict route
+    — same rationale as :func:`contamination_ratios`."""
+    from ..queries.dedup import N_MINHASH
+
+    return sum(
+        F.when(F.col(f"_cid_mh{j}") == F.col(f"_bid_mh{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    ) / float(N_MINHASH)
 
 
 def banded_signatures(side: DataFrame, sid: str, tcol: str,
@@ -171,8 +201,6 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame | None,
     lever. It must have been materialized with the SAME
     ``production_hash`` (the sidecar-enforced contract) or the band
     keys would never collide."""
-    from ..queries.dedup import N_MINHASH
-
     corpus = banded_signatures(docs, "_cid", text_col, id_col,
                                production_hash)
     if bench_bands is not None:
@@ -189,13 +217,9 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame | None,
         )
         bside = banded_signatures(bench_prepared, "_bid", "_btext",
                                   "_bench_row_id", production_hash)
-    est = sum(
-        F.when(F.col(f"_cid_mh{j}") == F.col(f"_bid_mh{j}"), 1).otherwise(0)
-        for j in range(N_MINHASH)
-    ) / float(N_MINHASH)
     flagged = (
         corpus.join(bside, ["band", "bkey"])
-        .filter(est >= min_est_jaccard)
+        .filter(minhash_est_jaccard() >= min_est_jaccard)
         .select(F.col("_cid").alias(id_col))
         .distinct()
     )
@@ -285,7 +309,6 @@ def _decon_verdict_rows(docs: DataFrame, bench_ngrams: DataFrame,
     collision", exactly the rows the recompute route's joins never
     produce — so NULL-propagating threshold filters reproduce the
     recompute flag sets bit-for-bit."""
-    from ..queries.dedup import N_MINHASH
     from .embeddings import text_fingerprint
 
     base = docs.select(
@@ -296,25 +319,16 @@ def _decon_verdict_rows(docs: DataFrame, bench_ngrams: DataFrame,
         id_col, "text_fp",
         F.array_distinct(shingle_hashes(F.col(text_col))).alias("hs"),
     )
-    exact = (
-        hashed.select(id_col, F.size("hs").alias("_n"),
-                      F.explode("hs").alias("h"))
-        .join(F.broadcast(bench_ngrams), "h")
-        .groupBy(id_col, "_n")
-        .agg(F.count(F.lit(1)).alias("_shared"))
-        .select(F.col(id_col),
-                (F.col("_shared") / F.col("_n"))
-                .alias("contamination_ratio"))
-    )
+    # the measures come from the SAME expression definitions the live
+    # stages use (contamination_ratios / minhash_est_jaccard) — shared
+    # so the persisted verdicts cannot drift from the recompute route
+    exact = contamination_ratios(hashed, bench_ngrams, id_col)
     corpus_bands = banded_signatures(base, "_cid", text_col, id_col,
                                      production_hash)
-    est = sum(
-        F.when(F.col(f"_cid_mh{j}") == F.col(f"_bid_mh{j}"), 1).otherwise(0)
-        for j in range(N_MINHASH)
-    ) / float(N_MINHASH)
     fuzzy = (
         corpus_bands.join(bench_bands, ["band", "bkey"])
-        .select(F.col("_cid").alias(id_col), est.alias("_est"))
+        .select(F.col("_cid").alias(id_col),
+                minhash_est_jaccard().alias("_est"))
         .groupBy(id_col)
         .agg(F.max("_est").alias("max_est_jaccard"))
     )
@@ -415,7 +429,14 @@ def materialize_decon_verdict(spark, docs: DataFrame,
     docs_fp = docs.select(
         id_col, text_col, text_fingerprint(text_col).alias("text_fp"))
     todo = docs_fp.join(have, [id_col, "text_fp"], "left_anti")
-    if todo.isEmpty():
+    # ONE count serves both the empty-delta early exit and the n_new
+    # report (r16 review): the previous isEmpty() + rows.count() pair
+    # ran the anti-join twice AND re-executed the full shingle/minhash
+    # verdict plan a second time after merge_into had already evaluated
+    # it — _decon_verdict_rows is 1 row per input doc, so counting the
+    # cheap pre-verdict delta is the same number
+    n_new = todo.count()
+    if n_new == 0:
         return {"n_new": 0,
                 "n_total": read_table(spark, table).count(),
                 "version": existing_version}
@@ -425,7 +446,6 @@ def materialize_decon_verdict(spark, docs: DataFrame,
     # contract as the embedding column
     merge_into(spark, table, rows, key=id_col,
                analyze_stats=(id_col,))
-    n_new = rows.count()
     return {"n_new": int(n_new),
             "n_total": read_table(spark, table).count(),
             "version": latest_version(table)}

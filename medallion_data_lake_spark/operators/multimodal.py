@@ -24,6 +24,7 @@ Scale notes (100 TB of media):
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -401,6 +402,11 @@ def dhash_expr(pixels) -> "F.Column":
     on a py4j-private classic-JVM attribute, r15 ADVICE/verdict #9.)
     """
     if isinstance(pixels, str):
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", pixels):
+            # dotted/qualified paths ("s.px") kept their pre-r16 F.col
+            # nested-field resolution; backtick-quoting them would name
+            # one literal column and fail analysis (r16 review)
+            return dhash_expr(F.col(pixels))
         name = "`" + pixels.replace("`", "``") + "`"
         terms = []
         for k in range(PHASH_BITS):

@@ -71,11 +71,15 @@ def bench_requests(store: ServingStore, cases: list[tuple[list[str], int]],
     for i in range(n_req):
         terms, k = cases[i % len(cases)]
         t0 = time.time()
-        store.bm25(terms, k=k)
+        a = store.bm25(terms, k=k)
         t_auto.append(time.time() - t0)
         t0 = time.time()
-        store._bm25_full(sorted(set(terms)), k)
+        b = store._bm25_full(sorted(set(terms)), k)
         t_full.append(time.time() - t0)
+        # equality asserted on EVERY timed request (outside both timed
+        # windows, so the latencies are unaffected) — the docstring's
+        # claim, previously only checked in the warm-up pass
+        assert a["rows"] == b["rows"], (terms, k, i)
     t_auto.sort(), t_full.sort()
     return {
         "p50_pruned_auto_ms": round(1000 * statistics.median(t_auto), 1),

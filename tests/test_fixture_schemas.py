@@ -53,3 +53,38 @@ def test_fixture_matches_declared_schema(sf_dir, table):
         assert got == want, (
             f"{path}.{af.name}: fixture {af.type} != declared {want}"
         )
+
+
+def test_events_cache_key_sees_nested_rewrites(tmp_path):
+    """The footer-cache freshness key must change when a data file
+    nested inside a partition subdirectory is rewritten in place
+    (partitioned layouts put data one level down, where the top-level
+    entries stay unchanged — r16 review)."""
+    import os
+    import time
+
+    from medallion_data_lake_spark.catalog import _events_cache_key
+
+    root = tmp_path / "events.parquet"
+    part = root / "day=2024-01-01"
+    part.mkdir(parents=True)
+    data = part / "part-00000.parquet"
+    data.write_bytes(b"v1")
+    (root / "_SUCCESS").write_bytes(b"")  # metadata: excluded from the key
+
+    k1 = _events_cache_key(str(root))
+    # same content size, later mtime — an in-place rewrite
+    time.sleep(0.01)
+    data.write_bytes(b"v2")
+    k2 = _events_cache_key(str(root))
+    assert k1 != k2
+
+    # metadata-file churn must NOT invalidate (only data files count)
+    (root / "_SUCCESS").write_bytes(b"x")
+    assert _events_cache_key(str(root)) == k2
+
+    # file-backed fixture keeps the (path, mtime, size) form
+    f = tmp_path / "flat.parquet"
+    f.write_bytes(b"abc")
+    st = os.stat(f)
+    assert _events_cache_key(str(f)) == (str(f), st.st_mtime_ns, st.st_size)

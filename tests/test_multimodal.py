@@ -253,3 +253,21 @@ def test_whitespace_only_payload_is_guarded(spark):
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(3, 4, 0)]
     # and the registry query itself still builds + runs on the fixtures
     assert spec.build(spark, "/root/testdata/sf0.001").count() >= 0
+
+
+def test_dhash_expr_dotted_path_resolves_nested_field(spark):
+    """A dotted path must keep its pre-r16 F.col nested-field
+    resolution (backtick-quoting it would name one literal column and
+    fail analysis — r16 review); all three input forms agree."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_lake_spark.operators.multimodal import dhash_expr
+
+    flat = spark.createDataFrame(
+        [(1, list(range(63)))], "id long, px array<int>"
+    )
+    nested = flat.select("id", F.struct(F.col("px")).alias("s"))
+    h_name = flat.select(dhash_expr("px").alias("h")).collect()[0]["h"]
+    h_col = flat.select(dhash_expr(F.col("px")).alias("h")).collect()[0]["h"]
+    h_dotted = nested.select(dhash_expr("s.px").alias("h")).collect()[0]["h"]
+    assert h_name == h_col == h_dotted
